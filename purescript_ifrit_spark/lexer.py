@@ -1,0 +1,135 @@
+"""Lexer: SQL string → token list with positions.
+
+Faithful re-expression of the reference lexer (src/Ifrit/Lexer.purs):
+
+- case-sensitive keywords, matched in an order where longer alternatives win
+  ("OR is included in ORDER BY, AS in ASC", Lexer.purs:176-177)
+- functions AVG|COUNT|MAX|MIN|SUM (Lexer.purs:193-195)
+- binaries != = < > (Lexer.purs:190-195). `<=` / `>=` exist as token kinds in
+  the reference but are never emitted by its tokenizer (SURVEY.md §2.3 F3) —
+  we lex them directly as a documented fix (they remain reachable via NOT).
+- booleans `true|false`, numbers `[0-9]*\\.?[0-9]+` (no negatives), strings
+  double-quoted over charset [a-zA-Z0-9_.], words over the same charset
+  (Lexer.purs:198-229)
+- error parity: "invalid token '<char>' at position <pos>"
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any, List, Optional
+
+from purescript_ifrit_spark.errors import invalid_token
+
+# token kinds
+KEYWORD = "keyword"
+FUNCTION = "function"
+UNARY = "unary"
+BINARY = "binary"
+BOOLEAN = "boolean"
+NUMBER = "number"
+STRING = "string"
+WORD = "word"
+PAREN_OPEN = "paren_open"
+PAREN_CLOSE = "paren_close"
+COMMA = "comma"
+EOF = "eof"
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str
+    value: Any
+    pos: int
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"{self.kind}({self.value!r}@{self.pos})"
+
+
+# Keywords in the reference's match order (Lexer.purs:176-177); GROUP BY /
+# ORDER BY are two-word keywords normalized to GROUPBY / ORDERBY.
+_KEYWORDS = [
+    ("DISTINCT", "DISTINCT"),
+    ("GROUP\\s+BY", "GROUPBY"),
+    ("ORDER\\s+BY", "ORDERBY"),
+    ("OFFSET", "OFFSET"),
+    ("SELECT", "SELECT"),
+    ("WHERE", "WHERE"),
+    ("LIMIT", "LIMIT"),
+    ("NULL", "NULL"),
+    ("FROM", "FROM"),
+    ("AND", "AND"),
+    ("ASC", "ASC"),
+    ("AS", "AS"),
+    ("OR", "OR"),
+    ("DESC", "DESC"),
+]
+_FUNCTIONS = ["AVG", "COUNT", "MAX", "MIN", "SUM"]
+
+_WORD_CHARS = r"[a-zA-Z0-9_.]"
+# a keyword/function match must not run into an identifier tail
+_BOUNDARY = rf"(?!{_WORD_CHARS})"
+
+_RULES = (
+    [(KEYWORD, re.compile(pat + _BOUNDARY), norm) for pat, norm in _KEYWORDS]
+    + [(FUNCTION, re.compile(f + _BOUNDARY), f) for f in _FUNCTIONS]
+    + [
+        (UNARY, re.compile("NOT" + _BOUNDARY), "NOT"),
+        (BINARY, re.compile(r"!="), "!="),
+        (BINARY, re.compile(r"<="), "<="),  # documented fix, SURVEY.md §2.3 F3
+        (BINARY, re.compile(r">="), ">="),
+        (BINARY, re.compile(r"="), "="),
+        (BINARY, re.compile(r"<"), "<"),
+        (BINARY, re.compile(r">"), ">"),
+        (BOOLEAN, re.compile("(?:true|false)" + _BOUNDARY), None),
+        (NUMBER, re.compile(r"[0-9]*\.?[0-9]+"), None),
+        (STRING, re.compile(r'"([a-zA-Z0-9_.]+)"'), None),
+        (WORD, re.compile(r"[a-zA-Z0-9_.]+"), None),
+        (PAREN_CLOSE, re.compile(r"\)"), ")"),
+        (PAREN_OPEN, re.compile(r"\("), "("),
+        (COMMA, re.compile(r","), ","),
+    ]
+)
+
+_WS = re.compile(r"\s*")
+
+
+def tokenize(source: str) -> List[Token]:
+    """Tokenize; appends EOF. Raises LexError with reference-parity message."""
+    tokens: List[Token] = []
+    pos = 0
+    n = len(source)
+    while True:
+        pos = _WS.match(source, pos).end()
+        if pos >= n:
+            tokens.append(Token(EOF, None, pos))
+            return tokens
+        start = pos
+        tok = _match_one(source, pos)
+        if tok is None:
+            raise invalid_token(source[start], start)
+        tokens.append(tok)
+        pos = tok.pos + tok._length  # type: ignore[attr-defined]
+
+
+def _match_one(source: str, pos: int) -> Optional[Token]:
+    for kind, rx, norm in _RULES:
+        m = rx.match(source, pos)
+        if not m:
+            continue
+        raw = m.group(0)
+        if kind == BOOLEAN:
+            value: Any = raw == "true"
+        elif kind == NUMBER:
+            value = float(raw)
+        elif kind == STRING:
+            value = m.group(1)
+        elif kind == WORD:
+            value = raw
+        else:
+            value = norm
+        tok = Token(kind, value, pos)
+        object.__setattr__(tok, "_length", m.end() - pos)
+        return tok
+    return None

@@ -1,0 +1,282 @@
+"""Planner: Statement AST → PySpark DataFrame transformations.
+
+This replaces the reference's MongoDB code generator
+(src/Ifrit/Driver/MongoDB.purs) with a declarative DataFrame builder —
+Catalyst then does predicate pushdown, column pruning, partial aggregation
+and whole-stage codegen (SURVEY.md §4: no custom optimizer rules needed).
+
+Semantics preserved from the reference (stage order MongoDB.purs:134-141,
+153-160):
+
+    derived table → WHERE → ORDER BY → LIMIT → OFFSET → (project | group)
+
+Dialect quirks carried over faithfully (each with a compat flag):
+
+- OFFSET is applied AFTER LIMIT (`$limit` then `$skip`,
+  MongoDB.purs:132-141; golden Test.Main.purs:899-917) — `sane_offset=True`
+  restores SQL's skip-then-take.
+- In grouped statements ORDER BY/LIMIT run BEFORE the aggregation — they
+  select *which rows* are aggregated (MongoDB.purs:148-160, SURVEY §2.5 O4).
+- MIN/MAX over nested array fields implements the *intended* semantics
+  (the reference's codegen has a latent `$sub`-vs-`$$this.sub` bug,
+  MongoDB.purs:224,249 — SURVEY §2.4 B5).
+- WHERE binary conditions must compare a field with a literal
+  (field-vs-field rejected, MongoDB.purs:386-397 ErrCondition) —
+  `allow_field_comparison=True` lifts the restriction.
+- `= NULL` means MongoDB `{$eq: null}` → `isNull`; `!= NULL` → `isNotNull`.
+- A bare boolean field predicate compiles to `col == true` (`{f: true}`,
+  MongoDB.purs:370-374); under NOT, `col == false`.
+
+Scale notes (100 TB design bar):
+
+- Everything is a narrow DataFrame transformation; filters are emitted
+  before projections so Catalyst pushes them into the parquet scan.
+- Global aggregation (`GROUP BY NULL`) uses `groupBy().agg(...)` — Spark
+  executes it as partial (map-side) + final aggregation, no single-key
+  shuffle hotspot.
+- ORDER BY+LIMIT compiles to Spark's TakeOrderedAndProject (no full sort).
+- Per-row array aggregates are higher-order functions — JVM-side, inside
+  whole-stage codegen; no Python UDFs anywhere in the dialect path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.errors import PlanError
+from purescript_ifrit_spark.plans.ast import (
+    And,
+    BinaryCond,
+    Condition,
+    FieldOperand,
+    FnCall,
+    Group,
+    LitOperand,
+    Not,
+    Or,
+    Projection,
+    Select,
+    Statement,
+)
+
+NUMERIC_FNS = ("AVG", "MAX", "MIN", "SUM")
+
+
+@dataclass(frozen=True)
+class CompatFlags:
+    """Deliberate deviations from reference quirks (SURVEY.md §7)."""
+
+    sane_offset: bool = False  # True → SQL skip-then-take instead of $limit,$skip
+    allow_field_comparison: bool = False  # lift MongoDB.purs:386-397 restriction
+
+
+def _fmt_operand(o) -> str:
+    if isinstance(o, FieldOperand):
+        return o.path
+    v = o.value
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return str(int(v)) if v.is_integer() else str(v)
+    return f'"{v}"'
+
+
+def _err_condition(desc: str) -> PlanError:
+    # parity with MongoDB.purs:467-471
+    return PlanError(
+        f"invalid condition: {desc}: should target a field of the document"
+    )
+
+
+def build(df: DataFrame, stmt: Statement, flags: CompatFlags = CompatFlags()) -> DataFrame:
+    """Compile `stmt` into transformations over `df`."""
+    if stmt.source is not None:
+        df = build(df, stmt.source, flags)
+
+    if stmt.where is not None:
+        df = df.filter(compile_condition(stmt.where, flags))
+
+    if stmt.order_by:
+        df = df.orderBy(
+            *[
+                F.col(k.path).asc() if k.ascending else F.col(k.path).desc()
+                for k in stmt.order_by
+            ]
+        )
+
+    if flags.sane_offset:
+        if stmt.offset is not None:
+            df = df.offset(stmt.offset)
+        if stmt.limit is not None:
+            df = df.limit(stmt.limit)
+    else:
+        # faithful: $limit precedes $skip (MongoDB.purs:132-141)
+        if stmt.limit is not None:
+            df = df.limit(stmt.limit)
+        if stmt.offset is not None:
+            df = df.offset(stmt.offset)
+
+    if isinstance(stmt, Select):
+        return df.select(*[_projection_column(sel) for sel in stmt.projections])
+
+    assert isinstance(stmt, Group)
+    aggs: List[Column] = []
+    for sel in stmt.projections:
+        aggs.append(_aggregation_column(sel))
+    if stmt.group_by is None:
+        # GROUP BY NULL → one global group: partial+final agg, no shuffle key
+        out = df.groupBy().agg(*aggs)
+        return out.select(*[c for c in out.columns], F.lit(None).alias("_id"))
+    return df.groupBy(F.col(stmt.group_by).alias("_id")).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# projections (Select mode) — per-row array aggregation (SURVEY §2.4 mode B)
+# ---------------------------------------------------------------------------
+
+
+def _projection_column(sel) -> Column:
+    if isinstance(sel, Projection):
+        return F.col(sel.path).alias(sel.output_name)
+
+    assert isinstance(sel, FnCall)
+    parts = sel.path.split(".")
+    if len(parts) == 1:
+        arr = F.col(sel.path)
+    else:
+        # one-level push-down over array<struct>: transform to the sub-field
+        base, rest = parts[0], ".".join(parts[1:])
+        arr = F.transform(F.col(base), lambda x: _struct_path(x, rest))
+
+    if sel.fn == "COUNT":
+        # $reduce-add-1 ≡ $size (MongoDB.purs:201-214)
+        col = F.when(F.col(parts[0]).isNull(), F.lit(None)).otherwise(F.size(arr))
+    elif sel.fn == "SUM":
+        col = F.aggregate(arr, F.lit(0.0), lambda s, x: s + x.cast("double"))
+    elif sel.fn == "AVG":
+        total = F.aggregate(arr, F.lit(0.0), lambda s, x: s + x.cast("double"))
+        col = F.when(F.size(arr) > 0, total / F.size(arr))
+    elif sel.fn == "MAX":
+        col = F.array_max(arr)
+    elif sel.fn == "MIN":
+        col = F.array_min(arr)
+    else:  # pragma: no cover
+        raise PlanError(f"unknown function {sel.fn}")
+    return col.alias(sel.output_name)
+
+
+def _struct_path(x: Column, dotted: str) -> Column:
+    for part in dotted.split("."):
+        x = x[part]
+    return x
+
+
+# ---------------------------------------------------------------------------
+# aggregations (Group mode) — SURVEY §2.4 mode A
+# ---------------------------------------------------------------------------
+
+
+def _aggregation_column(sel) -> Column:
+    if isinstance(sel, Projection):
+        # bare field in grouped SELECT → $push ≡ collect_list (MongoDB.purs:290-291)
+        return F.collect_list(F.col(sel.path)).alias(sel.output_name)
+    assert isinstance(sel, FnCall)
+    c = F.col(sel.path)
+    if sel.fn == "AVG":
+        agg = F.avg(c)
+    elif sel.fn == "SUM":
+        agg = F.sum(c)
+    elif sel.fn == "MIN":
+        agg = F.min(c)
+    elif sel.fn == "MAX":
+        agg = F.max(c)
+    elif sel.fn == "COUNT":
+        # {$sum: 1} — row count per group, not null-skipping count(f)
+        # (MongoDB.purs:296-297)
+        agg = F.count(F.lit(1))
+    else:  # pragma: no cover
+        raise PlanError(f"unknown function {sel.fn}")
+    return agg.alias(sel.output_name)
+
+
+# ---------------------------------------------------------------------------
+# conditions
+# ---------------------------------------------------------------------------
+
+
+def compile_condition(cond: Condition, flags: CompatFlags = CompatFlags()) -> Column:
+    if isinstance(cond, And):
+        return compile_condition(cond.lhs, flags) & compile_condition(cond.rhs, flags)
+    if isinstance(cond, Or):
+        return compile_condition(cond.lhs, flags) | compile_condition(cond.rhs, flags)
+    if isinstance(cond, Not):
+        return _compile_not(cond.cond, flags)
+    if isinstance(cond, BinaryCond):
+        return _compile_binary(cond, flags)
+    if isinstance(cond, FieldOperand):
+        # bare boolean field → {f: true} (MongoDB.purs:370-374)
+        return F.col(cond.path) == F.lit(True)
+    raise _err_condition(_fmt_operand(cond))
+
+
+def _compile_not(cond: Condition, flags: CompatFlags) -> Column:
+    """NOT. The reference rewrites via De Morgan + operator negation because
+    MongoDB lacks a general `$not` (MongoDB.purs:337-345,400-444). Spark
+    negates natively; the only semantic carry-over is the bare-field case:
+    NOT f → {f: false} (MongoDB.purs:401-404)."""
+    if isinstance(cond, FieldOperand):
+        return F.col(cond.path) == F.lit(False)
+    return ~compile_condition(cond, flags)
+
+
+_NULL_SAFE_OPS = ("=", "!=")
+
+
+def _compile_binary(cond: BinaryCond, flags: CompatFlags) -> Column:
+    lhs, rhs, op = cond.lhs, cond.rhs, cond.op
+
+    lhs_field = isinstance(lhs, FieldOperand)
+    rhs_field = isinstance(rhs, FieldOperand)
+    if not flags.allow_field_comparison:
+        # reference codegen restriction (MongoDB.purs:386-397): exactly one
+        # side must be a field
+        if lhs_field == rhs_field:
+            desc = f"{_fmt_operand(lhs)} {op} {_fmt_operand(rhs)}"
+            raise _err_condition(desc)
+
+    left = F.col(lhs.path) if lhs_field else _lit(lhs)
+    right = F.col(rhs.path) if rhs_field else _lit(rhs)
+
+    # `= NULL` ≡ MongoDB {$eq: null} → isNull (SURVEY §2.3 F1)
+    if op in _NULL_SAFE_OPS:
+        null_side = None
+        if isinstance(rhs, LitOperand) and rhs.value is None:
+            null_side = left
+        elif isinstance(lhs, LitOperand) and lhs.value is None:
+            null_side = right
+        if null_side is not None:
+            return null_side.isNull() if op == "=" else null_side.isNotNull()
+
+    if op == "=":
+        return left == right
+    if op == "!=":
+        return left != right
+    if op == "<":
+        return left < right
+    if op == ">":
+        return left > right
+    if op == "<=":
+        return left <= right
+    if op == ">=":
+        return left >= right
+    raise PlanError(f"unknown operator {op}")  # pragma: no cover
+
+
+def _lit(o: LitOperand) -> Column:
+    return F.lit(o.value)
