@@ -1,0 +1,93 @@
+"""Source connectors.
+
+The reference has exactly one source: an implicit collection chosen by the
+caller (README.md:48-55; SURVEY §2.1 S1) — here, any DataFrame. This module
+adds the concrete readers our engine ships: the driver's parquet star schema
+plus generic format readers with schema enforcement.
+
+Scale notes: `spark.read.parquet` gives partition discovery, predicate
+pushdown and column pruning for free. For 100 TB deployments the same calls
+work unchanged on an object store; `maxPartitionBytes` governs split sizing.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One parquet table from a driver scale-factor directory.
+
+    The driver's `events` table stores TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects by default — read it as long nanos
+    (spark.sql.legacy.parquet.nanosAsLong) and surface a proper
+    TimestampType column (micros, same truncation DuckDB applies)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so run_query(spark, "name", ...)
+    and spark.sql both see them."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: Optional[str] = None,
+    **options,
+) -> DataFrame:
+    """Generic reader (parquet/json/csv/orc/text). An explicit schema skips
+    the inference pass — mandatory at scale (schema inference reads data)."""
+    reader = spark.read.format(fmt).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "error",
+    partition_by: Optional[list] = None,
+    **options,
+) -> None:
+    """Generic sink. `partition_by` produces hive-style partition dirs —
+    the unit of partition pruning for downstream readers."""
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
