@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports dialect compile-throughput (ops/sec) for the five query shapes
+the reference benchmarks (BASELINE.md) under the "compile_ops_per_sec" key —
+the only metric the reference itself publishes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("ifrit-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _consume(df) -> int:
+    """Execute the full plan; avoid driver-transfer overhead for big results."""
+    return df.count() if len(df.columns) > 0 else 0
+
+
+def bench_queries(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from purescript_ifrit_spark.api import run_query
+    from purescript_ifrit_spark.operators import dedup, similarity
+    from purescript_ifrit_spark.operators.joins import orders_enriched
+    from purescript_ifrit_spark.operators.text_analysis import quality_score
+    from purescript_ifrit_spark.operators.windows import session_stats, tumbling_agg
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    t = {n: load_table(spark, SF_DIR, n) for n in
+         ("lineitem", "orders", "customer", "nation", "region",
+          "events", "documents", "embeddings")}
+
+    def q1_pricing_summary():
+        return run_query(
+            spark, t["lineitem"],
+            "SELECT AVG(l_quantity) AS avg_qty, SUM(l_extendedprice) AS sum_price, "
+            "COUNT(l_orderkey) AS n WHERE l_quantity < 50 GROUP BY l_returnflag",
+        )
+
+    def q2_filter_topk():
+        return run_query(
+            spark, t["orders"],
+            "SELECT o_orderkey, o_totalprice WHERE o_orderstatus = \"F\" "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100",
+        )
+
+    def q3_star_join():
+        return orders_enriched(
+            t["orders"], t["customer"], t["nation"], t["region"]
+        ).groupBy("r_name").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("total"),
+        )
+
+    def q4_sessionize():
+        return session_stats(t["events"], "user_id", "ts", 30)
+
+    def q5_events_hourly():
+        return tumbling_agg(t["events"], "ts", "hour", ("event_type",))
+
+    def q6_dedup_minhash():
+        return dedup.dedup_minhash(
+            t["documents"], "doc_id", "text",
+            num_hashes=32, bands=8, jaccard_threshold=0.8,
+        )
+
+    def q7_ann_brute():
+        emb = t["embeddings"]
+        query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        return similarity.cosine_topk(emb, "vec_id", "embedding", query, 100)
+
+    def q8_nested_array_agg():
+        items = t["lineitem"].groupBy("l_orderkey").agg(
+            F.collect_list(F.struct(F.col("l_quantity").alias("qty"))).alias("items")
+        )
+        return run_query(
+            spark, items,
+            "SELECT l_orderkey, AVG(items.qty) AS avg_qty, MAX(items.qty) AS max_qty",
+        )
+
+    def q9_text_quality():
+        return quality_score(t["documents"], "text")
+
+    queries = {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q2_filter_topk": q2_filter_topk,
+        "q3_star_join": q3_star_join,
+        "q4_sessionize": q4_sessionize,
+        "q5_events_hourly": q5_events_hourly,
+        "q6_dedup_minhash": q6_dedup_minhash,
+        "q7_ann_brute": q7_ann_brute,
+        "q8_nested_array_agg": q8_nested_array_agg,
+        "q9_text_quality": q9_text_quality,
+    }
+
+    # JVM warm-up (parquet footers, codegen)
+    t["lineitem"].count()
+
+    times = {}
+    for name, fn in queries.items():
+        start = time.perf_counter()
+        _consume(fn())
+        times[name] = round(time.perf_counter() - start, 3)
+    return times
+
+
+def bench_compile() -> dict:
+    """Plan-construction throughput for the reference's five benchmark
+    shapes (BASELINE.md; schema mirrors test/benchmark.js:8-16)."""
+    from purescript_ifrit_spark.api import compile_query
+
+    schema = {
+        "age": "number",
+        "class": "string",
+        "is_master": "boolean",
+        "bonus": ["number"],
+        "spells": [{"power": "number"}],
+    }
+    shapes = {
+        "select_age": "SELECT age",
+        "alias_count": "SELECT class AS klass, COUNT(bonus)",
+        "group_avg": "SELECT AVG(age) GROUP BY class",
+        "where_and": "SELECT is_master WHERE (age > 14 AND age < 20)",
+        "nested_from": "SELECT AVG(power) AS avg_pow FROM "
+        "(SELECT AVG(spells.power) AS power, age) WHERE age > 18 GROUP BY NULL",
+    }
+    out = {}
+    for name, sql in shapes.items():
+        n, start = 0, time.perf_counter()
+        while time.perf_counter() - start < 0.5:
+            compile_query(schema, sql)
+            n += 1
+        out[name] = round(n / (time.perf_counter() - start))
+    return out
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        t0 = time.perf_counter()
+        times = bench_queries(spark)
+        total = round(time.perf_counter() - t0, 3)
+        result = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "compile_ops_per_sec": bench_compile(),
+            "cpus": int(CPUS),
+        }
+        print(json.dumps(result))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Hashing primitives for fuzzy dedup: MinHash and SimHash signatures as
+Column expressions (JVM-side; xxhash64 is Spark's built-in 64-bit hash).
+
+Scale design: signatures are computed in the scan stage (no shuffle), and
+downstream LSH banding turns O(n²) similarity into an equi-join on band
+keys — the only shuffle is by band hash.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: array<bigint> of length `num_hashes`.
+
+    h_i(doc) = min over shingles of xxhash64(seed_i ++ shingle). Using a
+    per-seed prefix instead of separate hash families keeps everything in
+    one built-in function. Empty shingle arrays yield nulls — filter docs
+    to non-empty text first.
+
+    Per-lane transform+array_min: benchmarked FASTER than a single
+    aggregate-fold computing all lanes per shingle (the fold allocates a
+    fresh accumulator array per element; the per-lane loop stays primitive).
+    """
+    mins: List[Column] = [
+        F.array_min(
+            F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Split a signature into `bands` hashed band keys:
+    array<struct<band:int, key:bigint>>. Docs sharing ANY band key are
+    LSH candidates (prob. of sharing a band ≈ 1-(1-j^r)^b for Jaccard j)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at(signature, b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+def simhash_signature(toks: Column, bits: int = 64) -> Column:
+    """SimHash: one bigint whose bit k is the sign of the sum over tokens of
+    (bit k of xxhash64(token) ? +1 : -1).
+
+    Expressed with higher-order functions: fold tokens into a `bits`-wide
+    counter array, then collapse signs to a single integer. Stays JVM-side;
+    cost is O(tokens × bits) bit-tests per doc in codegen — fine for
+    signature computation in the scan stage.
+    """
+    # shift amounts must be Python ints in the DSL, so the bit lanes are
+    # unrolled statically (bits is a compile-time constant)
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(F.xxhash64(t), k).bitwiseAND(F.lit(1))
+                    for k in range(bits)
+                ]
+            ),
+            lambda c, bit: c + F.when(bit == 1, 1).otherwise(-1),
+        ),
+    )
+    # collapse: set bit k where counters[k] > 0; the top bit is the signed
+    # long's sign bit in two's complement
+    def _bit_value(k: int) -> int:
+        v = 1 << k
+        return v - (1 << bits) if k == bits - 1 else v
+
+    sig = F.lit(0).cast("long")
+    for k in range(bits):
+        sig = sig + F.when(
+            F.element_at(counters, k + 1) > 0, F.lit(_bit_value(k)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_chunks(sig: Column, chunks: int = 4, bits: int = 64) -> Column:
+    """Split a simhash into `chunks` equal bit-slices for LSH blocking:
+    two docs within hamming distance < chunks share at least one slice
+    (pigeonhole). Returns array<struct<chunk:int, key:bigint>>."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned(sig, i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for i in range(chunks)
+        ]
+    )

@@ -1,0 +1,242 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Five strategies, all shuffle-conscious (SURVEY.md §2.7; no reference
+counterpart — these are the driver-mandated training-data-pipeline ops):
+
+- exact        : hash-groupBy on a fingerprint — one shuffle on the dedup key
+- minhash LSH  : shingle → minhash → band → equi-join on band keys —
+                 candidate generation is a join, never an O(n²) cross
+- simhash      : 64-bit signature → bit-slice blocking → hamming filter
+- n-gram Jaccard: exact Jaccard over shingle sets within LSH blocks
+- embedding    : near-dup by cosine over an embedding column (see
+                 operators/similarity.py for the kernel)
+
+100 TB design notes, per stage:
+- signatures are computed in the scan stage (no shuffle, codegen'd
+  expressions from functions/hashing.py)
+- the only wide exchange is the band-key join; band keys are 64-bit hashes,
+  so the join is uniform unless the corpus has pathological boilerplate —
+  mitigate hot bands by `spark.sql.adaptive.enabled` (AQE skew join) or by
+  capping bucket size (`max_bucket` below: drops degenerate bands like
+  empty-string boilerplate, standard practice in web-scale dedup)
+- pair verification (exact Jaccard / hamming) happens only on candidates
+  inside each bucket
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.functions import hashing as H
+from purescript_ifrit_spark.functions import text as X
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """Keep exactly one row per distinct `key_cols` — the one with the
+    smallest `order_col` (deterministic, unlike dropDuplicates).
+
+    Implementation: min_by aggregation — a single hash-shuffle on the dedup
+    key with map-side partial aggregation; no window sort needed.
+    """
+    others = [c for c in df.columns if c not in key_cols]
+    agg = [F.min_by(F.struct(*others), F.col(order_col)).alias("_kept")]
+    out = df.groupBy(*[F.col(c) for c in key_cols]).agg(*agg)
+    return out.select(*key_cols, *[F.col(f"_kept.{c}").alias(c) for c in others])
+
+
+def dedup_exact_text(
+    df: DataFrame, text_col: str, order_col: str
+) -> DataFrame:
+    """Exact content dedup on the *normalized* text fingerprint (md5), the
+    standard first pass of a corpus pipeline. Keeps the smallest
+    `order_col` per fingerprint."""
+    with_fp = df.withColumn("_fp", X.fingerprint(F.col(text_col)))
+    kept = with_fp.groupBy("_fp").agg(
+        F.min(F.col(order_col)).alias(order_col)
+    )
+    # semi-join back to keep full rows; broadcast-free, both sides share the
+    # fingerprint partitioning
+    return (
+        with_fp.join(kept, ["_fp", order_col], "left_semi").drop("_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH fuzzy dedup
+# ---------------------------------------------------------------------------
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_words: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Pipeline: shingle → minhash(num_hashes) → bands band-keys → explode →
+    self-equi-join on (band, key) → exact Jaccard verification on shingle
+    sets. With b=8, r=4 the LSH S-curve crosses ~0.76, a good match for a
+    0.8 threshold.
+    """
+    rows = num_hashes // bands
+    sh = X.word_shingles(F.col(text_col), shingle_words)
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            sh.alias("_shingles"),
+        )
+        .filter(F.size("_shingles") > 0)
+        .withColumn("_sig", H.minhash_signature(F.col("_shingles"), num_hashes))
+    )
+    # shingle sets are reused twice (banding input and verification) — keep
+    # them in memory instead of recomputing the scan+shingling
+    base = base.persist()
+
+    # band rows carry ONLY (id, band, key): the candidate join must never
+    # shuffle shingle arrays (at corpus scale those are the bulk of bytes)
+    banded = base.select(
+        "_id",
+        F.explode(H.minhash_bands(F.col("_sig"), bands, rows)).alias("_b"),
+    ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+
+    # drop degenerate buckets (boilerplate explosion guard)
+    if max_bucket is not None:
+        counts = banded.groupBy("_band", "_key").agg(F.count("*").alias("_n"))
+        banded = (
+            banded.join(counts, ["_band", "_key"])
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+
+    left = banded.select("_band", "_key", F.col("_id").alias("id_a"))
+    right = banded.select("_band", "_key", F.col("_id").alias("id_b"))
+    cand = (
+        left.join(right, ["_band", "_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # same pair can share several bands
+    )
+
+    # verification: attach shingle sets to the (small) candidate set only
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b"))
+    pairs = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", H.jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Remove near-duplicates: keeps a row unless it appears as the larger
+    id of a qualifying pair (single-link, one pass — not full connected
+    components; A~B, B~C with A≁C keeps A and C, drops B: acceptable and
+    standard for one-pass corpus dedup)."""
+    pairs = minhash_candidate_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, [id_col], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash fuzzy dedup
+# ---------------------------------------------------------------------------
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by simhash: two docs within hamming distance
+    < `chunks` share at least one bit-slice (pigeonhole), so blocking on
+    `chunks` slices finds all pairs with distance <= chunks-1."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        H.simhash_signature(X.tokens(F.col(text_col))).alias("_sig"),
+    )
+    sliced = base.select(
+        "_id", "_sig", F.explode(H.simhash_chunks(F.col("_sig"), chunks)).alias("_c")
+    ).select("_id", "_sig", F.col("_c.chunk").alias("_chunk"), F.col("_c.key").alias("_key"))
+
+    if max_bucket is not None:
+        counts = sliced.groupBy("_chunk", "_key").agg(F.count("*").alias("_n"))
+        sliced = (
+            sliced.join(counts, ["_chunk", "_key"])
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+
+    left = sliced.select("_chunk", "_key", F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"))
+    right = sliced.select("_chunk", "_key", F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"))
+    return (
+        left.join(right, ["_chunk", "_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", H.hamming64(F.col("_sig_a"), F.col("_sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for evaluation / small blocks)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over all pairs (within `block_col` blocks
+    when given — REQUIRED at scale; unblocked use is for evaluation only and
+    cross-joins)."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        X.word_shingles(F.col(text_col), n).alias("_sh"),
+    )
+    on = ["_blk"] if block_col else []
+    left = base.select(*on, F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    right = base.select(*on, F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    joined = left.join(right, on) if on else left.crossJoin(right)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", H.jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

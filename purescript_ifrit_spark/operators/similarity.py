@@ -1,0 +1,227 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers (SURVEY.md §2.7 extension; no reference counterpart):
+
+1. brute-force cosine top-k — the exactness baseline. One narrow pass:
+   cosine is a codegen'd zip_with/aggregate, top-k is TakeOrdered. Scales
+   linearly; right answer for one-off queries even at 10^9 rows.
+2. LSH-bucketed (random hyperplanes) — `bucket` column computed in the scan
+   stage; query probes only matching buckets (hamming-adjacent probes for
+   recall). Turns full scans into partition-pruned scans when the table is
+   written partitioned by bucket.
+3. IVF (inverted file) — coarse k-means-style centroids (deterministically
+   seeded sample), each row assigned to nearest centroid; queries probe the
+   `nprobe` nearest centroids. Candidate set shrinks ~nlist/nprobe-fold.
+
+The pairwise/batched kernel uses an Arrow-vectorized Pandas UDF (numpy
+matmul per batch) — the documented fast path when built-ins can't express
+a matrix product efficiently.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.functions import vectors as V
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to one query vector.
+
+    Returns (id, sim) ordered desc; ties broken by id for determinism.
+    Plan shape: Scan → Project(cosine) → TakeOrderedAndProject(k) — no
+    shuffle beyond the final k-row gather."""
+    q = V.lit_vector(query)
+    return (
+        df.select(
+            F.col(id_col),
+            V.cosine(F.col(vec_col), q).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: "np.ndarray",
+    query_ids: Sequence[int],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k rows per query for a BATCH of query vectors.
+
+    The query matrix is broadcast (numpy, via closure) and each Arrow batch
+    does one matmul — the Pandas-UDF fast path. The per-query top-k is a
+    window over (query_id, sim): one shuffle by query_id.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    qm = np.asarray(queries, dtype=np.float64)  # (Q, dim)
+    qnorm = np.linalg.norm(qm, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qids = list(query_ids)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def sims(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (B, dim)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        s = (m @ qm.T) / norms[:, None] / qnorm[None, :]  # (B, Q)
+        return pd.Series(list(s))
+
+    exploded = (
+        df.select(F.col(id_col), sims(F.col(vec_col)).alias("_sims"))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.col("_sims")).alias("_qpos", "sim"),
+        )
+        .withColumn(
+            "query_id",
+            F.element_at(F.array(*[F.lit(q) for q in qids]), F.col("_qpos") + 1),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        exploded.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select("query_id", F.col(id_col), "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes)
+# ---------------------------------------------------------------------------
+
+
+def make_hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> List[List[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, planes: Sequence[Sequence[float]], out_col: str = "bucket"
+) -> DataFrame:
+    """Attach the hyperplane-sign bucket id (computed in the scan stage).
+    Write the table partitioned/bucketed by this column to get partition
+    pruning on probe."""
+    return df.withColumn(out_col, V.random_hyperplane_signature(F.col(vec_col), planes))
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    planes: Sequence[Sequence[float]],
+    k: int = 10,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only rows whose bucket is within
+    `probe_hamming` bits of the query's bucket (multi-probe LSH), then exact
+    cosine re-rank. Recall rises with probe_hamming; cost multiplies by
+    C(n_planes, <=probe_hamming)."""
+    n_planes = len(planes)
+    qv = np.asarray(query, dtype=np.float64)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(qv, np.asarray(p))) >= 0:
+            qbits |= 1 << i
+
+    probes = [qbits]
+    if probe_hamming >= 1:
+        probes += [qbits ^ (1 << i) for i in range(n_planes)]
+    if probe_hamming >= 2:
+        probes += [
+            qbits ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+
+    bucketed = with_lsh_bucket(df, vec_col, planes)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, id_col, vec_col, query, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    df: DataFrame, vec_col: str, nlist: int = 16, seed: int = 42, sample: int = 4096
+) -> "np.ndarray":
+    """Coarse centroids via one k-means++-seeded Lloyd pass over a
+    deterministic sample — driver-side on ≤`sample` vectors (the index-build
+    step; at 100 TB you'd run this once and persist)."""
+    rows = (
+        df.select(vec_col)
+        .limit(sample)
+        .toPandas()[vec_col]
+        .to_numpy()
+    )
+    m = np.stack(rows).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding
+    cents = [m[rng.randint(len(m))]]
+    for _ in range(nlist - 1):
+        d2 = np.min(
+            [np.sum((m - c) ** 2, axis=1) for c in cents], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(m[rng.choice(len(m), p=probs)])
+    c = np.stack(cents)
+    for _ in range(5):  # Lloyd iterations
+        assign = np.argmin(
+            ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        for j in range(nlist):
+            if (assign == j).any():
+                c[j] = m[assign == j].mean(0)
+    return c
+
+
+def with_ivf_assignment(
+    df: DataFrame, vec_col: str, centroids: "np.ndarray", out_col: str = "ivf_cell"
+) -> DataFrame:
+    """Assign each row to its nearest centroid (JVM-side: argmin over an
+    unrolled centroid list — nlist is small by construction)."""
+    dists = F.array(
+        *[V.l2_distance(F.col(vec_col), V.lit_vector(c)) for c in centroids]
+    )
+    return df.withColumn(
+        out_col, F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    centroids: "np.ndarray",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k probing the `nprobe` nearest IVF cells."""
+    q = np.asarray(query, dtype=np.float64)
+    order = np.argsort(((centroids - q[None, :]) ** 2).sum(1))
+    cells = [int(c) for c in order[:nprobe]]
+    assigned = with_ivf_assignment(df, vec_col, centroids)
+    cand = assigned.filter(F.col("ivf_cell").isin(cells))
+    return cosine_topk(cand, id_col, vec_col, query, k)

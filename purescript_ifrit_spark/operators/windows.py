@@ -1,0 +1,92 @@
+"""Event-stream analytics over the batch `events` table: tumbling windows,
+sessionization, top-k per group. The streaming twins live in
+purescript_ifrit_spark/streaming/.
+
+Scale notes: tumbling aggregation is one shuffle on (window, type);
+sessionization is one shuffle on user_id then a linear in-partition pass —
+both hold at 1000 executors as long as no single user/window dominates
+(AQE skew handling covers the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    unit: str = "hour",
+    keys: tuple = ("event_type",),
+) -> DataFrame:
+    """Counts + value sums per tumbling window per key. date_trunc keeps it
+    oracle-comparable; the streaming twin uses F.window."""
+    return (
+        df.groupBy(
+            F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+            *[F.col(k) for k in keys],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Classic gap-based sessionization: a new session starts when the gap
+    to the previous event of the same user exceeds `gap_minutes`.
+
+    One shuffle (partition by user), then lag + cumulative sum — both
+    computed in a single window pass."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    gap = F.lit(gap_minutes * 60)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap)
+    ).cast("int")
+    return df.withColumn("_new", new_session).withColumn(
+        "session_id",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("_new")
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Sessions with their length and event count."""
+    s = sessionize(df, user_col, ts_col, gap_minutes)
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("duration_sec"),
+    )
+
+
+def topk_per_group(
+    df: DataFrame, group_col: str, order_col: str, k: int, tiebreak_col: str
+) -> DataFrame:
+    """Deterministic top-k rows per group (window row_number — one shuffle,
+    partial top-k pushed map-side by Spark's WindowGroupLimit)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

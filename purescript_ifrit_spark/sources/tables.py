@@ -44,9 +44,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer `div`, NOT `/`: float division of ~1.7e18 ns loses
+            # precision beyond 2^53 and lands ±1 µs off
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

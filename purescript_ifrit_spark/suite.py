@@ -376,6 +376,235 @@ def b5_minmax_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# §2.7 extensions — training-data-pipeline operators
+# ===========================================================================
+
+# normalized-text expression shared by the DuckDB oracles below (must stay
+# in lock-step with functions/text.py normalize_text)
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "x_dedup_exact",
+    f"SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM_SQL})",
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.dedup import dedup_exact_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact_text(docs, "text", "doc_id").select("doc_id")
+
+
+@register(
+    "x_text_token_count",
+    "SELECT doc_id, "
+    f"CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens, "
+    "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT)"
+    " AS n_bpe_ish FROM documents",
+)
+def x_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        X.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+    )
+
+
+@register(
+    "x_text_quality",
+    "SELECT doc_id, "
+    f"ROUND(len(list_filter(string_split({_NORM_SQL}, ' '), "
+    "x -> x IN ('the','a','of','and','is','to','in'))) * 1.0 "
+    f"/ len(string_split({_NORM_SQL}, ' ')), 6) AS stopword_ratio, "
+    f"ROUND(length(regexp_replace({_NORM_SQL}, '[a-z0-9\\s]', '', 'g')) * 1.0 "
+    f"/ length(replace({_NORM_SQL}, ' ', '')), 6) AS punct_ratio "
+    "FROM documents",
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(X.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(X.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+def _lang_oracle() -> str:
+    from purescript_ifrit_spark.operators.text_analysis import LANG_MARKERS
+
+    scores = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{rx}', 0)) AS s_{lang}"
+        for lang, rx in LANG_MARKERS
+    )
+    langs = [lang for lang, _ in LANG_MARKERS]
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    cases = " ".join(
+        f"WHEN s_{l} > 0 AND s_{l} = {best} THEN '{l}'" for l in langs
+    )
+    return (
+        f"SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_pred "
+        f"FROM (SELECT doc_id, text, {scores} FROM documents) t"
+    )
+
+
+@register("x_lang_id", _lang_oracle())
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.text_analysis import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "x_fingerprint",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
+)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.text_analysis import fingerprint_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_docs(docs, "text").select("doc_id", "fingerprint")
+
+
+@register("x_dedup_minhash", None)  # approximate — rows-only check
+def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.dedup import dedup_minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_minhash(
+        docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.8
+    ).select("doc_id")
+
+
+@register("x_dedup_simhash_pairs", None)  # approximate — rows-only check
+def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.dedup import simhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=10)
+
+
+@register(
+    "x_ann_cosine_topk",
+    "SELECT vec_id, ROUND(list_cosine_similarity(embedding, "
+    "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 5) AS sim "
+    "FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 10",
+)
+def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = cosine_topk(emb, "vec_id", "embedding", query, k=10)
+    return out.withColumn("sim", F.round("sim", 5))
+
+
+@register("x_ann_lsh_topk", None)  # approximate — rows-only check
+def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.similarity import (
+        lsh_topk,
+        make_hyperplanes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    planes = make_hyperplanes(dim=len(query), n_planes=8, seed=42)
+    out = lsh_topk(emb, "vec_id", "embedding", query, planes, k=10, probe_hamming=1)
+    return out.withColumn("sim", F.round("sim", 5))
+
+
+@register(
+    "x_events_hourly",
+    "SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us, "
+    "event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
+def x_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.windows import tumbling_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_agg(ev, "ts", "hour", ("event_type",))
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("hour_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "x_sessionize",
+    "WITH s AS (SELECT user_id, event_id, ts, value, "
+    "  CASE WHEN lag(ts) OVER w IS NULL "
+    "       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+    "  THEN 1 ELSE 0 END AS new_s FROM events "
+    "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "t AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "  ROWS UNBOUNDED PRECEDING) AS session_id FROM s) "
+    "SELECT user_id, session_id, COUNT(*) AS n_events, "
+    "ROUND(SUM(value), 6) AS sum_value, "
+    "CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us "
+    "FROM t GROUP BY user_id, session_id",
+)
+def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", 30)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
+
+
+@register(
+    "x_join_star",
+    "SELECT r_name, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+)
+def x_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.joins import orders_enriched
+
+    joined = orders_enriched(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+@register(
+    "x_multimodal_features",
+    "SELECT doc_id AS media_id, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "
+    "md5(text) AS digest FROM documents",
+)
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select("media_id", "byte_len", F.col("md5").alias("digest"))
+
+
+# ===========================================================================
 # flagship (driver smoke check): pricing-summary-style grouped aggregation
 # ===========================================================================
 
