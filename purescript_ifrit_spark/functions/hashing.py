@@ -17,20 +17,25 @@ from pyspark.sql import functions as F
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: array<bigint> of length `num_hashes`.
 
-    h_i(doc) = min over shingles of xxhash64(seed_i ++ shingle). Using a
-    per-seed prefix instead of separate hash families keeps everything in
-    one built-in function. Empty shingle arrays yield nulls — filter docs
+    Each shingle string is hashed ONCE (xxhash64 → long); each lane then
+    re-hashes that 8-byte long with a lane seed — far cheaper than hashing
+    the variable-length string per lane, and overflow-free under ANSI mode
+    (an affine a·h+b mix would throw on long overflow with
+    spark.sql.ansi.enabled). Empty shingle arrays yield nulls — filter docs
     to non-empty text first.
-
-    Per-lane transform+array_min: benchmarked FASTER than a single
-    aggregate-fold computing all lanes per shingle (the fold allocates a
-    fresh accumulator array per element; the per-lane loop stays primitive).
     """
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    def lane(seed: int):
+        # MUST be a single-parameter lambda: pyspark treats a two-parameter
+        # lambda (even with a default, e.g. `lambda h, i=i:`) as an
+        # (element, index) function and silently passes the array index as
+        # the second argument — which would collapse every lane to the same
+        # index-seeded hash
+        return lambda h: F.xxhash64(F.lit(seed), h)
+
     mins: List[Column] = [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
-        )
-        for i in range(num_hashes)
+        F.array_min(F.transform(base, lane(i))) for i in range(num_hashes)
     ]
     return F.array(*mins)
 

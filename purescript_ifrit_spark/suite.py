@@ -160,6 +160,22 @@ def f7_bare_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_query(spark, events, "SELECT event_id WHERE big")
 
 
+@register(
+    "f8_null_compare",
+    "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'",
+)
+def f8_null_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `= NULL` ≡ isNull (SURVEY §2.3 F1); driver tables have no nulls, so
+    # derive a nullable column first
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "maybe",
+        F.when(F.col("o_orderstatus") == "F", F.lit(None).cast("double")).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return run_query(spark, orders, "SELECT o_orderkey WHERE maybe = NULL")
+
+
 register(
     "f9_reversed_literal",
     "SELECT l_orderkey, l_linenumber FROM lineitem WHERE 45 < l_quantity",

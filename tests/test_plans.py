@@ -1,0 +1,134 @@
+"""Physical-plan regression tests — the 100 TB design bar, pinned.
+
+These assert the *shape* of the plans Catalyst produces from our engine:
+filters reach the parquet scan, projections prune columns, top-k compiles to
+TakeOrdered, dimensions broadcast, the dialect path never leaves the JVM.
+A correctness-preserving change that regresses one of these is a perf bug."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.api import run_query
+from purescript_ifrit_spark.sources.tables import load_table
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+def test_filter_pushdown_reaches_scan(spark, orders):
+    df = run_query(spark, orders, "SELECT o_orderkey WHERE o_totalprice > 1000")
+    plan = physical(df)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,1000.0)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, orders):
+    df = run_query(spark, orders, "SELECT o_orderkey WHERE o_totalprice > 1000")
+    plan = physical(df)
+    # 2 of 6 columns read
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, orders):
+    df = run_query(
+        spark, orders,
+        "SELECT o_orderkey ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    )
+    assert "TakeOrderedAndProject" in physical(df)
+
+
+def test_dialect_path_stays_jvm_side(spark, orders):
+    # no Python evaluation nodes anywhere in a dialect query plan
+    df = run_query(
+        spark, orders,
+        'SELECT o_orderkey, o_totalprice WHERE (o_orderstatus = "F" '
+        "AND o_totalprice > 1000) ORDER BY o_totalprice DESC LIMIT 5",
+    )
+    plan = physical(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(" in plan  # WholeStageCodegen spans render as *(n) in toString
+
+
+def test_grouped_agg_has_partial_and_final(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = run_query(spark, li, "SELECT AVG(l_quantity) AS a GROUP BY l_returnflag")
+    plan = physical(df)
+    # partial (map-side) then final aggregation around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_avg" in plan
+
+
+def test_global_agg_no_shuffle_key_hotspot(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = run_query(spark, li, "SELECT SUM(l_quantity) AS s GROUP BY NULL")
+    plan = physical(df)
+    # global agg = partial + final over a single-partition exchange of the
+    # already-reduced partials, not a hash exchange of raw rows by constant
+    assert "partial_sum" in plan
+    assert "hashpartitioning" not in plan.lower()
+
+
+def test_array_aggregates_are_higher_order_functions(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = run_query(spark, emb, "SELECT vec_id, AVG(embedding) AS m")
+    plan = physical(df)
+    assert "aggregate(" in plan  # HOF in codegen'd projection
+    assert "BatchEvalPython" not in plan
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    from purescript_ifrit_spark.operators.joins import orders_enriched
+
+    j = orders_enriched(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+    plan = physical(j)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_candidate_join_carries_no_shingles(spark, sf_dir):
+    """The LSH band self-join must shuffle only (band, key, id) — never the
+    shingle arrays (the bulk of bytes at corpus scale)."""
+    from purescript_ifrit_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text")
+    plan = optimized(pairs)
+    # the distinct over candidate ids must see only the two id columns
+    import re
+
+    m = re.search(r"Aggregate \[id_a#?\d*L?, id_b#?\d*L?\]", plan)
+    assert m is not None, "candidate distinct should operate on ids only"
+
+
+def test_cosine_topk_single_stage_scan(spark, sf_dir):
+    from purescript_ifrit_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("embedding").head()[0]
+    df = cosine_topk(emb, "vec_id", "embedding", q, 10)
+    plan = physical(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[1] if "Exchange" in plan else True
+
+
+def test_limit_offset_order(spark, orders):
+    # faithful mode: GlobalLimit/offset composition still a limited exchange,
+    # not a full materialization
+    df = run_query(spark, orders, "SELECT o_orderkey ORDER BY o_orderkey LIMIT 20 OFFSET 5")
+    assert len(df.collect()) == 15
