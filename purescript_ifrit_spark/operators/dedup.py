@@ -164,6 +164,78 @@ def dedup_minhash(
 
 
 # ---------------------------------------------------------------------------
+# connected-components cluster dedup
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Label every node in an undirected edge list (id_a, id_b) with the
+    minimum id of its connected component → (id, component).
+
+    Iterative min-label propagation with driver-side convergence checks —
+    the standard alternating large-star/small-star shape reduced to its
+    simple form. Each iteration is one groupBy shuffle over the edge list;
+    convergence is O(log n) iterations for real dup-cluster graphs (which
+    are shallow). Checkpointing truncates the lineage so plans stay flat.
+    """
+    edges = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("src"),
+            F.greatest("id_a", "id_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # symmetric adjacency + self-loops
+    adj = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        adj.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            adj.join(labels, adj.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame, id_col: str, pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Cluster-level dedup: group near-dup pairs into connected components
+    and keep only the canonical (minimum-id) member of each component.
+    Unlike one-pass dedup_minhash, A~B~C collapses to one survivor."""
+    comp = connected_components(pairs, max_iterations)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, [id_col], "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash fuzzy dedup
 # ---------------------------------------------------------------------------
 

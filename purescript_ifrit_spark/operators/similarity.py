@@ -104,6 +104,40 @@ def cosine_topk_batch(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: Optional[Sequence[Sequence[float]]] = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
+
+    With `planes` given, candidates are blocked by hyperplane LSH bucket
+    (the scale path: the self-join becomes an equi-join on bucket; two
+    vectors at cosine ≥ 0.95 disagree on a random hyperplane with
+    p = arccos(0.95)/π ≈ 0.10, so with 8 planes ~57% of true pairs share a
+    bucket — probe or re-run with rotated planes for higher recall, or
+    repartition by bucket and verify within partitions).
+
+    Without `planes` the join is a full cross product — exact, for
+    evaluation or small tables only."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if planes is not None:
+        a = a.withColumn("_bkt", V.random_hyperplane_signature(F.col("_va"), planes))
+        b = b.withColumn("_bkt", V.random_hyperplane_signature(F.col("_vb"), planes))
+        joined = a.join(b, "_bkt")
+    else:
+        joined = a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", V.cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplanes)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,78 @@
+"""AST → dialect-SQL pretty-printer (the inverse of parser.parse_sql).
+
+Mirrors the reference's Show instances for Statement/Selector/Condition
+(src/Ifrit/Parser.purs:470-565). Round-trip law, enforced by property tests:
+parse_sql(to_sql(ast)) == ast for every valid AST.
+"""
+
+from __future__ import annotations
+
+from purescript_ifrit_spark.plans.ast import (
+    And,
+    BinaryCond,
+    Condition,
+    FieldOperand,
+    FnCall,
+    Group,
+    LitOperand,
+    Not,
+    Or,
+    Projection,
+    Select,
+    Statement,
+)
+
+
+def _operand(o) -> str:
+    if isinstance(o, FieldOperand):
+        return o.path
+    v = o.value
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return str(int(v)) if v.is_integer() else repr(v)
+    return f'"{v}"'
+
+
+def _condition(c: Condition) -> str:
+    if isinstance(c, Or):
+        return f"({_condition(c.lhs)} OR {_condition(c.rhs)})"
+    if isinstance(c, And):
+        return f"({_condition(c.lhs)} AND {_condition(c.rhs)})"
+    if isinstance(c, Not):
+        return f"NOT ({_condition(c.cond)})"
+    if isinstance(c, BinaryCond):
+        return f"{_operand(c.lhs)} {c.op} {_operand(c.rhs)}"
+    return _operand(c)
+
+
+def _selector(s) -> str:
+    if isinstance(s, Projection):
+        return s.path if s.alias is None else f"{s.path} AS {s.alias}"
+    assert isinstance(s, FnCall)
+    base = f"{s.fn}({s.path})"
+    return base if s.alias is None else f"{base} AS {s.alias}"
+
+
+def to_sql(stmt: Statement) -> str:
+    parts = ["SELECT " + ", ".join(_selector(s) for s in stmt.projections)]
+    if stmt.source is not None:
+        parts.append(f"FROM ({to_sql(stmt.source)})")
+    if stmt.where is not None:
+        parts.append("WHERE " + _condition(stmt.where))
+    if isinstance(stmt, Group):
+        parts.append(
+            "GROUP BY " + (stmt.group_by if stmt.group_by is not None else "NULL")
+        )
+    if stmt.order_by:
+        keys = ", ".join(
+            f"{k.path} {'ASC' if k.ascending else 'DESC'}" for k in stmt.order_by
+        )
+        parts.append("ORDER BY " + keys)
+    if stmt.limit is not None:
+        parts.append(f"LIMIT {stmt.limit}")
+    if stmt.offset is not None:
+        parts.append(f"OFFSET {stmt.offset}")
+    return " ".join(parts)

@@ -620,6 +620,117 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "byte_len", F.col("md5").alias("digest"))
 
 
+@register(
+    "x_json_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events",
+)
+def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "x_embedding_neardup",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "ROUND(list_cosine_similarity(a.embedding, b.embedding), 5) AS sim "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
+)
+def x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return out.withColumn("sim", F.round("sim", 5))
+
+
+@register(
+    "x_tpch_q1ish",
+    "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty, "
+    "ROUND(SUM(l_extendedprice), 4) AS sum_base, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc, "
+    "ROUND(AVG(l_quantity), 6) AS avg_qty, COUNT(*) AS n "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def x_tpch_q1ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "sum_disc"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "x_tpch_q3ish",
+    "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' GROUP BY l_orderkey",
+)
+def x_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "x_tpch_q5ish",
+    "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+    "FROM region JOIN nation ON r_regionkey = n_regionkey "
+    "JOIN customer ON n_nationkey = c_nationkey "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE r_name = 'ASIA' GROUP BY n_name",
+)
+def x_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
 # ===========================================================================
 # flagship (driver smoke check): pricing-summary-style grouped aggregation
 # ===========================================================================

@@ -72,6 +72,48 @@ def test_ngram_jaccard_exact(spark, docs):
     assert (2, 5) in got
 
 
+def test_connected_components_clusters(spark):
+    # planted graph: {1,2,3,4} chained, {10,11} pair, {20} isolated via self-pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (4, 1)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_transitive(spark, docs):
+    # one-pass dedup keeps B when A~B, B~C, A≁C; cluster dedup collapses all
+    pairs = dedup.minhash_candidate_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    out = dedup.dedup_clusters(docs, "doc_id", pairs)
+    kept = sorted(r.doc_id for r in out.collect())
+    # families {0,1,3} and {2,5} each collapse to their min id; 4 untouched
+    assert kept == [0, 2, 4]
+
+
+def test_embedding_neardup_lsh_blocking(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # plant near-dups: 100 = copy of 0 with tiny noise; 101 = copy of 5
+    rows.append((100, [float(x) for x in base[0] + 0.01 * rng.standard_normal(16)]))
+    rows.append((101, [float(x) for x in base[5] + 0.01 * rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = similarity.embedding_neardup_pairs(df, "vec_id", "embedding", 0.95)
+    got_exact = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert got_exact == {(0, 100), (5, 101)}
+
+    planes = similarity.make_hyperplanes(16, 6, seed=42)
+    blocked = similarity.embedding_neardup_pairs(
+        df, "vec_id", "embedding", 0.95, planes=planes
+    )
+    got_blocked = {(r.id_a, r.id_b) for r in blocked.collect()}
+    assert got_blocked <= got_exact  # no false positives ever
+    assert len(got_blocked) >= 1  # ≥1 of 2 planted pairs shares all 6 signs
+
+
 def test_ann_lsh_recall_vs_brute(spark, sf_dir):
     from purescript_ifrit_spark.sources.tables import load_table
 
@@ -214,6 +256,46 @@ def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     want = {
         (r.window_start, r.event_type): (r.n, round(r.sum_value, 6))
         for r in tumbling_agg(ev, "ts", "hour", ("event_type",)).collect()
+    }
+    assert got == want
+
+
+def test_streaming_stateful_running_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState totals must equal the batch groupBy at end."""
+    from pyspark.sql import functions as FF
+
+    from purescript_ifrit_spark.sources.tables import load_table
+    from purescript_ifrit_spark.streaming import pipeline as SP
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "stream_src3")
+    ev.coalesce(3).write.parquet(src)  # 3 files → 3 micro-batches
+
+    stream = SP.read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        SP.running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode appends one row per (user, batch); the LAST row per user
+    # is the final running total
+    import pandas as pd
+
+    got_pdf = spark.table("totals").toPandas()
+    finals = got_pdf.groupby("user_id").last()
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in ev.groupBy("user_id")
+        .agg(FF.count(FF.lit(1)).alias("n"), FF.sum("value").alias("total"))
+        .collect()
+    }
+    got = {
+        uid: (row["n_events"], round(row["total_value"], 6))
+        for uid, row in finals.iterrows()
     }
     assert got == want
 

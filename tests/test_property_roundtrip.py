@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis): printer/parser round-trip and
+compiler robustness over generated ASTs and garbage inputs."""
+
+from __future__ import annotations
+
+import string
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from purescript_ifrit_spark.errors import IfritError
+from purescript_ifrit_spark.parser import parse_sql
+from purescript_ifrit_spark.plans.ast import (
+    And,
+    BinaryCond,
+    FieldOperand,
+    FnCall,
+    Group,
+    LitOperand,
+    Not,
+    Or,
+    OrderKey,
+    Projection,
+    Select,
+)
+from purescript_ifrit_spark.plans.printer import to_sql
+
+# identifiers: word charset, avoiding keyword collisions and leading digits
+# (a bare "14" would lex as a number)
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s not in {"true", "false"}
+)
+_path = st.lists(_ident, min_size=1, max_size=3).map(".".join)
+
+_literal = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=0, max_value=10**6).map(float),
+    st.floats(min_value=0, max_value=10**6, allow_nan=False).map(
+        lambda x: float(round(x, 3))
+    ),
+    st.text(alphabet=string.ascii_letters + string.digits + "_.", min_size=1, max_size=8),
+)
+
+_operand = st.one_of(_path.map(FieldOperand), _literal.map(LitOperand))
+
+_binary = st.builds(
+    BinaryCond,
+    op=st.sampled_from(["=", "!=", "<", ">", "<=", ">="]),
+    lhs=_operand,
+    rhs=_operand,
+)
+
+_condition = st.recursive(
+    st.one_of(_binary, _path.map(FieldOperand)),
+    lambda kids: st.one_of(
+        st.builds(And, kids, kids),
+        st.builds(Or, kids, kids),
+        st.builds(Not, kids),
+    ),
+    max_leaves=6,
+)
+
+_selector = st.one_of(
+    st.builds(Projection, path=_path, alias=st.one_of(st.none(), _ident)),
+    st.builds(
+        FnCall,
+        fn=st.sampled_from(["AVG", "COUNT", "MAX", "MIN", "SUM"]),
+        path=_path,
+        alias=st.one_of(st.none(), _ident),
+    ),
+)
+
+_orders = st.lists(
+    st.builds(OrderKey, path=_path, ascending=st.booleans()), max_size=2
+)
+
+
+def _statements(depth: int = 1):
+    base = st.one_of(
+        st.builds(
+            Select,
+            projections=st.lists(_selector, min_size=1, max_size=3),
+            source=st.none(),
+            where=st.one_of(st.none(), _condition),
+            order_by=_orders,
+            limit=st.one_of(st.none(), st.integers(0, 1000)),
+            offset=st.one_of(st.none(), st.integers(0, 1000)),
+        ),
+        st.builds(
+            Group,
+            projections=st.lists(_selector, min_size=1, max_size=3),
+            group_by=st.one_of(st.none(), _path),
+            source=st.none(),
+            where=st.one_of(st.none(), _condition),
+            order_by=_orders,
+            limit=st.one_of(st.none(), st.integers(0, 1000)),
+            offset=st.one_of(st.none(), st.integers(0, 1000)),
+        ),
+    )
+    if depth == 0:
+        return base
+    inner = _statements(depth - 1)
+    return st.one_of(
+        base,
+        st.builds(
+            Select,
+            projections=st.lists(_selector, min_size=1, max_size=2),
+            source=inner,
+            where=st.one_of(st.none(), _condition),
+            order_by=_orders,
+            limit=st.one_of(st.none(), st.integers(0, 1000)),
+            offset=st.one_of(st.none(), st.integers(0, 1000)),
+        ),
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(_statements(depth=2))
+def test_print_parse_roundtrip(stmt):
+    assert parse_sql(to_sql(stmt)) == stmt
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=40))
+def test_parser_never_crashes_on_garbage(src):
+    try:
+        parse_sql(src)
+    except IfritError:
+        pass  # structured compile error is the contract
+    # any other exception type is a bug and propagates
+
+
+@settings(max_examples=150, deadline=None)
+@given(_statements(depth=1))
+def test_analyzer_total_on_arbitrary_ast(stmt):
+    """The analyzer must either produce a schema or raise IfritError —
+    never crash — for any syntactically valid statement."""
+    from purescript_ifrit_spark.analyzer import analyze
+    from purescript_ifrit_spark.schema import schema_from_json
+
+    schema = schema_from_json(
+        {"a": "number", "b": {"c": "string"}, "d": ["number"], "e": "boolean"}
+    )
+    try:
+        analyze(schema, stmt)
+    except IfritError:
+        pass
