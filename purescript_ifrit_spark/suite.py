@@ -507,8 +507,8 @@ def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_ann_cosine_topk",
-    "SELECT vec_id, ROUND(list_cosine_similarity(embedding, "
-    "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 5) AS sim "
+    "SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 5) AS sim "
     "FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 10",
 )
 def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,10 +635,14 @@ def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_embedding_neardup",
+    # CAST to DOUBLE[]: DuckDB's list_cosine_similarity computes FLOAT[] in
+    # float32, which diverges from Spark's double math at the 5th decimal
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-    "ROUND(list_cosine_similarity(a.embedding, b.embedding), 5) AS sim "
+    "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 5) AS sim "
     "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-    "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
+    "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) >= 0.4",
 )
 def x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.similarity import embedding_neardup_pairs
