@@ -735,6 +735,65 @@ def x_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_topk_per_group",
+    "SELECT o_orderpriority, o_orderkey, o_totalprice FROM ("
+    "  SELECT o_orderpriority, o_orderkey, o_totalprice, "
+    "  row_number() OVER (PARTITION BY o_orderpriority "
+    "    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) t "
+    "WHERE rk <= 3",
+)
+def x_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.windows import topk_per_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    return topk_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        "o_orderpriority", "o_totalprice", 3, "o_orderkey",
+    )
+
+
+@register(
+    "x_percentiles",
+    "SELECT l_returnflag AS _id, "
+    "ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50, "
+    "ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90 "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact percentile (SQL `percentile`, interpolating like quantile_cont)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("_id")).agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+    )
+
+
+@register(
+    "x_distinct_count",
+    "SELECT l_returnflag AS _id, COUNT(DISTINCT l_partkey) AS n_parts, "
+    "COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag",
+)
+def x_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("_id")).agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register("x_approx_distinct", None)  # sketch-based — engines differ; rows-only
+def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the scale path for cardinality on
+    100 TB (exact distinct shuffles all values; HLL is one pass, mergeable
+    partials). Accuracy vs exact is pinned in tests, not vs DuckDB (different
+    sketches)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("_id")).agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
 # ===========================================================================
 # flagship (driver smoke check): pricing-summary-style grouped aggregation
 # ===========================================================================

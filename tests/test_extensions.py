@@ -176,6 +176,55 @@ def test_ann_batch_matches_single(spark, sf_dir):
     assert {(0, v) for v in single0} <= got
 
 
+def test_salted_join_matches_plain(spark, sf_dir):
+    from purescript_ifrit_spark.operators.joins import salted_join
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    right = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(right, "l_orderkey").count()
+    salted = salted_join(li, right, "l_orderkey", salt=4).count()
+    assert salted == plain
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r._id: r.n
+        for r in li.groupBy(FF.col("l_returnflag").alias("_id"))
+        .agg(FF.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r._id: r.approx_parts
+        for r in li.groupBy(FF.col("l_returnflag").alias("_id"))
+        .agg(FF.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.06 * n)  # 3x rsd envelope
+
+
+def test_topk_per_group_uses_group_limit(spark, sf_dir):
+    """Spark's WindowGroupLimit pushes rank<=k before the full window sort —
+    the map-side top-k that makes this pattern scale."""
+    from purescript_ifrit_spark.operators.windows import topk_per_group
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    df = topk_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        "o_orderpriority", "o_totalprice", 3, "o_orderkey",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
 def test_lang_id_priority_and_und(spark):
     df = spark.createDataFrame(
         [
