@@ -61,16 +61,16 @@ def dedup_exact_text(
 ) -> DataFrame:
     """Exact content dedup on the *normalized* text fingerprint (md5), the
     standard first pass of a corpus pipeline. Keeps the smallest
-    `order_col` per fingerprint."""
+    `order_col` per fingerprint.
+
+    Single hash-shuffle on the fingerprint via min_by (map-side partial
+    aggregation carries one candidate row per fingerprint per partition) —
+    no join-back pass."""
     with_fp = df.withColumn("_fp", X.fingerprint(F.col(text_col)))
     kept = with_fp.groupBy("_fp").agg(
-        F.min(F.col(order_col)).alias(order_col)
+        F.min_by(F.struct(*df.columns), F.col(order_col)).alias("_row")
     )
-    # semi-join back to keep full rows; broadcast-free, both sides share the
-    # fingerprint partitioning
-    return (
-        with_fp.join(kept, ["_fp", order_col], "left_semi").drop("_fp")
-    )
+    return kept.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,16 @@ def run_to_memory_sink(
     )
 
 
+def enrich_with_static_dim(stream: DataFrame, dim: DataFrame, on) -> DataFrame:
+    """Stream-static join: every micro-batch joins against the (broadcast)
+    static dimension — the standard enrichment pattern (events × user/dim
+    tables). No state, no watermark needed; the dimension is re-resolvable
+    per batch, so slowly-changing dims update between batches."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, "left")
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     event count and value total, emitted as an update on every micro-batch.

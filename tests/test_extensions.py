@@ -349,6 +349,30 @@ def test_streaming_stateful_running_totals(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_streaming_static_enrichment(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as FF
+
+    from purescript_ifrit_spark.sources.tables import load_table
+    from purescript_ifrit_spark.streaming import pipeline as SP
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "stream_src4")
+    ev.coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 10.0), ("view", 0.5),
+         ("signup", 5.0), ("error", 0.0)],
+        ["event_type", "weight"],
+    )
+    enriched = SP.enrich_with_static_dim(
+        SP.read_event_stream(spark, src), dim, "event_type"
+    ).select("event_id", "event_type", "weight")
+    q = SP.run_to_memory_sink(enriched, "enriched", output_mode="append")
+    q.awaitTermination(120)
+    out = spark.table("enriched")
+    assert out.count() == ev.count()
+    assert out.filter(FF.col("weight").isNull()).count() == 0
+
+
 def test_streaming_sessionize_runs(spark, sf_dir, tmp_path):
     from purescript_ifrit_spark.sources.tables import load_table
     from purescript_ifrit_spark.streaming import pipeline as SP
