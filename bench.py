@@ -109,6 +109,11 @@ def bench_queries(spark) -> dict:
     def q9_text_quality():
         return quality_score(t["documents"], "text")
 
+    def q10_curation():
+        from purescript_ifrit_spark.operators.pipeline import curate
+
+        return curate(t["documents"], min_quality=0.2)
+
     queries = {
         "q1_pricing_summary": q1_pricing_summary,
         "q2_filter_topk": q2_filter_topk,
@@ -119,6 +124,7 @@ def bench_queries(spark) -> dict:
         "q7_ann_brute": q7_ann_brute,
         "q8_nested_array_agg": q8_nested_array_agg,
         "q9_text_quality": q9_text_quality,
+        "q10_curation": q10_curation,
     }
 
     # JVM warm-up (parquet footers, codegen)

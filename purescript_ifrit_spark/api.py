@@ -62,6 +62,23 @@ def compile_query(
     return IfritPlan(statement=stmt, input_schema=schema, output_schema=out, flags=flags)
 
 
+def compile_unchecked(
+    sql: str,
+    flags: P.CompatFlags = P.CompatFlags(),
+) -> IfritPlan:
+    """Tokenize + parse + plan WITHOUT semantic analysis — the reference's
+    test-harness entry point (test/Test.Main.purs:26-30, SURVEY §3 EP3):
+    codegen is name-directed and does not need the schema; the analyzer is a
+    separable gate. Runtime errors surface from Spark instead (unresolved
+    columns etc.)."""
+    tokens = lexer.tokenize(sql)
+    stmt = parser.parse(tokens)
+    null_obj = Schema.object({})
+    return IfritPlan(
+        statement=stmt, input_schema=null_obj, output_schema=null_obj, flags=flags
+    )
+
+
 def run_query(
     spark: SparkSession,
     source: Union[DataFrame, str],

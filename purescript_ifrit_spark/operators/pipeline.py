@@ -1,0 +1,77 @@
+"""End-to-end corpus curation: the composition a training-data pipeline
+actually runs over raw documents, built from the operators in this package.
+
+    raw docs ──quality filter──▶ exact dedup ──fuzzy dedup──▶ + token stats
+
+Stage order is deliberate for scale: the cheap scan-stage quality filter
+shrinks the corpus BEFORE any shuffle; exact dedup (one fingerprint
+shuffle) runs before fuzzy (band join) so the LSH stage sees each distinct
+text once. All heavy lifting is the underlying operators'; this module is
+the documented composition plus provenance counters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.functions import text as X
+from purescript_ifrit_spark.operators import dedup
+from purescript_ifrit_spark.operators.text_analysis import quality_score
+
+
+@dataclass(frozen=True)
+class CurationReport:
+    n_input: int
+    n_after_quality: int
+    n_after_exact: int
+    n_after_fuzzy: int
+    result: DataFrame
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    jaccard_threshold: float = 0.8,
+    cluster_dedup: bool = False,
+    with_report: bool = False,
+):
+    """Curate a raw document table into a training-ready one.
+
+    Returns the curated DataFrame (id, text, quality, n_tokens, n_bpe_ish,
+    fingerprint), or a CurationReport with per-stage counts when
+    `with_report=True` (counts trigger actions — use only when you want the
+    numbers)."""
+    n_input = docs.count() if with_report else -1
+
+    scored = quality_score(docs, text_col)
+    kept = scored.filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    n_quality = kept.count() if with_report else -1
+
+    exact = dedup.dedup_exact_text(kept, text_col, id_col)
+    n_exact = exact.count() if with_report else -1
+
+    if cluster_dedup:
+        pairs = dedup.minhash_candidate_pairs(
+            exact, id_col, text_col, jaccard_threshold=jaccard_threshold
+        )
+        fuzzy = dedup.dedup_clusters(exact, id_col, pairs)
+    else:
+        fuzzy = dedup.dedup_minhash(
+            exact, id_col, text_col, jaccard_threshold=jaccard_threshold
+        )
+    out = fuzzy.withColumn("n_bpe_ish", X.bpe_ish_token_count(F.col(text_col))) \
+               .withColumn("fingerprint", X.fingerprint(F.col(text_col)))
+    if not with_report:
+        return out
+    n_fuzzy = out.count()
+    return CurationReport(n_input, n_quality, n_exact, n_fuzzy, out)

@@ -794,6 +794,16 @@ def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x_curate_pipeline", None)  # composition incl. approximate dedup — rows-only
+def x_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.pipeline import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate(docs, min_quality=0.2).select(
+        "doc_id", "quality", "n_tokens", "n_bpe_ish", "fingerprint"
+    )
+
+
 # ===========================================================================
 # flagship (driver smoke check): pricing-summary-style grouped aggregation
 # ===========================================================================

@@ -258,6 +258,38 @@ def test_quality_score_ordering(spark):
     assert out[1] > out[2]
 
 
+def test_curation_pipeline(spark, sf_dir):
+    from purescript_ifrit_spark.operators.pipeline import curate
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    report = curate(docs, min_quality=0.2, with_report=True)
+    assert report.n_input == docs.count()
+    assert report.n_input >= report.n_after_quality >= report.n_after_exact
+    assert report.n_after_exact >= report.n_after_fuzzy > 0
+    cols = set(report.result.columns)
+    assert {"doc_id", "text", "quality", "n_tokens", "n_bpe_ish", "fingerprint"} <= cols
+
+
+def test_compile_unchecked_bypasses_analyzer(spark, wizards):
+    # reference EP3: codegen without semantic analysis (Test.Main.purs:26-30)
+    from purescript_ifrit_spark.api import compile_query, compile_unchecked
+    from purescript_ifrit_spark.errors import AnalysisError
+
+    import pytest as _pytest
+
+    sql = "SELECT name WHERE patate = 1"
+    with _pytest.raises(AnalysisError):
+        compile_query({"name": "string"}, sql)
+    plan = compile_unchecked(sql)  # no schema, no analysis
+    # Spark surfaces the unresolved column instead
+    with _pytest.raises(Exception):
+        plan.apply(wizards).collect()
+    # and a valid query runs fine without a schema
+    ok = compile_unchecked("SELECT name WHERE evil = true").apply(wizards)
+    assert sorted(r.name for r in ok.collect()) == ["belra", "dmira", "fyra"]
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     from purescript_ifrit_spark.sources.tables import load_table
 
