@@ -39,6 +39,19 @@ class IfritPlan:
         """Materialize the plan over a DataFrame (lazy — no action run)."""
         return P.build(df, self.statement, self.flags)
 
+    def to_spark_sql(self, table: str) -> str:
+        """Render the same semantics as a Spark SQL string over a view name
+        (debugging/interop surface; backends are equivalence-tested)."""
+        from purescript_ifrit_spark.plans.spark_sql import to_spark_sql
+
+        return to_spark_sql(self.statement, table, self.flags)
+
+    def to_sql(self) -> str:
+        """Pretty-print back to dialect SQL (round-trips through the parser)."""
+        from purescript_ifrit_spark.plans.printer import to_sql
+
+        return to_sql(self.statement)
+
 
 def compile_query(
     schema: Union[Schema, dict, str],
