@@ -86,3 +86,38 @@ def token_stats(df: DataFrame, text_col: str) -> DataFrame:
 
 def fingerprint_docs(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn("fingerprint", X.fingerprint(F.col(text_col)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-training/RAG chunking step.
+
+    chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short; documents
+    shorter than one chunk yield exactly one chunk. Pure higher-order
+    functions + posexplode — chunking happens in the scan stage, so a
+    100 TB corpus chunks at read speed with no shuffle at all."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = X.tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * stride + 1, chunk_tokens), " "
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).withColumn("chunk_tokens", F.size(F.split(F.col("chunk_text"), " ")))

@@ -794,6 +794,30 @@ def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_chunk_documents",
+    # chunk=64, overlap=8 → stride=56; DuckDB list slice is 1-based inclusive
+    "WITH t AS (SELECT doc_id, "
+    f"string_split({_NORM_SQL}, ' ') AS toks FROM documents), "
+    "c AS (SELECT doc_id, toks, UNNEST(range(1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS BIGINT))) AS i FROM t) "
+    "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+    "array_to_string(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], ' ') AS chunk_text, "
+    "CAST(len(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)]) AS BIGINT) AS chunk_tokens "
+    "FROM c",
+)
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.text_analysis import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+    )
+
+
 @register("x_curate_pipeline", None)  # composition incl. approximate dedup — rows-only
 def x_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.pipeline import curate

@@ -258,6 +258,25 @@ def test_quality_score_ordering(spark):
     assert out[1] > out[2]
 
 
+def test_chunk_documents_windows(spark):
+    from purescript_ifrit_spark.operators.text_analysis import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, words), (2, "short doc here")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 100 tokens, stride 56 → chunks at 0 and 56 → 64 + 44 tokens
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_tokens for r in c1] == [64, 44]
+    assert c1[0].chunk_text.startswith("w0 ") and c1[1].chunk_text.startswith("w56 ")
+    # overlap: last 8 tokens of chunk0 == first 8 of chunk1
+    assert c1[0].chunk_text.split()[-8:] == c1[1].chunk_text.split()[:8]
+    # doc 2: shorter than one chunk → exactly one chunk, full text
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc here"
+
+
 def test_curation_pipeline(spark, sf_dir):
     from purescript_ifrit_spark.operators.pipeline import curate
     from purescript_ifrit_spark.sources.tables import load_table
