@@ -88,6 +88,35 @@ def fingerprint_docs(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn("fingerprint", X.fingerprint(F.col(text_col)))
 
 
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str = "chunk_tokens",
+    order_cols: tuple = ("doc_id", "chunk_idx"),
+    pack_size: int = 512,
+) -> DataFrame:
+    """Assign each chunk to a training-sequence bin of ~`pack_size` tokens.
+
+    Deterministic streaming approximation of greedy packing: chunks are
+    ordered by `order_cols`, and bin = floor((cumulative_tokens - tokens) /
+    pack_size) over that order. A bin may overflow by at most one chunk
+    (the standard first-fit-in-order trade); no bin is underfilled except
+    the last. One window pass = one global sort — at corpus scale, run it
+    per shard (repartitionByRange on the leading order column) so the
+    window never crosses shard boundaries.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    return df.withColumn(
+        "pack_id",
+        F.floor((cum - F.col(tokens_col)) / F.lit(pack_size)).cast("long"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

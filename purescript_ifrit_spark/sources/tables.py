@@ -91,3 +91,24 @@ def write(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list,
+    num_buckets: int = 32,
+    sort_cols: Optional[list] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed catalog table: rows are hash-bucketed on
+    `bucket_cols` at write time, so joins/aggregations between tables
+    bucketed the same way need NO exchange at read time — the co-location
+    strategy for repeatedly-joined 100 TB fact tables. (Bucketing requires
+    saveAsTable — the bucket metadata lives in the session catalog.)"""
+    writer = df.write.format("parquet").mode(mode).bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

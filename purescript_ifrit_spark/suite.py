@@ -818,6 +818,36 @@ def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_pack_sequences",
+    # same chunking CTE as x_chunk_documents, then window-cumsum binning
+    "WITH t AS (SELECT doc_id, "
+    f"string_split({_NORM_SQL}, ' ') AS toks FROM documents), "
+    "c AS (SELECT doc_id, toks, UNNEST(range(1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS BIGINT))) AS i FROM t), "
+    "ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+    "CAST(len(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)]) AS BIGINT) AS chunk_tokens FROM c) "
+    "SELECT doc_id, chunk_idx, chunk_tokens, "
+    "CAST(floor((SUM(chunk_tokens) OVER (ORDER BY doc_id, chunk_idx "
+    "ROWS UNBOUNDED PRECEDING) - chunk_tokens) / 512.0) AS BIGINT) AS pack_id "
+    "FROM ch",
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.text_analysis import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    out = pack_sequences(ch, "chunk_tokens", ("doc_id", "chunk_idx"), 512)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+        "pack_id",
+    )
+
+
 @register("x_curate_pipeline", None)  # composition incl. approximate dedup — rows-only
 def x_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.pipeline import curate

@@ -14,9 +14,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from pyspark.sql import SparkSession
 
+    import tempfile
+
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("purescript-ifrit-spark-tests")
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="ifrit_wh_"))
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")

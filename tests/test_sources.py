@@ -47,6 +47,29 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert pruned.count() == orders.filter(F.col("o_orderstatus") == "F").count()
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Tables bucketed on the join key join WITHOUT a shuffle — the
+    co-location strategy for repeated fact-fact joins at scale."""
+    # warehouse dir is a static conf, set in conftest's session builder
+    orders = S.load_table(spark, sf_dir, "orders")
+    li = S.load_table(spark, sf_dir, "lineitem")
+    S.write_bucketed(orders, "orders_b", ["o_orderkey"], 8)
+    S.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b",
+        ["o_orderkey"], 8,
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
 def test_register_views(spark, sf_dir):
     S.register_views(spark, sf_dir)
     assert spark.sql("SELECT count(*) FROM region").first()[0] == 5
