@@ -95,13 +95,11 @@ def stopword_ratio(c: Column, stopwords: tuple = ("the", "a", "of", "and", "is",
     signal: natural text has ~0.2-0.4, keyword spam ~0."""
     toks = tokens(c)
     sw = F.array(*[F.lit(w) for w in stopwords])
-    hits = F.size(F.array_intersect(toks, sw))  # distinct-based, cheap proxy
     n_hits = F.aggregate(
         toks,
         F.lit(0),
         lambda acc, t: acc + F.when(F.array_contains(sw, t), 1).otherwise(0),
     )
-    _ = hits  # distinct proxy kept for reference; exact count used below
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
         n_hits.cast("double") / F.size(toks).cast("double")
     )

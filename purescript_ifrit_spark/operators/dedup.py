@@ -88,6 +88,7 @@ def minhash_candidate_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.8,
     max_bucket: int = 1000,
+    eager: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -95,7 +96,17 @@ def minhash_candidate_pairs(
     self-equi-join on (band, key) → exact Jaccard verification on shingle
     sets. With b=8, r=4 the LSH S-curve crosses ~0.76, a good match for a
     0.8 threshold.
+
+    `eager=True` materializes the (small) pair list immediately
+    (localCheckpoint) and releases the cached shingle sets — use it when
+    the pairs will be consumed more than once or much later; the default
+    lazy mode leaves the cache pinned until the session evicts it.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) "
+            "— trailing signature lanes would be silently ignored"
+        )
     rows = num_hashes // bands
     sh = X.word_shingles(F.col(text_col), shingle_words)
     base = (
@@ -145,6 +156,9 @@ def minhash_candidate_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if eager:
+        pairs = pairs.localCheckpoint(eager=True)
+        base.unpersist()
     return pairs
 
 
@@ -158,6 +172,7 @@ def dedup_minhash(
     id of a qualifying pair (single-link, one pass — not full connected
     components; A~B, B~C with A≁C keeps A and C, drops B: acceptable and
     standard for one-pass corpus dedup)."""
+    kwargs.setdefault("eager", True)  # release the shingle cache
     pairs = minhash_candidate_pairs(df, id_col, text_col, **kwargs)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, [id_col], "left_anti")

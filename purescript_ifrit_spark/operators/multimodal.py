@@ -82,13 +82,21 @@ def extract_features(df: DataFrame, *, real_decode: bool = False) -> DataFrame:
 
         for pdf in batches:
             payloads = pdf["payload"]
-            if real_decode:
-                # pragma: no cover — container has no codec libs
-                raise NotImplementedError("real decode not available here")
             digests = [
                 hashlib.sha256(p if p is not None else b"").hexdigest()
                 for p in payloads
             ]
+            if real_decode:
+                # the real integration point: decode_image raises
+                # NotImplementedError when no imaging library is installed
+                dims = [
+                    decode_image(p).size if p else (0, 0) for p in payloads
+                ]
+                widths = [d[0] for d in dims]
+                heights = [d[1] for d in dims]
+            else:
+                widths = [int(d[:4], 16) % 4096 for d in digests]
+                heights = [int(d[4:8], 16) % 4096 for d in digests]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -98,8 +106,8 @@ def extract_features(df: DataFrame, *, real_decode: bool = False) -> DataFrame:
                         hashlib.md5(p if p is not None else b"").hexdigest()
                         for p in payloads
                     ],
-                    "fake_width": [int(d[:4], 16) % 4096 for d in digests],
-                    "fake_height": [int(d[4:8], 16) % 4096 for d in digests],
+                    "fake_width": widths,
+                    "fake_height": heights,
                 }
             )
 

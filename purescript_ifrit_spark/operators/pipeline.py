@@ -62,7 +62,8 @@ def curate(
 
     if cluster_dedup:
         pairs = dedup.minhash_candidate_pairs(
-            exact, id_col, text_col, jaccard_threshold=jaccard_threshold
+            exact, id_col, text_col, jaccard_threshold=jaccard_threshold,
+            eager=True,
         )
         fuzzy = dedup.dedup_clusters(exact, id_col, pairs)
     else:

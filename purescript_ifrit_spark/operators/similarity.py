@@ -177,15 +177,15 @@ def lsh_topk(
         if float(np.dot(qv, np.asarray(p))) >= 0:
             qbits |= 1 << i
 
+    from itertools import combinations
+
     probes = [qbits]
-    if probe_hamming >= 1:
-        probes += [qbits ^ (1 << i) for i in range(n_planes)]
-    if probe_hamming >= 2:
-        probes += [
-            qbits ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            flipped = qbits
+            for b in bits:
+                flipped ^= 1 << b
+            probes.append(flipped)
 
     bucketed = with_lsh_bucket(df, vec_col, planes)
     cand = bucketed.filter(F.col("bucket").isin(probes))

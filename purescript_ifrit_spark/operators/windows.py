@@ -39,13 +39,18 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Classic gap-based sessionization: a new session starts when the gap
     to the previous event of the same user exceeds `gap_minutes`.
 
     One shuffle (partition by user), then lag + cumulative sum — both
-    computed in a single window pass."""
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    computed in a single window pass. `tiebreak_col` makes ordering
+    deterministic for equal timestamps; it is skipped if absent from df."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col and tiebreak_col in df.columns:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
     gap = F.lit(gap_minutes * 60)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     new_session = (

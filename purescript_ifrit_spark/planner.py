@@ -146,6 +146,17 @@ def _projection_column(sel) -> Column:
         return F.col(sel.path).alias(sel.output_name)
 
     assert isinstance(sel, FnCall)
+    if sel.fn == "COUNT":
+        # COUNT applies to the array at the FULL path (the analyzer resolves
+        # the whole dotted path and requires an Array there — an object-
+        # nested array like a.b is legal for COUNT but not for the numeric
+        # fns, whose push-down splits at the first segment).
+        # $reduce-add-1 ≡ $size (MongoDB.purs:201-214)
+        whole = F.col(sel.path)
+        return (
+            F.when(whole.isNull(), F.lit(None)).otherwise(F.size(whole))
+        ).alias(sel.output_name)
+
     parts = sel.path.split(".")
     if len(parts) == 1:
         arr = F.col(sel.path)
@@ -154,10 +165,7 @@ def _projection_column(sel) -> Column:
         base, rest = parts[0], ".".join(parts[1:])
         arr = F.transform(F.col(base), lambda x: _struct_path(x, rest))
 
-    if sel.fn == "COUNT":
-        # $reduce-add-1 ≡ $size (MongoDB.purs:201-214)
-        col = F.when(F.col(parts[0]).isNull(), F.lit(None)).otherwise(F.size(arr))
-    elif sel.fn == "SUM":
+    if sel.fn == "SUM":
         col = F.aggregate(arr, F.lit(0.0), lambda s, x: s + x.cast("double"))
     elif sel.fn == "AVG":
         total = F.aggregate(arr, F.lit(0.0), lambda s, x: s + x.cast("double"))

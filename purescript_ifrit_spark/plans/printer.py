@@ -23,6 +23,17 @@ from purescript_ifrit_spark.plans.ast import (
 )
 
 
+def _number(v: float) -> str:
+    # positional decimal only — repr() may emit exponent notation (1e-05),
+    # which the lexer's [0-9]*\.?[0-9]+ charset cannot tokenize
+    if v.is_integer():
+        return str(int(v))
+    s = repr(v)  # shortest round-trip form when it has no exponent
+    if "e" in s or "E" in s:
+        s = f"{v:.17f}".rstrip("0")
+    return s
+
+
 def _operand(o) -> str:
     if isinstance(o, FieldOperand):
         return o.path
@@ -32,7 +43,7 @@ def _operand(o) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return str(int(v)) if v.is_integer() else repr(v)
+        return _number(v)
     return f'"{v}"'
 
 

@@ -80,15 +80,17 @@ def _cond(c: Condition) -> str:
 
 
 def _array_expr(sel: FnCall) -> str:
+    if sel.fn == "COUNT":
+        # full-path array (see planner._projection_column: COUNT accepts an
+        # object-nested array, numeric fns push down at the first segment)
+        whole = _ident(sel.path)
+        return f"CASE WHEN {whole} IS NULL THEN NULL ELSE size({whole}) END"
     parts = sel.path.split(".")
     if len(parts) == 1:
         arr = _ident(sel.path)
     else:
         sub = ".".join(f"`{p}`" for p in parts[1:])
         arr = f"transform({_ident(parts[0])}, x -> x.{sub})"
-    if sel.fn == "COUNT":
-        root = _ident(parts[0])
-        return f"CASE WHEN {root} IS NULL THEN NULL ELSE size({arr}) END"
     if sel.fn == "SUM":
         return f"aggregate({arr}, 0D, (s, x) -> s + CAST(x AS DOUBLE))"
     if sel.fn == "AVG":

@@ -38,8 +38,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (spark.sql.legacy.parquet.nanosAsLong) and surface a proper
     TimestampType column (micros, same truncation DuckDB applies)."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # scope the legacy conf to this read: it is consulted when the
+        # parquet schema is converted (at read() time), so restoring it
+        # immediately keeps deferred actions working without silently
+        # changing how the session reads OTHER nanos-timestamp parquet
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 

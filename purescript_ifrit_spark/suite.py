@@ -435,8 +435,10 @@ def x_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"ROUND(len(list_filter(string_split({_NORM_SQL}, ' '), "
     "x -> x IN ('the','a','of','and','is','to','in'))) * 1.0 "
     f"/ len(string_split({_NORM_SQL}, ' ')), 6) AS stopword_ratio, "
+    # zero-guard mirrors Spark's punct_ratio (blank doc → 0.0, not NULL)
+    f"CASE WHEN length(replace({_NORM_SQL}, ' ', '')) = 0 THEN 0.0 ELSE "
     f"ROUND(length(regexp_replace({_NORM_SQL}, '[a-z0-9\\s]', '', 'g')) * 1.0 "
-    f"/ length(replace({_NORM_SQL}, ' ', '')), 6) AS punct_ratio "
+    f"/ length(replace({_NORM_SQL}, ' ', '')), 6) END AS punct_ratio "
     "FROM documents",
 )
 def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -224,6 +224,30 @@ def test_null_comparison(spark, wizards):
     assert len(rows(df)) == 5
 
 
+def test_count_object_nested_array(spark):
+    # regression: COUNT over a dotted path whose first segment is an OBJECT
+    # (not an array) must size the array at the full path, not attempt the
+    # numeric-fn push-down transform (which requires array<struct>)
+    from purescript_ifrit_spark.parser import parse_sql
+    from purescript_ifrit_spark.plans.spark_sql import to_spark_sql
+
+    schema = {"a": {"b": ["number"]}, "name": "string"}
+    df = spark.createDataFrame(
+        [("x", {"b": [1.0, 2.0, 3.0]}), ("y", {"b": []})],
+        "name string, a struct<b: array<double>>",
+    )
+    got = dict(
+        (r.name, r.n)
+        for r in run_query(spark, df, "SELECT name, COUNT(a.b) AS n", schema=schema).collect()
+    )
+    assert got == {"x": 3, "y": 0}
+    # SQL backend agrees
+    df.createOrReplaceTempView("nested_count_view")
+    sql = to_spark_sql(parse_sql("SELECT name, COUNT(a.b) AS n"), "nested_count_view")
+    got_sql = {r.name: r.n for r in spark.sql(sql).collect()}
+    assert got_sql == got
+
+
 def test_output_schema_matches_runtime(spark, wizards):
     from purescript_ifrit_spark.api import compile_query
 

@@ -121,6 +121,14 @@ def test_print_parse_roundtrip(stmt):
     assert parse_sql(to_sql(stmt)) == stmt
 
 
+def test_tiny_float_literal_roundtrip():
+    # regression: repr(1e-05) emits exponent notation the lexer rejects
+    stmt = parse_sql("SELECT a WHERE b = 0.00001")
+    assert parse_sql(to_sql(stmt)) == stmt
+    stmt2 = parse_sql("SELECT a WHERE b = 0.1")
+    assert "0.1" in to_sql(stmt2)
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.text(max_size=40))
 def test_parser_never_crashes_on_garbage(src):
