@@ -30,6 +30,7 @@ def build_spark():
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("ifrit-spark-bench")
         .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", "16g")
@@ -39,12 +40,14 @@ def build_spark():
     )
 
 
-def _consume(df) -> int:
-    """Execute the full plan; avoid driver-transfer overhead for big results."""
-    return df.count() if len(df.columns) > 0 else 0
+def _consume(df) -> None:
+    """Execute the FULL plan. count() would let Catalyst prune every
+    projection expression (a text-quality query would time a bare row-count
+    scan); the noop sink materializes all columns without driver transfer."""
+    df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark) -> dict:
+def bench_queries(spark) -> "tuple[dict, dict]":
     from pyspark.sql import functions as F
 
     from purescript_ifrit_spark.api import run_query

@@ -51,11 +51,13 @@ def sessionize(
     if tiebreak_col and tiebreak_col in df.columns:
         order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(user_col).orderBy(*order)
-    gap = F.lit(gap_minutes * 60)
+    # microsecond gap arithmetic: unix_timestamp() truncates to whole
+    # seconds, which shifts session boundaries for sub-second timestamps
+    gap_us = F.lit(gap_minutes * 60 * 1_000_000)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     new_session = (
         prev_ts.isNull()
-        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap)
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us)
     ).cast("int")
     return df.withColumn("_new", new_session).withColumn(
         "session_id",

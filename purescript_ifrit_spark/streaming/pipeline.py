@@ -28,13 +28,23 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    """File-source stream over a directory of parquet/json event files."""
+    """File-source stream over a directory of event files (`fmt`:
+    parquet or json), with micros TimestampType `ts`.
+
+    Note: the driver's raw `events.parquet` stores TIMESTAMP(NANOS), which
+    this schema-pinned stream cannot read directly — stage it first
+    (`sources.load_table(...).write.parquet(dir)`) as the tests do, or the
+    tasks fail with an illegal-parquet-type error."""
     return (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
+        .format(fmt)
+        .load(path)
     )
 
 
@@ -64,9 +74,14 @@ def windowed_counts(
 
 
 def run_to_memory_sink(
-    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+    stream_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> "StreamingQuery":  # noqa: F821
-    """Drive a streaming DataFrame into an in-memory table (testing sink)."""
+    """Drive a streaming DataFrame into an in-memory table (testing sink).
+
+    Default `update` keeps watermark state-eviction active; pass
+    "complete" only when you need the whole result table each batch —
+    complete mode never evicts aggregation state, so the watermark
+    bounding that windowed_counts documents does NOT apply there."""
     return (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -81,8 +96,6 @@ def enrich_with_static_dim(stream: DataFrame, dim: DataFrame, on) -> DataFrame:
     static dimension — the standard enrichment pattern (events × user/dim
     tables). No state, no watermark needed; the dimension is re-resolvable
     per batch, so slowly-changing dims update between batches."""
-    from pyspark.sql import functions as F
-
     return stream.join(F.broadcast(dim), on, "left")
 
 

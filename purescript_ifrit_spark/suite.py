@@ -413,8 +413,10 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_text_token_count",
+    # blank-doc guard: string_split('') is [''] (len 1) but token_count is 0
     "SELECT doc_id, "
-    f"CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens, "
+    f"CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0 "
+    f"ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n_tokens, "
     "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT)"
     " AS n_bpe_ish FROM documents",
 )
@@ -509,9 +511,13 @@ def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_ann_cosine_topk",
-    "SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
-    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 5) AS sim "
-    "FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 10",
+    # order by the UNROUNDED similarity (as the engine does) and round only
+    # the projected value — ordering by the rounded alias would select a
+    # different k-th row whenever two sims collide at 5 decimals
+    "SELECT vec_id, ROUND(s, 5) AS sim FROM ("
+    "SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS s "
+    "FROM embeddings ORDER BY s DESC, vec_id ASC LIMIT 10) t",
 )
 def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.similarity import cosine_topk
@@ -538,20 +544,21 @@ def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_events_hourly",
-    "SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us, "
+    # timezone-free hour bucketing (pure epoch arithmetic on both sides):
+    # date_trunc would truncate in the Spark session's LOCAL timezone,
+    # breaking parity on any non-UTC driver host
+    "SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT) AS hour_us, "
     "event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value "
     "FROM events GROUP BY 1, 2",
 )
 def x_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from purescript_ifrit_spark.operators.windows import tumbling_agg
-
     ev = load_table(spark, sf_dir, "events")
-    out = tumbling_agg(ev, "ts", "hour", ("event_type",))
-    return out.select(
-        F.unix_micros(F.col("window_start")).alias("hour_us"),
-        "event_type",
-        "n",
-        "sum_value",
+    hour_us = (
+        F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000) * 3_600_000_000
+    ).cast("long")
+    return ev.groupBy(hour_us.alias("hour_us"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
     )
 
 

@@ -20,6 +20,7 @@ def spark():
         SparkSession.builder.master("local[4]")
         .appName("purescript-ifrit-spark-tests")
         .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="ifrit_wh_"))
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")

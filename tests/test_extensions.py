@@ -346,7 +346,9 @@ def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
 
     stream = SP.read_event_stream(spark, src)
     assert stream.isStreaming
-    q = SP.run_to_memory_sink(SP.windowed_counts(stream), "win_counts")
+    q = SP.run_to_memory_sink(
+        SP.windowed_counts(stream), "win_counts", output_mode="complete"
+    )
     q.awaitTermination(120)
 
     got = {
@@ -431,8 +433,10 @@ def test_streaming_sessionize_runs(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     src = str(tmp_path / "stream_src2")
     ev.coalesce(1).write.parquet(src)
+    # session windows support append/complete, not update
     q = SP.run_to_memory_sink(
-        SP.sessionize_stream(SP.read_event_stream(spark, src)), "sess"
+        SP.sessionize_stream(SP.read_event_stream(spark, src)), "sess",
+        output_mode="append",
     )
     q.awaitTermination(120)
     assert spark.table("sess").count() > 0
