@@ -78,19 +78,40 @@ def extract_features(df: DataFrame, *, real_decode: bool = False) -> DataFrame:
     exercising the exact batch shape a real decoder would use."""
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        # NOTE: this closure must stay self-contained (stdlib/pandas only,
+        # no references to functions of this package): it executes on
+        # Python WORKER processes, which do not share the driver's
+        # sys.path — a module-function reference would make cloudpickle
+        # serialize an import by name and crash the workers with
+        # ModuleNotFoundError wherever the package isn't installed.
+        import hashlib as _hashlib
+
         import pandas as pd
+
+        def _decode(payload: bytes):
+            try:
+                import io
+
+                from PIL import Image  # type: ignore
+
+                return Image.open(io.BytesIO(payload))
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "image decoding requires an imaging library (not "
+                    "available in this environment)"
+                ) from exc
 
         for pdf in batches:
             payloads = pdf["payload"]
             digests = [
-                hashlib.sha256(p if p is not None else b"").hexdigest()
+                _hashlib.sha256(p if p is not None else b"").hexdigest()
                 for p in payloads
             ]
             if real_decode:
-                # the real integration point: decode_image raises
+                # the real integration point: _decode raises
                 # NotImplementedError when no imaging library is installed
                 dims = [
-                    decode_image(p).size if p else (0, 0) for p in payloads
+                    _decode(p).size if p else (0, 0) for p in payloads
                 ]
                 widths = [d[0] for d in dims]
                 heights = [d[1] for d in dims]
@@ -103,7 +124,7 @@ def extract_features(df: DataFrame, *, real_decode: bool = False) -> DataFrame:
                     "byte_len": [len(p) if p is not None else 0 for p in payloads],
                     "sha256": digests,
                     "md5": [
-                        hashlib.md5(p if p is not None else b"").hexdigest()
+                        _hashlib.md5(p if p is not None else b"").hexdigest()
                         for p in payloads
                     ],
                     "fake_width": widths,
