@@ -112,6 +112,16 @@ def _statements(depth: int = 1):
             limit=st.one_of(st.none(), st.integers(0, 1000)),
             offset=st.one_of(st.none(), st.integers(0, 1000)),
         ),
+        st.builds(
+            Group,
+            projections=st.lists(_selector, min_size=1, max_size=2),
+            group_by=st.one_of(st.none(), _path),
+            source=inner,
+            where=st.one_of(st.none(), _condition),
+            order_by=_orders,
+            limit=st.one_of(st.none(), st.integers(0, 1000)),
+            offset=st.one_of(st.none(), st.integers(0, 1000)),
+        ),
     )
 
 
