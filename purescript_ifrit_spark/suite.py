@@ -857,6 +857,22 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x_dedup_clusters", None)  # approximate candidates — rows-only
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup: minhash pairs → connected components → keep the
+    canonical (min-id) member per component."""
+    from purescript_ifrit_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", jaccard_threshold=0.8, eager=True
+    )
+    return dedup_clusters(docs, "doc_id", pairs).select("doc_id")
+
+
 @register("x_curate_pipeline", None)  # composition incl. approximate dedup — rows-only
 def x_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.pipeline import curate
