@@ -8,8 +8,6 @@ keys — the only shuffle is by band hash.
 
 from __future__ import annotations
 
-from typing import List
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 

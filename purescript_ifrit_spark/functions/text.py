@@ -98,9 +98,13 @@ def stopword_ratio(c: Column, stopwords: tuple = ("the", "a", "of", "and", "is",
     Counted with one regexp_count over the normalized text (whole tokens
     delimited by space/string edges — identical semantics to a per-token
     equality fold, which would run interpreted)."""
+    import re as _re
+
     s = normalize_text(c)
     n = token_count(c)
-    rx = "(?:^| )(?:" + "|".join(stopwords) + ")(?= |$)"
+    # escape each word: callers may pass tokens containing regex
+    # metacharacters ("c++", "a.b") and the contract is literal equality
+    rx = "(?:^| )(?:" + "|".join(_re.escape(w) for w in stopwords) + ")(?= |$)"
     n_hits = F.regexp_count(s, F.lit(rx))
     return F.when(n == 0, F.lit(0.0)).otherwise(
         n_hits.cast("double") / n.cast("double")

@@ -23,14 +23,6 @@ LANG_MARKERS = (
 )
 
 
-def lang_scores(c: Column) -> list:
-    s = F.lower(c)
-    return [
-        F.size(F.regexp_extract_all(s, F.lit(rx), 0)).alias(f"score_{lang}")
-        for lang, rx in LANG_MARKERS
-    ]
-
-
 def lang_id(c: Column) -> Column:
     """Heuristic language ID: argmax of stopword-marker counts; 'und' when
     no marker hits. Ties resolve by LANG_MARKERS priority order."""

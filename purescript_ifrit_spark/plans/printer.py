@@ -30,7 +30,13 @@ def _number(v: float) -> str:
         return str(int(v))
     s = repr(v)  # shortest round-trip form when it has no exponent
     if "e" in s or "E" in s:
-        s = f"{v:.17f}".rstrip("0")
+        # exact positional expansion of the shortest repr: Decimal('1E-20')
+        # formats to '0.00000000000000000001', which parses back to the
+        # same double (fixed-precision %f would truncate tiny values to
+        # an unparseable '0.')
+        from decimal import Decimal
+
+        s = format(Decimal(repr(v)), "f")
     return s
 
 

@@ -47,24 +47,41 @@ def _lit(v) -> str:
         return "true" if v else "false"
     if isinstance(v, float):
         return str(int(v)) if v.is_integer() else repr(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    if isinstance(v, int):
+        # programmatic ASTs may carry raw ints; render numerically like
+        # planner's F.lit, not as a quoted string
+        return str(v)
+    # escape backslashes BEFORE quotes: Spark's default string literals are
+    # C-style, so an unescaped backslash would be re-interpreted
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _operand(o) -> str:
     return _ident(o.path) if isinstance(o, FieldOperand) else _lit(o.value)
 
 
-def _cond(c: Condition) -> str:
+def _cond(c: Condition, flags: CompatFlags = CompatFlags()) -> str:
     if isinstance(c, Or):
-        return f"({_cond(c.lhs)} OR {_cond(c.rhs)})"
+        return f"({_cond(c.lhs, flags)} OR {_cond(c.rhs, flags)})"
     if isinstance(c, And):
-        return f"({_cond(c.lhs)} AND {_cond(c.rhs)})"
+        return f"({_cond(c.lhs, flags)} AND {_cond(c.rhs, flags)})"
     if isinstance(c, Not):
         if isinstance(c.cond, FieldOperand):
             return f"{_ident(c.cond.path)} = false"
-        return f"(NOT ({_cond(c.cond)}))"
+        return f"(NOT ({_cond(c.cond, flags)}))"
     if isinstance(c, BinaryCond):
         lhs, rhs, op = c.lhs, c.rhs, c.op
+        # lock-step with planner._compile_binary: exactly one side must be
+        # a field unless the compat flag lifts the restriction
+        if not flags.allow_field_comparison:
+            lhs_field = isinstance(lhs, FieldOperand)
+            if lhs_field == isinstance(rhs, FieldOperand):
+                from purescript_ifrit_spark.errors import PlanError
+
+                raise PlanError(
+                    f"invalid condition: {_operand(lhs)} {op} {_operand(rhs)}"
+                    ": should target a field of the document"
+                )
         if op in ("=", "!="):
             if isinstance(rhs, LitOperand) and rhs.value is None:
                 null_test = "IS NULL" if op == "=" else "IS NOT NULL"
@@ -127,7 +144,7 @@ def to_spark_sql(
     )
 
     if stmt.where is not None:
-        rel = f"(SELECT * FROM {rel} WHERE {_cond(stmt.where)})"
+        rel = f"(SELECT * FROM {rel} WHERE {_cond(stmt.where, flags)})"
 
     order_sql = ", ".join(
         f"{_ident(k.path)} {'ASC' if k.ascending else 'DESC'}" for k in stmt.order_by

@@ -137,6 +137,22 @@ def test_tiny_float_literal_roundtrip():
     assert parse_sql(to_sql(stmt)) == stmt
     stmt2 = parse_sql("SELECT a WHERE b = 0.1")
     assert "0.1" in to_sql(stmt2)
+    # extreme magnitudes: exact positional expansion must round-trip the
+    # double bit-for-bit (a %.17f fallback truncated these to '0.')
+    from purescript_ifrit_spark.plans.ast import (
+        BinaryCond,
+        FieldOperand,
+        LitOperand,
+        Projection,
+        Select,
+    )
+
+    for v in (1e-20, 1.2345678901234567e-05, 12345.000000001):
+        ast = Select(
+            projections=[Projection("a")],
+            where=BinaryCond("=", FieldOperand("b"), LitOperand(v)),
+        )
+        assert parse_sql(to_sql(ast)) == ast
 
 
 @settings(max_examples=300, deadline=None)

@@ -66,6 +66,19 @@ def test_backends_agree(spark, wizards, sql):
     assert _norm(df_result) == _norm(sql_result)
 
 
+def test_field_vs_field_rejected_in_sql_backend():
+    # lock-step with planner: both backends reject field-vs-field by default
+    from purescript_ifrit_spark.errors import PlanError
+
+    stmt = parse_sql("SELECT name WHERE name = name")
+    with pytest.raises(PlanError):
+        to_spark_sql(stmt, "any_view")
+    # lifted by the same compat flag
+    assert "WHERE" in to_spark_sql(
+        stmt, "any_view", CompatFlags(allow_field_comparison=True)
+    )
+
+
 def test_sane_offset_flag_backend_parity(spark, wizards):
     wizards.createOrReplaceTempView("wizards_view")
     sql = "SELECT name ORDER BY name LIMIT 2 OFFSET 1"
