@@ -79,6 +79,62 @@ def test_field_vs_field_rejected_in_sql_backend():
     )
 
 
+def test_backend_equivalence_randomized(spark, wizards):
+    """Hypothesis-style sweep without per-example Spark overhead control:
+    generate statements over the wizards schema, keep the analyzable ones,
+    and demand identical results from both backends."""
+    import random
+
+    from purescript_ifrit_spark.api import compile_query
+    from purescript_ifrit_spark.errors import IfritError
+
+    rng = random.Random(20260813)
+    num_fields = ["profile.bio.age", "profile.body.height"]
+    str_fields = ["name", "profile.bio.school"]
+    arr_fields = ["scores", "wands.power"]
+
+    def gen_sql():
+        parts = []
+        mode = rng.choice(["select", "group", "arrays"])
+        if mode == "arrays":
+            fn = rng.choice(["AVG", "SUM", "MAX", "MIN"])
+            parts.append(f"SELECT name, {fn}({rng.choice(arr_fields)}) AS v")
+        elif mode == "group":
+            fn = rng.choice(["AVG", "SUM", "MAX", "MIN", "COUNT"])
+            parts.append(
+                f"SELECT {fn}({rng.choice(num_fields)}) AS v "
+                f"GROUP BY {rng.choice(str_fields + ['NULL'])}"
+            )
+        else:
+            parts.append(f"SELECT {rng.choice(str_fields)} AS s")
+        if mode != "group" and rng.random() < 0.6:
+            f = rng.choice(num_fields)
+            op = rng.choice(["<", ">", "<=", ">=", "=", "!="])
+            parts.insert(1, f"WHERE {f} {op} {rng.randint(0, 60)}")
+        if mode == "select" and rng.random() < 0.5:
+            parts.append(f"ORDER BY {rng.choice(num_fields)} DESC, name ASC LIMIT {rng.randint(1, 6)}")
+        # clause order: SELECT WHERE GROUP BY ORDER LIMIT — rebuild properly
+        sql = parts[0]
+        for p in parts[1:]:
+            sql += " " + p
+        return sql
+
+    wizards.createOrReplaceTempView("wizards_view")
+    tried = agreed = 0
+    for _ in range(40):
+        sql = gen_sql()
+        try:
+            plan = compile_query(WIZARDS_SCHEMA, sql)
+        except IfritError:
+            continue
+        tried += 1
+        a = _norm(plan.apply(wizards))
+        b = _norm(spark.sql(plan.to_spark_sql("wizards_view")))
+        assert a == b, f"backend divergence for: {sql}\n{a}\nvs\n{b}"
+        agreed += 1
+    assert tried >= 15  # the generator must produce mostly-valid statements
+
+
 def test_sane_offset_flag_backend_parity(spark, wizards):
     wizards.createOrReplaceTempView("wizards_view")
     sql = "SELECT name ORDER BY name LIMIT 2 OFFSET 1"
