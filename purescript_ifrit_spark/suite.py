@@ -548,7 +548,9 @@ def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # date_trunc would truncate in the Spark session's LOCAL timezone,
     # breaking parity on any non-UTC driver host
     "SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT) AS hour_us, "
-    "event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value "
+    "event_type, COUNT(*) AS n, "
+    # decimal sum: exact + order-independent (see x_sessionize note)
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
     "FROM events GROUP BY 1, 2",
 )
 def x_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,12 +560,15 @@ def x_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return ev.groupBy(hour_us.alias("hour_us"), F.col("event_type")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
 
 
 @register(
     "x_sessionize",
+    # sum_value sums in DECIMAL(18,6): the r1 hash flake was ROUND(SUM(double))
+    # landing on a half-boundary under a different partial-sum order — decimal
+    # addition is exact and order-independent, so both engines agree bit-for-bit
     "WITH s AS (SELECT user_id, event_id, ts, value, "
     "  CASE WHEN lag(ts) OVER w IS NULL "
     "       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
@@ -572,7 +577,7 @@ def x_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
     "  ROWS UNBOUNDED PRECEDING) AS session_id FROM s) "
     "SELECT user_id, session_id, COUNT(*) AS n_events, "
-    "ROUND(SUM(value), 6) AS sum_value, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, "
     "CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us "
     "FROM t GROUP BY user_id, session_id",
 )
@@ -583,7 +588,7 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sessionize(ev, "user_id", "ts", 30)
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
             "duration_us"
         ),
@@ -592,7 +597,8 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_join_star",
-    "SELECT r_name, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total "
+    "SELECT r_name, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total "
     "FROM orders JOIN customer ON o_custkey = c_custkey "
     "JOIN nation ON c_nationkey = n_nationkey "
     "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
@@ -608,7 +614,9 @@ def x_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("r_name").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total"),
     )
 
 
@@ -663,28 +671,33 @@ def x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_tpch_q1ish",
-    "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty, "
-    "ROUND(SUM(l_extendedprice), 4) AS sum_base, "
-    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc, "
-    "ROUND(AVG(l_quantity), 6) AS avg_qty, COUNT(*) AS n "
+    # decimal sums (exact, order-independent — see x_sessionize note); the
+    # product term is computed in IEEE double identically on both engines
+    # BEFORE the decimal cast, so the cast rounds the same value
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base, "
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty, "
+    "COUNT(*) AS n "
     "FROM lineitem GROUP BY l_returnflag, l_linestatus",
 )
 def x_tpch_q1ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_base"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "sum_disc"
-        ),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        dec(F.col("l_quantity")).alias("sum_qty"),
+        dec(F.col("l_extendedprice")).alias("sum_base"),
+        dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc"),
+        (dec(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 @register(
     "x_tpch_q3ish",
-    "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+    "SELECT l_orderkey, "
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
     "FROM customer JOIN orders ON c_custkey = o_custkey "
     "JOIN lineitem ON l_orderkey = o_orderkey "
     "WHERE c_mktsegment = 'BUILDING' GROUP BY l_orderkey",
@@ -704,16 +717,21 @@ def x_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
 
 @register(
     "x_tpch_q5ish",
-    "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+    "SELECT n_name, "
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
     "FROM region JOIN nation ON r_regionkey = n_regionkey "
     "JOIN customer ON n_nationkey = c_nationkey "
     "JOIN orders ON c_custkey = o_custkey "
@@ -737,9 +755,13 @@ def x_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
