@@ -28,12 +28,13 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     single-parameter lambdas: pyspark treats any two-parameter lambda
     (even `lambda h, i=i:`) as (element, index) and silently passes the
     array index as the second argument, collapsing every lane. Empty
-    shingle arrays yield the MAX_LONG seed lanes — filter docs to
-    non-empty text first (word_shingles guarantees ≥1 for non-empty).
+    shingle arrays yield a NULL signature (enforced here, not just
+    documented): MAX_LONG seed lanes would make every empty doc an
+    identical — and therefore pairwise-candidate — signature.
     """
     max_long = (1 << 63) - 1
     hashed = F.transform(shingles, lambda s: F.xxhash64(s))
-    return F.aggregate(
+    agg = F.aggregate(
         hashed,
         F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
         lambda acc, h: F.zip_with(
@@ -42,6 +43,7 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
             lambda a, b: F.least(a, b),
         ),
     )
+    return F.when(F.size(shingles) > 0, agg)
 
 
 def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:

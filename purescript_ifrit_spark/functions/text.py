@@ -53,22 +53,35 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     scan stays in a codegen'd projection). Texts shorter than n words yield
     a single shingle of the whole text, so every non-empty doc has ≥1
     shingle (the regex alone would yield none — hence the fallback branch).
+    Blank/whitespace-only text yields an EMPTY array (not [""]): blank docs
+    must never shingle-match each other, and callers filter on
+    size(shingles) > 0.
     """
     s = normalize_text(c)
     toks = tokens(c)
     rx = "(?=(" + " ".join([r"\S+"] * n) + r"))(?:\S+ ?)"
     grams = F.array_distinct(F.regexp_extract_all(s, F.lit(rx), 1))
-    return F.when(F.size(toks) >= n, grams).otherwise(F.array(s))
+    empty = F.array().cast("array<string>")
+    return (
+        F.when(F.length(s) == 0, empty)
+        .when(F.size(toks) >= n, grams)
+        .otherwise(F.array(s))
+    )
 
 
 def char_ngrams(c: Column, n: int = 5) -> Column:
     """Array of distinct character n-grams of the normalized text (same
-    lookahead-capture construction as word_shingles)."""
+    lookahead-capture construction as word_shingles; blank text → empty
+    array, matching the word_shingles contract)."""
     s = normalize_text(c)
     grams = F.array_distinct(
         F.regexp_extract_all(s, F.lit(f"(?=(.{{{n}}}))."), 1)
     )
-    return F.when(F.length(s) >= n, grams).otherwise(F.array(s))
+    return (
+        F.when(F.length(s) == 0, F.array().cast("array<string>"))
+        .when(F.length(s) >= n, grams)
+        .otherwise(F.array(s))
+    )
 
 
 def punct_ratio(c: Column) -> Column:

@@ -323,10 +323,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: Optional[str] = None,
+    allow_crossjoin: bool = False,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard over all pairs (within `block_col` blocks
-    when given — REQUIRED at scale; unblocked use is for evaluation only and
-    cross-joins)."""
+    """Exact word-n-gram Jaccard over all pairs within `block_col` blocks.
+
+    A block column is REQUIRED at scale — without one the join is a full
+    O(n²) cross product, which is an evaluation tool only and must be opted
+    into with `allow_crossjoin=True` (calling with neither raises)."""
+    if block_col is None and not allow_crossjoin:
+        raise ValueError(
+            "ngram_jaccard_pairs without `block_col` is an O(n²) cross join; "
+            "pass a blocking column (e.g. an LSH band or simhash slice) for "
+            "the scale path or opt in explicitly with allow_crossjoin=True"
+        )
     base = df.select(
         F.col(id_col).alias("_id"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),

@@ -110,6 +110,7 @@ def embedding_neardup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     planes: Optional[Sequence[Sequence[float]]] = None,
+    allow_crossjoin: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
 
@@ -120,16 +121,23 @@ def embedding_neardup_pairs(
     bucket — probe or re-run with rotated planes for higher recall, or
     repartition by bucket and verify within partitions).
 
-    Without `planes` the join is a full cross product — exact, for
-    evaluation or small tables only."""
+    The exact all-pairs mode (no `planes`) is an O(n²) cross join — an
+    evaluation tool, never a scale path — so it must be opted into with
+    `allow_crossjoin=True`; calling without either raises."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if planes is not None:
         a = a.withColumn("_bkt", V.random_hyperplane_signature(F.col("_va"), planes))
         b = b.withColumn("_bkt", V.random_hyperplane_signature(F.col("_vb"), planes))
         joined = a.join(b, "_bkt")
-    else:
+    elif allow_crossjoin:
         joined = a.crossJoin(b)
+    else:
+        raise ValueError(
+            "embedding_neardup_pairs without `planes` is an O(n²) cross join; "
+            "pass `planes` (make_hyperplanes(...)) for the blocked scale path "
+            "or opt in explicitly with allow_crossjoin=True for evaluation"
+        )
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", V.cosine(F.col("_va"), F.col("_vb")))
@@ -201,10 +209,17 @@ def ivf_centroids(
     df: DataFrame, vec_col: str, nlist: int = 16, seed: int = 42, sample: int = 4096
 ) -> "np.ndarray":
     """Coarse centroids via one k-means++-seeded Lloyd pass over a
-    deterministic sample — driver-side on ≤`sample` vectors (the index-build
-    step; at 100 TB you'd run this once and persist)."""
+    deterministic uniform sample — driver-side on ≤`sample` vectors (the
+    index-build step; at 100 TB you'd run this once and persist).
+
+    The sample orders by xxhash64 of the vector and takes the first
+    `sample` rows: reproducible (pure function of the data, unlike a bare
+    limit() partition prefix, which biases centroids toward whatever file
+    happens to be scanned first), uniform under the hash, and executed as a
+    distributed TakeOrdered — no global sort materialized."""
     rows = (
         df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)).asc(), F.col(vec_col).asc())
         .limit(sample)
         .toPandas()[vec_col]
         .to_numpy()

@@ -75,12 +75,13 @@ def session_stats(
 ) -> DataFrame:
     """Sessions with their length and event count."""
     s = sessionize(df, user_col, ts_col, gap_minutes)
+    # micros-precision duration (unix_timestamp truncates to whole seconds,
+    # which zeroes out sub-second sessions — same rule as sessionize's gaps)
+    dur_us = F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
     return s.groupBy(user_col, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),
-        (
-            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
-        ).alias("duration_sec"),
+        (dur_us.cast("double") / 1_000_000.0).alias("duration_sec"),
     )
 
 

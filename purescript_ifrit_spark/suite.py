@@ -665,7 +665,11 @@ def x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.similarity import embedding_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    # exact all-pairs mode, opted in: this entry IS the evaluation baseline
+    # the oracle recomputes; the scale path (planes=...) is exercised in tests
+    out = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, allow_crossjoin=True
+    )
     return out.withColumn("sim", F.round("sim", 5))
 
 

@@ -66,10 +66,66 @@ def test_simhash_pairs(spark, docs):
 
 
 def test_ngram_jaccard_exact(spark, docs):
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, allow_crossjoin=True
+    )
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
     assert got[(0, 3)] == 1.0
     assert (2, 5) in got
+
+
+def test_allpairs_defaults_are_guarded(spark, docs):
+    # unblocked O(n²) modes must be explicit opt-ins, never defaults
+    with pytest.raises(ValueError, match="cross join"):
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text")
+    with pytest.raises(ValueError, match="cross join"):
+        similarity.embedding_neardup_pairs(docs, "doc_id", "text")
+
+
+def test_blank_docs_never_pair(spark):
+    # blank/whitespace docs: empty shingle array (not [""]) → NULL minhash
+    # signature → filtered before banding — no all-blank near-dup explosion
+    from purescript_ifrit_spark.functions import hashing as H
+    from purescript_ifrit_spark.functions import text as X
+
+    rows = [(0, ""), (1, "   "), (2, "\t\n"), (3, "real content here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = df.select(
+        "doc_id", X.word_shingles(F.col("text"), 3).alias("sh")
+    ).collect()
+    by_id = {r.doc_id: r.sh for r in sh}
+    assert by_id[0] == [] and by_id[1] == [] and by_id[2] == []
+    assert by_id[3] == ["real content here"]
+
+    sig = df.select(
+        "doc_id",
+        H.minhash_signature(X.word_shingles(F.col("text"), 3), 8).alias("sig"),
+    ).collect()
+    sigs = {r.doc_id: r.sig for r in sig}
+    assert sigs[0] is None and sigs[1] is None and sigs[2] is None
+    assert sigs[3] is not None and len(sigs[3]) == 8
+
+    pairs = dedup.minhash_candidate_pairs(
+        df, "doc_id", "text", jaccard_threshold=0.1
+    )
+    assert pairs.count() == 0
+
+
+def test_session_stats_subsecond_duration(spark):
+    # micros-precision durations: a 250ms session must not report 0 seconds
+    from datetime import datetime, timezone
+
+    from purescript_ifrit_spark.operators.windows import session_stats
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0.replace(microsecond=250_000), 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = session_stats(df, "user_id", "ts", 30).collect()
+    assert len(out) == 1
+    assert abs(out[0].duration_sec - 0.25) < 1e-9
 
 
 def test_connected_components_clusters(spark):
@@ -101,7 +157,9 @@ def test_embedding_neardup_lsh_blocking(spark):
     rows.append((101, [float(x) for x in base[5] + 0.01 * rng.standard_normal(16)]))
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
 
-    exact = similarity.embedding_neardup_pairs(df, "vec_id", "embedding", 0.95)
+    exact = similarity.embedding_neardup_pairs(
+        df, "vec_id", "embedding", 0.95, allow_crossjoin=True
+    )
     got_exact = {(r.id_a, r.id_b) for r in exact.collect()}
     assert got_exact == {(0, 100), (5, 101)}
 
