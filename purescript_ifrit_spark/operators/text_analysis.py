@@ -85,6 +85,7 @@ def pack_sequences(
     tokens_col: str = "chunk_tokens",
     order_cols: tuple = ("doc_id", "chunk_idx"),
     pack_size: int = 512,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Assign each chunk to a training-sequence bin of ~`pack_size` tokens.
 
@@ -92,20 +93,79 @@ def pack_sequences(
     ordered by `order_cols`, and bin = floor((cumulative_tokens - tokens) /
     pack_size) over that order. A bin may overflow by at most one chunk
     (the standard first-fit-in-order trade); no bin is underfilled except
-    the last. One window pass = one global sort — at corpus scale, run it
-    per shard (repartitionByRange on the leading order column) so the
-    window never crosses shard boundaries.
+    the last.
+
+    Scale design — the cumulative sum is SHARDED, never a single global
+    window: rows are range-sharded on the numeric leading order column
+    (contiguous, deterministic buckets from one min/max scan), the window
+    runs per shard in parallel, and each shard adds the total token count of
+    all earlier shards as an offset. Because shards are contiguous in the
+    global order, offset + per-shard cumsum == the exact global cumsum, so
+    the result is bit-identical to the single-window semantics while the
+    plan contains no single-partition exchange (the cross-shard offsets come
+    from a `num_shards`-row self-join, not a window). `num_shards` defaults
+    to the session's default parallelism; pass `num_shards=1` to force the
+    legacy global window (tiny data / non-numeric leading column).
     """
     from pyspark.sql import Window
 
-    w = (
-        Window.orderBy(*[F.col(c).asc() for c in order_cols])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lead = order_cols[0]
+    if num_shards is None:
+        num_shards = df.sparkSession.sparkContext.defaultParallelism
+    order = [F.col(c).asc() for c in order_cols]
+
+    if num_shards > 1:
+        bounds = df.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+        if lo is None:
+            num_shards = 1  # empty input: nothing to shard
+        elif isinstance(lo, str):
+            raise TypeError(
+                f"pack_sequences shards on the leading order column ({lead!r}), "
+                "which must be numeric; pass num_shards=1 to force the "
+                "unsharded global window instead"
+            )
+
+    if num_shards <= 1:
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = F.sum(F.col(tokens_col)).over(w)
+        return df.withColumn(
+            "pack_id",
+            F.floor((cum - F.col(tokens_col)) / F.lit(pack_size)).cast("long"),
+        )
+
+    # contiguous range shards (bounds fetched above — one bounded scan;
+    # parquet min/max statistics serve it when `lead` is a stored column)
+    span = hi - lo
+    frac = (F.col(lead) - F.lit(lo)) / F.lit(span if span > 0 else 1)
+    shard = F.least(
+        F.lit(num_shards - 1), F.floor(frac * num_shards)
+    ).cast("int")
+    d = df.withColumn("_shard", shard)
+
+    # token total per shard → prefix offsets via a tiny triangular self-join
+    # (num_shards rows; a window here would reintroduce SinglePartition)
+    totals = d.groupBy("_shard").agg(F.sum(tokens_col).alias("_tot"))
+    offs = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b._shard") < F.col("a._shard"), "left")
+        .groupBy(F.col("a._shard").alias("_shard"))
+        .agg(F.coalesce(F.sum("b._tot"), F.lit(0)).alias("_off"))
     )
-    cum = F.sum(F.col(tokens_col)).over(w)
-    return df.withColumn(
-        "pack_id",
-        F.floor((cum - F.col(tokens_col)) / F.lit(pack_size)).cast("long"),
+
+    w = Window.partitionBy("_shard").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.col("_off") + F.sum(F.col(tokens_col)).over(w)
+    return (
+        d.join(F.broadcast(offs), "_shard")
+        .withColumn(
+            "pack_id",
+            F.floor((cum - F.col(tokens_col)) / F.lit(pack_size)).cast("long"),
+        )
+        .drop("_shard", "_off")
     )
 
 

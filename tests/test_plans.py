@@ -127,6 +127,46 @@ def test_cosine_topk_single_stage_scan(spark, sf_dir):
     assert "Exchange" not in plan.split("TakeOrderedAndProject")[1] if "Exchange" in plan else True
 
 
+def test_pack_sequences_no_single_partition_window(spark, sf_dir):
+    """Sharded packing must never funnel the corpus through one task: no
+    SinglePartition exchange anywhere in the plan, and every window over the
+    chunk rows is partitioned (by the range shard)."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    out = pack_sequences(ch, "chunk_tokens", ("doc_id", "chunk_idx"), 512,
+                         num_shards=8)
+    plan = physical(out)
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(_shard" in plan  # window partitioned by shard
+
+
+def test_pack_sequences_sharded_matches_global(spark, sf_dir):
+    """Shard offsets must reproduce the exact global-cumsum pack ids."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    key = lambda r: (r.doc_id, r.chunk_idx)  # noqa: E731
+    glob = {
+        key(r): r.pack_id
+        for r in pack_sequences(ch, num_shards=1).collect()
+    }
+    for shards in (3, 8):
+        sharded = {
+            key(r): r.pack_id
+            for r in pack_sequences(ch, num_shards=shards).collect()
+        }
+        assert sharded == glob
+
+
 def test_limit_offset_order(spark, orders):
     # faithful mode: GlobalLimit/offset composition still a limited exchange,
     # not a full materialization
