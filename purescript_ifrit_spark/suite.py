@@ -392,6 +392,34 @@ def b5_minmax_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# §2.2 P2 — nested-path projection (dot → underscore)
+# ===========================================================================
+
+
+@register(
+    "p2_nested_projection",
+    # the oracle recomputes the FLAT truth straight from orders: the dialect
+    # must project struct paths info.detail.price / info.status into columns
+    # named info_detail_price / info_status (reference Semantic.purs dot →
+    # underscore rule; golden test/Test.Main.purs:1357-1387)
+    "SELECT o_orderkey AS okey, o_totalprice AS info_detail_price, "
+    "o_orderstatus AS info_status FROM orders",
+)
+def p2_nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    nested = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.struct(
+            F.struct(F.col("o_totalprice").alias("price")).alias("detail"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("info"),
+    )
+    return run_query(
+        spark, nested, "SELECT okey, info.detail.price, info.status"
+    )
+
+
+# ===========================================================================
 # §2.7 extensions — training-data-pipeline operators
 # ===========================================================================
 
@@ -499,6 +527,102 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash(
         docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.8
     ).select("doc_id")
+
+
+def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic planted-duplicate corpus derived from the documents ids:
+    every doc gets 40 tokens unique to its id (cross-doc jaccard is exactly
+    0), docs with id % 10 == 0 get an exact-normalized variant at
+    id + 1_000_000 (jaccard exactly 1 — always an LSH candidate since
+    identical shingles give identical signatures), and docs with
+    id % 10 == 5 get a 38-token prefix variant at id + 2_000_000
+    (shingle jaccard exactly 36/38 ≈ 0.947)."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda k: F.concat(
+            F.lit("t"), F.col("doc_id").cast("string"), F.lit("x"),
+            k.cast("string"),
+        ),
+    )
+    base = ids.select("doc_id", F.array_join(toks, " ").alias("text"))
+    # variants derive from base's materialized `text` column — NOT from the
+    # token lambda, which would re-resolve `doc_id` against the shifted alias
+    exact_var = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        # case + whitespace noise: normalizes back to the base text
+        F.regexp_replace(F.upper(F.col("text")), " ", "  ").alias("text"),
+    )
+    near_var = base.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 38), " ").alias(
+            "text"
+        ),
+    )
+    return base.unionAll(exact_var).unionAll(near_var)
+
+
+# DuckDB twin of the planted-corpus token lists (1-indexed lists)
+_PLANTED_TOKS = (
+    "SELECT doc_id, list_transform(range(0, 40), "
+    "k -> 't' || doc_id || 'x' || k) AS toks FROM documents"
+)
+
+
+@register(
+    "x_dedup_minhash_planted",
+    # ground truth recomputed by DuckDB: a planted variant is dropped iff its
+    # exact shingle jaccard to its base doc is >= 0.8; cross-doc pairs are
+    # jaccard 0 by construction (disjoint per-doc token namespaces)
+    f"WITH base AS ({_PLANTED_TOKS}), "
+    "pairs AS ("
+    "  SELECT doc_id, doc_id + 1000000 AS vid, toks AS vtoks FROM base "
+    "  WHERE doc_id % 10 = 0 "
+    "  UNION ALL "
+    "  SELECT doc_id, doc_id + 2000000 AS vid, toks[1:38] AS vtoks FROM base "
+    "  WHERE doc_id % 10 = 5), "
+    "j AS ("
+    "  SELECT p.vid, "
+    "  len(list_intersect("
+    "    list_transform(range(1, len(b.toks) - 1), "
+    "      i -> b.toks[i] || ' ' || b.toks[i+1] || ' ' || b.toks[i+2]), "
+    "    list_transform(range(1, len(p.vtoks) - 1), "
+    "      i -> p.vtoks[i] || ' ' || p.vtoks[i+1] || ' ' || p.vtoks[i+2]))) AS inter, "
+    "  len(b.toks) - 2 AS na, len(p.vtoks) - 2 AS nb "
+    "  FROM pairs p JOIN base b USING (doc_id)) "
+    "SELECT doc_id FROM documents "
+    "UNION ALL "
+    "SELECT vid AS doc_id FROM j WHERE inter * 1.0 / (na + nb - inter) < 0.8",
+)
+def x_dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.dedup import dedup_minhash
+
+    planted = _planted_docs(spark, sf_dir)
+    return dedup_minhash(
+        planted, "doc_id", "text", num_hashes=32, bands=8,
+        jaccard_threshold=0.8,
+    ).select("doc_id")
+
+
+@register(
+    "x_dedup_simhash_planted",
+    # identical normalized text → identical 64-bit simhash → hamming 0 and a
+    # guaranteed shared bit-slice; distinct docs share no tokens, so a false
+    # pair needs a full 64-bit signature collision (max_hamming=0). The
+    # 38-token near-dup variants are EXCLUDED here: sharing 38/40 tokens
+    # often flips zero simhash bits, which is correct simhash behavior but
+    # not oracle-predictable — the minhash entry covers the near-dup tier
+    "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, "
+    "CAST(0 AS BIGINT) AS hamming FROM documents WHERE doc_id % 10 = 0",
+)
+def x_dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.dedup import simhash_candidate_pairs
+
+    planted = _planted_docs(spark, sf_dir).filter(F.col("doc_id") < 2_000_000)
+    out = simhash_candidate_pairs(planted, "doc_id", "text", max_hamming=0)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 @register("x_dedup_simhash_pairs", None)  # approximate — rows-only check
