@@ -45,6 +45,14 @@ from purescript_ifrit_spark.schema import Schema
 NUMERIC_FNS = ("AVG", "MAX", "MIN", "SUM")
 
 
+def _ext_fn(name: str):
+    """Dialect extension function (engine extension; None for reference
+    fns). Imported lazily to keep analyzer import-light."""
+    from purescript_ifrit_spark.functions.dialect_ext import EXT_FUNCTIONS
+
+    return EXT_FUNCTIONS.get(name)
+
+
 def lookup(stage: str, schema: Schema, key: str) -> Schema:
     """Path lookup with reference error parity (Semantic.purs:95-111).
 
@@ -87,9 +95,23 @@ def analyze(schema: Schema, stmt: Statement) -> Schema:
         out[name] = s
     if stmt.group_by is None:
         out["_id"] = Schema.null()
+    elif isinstance(stmt.group_by, FnCall):
+        # engine extension: computed group key, e.g. GROUP BY FINGERPRINT(f)
+        out["_id"] = _analyze_group_key_fn(inner, stmt.group_by)
     else:
         out["_id"] = lookup("GROUP BY", inner, stmt.group_by)
     return Schema.object(out)
+
+
+def _analyze_group_key_fn(schema: Schema, call: FnCall) -> Schema:
+    ext = _ext_fn(call.fn)
+    if ext is None or not ext.groupable:
+        # reference fns (and array-valued CHUNK) cannot key a group
+        raise E.incompatible_fn_type(call.fn, schema.show())
+    arg = lookup("GROUP BY", schema, call.path)
+    if arg.kind != "string":
+        raise E.incompatible_fn_type(call.fn, arg.show())
+    return ext.result
 
 
 # ---------------------------------------------------------------------------
@@ -150,6 +172,14 @@ def _analyze_projection(schema: Schema, sel) -> tuple[str, Schema]:
         return sel.output_name, lookup("SELECT", schema, sel.path)
 
     assert isinstance(sel, FnCall)
+    ext = _ext_fn(sel.fn)
+    if ext is not None:
+        # engine extension scalars: one string-typed argument
+        s = lookup("SELECT", schema, sel.path)
+        if s.kind != "string":
+            raise E.incompatible_fn_type(sel.fn, s.show())
+        return sel.output_name, ext.result
+
     if sel.fn == "COUNT":
         s = lookup("SELECT", schema, sel.path)
         if s.is_array:
@@ -190,10 +220,14 @@ def _analyze_aggregation(schema: Schema, sel) -> tuple[str, Schema]:
         return sel.output_name, Schema.array(lookup("SELECT", schema, path))
 
     assert isinstance(sel, FnCall)
-    if sel.fn == "COUNT":
-        lookup("SELECT", schema, path)  # access check only
-        return sel.output_name, Schema.number()
     s = lookup("SELECT", schema, path)
+    if _ext_fn(sel.fn) is not None:
+        # extension scalars are per-row functions, not aggregations —
+        # rejected in grouped SELECT lists (compute them in a derived
+        # table, then aggregate)
+        raise E.incompatible_fn_type(sel.fn, s.show())
+    if sel.fn == "COUNT":
+        return sel.output_name, Schema.number()
     if s.is_number:
         return sel.output_name, Schema.number()
     raise E.incompatible_fn_type(sel.fn, s.show())

@@ -1,0 +1,150 @@
+"""Dialect extension functions — SURVEY.md §2.7 exposed IN the query dialect
+(SURVEY §7 phase 6: "each as a dialect function compiling to public Spark
+primitives"). This is an engine extension with no reference counterpart;
+the reference grammar (Lexer.purs:193-195) knows only AVG|COUNT|MAX|MIN|SUM.
+
+Surface (each takes one string-typed field path, like the built-in fns):
+
+    SELECT TOKEN_COUNT(text) AS n          -- whitespace token count (number)
+    SELECT QUALITY(text)     AS q          -- scalar quality score (number)
+    SELECT LANG_ID(text)     AS lang       -- heuristic language id (string)
+    SELECT FINGERPRINT(text) AS fp         -- md5 of normalized text (string)
+    SELECT CHUNK(text)       AS chunks     -- 64-token/8-overlap windows
+                                           -- (array of strings)
+    SELECT MIN(doc_id) AS doc_id GROUP BY FINGERPRINT(text)
+                                           -- exact dedup: min id per
+                                           -- normalized-content group
+
+Extension functions are projection-mode scalars (per row, scan-stage Column
+expressions — never Python UDFs); they are rejected inside grouped SELECT
+lists, and every one except CHUNK (whose result is an array) can serve as a
+GROUP BY key. Both backends stay in lock-step: `column` builds the planner's
+Column, `sql` renders the identical expression for the Spark-SQL emitter,
+and backend-equivalence tests compare the two on real data.
+
+Caveat (documented in DIALECT.md): these uppercase names become function
+tokens, so a *field* literally named TOKEN_COUNT/QUALITY/LANG_ID/
+FINGERPRINT/CHUNK can no longer be selected bare — same shadowing rule the
+reference applies to AVG..SUM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict
+
+from pyspark.sql import Column
+
+from purescript_ifrit_spark.functions import text as X
+from purescript_ifrit_spark.schema import Schema
+
+# chunking geometry of the dialect CHUNK function (fixed: the one-argument
+# fn grammar has no room for parameters; the Python API takes them)
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 8
+
+
+def _norm_sql(x: str) -> str:
+    # SQL twin of functions/text.normalize_text
+    return f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
+
+
+def _token_count_sql(x: str) -> str:
+    n = _norm_sql(x)
+    return (
+        f"CASE WHEN length({n}) = 0 THEN 0 "
+        f"ELSE size(split({n}, ' ')) END"
+    )
+
+
+def _quality_sql(x: str) -> str:
+    # integer micro-unit arithmetic, in lock-step with functions/text.quality
+    # (see its docstring for why no float ratio rounding may appear here);
+    # `div` is Spark SQL's exact integer division
+    n = _norm_sql(x)
+    ntok = f"CAST({_token_count_sql(x)} AS BIGINT)"
+    nonspace = f"CAST(length(replace({n}, ' ', '')) AS BIGINT)"
+    punct = f"CAST(length(regexp_replace({n}, '[a-z0-9\\\\s]', '')) AS BIGINT)"
+    stop_rx = "(?:^| )(?:the|a|of|and|is|to|in)(?= |$)"
+    hits = f"CAST(regexp_count({n}, '{stop_rx}') AS BIGINT)"
+    punct_micro = (
+        f"CASE WHEN {nonspace} = 0 THEN 0L "
+        f"ELSE (({punct} * 2000000 + {nonspace}) div ({nonspace} * 2)) END"
+    )
+    stop_micro = (
+        f"CASE WHEN {ntok} = 0 THEN 0L "
+        f"ELSE (({hits} * 2000000 + {ntok}) div ({ntok} * 2)) END"
+    )
+    len_micro = f"least({ntok} * 10000, 1000000L)"
+    q_dm = (
+        f"(4 * {len_micro} + 3 * (1000000 - least(4 * {punct_micro}, 1000000L)) "
+        f"+ 3 * least(5 * {stop_micro}, 1000000L))"
+    )
+    return f"(CAST({q_dm} AS DOUBLE) / 10000000.0D)"
+
+
+def _lang_id_sql(x: str) -> str:
+    def score(rx: str) -> str:
+        lit = rx.replace("\\", "\\\\")
+        return f"size(regexp_extract_all(lower({x}), '{lit}', 0))"
+
+    scores = {lang: score(rx) for lang, rx in X.LANG_MARKERS}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {s} > 0 AND {s} = {best} THEN '{lang}'"
+        for lang, s in scores.items()
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+def _fingerprint_sql(x: str) -> str:
+    return f"md5({_norm_sql(x)})"
+
+
+def _chunk_sql(x: str) -> str:
+    n = _norm_sql(x)
+    toks = f"split({n}, ' ')"
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    n_chunks = (
+        f"(1 + CAST(ceil(greatest(size({toks}) - {CHUNK_TOKENS}, 0) "
+        f"/ {stride}) AS INT))"
+    )
+    return (
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"i -> array_join(slice({toks}, i * {stride} + 1, {CHUNK_TOKENS}), ' '))"
+    )
+
+
+@dataclass(frozen=True)
+class ExtFn:
+    """One dialect extension function: name, result schema, and the two
+    lock-step backends (Column builder / Spark-SQL renderer)."""
+
+    name: str
+    result: Schema
+    column: Callable[[Column], Column]
+    sql: Callable[[str], str]
+    groupable: bool = True  # usable as a GROUP BY key (primitives only)
+
+
+EXT_FUNCTIONS: Dict[str, ExtFn] = {
+    fn.name: fn
+    for fn in (
+        ExtFn(
+            "TOKEN_COUNT",
+            Schema.number(),
+            X.token_count,
+            _token_count_sql,
+        ),
+        ExtFn("QUALITY", Schema.number(), X.quality, _quality_sql),
+        ExtFn("LANG_ID", Schema.string(), X.lang_id, _lang_id_sql),
+        ExtFn("FINGERPRINT", Schema.string(), X.fingerprint, _fingerprint_sql),
+        ExtFn(
+            "CHUNK",
+            Schema.array(Schema.string()),
+            lambda c: X.chunk_array(c, CHUNK_TOKENS, CHUNK_OVERLAP),
+            _chunk_sql,
+            groupable=False,  # array-typed result is not a valid group key
+        ),
+    )
+}

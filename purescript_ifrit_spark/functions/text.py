@@ -104,21 +104,27 @@ def mean_token_len(c: Column) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(total_chars / n.cast("double"))
 
 
-def stopword_ratio(c: Column, stopwords: tuple = ("the", "a", "of", "and", "is", "to", "in")) -> Column:
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def _stop_rx(stopwords: tuple) -> str:
+    import re as _re
+
+    # escape each word: callers may pass tokens containing regex
+    # metacharacters ("c++", "a.b") and the contract is literal equality
+    return "(?:^| )(?:" + "|".join(_re.escape(w) for w in stopwords) + ")(?= |$)"
+
+
+def stopword_ratio(c: Column, stopwords: tuple = DEFAULT_STOPWORDS) -> Column:
     """Fraction of tokens that are (English) stopwords — a classic quality
     signal: natural text has ~0.2-0.4, keyword spam ~0.
 
     Counted with one regexp_count over the normalized text (whole tokens
     delimited by space/string edges — identical semantics to a per-token
     equality fold, which would run interpreted)."""
-    import re as _re
-
     s = normalize_text(c)
     n = token_count(c)
-    # escape each word: callers may pass tokens containing regex
-    # metacharacters ("c++", "a.b") and the contract is literal equality
-    rx = "(?:^| )(?:" + "|".join(_re.escape(w) for w in stopwords) + ")(?= |$)"
-    n_hits = F.regexp_count(s, F.lit(rx))
+    n_hits = F.regexp_count(s, F.lit(_stop_rx(stopwords)))
     return F.when(n == 0, F.lit(0.0)).otherwise(
         n_hits.cast("double") / n.cast("double")
     )
@@ -129,3 +135,103 @@ def fingerprint(c: Column) -> Column:
     Identical post-normalization content → identical fingerprint, the key
     for exact dedup across a distributed corpus."""
     return F.md5(normalize_text(c))
+
+
+# language → stopword alternation, deliberately tiny and deterministic.
+# Order matters: ties resolve in this priority order.
+LANG_MARKERS = (
+    ("en", r"\b(the|of|and|is|to)\b"),
+    ("de", r"\b(der|die|das|und|ist)\b"),
+    ("fr", r"\b(le|la|les|et|est)\b"),
+    ("es", r"\b(el|los|las|es|y)\b"),
+)
+
+
+def lang_id(c: Column) -> Column:
+    """Heuristic language ID: argmax of stopword-marker counts; 'und' when
+    no marker hits. Ties resolve by LANG_MARKERS priority order."""
+    s = F.lower(c)
+    scores = {
+        lang: F.size(F.regexp_extract_all(s, F.lit(rx), 0))
+        for lang, rx in LANG_MARKERS
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier langs win ties
+    for lang, _ in reversed(LANG_MARKERS):
+        expr = F.when(
+            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def _idiv(x: Column, y: Column) -> Column:
+    """Exact integer division for positive longs, in the Column DSL.
+    (x - pmod(x,y)) is exactly divisible by y, and an integer quotient
+    ≤ 2^53 is exactly representable, so the IEEE division is exact —
+    unlike floor(x/y), which can be off by one when the float quotient
+    rounds across an integer."""
+    return ((x - F.pmod(x, y)) / y).cast("long")
+
+
+def quality(c: Column) -> Column:
+    """Scalar quality score in [0,1] (the dialect QUALITY function):
+    penalizes too-short docs, punctuation soup and stopword-free keyword
+    spam. Deterministic, linear, NOT a learned model.
+
+    Cross-engine-exact by construction: ratios are quantized to integer
+    MICRO-units with half-up *integer* division (round-half-up of k/n is
+    (2k·10⁶ + n) div 2n — no float anywhere), the three terms combine in
+    integer deci-micros, and the single float op is the final exact
+    int→double division by 10⁷. Any formula that rounds *floating* ratios
+    lands on decimal half-boundaries (e.g. a 6dp value × 1.5) where
+    engines' rounding implementations legitimately disagree — this one has
+    no boundary to disagree on. Kept in lock-step with the Spark-SQL twin
+    in functions/dialect_ext.py and the DuckDB oracles in suite.py:
+
+        len_micro   = least(n_tokens · 10⁴, 10⁶)
+        punct_micro = half_up(punct_chars · 10⁶ / nonspace_chars)
+        stop_micro  = half_up(stopword_tokens · 10⁶ / n_tokens)
+        quality     = (4·len_micro + 3·(10⁶ − least(4·punct_micro, 10⁶))
+                       + 3·least(5·stop_micro, 10⁶)) / 10⁷
+    """
+    s = normalize_text(c)
+    n = token_count(c).cast("long")
+    nonspace = F.length(F.regexp_replace(s, r"\s", "")).cast("long")
+    punct = F.length(F.regexp_replace(s, r"[a-z0-9\s]", "")).cast("long")
+    hits = F.regexp_count(s, F.lit(_stop_rx(DEFAULT_STOPWORDS))).cast("long")
+    m = F.lit(1_000_000).cast("long")
+    punct_micro = F.when(nonspace == 0, F.lit(0).cast("long")).otherwise(
+        _idiv(punct * 2_000_000 + nonspace, nonspace * 2)
+    )
+    stop_micro = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        _idiv(hits * 2_000_000 + n, n * 2)
+    )
+    len_micro = F.least(n * 10_000, m)
+    q_dm = (
+        4 * len_micro
+        + 3 * (m - F.least(4 * punct_micro, m))
+        + 3 * F.least(5 * stop_micro, m)
+    )
+    return q_dm.cast("double") / F.lit(10_000_000.0)
+
+
+def chunk_array(c: Column, chunk_tokens: int = 64, overlap: int = 8) -> Column:
+    """Array of fixed-size token windows with overlap (the dialect CHUNK
+    function and the kernel of operators.text_analysis.chunk_documents).
+
+    chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short; documents
+    shorter than one chunk yield exactly one chunk. Pure higher-order
+    functions — evaluates in the scan stage, no shuffle."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(c)
+    n = F.size(toks)
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " "),
+    )

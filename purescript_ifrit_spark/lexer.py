@@ -65,7 +65,13 @@ _KEYWORDS = [
     ("OR", "OR"),
     ("DESC", "DESC"),
 ]
-_FUNCTIONS = ["AVG", "COUNT", "MAX", "MIN", "SUM"]
+# reference functions (Lexer.purs:193-195) + engine extension functions
+# (functions/dialect_ext.py — SURVEY §2.7/§7 phase 6). Order is safe: no
+# name is a prefix of another within the boundary rule.
+_FUNCTIONS = [
+    "AVG", "COUNT", "MAX", "MIN", "SUM",
+    "TOKEN_COUNT", "QUALITY", "LANG_ID", "FINGERPRINT", "CHUNK",
+]
 
 _WORD_CHARS = r"[a-zA-Z0-9_.]"
 # a keyword/function match must not run into an identifier tail

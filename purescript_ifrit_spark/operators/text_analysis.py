@@ -13,32 +13,12 @@ from pyspark.sql import functions as F
 
 from purescript_ifrit_spark.functions import text as X
 
-# language → stopword alternation, deliberately tiny and deterministic.
-# Order matters: ties resolve in this priority order.
-LANG_MARKERS = (
-    ("en", r"\b(the|of|and|is|to)\b"),
-    ("de", r"\b(der|die|das|und|ist)\b"),
-    ("fr", r"\b(le|la|les|et|est)\b"),
-    ("es", r"\b(el|los|las|es|y)\b"),
+# canonical definitions live in functions/text.py (shared with the dialect
+# extension functions); re-exported here for the operator-layer API
+from purescript_ifrit_spark.functions.text import (  # noqa: F401
+    LANG_MARKERS,
+    lang_id,
 )
-
-
-def lang_id(c: Column) -> Column:
-    """Heuristic language ID: argmax of stopword-marker counts; 'und' when
-    no marker hits. Ties resolve by LANG_MARKERS priority order."""
-    s = F.lower(c)
-    scores = {
-        lang: F.size(F.regexp_extract_all(s, F.lit(rx), 0))
-        for lang, rx in LANG_MARKERS
-    }
-    best = F.greatest(*scores.values())
-    expr = F.lit("und")
-    # build reversed so earlier langs win ties
-    for lang, _ in reversed(LANG_MARKERS):
-        expr = F.when(
-            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
-        ).otherwise(expr)
-    return expr
 
 
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
@@ -55,15 +35,12 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
 def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     """Single scalar quality score in [0,1]: penalizes too-short docs,
     punctuation soup and stopword-free keyword spam. Deterministic, linear,
-    documented — NOT a learned model."""
+    documented — NOT a learned model. The score is the canonical
+    cross-engine-exact formula from functions/text.quality (integer
+    micro-unit arithmetic — see its docstring); the feature columns remain
+    6dp-rounded floats for human consumption."""
     feats = quality_features(df, text_col)
-    len_term = F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
-    punct_term = 1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))
-    stop_term = F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
-    return feats.withColumn(
-        "quality",
-        F.round(0.4 * len_term + 0.3 * punct_term + 0.3 * stop_term, 6),
-    )
+    return feats.withColumn("quality", X.quality(F.col(text_col)))
 
 
 def token_stats(df: DataFrame, text_col: str) -> DataFrame:
@@ -184,20 +161,7 @@ def chunk_documents(
     shorter than one chunk yield exactly one chunk. Pure higher-order
     functions + posexplode — chunking happens in the scan stage, so a
     100 TB corpus chunks at read speed with no shuffle at all."""
-    if not 0 <= overlap < chunk_tokens:
-        raise ValueError("need 0 <= overlap < chunk_tokens")
-    stride = chunk_tokens - overlap
-    toks = X.tokens(F.col(text_col))
-    n = F.size(toks)
-    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride)
-    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
-    n_chunks = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * stride + 1, chunk_tokens), " "
-        ),
-    )
+    chunks = X.chunk_array(F.col(text_col), chunk_tokens, overlap)
     return df.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),

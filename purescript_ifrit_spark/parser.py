@@ -118,7 +118,7 @@ class _Parser:
         if self.eat_keyword("WHERE"):
             where = self.parse_condition()
 
-        group_by: Optional[str] = None
+        group_by: Optional[str | FnCall] = None
         grouped = False
         if self.eat_keyword("GROUPBY"):
             grouped = True
@@ -126,6 +126,12 @@ class _Parser:
                 group_by = None
             elif self.cur.kind == L.WORD:
                 group_by = self.advance().value
+            elif self.cur.kind == L.FUNCTION:
+                # engine extension: GROUP BY FN(field) — grouping by a
+                # computed key (e.g. GROUP BY FINGERPRINT(text) for exact
+                # dedup); the analyzer restricts FN to groupable extension
+                # functions
+                group_by = self.parse_fn_call()
             else:
                 raise self.err_unexpected(self.cur)
 
@@ -177,25 +183,30 @@ class _Parser:
             self.advance()
             return Projection(path=tok.value, alias=self.parse_alias())
         if tok.kind == L.FUNCTION:
-            fn = self.advance().value
-            if self.cur.kind != L.PAREN_OPEN:
-                raise self.err_unexpected(self.cur)
-            self.advance()
-            if self.cur.kind != L.WORD:
-                # FN(14), FN("x") → invalid argument (Parser.purs:368-387)
-                raise ParseError(
-                    f"{fn} has an invalid argument at position {self.cur.pos}"
-                )
-            arg = self.advance().value
-            if self.cur.kind == L.COMMA:
-                raise ParseError(
-                    f"{fn} has an invalid argument at position {self.cur.pos}"
-                )
-            if self.cur.kind != L.PAREN_CLOSE:
-                raise self.err_unbalanced(self.cur)
-            self.advance()
-            return FnCall(fn=fn, path=arg, alias=self.parse_alias())
+            call = self.parse_fn_call()
+            return FnCall(fn=call.fn, path=call.path, alias=self.parse_alias())
         raise self.err_unexpected(tok)
+
+    def parse_fn_call(self) -> FnCall:
+        """`FN ( word )` with reference error parity (cursor at FUNCTION)."""
+        fn = self.advance().value
+        if self.cur.kind != L.PAREN_OPEN:
+            raise self.err_unexpected(self.cur)
+        self.advance()
+        if self.cur.kind != L.WORD:
+            # FN(14), FN("x") → invalid argument (Parser.purs:368-387)
+            raise ParseError(
+                f"{fn} has an invalid argument at position {self.cur.pos}"
+            )
+        arg = self.advance().value
+        if self.cur.kind == L.COMMA:
+            raise ParseError(
+                f"{fn} has an invalid argument at position {self.cur.pos}"
+            )
+        if self.cur.kind != L.PAREN_CLOSE:
+            raise self.err_unbalanced(self.cur)
+        self.advance()
+        return FnCall(fn=fn, path=arg, alias=None)
 
     def parse_alias(self) -> Optional[str]:
         if self.eat_keyword("AS"):

@@ -66,6 +66,13 @@ from purescript_ifrit_spark.plans.ast import (
 NUMERIC_FNS = ("AVG", "MAX", "MIN", "SUM")
 
 
+def _ext_fn(name: str):
+    """Dialect extension function registry lookup (None for reference fns)."""
+    from purescript_ifrit_spark.functions.dialect_ext import EXT_FUNCTIONS
+
+    return EXT_FUNCTIONS.get(name)
+
+
 @dataclass(frozen=True)
 class CompatFlags:
     """Deliberate deviations from reference quirks (SURVEY.md §7)."""
@@ -133,6 +140,15 @@ def build(df: DataFrame, stmt: Statement, flags: CompatFlags = CompatFlags()) ->
         # GROUP BY NULL → one global group: partial+final agg, no shuffle key
         out = df.groupBy().agg(*aggs)
         return out.select(*[c for c in out.columns], F.lit(None).alias("_id"))
+    if isinstance(stmt.group_by, FnCall):
+        # engine extension: computed group key (GROUP BY FINGERPRINT(f)) —
+        # the key expression evaluates in the scan stage; the shuffle hashes
+        # the computed value, exactly like grouping on a stored column
+        ext = _ext_fn(stmt.group_by.fn)
+        if ext is None:
+            raise PlanError(f"unknown function {stmt.group_by.fn}")
+        key = ext.column(F.col(stmt.group_by.path)).alias("_id")
+        return df.groupBy(key).agg(*aggs)
     return df.groupBy(F.col(stmt.group_by).alias("_id")).agg(*aggs)
 
 
@@ -146,6 +162,12 @@ def _projection_column(sel) -> Column:
         return F.col(sel.path).alias(sel.output_name)
 
     assert isinstance(sel, FnCall)
+    ext = _ext_fn(sel.fn)
+    if ext is not None:
+        # extension scalar: a codegen'd Column expression over the string
+        # field — evaluates in the scan stage, no Python anywhere
+        return ext.column(F.col(sel.path)).alias(sel.output_name)
+
     if sel.fn == "COUNT":
         # COUNT applies to the array at the FULL path (the analyzer resolves
         # the whole dotted path and requires an Array there — an object-
@@ -195,6 +217,10 @@ def _aggregation_column(sel) -> Column:
         # bare field in grouped SELECT → $push ≡ collect_list (MongoDB.purs:290-291)
         return F.collect_list(F.col(sel.path)).alias(sel.output_name)
     assert isinstance(sel, FnCall)
+    if _ext_fn(sel.fn) is not None:
+        # lock-step with analyzer._analyze_aggregation: per-row scalars are
+        # not aggregations (reachable only via compile_unchecked)
+        raise PlanError(f"{sel.fn} is not an aggregation function")
     c = F.col(sel.path)
     if sel.fn == "AVG":
         agg = F.avg(c)

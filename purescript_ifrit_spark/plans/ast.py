@@ -121,7 +121,9 @@ class Select:
 @dataclass(frozen=True)
 class Group:
     projections: List[Projection | FnCall]
-    group_by: Optional[str] = None  # field path, or None for GROUP BY NULL
+    # field path, None for GROUP BY NULL, or (engine extension) an FnCall of
+    # a groupable dialect extension function: GROUP BY FINGERPRINT(text)
+    group_by: Optional[Union[str, FnCall]] = None
     source: Optional["Statement"] = None
     where: Optional[Condition] = None
     order_by: List[OrderKey] = field(default_factory=list)

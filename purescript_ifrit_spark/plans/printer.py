@@ -80,9 +80,13 @@ def to_sql(stmt: Statement) -> str:
     if stmt.where is not None:
         parts.append("WHERE " + _condition(stmt.where))
     if isinstance(stmt, Group):
-        parts.append(
-            "GROUP BY " + (stmt.group_by if stmt.group_by is not None else "NULL")
-        )
+        if stmt.group_by is None:
+            key = "NULL"
+        elif isinstance(stmt.group_by, FnCall):
+            key = f"{stmt.group_by.fn}({stmt.group_by.path})"
+        else:
+            key = stmt.group_by
+        parts.append("GROUP BY " + key)
     if stmt.order_by:
         keys = ", ".join(
             f"{k.path} {'ASC' if k.ascending else 'DESC'}" for k in stmt.order_by

@@ -519,6 +519,133 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_docs(docs, "text").select("doc_id", "fingerprint")
 
 
+# ---------------------------------------------------------------------------
+# §2.7 extensions exposed IN the dialect (functions/dialect_ext.py): these
+# entries run dialect-SQL strings through the full compiler, not Python API
+# calls — the hard signal that a query-engine user can reach the operators
+# ---------------------------------------------------------------------------
+
+register(
+    "xd_dedup_exact",
+    f"SELECT min(doc_id) AS doc_id, md5({_NORM_SQL}) AS _id "
+    f"FROM documents GROUP BY md5({_NORM_SQL})",
+)(
+    _dialect(
+        "documents",
+        "SELECT MIN(doc_id) AS doc_id GROUP BY FINGERPRINT(text)",
+    )
+)
+
+register(
+    "xd_token_count",
+    "SELECT doc_id, "
+    f"CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0 "
+    f"ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n_tokens "
+    "FROM documents",
+)(
+    _dialect(
+        "documents",
+        "SELECT doc_id, TOKEN_COUNT(text) AS n_tokens",
+        post=lambda df: df.withColumn(
+            "n_tokens", F.col("n_tokens").cast("long")
+        ),
+    )
+)
+
+# DuckDB twin of the QUALITY formula (functions/text.py quality): integer
+# micro-unit arithmetic — half-up ratio quantization via (2k·10⁶+n)//(2n)
+# integer division, terms combined as integers, one exact int→double
+# division at the end. No float rounding anywhere: a floating formula lands
+# on decimal half-boundaries where engines' ROUND implementations disagree
+# (found the hard way at sf0.01 doc 188, exactly 0.6475745).
+_QUALITY_ORACLE_EXPR = (
+    "CAST(4 * least(n_tok * 10000, 1000000) "
+    "+ 3 * (1000000 - least(4 * (CASE WHEN nonspace = 0 THEN 0 "
+    "ELSE (punct * 2000000 + nonspace) // (nonspace * 2) END), 1000000)) "
+    "+ 3 * least(5 * (CASE WHEN n_tok = 0 THEN 0 "
+    "ELSE (hits * 2000000 + n_tok) // (n_tok * 2) END), 1000000) "
+    "AS DOUBLE) / CAST(10000000 AS DOUBLE)"
+)
+
+# the integer inputs to the quality formula, from the normalized text
+_QUALITY_ORACLE_INPUTS = (
+    "SELECT doc_id, "
+    f"CASE WHEN length({_NORM_SQL}) = 0 THEN 0 "
+    f"ELSE len(string_split({_NORM_SQL}, ' ')) END AS n_tok, "
+    f"length(replace({_NORM_SQL}, ' ', '')) AS nonspace, "
+    f"length(regexp_replace({_NORM_SQL}, '[a-z0-9\\s]', '', 'g')) AS punct, "
+    # token-equality count (DuckDB's RE2 has no lookahead for the regex
+    # twin; over single-space-normalized text the two counts are identical)
+    f"len(list_filter(string_split({_NORM_SQL}, ' '), "
+    "x -> x IN ('the','a','of','and','is','to','in'))) AS hits "
+    "FROM documents"
+)
+
+register(
+    "xd_quality",
+    "SELECT doc_id, " + _QUALITY_ORACLE_EXPR + " AS q FROM ("
+    + _QUALITY_ORACLE_INPUTS + ") t",
+)(_dialect("documents", "SELECT doc_id, QUALITY(text) AS q"))
+
+
+def _xd_lang_oracle() -> str:
+    # same construction as _lang_oracle but over the dialect entry's alias
+    from purescript_ifrit_spark.functions.text import LANG_MARKERS
+
+    scores = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{rx}', 0)) AS s_{lang}"
+        for lang, rx in LANG_MARKERS
+    )
+    langs = [lang for lang, _ in LANG_MARKERS]
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    cases = " ".join(
+        f"WHEN s_{l} > 0 AND s_{l} = {best} THEN '{l}'" for l in langs
+    )
+    return (
+        f"SELECT doc_id, CASE {cases} ELSE 'und' END AS lang FROM "
+        f"(SELECT doc_id, text, {scores} FROM documents) t"
+    )
+
+
+register("xd_lang_id", _xd_lang_oracle())(
+    _dialect("documents", "SELECT doc_id, LANG_ID(text) AS lang")
+)
+
+register(
+    "xd_chunk",
+    # chunks joined on the unit separator so the compared cell is a string
+    # (list-cell hashing differs across engines; precedent: a7_push_collect)
+    "WITH t AS (SELECT doc_id, "
+    f"string_split({_NORM_SQL}, ' ') AS toks FROM documents) "
+    "SELECT doc_id, array_to_string(list_transform("
+    "range(0, 1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS BIGINT)), "
+    "i -> array_to_string(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], ' ')"
+    "), chr(31)) AS chunks FROM t",
+)(
+    _dialect(
+        "documents",
+        "SELECT doc_id, CHUNK(text) AS chunks",
+        post=lambda df: df.withColumn(
+            "chunks", F.array_join(F.col("chunks"), "\x1f")
+        ),
+    )
+)
+
+register(
+    "xd_quality_filter",
+    # composition: extension scalar in a derived table, filtered outside —
+    # the curation idiom expressed entirely in the dialect. The > 0.5
+    # comparison is exact: q is integer deci-micros / 10⁷ on both engines
+    "SELECT doc_id FROM (SELECT doc_id, " + _QUALITY_ORACLE_EXPR + " AS q "
+    "FROM (" + _QUALITY_ORACLE_INPUTS + ") a) b WHERE q > 0.5",
+)(
+    _dialect(
+        "documents",
+        "SELECT doc_id FROM (SELECT doc_id, QUALITY(text) AS q) WHERE q > 0.5",
+    )
+)
+
+
 @register("x_dedup_minhash", None)  # approximate — rows-only check
 def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.dedup import dedup_minhash

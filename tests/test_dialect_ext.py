@@ -1,0 +1,213 @@
+"""Dialect extension functions (functions/dialect_ext.py): parsing, typing,
+planning, backend equivalence, and plan shape. These are engine extensions
+(SURVEY §2.7 / §7 phase 6) — no reference counterpart, so no parity golden;
+the contract is internal consistency plus the suite's DuckDB oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark import errors as E
+from purescript_ifrit_spark.api import compile_query, run_query
+from purescript_ifrit_spark.functions import text as X
+from purescript_ifrit_spark.parser import parse_sql
+from purescript_ifrit_spark.plans.ast import FnCall, Group, Select
+from purescript_ifrit_spark.plans.printer import to_sql
+from purescript_ifrit_spark.plans.spark_sql import to_spark_sql
+from purescript_ifrit_spark.sources.tables import load_table
+
+DOC_SCHEMA = {"doc_id": "number", "text": "string"}
+
+
+# ---------------------------------------------------------------------------
+# parsing + printing
+# ---------------------------------------------------------------------------
+
+
+def test_parse_ext_fn_selector():
+    stmt = parse_sql("SELECT doc_id, TOKEN_COUNT(text) AS n")
+    assert isinstance(stmt, Select)
+    assert stmt.projections[1] == FnCall(fn="TOKEN_COUNT", path="text", alias="n")
+
+
+def test_parse_group_by_fn():
+    stmt = parse_sql("SELECT MIN(doc_id) AS doc_id GROUP BY FINGERPRINT(text)")
+    assert isinstance(stmt, Group)
+    assert stmt.group_by == FnCall(fn="FINGERPRINT", path="text", alias=None)
+
+
+def test_ext_fn_arity_errors_match_reference_shape():
+    with pytest.raises(E.ParseError, match="invalid argument"):
+        parse_sql("SELECT QUALITY(14)")
+    with pytest.raises(E.ParseError, match="invalid argument"):
+        parse_sql("SELECT CHUNK(text, 32)")
+
+
+def test_printer_roundtrips_group_by_fn():
+    sql = "SELECT MIN(doc_id) AS doc_id GROUP BY FINGERPRINT(text)"
+    stmt = parse_sql(sql)
+    assert parse_sql(to_sql(stmt)) == stmt
+
+
+# ---------------------------------------------------------------------------
+# analyzer typing
+# ---------------------------------------------------------------------------
+
+
+def test_ext_fn_requires_string_argument():
+    with pytest.raises(E.IfritError, match="incompatible"):
+        compile_query(DOC_SCHEMA, "SELECT TOKEN_COUNT(doc_id) AS n")
+
+
+def test_ext_fn_rejected_in_grouped_select():
+    with pytest.raises(E.IfritError, match="incompatible"):
+        compile_query(DOC_SCHEMA, "SELECT QUALITY(text) AS q GROUP BY doc_id")
+
+
+def test_chunk_not_groupable():
+    with pytest.raises(E.IfritError, match="incompatible"):
+        compile_query(DOC_SCHEMA, "SELECT COUNT(doc_id) AS n GROUP BY CHUNK(text)")
+
+
+def test_reference_fn_not_groupable():
+    with pytest.raises(E.IfritError, match="incompatible"):
+        compile_query(DOC_SCHEMA, "SELECT COUNT(doc_id) AS n GROUP BY AVG(text)")
+
+
+def test_ext_output_schema_types():
+    plan = compile_query(
+        DOC_SCHEMA,
+        "SELECT TOKEN_COUNT(text) AS n, LANG_ID(text) AS lang, "
+        "QUALITY(text) AS q, FINGERPRINT(text) AS fp, CHUNK(text) AS chunks",
+    )
+    out = plan.output_schema
+    assert out.fields["n"].kind == "number"
+    assert out.fields["lang"].kind == "string"
+    assert out.fields["q"].kind == "number"
+    assert out.fields["fp"].kind == "string"
+    assert out.fields["chunks"].is_array
+    assert out.fields["chunks"].element.kind == "string"
+
+
+def test_group_by_fn_id_schema_is_fn_result():
+    plan = compile_query(
+        DOC_SCHEMA, "SELECT MIN(doc_id) AS doc_id GROUP BY FINGERPRINT(text)"
+    )
+    assert plan.output_schema.fields["_id"].kind == "string"
+
+
+# ---------------------------------------------------------------------------
+# execution: dialect results match the library primitives
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_ext_scalars_match_primitives(spark, docs):
+    got = run_query(
+        spark,
+        docs,
+        "SELECT doc_id, TOKEN_COUNT(text) AS n, QUALITY(text) AS q, "
+        "LANG_ID(text) AS lang, FINGERPRINT(text) AS fp",
+    )
+    want = docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n"),
+        X.quality(F.col("text")).alias("q"),
+        X.lang_id(F.col("text")).alias("lang"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_chunk_matches_chunk_documents(spark, docs):
+    from purescript_ifrit_spark.operators.text_analysis import chunk_documents
+
+    got = (
+        run_query(spark, docs, "SELECT doc_id, CHUNK(text) AS chunks")
+        .select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk_text"))
+    )
+    want = chunk_documents(docs, "doc_id", "text", 64, 8).select(
+        "doc_id", "chunk_idx", "chunk_text"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_group_by_fingerprint_is_exact_dedup(spark, docs):
+    from purescript_ifrit_spark.operators.dedup import dedup_exact_text
+
+    got = run_query(
+        spark, docs, "SELECT MIN(doc_id) AS doc_id GROUP BY FINGERPRINT(text)"
+    ).select("doc_id")
+    want = dedup_exact_text(docs, "text", "doc_id").select("doc_id")
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# backend equivalence (planner vs Spark-SQL emitter)
+# ---------------------------------------------------------------------------
+
+EXT_QUERIES = [
+    "SELECT doc_id, TOKEN_COUNT(text) AS n",
+    "SELECT doc_id, QUALITY(text) AS q",
+    "SELECT doc_id, LANG_ID(text) AS lang",
+    "SELECT doc_id, FINGERPRINT(text) AS fp",
+    "SELECT doc_id, CHUNK(text) AS chunks",
+    "SELECT MIN(doc_id) AS doc_id GROUP BY FINGERPRINT(text)",
+    "SELECT COUNT(doc_id) AS n GROUP BY LANG_ID(text)",
+    "SELECT doc_id FROM (SELECT doc_id, QUALITY(text) AS q) WHERE q > 0.5",
+]
+
+
+@pytest.mark.parametrize("sql", EXT_QUERIES)
+def test_ext_backends_agree(spark, docs, sql):
+    docs.createOrReplaceTempView("docs_view")
+    df_result = run_query(spark, docs, sql)
+    sql_result = spark.sql(to_spark_sql(parse_sql(sql), "docs_view"))
+    assert sorted(df_result.columns) == sorted(sql_result.columns)
+
+    def norm(df):
+        rows = []
+        for r in df.collect():
+            d = r.asDict()
+            rows.append(
+                tuple(
+                    tuple(v) if isinstance(v, list) else
+                    (round(v, 9) if isinstance(v, float) else v)
+                    for _, v in sorted(d.items())
+                )
+            )
+        return sorted(rows, key=repr)
+
+    assert norm(df_result) == norm(sql_result)
+
+
+# ---------------------------------------------------------------------------
+# plan shape: extensions stay JVM-side, dedup group is one shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_ext_fns_stay_jvm_side(spark, docs):
+    df = run_query(
+        spark, docs,
+        "SELECT TOKEN_COUNT(text) AS n, QUALITY(text) AS q, CHUNK(text) AS c",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_group_by_fn_is_partial_final_agg(spark, docs):
+    df = run_query(
+        spark, docs, "SELECT MIN(doc_id) AS doc_id GROUP BY FINGERPRINT(text)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+    assert "BatchEvalPython" not in plan
