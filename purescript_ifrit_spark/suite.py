@@ -1134,6 +1134,63 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_streaming_windowed",
+    # batch-equivalent truth for the availableNow streaming run: tz-free
+    # epoch hour buckets (F.window aligns to the epoch in micros, so
+    # unix_micros(window.start) is pure epoch arithmetic on both sides);
+    # decimal sum as everywhere (see x_sessionize note)
+    "SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT) AS hour_us, "
+    "event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
+def x_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface, driver-verified: stage the events table
+    as micros-ts parquet files, replay them through a file-source stream
+    with an availableNow trigger into a windowed aggregation, and return
+    the final (complete-mode) memory-sink table. Bounded backlog → the
+    query terminates; the result must equal the batch aggregation exactly.
+    """
+    import tempfile
+    import uuid
+
+    from purescript_ifrit_spark.streaming.pipeline import read_event_stream
+
+    staged = tempfile.mkdtemp(prefix="ifrit_stream_events_")
+    # repartition(4): several files so availableNow exercises multi-batch
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+
+    stream = read_event_stream(spark, staged, max_files_per_trigger=2)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = f"x_streaming_windowed_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")  # bounded replay: full table at the end
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros(F.col("w.start")).alias("hour_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 @register("x_dedup_clusters", None)  # approximate candidates — rows-only
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level dedup: minhash pairs → connected components → keep the
