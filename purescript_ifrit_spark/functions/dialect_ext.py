@@ -50,10 +50,11 @@ def _norm_sql(x: str) -> str:
 
 
 def _token_count_sql(x: str) -> str:
+    # space-counting identity (functions/text.token_count): no token array
     n = _norm_sql(x)
     return (
         f"CASE WHEN length({n}) = 0 THEN 0 "
-        f"ELSE size(split({n}, ' ')) END"
+        f"ELSE length({n}) - length(translate({n}, ' ', '')) + 1 END"
     )
 
 
@@ -62,9 +63,14 @@ def _quality_sql(x: str) -> str:
     # (see its docstring for why no float ratio rounding may appear here);
     # `div` is Spark SQL's exact integer division
     n = _norm_sql(x)
-    ntok = f"CAST({_token_count_sql(x)} AS BIGINT)"
-    nonspace = f"CAST(length(replace({n}, ' ', '')) AS BIGINT)"
-    punct = f"CAST(length(regexp_replace({n}, '[a-z0-9\\\\s]', '')) AS BIGINT)"
+    # same no-extra-scan identities as functions/text.quality: the token
+    # count re-derives from the unconditional `spaces` subtree (CASE
+    # branches hide expressions from codegen subexpression elimination),
+    # and punct is counted, not replaced-then-measured
+    spaces = f"(CAST(length({n}) AS BIGINT) - length(translate({n}, ' ', '')))"
+    ntok = f"CAST(CASE WHEN length({n}) = 0 THEN 0 ELSE {spaces} + 1 END AS BIGINT)"
+    nonspace = f"(CAST(length({n}) AS BIGINT) - {spaces})"
+    punct = f"CAST(regexp_count({n}, '[^a-z0-9 ]') AS BIGINT)"
     stop_rx = "(?:^| )(?:the|a|of|and|is|to|in)(?= |$)"
     hits = f"CAST(regexp_count({n}, '{stop_rx}') AS BIGINT)"
     punct_micro = (

@@ -29,9 +29,17 @@ def tokens(c: Column) -> Column:
 
 
 def token_count(c: Column) -> Column:
-    """Whitespace token count; 0 for empty/blank text."""
-    return F.when(F.length(normalize_text(c)) == 0, F.lit(0)).otherwise(
-        F.size(tokens(c))
+    """Whitespace token count; 0 for empty/blank text.
+
+    Space-counting, not split(): normalized text separates n tokens with
+    exactly n-1 single spaces, so n = (length - length(spaces removed)) + 1.
+    translate is a char-level pass — no token array is ever allocated
+    (split-based counting materializes every token string just to take the
+    array's size, and the `when` branch hides it from codegen's
+    subexpression elimination so it re-evaluates per reference)."""
+    s = normalize_text(c)
+    return F.when(F.length(s) == 0, F.lit(0)).otherwise(
+        F.length(s) - F.length(F.translate(s, " ", "")) + 1
     )
 
 
@@ -84,11 +92,31 @@ def char_ngrams(c: Column, n: int = 5) -> Column:
     )
 
 
+def nonspace_char_count(c: Column) -> Column:
+    """Count of non-space characters — ZERO extra scan: normalized text
+    separates its n tokens with exactly n-1 single spaces, so
+    nonspace = length - (n_tokens - 1) (and 0 for blank text)."""
+    return F.length(normalize_text(c)) - F.greatest(
+        token_count(c) - F.lit(1), F.lit(0)
+    )
+
+
+def punct_char_count(c: Column) -> Column:
+    """Count of punctuation/symbol characters (anything outside [a-z0-9 ]
+    in the normalized text). regexp_count counts matches directly — no
+    replacement string is materialized (the regexp_replace+length
+    construction allocates a copy of every row just to measure it)."""
+    return F.regexp_count(normalize_text(c), F.lit(r"[^a-z0-9 ]"))
+
+
 def punct_ratio(c: Column) -> Column:
-    """Fraction of non-space characters that are punctuation/symbols."""
-    s = normalize_text(c)
-    nonspace = F.length(F.regexp_replace(s, r"\s", ""))
-    punct = F.length(F.regexp_replace(s, r"[a-z0-9\s]", ""))
+    """Fraction of non-space characters that are punctuation/symbols.
+
+    Built from the same nonspace_char_count/punct_char_count subtrees the
+    quality score uses, so whole-stage codegen's subexpression elimination
+    computes them once when both appear in one projection."""
+    nonspace = nonspace_char_count(c)
+    punct = punct_char_count(c)
     return F.when(nonspace == 0, F.lit(0.0)).otherwise(
         punct.cast("double") / nonspace.cast("double")
     )
@@ -195,11 +223,39 @@ def quality(c: Column) -> Column:
         quality     = (4·len_micro + 3·(10⁶ − least(4·punct_micro, 10⁶))
                        + 3·least(5·stop_micro, 10⁶)) / 10⁷
     """
+    # The expensive subtrees (normalize regex, translate, regexp_counts)
+    # are built ONCE at unconditional positions: `when` branches are
+    # invisible to codegen's subexpression elimination, so an expression
+    # referenced only inside conditionals re-evaluates per reference.
+    # token_count is re-derived from the shared `spaces` subtree here
+    # instead of calling token_count(c) (which hides translate in a branch).
+    # For wide plans prefer operators/text_analysis.quality_score, which
+    # stages the integer inputs as real columns.
     s = normalize_text(c)
-    n = token_count(c).cast("long")
-    nonspace = F.length(F.regexp_replace(s, r"\s", "")).cast("long")
-    punct = F.length(F.regexp_replace(s, r"[a-z0-9\s]", "")).cast("long")
-    hits = F.regexp_count(s, F.lit(_stop_rx(DEFAULT_STOPWORDS))).cast("long")
+    len_s = F.length(s)
+    spaces = len_s - F.length(F.translate(s, " ", ""))
+    n = F.when(len_s == 0, F.lit(0)).otherwise(spaces + 1)
+    nonspace = len_s - spaces
+    return quality_from_parts(
+        n,
+        nonspace,
+        punct_char_count(c),
+        F.regexp_count(s, F.lit(_stop_rx(DEFAULT_STOPWORDS))),
+    )
+
+
+def quality_from_parts(
+    n_tokens: Column, nonspace: Column, punct: Column, stop_hits: Column
+) -> Column:
+    """The quality formula as pure integer arithmetic over its four integer
+    inputs (see `quality` for the formula and the cross-engine-exactness
+    argument). Split out so operators that already computed the inputs as
+    columns (operators/text_analysis.quality_score stages them in one
+    projection) can combine them without re-running any text scan."""
+    n = n_tokens.cast("long")
+    nonspace = nonspace.cast("long")
+    punct = punct.cast("long")
+    hits = stop_hits.cast("long")
     m = F.lit(1_000_000).cast("long")
     punct_micro = F.when(nonspace == 0, F.lit(0).cast("long")).otherwise(
         _idiv(punct * 2_000_000 + nonspace, nonspace * 2)

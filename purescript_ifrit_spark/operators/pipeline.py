@@ -8,6 +8,16 @@ shrinks the corpus BEFORE any shuffle; exact dedup (one fingerprint
 shuffle) runs before fuzzy (band join) so the LSH stage sees each distinct
 text once. All heavy lifting is the underlying operators'; this module is
 the documented composition plus provenance counters.
+
+The exact-dedup output is consumed TWICE by the fuzzy stage (as the
+shingle/minhash input and as the left side of the survivor anti-join), so
+`curate` persists it (MEMORY_AND_DISK — spills rather than OOMs at
+corpus scale) for the duration: without the persist the quality scan and
+the fingerprint shuffle run twice per action (measured 9.6s → 5.9s
+steady at sf0.1/local[32]). Stage materialization between dedup passes is
+the standard production pattern; on a long-lived session release the
+cache with `spark.catalog.clearCache()` (or use `with_report=True`,
+which consumes the plan and unpersists before returning).
 """
 
 from __future__ import annotations
@@ -15,6 +25,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,13 +53,21 @@ def curate(
     jaccard_threshold: float = 0.8,
     cluster_dedup: bool = False,
     with_report: bool = False,
+    cache_intermediate: bool = True,
 ):
     """Curate a raw document table into a training-ready one.
 
     Returns the curated DataFrame (id, text, quality, n_tokens, n_bpe_ish,
     fingerprint), or a CurationReport with per-stage counts when
     `with_report=True` (counts trigger actions — use only when you want the
-    numbers)."""
+    numbers).
+
+    `cache_intermediate` persists the exact-dedup output (MEMORY_AND_DISK)
+    so the fuzzy stage's two consumers — shingle/minhash input and the
+    survivor anti-join — share one computation of the quality scan + the
+    fingerprint shuffle instead of running both twice (see module
+    docstring for the measurement and the cache-release contract). Set it
+    False for one-shot jobs that must leave no pinned cache behind."""
     n_input = docs.count() if with_report else -1
 
     scored = quality_score(docs, text_col)
@@ -58,6 +77,8 @@ def curate(
     n_quality = kept.count() if with_report else -1
 
     exact = dedup.dedup_exact_text(kept, text_col, id_col)
+    if cache_intermediate:
+        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     n_exact = exact.count() if with_report else -1
 
     if cluster_dedup:
@@ -67,12 +88,18 @@ def curate(
         )
         fuzzy = dedup.dedup_clusters(exact, id_col, pairs)
     else:
+        # lazy pairs: with `exact` persisted, the pairs pipeline and the
+        # anti-join run in ONE job sharing the cache (an eager checkpoint
+        # here would pay the upstream a second time at consumption)
         fuzzy = dedup.dedup_minhash(
-            exact, id_col, text_col, jaccard_threshold=jaccard_threshold
+            exact, id_col, text_col, jaccard_threshold=jaccard_threshold,
+            eager=not cache_intermediate,
         )
     out = fuzzy.withColumn("n_bpe_ish", X.bpe_ish_token_count(F.col(text_col))) \
                .withColumn("fingerprint", X.fingerprint(F.col(text_col)))
     if not with_report:
         return out
     n_fuzzy = out.count()
+    if cache_intermediate:
+        exact.unpersist()
     return CurationReport(n_input, n_quality, n_exact, n_fuzzy, out)

