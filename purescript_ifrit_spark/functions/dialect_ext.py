@@ -71,7 +71,9 @@ def _quality_sql(x: str) -> str:
     ntok = f"CAST(CASE WHEN length({n}) = 0 THEN 0 ELSE {spaces} + 1 END AS BIGINT)"
     nonspace = f"(CAST(length({n}) AS BIGINT) - {spaces})"
     punct = f"CAST(regexp_count({n}, '[^a-z0-9 ]') AS BIGINT)"
-    stop_rx = "(?:^| )(?:the|a|of|and|is|to|in)(?= |$)"
+    # same generator as the Column backend — editing DEFAULT_STOPWORDS
+    # changes BOTH backends (a hard-coded twin here would silently diverge)
+    stop_rx = X._stop_rx(X.DEFAULT_STOPWORDS).replace("\\", "\\\\")
     hits = f"CAST(regexp_count({n}, '{stop_rx}') AS BIGINT)"
     punct_micro = (
         f"CASE WHEN {nonspace} = 0 THEN 0L "

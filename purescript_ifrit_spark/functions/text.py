@@ -61,9 +61,13 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     scan stays in a codegen'd projection). Texts shorter than n words yield
     a single shingle of the whole text, so every non-empty doc has ≥1
     shingle (the regex alone would yield none — hence the fallback branch).
-    Blank/whitespace-only text yields an EMPTY array (not [""]): blank docs
-    must never shingle-match each other, and callers filter on
-    size(shingles) > 0.
+    Blank/whitespace-only AND NULL text yield an EMPTY array (not [""] or
+    [NULL]): content-free docs must never shingle-match each other, and
+    callers filter on size(shingles) > 0. (The NULL leg is load-bearing:
+    `length(NULL) == 0` is NULL, so without the isNull test NULL-text rows
+    would fall through to the otherwise branch as the single shingle set
+    [NULL], making every missing-text doc a jaccard-1.0 pair of every
+    other.)
     """
     s = normalize_text(c)
     toks = tokens(c)
@@ -71,7 +75,7 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     grams = F.array_distinct(F.regexp_extract_all(s, F.lit(rx), 1))
     empty = F.array().cast("array<string>")
     return (
-        F.when(F.length(s) == 0, empty)
+        F.when(s.isNull() | (F.length(s) == 0), empty)
         .when(F.size(toks) >= n, grams)
         .otherwise(F.array(s))
     )
@@ -79,14 +83,14 @@ def word_shingles(c: Column, n: int = 3) -> Column:
 
 def char_ngrams(c: Column, n: int = 5) -> Column:
     """Array of distinct character n-grams of the normalized text (same
-    lookahead-capture construction as word_shingles; blank text → empty
-    array, matching the word_shingles contract)."""
+    lookahead-capture construction as word_shingles; blank and NULL text →
+    empty array, matching the word_shingles contract)."""
     s = normalize_text(c)
     grams = F.array_distinct(
         F.regexp_extract_all(s, F.lit(f"(?=(.{{{n}}}))."), 1)
     )
     return (
-        F.when(F.length(s) == 0, F.array().cast("array<string>"))
+        F.when(s.isNull() | (F.length(s) == 0), F.array().cast("array<string>"))
         .when(F.length(s) >= n, grams)
         .otherwise(F.array(s))
     )

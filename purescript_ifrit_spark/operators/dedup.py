@@ -282,7 +282,12 @@ def simhash_candidate_pairs(
     """Near-dup pairs by simhash: two docs within hamming distance
     < `chunks` share at least one bit-slice (pigeonhole), so blocking on
     `chunks` slices finds all pairs with distance <= chunks-1."""
-    base = df.select(
+    # blank/NULL docs never pair: tokens('') is [''] and every content-free
+    # doc would otherwise share one constant signature and collide in every
+    # bit-slice bucket (same guard contract as the minhash path)
+    base = df.filter(
+        F.length(X.normalize_text(F.col(text_col))) > 0
+    ).select(
         F.col(id_col).alias("_id"),
         H.simhash_signature(X.tokens(F.col(text_col))).alias("_sig"),
     )

@@ -90,10 +90,14 @@ def curate(
     else:
         # lazy pairs: with `exact` persisted, the pairs pipeline and the
         # anti-join run in ONE job sharing the cache (an eager checkpoint
-        # here would pay the upstream a second time at consumption)
+        # here would pay the upstream a second time at consumption). The
+        # lazy mode's internal shingle persist stays pinned until
+        # clearCache — the report path goes eager instead (its pairs read
+        # `exact` from our persist, so the checkpoint is cheap there) and
+        # genuinely leaves no cache behind.
         fuzzy = dedup.dedup_minhash(
             exact, id_col, text_col, jaccard_threshold=jaccard_threshold,
-            eager=not cache_intermediate,
+            eager=with_report or not cache_intermediate,
         )
     out = fuzzy.withColumn("n_bpe_ish", X.bpe_ish_token_count(F.col(text_col))) \
                .withColumn("fingerprint", X.fingerprint(F.col(text_col)))

@@ -157,12 +157,15 @@ def pack_sequences(
         bounds = df.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).first()
         lo, hi = bounds["lo"], bounds["hi"]
         if lo is None:
-            num_shards = 1  # empty input: nothing to shard
-        elif isinstance(lo, str):
+            num_shards = 1  # empty input (or all-NULL lead): nothing to shard
+        elif not isinstance(lo, (int, float)) or isinstance(lo, bool):
+            # explicit guard for str/timestamp/date/decimal leads — without
+            # it a timestamp column dies later in interval arithmetic with
+            # a cryptic planning error instead of this message
             raise TypeError(
                 f"pack_sequences shards on the leading order column ({lead!r}), "
-                "which must be numeric; pass num_shards=1 to force the "
-                "unsharded global window instead"
+                f"which must be numeric (got {type(lo).__name__}); pass "
+                "num_shards=1 to force the unsharded global window instead"
             )
 
     if num_shards <= 1:
@@ -176,11 +179,14 @@ def pack_sequences(
         )
 
     # contiguous range shards (bounds fetched above — one bounded scan;
-    # parquet min/max statistics serve it when `lead` is a stored column)
+    # parquet min/max statistics serve it when `lead` is a stored column).
+    # NULL leads map to shard 0: the global ascending window sorts NULLS
+    # FIRST, and shard 0's window does too, so offset+cumsum equivalence
+    # holds (least() would silently skip the NULL and send them LAST).
     span = hi - lo
     frac = (F.col(lead) - F.lit(lo)) / F.lit(span if span > 0 else 1)
-    shard = F.least(
-        F.lit(num_shards - 1), F.floor(frac * num_shards)
+    shard = F.when(F.col(lead).isNull(), F.lit(0)).otherwise(
+        F.least(F.lit(num_shards - 1), F.floor(frac * num_shards))
     ).cast("int")
     d = df.withColumn("_shard", shard)
 

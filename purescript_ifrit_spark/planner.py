@@ -147,6 +147,14 @@ def build(df: DataFrame, stmt: Statement, flags: CompatFlags = CompatFlags()) ->
         ext = _ext_fn(stmt.group_by.fn)
         if ext is None:
             raise PlanError(f"unknown function {stmt.group_by.fn}")
+        if not ext.groupable:
+            # lock-step with plans/spark_sql.py: an array-valued key (CHUNK)
+            # must be rejected by BOTH backends, not just the analyzer —
+            # compile_unchecked reaches here without type-checking
+            raise PlanError(
+                f"function {stmt.group_by.fn} cannot be a GROUP BY key "
+                "(array-valued result)"
+            )
         key = ext.column(F.col(stmt.group_by.path)).alias("_id")
         return df.groupBy(key).agg(*aggs)
     return df.groupBy(F.col(stmt.group_by).alias("_id")).agg(*aggs)

@@ -819,7 +819,13 @@ def x_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_sessionize",
     # sum_value sums in DECIMAL(18,6): the r1 hash flake was ROUND(SUM(double))
     # landing on a half-boundary under a different partial-sum order — decimal
-    # addition is exact and order-independent, so both engines agree bit-for-bit
+    # addition is exact and order-independent, so both engines agree bit-for-bit.
+    # Headroom bound for every decimal-sum entry in this file: the final
+    # DECIMAL→DOUBLE cast is exact-agreement only while a group's scaled
+    # integer sum stays under 2^53 (≈9.0e15); the largest group at sf0.1 is
+    # ~5.7e15, so driver SFs (0.01 correctness / 0.1 bench) are safe, but at
+    # sf≥0.2 engines could disagree in the last ulp — coarsen with ROUND on
+    # both sides if these entries are ever run at larger scale factors
     "WITH s AS (SELECT user_id, event_id, ts, value, "
     "  CASE WHEN lag(ts) OVER w IS NULL "
     "       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
@@ -1152,6 +1158,7 @@ def x_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final (complete-mode) memory-sink table. Bounded backlog → the
     query terminates; the result must equal the batch aggregation exactly.
     """
+    import shutil
     import tempfile
     import uuid
 
@@ -1183,6 +1190,11 @@ def x_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # the complete-mode memory sink holds the aggregated rows in driver
+    # memory — the staged source files are dead weight once the bounded
+    # replay terminates (without this, every suite run leaks a full parquet
+    # copy of the events table in /tmp)
+    shutil.rmtree(staged, ignore_errors=True)
     return spark.table(name).select(
         F.unix_micros(F.col("w.start")).alias("hour_us"),
         "event_type",

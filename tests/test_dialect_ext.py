@@ -75,6 +75,23 @@ def test_reference_fn_not_groupable():
         compile_query(DOC_SCHEMA, "SELECT COUNT(doc_id) AS n GROUP BY AVG(text)")
 
 
+def test_chunk_group_key_rejected_by_both_backends(spark):
+    # the analyzer rejects GROUP BY CHUNK, but compile_unchecked skips the
+    # analyzer — BOTH backends must still refuse the array-valued key
+    # identically (lock-step contract)
+    from purescript_ifrit_spark.api import compile_unchecked
+    from purescript_ifrit_spark.planner import build
+    from purescript_ifrit_spark.plans.spark_sql import to_spark_sql
+
+    plan = compile_unchecked("SELECT COUNT(doc_id) AS n GROUP BY CHUNK(text)")
+    with pytest.raises(E.PlanError, match="cannot be a GROUP BY key"):
+        to_spark_sql(plan.statement, "documents")
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(E.PlanError, match="cannot be a GROUP BY key"):
+        build(docs, plan.statement)
+
+
 def test_ext_output_schema_types():
     plan = compile_query(
         DOC_SCHEMA,

@@ -111,6 +111,46 @@ def test_blank_docs_never_pair(spark):
     assert pairs.count() == 0
 
 
+def test_null_text_docs_never_pair(spark):
+    # NULL text: length(NULL)==0 is NULL, so the blank guard alone falls
+    # through to the [NULL] shingle set and all missing-text docs would
+    # pair at jaccard 1.0 — the isNull leg must yield an EMPTY array
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from purescript_ifrit_spark.functions import text as X
+
+    schema = StructType(
+        [
+            StructField("doc_id", IntegerType()),
+            StructField("text", StringType()),
+        ]
+    )
+    rows = [(0, None), (1, None), (2, "real content here right now")]
+    df = spark.createDataFrame(rows, schema)
+    sh = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", X.word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert sh[0] == [] and sh[1] == []
+    assert dedup.minhash_candidate_pairs(
+        df, "doc_id", "text", jaccard_threshold=0.1
+    ).count() == 0
+    # simhash path applies the same content-free guard
+    assert dedup.simhash_candidate_pairs(
+        df, "doc_id", "text", max_hamming=64
+    ).count() == 0
+
+
+def test_simhash_blank_docs_never_pair(spark):
+    # tokens('') is [''] — without the normalize-length filter every blank
+    # doc shares one constant signature and pairs at hamming 0
+    rows = [(0, ""), (1, "   "), (2, "\t"), (3, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.simhash_candidate_pairs(df, "doc_id", "text", max_hamming=64)
+    assert pairs.count() == 0
+
+
 def test_session_stats_subsecond_duration(spark):
     # micros-precision durations: a 250ms session must not report 0 seconds
     from datetime import datetime, timezone

@@ -167,6 +167,44 @@ def test_pack_sequences_sharded_matches_global(spark, sf_dir):
         assert sharded == glob
 
 
+def test_pack_sequences_null_lead_matches_global(spark):
+    """NULL leading order values must land in shard 0 (the global ascending
+    window sorts NULLS FIRST) — least() would silently route them LAST."""
+    import pytest
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    from purescript_ifrit_spark.operators.text_analysis import pack_sequences
+
+    schema = StructType(
+        [
+            StructField("doc_id", IntegerType()),
+            StructField("chunk_idx", IntegerType()),
+            StructField("chunk_tokens", LongType()),
+        ]
+    )
+    rows = [(None, 0, 100), (None, 1, 200)] + [
+        (i, 0, 150) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    key = lambda r: (r.doc_id, r.chunk_idx)  # noqa: E731
+    glob = {key(r): r.pack_id for r in pack_sequences(df, num_shards=1).collect()}
+    sharded = {key(r): r.pack_id for r in pack_sequences(df, num_shards=4).collect()}
+    assert sharded == glob
+
+    # non-numeric leads fail fast with the explicit TypeError, not a
+    # cryptic interval-arithmetic planning error
+    from datetime import datetime
+
+    ts_rows = [(datetime(2024, 1, 1), 0, 100), (datetime(2024, 1, 2), 1, 50)]
+    ts_df = spark.createDataFrame(ts_rows, ["doc_id", "chunk_idx", "chunk_tokens"])
+    with pytest.raises(TypeError, match="must be numeric"):
+        pack_sequences(ts_df, num_shards=4)
+
+
 def test_limit_offset_order(spark, orders):
     # faithful mode: GlobalLimit/offset composition still a limited exchange,
     # not a full materialization
