@@ -793,6 +793,25 @@ def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sim", F.round("sim", 5))
 
 
+@register("x_ann_ivf_topk", None)  # approximate (nprobe cells) — rows-only
+def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index path end-to-end: seeded centroid build (bounded
+    driver-side sample), JVM-side cell assignment, nprobe-cell probe +
+    exact cosine rerank. Deterministic (fixed seed + hash-ordered sample)
+    but approximate vs brute force, so rows-only like the LSH twin;
+    pytest pins recall against the brute-force oracle."""
+    from purescript_ifrit_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cents = ivf_centroids(emb, "embedding", nlist=16, seed=42, sample=2048)
+    out = ivf_topk(emb, "vec_id", "embedding", query, cents, k=10, nprobe=4)
+    return out.withColumn("sim", F.round("sim", 5))
+
+
 @register(
     "x_events_hourly",
     # timezone-free hour bucketing (pure epoch arithmetic on both sides):
