@@ -1,0 +1,99 @@
+"""Deterministic sampling & dataset splitting for training pipelines
+(SURVEY.md §2.7 family; no reference counterpart — corpus-scale ops).
+
+Reproducibility is the whole point: every assignment is a pure function of
+(row id, salt), so re-running the pipeline on a grown corpus keeps every
+previously-assigned row in the same split/sample (the property random()
+or rand(seed) does NOT have — Spark's rand is seeded per-partition, so a
+repartition or a data append reshuffles every assignment).
+
+Mechanism: the first 8 hex chars of md5(id:salt) are a uniform draw from
+[0, 16^8) — compared as STRINGS against precomputed hex cutpoints, which
+avoids any hex→int conversion and is exactly reproducible in any engine
+with md5 (the DuckDB oracles replicate it verbatim). Everything is a
+scan-stage Column expression: zero shuffle, zero Python.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPACE = 16**8  # the md5-prefix draw space
+
+
+def _hex_cut(fraction: float) -> str:
+    """The 8-char lowercase hex cutpoint h such that P(draw < h) = fraction."""
+    return format(min(int(fraction * _SPACE), _SPACE - 1), "08x")
+
+
+def _draw(id_col: Column, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt))), 1, 8
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[Tuple[str, float]] = (("train", 0.98), ("val", 0.01), ("test", 0.01)),
+    salt: str = "v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with the given weights,
+    deterministically in (id, salt).
+
+    `weights` is an ordered sequence of (name, weight) summing to ~1; the
+    last split absorbs rounding. Appending data never reassigns existing
+    rows; changing `salt` re-rolls every assignment."""
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = sum(w for _, w in weights)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1 (got {total})")
+    draw = _draw(F.col(id_col), salt)
+    cum, cuts = 0.0, []
+    for name, w in weights[:-1]:
+        cum += w
+        cuts.append((name, _hex_cut(cum)))
+    # forward-chained when(): the FIRST cutpoint the draw falls under wins
+    # (cutpoints are cumulative, so earlier conditions are subsets)
+    expr = None
+    for name, cut in cuts:
+        cond = draw < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    tail = F.lit(weights[-1][0])  # last split absorbs the remainder
+    return df.withColumn(out_col, tail if expr is None else expr.otherwise(tail))
+
+
+def hash_split_sql(
+    id_expr: str,
+    weights: Sequence[Tuple[str, float]] = (("train", 0.98), ("val", 0.01), ("test", 0.01)),
+    salt: str = "v1",
+) -> str:
+    """The ANSI-SQL twin of `hash_split` (same cutpoints, same md5 draw) —
+    runnable by DuckDB/Spark SQL alike; used by the driver oracle."""
+    draw = f"substr(md5({id_expr} || ':{salt}'), 1, 8)"
+    cum, whens = 0.0, []
+    for name, w in weights[:-1]:
+        cum += w
+        whens.append(f"WHEN {draw} < '{_hex_cut(cum)}' THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{weights[-1][0]}' END"
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: str = "v1",
+) -> DataFrame:
+    """Keep a deterministic ~`fraction` subset: rows whose draw falls below
+    the cutpoint. Unlike DataFrame.sample, membership is stable across
+    reruns, repartitions, and corpus growth."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1] (got {fraction})")
+    if fraction == 1.0:
+        return df
+    return df.filter(_draw(F.col(id_col), salt) < F.lit(_hex_cut(fraction)))

@@ -1248,6 +1248,45 @@ def x_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_oracle() -> str:
+    # the oracle CASE is generated by the operator's own SQL twin, so the
+    # cutpoints can never drift between engine and oracle
+    from purescript_ifrit_spark.operators.sampling import hash_split_sql
+
+    case = hash_split_sql("doc_id", (("train", 0.98), ("val", 0.01), ("test", 0.01)))
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+@register("x_split_train_val", _split_oracle())
+def x_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-draw train/val/test split, verified per-row: the
+    assignment is a pure function of (id, salt), so DuckDB recomputes the
+    exact split column — the strongest signal the split is reproducible."""
+    from purescript_ifrit_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+def _sample_oracle() -> str:
+    from purescript_ifrit_spark.operators.sampling import _hex_cut
+
+    return (
+        "SELECT doc_id FROM documents "
+        f"WHERE substr(md5(doc_id || ':v1'), 1, 8) < '{_hex_cut(0.1)}'"
+    )
+
+
+@register("x_hash_sample", _sample_oracle())
+def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% subsample (stable across reruns/repartitions,
+    unlike DataFrame.sample) — exact-membership verified by the oracle."""
+    from purescript_ifrit_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1).select("doc_id")
+
+
 # ===========================================================================
 # flagship (driver smoke check): pricing-summary-style grouped aggregation
 # ===========================================================================

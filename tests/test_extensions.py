@@ -538,3 +538,71 @@ def test_streaming_sessionize_runs(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.table("sess").count() > 0
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splitting
+# ---------------------------------------------------------------------------
+
+
+def test_hash_split_deterministic_and_complete(spark, sf_dir):
+    from purescript_ifrit_spark.sources.tables import load_table
+    from purescript_ifrit_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in
+         hash_split(docs.repartition(7), "doc_id").collect()}
+    assert a == b  # repartition must not move any assignment
+    assert set(a.values()) <= {"train", "val", "test"}
+    n = len(a)
+    train_frac = sum(1 for v in a.values() if v == "train") / n
+    assert 0.9 < train_frac <= 1.0  # ~0.98 with sampling noise
+
+
+def test_hash_split_stable_under_growth(spark):
+    # appending rows must never reassign existing ones
+    from purescript_ifrit_spark.operators.sampling import hash_split
+
+    small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(small, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split(big, "doc_id").collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_hash_split_salt_and_weights_validation(spark):
+    import pytest
+    from purescript_ifrit_spark.operators.sampling import hash_sample, hash_split
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id", salt="v1").collect()}
+    c = {r.doc_id: r.split for r in hash_split(df, "doc_id", salt="v2").collect()}
+    assert a != c  # a new salt re-rolls
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "doc_id", weights=(("train", 0.5),))
+    with pytest.raises(ValueError, match="at least one"):
+        hash_split(df, "doc_id", weights=())
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, "doc_id", 1.5)
+
+
+def test_hash_sample_subset_semantics(spark):
+    from purescript_ifrit_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = {r.doc_id for r in hash_sample(df, "doc_id", 0.1).collect()}
+    s20 = {r.doc_id for r in hash_sample(df, "doc_id", 0.2).collect()}
+    assert s10 <= s20  # nested cutpoints → nested samples
+    assert 0.05 < len(s10) / 2000 < 0.15
+    assert hash_sample(df, "doc_id", 1.0).count() == 2000
+
+
+def test_hash_split_is_scan_stage(spark, sf_dir):
+    # zero shuffle: the split is a pure projection over the scan
+    from purescript_ifrit_spark.sources.tables import load_table
+    from purescript_ifrit_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = hash_split(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
