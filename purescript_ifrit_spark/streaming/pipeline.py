@@ -148,6 +148,30 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_exact_stream(
+    stream: DataFrame,
+    key_cols=("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival per key, with state
+    bounded by the watermark (the streaming twin of dedup.dedup_exact).
+
+    dropDuplicatesWithinWatermark holds one state row per key and evicts it
+    once the key's event time falls behind the watermark — so a duplicate
+    arriving within the watermark window is dropped, one arriving later is
+    a (documented) re-admit. That bound is what makes the operator runnable
+    forever at corpus-ingest scale; exact-forever dedup of an unbounded
+    stream would need unbounded state and belongs in the batch layer.
+
+    For content-dedup of a document stream, pass the fingerprint column:
+    `stream.withColumn("_fp", X.fingerprint(F.col("text")))` then
+    `key_cols=("_fp",)`."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = 30,

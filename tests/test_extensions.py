@@ -606,3 +606,25 @@ def test_hash_split_is_scan_stage(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = hash_split(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_streaming_dedup_exact_matches_batch(spark, sf_dir, tmp_path):
+    # duplicate every event once; the streaming dedup must restore the
+    # original row set exactly (all dups arrive within the watermark)
+    from purescript_ifrit_spark.sources.tables import load_table
+    from purescript_ifrit_spark.streaming import pipeline as SP
+
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    doubled = ev.unionAll(ev)
+    src = str(tmp_path / "dedup_src")
+    doubled.repartition(4).write.parquet(src)
+
+    deduped = SP.dedup_exact_stream(
+        SP.read_event_stream(spark, src, max_files_per_trigger=2),
+        key_cols=("event_id",),
+    )
+    q = SP.run_to_memory_sink(deduped, "dedup_out", output_mode="append")
+    q.awaitTermination(120)
+    out = spark.table("dedup_out")
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
