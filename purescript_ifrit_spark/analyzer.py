@@ -109,7 +109,7 @@ def _analyze_group_key_fn(schema: Schema, call: FnCall) -> Schema:
         # reference fns (and array-valued CHUNK) cannot key a group
         raise E.incompatible_fn_type(call.fn, schema.show())
     arg = lookup("GROUP BY", schema, call.path)
-    if arg.kind != "string":
+    if arg.kind not in ext.arg_kinds:
         raise E.incompatible_fn_type(call.fn, arg.show())
     return ext.result
 
@@ -174,9 +174,10 @@ def _analyze_projection(schema: Schema, sel) -> tuple[str, Schema]:
     assert isinstance(sel, FnCall)
     ext = _ext_fn(sel.fn)
     if ext is not None:
-        # engine extension scalars: one string-typed argument
+        # engine extension scalars: one argument of an accepted kind
+        # (string for the text family; string-or-number for SPLIT ids)
         s = lookup("SELECT", schema, sel.path)
-        if s.kind != "string":
+        if s.kind not in ext.arg_kinds:
             raise E.incompatible_fn_type(sel.fn, s.show())
         return sel.output_name, ext.result
 

@@ -109,6 +109,25 @@ def _fingerprint_sql(x: str) -> str:
     return f"md5({_norm_sql(x)})"
 
 
+# fixed split geometry of the dialect SPLIT function (the one-argument fn
+# grammar has no room for parameters; the Python API takes weights/salt)
+SPLIT_WEIGHTS = (("train", 0.98), ("val", 0.01), ("test", 0.01))
+SPLIT_SALT = "v1"
+
+
+def _split_column(c: Column) -> Column:
+    from purescript_ifrit_spark.operators.sampling import split_expr
+
+    return split_expr(c, SPLIT_WEIGHTS, SPLIT_SALT)
+
+
+def _split_sql(x: str) -> str:
+    from purescript_ifrit_spark.operators.sampling import hash_split_sql
+
+    # CAST keeps numeric ids lock-step with the Column backend's cast
+    return hash_split_sql(f"CAST({x} AS STRING)", SPLIT_WEIGHTS, SPLIT_SALT)
+
+
 def _chunk_sql(x: str) -> str:
     n = _norm_sql(x)
     toks = f"split({n}, ' ')"
@@ -133,6 +152,7 @@ class ExtFn:
     column: Callable[[Column], Column]
     sql: Callable[[str], str]
     groupable: bool = True  # usable as a GROUP BY key (primitives only)
+    arg_kinds: tuple = ("string",)  # accepted argument schema kinds
 
 
 EXT_FUNCTIONS: Dict[str, ExtFn] = {
@@ -153,6 +173,14 @@ EXT_FUNCTIONS: Dict[str, ExtFn] = {
             lambda c: X.chunk_array(c, CHUNK_TOKENS, CHUNK_OVERLAP),
             _chunk_sql,
             groupable=False,  # array-typed result is not a valid group key
+        ),
+        ExtFn(
+            "SPLIT",
+            Schema.string(),
+            _split_column,
+            _split_sql,
+            # an id can be numeric or string — the draw casts to string
+            arg_kinds=("string", "number"),
         ),
     )
 }

@@ -70,7 +70,7 @@ _KEYWORDS = [
 # name is a prefix of another within the boundary rule.
 _FUNCTIONS = [
     "AVG", "COUNT", "MAX", "MIN", "SUM",
-    "TOKEN_COUNT", "QUALITY", "LANG_ID", "FINGERPRINT", "CHUNK",
+    "TOKEN_COUNT", "QUALITY", "LANG_ID", "FINGERPRINT", "CHUNK", "SPLIT",
 ]
 
 _WORD_CHARS = r"[a-zA-Z0-9_.]"

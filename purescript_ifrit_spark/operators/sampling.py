@@ -35,6 +35,30 @@ def _draw(id_col: Column, salt: str) -> Column:
     )
 
 
+def split_expr(
+    id_col: Column,
+    weights: Sequence[Tuple[str, float]],
+    salt: str,
+) -> Column:
+    """The split assignment as a Column expression (shared by `hash_split`
+    and the dialect SPLIT function in functions/dialect_ext.py)."""
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = sum(w for _, w in weights)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1 (got {total})")
+    draw = _draw(id_col, salt)
+    # forward-chained when(): the FIRST cutpoint the draw falls under wins
+    # (cutpoints are cumulative, so earlier conditions are subsets)
+    expr, cum = None, 0.0
+    for name, w in weights[:-1]:
+        cum += w
+        cond = draw < F.lit(_hex_cut(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    tail = F.lit(weights[-1][0])  # last split absorbs the remainder
+    return tail if expr is None else expr.otherwise(tail)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -48,24 +72,7 @@ def hash_split(
     `weights` is an ordered sequence of (name, weight) summing to ~1; the
     last split absorbs rounding. Appending data never reassigns existing
     rows; changing `salt` re-rolls every assignment."""
-    if not weights:
-        raise ValueError("weights must name at least one split")
-    total = sum(w for _, w in weights)
-    if not 0.999 <= total <= 1.001:
-        raise ValueError(f"split weights must sum to 1 (got {total})")
-    draw = _draw(F.col(id_col), salt)
-    cum, cuts = 0.0, []
-    for name, w in weights[:-1]:
-        cum += w
-        cuts.append((name, _hex_cut(cum)))
-    # forward-chained when(): the FIRST cutpoint the draw falls under wins
-    # (cutpoints are cumulative, so earlier conditions are subsets)
-    expr = None
-    for name, cut in cuts:
-        cond = draw < F.lit(cut)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    tail = F.lit(weights[-1][0])  # last split absorbs the remainder
-    return df.withColumn(out_col, tail if expr is None else expr.otherwise(tail))
+    return df.withColumn(out_col, split_expr(F.col(id_col), weights, salt))
 
 
 def hash_split_sql(

@@ -646,6 +646,21 @@ register(
 )
 
 
+def _xd_split_oracle() -> str:
+    # the dialect SPLIT twin, generated from the same registry expression
+    from purescript_ifrit_spark.functions.dialect_ext import EXT_FUNCTIONS
+
+    case = EXT_FUNCTIONS["SPLIT"].sql("doc_id")
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+register("xd_split", _xd_split_oracle())(
+    # dialect-level dataset splitting over a NUMERIC id (exercises the
+    # string-or-number arg typing of SPLIT)
+    _dialect("documents", "SELECT doc_id, SPLIT(doc_id) AS split")
+)
+
+
 @register("x_dedup_minhash", None)  # approximate — rows-only check
 def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.dedup import dedup_minhash

@@ -181,6 +181,8 @@ EXT_QUERIES = [
     "SELECT MIN(doc_id) AS doc_id GROUP BY FINGERPRINT(text)",
     "SELECT COUNT(doc_id) AS n GROUP BY LANG_ID(text)",
     "SELECT doc_id FROM (SELECT doc_id, QUALITY(text) AS q) WHERE q > 0.5",
+    "SELECT doc_id, SPLIT(doc_id) AS split",
+    "SELECT COUNT(doc_id) AS n GROUP BY SPLIT(doc_id)",
 ]
 
 
@@ -228,3 +230,32 @@ def test_group_by_fn_is_partial_final_agg(spark, docs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2  # map-side partial + final
     assert "BatchEvalPython" not in plan
+
+
+def test_split_dialect_fn(spark):
+    # SPLIT accepts numeric and string ids, matches the Python operator
+    from purescript_ifrit_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    via_op = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    via_sql = {
+        r.doc_id: r.split
+        for r in run_query(
+            spark, df, "SELECT doc_id, SPLIT(doc_id) AS split"
+        ).collect()
+    }
+    assert via_op == via_sql
+    assert set(via_sql.values()) <= {"train", "val", "test"}
+
+
+def test_split_groupable_and_typed():
+    # groupable: split counts as a one-liner; boolean arg rejected
+    plan = compile_query(
+        {"doc_id": "number", "flag": "boolean"},
+        "SELECT COUNT(doc_id) AS n GROUP BY SPLIT(doc_id)",
+    )
+    assert plan.output_schema.fields["_id"].kind == "string"
+    with pytest.raises(E.IfritError, match="incompatible"):
+        compile_query(
+            {"flag": "boolean"}, "SELECT SPLIT(flag) AS s"
+        )
