@@ -104,3 +104,43 @@ def hash_sample(
     if fraction == 1.0:
         return df
     return df.filter(_draw(F.col(id_col), salt) < F.lit(_hex_cut(fraction)))
+
+
+def budget_sample(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    group_col: str | None = None,
+    salt: str = "v1",
+) -> DataFrame:
+    """Keep rows, in deterministic hash order, until each group's token
+    budget is spent — the standard corpus-mixing cap ("at most N tokens of
+    language X / domain Y").
+
+    A row is kept while the cumulative token count UP TO AND INCLUDING it
+    stays within `budget` (so a row never splits; the first over-budget row
+    and everything after it drop). Selection order is the md5 draw (then id
+    as tie-break): stable under reruns and repartitions, and growing the
+    corpus only ever *displaces* rows with later draws — it never reshuffles
+    the order itself.
+
+    Scale: ONE window partitioned by `group_col` — state is per-group and
+    the shuffle is the groupBy-equivalent hash exchange; no global sort.
+    With `group_col=None` the window is a single partition: fine for
+    capping a modest slice (the budget bounds useful output anyway), but
+    prefer a group column at corpus scale."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive (got {budget})")
+    from pyspark.sql import Window
+
+    order = [_draw(F.col(id_col), salt).asc(), F.col(id_col).asc()]
+    w = (
+        Window.partitionBy(group_col) if group_col is not None else Window.partitionBy()
+    ).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("_cum_tokens", cum)
+        .filter(F.col("_cum_tokens") <= budget)
+        .drop("_cum_tokens")
+    )

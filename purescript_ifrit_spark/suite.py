@@ -646,6 +646,41 @@ register(
 )
 
 
+def _budget_oracle() -> str:
+    # per-split token budget: same md5 draw order, same token-count identity
+    from purescript_ifrit_spark.functions.dialect_ext import EXT_FUNCTIONS
+
+    split = EXT_FUNCTIONS["SPLIT"].sql("doc_id")
+    ntok = (
+        f"CASE WHEN length({_NORM_SQL}) = 0 THEN 0 "
+        f"ELSE len(string_split({_NORM_SQL}, ' ')) END"
+    )
+    draw = "substr(md5(doc_id || ':v1'), 1, 8)"
+    return (
+        f"WITH base AS (SELECT doc_id, {split} AS split, {ntok} AS n_tok, "
+        f"{draw} AS d FROM documents), "
+        "c AS (SELECT doc_id, split, SUM(n_tok) OVER (PARTITION BY split "
+        "ORDER BY d, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM base) "
+        "SELECT doc_id, split FROM c WHERE cum <= 10000"
+    )
+
+
+@register("x_budget_sample", _budget_oracle())
+def x_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: at most 10k tokens per split, selected
+    in deterministic hash order — per-row membership verified exactly by
+    the DuckDB oracle (integer cumsum, no float anywhere)."""
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.sampling import budget_sample, hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_split = hash_split(docs, "doc_id").withColumn(
+        "n_tok", X.token_count(F.col("text"))
+    )
+    kept = budget_sample(with_split, "doc_id", "n_tok", 10_000, group_col="split")
+    return kept.select("doc_id", "split")
+
+
 def _xd_split_oracle() -> str:
     # the dialect SPLIT twin, generated from the same registry expression
     from purescript_ifrit_spark.functions.dialect_ext import EXT_FUNCTIONS

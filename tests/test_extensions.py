@@ -628,3 +628,44 @@ def test_streaming_dedup_exact_matches_batch(spark, sf_dir, tmp_path):
     out = spark.table("dedup_out")
     assert out.count() == ev.count()
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_budget_sample_semantics(spark):
+    # exact semantics on a hand-computable fixture: one group, known order
+    from purescript_ifrit_spark.operators.sampling import _draw, budget_sample
+    import pytest
+
+    df = spark.range(0, 50).withColumnRenamed("id", "doc_id").withColumn(
+        "n_tok", F.lit(10)
+    )
+    kept = budget_sample(df, "doc_id", "n_tok", 100)  # exactly 10 rows fit
+    assert kept.count() == 10
+    # membership = the 10 smallest draws (stable hash order)
+    draws = df.select(
+        "doc_id", _draw(F.col("doc_id"), "v1").alias("d")
+    ).collect()
+    want = {r.doc_id for r in sorted(draws, key=lambda r: (r.d, r.doc_id))[:10]}
+    assert {r.doc_id for r in kept.collect()} == want
+    # a row never splits: budget 95 still fits only 9 whole rows
+    assert budget_sample(df, "doc_id", "n_tok", 95).count() == 9
+    with pytest.raises(ValueError, match="positive"):
+        budget_sample(df, "doc_id", "n_tok", 0)
+
+
+def test_budget_sample_per_group_and_partitioned_plan(spark):
+    from purescript_ifrit_spark.operators.sampling import budget_sample
+
+    df = (
+        spark.range(0, 300)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("grp", (F.col("doc_id") % 3).cast("int"))
+        .withColumn("n_tok", F.lit(7))
+    )
+    kept = budget_sample(df, "doc_id", "n_tok", 70, group_col="grp")
+    by_grp = {
+        r.grp: r.n for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_grp == {0: 10, 1: 10, 2: 10}  # 70//7 per group
+    # grouped mode must not use a single-partition window
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
