@@ -1097,6 +1097,48 @@ def x_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_tpch_q18ish",
+    # large-volume customers: the fact-fact shape (lineitem agg joined back
+    # to orders) the star entries don't exercise. Decimal qty sum for
+    # order-independent exactness; top-k ordered by raw o_totalprice with a
+    # unique tie-break
+    "SELECT c_custkey, o_orderkey, o_totalprice, "
+    "CAST(q AS DOUBLE) AS sum_qty FROM ("
+    "  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS q "
+    "  FROM lineitem GROUP BY l_orderkey "
+    "  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250) t "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100",
+)
+def x_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: per-order quantity aggregation (one fact shuffle,
+    map-side partials), HAVING filter BEFORE the join back to orders (the
+    filtered agg is small → AQE broadcasts it, so the orders fact never
+    sort-merges), broadcast customer dim, TakeOrdered top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
+        .filter(F.col("q") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
     "x_topk_per_group",
     "SELECT o_orderpriority, o_orderkey, o_totalprice FROM ("
     "  SELECT o_orderpriority, o_orderkey, o_totalprice, "

@@ -210,3 +210,16 @@ def test_limit_offset_order(spark, orders):
     # not a full materialization
     df = run_query(spark, orders, "SELECT o_orderkey ORDER BY o_orderkey LIMIT 20 OFFSET 5")
     assert len(df.collect()) == 15
+
+
+def test_q18ish_topk_plan(spark, sf_dir):
+    """Fact-fact composite: the final top-k must be TakeOrderedAndProject
+    (never a global Sort), and the HAVING filter must sit on the agg BEFORE
+    the join back to orders (small side → AQE runtime broadcast)."""
+    from purescript_ifrit_spark import suite
+
+    fn, _ = suite.REGISTRY["x_tpch_q18ish"]
+    out = fn(spark, sf_dir)
+    plan = physical(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [o_totalprice" not in plan  # no global sort for the top-k
