@@ -30,6 +30,7 @@ from purescript_ifrit_spark.plans.ast import (
     BinaryCond,
     Condition,
     FieldOperand,
+    FnOperand,
     FnCall,
     Group,
     LitOperand,
@@ -152,6 +153,16 @@ def _analyze_condition(schema: Schema, cond: Condition) -> Schema:
 def _analyze_operand(schema: Schema, operand: Operand) -> Schema:
     if isinstance(operand, FieldOperand):
         return lookup("WHERE", schema, operand.path)
+    if isinstance(operand, FnOperand):
+        # engine extension: WHERE QUALITY(text) > 0.5 — argument typed
+        # against the input schema, result is the function's result schema
+        ext = _ext_fn(operand.fn)
+        if ext is None:
+            raise E.incompatible_fn_type(operand.fn, schema.show())
+        arg = lookup("WHERE", schema, operand.path)
+        if arg.kind not in ext.arg_kinds:
+            raise E.incompatible_fn_type(operand.fn, arg.show())
+        return ext.result
     v = operand.value
     if v is None:
         return Schema.null()

@@ -29,6 +29,7 @@ from purescript_ifrit_spark.plans.ast import (
     Condition,
     FieldOperand,
     FnCall,
+    FnOperand,
     Group,
     LitOperand,
     Not,
@@ -245,6 +246,11 @@ class _Parser:
             op = self.advance().value
             rhs = self.parse_operand()
             return BinaryCond(op=op, lhs=operand, rhs=rhs)
+        if isinstance(operand, FnOperand):
+            # extension scalars have no boolean result — a bare
+            # `WHERE QUALITY(text)` predicate is meaningless; require a
+            # comparison (bare-field F7 semantics stay boolean-field-only)
+            raise self.err_unexpected(self.cur)
         return operand  # bare boolean field / literal predicate
 
     def parse_operand(self) -> Operand:
@@ -258,6 +264,15 @@ class _Parser:
         if tok.kind == L.KEYWORD and tok.value == "NULL":
             self.advance()
             return LitOperand(None)
+        if tok.kind == L.FUNCTION:
+            # engine extension: ext-fn operands in conditions
+            # (WHERE QUALITY(text) > 0.5). Reference fns keep their
+            # reference behavior — a parse error in operand position.
+            from purescript_ifrit_spark.functions.dialect_ext import EXT_FUNCTIONS
+
+            if tok.value in EXT_FUNCTIONS:
+                call = self.parse_fn_call()
+                return FnOperand(fn=call.fn, path=call.path)
         raise self.err_unexpected(tok)
 
     # -- order / limit / offset --------------------------------------------

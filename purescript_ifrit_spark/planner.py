@@ -54,6 +54,7 @@ from purescript_ifrit_spark.plans.ast import (
     Condition,
     FieldOperand,
     FnCall,
+    FnOperand,
     Group,
     LitOperand,
     Not,
@@ -84,6 +85,8 @@ class CompatFlags:
 def _fmt_operand(o) -> str:
     if isinstance(o, FieldOperand):
         return o.path
+    if isinstance(o, FnOperand):
+        return f"{o.fn}({o.path})"
     v = o.value
     if v is None:
         return "NULL"
@@ -283,8 +286,10 @@ _NULL_SAFE_OPS = ("=", "!=")
 def _compile_binary(cond: BinaryCond, flags: CompatFlags) -> Column:
     lhs, rhs, op = cond.lhs, cond.rhs, cond.op
 
-    lhs_field = isinstance(lhs, FieldOperand)
-    rhs_field = isinstance(rhs, FieldOperand)
+    # FnOperand (engine extension, WHERE QUALITY(text) > 0.5) counts as a
+    # field side: the reference's exactly-one-field restriction carries over
+    lhs_field = isinstance(lhs, (FieldOperand, FnOperand))
+    rhs_field = isinstance(rhs, (FieldOperand, FnOperand))
     if not flags.allow_field_comparison:
         # reference codegen restriction (MongoDB.purs:386-397): exactly one
         # side must be a field
@@ -292,8 +297,8 @@ def _compile_binary(cond: BinaryCond, flags: CompatFlags) -> Column:
             desc = f"{_fmt_operand(lhs)} {op} {_fmt_operand(rhs)}"
             raise _err_condition(desc)
 
-    left = F.col(lhs.path) if lhs_field else _lit(lhs)
-    right = F.col(rhs.path) if rhs_field else _lit(rhs)
+    left = _field_side(lhs) if lhs_field else _lit(lhs)
+    right = _field_side(rhs) if rhs_field else _lit(rhs)
 
     # `= NULL` ≡ MongoDB {$eq: null} → isNull (SURVEY §2.3 F1)
     if op in _NULL_SAFE_OPS:
@@ -318,6 +323,15 @@ def _compile_binary(cond: BinaryCond, flags: CompatFlags) -> Column:
     if op == ">=":
         return left >= right
     raise PlanError(f"unknown operator {op}")  # pragma: no cover
+
+
+def _field_side(o) -> Column:
+    if isinstance(o, FnOperand):
+        ext = _ext_fn(o.fn)
+        if ext is None:  # unchecked path (compile_unchecked)
+            raise PlanError(f"unknown function {o.fn}")
+        return ext.column(F.col(o.path))
+    return F.col(o.path)
 
 
 def _lit(o: LitOperand) -> Column:

@@ -31,7 +31,18 @@ class LitOperand:
     value: Union[str, float, bool, None]
 
 
-Operand = Union[FieldOperand, LitOperand]
+@dataclass(frozen=True)
+class FnOperand:
+    """Engine extension: a dialect extension function applied to a field,
+    used as a condition operand — `WHERE QUALITY(text) > 0.5`. Reference
+    functions (AVG..SUM) stay parse errors in operand position, exactly as
+    in the reference grammar; only `functions/dialect_ext.py` names parse."""
+
+    fn: str
+    path: str
+
+
+Operand = Union[FieldOperand, LitOperand, FnOperand]
 
 
 @dataclass(frozen=True)

@@ -13,6 +13,7 @@ from purescript_ifrit_spark.plans.ast import (
     Condition,
     FieldOperand,
     FnCall,
+    FnOperand,
     Group,
     LitOperand,
     Not,
@@ -43,6 +44,8 @@ def _number(v: float) -> str:
 def _operand(o) -> str:
     if isinstance(o, FieldOperand):
         return o.path
+    if isinstance(o, FnOperand):
+        return f"{o.fn}({o.path})"
     v = o.value
     if v is None:
         return "NULL"

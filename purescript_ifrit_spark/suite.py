@@ -689,6 +689,17 @@ def _xd_split_oracle() -> str:
     return f"SELECT doc_id, {case} AS split FROM documents"
 
 
+register(
+    "xd_quality_where",
+    # same truth as xd_quality_filter, reached through the WHERE-operand
+    # extension instead of the derived-table idiom
+    "SELECT doc_id FROM (SELECT doc_id, " + _QUALITY_ORACLE_EXPR + " AS q "
+    "FROM (" + _QUALITY_ORACLE_INPUTS + ") a) b WHERE q > 0.5",
+)(
+    _dialect("documents", "SELECT doc_id WHERE QUALITY(text) > 0.5")
+)
+
+
 register("xd_split", _xd_split_oracle())(
     # dialect-level dataset splitting over a NUMERIC id (exercises the
     # string-or-number arg typing of SPLIT)

@@ -259,3 +259,61 @@ def test_split_groupable_and_typed():
         compile_query(
             {"flag": "boolean"}, "SELECT SPLIT(flag) AS s"
         )
+
+
+# ---------------------------------------------------------------------------
+# ext functions as WHERE operands (engine extension)
+# ---------------------------------------------------------------------------
+
+
+def test_where_ext_fn_matches_derived_table_idiom(spark, docs):
+    direct = run_query(spark, docs, "SELECT doc_id WHERE QUALITY(text) > 0.5")
+    idiom = run_query(
+        spark, docs,
+        "SELECT doc_id FROM (SELECT doc_id, QUALITY(text) AS q) WHERE q > 0.5",
+    )
+    assert sorted(r.doc_id for r in direct.collect()) == sorted(
+        r.doc_id for r in idiom.collect()
+    )
+    assert direct.count() > 0  # non-degenerate fixture
+
+
+def test_where_ext_fn_reversed_and_composed(spark, docs):
+    # literal-on-the-left mirroring (F9) and binary AND composition
+    a = run_query(spark, docs, "SELECT doc_id WHERE 0.5 < QUALITY(text)")
+    b = run_query(spark, docs, "SELECT doc_id WHERE QUALITY(text) > 0.5")
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+    c = run_query(
+        spark, docs,
+        'SELECT doc_id WHERE (QUALITY(text) > 0.5 AND LANG_ID(text) = "en")',
+    )
+    assert 0 < c.count() <= b.count()
+
+
+def test_where_ext_fn_backends_agree(spark, docs):
+    docs.createOrReplaceTempView("docs_where_view")
+    sql = 'SELECT doc_id WHERE (QUALITY(text) > 0.5 AND TOKEN_COUNT(text) < 500)'
+    df_result = run_query(spark, docs, sql)
+    sql_result = spark.sql(to_spark_sql(parse_sql(sql), "docs_where_view"))
+    assert sorted(r.doc_id for r in df_result.collect()) == sorted(
+        r.doc_id for r in sql_result.collect()
+    )
+
+
+def test_where_ext_fn_errors():
+    # reference fns stay parse errors in operand position; bare ext
+    # predicates rejected; fn-vs-field comparison rejected (one-field rule)
+    with pytest.raises(E.ParseError):
+        parse_sql("SELECT doc_id WHERE AVG(text) > 1")
+    with pytest.raises(E.ParseError):
+        parse_sql("SELECT doc_id WHERE QUALITY(text)")
+    with pytest.raises(E.IfritError, match="incompatible"):
+        compile_query(DOC_SCHEMA, "SELECT doc_id WHERE QUALITY(doc_id) > 1")
+    from purescript_ifrit_spark.api import compile_unchecked
+    from purescript_ifrit_spark.planner import compile_condition
+
+    stmt = parse_sql("SELECT doc_id WHERE QUALITY(text) = text")
+    with pytest.raises(E.PlanError, match="should target a field"):
+        compile_condition(stmt.where)
