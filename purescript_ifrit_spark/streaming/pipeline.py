@@ -172,6 +172,39 @@ def dedup_exact_stream(
     )
 
 
+def curate_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the batch curation pipeline's stateless prefix +
+    exact dedup: quality-score each arriving document (pure scan-stage
+    Column expressions — identical values to the batch operator), drop
+    low-quality rows, then keep the first arrival per content fingerprint
+    with watermark-bounded state.
+
+    Fuzzy (LSH) dedup stays batch-side by design: candidate pairing is a
+    self-join over the whole corpus, which a stream cannot express without
+    unbounded state — the standard architecture is streaming ingest+exact
+    dedup, periodic batch LSH compaction (operators/pipeline.curate)."""
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.text_analysis import quality_score
+
+    scored = quality_score(docs, text_col)
+    kept = scored.filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    with_fp = kept.withColumn("_fp", X.fingerprint(F.col(text_col)))
+    return (
+        with_fp.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = 30,

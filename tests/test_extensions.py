@@ -669,3 +669,45 @@ def test_budget_sample_per_group_and_partitioned_plan(spark):
     # grouped mode must not use a single-partition window
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_streaming_curation_matches_batch_prefix(spark, sf_dir, tmp_path):
+    # quality filter + exact dedup over two micro-batches: the dups arrive
+    # in a LATER file, so cross-batch state must drop them and keep the
+    # originals (within one batch the surviving twin is unspecified — the
+    # shuffle by fingerprint destroys arrival order, so the test stages
+    # originals and dups as separate files processed in order)
+    import time
+
+    from pyspark.sql import functions as FF
+    from purescript_ifrit_spark.operators.dedup import dedup_exact_text
+    from purescript_ifrit_spark.operators.text_analysis import quality_score
+    from purescript_ifrit_spark.sources.tables import load_table
+    from purescript_ifrit_spark.streaming import pipeline as SP
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ingest_ts", FF.timestamp_micros(FF.lit(1_700_000_000_000_000) + FF.col("doc_id"))
+    )
+    dups = docs.limit(20).withColumn("doc_id", FF.col("doc_id") + 1_000_000) \
+               .withColumn("ingest_ts", FF.timestamp_micros(
+                   FF.lit(1_700_500_000_000_000) + FF.col("doc_id")))
+    src = str(tmp_path / "curate_src")
+    docs.coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # later modification time → later micro-batch
+    dups.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = SP.curate_stream(stream, min_quality=0.2)
+    q = SP.run_to_memory_sink(out, "curated_stream", output_mode="append")
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.table("curated_stream").select("doc_id").collect()}
+
+    scored = quality_score(docs.drop("ingest_ts"), "text")
+    kept = scored.filter((FF.col("quality") >= 0.2) & (FF.col("n_tokens") >= 5))
+    want = {r.doc_id for r in dedup_exact_text(kept, "text", "doc_id").select("doc_id").collect()}
+    assert got == want  # later-batch dups dropped, originals kept
