@@ -223,3 +223,14 @@ def test_q18ish_topk_plan(spark, sf_dir):
     plan = physical(out)
     assert "TakeOrderedAndProject" in plan
     assert "Sort [o_totalprice" not in plan  # no global sort for the top-k
+
+
+def test_where_ext_fn_is_scan_stage_filter(spark, sf_dir):
+    """WHERE QUALITY(text) > 0.5 evaluates in the scan stage: a codegen'd
+    Filter over the FileScan, no exchange, no Python nodes."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = run_query(spark, docs, "SELECT doc_id WHERE QUALITY(text) > 0.5")
+    plan = physical(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Filter" in plan
