@@ -133,23 +133,37 @@ def bench_queries(spark) -> "tuple[dict, dict]":
     # JVM warm-up (parquet footers, codegen)
     t["lineitem"].count()
 
-    # Each query runs twice from a freshly-built plan: the first run pays
-    # one-time whole-stage-codegen JIT (janino) for its expression tree, the
-    # second measures steady-state engine throughput — the number that
-    # matters on a long-lived cluster. Both are reported. clearCache between
-    # runs keeps the steady number honest: operators that persist an
-    # intermediate WITHIN one execution (q10 curation) must not get a free
-    # cross-run cache hit — run 2 re-executes the full pipeline.
+    # Each query runs three times from a freshly-built plan: the first run
+    # pays one-time whole-stage-codegen JIT (janino) for its expression
+    # tree; steady-state is the MIN of the next two (single samples swing
+    # ±40% with page-cache/GC state on a shared host — min-of-2 reports the
+    # engine's achievable throughput, the number that matters on a
+    # long-lived cluster). clearCache between runs keeps the steady number
+    # honest: operators that persist an intermediate WITHIN one execution
+    # (q10 curation) must not get a free cross-run cache hit — every run
+    # re-executes the full pipeline.
+    def _release_all(spark):
+        # clearCache drops the SQL cache but NOT raw RDD persists —
+        # localCheckpoint blocks (LSH pair lists) would otherwise
+        # accumulate across queries and squeeze executor memory for the
+        # later ones (measured: q10 +35% when run after q6's checkpoints)
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+
     times, cold = {}, {}
     for name, fn in queries.items():
         start = time.perf_counter()
         _consume(fn())
         cold[name] = round(time.perf_counter() - start, 3)
-        spark.catalog.clearCache()
-        start = time.perf_counter()
-        _consume(fn())
-        times[name] = round(time.perf_counter() - start, 3)
-        spark.catalog.clearCache()
+        steady = []
+        for _ in range(2):
+            _release_all(spark)
+            start = time.perf_counter()
+            _consume(fn())
+            steady.append(time.perf_counter() - start)
+        times[name] = round(min(steady), 3)
+        _release_all(spark)
     return times, cold
 
 
