@@ -15,6 +15,7 @@ from purescript_ifrit_spark.plans.ast import (
     BinaryCond,
     FieldOperand,
     FnCall,
+    FnOperand,
     Group,
     LitOperand,
     Not,
@@ -42,7 +43,19 @@ _literal = st.one_of(
     st.text(alphabet=string.ascii_letters + string.digits + "_.", min_size=1, max_size=8),
 )
 
-_operand = st.one_of(_path.map(FieldOperand), _literal.map(LitOperand))
+# FnOperand only ever appears inside a BinaryCond (bare ext-fn predicates
+# are parse errors by design), so it joins the operand pool, not the
+# condition-leaf pool
+_ext_operand = st.builds(
+    FnOperand,
+    fn=st.sampled_from(
+        ["TOKEN_COUNT", "QUALITY", "LANG_ID", "FINGERPRINT", "SPLIT"]
+    ),
+    path=_path,
+)
+_operand = st.one_of(
+    _path.map(FieldOperand), _literal.map(LitOperand), _ext_operand
+)
 
 _binary = st.builds(
     BinaryCond,
