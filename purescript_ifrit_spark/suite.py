@@ -975,6 +975,34 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_multimodal_framesample",
+    # every-10th frame index from the fake per-item frame count
+    # (byte_len % 300 + 1): pure metadata arithmetic, so DuckDB recomputes
+    # the exploded plan exactly. range() is stop-exclusive ≡ Spark's
+    # inclusive sequence(0, nf-1, 10)
+    "SELECT media_id, CAST(unnest(range(0, nf, 10)) AS BIGINT) AS frame_idx "
+    "FROM (SELECT doc_id AS media_id, "
+    "(octet_length(encode(text)) % 300 + 1) AS nf FROM documents) t",
+)
+def x_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan through the REAL multimodal plumbing: utf-8
+    payloads → Arrow-batched mapInPandas feature extraction (byte_len) →
+    metadata-only explode. Verifies the mapInPandas output feeds JVM-side
+    explode-planning correctly, with an exact oracle."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+        frame_sample_plan,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return frame_sample_plan(feats, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+@register(
     "x_json_extract",
     "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
     "FROM events",
