@@ -1,0 +1,289 @@
+"""Temporal joins and rollups over event streams: as-of join, point-in-
+interval range join, multi-resolution time rollup.
+
+The reference has no joins at all (README.md:199; SURVEY §2.6) — these are
+engine extensions in the same family as operators/joins.py, written for the
+shapes Spark lacks as built-ins:
+
+- `asof_join`: "latest right row at-or-before each left row" is not
+  expressible as an equi-join. The scalable encoding is union + ONE window
+  pass (partition by key, order by time, running last_value of the right
+  payload) — a single hash exchange; NO join node, no per-row probe, no
+  range explosion. This is how every columnar engine implements ASOF
+  internally; Spark just lets us spell it with public operators.
+- `range_join_points`: point-in-interval matching compiles to a *bucketed
+  equi-join*: intervals are exploded onto the fixed-width time buckets they
+  cover, points join on their single containing bucket, and the exact
+  predicate filters residuals. One shuffle on (key, bucket); the cartesian
+  product never appears. Interval replication = ceil(span/bucket_width),
+  capped by `max_span_buckets` so one pathological interval cannot fan out
+  unbounded (same guarded-default policy as dedup's bucket caps).
+- `rollup_time`: hour/day/week aggregates in ONE scan and ONE shuffle via
+  GROUPING SETS (physical plan: Expand → partial agg → exchange → final
+  agg). The naive union-of-three-groupbys reads the fact table three times
+  — at 100 TB that is the whole cost; Expand multiplies rows map-side only,
+  and partial aggregation collapses them before anything moves.
+
+All time arithmetic is tz-free epoch microseconds (unix_micros), matching
+the suite's oracle precedent (suite.py x_events_hourly): date_trunc would
+bucket in the session's local timezone and break cross-engine parity.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _us(c: Column, dtype) -> Column:
+    """Epoch-microseconds view of a timestamp or numeric column."""
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(c)
+    return c.cast("long")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: Optional[str] = None,
+    payload: Optional[Sequence[str]] = None,
+    direction: str = "backward",
+    how: str = "left",
+    tolerance_us: Optional[int] = None,
+    right_tiebreak: Optional[str] = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the payload of the right row with the same
+    `on` key and the greatest `right_ts` <= `left_ts` (direction="backward";
+    "forward" = least right_ts >= left_ts). Equal timestamps match.
+
+    Scale: union the two sides, ONE window partitioned by key ordered by
+    (time, side) carrying a running last-non-null right payload — a single
+    hash exchange + in-partition sort, linear state, no join node. Survives
+    any left:right size ratio because neither side is replicated or probed.
+
+    Determinism: if several right rows share (key, ts), pass
+    `right_tiebreak` (a right column; the row with the greatest tiebreak
+    wins under "backward", the least under "forward") or pre-dedupe.
+    `how` is "left" (unmatched left rows keep null payload) or "inner".
+    `tolerance_us` drops matches farther than that many microseconds away.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward (got {direction})")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner (got {how})")
+    right_ts = right_ts or left_ts
+    if payload is None:
+        payload = [c for c in right.columns if c not in (on, right_ts)]
+
+    # the side tag orders same-timestamp rows so that the right row is
+    # inside the window frame of a left row at the identical timestamp
+    l_side, r_side = (1, 0) if direction == "backward" else (0, 1)
+
+    r_ts_type = right.schema[right_ts].dataType
+    l_ts_type = left.schema[left_ts].dataType
+    pay_struct = F.struct(
+        F.col(right_ts).alias("__rt"), *[F.col(c) for c in payload]
+    )
+    r2 = (
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
+            F.col(on).alias("_k"),
+            _us(F.col(right_ts), r_ts_type).alias("_t"),
+            F.lit(r_side).alias("_side"),
+            (
+                F.col(right_tiebreak).cast("string")
+                if right_tiebreak
+                else F.lit(None).cast("string")
+            ).alias("_tb"),
+            pay_struct.alias("_rpay"),
+        )
+    )
+    l2 = left.select(
+        F.col(on).alias("_k"),
+        _us(F.col(left_ts), l_ts_type).alias("_t"),
+        F.lit(l_side).alias("_side"),
+        F.lit(None).cast("string").alias("_tb"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+
+    order = [F.col("_t").asc(), F.col("_side").asc(), F.col("_tb").asc()]
+    w = Window.partitionBy("_k").orderBy(*order)
+    if direction == "backward":
+        frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        matched = F.last("_rpay", ignorenulls=True).over(frame)
+    else:
+        frame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        matched = F.first("_rpay", ignorenulls=True).over(frame)
+
+    res = u.withColumn("_m", matched).filter(F.col("_lrow").isNotNull())
+
+    if tolerance_us is not None:
+        gap = F.col("_t") - _us(F.col("_m")["__rt"], r_ts_type)
+        if direction == "forward":
+            gap = -gap
+        res = res.withColumn(
+            "_m", F.when(gap <= F.lit(tolerance_us), F.col("_m"))
+        )
+    if how == "inner":
+        res = res.filter(F.col("_m").isNotNull())
+
+    def _out(c: str) -> str:
+        return c + suffix if c in left.columns else c
+
+    matched_ts_name = _out(right_ts)
+    out_cols = [F.col("_lrow")[c].alias(c) for c in left.columns]
+    out_cols.append(F.col("_m")["__rt"].alias(matched_ts_name))
+    out_cols += [F.col("_m")[c].alias(_out(c)) for c in payload]
+    return res.select(*out_cols)
+
+
+def range_join_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width_us: int = 3_600_000_000,
+    payload: Optional[Sequence[str]] = None,
+    max_span_buckets: int = 1024,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner-join each point row to every interval row with the same `on`
+    key satisfying start <= ts < end (end-exclusive).
+
+    Scale: intervals are exploded onto the `bucket_width_us`-wide time
+    buckets they overlap; a point lives in exactly one bucket, so the match
+    is a plain shuffled equi-join on (key, bucket) + a residual filter — no
+    BroadcastNestedLoop/cartesian ever. Each match is produced exactly once
+    (the point's bucket is unique). Pick `bucket_width_us` near the typical
+    interval span: replication per interval is ceil(span/width) (+1 for
+    alignment). Intervals longer than `max_span_buckets` buckets are
+    dropped (guarded default against unbounded fan-out) — raise the cap
+    explicitly for genuinely long-lived intervals.
+    """
+    if bucket_width_us <= 0:
+        raise ValueError(f"bucket_width_us must be positive (got {bucket_width_us})")
+    if payload is None:
+        payload = [
+            c for c in intervals.columns if c not in (on, start_col, end_col)
+        ]
+
+    p_us = _us(F.col(ts_col), points.schema[ts_col].dataType)
+    s_us = _us(F.col(start_col), intervals.schema[start_col].dataType)
+    e_us = _us(F.col(end_col), intervals.schema[end_col].dataType)
+    W = F.lit(bucket_width_us)
+
+    def _out(c: str) -> str:
+        return c + suffix if c in points.columns else c
+
+    i2 = (
+        intervals.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+        .filter(e_us > s_us)  # empty/inverted intervals match nothing
+        .withColumn("_b0", F.floor(s_us / W))
+        .withColumn("_b1", F.floor((e_us - F.lit(1)) / W))
+        .filter((F.col("_b1") - F.col("_b0")) < F.lit(max_span_buckets))
+        .withColumn("_b", F.explode(F.sequence(F.col("_b0"), F.col("_b1"))))
+        .select(
+            F.col(on).alias("_ik"),
+            F.col("_b"),
+            F.struct(
+                s_us.alias("__s"),
+                e_us.alias("__e"),
+                *[F.col(c) for c in payload],
+            ).alias("_ipay"),
+        )
+    )
+    p2 = points.withColumn("_b", F.floor(p_us / W)).withColumn("_pus", p_us)
+    joined = p2.join(
+        i2,
+        (p2[on] == i2["_ik"]) & (p2["_b"] == i2["_b"]),
+        "inner",
+    ).filter(
+        (F.col("_pus") >= F.col("_ipay")["__s"])
+        & (F.col("_pus") < F.col("_ipay")["__e"])
+    )
+    out_cols = [F.col(c) for c in points.columns]
+    out_cols.append(F.col("_ipay")["__s"].alias(_out(start_col + "_us")))
+    out_cols.append(F.col("_ipay")["__e"].alias(_out(end_col + "_us")))
+    out_cols += [F.col("_ipay")[c].alias(_out(c)) for c in payload]
+    return joined.select(*out_cols)
+
+
+# (grain label, bucket width in epoch microseconds); each width must divide
+# the next for the grouping-set buckets to nest (not required by the math,
+# just the convention users expect from hour/day/week)
+DEFAULT_GRAINS: Tuple[Tuple[str, int], ...] = (
+    ("hour", 3_600_000_000),
+    ("day", 86_400_000_000),
+    ("week", 604_800_000_000),
+)
+
+
+def rollup_time(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    grains: Sequence[Tuple[str, int]] = DEFAULT_GRAINS,
+) -> DataFrame:
+    """Tumbling-window aggregates at several grains at once (the hypertable
+    "continuous aggregate" shape): per (grain, bucket, *keys) row count,
+    exact value sum, and mean.
+
+    Scale: ONE scan + ONE shuffle for all grains — the grain buckets are
+    precomputed as columns and aggregated under GROUPING SETS, so the
+    physical plan is Expand (×len(grains), map-side only) → partial
+    HashAggregate → exchange → final HashAggregate. The union-of-groupbys
+    alternative scans the fact table len(grains) times.
+
+    Buckets are tz-free epoch-microsecond floors; `sum_value` goes through
+    DECIMAL(18,6) so it is exact and summation-order-independent (suite
+    precedent, x_events_hourly).
+    """
+    if not grains:
+        raise ValueError("grains must name at least one (label, width_us)")
+    ts_us = _us(F.col(ts_col), df.schema[ts_col].dataType)
+    base = df.select(
+        *[F.col(k) for k in keys],
+        F.col(value_col).alias("_v"),
+        *[
+            (F.floor(ts_us / F.lit(w)) * F.lit(w)).cast("long").alias(f"_b_{g}")
+            for g, w in grains
+        ],
+    )
+    bucket_cols = [f"_b_{g}" for g, _ in grains]
+    grouped = base.groupingSets(
+        # each set = one grain's bucket + ALL keys (keys are in every set;
+        # only the inactive grains' bucket columns null out)
+        [[F.col(b)] + [F.col(k) for k in keys] for b in bucket_cols],
+        *[F.col(b) for b in bucket_cols],
+        *[F.col(k) for k in keys],
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_v").cast("decimal(18,6)")).alias("_sum_dec"),
+    )
+    # exactly one bucket column is non-null per output row; label it
+    grain_label = None
+    for g, _ in grains:
+        cond = F.col(f"_b_{g}").isNotNull()
+        grain_label = (
+            F.when(cond, F.lit(g))
+            if grain_label is None
+            else grain_label.when(cond, F.lit(g))
+        )
+    return grouped.select(
+        grain_label.alias("grain"),
+        F.coalesce(*[F.col(b) for b in bucket_cols]).alias("bucket_us"),
+        *[F.col(k) for k in keys],
+        F.col("n"),
+        F.col("_sum_dec").cast("double").alias("sum_value"),
+        (F.col("_sum_dec").cast("double") / F.col("n")).alias("avg_value"),
+    )

@@ -1418,6 +1418,130 @@ def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(docs, "doc_id", 0.1).select("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# temporal extensions (operators/temporal.py): as-of join, range join,
+# multi-grain rollup — oracle-paired (DuckDB has ASOF JOIN + inequality
+# joins natively, so these approximate-free operators get hard signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_asof_join",
+    # each non-purchase event picks up the latest purchase of the same user
+    # at-or-before it; right side deduped per (user, ts) identically on both
+    # engines so ties cannot flip the hash
+    "WITH r AS (SELECT user_id, ts, max(event_id) AS anchor_id, "
+    "arg_max(value, event_id) AS anchor_value "
+    "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) "
+    # unmatched lefts keep sentinel values (not NULL) so the cross-engine
+    # value comparison never sorts NULL against numbers
+    "SELECT e.event_id, epoch_us(e.ts) AS ts_us, "
+    "coalesce(r.anchor_id, -1) AS anchor_id, "
+    "coalesce(r.anchor_value, 0.0) AS anchor_value, "
+    "coalesce(epoch_us(e.ts) - epoch_us(r.ts), -1) AS lag_us "
+    "FROM events e ASOF LEFT JOIN r "
+    "ON e.user_id = r.user_id AND epoch_us(e.ts) >= epoch_us(r.ts) "
+    "WHERE e.event_type <> 'purchase'",
+)
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.asof_join): union + one window pass,
+    no join node — verified value-exact against DuckDB's native ASOF JOIN."""
+    from purescript_ifrit_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("anchor_id"),
+            F.max_by("value", "event_id").alias("anchor_value"),
+        )
+    )
+    left = ev.filter(F.col("event_type") != "purchase")
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts",
+        payload=["anchor_id", "anchor_value"],
+    )
+    return out.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.coalesce("anchor_id", F.lit(-1)).alias("anchor_id"),
+        F.coalesce("anchor_value", F.lit(0.0)).alias("anchor_value"),
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros("ts_r"), F.lit(-1)
+        ).alias("lag_us"),
+    )
+
+
+@register(
+    "x_range_join",
+    # every non-purchase event inside a purchase's 6h attribution window
+    "SELECT e.event_id, p.anchor_id, "
+    "epoch_us(e.ts) - epoch_us(p.ts) AS delta_us "
+    "FROM events e JOIN (SELECT user_id, ts, event_id AS anchor_id "
+    "FROM events WHERE event_type = 'purchase') p "
+    "ON e.user_id = p.user_id "
+    "AND epoch_us(e.ts) >= epoch_us(p.ts) "
+    "AND epoch_us(e.ts) < epoch_us(p.ts) + 21600000000 "
+    "WHERE e.event_type <> 'purchase'",
+)
+def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/temporal.range_join_points):
+    bucketed equi-join, never a cartesian — verified against DuckDB's
+    inequality join."""
+    from purescript_ifrit_spark.operators.temporal import range_join_points
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + F.lit(6 * 3_600_000_000)
+        ).alias("w_end"),
+        F.col("event_id").alias("anchor_id"),
+    )
+    pts = ev.filter(F.col("event_type") != "purchase")
+    rj = range_join_points(
+        pts, iv, on="user_id", ts_col="ts",
+        start_col="w_start", end_col="w_end",
+        bucket_width_us=6 * 3_600_000_000,
+    )
+    return rj.select(
+        "event_id",
+        "anchor_id",
+        (F.unix_micros("ts") - F.col("w_start_us")).alias("delta_us"),
+    )
+
+
+@register(
+    "x_rollup_multi",
+    # the oracle recomputes each grain independently; the engine produces
+    # all three from ONE scan via GROUPING SETS — same rows either way
+    "WITH b AS (SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v, "
+    "(epoch_us(ts) // 3600000000) * 3600000000 AS bh, "
+    "(epoch_us(ts) // 86400000000) * 86400000000 AS bd, "
+    "(epoch_us(ts) // 604800000000) * 604800000000 AS bw FROM events) "
+    "SELECT 'hour' AS grain, CAST(bh AS BIGINT) AS bucket_us, event_type, "
+    "COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value, "
+    "CAST(SUM(v) AS DOUBLE) / COUNT(*) AS avg_value FROM b GROUP BY 2, 3 "
+    "UNION ALL "
+    "SELECT 'day', CAST(bd AS BIGINT), event_type, COUNT(*), "
+    "CAST(SUM(v) AS DOUBLE), CAST(SUM(v) AS DOUBLE) / COUNT(*) "
+    "FROM b GROUP BY 2, 3 "
+    "UNION ALL "
+    "SELECT 'week', CAST(bw AS BIGINT), event_type, COUNT(*), "
+    "CAST(SUM(v) AS DOUBLE), CAST(SUM(v) AS DOUBLE) / COUNT(*) "
+    "FROM b GROUP BY 2, 3",
+)
+def x_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup (operators/temporal.rollup_time):
+    hour/day/week in one scan + one shuffle (Expand + grouping sets)."""
+    from purescript_ifrit_spark.operators.temporal import rollup_time
+
+    ev = load_table(spark, sf_dir, "events")
+    return rollup_time(ev, "ts", ["event_type"], "value")
+
+
 # ===========================================================================
 # flagship (driver smoke check): pricing-summary-style grouped aggregation
 # ===========================================================================

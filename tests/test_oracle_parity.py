@@ -39,8 +39,11 @@ def _norm_cell(v):
 
 def _norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort by repr so rows with NULL cells still have a total order (None
+    # vs float is unorderable); equality below still compares real values
     return sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in rows
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows),
+        key=lambda row: tuple(repr(c) for c in row),
     )
 
 

@@ -1,0 +1,254 @@
+"""operators/temporal.py: as-of join, point-in-interval range join,
+multi-grain rollup — value semantics on hand-built frames plus the plan
+shapes that make them scale (no join node / no cartesian / one scan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.operators.temporal import (
+    asof_join,
+    range_join_points,
+    rollup_time,
+)
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # right side: (key, t, px) — the classic as-of shape
+    return spark.createDataFrame(
+        [
+            Row(k="a", t=10, px=1.0),
+            Row(k="a", t=20, px=2.0),
+            Row(k="a", t=30, px=3.0),
+            Row(k="b", t=15, px=9.0),
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            Row(k="a", t=5, qty=100),   # before any quote
+            Row(k="a", t=20, qty=200),  # exactly on a quote
+            Row(k="a", t=25, qty=300),  # between quotes
+            Row(k="b", t=99, qty=400),  # long after the only quote
+            Row(k="c", t=50, qty=500),  # key with no quotes at all
+        ]
+    )
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestAsofJoin:
+    def test_backward_semantics(self, trades, quotes):
+        out = asof_join(trades, quotes, on="k", left_ts="t", payload=["px"])
+        assert _rows(out, "k", "t", "px") == [
+            ("a", 5, None),   # no quote yet
+            ("a", 20, 2.0),   # equal ts matches
+            ("a", 25, 2.0),   # latest prior
+            ("b", 99, 9.0),
+            ("c", 50, None),  # unseen key survives with null (how="left")
+        ]
+
+    def test_matched_ts_exposed_with_suffix(self, trades, quotes):
+        out = asof_join(trades, quotes, on="k", left_ts="t", payload=["px"])
+        # right ts collides with left "t" -> surfaced as t_r
+        assert "t_r" in out.columns
+        row = {(r["k"], r["t"]): r["t_r"] for r in out.collect()}
+        assert row[("a", 25)] == 20 and row[("a", 5)] is None
+
+    def test_inner_drops_unmatched(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on="k", left_ts="t", payload=["px"], how="inner"
+        )
+        assert _rows(out, "k", "t") == [("a", 20), ("a", 25), ("b", 99)]
+
+    def test_forward_direction(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on="k", left_ts="t", payload=["px"],
+            direction="forward",
+        )
+        assert _rows(out, "k", "t", "px") == [
+            ("a", 5, 1.0),    # next quote at 10
+            ("a", 20, 2.0),   # equal ts matches forward too
+            ("a", 25, 3.0),
+            ("b", 99, None),  # nothing after
+            ("c", 50, None),
+        ]
+
+    def test_tolerance_nulls_stale_matches(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on="k", left_ts="t", payload=["px"],
+            tolerance_us=10,
+        )
+        got = {(r["k"], r["t"]): r["px"] for r in out.collect()}
+        assert got[("a", 25)] == 2.0   # gap 5 <= 10
+        assert got[("b", 99)] is None  # gap 84 > 10
+
+    def test_tiebreak_picks_greatest(self, spark, trades):
+        dup = spark.createDataFrame(
+            [Row(k="a", t=20, px=2.0, src=1), Row(k="a", t=20, px=7.0, src=2)]
+        )
+        out = asof_join(
+            trades, dup, on="k", left_ts="t", payload=["px"],
+            right_tiebreak="src",
+        )
+        got = {(r["k"], r["t"]): r["px"] for r in out.collect()}
+        assert got[("a", 25)] == 7.0  # src=2 wins under backward
+
+    def test_plan_has_no_join_and_one_exchange(self, trades, quotes):
+        out = asof_join(trades, quotes, on="k", left_ts="t", payload=["px"])
+        plan = physical(out)
+        assert "Join" not in plan and "CartesianProduct" not in plan
+        assert plan.count("Exchange") == 1  # the window's hash exchange
+
+    def test_rejects_bad_args(self, trades, quotes):
+        with pytest.raises(ValueError):
+            asof_join(trades, quotes, on="k", left_ts="t", direction="nearest")
+        with pytest.raises(ValueError):
+            asof_join(trades, quotes, on="k", left_ts="t", how="outer")
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    return spark.createDataFrame(
+        [
+            Row(k="a", s=10, e=20, tag="w1"),
+            Row(k="a", s=15, e=40, tag="w2"),   # overlaps w1; spans buckets
+            Row(k="a", s=30, e=30, tag="empty"),  # empty: matches nothing
+            Row(k="b", s=0, e=100, tag="wide"),
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(
+        [
+            Row(k="a", t=12, pid=1),  # in w1 only
+            Row(k="a", t=17, pid=2),  # in w1 and w2
+            Row(k="a", t=20, pid=3),  # end-exclusive: w1 out, w2 in
+            Row(k="a", t=39, pid=4),  # w2 only (different bucket than s)
+            Row(k="b", t=55, pid=5),  # wide
+            Row(k="c", t=1, pid=6),   # no intervals for key
+        ]
+    )
+
+
+class TestRangeJoin:
+    def test_point_in_interval_exactly_once(self, points, intervals):
+        out = range_join_points(
+            points, intervals, on="k", ts_col="t",
+            start_col="s", end_col="e", bucket_width_us=10,
+        )
+        assert _rows(out, "pid", "tag") == [
+            (1, "w1"), (2, "w1"), (2, "w2"), (3, "w2"), (4, "w2"), (5, "wide"),
+        ]
+
+    def test_bucket_width_does_not_change_result(self, points, intervals):
+        for w in (1, 3, 7, 1000):
+            out = range_join_points(
+                points, intervals, on="k", ts_col="t",
+                start_col="s", end_col="e", bucket_width_us=w,
+            )
+            assert len(_rows(out, "pid", "tag")) == 6, f"width={w}"
+
+    def test_span_cap_drops_pathological_interval(self, points, intervals):
+        # the "wide" interval spans 100 buckets at width 1 — over a cap of
+        # 50 it is dropped, everything else survives
+        out = range_join_points(
+            points, intervals, on="k", ts_col="t",
+            start_col="s", end_col="e", bucket_width_us=1,
+            max_span_buckets=50,
+        )
+        tags = {r["tag"] for r in out.collect()}
+        assert "wide" not in tags and {"w1", "w2"} <= tags
+
+    def test_plan_is_equi_join_not_cartesian(self, points, intervals):
+        out = range_join_points(
+            points, intervals, on="k", ts_col="t",
+            start_col="s", end_col="e", bucket_width_us=10,
+        )
+        plan = physical(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_rejects_bad_width(self, points, intervals):
+        with pytest.raises(ValueError):
+            range_join_points(
+                points, intervals, on="k", ts_col="t",
+                start_col="s", end_col="e", bucket_width_us=0,
+            )
+
+
+class TestRollupTime:
+    def test_matches_union_of_groupbys(self, spark, sf_dir):
+        from purescript_ifrit_spark.sources.tables import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        got = rollup_time(ev, "ts", ["event_type"], "value")
+
+        def one(label, width):
+            b = (F.floor(F.unix_micros("ts") / F.lit(width)) * F.lit(width)).cast(
+                "long"
+            )
+            return (
+                ev.groupBy(b.alias("bucket_us"), "event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(18,6)"))
+                    .cast("double")
+                    .alias("sum_value"),
+                )
+                .select(F.lit(label).alias("grain"), "*")
+            )
+
+        want = (
+            one("hour", 3_600_000_000)
+            .unionByName(one("day", 86_400_000_000))
+            .unionByName(one("week", 604_800_000_000))
+        )
+        g = sorted(
+            tuple(r)
+            for r in got.select(
+                "grain", "bucket_us", "event_type", "n", "sum_value"
+            ).collect()
+        )
+        w = sorted(tuple(r) for r in want.collect())
+        assert g == w
+
+    def test_single_scan_single_exchange(self, spark, sf_dir):
+        from purescript_ifrit_spark.sources.tables import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        plan = physical(rollup_time(ev, "ts", ["event_type"], "value"))
+        assert plan.count("Scan parquet") == 1  # NOT once per grain
+        assert "Expand" in plan
+        assert plan.count("Exchange") == 1
+
+    def test_avg_is_sum_over_n(self, spark):
+        df = spark.createDataFrame(
+            [Row(ts=1_000_000, g="x", v=1.5), Row(ts=2_000_000, g="x", v=2.5)]
+        ).select(F.timestamp_micros("ts").alias("ts"), "g", "v")
+        out = rollup_time(df, "ts", ["g"], "v", grains=(("hour", 3_600_000_000),))
+        r = out.collect()[0]
+        assert r["n"] == 2 and r["sum_value"] == 4.0 and r["avg_value"] == 2.0
+
+    def test_rejects_empty_grains(self, spark):
+        df = spark.range(1).select(
+            F.timestamp_micros(F.col("id")).alias("ts"),
+            F.lit("g").alias("g"),
+            F.lit(1.0).alias("v"),
+        )
+        with pytest.raises(ValueError):
+            rollup_time(df, "ts", ["g"], "v", grains=())
