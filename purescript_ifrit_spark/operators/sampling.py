@@ -106,6 +106,60 @@ def hash_sample(
     return df.filter(_draw(F.col(id_col), salt) < F.lit(_hex_cut(fraction)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~`fractions[stratum]` of
+    each stratum's rows (strata absent from the dict get
+    `default_fraction`). The corpus-rebalancing primitive ("keep 10% of en,
+    all of yo") with the same stability guarantee as `hash_sample`: one
+    uniform draw per row, compared against a stratum-dependent cutpoint —
+    membership never changes under reruns, repartitions, or corpus growth,
+    and raising one stratum's fraction only ever ADDS rows to it (the kept
+    set is monotone in the fraction).
+
+    Scan-stage Column expression; zero shuffle, zero Python."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0,1] (got {f})")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1] (got {default_fraction})")
+    cut = None
+    for s, f in fractions.items():
+        cond = F.col(stratum_col) == F.lit(s)
+        cut = (
+            F.when(cond, F.lit(_hex_cut(f)))
+            if cut is None
+            else cut.when(cond, F.lit(_hex_cut(f)))
+        )
+    tail = F.lit(_hex_cut(default_fraction))
+    cut = tail if cut is None else cut.otherwise(tail)
+    return df.filter(_draw(F.col(id_col), salt) < cut)
+
+
+def stratified_sample_sql(
+    id_expr: str,
+    stratum_expr: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    salt: str = "v1",
+) -> str:
+    """The ANSI-SQL WHERE-predicate twin of `stratified_sample` (same draw,
+    same cutpoints) — used by the driver oracle so engine and oracle can
+    never drift."""
+    draw = f"substr(md5({id_expr} || ':{salt}'), 1, 8)"
+    whens = " ".join(
+        f"WHEN {stratum_expr} = '{s}' THEN '{_hex_cut(f)}'"
+        for s, f in fractions.items()
+    )
+    return f"{draw} < (CASE {whens} ELSE '{_hex_cut(default_fraction)}' END)"
+
+
 def budget_sample(
     df: DataFrame,
     id_col: str,

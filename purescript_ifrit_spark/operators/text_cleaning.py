@@ -1,0 +1,99 @@
+"""PII redaction and boilerplate stripping — the text-cleaning stage of a
+training-data pipeline (SURVEY.md §2.7 family; no reference counterpart).
+
+Everything here is a scan-stage Column expression over built-in regex
+functions: zero shuffle, zero Python, whole-stage-codegen'd, so the cost at
+100 TB is exactly one pass over the text bytes.
+
+Regex portability: every pattern uses only the syntax subset shared by
+Java regex (Spark executors) and RE2 (the DuckDB oracle): character
+classes, \\d/\\s/\\S, bounded/unbounded repetition, (?i) — no lookahead,
+no backreferences. That is what lets the driver verify redaction
+byte-for-byte across engines.
+
+Redaction kinds apply IN ORDER (URL → email → phone), each pattern running
+over the previous stage's output: a URL containing an @ is consumed by the
+URL stage and can no longer half-match as an email. Counts are per-stage
+for the same reason — this is the contract the oracle mirrors stage by
+stage.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (kind, pattern, replacement) — ORDER MATTERS (see module docstring)
+PII_PATTERNS: Tuple[Tuple[str, str, str], ...] = (
+    ("url", r"https?://\S+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d[\d\-\s()]{6,}\d", "<PHONE>"),
+)
+
+# line-level boilerplate markers (case-insensitive, unanchored)
+BOILERPLATE_RX = (
+    r"(?i)(all rights reserved|cookie policy|privacy policy"
+    r"|terms of service|subscribe to our newsletter)"
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    kinds: Optional[Sequence[str]] = None,
+    out_col: Optional[str] = None,
+    count_cols: bool = True,
+) -> DataFrame:
+    """Replace URLs, emails and phone numbers with typed placeholder
+    tokens. `kinds` restricts/reorders which patterns run (default: all,
+    in PII_PATTERNS order). With `count_cols`, a `n_<kind>` column records
+    how many redactions each stage made (counted on that stage's input —
+    the number of replacements actually performed)."""
+    chosen = [
+        (k, rx, tok)
+        for k, rx, tok in PII_PATTERNS
+        if kinds is None or k in kinds
+    ]
+    if kinds is not None:
+        unknown = set(kinds) - {k for k, _, _ in PII_PATTERNS}
+        if unknown:
+            raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    out_col = out_col or text_col
+    cur: Column = F.col(text_col)
+    for k, rx, tok in chosen:
+        if count_cols:
+            df = df.withColumn(f"n_{k}", F.regexp_count(cur, F.lit(rx)))
+        df = df.withColumn(out_col, F.regexp_replace(cur, rx, tok))
+        cur = F.col(out_col)
+    if not chosen and out_col != text_col:
+        df = df.withColumn(out_col, cur)
+    return df
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str,
+    out_col: Optional[str] = None,
+    line_rx: str = BOILERPLATE_RX,
+) -> DataFrame:
+    """Drop every line matching `line_rx` (unanchored, case-insensitive by
+    default) and rejoin the survivors — the standard line-level boilerplate
+    filter. Higher-order array functions only; no UDF, no explode/shuffle."""
+    out_col = out_col or text_col
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda x: ~x.rlike(line_rx))
+    return df.withColumn(out_col, F.array_join(kept, "\n"))
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """The composed cleaning stage: strip boilerplate lines, then redact
+    PII (with per-kind counts). One codegen'd projection end to end."""
+    out_col = out_col or text_col
+    df = strip_boilerplate(df, text_col, out_col=out_col)
+    return redact_pii(df, out_col)

@@ -1419,6 +1419,124 @@ def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text cleaning (operators/text_cleaning.py): PII injected deterministically
+# in-entry (the driver corpus is PII-free), then boilerplate-stripped and
+# redacted stage-by-stage on BOTH engines — byte-exact via md5
+# ---------------------------------------------------------------------------
+
+
+def _pii_oracle() -> str:
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        BOILERPLATE_RX,
+        PII_PATTERNS,
+    )
+
+    aug = (
+        "SELECT doc_id, text"
+        " || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||"
+        " 'All Rights Reserved. Cookie Policy applies.' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Contact: user'"
+        " || doc_id || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'See https://ex'"
+        " || doc_id || '.example/a?b=1' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Call +1 555-0'"
+        " || (doc_id % 100 + 100) ELSE '' END AS x FROM documents"
+    )
+    strip = (
+        "SELECT doc_id, array_to_string(list_filter(string_split(x, chr(10)),"
+        f" l -> NOT regexp_matches(l, '{BOILERPLATE_RX}')), chr(10)) AS x"
+        f" FROM ({aug}) t0"
+    )
+    prev, carried = strip, []
+    for kind, rx, tok in PII_PATTERNS:
+        cols = ", ".join(carried + [""]).strip()
+        prev = (
+            f"SELECT doc_id, {cols}"
+            f" CAST(len(regexp_extract_all(x, '{rx}')) AS BIGINT) AS n_{kind},"
+            f" regexp_replace(x, '{rx}', '{tok}', 'g') AS x FROM ({prev}) t_{kind}"
+        )
+        carried.append(f"n_{kind}")
+    return (
+        f"SELECT doc_id, {', '.join(carried)}, md5(x) AS fp FROM ({prev}) tz"
+    )
+
+
+@register("x_pii_redact", _pii_oracle())
+def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip + staged PII redaction (URL → email → phone),
+    verified byte-for-byte (md5 of the cleaned text) plus per-stage
+    redaction counts. PII is planted deterministically from doc_id so the
+    oracle can reproduce the exact input."""
+    from purescript_ifrit_spark.operators.text_cleaning import clean_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.withColumn(
+        "x",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.lit("\nAll Rights Reserved. Cookie Policy applies."),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit("\nContact: user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit("\nSee https://ex"),
+                    did.cast("string"),
+                    F.lit(".example/a?b=1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit("\nCall +1 555-0"), (did % 100 + 100).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    cleaned = clean_text(aug, "x")
+    return cleaned.select(
+        "doc_id",
+        F.col("n_url").cast("long").alias("n_url"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5("x").alias("fp"),
+    )
+
+
+def _stratified_oracle() -> str:
+    from purescript_ifrit_spark.operators.sampling import stratified_sample_sql
+
+    pred = stratified_sample_sql(
+        "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.1}, 0.02
+    )
+    return f"SELECT doc_id, lang FROM documents WHERE {pred}"
+
+
+@register("x_stratified_sample", _stratified_oracle())
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (corpus rebalancing) —
+    per-row membership verified exactly by the oracle (the predicate SQL is
+    generated by the operator's own twin)."""
+    from purescript_ifrit_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.1}, 0.02
+    )
+    return kept.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
 # temporal extensions (operators/temporal.py): as-of join, range join,
 # multi-grain rollup — oracle-paired (DuckDB has ASOF JOIN + inequality
 # joins natively, so these approximate-free operators get hard signal)

@@ -1,0 +1,149 @@
+"""operators/text_cleaning.py (PII redaction, boilerplate strip) and
+operators/sampling.stratified_sample — value semantics + scan-stage plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.operators.sampling import stratified_sample
+from purescript_ifrit_spark.operators.text_cleaning import (
+    clean_text,
+    redact_pii,
+    strip_boilerplate,
+)
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, text="write to bob@corp.example or call +1 555-0199 now"),
+            Row(id=2, text="docs at https://ex.example/a?user=x@y.zz ok"),
+            Row(id=3, text="clean line\nAll rights reserved.\nanother line"),
+            Row(id=4, text="no pii here"),
+        ]
+    )
+
+
+class TestRedactPii:
+    def test_all_kinds_redacted_with_counts(self, dirty):
+        out = {r["id"]: r for r in redact_pii(dirty, "text").collect()}
+        assert out[1]["text"] == "write to <EMAIL> or call <PHONE> now"
+        assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+        assert out[4]["text"] == "no pii here"
+        assert out[4]["n_url"] == out[4]["n_email"] == out[4]["n_phone"] == 0
+
+    def test_url_stage_consumes_embedded_email(self, dirty):
+        # the URL contains an @; after the URL stage nothing email-shaped
+        # remains, so n_email must be 0 (staged counting contract)
+        out = {r["id"]: r for r in redact_pii(dirty, "text").collect()}
+        assert out[2]["text"] == "docs at <URL> ok"
+        assert out[2]["n_url"] == 1 and out[2]["n_email"] == 0
+
+    def test_kinds_subset(self, dirty):
+        out = {
+            r["id"]: r
+            for r in redact_pii(dirty, "text", kinds=["email"]).collect()
+        }
+        assert out[1]["text"] == "write to <EMAIL> or call +1 555-0199 now"
+        assert "n_url" not in out[1].asDict()
+
+    def test_unknown_kind_rejected(self, dirty):
+        with pytest.raises(ValueError):
+            redact_pii(dirty, "text", kinds=["ssn"])
+
+    def test_out_col_preserves_original(self, dirty):
+        out = redact_pii(dirty, "text", out_col="clean", count_cols=False)
+        r = {x["id"]: x for x in out.collect()}[1]
+        assert "bob@corp.example" in r["text"] and "<EMAIL>" in r["clean"]
+
+
+class TestStripBoilerplate:
+    def test_drops_matching_lines_only(self, dirty):
+        out = {r["id"]: r for r in strip_boilerplate(dirty, "text").collect()}
+        assert out[3]["text"] == "clean line\nanother line"
+        assert out[4]["text"] == "no pii here"
+
+    def test_case_insensitive(self, spark):
+        df = spark.createDataFrame([Row(id=1, text="a\nALL RIGHTS RESERVED\nb")])
+        assert strip_boilerplate(df, "text").collect()[0]["text"] == "a\nb"
+
+
+class TestCleanText:
+    def test_composed_and_scan_stage(self, dirty):
+        out = clean_text(dirty, "text")
+        got = {r["id"]: r for r in out.collect()}
+        assert got[3]["text"] == "clean line\nanother line"
+        assert got[1]["n_email"] == 1
+        plan = physical(out)
+        assert "Exchange" not in plan  # pure projection
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestStratifiedSample:
+    @pytest.fixture(scope="class")
+    def pop(self, spark):
+        return spark.range(0, 4000).select(
+            F.col("id"),
+            F.when(F.col("id") % 4 == 0, "en")
+            .when(F.col("id") % 4 == 1, "de")
+            .when(F.col("id") % 4 == 2, "fr")
+            .otherwise("zh")
+            .alias("lang"),
+        )
+
+    def test_fractions_approximately_honored(self, pop):
+        kept = stratified_sample(
+            pop, "id", "lang", {"en": 0.5, "de": 0.1}, default_fraction=0.0
+        )
+        counts = {
+            r["lang"]: r["n"]
+            for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert "fr" not in counts and "zh" not in counts  # default 0.0
+        assert 400 < counts["en"] < 600      # ~500 of 1000
+        assert 60 < counts["de"] < 140       # ~100 of 1000
+
+    def test_monotone_in_fraction(self, pop):
+        small = {
+            r["id"]
+            for r in stratified_sample(pop, "id", "lang", {"en": 0.2}).collect()
+        }
+        large = {
+            r["id"]
+            for r in stratified_sample(pop, "id", "lang", {"en": 0.6}).collect()
+        }
+        assert small <= large  # raising a fraction only ADDS rows
+
+    def test_stable_under_repartition(self, pop):
+        a = {
+            r["id"]
+            for r in stratified_sample(pop, "id", "lang", {"en": 0.3}).collect()
+        }
+        b = {
+            r["id"]
+            for r in stratified_sample(
+                pop.repartition(13), "id", "lang", {"en": 0.3}
+            ).collect()
+        }
+        assert a == b
+
+    def test_full_fraction_keeps_virtually_all(self, pop):
+        kept = stratified_sample(pop, "id", "lang", {"en": 1.0})
+        assert kept.count() >= 999  # 1.0 cut excludes only draw==ffffffff
+
+    def test_validation(self, pop):
+        with pytest.raises(ValueError):
+            stratified_sample(pop, "id", "lang", {"en": 1.5})
+        with pytest.raises(ValueError):
+            stratified_sample(pop, "id", "lang", {}, default_fraction=-0.1)
+
+    def test_scan_stage_plan(self, pop):
+        plan = physical(stratified_sample(pop, "id", "lang", {"en": 0.5}))
+        assert "Exchange" not in plan
