@@ -11,6 +11,8 @@ Surface (each takes one string-typed field path, like the built-in fns):
     SELECT FINGERPRINT(text) AS fp         -- md5 of normalized text (string)
     SELECT CHUNK(text)       AS chunks     -- 64-token/8-overlap windows
                                            -- (array of strings)
+    SELECT REDACT(text)      AS clean      -- URL/email/phone → placeholder
+                                           -- tokens (string)
     SELECT MIN(doc_id) AS doc_id GROUP BY FINGERPRINT(text)
                                            -- exact dedup: min id per
                                            -- normalized-content group
@@ -142,6 +144,18 @@ def _chunk_sql(x: str) -> str:
     )
 
 
+def _redact_column(c: Column) -> Column:
+    from purescript_ifrit_spark.operators.text_cleaning import redact_expr
+
+    return redact_expr(c)
+
+
+def _redact_sql(x: str) -> str:
+    from purescript_ifrit_spark.operators.text_cleaning import redact_sql
+
+    return redact_sql(x)
+
+
 @dataclass(frozen=True)
 class ExtFn:
     """One dialect extension function: name, result schema, and the two
@@ -182,5 +196,6 @@ EXT_FUNCTIONS: Dict[str, ExtFn] = {
             # an id can be numeric or string — the draw casts to string
             arg_kinds=("string", "number"),
         ),
+        ExtFn("REDACT", Schema.string(), _redact_column, _redact_sql),
     )
 }

@@ -200,6 +200,47 @@ def lsh_topk(
     return cosine_topk(cand, id_col, vec_col, query, k)
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    exact_grid: Optional[int] = None,
+) -> DataFrame:
+    """Per-label mean embedding → (label, dim, centroid) — the distributed
+    centroid computation (class prototypes, cluster means for an IVF-style
+    index built in-cluster rather than driver-side).
+
+    Scale: posexplode is map-side (×dim rows, never shuffled raw) — partial
+    aggregation collapses each partition to (labels × dim) running sums
+    before the single hash exchange, so shuffle volume is index-sized, not
+    data-sized.
+
+    `exact_grid` (e.g. 2**20) quantizes each component to floor(v * grid)
+    BEFORE summing: integer sums are order-independent, making the result
+    bit-reproducible across engines/partitionings (the cross-engine
+    verification mode; floor on identical doubles is tie-free, unlike any
+    decimal rounding of a float). Default None averages full-precision
+    doubles (last-bit summation-order noise, fine for real use)."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_v"),
+    )
+    if exact_grid is None:
+        agg = exploded.groupBy("label", "dim").agg(
+            F.avg(F.col("_v").cast("double")).alias("centroid")
+        )
+        return agg
+    scaled = exploded.withColumn(
+        "_s", F.floor(F.col("_v").cast("double") * F.lit(exact_grid)).cast("long")
+    )
+    return scaled.groupBy("label", "dim").agg(
+        (
+            F.sum("_s").cast("double")
+            / (F.count(F.lit(1)) * F.lit(float(exact_grid)))
+        ).alias("centroid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) index
 # ---------------------------------------------------------------------------

@@ -119,6 +119,35 @@ def fingerprint_docs(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn("fingerprint", X.fingerprint(F.col(text_col)))
 
 
+def term_stats(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 1
+) -> DataFrame:
+    """Corpus-wide term statistics over normalized whitespace tokens:
+    (term, tf = total occurrences, df = documents containing it) — the
+    vocabulary/IDF table of a text pipeline.
+
+    Scale: explode is map-side; the per-(term, doc) pre-aggregation
+    collapses repeated in-document terms BEFORE the wide shuffle (shuffle
+    rows ≈ distinct (term, doc) pairs with map-side partial combine), and
+    the second aggregation runs on term-level data that is vocabulary-sized.
+    This two-stage shape replaces countDistinct(doc) on the exploded rows,
+    which would carry every occurrence through one shuffle."""
+    toks = F.split(X.normalize_text(F.col(text_col)), " ")
+    exploded = df.select(
+        F.col(id_col).alias("_doc"), F.explode(toks).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = exploded.groupBy("term", "_doc").agg(
+        F.count(F.lit(1)).alias("_tf_doc")
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.sum("_tf_doc").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    if min_df > 1:
+        stats = stats.filter(F.col("df") >= min_df)
+    return stats
+
+
 def pack_sequences(
     df: DataFrame,
     tokens_col: str = "chunk_tokens",

@@ -39,6 +39,23 @@ BOILERPLATE_RX = (
 )
 
 
+def redact_expr(c: Column) -> Column:
+    """The redaction chain as a pure Column expression (no counts) — the
+    backend of the dialect REDACT function and of `redact_pii`."""
+    for _, rx, tok in PII_PATTERNS:
+        c = F.regexp_replace(c, rx, tok)
+    return c
+
+
+def redact_sql(x: str) -> str:
+    """Spark-SQL twin of `redact_expr` (nested regexp_replace, same
+    pattern order) — keeps the dialect's two backends in lock-step."""
+    for _, rx, tok in PII_PATTERNS:
+        lit = rx.replace("\\", "\\\\")
+        x = f"regexp_replace({x}, '{lit}', '{tok}')"
+    return x
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str,

@@ -1513,6 +1513,109 @@ def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _redact_dialect_oracle() -> str:
+    # staged regexp_replace over the SAME planted-PII text as x_pii_redact
+    # (minus boilerplate — REDACT is the redaction chain only)
+    from purescript_ifrit_spark.operators.text_cleaning import PII_PATTERNS
+
+    aug = (
+        "SELECT doc_id, text"
+        " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Contact: user'"
+        " || doc_id || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'See https://ex'"
+        " || doc_id || '.example/a?b=1' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Call +1 555-0'"
+        " || (doc_id % 100 + 100) ELSE '' END AS x FROM documents"
+    )
+    expr = "x"
+    for _, rx, tok in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{rx}', '{tok}', 'g')"
+    return f"SELECT doc_id, md5({expr}) AS fp FROM ({aug}) t"
+
+
+@register("xd_redact", _redact_dialect_oracle())
+def xd_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction reached through the DIALECT (`REDACT(x)`): the full
+    compiler path (lexer → parser → analyzer → planner), verified
+    byte-exact on planted PII."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit("\nContact: user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit("\nSee https://ex"),
+                    did.cast("string"),
+                    F.lit(".example/a?b=1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit("\nCall +1 555-0"), (did % 100 + 100).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("x"),
+    )
+    out = run_query(spark, aug, "SELECT doc_id, REDACT(x) AS clean")
+    return out.select("doc_id", F.md5("clean").alias("fp"))
+
+
+@register(
+    "x_term_stats",
+    # vocabulary table: per-term total occurrences + document frequency,
+    # top 50 by tf (term as tiebreak) — exact, fully deterministic
+    "WITH e AS (SELECT doc_id, unnest(string_split("
+    + _NORM_SQL
+    + ", ' ')) AS term FROM documents), "
+    "f AS (SELECT term, doc_id, COUNT(*) AS tf_doc FROM e "
+    "WHERE term <> '' GROUP BY 1, 2) "
+    "SELECT term, CAST(SUM(tf_doc) AS BIGINT) AS tf, "
+    "CAST(COUNT(*) AS BIGINT) AS df FROM f GROUP BY term "
+    "ORDER BY tf DESC, term LIMIT 50",
+)
+def x_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics (operators/text_analysis.term_stats):
+    two-stage aggregation — per-(term, doc) partials collapse before the
+    wide shuffle. Top 50 terms by total frequency."""
+    from purescript_ifrit_spark.operators.text_analysis import term_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = term_stats(docs, "doc_id", "text")
+    return stats.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(50)
+
+
+@register(
+    "x_embedding_centroids",
+    # per-label mean embedding, component-wise; floor-quantized integer
+    # sums (grid 2^20) are order-independent AND tie-free, so the division
+    # below is bit-identical across engines
+    "SELECT label, i - 1 AS dim, "
+    "CAST(SUM(CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE) "
+    "* 1048576) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0) AS centroid "
+    "FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2",
+)
+def x_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity.label_centroids,
+    exact_grid mode): distributed class prototypes — posexplode partials
+    collapse map-side; one index-sized shuffle."""
+    from purescript_ifrit_spark.operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding", exact_grid=2**20)
+
+
 def _stratified_oracle() -> str:
     from purescript_ifrit_spark.operators.sampling import stratified_sample_sql
 

@@ -178,6 +178,7 @@ EXT_QUERIES = [
     "SELECT doc_id, LANG_ID(text) AS lang",
     "SELECT doc_id, FINGERPRINT(text) AS fp",
     "SELECT doc_id, CHUNK(text) AS chunks",
+    "SELECT doc_id, REDACT(text) AS clean",
     "SELECT MIN(doc_id) AS doc_id GROUP BY FINGERPRINT(text)",
     "SELECT COUNT(doc_id) AS n GROUP BY LANG_ID(text)",
     "SELECT doc_id FROM (SELECT doc_id, QUALITY(text) AS q) WHERE q > 0.5",

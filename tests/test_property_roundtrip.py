@@ -49,7 +49,7 @@ _literal = st.one_of(
 _ext_operand = st.builds(
     FnOperand,
     fn=st.sampled_from(
-        ["TOKEN_COUNT", "QUALITY", "LANG_ID", "FINGERPRINT", "SPLIT"]
+        ["TOKEN_COUNT", "QUALITY", "LANG_ID", "FINGERPRINT", "SPLIT", "REDACT"]
     ),
     path=_path,
 )

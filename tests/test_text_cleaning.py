@@ -147,3 +147,83 @@ class TestStratifiedSample:
     def test_scan_stage_plan(self, pop):
         plan = physical(stratified_sample(pop, "id", "lang", {"en": 0.5}))
         assert "Exchange" not in plan
+
+
+class TestTermStats:
+    def test_tf_and_df(self, spark):
+        from purescript_ifrit_spark.operators.text_analysis import term_stats
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="The cat   sat"),
+                Row(doc_id=2, text="cat CAT dog"),
+                Row(doc_id=3, text=""),
+            ]
+        )
+        got = {
+            r["term"]: (r["tf"], r["df"])
+            for r in term_stats(df, "doc_id", "text").collect()
+        }
+        # normalization lowercases + collapses whitespace; blank doc is no-op
+        assert got == {"the": (1, 1), "cat": (3, 2), "sat": (1, 1), "dog": (1, 1)}
+
+    def test_min_df_filters(self, spark):
+        from purescript_ifrit_spark.operators.text_analysis import term_stats
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a b"), Row(doc_id=2, text="a c")]
+        )
+        got = {r["term"] for r in term_stats(df, "doc_id", "text", min_df=2).collect()}
+        assert got == {"a"}
+
+
+class TestLabelCentroids:
+    def test_exact_values(self, spark):
+        from purescript_ifrit_spark.operators.similarity import label_centroids
+
+        df = spark.createDataFrame(
+            [
+                Row(label=0, embedding=[1.0, 2.0]),
+                Row(label=0, embedding=[3.0, 6.0]),
+                Row(label=1, embedding=[10.0, 0.0]),
+            ]
+        )
+        got = {
+            (r["label"], r["dim"]): r["centroid"]
+            for r in label_centroids(df, "label", "embedding").collect()
+        }
+        assert got == {(0, 0): 2.0, (0, 1): 4.0, (1, 0): 10.0, (1, 1): 0.0}
+
+    def test_exact_grid_stable_under_repartition(self, spark, sf_dir):
+        from purescript_ifrit_spark.operators.similarity import label_centroids
+        from purescript_ifrit_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        a = label_centroids(emb, "label", "embedding", exact_grid=2**20)
+        b = label_centroids(
+            emb.repartition(7), "label", "embedding", exact_grid=2**20
+        )
+        ra = sorted(tuple(r) for r in a.collect())
+        rb = sorted(tuple(r) for r in b.collect())
+        assert ra == rb  # bit-identical: integer sums are order-independent
+
+
+class TestDialectRedact:
+    def test_redact_via_dialect_matches_expr(self, spark, dirty):
+        from purescript_ifrit_spark.api import run_query
+        from purescript_ifrit_spark.operators.text_cleaning import redact_expr
+
+        got = run_query(spark, dirty, "SELECT id, REDACT(text) AS clean")
+        want = dirty.select("id", redact_expr(F.col("text")).alias("clean"))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_redact_output_schema_is_string(self):
+        from purescript_ifrit_spark.api import compile_query
+
+        plan = compile_query(
+            {"id": "number", "text": "string"},
+            "SELECT REDACT(text) AS clean",
+        )
+        assert plan.output_schema.fields["clean"].kind == "string"
