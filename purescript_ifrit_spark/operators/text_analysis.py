@@ -148,6 +148,58 @@ def term_stats(
     return stats
 
 
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-k characteristic terms per document by a rational tf-idf
+    (score = tf_doc · N / df — the log-free variant, monotone in the
+    classic one for fixed N, and exactly reproducible across engines:
+    integer multiply, one float division, no transcendental whose last bit
+    differs between libm implementations).
+
+    Scale: one exploded pre-aggregation (same shape as `term_stats`), the
+    document-frequency table derived from it, joined back ON TERM (a plain
+    shuffled equi-join — the df table is vocabulary-sized, and AQE
+    broadcasts it when it fits; forcing broadcast would be wrong for
+    web-scale vocabularies), then a per-document window top-k
+    (WindowGroupLimit pushes the limit map-side).
+
+    `n_docs` overrides the corpus size (one count() action otherwise)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    from pyspark.sql import Window
+
+    if n_docs is None:
+        n_docs = df.count()
+    toks = F.split(X.normalize_text(F.col(text_col)), " ")
+    exploded = df.select(
+        F.col(id_col).alias("_doc"), F.explode(toks).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = exploded.groupBy("term", "_doc").agg(
+        F.count(F.lit(1)).alias("tf_doc")
+    )
+    vocab = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = per_doc.join(vocab, "term").withColumn(
+        "score",
+        (F.col("tf_doc") * F.lit(n_docs)).cast("double")
+        / F.col("df").cast("double"),
+    )
+    w = Window.partitionBy("_doc").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_doc").alias(id_col), "term", "tf_doc", "df", "score", "rank"
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     tokens_col: str = "chunk_tokens",

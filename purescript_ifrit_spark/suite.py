@@ -1353,6 +1353,76 @@ def x_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_streaming_session",
+    # gap-sessionization truth: session_window merges an event into the
+    # previous session iff its ts lies STRICTLY inside [prev_ts, prev_ts +
+    # gap) — so a gap of exactly 30 min starts a NEW session (>= below;
+    # the batch x_sessionize dialect uses > by its own contract)
+    "WITH s AS (SELECT user_id, ts, value, event_id, "
+    "CASE WHEN lag(ts) OVER w IS NULL "
+    "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 "
+    "THEN 1 ELSE 0 END AS new_s FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "g AS (SELECT user_id, ts, value, SUM(new_s) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+    "AS sid FROM s) "
+    "SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us, "
+    "CAST(epoch_us(MAX(ts)) + 1800000000 AS BIGINT) AS session_end_us, "
+    "COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM g GROUP BY user_id, sid",
+)
+def x_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-sessionization (session_window) driver-verified: the
+    events table replayed through a multi-batch availableNow stream must
+    produce exactly the sessions the oracle computes with lag/cumsum —
+    including sessions MERGED across micro-batch boundaries by the
+    session-window state store."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from purescript_ifrit_spark.streaming.pipeline import read_event_stream
+
+    staged = tempfile.mkdtemp(prefix="ifrit_stream_sess_")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+
+    stream = read_event_stream(spark, staged, max_files_per_trigger=2)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = f"x_streaming_session_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(staged, ignore_errors=True)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+        F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 @register("x_dedup_clusters", None)  # approximate candidates — rows-only
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level dedup: minhash pairs → connected components → keep the
@@ -1614,6 +1684,106 @@ def x_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_centroids(emb, "label", "embedding", exact_grid=2**20)
+
+
+@register(
+    "x_tfidf_topk",
+    # rational tf-idf (tf · N / df): integer operands, ONE double division
+    # — bit-identical across engines, no transcendental
+    "WITH e AS (SELECT doc_id, unnest(string_split("
+    + _NORM_SQL
+    + ", ' ')) AS term FROM documents), "
+    "pd AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf_doc FROM e "
+    "WHERE term <> '' GROUP BY 1, 2), "
+    "v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pd GROUP BY 1), "
+    "s AS (SELECT pd.doc_id, pd.term, pd.tf_doc, v.df, "
+    "CAST(pd.tf_doc * (SELECT COUNT(*) FROM documents) AS DOUBLE) "
+    "/ CAST(v.df AS DOUBLE) AS score FROM pd JOIN v USING (term)), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY score DESC, term) AS rank FROM s) "
+    "SELECT doc_id, term, tf_doc, df, score, CAST(rank AS INT) AS rank "
+    "FROM r WHERE rank <= 3",
+)
+def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by rational tf-idf
+    (operators/text_analysis.tfidf_topk)."""
+    from purescript_ifrit_spark.operators.text_analysis import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+register(
+    "x_pivot_events",
+    # per-user event-type counts, pivoted wide — exact integer cells
+    "SELECT user_id, "
+    "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click, "
+    "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error, "
+    "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase, "
+    "SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup, "
+    "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view "
+    "FROM events GROUP BY user_id",
+)(
+    lambda spark, sf_dir: load_table(spark, sf_dir, "events")
+    .groupBy("user_id")
+    .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+    .count()
+    .select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("click", "error", "purchase", "signup", "view")
+        ],
+    )
+)
+
+@register(
+    "x_running_total",
+    # per-user running value total in event-time order — decimal cumsum
+    # (exact, order-independent partials) surfaced as double
+    "SELECT event_id, user_id, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value "
+    "FROM events",
+)
+def x_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based window analytics: per-user running total, one shuffle
+    on user_id then a linear in-partition pass."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+register(
+    "x_anti_join",
+    # customers with no F-status order — the anti-join shape
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderstatus = 'F')",
+)(
+    lambda spark, sf_dir: load_table(spark, sf_dir, "customer")
+    .join(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey")),
+        ["c_custkey"],
+        "left_anti",
+    )
+    .select("c_custkey", "c_name")
+)
 
 
 def _stratified_oracle() -> str:

@@ -227,3 +227,29 @@ class TestDialectRedact:
             "SELECT REDACT(text) AS clean",
         )
         assert plan.output_schema.fields["clean"].kind == "string"
+
+
+class TestTfidfTopk:
+    def test_characteristic_term_wins(self, spark):
+        from purescript_ifrit_spark.operators.text_analysis import tfidf_topk
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="apple apple banana"),
+                Row(doc_id=2, text="banana cherry"),
+                Row(doc_id=3, text="banana dog"),
+            ]
+        )
+        top1 = {
+            r["doc_id"]: r["term"]
+            for r in tfidf_topk(df, "doc_id", "text", k=1).collect()
+        }
+        # 'banana' appears in every doc (df=3) so unique terms win
+        assert top1 == {1: "apple", 2: "cherry", 3: "dog"}
+
+    def test_rejects_bad_k(self, spark):
+        from purescript_ifrit_spark.operators.text_analysis import tfidf_topk
+
+        df = spark.createDataFrame([Row(doc_id=1, text="a")])
+        with pytest.raises(ValueError):
+            tfidf_topk(df, "doc_id", "text", k=0)
