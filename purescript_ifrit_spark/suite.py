@@ -1423,6 +1423,65 @@ def x_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_dedup_clusters_planted",
+    # ground truth by construction: per anchor (doc_id % 20 == 0) a CHAIN of
+    # 6 sliding-window variants (adjacent shingle-jaccard 36/38 ≈ 0.947 —
+    # far above the 0.8 threshold; chain ENDS at ≈ 0.73 — below it, so only
+    # transitive closure groups them) plus one isolated variant (window 20
+    # tokens away, max jaccard ≈ 0.31 to anything — must SURVIVE). Expected
+    # survivors: every base doc (the component minimum) + every isolated
+    # variant. Over-dropping kills an isolated row; missing transitivity
+    # leaves a chain variant alive — either way the set mismatches.
+    "SELECT doc_id FROM documents "
+    "UNION ALL SELECT doc_id + 7000000 AS doc_id FROM documents "
+    "WHERE doc_id % 20 = 0",
+)
+def x_dedup_clusters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components cluster dedup with exact planted ground truth
+    (minhash pairs → large-star/small-star CC → keep component minimum)."""
+    from functools import reduce
+
+    from purescript_ifrit_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_candidate_pairs,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def txt(w0: int):
+        toks = F.transform(
+            F.sequence(F.lit(w0), F.lit(w0 + 39)),
+            lambda k: F.concat(
+                F.lit("t"), F.col("doc_id").cast("string"), F.lit("x"),
+                k.cast("string"),
+            ),
+        )
+        return F.array_join(toks, " ")
+
+    base = ids.select("doc_id", txt(0).alias("text"))
+    anchors = ids.filter(F.col("doc_id") % 20 == 0)
+    parts = [base]
+    # text is computed BEFORE the id shift: the token lambda resolves
+    # doc_id, and aliasing first would shift the namespace too
+    for k in range(1, 7):
+        parts.append(
+            anchors.select("doc_id", txt(k).alias("text")).select(
+                (F.col("doc_id") + k * 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    parts.append(
+        anchors.select("doc_id", txt(20).alias("text")).select(
+            (F.col("doc_id") + 7_000_000).alias("doc_id"), "text"
+        )
+    )
+    corpus = reduce(lambda a, b: a.unionAll(b), parts)
+    pairs = minhash_candidate_pairs(
+        corpus, "doc_id", "text", jaccard_threshold=0.8, eager=True
+    )
+    return dedup_clusters(corpus, "doc_id", pairs).select("doc_id")
+
+
 @register("x_dedup_clusters", None)  # approximate candidates — rows-only
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level dedup: minhash pairs → connected components → keep the
