@@ -130,6 +130,35 @@ def bench_queries(spark) -> "tuple[dict, dict]":
         "q10_curation": q10_curation,
     }
 
+    # round-2 additions, timed under a SEPARATE key so the headline total
+    # stays comparable across rounds
+    def qx_asof_join():
+        from purescript_ifrit_spark.operators.temporal import asof_join
+
+        ev = t["events"]
+        right = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("anchor_id"))
+        )
+        return asof_join(
+            ev.filter(F.col("event_type") != "purchase"),
+            right,
+            on="user_id",
+            left_ts="ts",
+            payload=["anchor_id"],
+        )
+
+    def qx_rollup_multi():
+        from purescript_ifrit_spark.operators.temporal import rollup_time
+
+        return rollup_time(t["events"], "ts", ["event_type"], "value")
+
+    extra_queries = {
+        "qx_asof_join": qx_asof_join,
+        "qx_rollup_multi": qx_rollup_multi,
+    }
+
     # JVM warm-up (parquet footers, codegen)
     t["lineitem"].count()
 
@@ -151,20 +180,25 @@ def bench_queries(spark) -> "tuple[dict, dict]":
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist()
 
-    times, cold = {}, {}
-    for name, fn in queries.items():
-        start = time.perf_counter()
-        _consume(fn())
-        cold[name] = round(time.perf_counter() - start, 3)
-        steady = []
-        for _ in range(2):
-            _release_all(spark)
+    def _run(qs):
+        times, cold = {}, {}
+        for name, fn in qs.items():
             start = time.perf_counter()
             _consume(fn())
-            steady.append(time.perf_counter() - start)
-        times[name] = round(min(steady), 3)
-        _release_all(spark)
-    return times, cold
+            cold[name] = round(time.perf_counter() - start, 3)
+            steady = []
+            for _ in range(2):
+                _release_all(spark)
+                start = time.perf_counter()
+                _consume(fn())
+                steady.append(time.perf_counter() - start)
+            times[name] = round(min(steady), 3)
+            _release_all(spark)
+        return times, cold
+
+    times, cold = _run(queries)
+    extra, _ = _run(extra_queries)
+    return times, cold, extra
 
 
 def bench_compile() -> dict:
@@ -202,7 +236,7 @@ def main() -> None:
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        times, cold = bench_queries(spark)
+        times, cold, extra = bench_queries(spark)
         total = round(sum(times.values()), 3)
         result = {
             "metric": "headline_queries_total_steady_state",
@@ -210,6 +244,7 @@ def main() -> None:
             "unit": "sec",
             "queries": times,
             "queries_cold_first_run": cold,
+            "queries_extra_steady_state": extra,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "compile_ops_per_sec": bench_compile(),
             "cpus": int(CPUS),
