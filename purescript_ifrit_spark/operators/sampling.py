@@ -160,6 +160,38 @@ def stratified_sample_sql(
     return f"{draw} < (CASE {whens} ELSE '{_hex_cut(default_fraction)}' END)"
 
 
+def stratified_fixed_k(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    k: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, selected in
+    deterministic md5-draw order (then id as tie-break) — fixed-count
+    allocation, the complement of `stratified_sample`'s fixed-fraction.
+    Unlike fraction sampling, growing the corpus CAN displace rows (a new
+    row with an earlier draw evicts the stratum's last pick) — that is
+    inherent to any exact-k scheme; within a fixed corpus the selection is
+    stable under reruns and repartitions.
+
+    Scale: one window partitioned by stratum in draw order — the same
+    shuffle a groupBy(stratum) needs; WindowGroupLimit pushes the k-limit
+    map-side so only ~k rows per stratum per partition reach the exchange."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        _draw(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def budget_sample(
     df: DataFrame,
     id_col: str,

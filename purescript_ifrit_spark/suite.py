@@ -1845,6 +1845,71 @@ register(
 )
 
 
+@register(
+    "x_stratified_fixed_k",
+    # exactly 30 docs per language, picked in md5-draw order — per-row
+    # membership recomputed by the same window in DuckDB
+    "SELECT doc_id, lang FROM ("
+    "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+    "ORDER BY substr(md5(doc_id || ':v1'), 1, 8), doc_id) AS rk "
+    "FROM documents) t WHERE rk <= 30",
+)
+def x_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-count per-stratum sampling (sampling.stratified_fixed_k):
+    exactly 30 per language in deterministic draw order."""
+    from purescript_ifrit_spark.operators.sampling import stratified_fixed_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_fixed_k(docs, "doc_id", "lang", 30).select(
+        "doc_id", "lang"
+    )
+
+
+register(
+    "x_semi_join",
+    # customers WITH at least one high-value order — the semi-join shape
+    # (no row multiplication, no payload from the right side)
+    "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_totalprice > 400000)",
+)(
+    lambda spark, sf_dir: load_table(spark, sf_dir, "customer")
+    .join(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey")),
+        ["c_custkey"],
+        "left_semi",
+    )
+    .select("c_custkey", "c_name")
+)
+
+
+@register(
+    "x_equidepth_buckets",
+    # equi-depth decile assignment WITHIN each order priority —
+    # deterministic via the (o_totalprice, o_orderkey) total order. The
+    # window is partitioned (one shuffle on the group key), never the
+    # global single-partition ntile, which is the same scale-killer as an
+    # unpartitioned sort
+    "SELECT o_orderkey, o_orderpriority, CAST(ntile(10) OVER "
+    "(PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) "
+    "AS INT) AS decile FROM orders",
+)
+def x_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group equi-depth bucketing (ntile) — the binning primitive,
+    partitioned so it scales like any grouped window."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey", "o_orderpriority", F.ntile(10).over(w).alias("decile")
+    )
+
+
 def _stratified_oracle() -> str:
     from purescript_ifrit_spark.operators.sampling import stratified_sample_sql
 

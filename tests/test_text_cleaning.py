@@ -253,3 +253,44 @@ class TestTfidfTopk:
         df = spark.createDataFrame([Row(doc_id=1, text="a")])
         with pytest.raises(ValueError):
             tfidf_topk(df, "doc_id", "text", k=0)
+
+
+class TestStratifiedFixedK:
+    def test_exact_count_per_stratum(self, spark):
+        from purescript_ifrit_spark.operators.sampling import stratified_fixed_k
+
+        pop = spark.range(0, 100).select(
+            F.col("id"), (F.col("id") % 3).cast("string").alias("s")
+        )
+        kept = stratified_fixed_k(pop, "id", "s", 5)
+        counts = {
+            r["s"]: r["n"]
+            for r in kept.groupBy("s").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {"0": 5, "1": 5, "2": 5}
+
+    def test_small_stratum_kept_whole(self, spark):
+        from purescript_ifrit_spark.operators.sampling import stratified_fixed_k
+
+        pop = spark.range(0, 3).select(F.col("id"), F.lit("only").alias("s"))
+        assert stratified_fixed_k(pop, "id", "s", 10).count() == 3
+
+    def test_stable_under_repartition(self, spark):
+        from purescript_ifrit_spark.operators.sampling import stratified_fixed_k
+
+        pop = spark.range(0, 200).select(
+            F.col("id"), (F.col("id") % 2).cast("string").alias("s")
+        )
+        a = {r["id"] for r in stratified_fixed_k(pop, "id", "s", 7).collect()}
+        b = {
+            r["id"]
+            for r in stratified_fixed_k(pop.repartition(9), "id", "s", 7).collect()
+        }
+        assert a == b
+
+    def test_rejects_bad_k(self, spark):
+        from purescript_ifrit_spark.operators.sampling import stratified_fixed_k
+
+        pop = spark.range(1).select(F.col("id"), F.lit("s").alias("s"))
+        with pytest.raises(ValueError):
+            stratified_fixed_k(pop, "id", "s", 0)
