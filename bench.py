@@ -47,7 +47,7 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark) -> "tuple[dict, dict]":
+def bench_queries(spark) -> "tuple[dict, dict, dict]":
     from pyspark.sql import functions as F
 
     from purescript_ifrit_spark.api import run_query

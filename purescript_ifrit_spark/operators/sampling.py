@@ -29,6 +29,13 @@ def _hex_cut(fraction: float) -> str:
     return format(min(int(fraction * _SPACE), _SPACE - 1), "08x")
 
 
+def _cut_or_all(fraction: float) -> str:
+    """Cutpoint that keeps EVERYTHING at fraction 1.0: 'g' sorts after any
+    hex digit, so draw < 'g' is always true (a plain _hex_cut(1.0) caps at
+    'ffffffff' and silently drops the 1-in-2^32 draw equal to it)."""
+    return "g" if fraction >= 1.0 else _hex_cut(fraction)
+
+
 def _draw(id_col: Column, salt: str) -> Column:
     return F.substring(
         F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt))), 1, 8
@@ -116,8 +123,9 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling: keep ~`fractions[stratum]` of
     each stratum's rows (strata absent from the dict get
-    `default_fraction`). The corpus-rebalancing primitive ("keep 10% of en,
-    all of yo") with the same stability guarantee as `hash_sample`: one
+    `default_fraction`). Fraction 1.0 keeps the stratum in full. The
+    corpus-rebalancing primitive ("keep 10% of en, all of yo") with the
+    same stability guarantee as `hash_sample`: one
     uniform draw per row, compared against a stratum-dependent cutpoint —
     membership never changes under reruns, repartitions, or corpus growth,
     and raising one stratum's fraction only ever ADDS rows to it (the kept
@@ -133,11 +141,11 @@ def stratified_sample(
     for s, f in fractions.items():
         cond = F.col(stratum_col) == F.lit(s)
         cut = (
-            F.when(cond, F.lit(_hex_cut(f)))
+            F.when(cond, F.lit(_cut_or_all(f)))
             if cut is None
-            else cut.when(cond, F.lit(_hex_cut(f)))
+            else cut.when(cond, F.lit(_cut_or_all(f)))
         )
-    tail = F.lit(_hex_cut(default_fraction))
+    tail = F.lit(_cut_or_all(default_fraction))
     cut = tail if cut is None else cut.otherwise(tail)
     return df.filter(_draw(F.col(id_col), salt) < cut)
 
@@ -154,10 +162,10 @@ def stratified_sample_sql(
     never drift."""
     draw = f"substr(md5({id_expr} || ':{salt}'), 1, 8)"
     whens = " ".join(
-        f"WHEN {stratum_expr} = '{s}' THEN '{_hex_cut(f)}'"
+        f"WHEN {stratum_expr} = '{s}' THEN '{_cut_or_all(f)}'"
         for s, f in fractions.items()
     )
-    return f"{draw} < (CASE {whens} ELSE '{_hex_cut(default_fraction)}' END)"
+    return f"{draw} < (CASE {whens} ELSE '{_cut_or_all(default_fraction)}' END)"
 
 
 def stratified_fixed_k(

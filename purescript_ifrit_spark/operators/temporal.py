@@ -90,6 +90,12 @@ def asof_join(
     pay_struct = F.struct(
         F.col(right_ts).alias("__rt"), *[F.col(c) for c in payload]
     )
+    # the tiebreak keeps its NATIVE type (a string cast would order numeric
+    # tiebreaks lexicographically: '10' < '9'); the left side carries a
+    # typed NULL so the union schemas line up
+    tb_type = (
+        right.schema[right_tiebreak].dataType if right_tiebreak else T.StringType()
+    )
     r2 = (
         right.filter(F.col(right_ts).isNotNull())
         .select(
@@ -97,9 +103,9 @@ def asof_join(
             _us(F.col(right_ts), r_ts_type).alias("_t"),
             F.lit(r_side).alias("_side"),
             (
-                F.col(right_tiebreak).cast("string")
+                F.col(right_tiebreak)
                 if right_tiebreak
-                else F.lit(None).cast("string")
+                else F.lit(None).cast(tb_type)
             ).alias("_tb"),
             pay_struct.alias("_rpay"),
         )
@@ -108,7 +114,7 @@ def asof_join(
         F.col(on).alias("_k"),
         _us(F.col(left_ts), l_ts_type).alias("_t"),
         F.lit(l_side).alias("_side"),
-        F.lit(None).cast("string").alias("_tb"),
+        F.lit(None).cast(tb_type).alias("_tb"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
@@ -269,11 +275,21 @@ def rollup_time(
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("_v").cast("decimal(18,6)")).alias("_sum_dec"),
+        F.grouping_id().alias("_gid"),
     )
-    # exactly one bucket column is non-null per output row; label it
+    # label each row by WHICH grouping set produced it (grouping_id), not
+    # by bucket non-nullness: a NULL timestamp nulls every bucket column,
+    # which would mislabel (and appear to merge) those rows. grouping_id
+    # bit i (MSB-first over bucket_cols + keys) is set iff that column is
+    # NOT in the row's grouping set.
+    n_bits = len(bucket_cols) + len(keys)
+    all_buckets_mask = sum(
+        1 << (n_bits - 1 - i) for i in range(len(bucket_cols))
+    )
     grain_label = None
-    for g, _ in grains:
-        cond = F.col(f"_b_{g}").isNotNull()
+    for i, (g, _) in enumerate(grains):
+        gid = all_buckets_mask - (1 << (n_bits - 1 - i))
+        cond = F.col("_gid") == F.lit(gid)
         grain_label = (
             F.when(cond, F.lit(g))
             if grain_label is None

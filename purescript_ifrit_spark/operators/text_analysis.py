@@ -132,20 +132,28 @@ def term_stats(
     the second aggregation runs on term-level data that is vocabulary-sized.
     This two-stage shape replaces countDistinct(doc) on the exploded rows,
     which would carry every occurrence through one shuffle."""
-    toks = F.split(X.normalize_text(F.col(text_col)), " ")
-    exploded = df.select(
-        F.col(id_col).alias("_doc"), F.explode(toks).alias("term")
-    ).filter(F.col("term") != "")
-    per_doc = exploded.groupBy("term", "_doc").agg(
-        F.count(F.lit(1)).alias("_tf_doc")
-    )
+    per_doc = _per_doc_term_counts(df, id_col, text_col)
     stats = per_doc.groupBy("term").agg(
-        F.sum("_tf_doc").alias("tf"),
+        F.sum("tf_doc").alias("tf"),
         F.count(F.lit(1)).alias("df"),
     )
     if min_df > 1:
         stats = stats.filter(F.col("df") >= min_df)
     return stats
+
+
+def _per_doc_term_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, _doc, tf_doc) over normalized whitespace tokens — the shared
+    tokenize → explode → pre-aggregate stage of term_stats and tfidf_topk
+    (one definition so the two operators — and their paired oracles — can
+    never diverge on tokenization or the empty-term rule)."""
+    toks = F.split(X.normalize_text(F.col(text_col)), " ")
+    exploded = df.select(
+        F.col(id_col).alias("_doc"), F.explode(toks).alias("term")
+    ).filter(F.col("term") != "")
+    return exploded.groupBy("term", "_doc").agg(
+        F.count(F.lit(1)).alias("tf_doc")
+    )
 
 
 def tfidf_topk(
@@ -175,13 +183,7 @@ def tfidf_topk(
 
     if n_docs is None:
         n_docs = df.count()
-    toks = F.split(X.normalize_text(F.col(text_col)), " ")
-    exploded = df.select(
-        F.col(id_col).alias("_doc"), F.explode(toks).alias("term")
-    ).filter(F.col("term") != "")
-    per_doc = exploded.groupBy("term", "_doc").agg(
-        F.count(F.lit(1)).alias("tf_doc")
-    )
+    per_doc = _per_doc_term_counts(df, id_col, text_col)
     vocab = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = per_doc.join(vocab, "term").withColumn(
         "score",

@@ -68,15 +68,15 @@ def redact_pii(
     in PII_PATTERNS order). With `count_cols`, a `n_<kind>` column records
     how many redactions each stage made (counted on that stage's input —
     the number of replacements actually performed)."""
-    chosen = [
-        (k, rx, tok)
-        for k, rx, tok in PII_PATTERNS
-        if kinds is None or k in kinds
-    ]
-    if kinds is not None:
-        unknown = set(kinds) - {k for k, _, _ in PII_PATTERNS}
+    by_kind = {k: (k, rx, tok) for k, rx, tok in PII_PATTERNS}
+    if kinds is None:
+        chosen = list(PII_PATTERNS)
+    else:
+        unknown = set(kinds) - set(by_kind)
         if unknown:
             raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+        # caller order is the application order (the docstring contract)
+        chosen = [by_kind[k] for k in kinds]
     out_col = out_col or text_col
     cur: Column = F.col(text_col)
     for k, rx, tok in chosen:

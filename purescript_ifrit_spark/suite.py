@@ -721,9 +721,9 @@ def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic planted-duplicate corpus derived from the documents ids:
     every doc gets 40 tokens unique to its id (cross-doc jaccard is exactly
     0), docs with id % 10 == 0 get an exact-normalized variant at
-    id + 1_000_000 (jaccard exactly 1 — always an LSH candidate since
+    id + 10**12 (jaccard exactly 1 — always an LSH candidate since
     identical shingles give identical signatures), and docs with
-    id % 10 == 5 get a 38-token prefix variant at id + 2_000_000
+    id % 10 == 5 get a 38-token prefix variant at id + 2·10**12
     (shingle jaccard exactly 36/38 ≈ 0.947)."""
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
     toks = F.transform(
@@ -737,12 +737,12 @@ def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # variants derive from base's materialized `text` column — NOT from the
     # token lambda, which would re-resolve `doc_id` against the shifted alias
     exact_var = base.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
         # case + whitespace noise: normalizes back to the base text
         F.regexp_replace(F.upper(F.col("text")), " ", "  ").alias("text"),
     )
     near_var = base.filter(F.col("doc_id") % 10 == 5).select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        (F.col("doc_id") + 2_000_000_000_000).alias("doc_id"),
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 38), " ").alias(
             "text"
         ),
@@ -764,10 +764,10 @@ _PLANTED_TOKS = (
     # jaccard 0 by construction (disjoint per-doc token namespaces)
     f"WITH base AS ({_PLANTED_TOKS}), "
     "pairs AS ("
-    "  SELECT doc_id, doc_id + 1000000 AS vid, toks AS vtoks FROM base "
+    "  SELECT doc_id, doc_id + 1000000000000 AS vid, toks AS vtoks FROM base "
     "  WHERE doc_id % 10 = 0 "
     "  UNION ALL "
-    "  SELECT doc_id, doc_id + 2000000 AS vid, toks[1:38] AS vtoks FROM base "
+    "  SELECT doc_id, doc_id + 2000000000000 AS vid, toks[1:38] AS vtoks FROM base "
     "  WHERE doc_id % 10 = 5), "
     "j AS ("
     "  SELECT p.vid, "
@@ -800,13 +800,13 @@ def x_dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 38-token near-dup variants are EXCLUDED here: sharing 38/40 tokens
     # often flips zero simhash bits, which is correct simhash behavior but
     # not oracle-predictable — the minhash entry covers the near-dup tier
-    "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, "
+    "SELECT doc_id AS id_a, doc_id + 1000000000000 AS id_b, "
     "CAST(0 AS BIGINT) AS hamming FROM documents WHERE doc_id % 10 = 0",
 )
 def x_dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.dedup import simhash_candidate_pairs
 
-    planted = _planted_docs(spark, sf_dir).filter(F.col("doc_id") < 2_000_000)
+    planted = _planted_docs(spark, sf_dir).filter(F.col("doc_id") < 2_000_000_000_000)
     out = simhash_candidate_pairs(planted, "doc_id", "text", max_hamming=0)
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
@@ -1434,7 +1434,7 @@ def x_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # variant. Over-dropping kills an isolated row; missing transitivity
     # leaves a chain variant alive — either way the set mismatches.
     "SELECT doc_id FROM documents "
-    "UNION ALL SELECT doc_id + 7000000 AS doc_id FROM documents "
+    "UNION ALL SELECT doc_id + 7000000000000 AS doc_id FROM documents "
     "WHERE doc_id % 20 = 0",
 )
 def x_dedup_clusters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1467,12 +1467,12 @@ def x_dedup_clusters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(1, 7):
         parts.append(
             anchors.select("doc_id", txt(k).alias("text")).select(
-                (F.col("doc_id") + k * 1_000_000).alias("doc_id"), "text"
+                (F.col("doc_id") + k * 1_000_000_000_000).alias("doc_id"), "text"
             )
         )
     parts.append(
         anchors.select("doc_id", txt(20).alias("text")).select(
-            (F.col("doc_id") + 7_000_000).alias("doc_id"), "text"
+            (F.col("doc_id") + 7_000_000_000_000).alias("doc_id"), "text"
         )
     )
     corpus = reduce(lambda a, b: a.unionAll(b), parts)
@@ -1554,23 +1554,72 @@ def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# planted-PII lines, ONE definition feeding both engines (a Column builder
+# and a SQL-fragment twin per plant) so the four consuming sites — batch +
+# dialect entries and their oracles — can never drift. Each (modulus,
+# column-expr builder, sql-expr) appends one line when doc_id % modulus == 0.
+def _pii_plants(with_boilerplate: bool):
+    plants = []
+    if with_boilerplate:
+        plants.append(
+            (
+                5,
+                lambda did: F.lit("\nAll Rights Reserved. Cookie Policy applies."),
+                "chr(10) || 'All Rights Reserved. Cookie Policy applies.'",
+            )
+        )
+    plants += [
+        (
+            7,
+            lambda did: F.concat(
+                F.lit("\nContact: user"), did.cast("string"), F.lit("@example.com")
+            ),
+            "chr(10) || 'Contact: user' || doc_id || '@example.com'",
+        ),
+        (
+            11,
+            lambda did: F.concat(
+                F.lit("\nSee https://ex"), did.cast("string"), F.lit(".example/a?b=1")
+            ),
+            "chr(10) || 'See https://ex' || doc_id || '.example/a?b=1'",
+        ),
+        (
+            13,
+            lambda did: F.concat(
+                F.lit("\nCall +1 555-0"), (did % 100 + 100).cast("string")
+            ),
+            "chr(10) || 'Call +1 555-0' || (doc_id % 100 + 100)",
+        ),
+    ]
+    return plants
+
+
+def _pii_aug_col(with_boilerplate: bool) -> "F.Column":
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        *[
+            F.when(did % m == 0, build(did)).otherwise(F.lit(""))
+            for m, build, _ in _pii_plants(with_boilerplate)
+        ],
+    )
+
+
+def _pii_aug_sql(with_boilerplate: bool) -> str:
+    cases = "".join(
+        f" || CASE WHEN doc_id % {m} = 0 THEN {sql} ELSE '' END"
+        for m, _, sql in _pii_plants(with_boilerplate)
+    )
+    return f"SELECT doc_id, text{cases} AS x FROM documents"
+
+
 def _pii_oracle() -> str:
     from purescript_ifrit_spark.operators.text_cleaning import (
         BOILERPLATE_RX,
         PII_PATTERNS,
     )
 
-    aug = (
-        "SELECT doc_id, text"
-        " || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||"
-        " 'All Rights Reserved. Cookie Policy applies.' ELSE '' END"
-        " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Contact: user'"
-        " || doc_id || '@example.com' ELSE '' END"
-        " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'See https://ex'"
-        " || doc_id || '.example/a?b=1' ELSE '' END"
-        " || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Call +1 555-0'"
-        " || (doc_id % 100 + 100) ELSE '' END AS x FROM documents"
-    )
+    aug = _pii_aug_sql(with_boilerplate=True)
     strip = (
         "SELECT doc_id, array_to_string(list_filter(string_split(x, chr(10)),"
         f" l -> NOT regexp_matches(l, '{BOILERPLATE_RX}')), chr(10)) AS x"
@@ -1599,39 +1648,7 @@ def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.text_cleaning import clean_text
 
     docs = load_table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    aug = docs.withColumn(
-        "x",
-        F.concat(
-            F.col("text"),
-            F.when(
-                did % 5 == 0,
-                F.lit("\nAll Rights Reserved. Cookie Policy applies."),
-            ).otherwise(F.lit("")),
-            F.when(
-                did % 7 == 0,
-                F.concat(
-                    F.lit("\nContact: user"),
-                    did.cast("string"),
-                    F.lit("@example.com"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                did % 11 == 0,
-                F.concat(
-                    F.lit("\nSee https://ex"),
-                    did.cast("string"),
-                    F.lit(".example/a?b=1"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                did % 13 == 0,
-                F.concat(
-                    F.lit("\nCall +1 555-0"), (did % 100 + 100).cast("string")
-                ),
-            ).otherwise(F.lit("")),
-        ),
-    )
+    aug = docs.withColumn("x", _pii_aug_col(with_boilerplate=True))
     cleaned = clean_text(aug, "x")
     return cleaned.select(
         "doc_id",
@@ -1647,15 +1664,7 @@ def _redact_dialect_oracle() -> str:
     # (minus boilerplate — REDACT is the redaction chain only)
     from purescript_ifrit_spark.operators.text_cleaning import PII_PATTERNS
 
-    aug = (
-        "SELECT doc_id, text"
-        " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Contact: user'"
-        " || doc_id || '@example.com' ELSE '' END"
-        " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'See https://ex'"
-        " || doc_id || '.example/a?b=1' ELSE '' END"
-        " || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Call +1 555-0'"
-        " || (doc_id % 100 + 100) ELSE '' END AS x FROM documents"
-    )
+    aug = _pii_aug_sql(with_boilerplate=False)
     expr = "x"
     for _, rx, tok in PII_PATTERNS:
         expr = f"regexp_replace({expr}, '{rx}', '{tok}', 'g')"
@@ -1668,34 +1677,8 @@ def xd_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     compiler path (lexer → parser → analyzer → planner), verified
     byte-exact on planted PII."""
     docs = load_table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
     aug = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                did % 7 == 0,
-                F.concat(
-                    F.lit("\nContact: user"),
-                    did.cast("string"),
-                    F.lit("@example.com"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                did % 11 == 0,
-                F.concat(
-                    F.lit("\nSee https://ex"),
-                    did.cast("string"),
-                    F.lit(".example/a?b=1"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                did % 13 == 0,
-                F.concat(
-                    F.lit("\nCall +1 555-0"), (did % 100 + 100).cast("string")
-                ),
-            ).otherwise(F.lit("")),
-        ).alias("x"),
+        "doc_id", _pii_aug_col(with_boilerplate=False).alias("x")
     )
     out = run_query(spark, aug, "SELECT doc_id, REDACT(x) AS clean")
     return out.select("doc_id", F.md5("clean").alias("fp"))

@@ -31,7 +31,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 5)
+        # + 0.0 folds -0.0 (incl. values that ROUND to -0.0) into +0.0 so
+        # the repr-keyed row sort orders value-equal cells identically
+        return round(v, 5) + 0.0
     if isinstance(v, int):
         return float(v) if abs(v) < 2**52 else v
     return v

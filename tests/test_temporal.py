@@ -252,3 +252,35 @@ class TestRollupTime:
         )
         with pytest.raises(ValueError):
             rollup_time(df, "ts", ["g"], "v", grains=())
+
+
+def test_tiebreak_numeric_not_lexicographic(spark, trades):
+    # src=10 must beat src=9 (a string-cast tiebreak would order '10' < '9')
+    dup = spark.createDataFrame(
+        [Row(k="a", t=20, px=2.0, src=9), Row(k="a", t=20, px=7.0, src=10)]
+    )
+    out = asof_join(
+        trades, dup, on="k", left_ts="t", payload=["px"], right_tiebreak="src"
+    )
+    got = {(r["k"], r["t"]): r["px"] for r in out.collect()}
+    assert got[("a", 25)] == 7.0
+
+
+def test_rollup_null_ts_labeled_per_grain(spark):
+    df = spark.createDataFrame(
+        [
+            Row(ts=1_000_000, g="x", v=1.0),
+            Row(ts=None, g="x", v=5.0),
+        ]
+    ).select(
+        F.timestamp_micros("ts").alias("ts"), "g", "v"
+    )
+    out = rollup_time(
+        df, "ts", ["g"], "v", grains=(("hour", 3_600_000_000), ("day", 86_400_000_000))
+    )
+    rows = {(r["grain"], r["bucket_us"], r["n"]) for r in out.collect()}
+    # null-ts rows form their own (grain, NULL bucket) group per grain,
+    # each labeled with a real grain name — never grain=NULL duplicates
+    assert rows == {
+        ("day", None, 1), ("day", 0, 1), ("hour", None, 1), ("hour", 0, 1)
+    }

@@ -134,9 +134,9 @@ class TestStratifiedSample:
         }
         assert a == b
 
-    def test_full_fraction_keeps_virtually_all(self, pop):
+    def test_full_fraction_keeps_all(self, pop):
         kept = stratified_sample(pop, "id", "lang", {"en": 1.0})
-        assert kept.count() >= 999  # 1.0 cut excludes only draw==ffffffff
+        assert kept.count() == 1000  # 1.0 means the whole stratum, exactly
 
     def test_validation(self, pop):
         with pytest.raises(ValueError):
