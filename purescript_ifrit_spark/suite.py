@@ -1498,6 +1498,50 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, "doc_id", pairs).select("doc_id")
 
 
+def _curate_exact_oracle() -> str:
+    # the exact-stage curation composition is fully SQL-expressible:
+    # quality gate → exact content dedup (min id per fingerprint)
+    inputs_with_fp = _QUALITY_ORACLE_INPUTS.replace(
+        "SELECT doc_id, ",
+        f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint, ",
+        1,
+    )
+    return (
+        f"WITH base AS ({inputs_with_fp}), "
+        "q AS (SELECT doc_id, fingerprint, n_tok, "
+        + _QUALITY_ORACLE_EXPR
+        + " AS quality FROM base), "
+        "k AS (SELECT * FROM q WHERE quality >= 0.2 AND n_tok >= 5), "
+        "d AS (SELECT fingerprint, min(doc_id) AS doc_id FROM k GROUP BY 1) "
+        "SELECT k.doc_id, k.quality, CAST(k.n_tok AS BIGINT) AS n_tokens, "
+        "k.fingerprint FROM k JOIN d ON k.doc_id = d.doc_id "
+        "AND k.fingerprint = d.fingerprint"
+    )
+
+
+@register("x_curate_exact", _curate_exact_oracle())
+def x_curate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's exact prefix as hard signal: quality gate →
+    exact dedup → token stats, every stage oracle-recomputable (the full
+    composition x_curate_pipeline adds LSH and stays rows-only)."""
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators import dedup
+    from purescript_ifrit_spark.operators.text_analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs, "text")
+    kept = scored.filter(
+        (F.col("quality") >= 0.2) & (F.col("n_tokens") >= 5)
+    )
+    exact = dedup.dedup_exact_text(kept, "text", "doc_id")
+    return exact.select(
+        "doc_id",
+        "quality",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        X.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
 @register("x_curate_pipeline", None)  # composition incl. approximate dedup — rows-only
 def x_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.pipeline import curate
