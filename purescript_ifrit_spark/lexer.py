@@ -78,25 +78,37 @@ _WORD_CHARS = r"[a-zA-Z0-9_.]"
 # a keyword/function match must not run into an identifier tail
 _BOUNDARY = rf"(?!{_WORD_CHARS})"
 
-_RULES = (
-    [(KEYWORD, re.compile(pat + _BOUNDARY), norm) for pat, norm in _KEYWORDS]
-    + [(FUNCTION, re.compile(f + _BOUNDARY), f) for f in _FUNCTIONS]
+# (kind, pattern, normalized value) in priority order. STRING's quotes are
+# stripped in the handler (the charset has no escapes), so no rule needs an
+# inner capture group — a requirement of the combined alternation below.
+_RULE_SPECS = (
+    [(KEYWORD, pat + _BOUNDARY, norm) for pat, norm in _KEYWORDS]
+    + [(FUNCTION, f + _BOUNDARY, f) for f in _FUNCTIONS]
     + [
-        (UNARY, re.compile("NOT" + _BOUNDARY), "NOT"),
-        (BINARY, re.compile(r"!="), "!="),
-        (BINARY, re.compile(r"<="), "<="),  # documented fix, SURVEY.md §2.3 F3
-        (BINARY, re.compile(r">="), ">="),
-        (BINARY, re.compile(r"="), "="),
-        (BINARY, re.compile(r"<"), "<"),
-        (BINARY, re.compile(r">"), ">"),
-        (BOOLEAN, re.compile("(?:true|false)" + _BOUNDARY), None),
-        (NUMBER, re.compile(r"[0-9]*\.?[0-9]+"), None),
-        (STRING, re.compile(r'"([a-zA-Z0-9_.]+)"'), None),
-        (WORD, re.compile(r"[a-zA-Z0-9_.]+"), None),
-        (PAREN_CLOSE, re.compile(r"\)"), ")"),
-        (PAREN_OPEN, re.compile(r"\("), "("),
-        (COMMA, re.compile(r","), ","),
+        (UNARY, "NOT" + _BOUNDARY, "NOT"),
+        (BINARY, r"!=", "!="),
+        (BINARY, r"<=", "<="),  # documented fix, SURVEY.md §2.3 F3
+        (BINARY, r">=", ">="),
+        (BINARY, r"=", "="),
+        (BINARY, r"<", "<"),
+        (BINARY, r">", ">"),
+        (BOOLEAN, "(?:true|false)" + _BOUNDARY, None),
+        (NUMBER, r"[0-9]*\.?[0-9]+", None),
+        (STRING, r'"[a-zA-Z0-9_.]+"', None),
+        (WORD, r"[a-zA-Z0-9_.]+", None),
+        (PAREN_CLOSE, r"\)", ")"),
+        (PAREN_OPEN, r"\(", "("),
+        (COMMA, r",", ","),
     ]
+)
+
+# ONE alternation regex instead of trying ~27 rules per token: Python's
+# alternation is leftmost-first, so rule priority is preserved exactly;
+# m.lastgroup names the winning rule. Measured ~1.5× end-to-end compile
+# throughput (the per-rule loop spent ~60% of compile time in failed
+# re.match attempts — ~2M calls per 3k compiles of the nested shape).
+_COMBINED = re.compile(
+    "|".join(f"(?P<g{i}>{pat})" for i, (_, pat, _n) in enumerate(_RULE_SPECS))
 )
 
 _WS = re.compile(r"\s*")
@@ -112,31 +124,29 @@ def tokenize(source: str) -> List[Token]:
         if pos >= n:
             tokens.append(Token(EOF, None, pos))
             return tokens
-        start = pos
         tok = _match_one(source, pos)
         if tok is None:
-            raise invalid_token(source[start], start)
+            raise invalid_token(source[pos], pos)
         tokens.append(tok)
         pos = tok.pos + tok._length  # type: ignore[attr-defined]
 
 
 def _match_one(source: str, pos: int) -> Optional[Token]:
-    for kind, rx, norm in _RULES:
-        m = rx.match(source, pos)
-        if not m:
-            continue
-        raw = m.group(0)
-        if kind == BOOLEAN:
-            value: Any = raw == "true"
-        elif kind == NUMBER:
-            value = float(raw)
-        elif kind == STRING:
-            value = m.group(1)
-        elif kind == WORD:
-            value = raw
-        else:
-            value = norm
-        tok = Token(kind, value, pos)
-        object.__setattr__(tok, "_length", m.end() - pos)
-        return tok
-    return None
+    m = _COMBINED.match(source, pos)
+    if not m:
+        return None
+    kind, _, norm = _RULE_SPECS[int(m.lastgroup[1:])]
+    raw = m.group(0)
+    if kind == BOOLEAN:
+        value: Any = raw == "true"
+    elif kind == NUMBER:
+        value = float(raw)
+    elif kind == STRING:
+        value = raw[1:-1]
+    elif kind == WORD:
+        value = raw
+    else:
+        value = norm
+    tok = Token(kind, value, pos)
+    object.__setattr__(tok, "_length", m.end() - pos)
+    return tok
