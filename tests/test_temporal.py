@@ -284,3 +284,68 @@ def test_rollup_null_ts_labeled_per_grain(spark):
     assert rows == {
         ("day", None, 1), ("day", 0, 1), ("hour", None, 1), ("hour", 0, 1)
     }
+
+
+def test_asof_randomized_vs_bruteforce(spark):
+    """Random frames (dup timestamps, unmatched keys) vs an O(n·m)
+    reference computed in plain Python — both directions."""
+    import random
+
+    rng = random.Random(20260813)
+    keys = ["a", "b", "c", "d"]
+    left = [(rng.choice(keys), rng.randint(0, 50), i) for i in range(60)]
+    right = [
+        (rng.choice(keys), rng.randint(0, 50), i, float(i))
+        for i in range(40)
+    ]
+    ldf = spark.createDataFrame(left, ["k", "t", "lid"])
+    rdf = spark.createDataFrame(right, ["k", "t", "rid", "px"])
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                ldf, rdf, on="k", left_ts="t", payload=["rid", "px"],
+                direction=direction, right_tiebreak="rid",
+            ).collect()
+        }
+        for k, t, lid in left:
+            if direction == "backward":
+                cand = [(rt, rid) for rk, rt, rid, _ in right
+                        if rk == k and rt <= t]
+                want = max(cand)[1] if cand else None  # max ts, then max rid
+            else:
+                cand = [(rt, rid) for rk, rt, rid, _ in right
+                        if rk == k and rt >= t]
+                want = min(cand)[1] if cand else None  # min ts, then min rid
+            assert got[lid] == want, (direction, k, t, lid)
+
+
+def test_range_join_randomized_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(42)
+    keys = ["a", "b", "c"]
+    pts = [(rng.choice(keys), rng.randint(0, 100), i) for i in range(80)]
+    ivs = []
+    for i in range(30):
+        s = rng.randint(0, 90)
+        ivs.append((rng.choice(keys), s, s + rng.randint(0, 25), i))
+    pdf = spark.createDataFrame(pts, ["k", "t", "pid"])
+    idf = spark.createDataFrame(ivs, ["k", "s", "e", "iid"])
+
+    for width in (7, 64):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join_points(
+                pdf, idf, on="k", ts_col="t", start_col="s", end_col="e",
+                bucket_width_us=width,
+            ).collect()
+        }
+        want = {
+            (pid, iid)
+            for pk, t, pid in pts
+            for ik, s, e, iid in ivs
+            if pk == ik and s <= t < e
+        }
+        assert got == want, f"width={width}"
