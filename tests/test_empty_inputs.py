@@ -1,0 +1,150 @@
+"""Empty-input robustness: every library operator must return an empty
+(or well-defined) result on an empty frame, never raise. Regressions here
+are the classic 'first day on real data' crash (empty partition, empty
+filter result, brand-new table)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
+def test_dedup_family_on_empty(empty_docs):
+    from purescript_ifrit_spark.operators import dedup
+
+    assert dedup.dedup_exact_text(empty_docs, "text", "doc_id").count() == 0
+    assert (
+        dedup.minhash_candidate_pairs(
+            empty_docs, "doc_id", "text", eager=False
+        ).count()
+        == 0
+    )
+    assert dedup.dedup_minhash(empty_docs, "doc_id", "text").count() == 0
+    assert dedup.simhash_candidate_pairs(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_text_family_on_empty(empty_docs):
+    from purescript_ifrit_spark.operators.text_analysis import (
+        chunk_documents,
+        quality_score,
+        term_stats,
+        tfidf_topk,
+    )
+
+    assert quality_score(empty_docs, "text").count() == 0
+    assert term_stats(empty_docs, "doc_id", "text").count() == 0
+    assert tfidf_topk(empty_docs, "doc_id", "text", k=3).count() == 0
+    assert chunk_documents(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_cleaning_and_sampling_on_empty(empty_docs):
+    from purescript_ifrit_spark.operators.sampling import (
+        budget_sample,
+        hash_sample,
+        hash_split,
+        stratified_fixed_k,
+        stratified_sample,
+    )
+    from purescript_ifrit_spark.operators.text_cleaning import clean_text
+
+    assert clean_text(empty_docs, "text").count() == 0
+    assert hash_split(empty_docs, "doc_id").count() == 0
+    assert hash_sample(empty_docs, "doc_id", 0.5).count() == 0
+    assert stratified_sample(empty_docs, "doc_id", "lang", {"en": 0.5}).count() == 0
+    assert stratified_fixed_k(empty_docs, "doc_id", "lang", 3).count() == 0
+    docs = empty_docs.withColumn("n_tok", F.lit(1))
+    assert budget_sample(docs, "doc_id", "n_tok", 100, group_col="lang").count() == 0
+
+
+def test_temporal_family_on_empty(empty_events):
+    from purescript_ifrit_spark.operators.temporal import (
+        asof_join,
+        range_join_points,
+        rollup_time,
+    )
+
+    # empty left, empty right — and the asymmetric cases
+    left = empty_events
+    right = empty_events.select(
+        "user_id", "ts", F.col("value").alias("px")
+    )
+    assert asof_join(
+        left, right, on="user_id", left_ts="ts", payload=["px"]
+    ).count() == 0
+    iv = empty_events.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.col("ts").alias("e"),
+        F.col("event_id").alias("iid"),
+    )
+    assert range_join_points(
+        empty_events, iv, on="user_id", ts_col="ts", start_col="s", end_col="e"
+    ).count() == 0
+    assert rollup_time(empty_events, "ts", ["user_id"], "value").count() == 0
+
+
+def test_asof_empty_right_keeps_left(spark, empty_events):
+    from pyspark.sql import Row
+
+    from purescript_ifrit_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [Row(user_id=1, ts=5, qty=1.0)]
+    )
+    right = empty_events.select(
+        "user_id", F.unix_micros("ts").alias("ts"), F.col("value").alias("px")
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts", payload=["px"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["px"] is None
+
+
+def test_windows_and_similarity_on_empty(spark, empty_events):
+    from purescript_ifrit_spark.operators.similarity import label_centroids
+    from purescript_ifrit_spark.operators.windows import (
+        session_stats,
+        sessionize,
+        topk_per_group,
+        tumbling_agg,
+    )
+
+    assert sessionize(empty_events, "user_id", "ts").count() == 0
+    assert session_stats(empty_events, "user_id", "ts").count() == 0
+    assert tumbling_agg(empty_events, "ts", "hour", ("user_id",)).count() == 0
+    assert topk_per_group(empty_events, "user_id", "value", 3, "event_id").count() == 0
+
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    emb = spark.createDataFrame([], schema)
+    assert label_centroids(emb, "label", "embedding").count() == 0
+    assert label_centroids(emb, "label", "embedding", exact_grid=2**20).count() == 0
