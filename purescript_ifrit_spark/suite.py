@@ -1498,6 +1498,51 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, "doc_id", pairs).select("doc_id")
 
 
+register(
+    "x_set_ops",
+    # users who clicked AND purchased, minus users who errored — the
+    # INTERSECT/EXCEPT composition over distinct key sets
+    "SELECT user_id FROM events WHERE event_type = 'click' "
+    "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' "
+    "EXCEPT SELECT user_id FROM events WHERE event_type = 'error'",
+)(
+    lambda spark, sf_dir: (
+        lambda ev: ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .exceptAll(
+            ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+        )
+    )(load_table(spark, sf_dir, "events"))
+)
+
+
+@register(
+    "x_explode_chunks",
+    # flatten with position: each document's token windows as rows — the
+    # posexplode twin recomputed via an index cross join in DuckDB
+    "WITH t AS (SELECT doc_id, string_split(" + _NORM_SQL + ", ' ') AS toks "
+    "FROM documents), "
+    "c AS (SELECT doc_id, 1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) "
+    "AS BIGINT) AS n, toks FROM t) "
+    "SELECT doc_id, CAST(i AS INT) AS idx, "
+    "array_to_string(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], ' ') "
+    "AS chunk FROM c, range(0, 10000) r(i) WHERE i < n",
+)
+def x_explode_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten-with-position (posexplode) over the chunker's output —
+    scan-stage HOF + generate, zero shuffle."""
+    from purescript_ifrit_spark.functions.text import chunk_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(chunk_array(F.col("text"), 64, 8)).alias("idx", "chunk"),
+    )
+
+
 def _curate_exact_oracle() -> str:
     # the exact-stage curation composition is fully SQL-expressible:
     # quality gate → exact content dedup (min id per fingerprint)
