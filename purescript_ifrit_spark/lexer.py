@@ -17,7 +17,6 @@ Faithful re-expression of the reference lexer (src/Ifrit/Lexer.purs):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
 from typing import Any, List, Optional
 
 from purescript_ifrit_spark.errors import invalid_token
@@ -37,11 +36,29 @@ COMMA = "comma"
 EOF = "eof"
 
 
-@dataclass(frozen=True)
 class Token:
-    kind: str
-    value: Any
-    pos: int
+    """Slotted value object (NOT a dataclass: token construction is the
+    lexer's hot path — a frozen dataclass pays object.__setattr__ per
+    field; __slots__ assignment is ~3× cheaper)."""
+
+    __slots__ = ("kind", "value", "pos", "_length")
+
+    def __init__(self, kind: str, value: Any, pos: int, _length: int = 0):
+        self.kind = kind
+        self.value = value
+        self.pos = pos
+        self._length = _length
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Token)
+            and self.kind == other.kind
+            and self.value == other.value
+            and self.pos == other.pos
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.kind, self.value, self.pos))
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"{self.kind}({self.value!r}@{self.pos})"
@@ -117,21 +134,38 @@ _WS = re.compile(r"\s*")
 def tokenize(source: str) -> List[Token]:
     """Tokenize; appends EOF. Raises LexError with reference-parity message."""
     tokens: List[Token] = []
+    append = tokens.append
+    ws_match = _WS.match
+    rx_match = _COMBINED.match
+    specs = _RULE_SPECS
     pos = 0
     n = len(source)
     while True:
-        pos = _WS.match(source, pos).end()
+        pos = ws_match(source, pos).end()
         if pos >= n:
-            tokens.append(Token(EOF, None, pos))
+            append(Token(EOF, None, pos))
             return tokens
-        tok = _match_one(source, pos)
-        if tok is None:
+        m = rx_match(source, pos)
+        if not m:
             raise invalid_token(source[pos], pos)
-        tokens.append(tok)
-        pos = tok.pos + tok._length  # type: ignore[attr-defined]
+        kind, _, norm = specs[int(m.lastgroup[1:])]
+        raw = m.group(0)
+        if norm is not None:
+            value: Any = norm
+        elif kind == WORD:
+            value = raw
+        elif kind == NUMBER:
+            value = float(raw)
+        elif kind == STRING:
+            value = raw[1:-1]
+        else:  # BOOLEAN
+            value = raw == "true"
+        append(Token(kind, value, pos, m.end() - pos))
+        pos = m.end()
 
 
 def _match_one(source: str, pos: int) -> Optional[Token]:
+    """Single-token match (kept for tests/tools; tokenize() inlines this)."""
     m = _COMBINED.match(source, pos)
     if not m:
         return None
@@ -147,6 +181,4 @@ def _match_one(source: str, pos: int) -> Optional[Token]:
         value = raw
     else:
         value = norm
-    tok = Token(kind, value, pos)
-    object.__setattr__(tok, "_length", m.end() - pos)
-    return tok
+    return Token(kind, value, pos, m.end() - pos)
