@@ -57,23 +57,26 @@ def _show_token(tok: L.Token) -> str:
 
 
 class _Parser:
+    __slots__ = ("tokens", "i", "cur")
+
     def __init__(self, tokens: List[L.Token]):
         self.tokens = tokens
         self.i = 0
+        # `cur` is a plain attribute maintained by advance() — a @property
+        # doing tokens[i] cost ~400k descriptor calls per 5k compiles
+        self.cur = tokens[0]
 
     # -- cursor helpers -----------------------------------------------------
-    @property
-    def cur(self) -> L.Token:
-        return self.tokens[self.i]
-
     def advance(self) -> L.Token:
         tok = self.cur
         if tok.kind != L.EOF:
             self.i += 1
+            self.cur = self.tokens[self.i]
         return tok
 
     def at_keyword(self, kw: str) -> bool:
-        return self.cur.kind == L.KEYWORD and self.cur.value == kw
+        c = self.cur
+        return c.kind == L.KEYWORD and c.value == kw
 
     def eat_keyword(self, kw: str) -> bool:
         if self.at_keyword(kw):
