@@ -1498,6 +1498,39 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, "doc_id", pairs).select("doc_id")
 
 
+@register(
+    "x_partitioned_sink",
+    # the sink path gets hard signal too: what goes through a hive-style
+    # partitioned parquet write and a partition-pruned read-back must equal
+    # the source rows exactly
+    "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+)
+def x_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write → pruned read-back round-trip (sources.write with
+    partition_by; the reader hits only the lang=en directory — the unit of
+    partition pruning at rest). The read-back is localCheckpoint-ed so the
+    temp directory can be removed before returning (no /tmp leak per run);
+    the pruning plan itself is pinned in test_sources.py."""
+    import shutil
+    import tempfile
+
+    from purescript_ifrit_spark.sources.tables import write
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out_dir = tempfile.mkdtemp(prefix="ifrit_sink_")
+    write(docs, out_dir, mode="overwrite", partition_by=["lang"])
+    back = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang", "n_chars")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return back
+
+
 register(
     "x_set_ops",
     # users who clicked AND purchased, minus users who errored — the
