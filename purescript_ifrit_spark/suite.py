@@ -2094,6 +2094,43 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_asof_forward",
+    # forward as-of: the EARLIEST purchase at-or-after each event. DuckDB
+    # ASOF compares with >=, so forward = backward over negated epochs
+    "WITH r AS (SELECT user_id, ts, max(event_id) AS anchor_id "
+    "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) "
+    "SELECT e.event_id, coalesce(r.anchor_id, -1) AS anchor_id, "
+    "coalesce(epoch_us(r.ts) - epoch_us(e.ts), -1) AS lead_us "
+    "FROM events e ASOF LEFT JOIN r "
+    "ON e.user_id = r.user_id AND -epoch_us(e.ts) >= -epoch_us(r.ts) "
+    "WHERE e.event_type <> 'purchase'",
+)
+def x_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (direction="forward"): first right row
+    at-or-after each left row — same union+window plan, inverted frame."""
+    from purescript_ifrit_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("anchor_id"))
+    )
+    left = ev.filter(F.col("event_type") != "purchase")
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts",
+        payload=["anchor_id"], direction="forward",
+    )
+    return out.select(
+        "event_id",
+        F.coalesce("anchor_id", F.lit(-1)).alias("anchor_id"),
+        F.coalesce(
+            F.unix_micros("ts_r") - F.unix_micros("ts"), F.lit(-1)
+        ).alias("lead_us"),
+    )
+
+
+@register(
     "x_range_join",
     # every non-purchase event inside a purchase's 6h attribution window
     "SELECT e.event_id, p.anchor_id, "
