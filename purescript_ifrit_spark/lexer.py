@@ -17,7 +17,7 @@ Faithful re-expression of the reference lexer (src/Ifrit/Lexer.purs):
 from __future__ import annotations
 
 import re
-from typing import Any, List, Optional
+from typing import Any, List
 
 from purescript_ifrit_spark.errors import invalid_token
 
@@ -164,21 +164,3 @@ def tokenize(source: str) -> List[Token]:
         pos = m.end()
 
 
-def _match_one(source: str, pos: int) -> Optional[Token]:
-    """Single-token match (kept for tests/tools; tokenize() inlines this)."""
-    m = _COMBINED.match(source, pos)
-    if not m:
-        return None
-    kind, _, norm = _RULE_SPECS[int(m.lastgroup[1:])]
-    raw = m.group(0)
-    if kind == BOOLEAN:
-        value: Any = raw == "true"
-    elif kind == NUMBER:
-        value = float(raw)
-    elif kind == STRING:
-        value = raw[1:-1]
-    elif kind == WORD:
-        value = raw
-    else:
-        value = norm
-    return Token(kind, value, pos, m.end() - pos)

@@ -1520,15 +1520,16 @@ def x_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars"
     )
     out_dir = tempfile.mkdtemp(prefix="ifrit_sink_")
-    write(docs, out_dir, mode="overwrite", partition_by=["lang"])
-    back = (
-        spark.read.parquet(out_dir)
-        .filter(F.col("lang") == "en")
-        .select("doc_id", "lang", "n_chars")
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return back
+    try:
+        write(docs, out_dir, mode="overwrite", partition_by=["lang"])
+        return (
+            spark.read.parquet(out_dir)
+            .filter(F.col("lang") == "en")
+            .select("doc_id", "lang", "n_chars")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 register(
@@ -1555,14 +1556,16 @@ register(
 @register(
     "x_explode_chunks",
     # flatten with position: each document's token windows as rows — the
-    # posexplode twin recomputed via an index cross join in DuckDB
+    # posexplode twin via per-row index structs (unbounded, unlike a
+    # fixed-size index cross join, which would silently cap long docs)
     "WITH t AS (SELECT doc_id, string_split(" + _NORM_SQL + ", ' ') AS toks "
     "FROM documents), "
     "c AS (SELECT doc_id, 1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) "
     "AS BIGINT) AS n, toks FROM t) "
-    "SELECT doc_id, CAST(i AS INT) AS idx, "
-    "array_to_string(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], ' ') "
-    "AS chunk FROM c, range(0, 10000) r(i) WHERE i < n",
+    "SELECT doc_id, CAST(u.i AS INT) AS idx, u.c AS chunk FROM ("
+    "SELECT doc_id, unnest(list_transform(range(0, n), i -> {'i': i, "
+    "'c': array_to_string(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], "
+    "' ')})) AS u FROM c) q",
 )
 def x_explode_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flatten-with-position (posexplode) over the chunker's output —
@@ -1602,21 +1605,26 @@ def x_curate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline's exact prefix as hard signal: quality gate →
     exact dedup → token stats, every stage oracle-recomputable (the full
     composition x_curate_pipeline adds LSH and stays rows-only)."""
-    from purescript_ifrit_spark.functions import text as X
     from purescript_ifrit_spark.operators import dedup
-    from purescript_ifrit_spark.operators.text_analysis import quality_score
+    from purescript_ifrit_spark.operators.text_analysis import (
+        fingerprint_docs,
+        quality_score,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     scored = quality_score(docs, "text")
     kept = scored.filter(
         (F.col("quality") >= 0.2) & (F.col("n_tokens") >= 5)
     )
-    exact = dedup.dedup_exact_text(kept, "text", "doc_id")
+    # fingerprint once, dedup on the carried column (dedup_exact_text
+    # would compute the same md5 internally and drop it)
+    with_fp = fingerprint_docs(kept, "text")
+    exact = dedup.dedup_exact(with_fp, ["fingerprint"], "doc_id")
     return exact.select(
         "doc_id",
         "quality",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        X.fingerprint(F.col("text")).alias("fingerprint"),
+        "fingerprint",
     )
 
 
