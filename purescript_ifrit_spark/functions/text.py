@@ -169,6 +169,30 @@ def fingerprint(c: Column) -> Column:
     return F.md5(normalize_text(c))
 
 
+# rolling-hash parameters: Mersenne-prime modulus keeps every intermediate
+# (h·31 + codepoint) under 2^36 — safe in long arithmetic with Spark's
+# default ANSI overflow checking
+ROLLING_BASE = 31
+ROLLING_MOD = 2_147_483_647
+
+
+def rolling_fingerprint(c: Column) -> Column:
+    """Polynomial rolling-hash fingerprint of the normalized text:
+    h = fold(h·31 + codepoint) mod (2³¹−1), the classic Rabin-Karp /
+    Java-hashCode construction — a cheap numeric alternative to the md5
+    fingerprint when the consumer wants a joinable integer key (bucket
+    ids, modulo-sharding) rather than a hex digest. Whole-stage-codegen'd
+    higher-order fold; empty text hashes to 0."""
+    n = normalize_text(c)
+    folded = F.aggregate(
+        F.split(n, ""),
+        F.lit(0).cast("long"),
+        lambda h, ch: (h * F.lit(ROLLING_BASE) + F.ascii(ch))
+        % F.lit(ROLLING_MOD),
+    )
+    return F.when(F.length(n) == 0, F.lit(0).cast("long")).otherwise(folded)
+
+
 # language → stopword alternation, deliberately tiny and deterministic.
 # Order matters: ties resolve in this priority order.
 LANG_MARKERS = (

@@ -1498,6 +1498,31 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, "doc_id", pairs).select("doc_id")
 
 
+def _rolling_fp_oracle() -> str:
+    from purescript_ifrit_spark.functions.text import ROLLING_BASE, ROLLING_MOD
+
+    return (
+        "SELECT doc_id, CASE WHEN length(" + _NORM_SQL + ") = 0 THEN 0 "
+        "ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split_regex(" + _NORM_SQL + ", ''), "
+        "ch -> CAST(ord(ch) AS BIGINT))), "
+        f"(h, ch) -> (h * {ROLLING_BASE} + ch) % {ROLLING_MOD}) "
+        "END AS rolling_fp FROM documents"
+    )
+
+
+@register("x_rolling_fingerprint", _rolling_fp_oracle())
+def x_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (functions/text.
+    rolling_fingerprint) — char-fold mod 2³¹−1, verified value-exact."""
+    from purescript_ifrit_spark.functions.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp")
+    )
+
+
 @register(
     "x_partitioned_sink",
     # the sink path gets hard signal too: what goes through a hive-style
