@@ -182,7 +182,12 @@ def rolling_fingerprint(c: Column) -> Column:
     Java-hashCode construction — a cheap numeric alternative to the md5
     fingerprint when the consumer wants a joinable integer key (bucket
     ids, modulo-sharding) rather than a hex digest. Whole-stage-codegen'd
-    higher-order fold; empty text hashes to 0."""
+    higher-order fold; empty text hashes to 0.
+
+    Scale caveat: the fold materializes a per-character array per row
+    (~16 bytes/char transient). Fine at normal document sizes; for
+    multi-MB outliers prefer `fingerprint()` (md5 is streaming) or derive
+    an integer key from its hex (conv of a prefix)."""
     n = normalize_text(c)
     folded = F.aggregate(
         F.split(n, ""),
