@@ -1482,6 +1482,51 @@ def x_dedup_clusters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(corpus, "doc_id", pairs).select("doc_id")
 
 
+@register(
+    "x_streaming_state",
+    # the custom stateful operator's FINAL per-user counter must equal the
+    # batch count. Counts only: integer state is summation-order-exact,
+    # while a float running total would inherit per-batch pandas sum order
+    "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def x_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState surface, driver-verified: replay the events
+    backlog through the running-totals stateful operator (update mode,
+    multi-batch) and reduce each user's update stream to its final counter
+    (max — the counter is monotone), which must equal the batch count."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from purescript_ifrit_spark.streaming.pipeline import (
+        read_event_stream,
+        running_user_totals,
+    )
+
+    staged = tempfile.mkdtemp(prefix="ifrit_stream_state_")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+
+    stream = read_event_stream(spark, staged, max_files_per_trigger=2)
+    updates = running_user_totals(stream)
+    name = f"x_streaming_state_{uuid.uuid4().hex[:12]}"
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(staged, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
 @register("x_dedup_clusters", None)  # approximate candidates — rows-only
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level dedup: minhash pairs → connected components → keep the
