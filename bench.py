@@ -154,9 +154,34 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
 
         return rollup_time(t["events"], "ts", ["event_type"], "value")
 
+    def qx_range_join():
+        from purescript_ifrit_spark.operators.temporal import range_join_points
+
+        ev = t["events"]
+        iv = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("w_start"),
+            F.timestamp_micros(
+                F.unix_micros("ts") + F.lit(6 * 3_600_000_000)
+            ).alias("w_end"),
+            F.col("event_id").alias("anchor_id"),
+        )
+        return range_join_points(
+            ev.filter(F.col("event_type") != "purchase"), iv,
+            on="user_id", ts_col="ts", start_col="w_start", end_col="w_end",
+            bucket_width_us=6 * 3_600_000_000,
+        )
+
+    def qx_term_stats():
+        from purescript_ifrit_spark.operators.text_analysis import term_stats
+
+        return term_stats(t["documents"], "doc_id", "text")
+
     extra_queries = {
         "qx_asof_join": qx_asof_join,
         "qx_rollup_multi": qx_rollup_multi,
+        "qx_range_join": qx_range_join,
+        "qx_term_stats": qx_term_stats,
     }
 
     # JVM warm-up (parquet footers, codegen)
