@@ -39,9 +39,15 @@ from pyspark.sql import types as T
 
 
 def _us(c: Column, dtype) -> Column:
-    """Epoch-microseconds view of a timestamp or numeric column."""
-    if isinstance(dtype, T.TimestampType):
-        return F.unix_micros(c)
+    """Epoch-microseconds view of a timestamp or numeric column.
+
+    TIMESTAMP_NTZ (what pandas/pyarrow parquet writers emit by default) is
+    accepted too: unix_micros only takes TIMESTAMP, so cast first — the
+    cast interprets the wall-clock in the session timezone, which the
+    engine pins to UTC (sources/tables.py load_table enforces the same
+    contract). For TimestampType the cast is a no-op."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(c.cast("timestamp"))
     return c.cast("long")
 
 

@@ -52,12 +52,14 @@ def sessionize(
         order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(user_col).orderBy(*order)
     # microsecond gap arithmetic: unix_timestamp() truncates to whole
-    # seconds, which shifts session boundaries for sub-second timestamps
+    # seconds, which shifts session boundaries for sub-second timestamps.
+    # cast("timestamp") makes this NTZ-safe (no-op on TimestampType; the
+    # session tz is pinned UTC so the NTZ cast is value-preserving)
     gap_us = F.lit(gap_minutes * 60 * 1_000_000)
-    prev_ts = F.lag(F.col(ts_col)).over(w)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_ts = F.lag(F.col(ts_col).cast("timestamp")).over(w)
     new_session = (
-        prev_ts.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us)
+        prev_ts.isNull() | ((ts_us - F.unix_micros(prev_ts)) > gap_us)
     ).cast("int")
     return df.withColumn("_new", new_session).withColumn(
         "session_id",
@@ -76,8 +78,11 @@ def session_stats(
     """Sessions with their length and event count."""
     s = sessionize(df, user_col, ts_col, gap_minutes)
     # micros-precision duration (unix_timestamp truncates to whole seconds,
-    # which zeroes out sub-second sessions — same rule as sessionize's gaps)
-    dur_us = F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+    # which zeroes out sub-second sessions — same rule as sessionize's gaps);
+    # cast("timestamp") keeps it NTZ-safe like sessionize
+    dur_us = F.unix_micros(
+        F.max(F.col(ts_col).cast("timestamp"))
+    ) - F.unix_micros(F.min(F.col(ts_col).cast("timestamp")))
     return s.groupBy(user_col, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),

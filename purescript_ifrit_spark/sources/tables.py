@@ -33,10 +33,19 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One parquet table from a driver scale-factor directory.
 
-    The driver's `events` table stores TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects by default — read it as long nanos
-    (spark.sql.legacy.parquet.nanosAsLong) and surface a proper
-    TimestampType column (micros, same truncation DuckDB applies)."""
+    The `events.ts` column has shipped under three physical parquet
+    encodings across driver versions — TIMESTAMP(NANOS) (unreadable by
+    default; read as long nanos via spark.sql.legacy.parquet.nanosAsLong),
+    TIMESTAMP(MICROS) with no timezone (read as TIMESTAMP_NTZ), and
+    TIMESTAMP(MICROS) UTC-adjusted. This loader normalizes all three to a
+    plain TimestampType (epoch micros) so every downstream operator sees
+    one type.
+
+    Precondition: spark.sql.session.timeZone must be UTC. The NTZ→TZ cast
+    interprets the wall-clock in the *session* timezone, and the stored
+    wall-clocks are UTC instants — any other session tz would silently
+    shift epoch values, so we fail fast instead (the engine's entry points
+    — bench.py, conftest.py, api.get_spark — all pin UTC)."""
     if name == "events":
         # scope the legacy conf to this read: it is consulted when the
         # parquet schema is converted (at read() time), so restoring it
@@ -55,12 +64,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             # integer `div`, NOT `/`: float division of ~1.7e18 ns loses
             # precision beyond 2^53 and lands ±1 µs off
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            _require_utc_session(spark)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _require_utc_session(spark: SparkSession) -> None:
+    """Fail fast when a value-shifting NTZ cast is about to run outside the
+    engine's UTC contract (see load_table docstring)."""
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            "events.ts is TIMESTAMP_NTZ and the session timezone is "
+            f"{tz!r}; normalizing it to TimestampType is only "
+            "value-preserving under UTC. Set "
+            'spark.conf.set("spark.sql.session.timeZone", "UTC") '
+            "(bench.py/conftest.py/api.get_spark already do)."
+        )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:

@@ -36,10 +36,11 @@ def read_event_stream(
     """File-source stream over a directory of event files (`fmt`:
     parquet or json), with micros TimestampType `ts`.
 
-    Note: the driver's raw `events.parquet` stores TIMESTAMP(NANOS), which
-    this schema-pinned stream cannot read directly — stage it first
-    (`sources.load_table(...).write.parquet(dir)`) as the tests do, or the
-    tasks fail with an illegal-parquet-type error."""
+    Note: the driver's raw `events.parquet` has shipped as TIMESTAMP(NANOS)
+    and as no-timezone TIMESTAMP(MICROS) (TIMESTAMP_NTZ), neither of which
+    matches this schema-pinned TimestampType stream — stage it first
+    (`sources.load_table(...).write.parquet(dir)`) as the tests do;
+    load_table normalizes every encoding to TimestampType."""
     return (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

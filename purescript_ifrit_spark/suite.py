@@ -2292,3 +2292,96 @@ def flagship(spark: SparkSession) -> DataFrame:
         "SELECT AVG(l_quantity) AS avg_qty, SUM(l_extendedprice) AS sum_price, "
         "COUNT(l_orderkey) AS n WHERE l_quantity < 50 GROUP BY l_returnflag",
     )
+
+
+# ===========================================================================
+# Driver-window ordering
+# ===========================================================================
+#
+# The driver's correctness harness checks the FIRST 50 registry entries
+# (dict insertion order). File order buried 47 entries — including every
+# round-2 addition — outside that hard-signal window (VERDICT.md r2).
+# Re-rank so the window carries maximum information this round:
+#
+#   1. the 6 operators broken by TIMESTAMP_NTZ in r2, now fixed — the
+#      driver must re-verify them (x_sessionize, x_events_hourly,
+#      x_asof_join, x_asof_forward, x_range_join, x_rollup_multi);
+#   2. every entry never driver-verified in r01 or r02 (35 entries:
+#      tpch_q18ish, clusters, pack_sequences, curate, streaming, sampling,
+#      term stats, set ops, ...);
+#   3. a sentinel subset of long-stable §2 dialect rows so the core
+#      surface keeps driver-side regression signal (ADVICE.md r2 — don't
+#      rotate ALL of them out);
+#
+# everything else (green in r01+r02 AND duplicated by
+# tests/test_oracle_parity.py) follows after the window.
+
+_DRIVER_WINDOW_R3 = [
+    # -- (1) fixed-this-round timestamp operators --------------------------
+    "x_sessionize",
+    "x_events_hourly",
+    "x_asof_join",
+    "x_asof_forward",
+    "x_range_join",
+    "x_rollup_multi",
+    # -- (2) never driver-verified (r01 ∪ r02 miss) ------------------------
+    "x_ann_ivf_topk",
+    "x_multimodal_framesample",
+    "x_tpch_q18ish",
+    "x_approx_distinct",
+    "x_chunk_documents",
+    "x_pack_sequences",
+    "x_streaming_windowed",
+    "x_streaming_session",
+    "x_dedup_clusters_planted",
+    "x_streaming_state",
+    "x_dedup_clusters",
+    "x_rolling_fingerprint",
+    "x_partitioned_sink",
+    "x_set_ops",
+    "x_explode_chunks",
+    "x_curate_exact",
+    "x_curate_pipeline",
+    "x_split_train_val",
+    "x_hash_sample",
+    "x_pii_redact",
+    "xd_redact",
+    "x_term_stats",
+    "x_embedding_centroids",
+    "x_tfidf_topk",
+    "x_pivot_events",
+    "x_running_total",
+    "x_anti_join",
+    "x_stratified_fixed_k",
+    "x_semi_join",
+    "x_equidepth_buckets",
+    "x_stratified_sample",
+    # -- (3) §2 sentinels (driver-side core-surface regression signal) -----
+    "p1_projection",
+    "p2_nested_projection",
+    "f1_eq",
+    "f6_not_demorgan",
+    "f8_null_compare",
+    "o3_limit_before_offset",
+    "a1_a3_group_avg",
+    "a2_group_by_null",
+    "b2_avg_nested_array",
+    "s2_derived_table",
+    "x_dedup_exact",
+    "x_dedup_minhash_planted",
+    "xd_quality_filter",
+]
+
+
+def _apply_driver_window(window: list) -> None:
+    ordered: Dict[str, Tuple[SparkFn, Optional[str]]] = {}
+    for name in window:
+        ordered[name] = REGISTRY[name]  # KeyError on typo = fail at import
+    for name, entry in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = entry
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_apply_driver_window(_DRIVER_WINDOW_R3)
