@@ -78,3 +78,112 @@ def test_register_views(spark, sf_dir):
     # run_query accepts a registered view name directly
     df = run_query(spark, "nation", "SELECT n_name LIMIT 3")
     assert df.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# events.ts physical-encoding normalization (regression for the round-2
+# TIMESTAMP_NTZ breakage: a no-timezone micros parquet column reached the
+# operators as TIMESTAMP_NTZ and unix_micros rejected it — VERDICT.md r2)
+# ---------------------------------------------------------------------------
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+# one known instant: 2024-03-01T12:34:56.789123Z
+_EPOCH_US = 1709296496789123
+
+
+def _write_events_parquet(path: str, ts_type: pa.DataType) -> None:
+    ts = pa.array([_EPOCH_US * 1000 if ts_type == pa.timestamp("ns")
+                   else _EPOCH_US], type=pa.int64())
+    table = pa.table({
+        "event_id": pa.array([1], type=pa.int64()),
+        "user_id": pa.array([7], type=pa.int64()),
+        "ts": ts.cast(ts_type),
+        "event_type": pa.array(["click"], type=pa.string()),
+        "value": pa.array([1.5], type=pa.float64()),
+    })
+    pq.write_table(table, path)
+
+
+@pytest.mark.parametrize(
+    "ts_type",
+    [pa.timestamp("ns"), pa.timestamp("us"), pa.timestamp("us", tz="UTC")],
+    ids=["nanos", "micros-ntz", "micros-utc"],
+)
+def test_load_table_normalizes_every_ts_encoding(spark, tmp_path, ts_type):
+    """All three physical encodings events.ts has shipped under must
+    surface as plain TimestampType with identical epoch values."""
+    from pyspark.sql import functions as F
+
+    _write_events_parquet(str(tmp_path / "events.parquet"), ts_type)
+    df = S.load_table(spark, str(tmp_path), "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    assert df.select(F.unix_micros("ts")).first()[0] == _EPOCH_US
+
+
+def test_ntz_cast_requires_utc_session(spark, tmp_path):
+    """The NTZ->TIMESTAMP cast is value-preserving only under a UTC session
+    timezone; any other tz must fail fast instead of silently shifting."""
+    _write_events_parquet(str(tmp_path / "events.parquet"), pa.timestamp("us"))
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="session timezone"):
+            S.load_table(spark, str(tmp_path), "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _ntz_events(spark):
+    return spark.createDataFrame(
+        [
+            (1, 7, datetime.datetime(2024, 1, 1, 0, 0, 0), "click", 1.0),
+            (2, 7, datetime.datetime(2024, 1, 1, 0, 10, 0), "click", 2.0),
+            (3, 7, datetime.datetime(2024, 1, 1, 3, 0, 0), "view", 3.0),
+        ],
+        T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]),
+    )
+
+
+def test_temporal_operators_accept_ntz_dataframes(spark):
+    """Operators must work on user DataFrames that never pass through
+    load_table — e.g. a DataFrame read from pandas/pyarrow-written parquet,
+    which is TIMESTAMP_NTZ by default."""
+    from pyspark.sql import functions as F
+
+    from purescript_ifrit_spark.operators.temporal import asof_join, rollup_time
+    from purescript_ifrit_spark.operators.windows import (
+        session_stats,
+        sessionize,
+        tumbling_agg,
+    )
+
+    ev = _ntz_events(spark)
+
+    s = sessionize(ev, "user_id", "ts", 30)
+    assert s.agg(F.max("session_id")).first()[0] == 2  # 3h gap splits
+
+    st = session_stats(ev, "user_id", "ts", 30)
+    assert st.count() == 2
+
+    hourly = tumbling_agg(ev, "ts", "hour", ("event_type",))
+    assert hourly.count() == 2
+
+    right = ev.select("user_id", "ts", F.col("event_id").alias("aid"))
+    aj = asof_join(ev, right, on="user_id", left_ts="ts", payload=["aid"])
+    assert aj.count() == 3
+    # each event's as-of match (<=) is itself
+    assert aj.filter(F.col("event_id") != F.col("aid")).count() == 0
+
+    ru = rollup_time(ev, "ts", ["event_type"], "value")
+    assert ru.count() > 0
