@@ -9,15 +9,25 @@ shuffle) runs before fuzzy (band join) so the LSH stage sees each distinct
 text once. All heavy lifting is the underlying operators'; this module is
 the documented composition plus provenance counters.
 
-The exact-dedup output is consumed TWICE by the fuzzy stage (as the
-shingle/minhash input and as the left side of the survivor anti-join), so
-`curate` persists it (MEMORY_AND_DISK — spills rather than OOMs at
-corpus scale) for the duration: without the persist the quality scan and
-the fingerprint shuffle run twice per action (measured 9.6s → 5.9s
-steady at sf0.1/local[32]). Stage materialization between dedup passes is
-the standard production pattern; on a long-lived session release the
-cache with `spark.catalog.clearCache()` (or use `with_report=True`,
-which consumes the plan and unpersists before returning).
+The load-bearing persist is on the SCORED stage (quality features
+attached, before the filter), and it is there for plan shape, not reuse:
+`filter(quality >= t)` over a live projection tree lets Catalyst
+substitute the full quality expression into the predicate and sink it to
+the scan, where it evaluates the normalization/stopword regexes a second
+time next to the projections that compute them (predicate pushdown has
+no expression-cost guard, unlike CollapseProject/SPARK-36718). A
+persisted relation is a substitution barrier: the filter runs against
+the materialized `quality` column instead. Measured at sf0.1/local[32]:
+quality+filter 3.41s → 0.62s, full pipeline 5.93s → 2.52s steady.
+MEMORY_AND_DISK spills rather than OOMs at corpus scale; on a
+long-lived session release the cache with `spark.catalog.clearCache()`
+(or use `with_report=True`, which consumes the plan and unpersists
+before returning). The exact-dedup output needs no persist in the
+default one-action path — its two consumers (shingle/minhash input and
+the survivor anti-join) share the fingerprint shuffle via same-job stage
+dedup (measured: persisting it too moves steady time <3%); the report
+path runs multiple actions (no cross-job shuffle reuse), so there it IS
+persisted.
 """
 
 from __future__ import annotations
@@ -62,22 +72,28 @@ def curate(
     `with_report=True` (counts trigger actions — use only when you want the
     numbers).
 
-    `cache_intermediate` persists the exact-dedup output (MEMORY_AND_DISK)
-    so the fuzzy stage's two consumers — shingle/minhash input and the
-    survivor anti-join — share one computation of the quality scan + the
-    fingerprint shuffle instead of running both twice (see module
-    docstring for the measurement and the cache-release contract). Set it
-    False for one-shot jobs that must leave no pinned cache behind."""
+    `cache_intermediate` persists the scored stage (MEMORY_AND_DISK) as a
+    predicate-substitution barrier — without it the quality filter sinks
+    to the scan and re-evaluates the text regexes a second time (see
+    module docstring for the measurement and the cache-release contract).
+    Set it False for one-shot jobs that must leave no pinned cache behind
+    (slower: the duplicated scan comes back)."""
     n_input = docs.count() if with_report else -1
 
     scored = quality_score(docs, text_col)
+    if cache_intermediate:
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     kept = scored.filter(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
     n_quality = kept.count() if with_report else -1
 
     exact = dedup.dedup_exact_text(kept, text_col, id_col)
-    if cache_intermediate:
+    if cache_intermediate and with_report:
+        # the report path drives several independent actions over `exact`
+        # (counts + the final consume); shuffle outputs are not reused
+        # across jobs, so materialize it. The one-action default path
+        # shares the fingerprint shuffle via same-job stage dedup instead.
         exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     n_exact = exact.count() if with_report else -1
 
@@ -88,13 +104,13 @@ def curate(
         )
         fuzzy = dedup.dedup_clusters(exact, id_col, pairs)
     else:
-        # lazy pairs: with `exact` persisted, the pairs pipeline and the
-        # anti-join run in ONE job sharing the cache (an eager checkpoint
-        # here would pay the upstream a second time at consumption). The
-        # lazy mode's internal shingle persist stays pinned until
-        # clearCache — the report path goes eager instead (its pairs read
-        # `exact` from our persist, so the checkpoint is cheap there) and
-        # genuinely leaves no cache behind.
+        # lazy pairs: with `scored` persisted, the pairs pipeline and the
+        # anti-join run in ONE job sharing the cache and the fingerprint
+        # shuffle (an eager checkpoint here would pay the upstream a
+        # second time at consumption). The lazy mode's internal shingle
+        # persist stays pinned until clearCache — the report path goes
+        # eager instead (its pairs read `exact` from our persist, so the
+        # checkpoint is cheap there) and genuinely leaves no cache behind.
         fuzzy = dedup.dedup_minhash(
             exact, id_col, text_col, jaccard_threshold=jaccard_threshold,
             eager=with_report or not cache_intermediate,
@@ -105,5 +121,6 @@ def curate(
         return out
     n_fuzzy = out.count()
     if cache_intermediate:
+        scored.unpersist()
         exact.unpersist()
     return CurationReport(n_input, n_quality, n_exact, n_fuzzy, out)
