@@ -159,6 +159,11 @@ def _analyze_operand(schema: Schema, operand: Operand) -> Schema:
         ext = _ext_fn(operand.fn)
         if ext is None:
             raise E.incompatible_fn_type(operand.fn, schema.show())
+        if ext.analytic:
+            # window-backed fns have no value at filter time (Spark rejects
+            # window expressions in WHERE) — compute in a derived table,
+            # then filter the materialized column
+            raise E.incompatible_fn_type(operand.fn, schema.show())
         arg = lookup("WHERE", schema, operand.path)
         if arg.kind not in ext.arg_kinds:
             raise E.incompatible_fn_type(operand.fn, arg.show())
@@ -190,6 +195,10 @@ def _analyze_projection(schema: Schema, sel) -> tuple[str, Schema]:
         s = lookup("SELECT", schema, sel.path)
         if s.kind not in ext.arg_kinds:
             raise E.incompatible_fn_type(sel.fn, s.show())
+        for field in ext.requires:
+            # analytic fns with fixed window geometry (SESSIONIZE) read
+            # these document fields besides the argument
+            lookup("SELECT", schema, field)
         return sel.output_name, ext.result
 
     if sel.fn == "COUNT":

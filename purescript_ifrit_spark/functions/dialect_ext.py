@@ -17,12 +17,33 @@ Surface (each takes one string-typed field path, like the built-in fns):
                                            -- exact dedup: min id per
                                            -- normalized-content group
 
+    SELECT TUMBLE(ts)        AS hour        -- hour-start epoch seconds
+                                           -- (number; tz-free bucketing)
+    SELECT COUNT(event_id) AS n GROUP BY TUMBLE(ts)
+                                           -- events-per-hour rollup
+    SELECT event_id, SESSIONIZE(ts) AS sid -- 30-min-gap session id per row
+                                           -- (analytic — see below)
+
 Extension functions are projection-mode scalars (per row, scan-stage Column
 expressions — never Python UDFs); they are rejected inside grouped SELECT
 lists, and every one except CHUNK (whose result is an array) can serve as a
 GROUP BY key. Both backends stay in lock-step: `column` builds the planner's
 Column, `sql` renders the identical expression for the Spark-SQL emitter,
 and backend-equivalence tests compare the two on real data.
+
+SESSIONIZE is the one ANALYTIC extension (`analytic=True`): it compiles to
+window expressions (lag → gap flag → running sum — the same single-shuffle
+shape as operators/windows.sessionize) rather than a scan-stage scalar, so
+it is projection-only: no WHERE, no GROUP BY key, no grouped SELECT (wrap
+it in a derived table and aggregate the result instead — see DIALECT.md).
+Spark forbids nesting a window function inside another window aggregate in
+one expression, so analytic fns declare `stages`: intermediate columns the
+planner materializes as extra projections before the final select; the SQL
+backend renders them as one extra subquery level. Like SPLIT/CHUNK, the
+one-argument grammar fixes the geometry: partition key `user_id`, tiebreak
+`event_id` (both must exist in the queried document — analyzer-checked via
+`requires`), gap 30 minutes. The Python API (operators/windows.sessionize)
+takes all of these as parameters.
 
 Caveat (documented in DIALECT.md): these uppercase names become function
 tokens, so a *field* literally named TOKEN_COUNT/QUALITY/LANG_ID/
@@ -156,17 +177,122 @@ def _redact_sql(x: str) -> str:
     return redact_sql(x)
 
 
+# fixed temporal geometry (the one-argument fn grammar has no room for
+# parameters; operators/windows.py + operators/temporal.py take them)
+TUMBLE_UNIT_US = 3_600_000_000  # hour
+SESSIONIZE_KEY = "user_id"
+SESSIONIZE_TIEBREAK = "event_id"
+SESSIONIZE_GAP_MIN = 30
+
+
+def _tumble_column(c: Column) -> Column:
+    # hour-start epoch SECONDS (a number both engines hold exactly; epoch
+    # micros ~1.7e18 exceeds double's 2^53 integer range, so the dialect's
+    # float-typed numbers could not carry them losslessly). Pure epoch
+    # arithmetic — date_trunc would bucket in the session's local timezone.
+    # cast("timestamp") is a no-op on TimestampType and makes NTZ inputs
+    # legal under the engine's UTC session contract (sources/tables.py).
+    from pyspark.sql import functions as F
+
+    return F.floor(
+        F.unix_micros(c.cast("timestamp")) / F.lit(TUMBLE_UNIT_US)
+    ) * F.lit(TUMBLE_UNIT_US // 1_000_000)
+
+
+def _tumble_sql(x: str) -> str:
+    return (
+        f"(floor(unix_micros(CAST({x} AS TIMESTAMP)) / {TUMBLE_UNIT_US}) "
+        f"* {TUMBLE_UNIT_US // 1_000_000})"
+    )
+
+
+def _session_order(c: Column):
+    from pyspark.sql import functions as F
+
+    return [c.cast("timestamp").asc(), F.col(SESSIONIZE_TIEBREAK).asc()]
+
+
+def _sessionize_new_flag(c: Column) -> Column:
+    # stage column: 1 when this row starts a new session (first event of
+    # the key, or gap to the previous event exceeds the threshold)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(SESSIONIZE_KEY).orderBy(*_session_order(c))
+    prev = F.lag(c.cast("timestamp")).over(w)
+    gap = F.lit(SESSIONIZE_GAP_MIN * 60 * 1_000_000)
+    return (
+        prev.isNull()
+        | ((F.unix_micros(c.cast("timestamp")) - F.unix_micros(prev)) > gap)
+    ).cast("int")
+
+
+def _sessionize_final(c: Column, staged: Dict[str, Column]) -> Column:
+    # running sum of new-session flags = 1-based session id; same window
+    # spec as the stage, so the physical plan is ONE shuffle + one sort
+    # feeding two chained Window operators
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy(SESSIONIZE_KEY)
+        .orderBy(*_session_order(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return F.sum(staged["new_s"]).over(w)
+
+
+def _sessionize_window_sql(x: str) -> str:
+    return (
+        f"PARTITION BY `{SESSIONIZE_KEY}` "
+        f"ORDER BY CAST({x} AS TIMESTAMP), `{SESSIONIZE_TIEBREAK}`"
+    )
+
+
+def _sessionize_new_flag_sql(x: str) -> str:
+    w = _sessionize_window_sql(x)
+    ts = f"unix_micros(CAST({x} AS TIMESTAMP))"
+    prev = f"unix_micros(lag(CAST({x} AS TIMESTAMP)) OVER ({w}))"
+    gap = SESSIONIZE_GAP_MIN * 60 * 1_000_000
+    return (
+        f"CASE WHEN lag(CAST({x} AS TIMESTAMP)) OVER ({w}) IS NULL "
+        f"OR {ts} - {prev} > {gap} THEN 1 ELSE 0 END"
+    )
+
+
+def _sessionize_final_sql(x: str, staged: Dict[str, str]) -> str:
+    return (
+        f"SUM(`{staged['new_s']}`) OVER ({_sessionize_window_sql(x)} "
+        "ROWS UNBOUNDED PRECEDING)"
+    )
+
+
 @dataclass(frozen=True)
 class ExtFn:
     """One dialect extension function: name, result schema, and the two
-    lock-step backends (Column builder / Spark-SQL renderer)."""
+    lock-step backends (Column builder / Spark-SQL renderer).
+
+    Scalars: `column(arg) -> Column`, `sql(x) -> str`.
+
+    Analytic fns (`analytic=True`): window-backed, projection-mode only
+    (never WHERE / GROUP BY / grouped SELECT). `stages` lists intermediate
+    columns ((name, builder(arg) -> Column), ...) the planner materializes
+    before the final projection (Spark rejects window-inside-window in one
+    expression); `stages_sql` is the SQL twin; `column(arg, staged) ->
+    Column` / `sql(x, staged) -> str` then reference them. `requires`
+    names document fields the fixed window geometry reads (partition key,
+    tiebreak) — the analyzer checks they exist."""
 
     name: str
     result: Schema
-    column: Callable[[Column], Column]
-    sql: Callable[[str], str]
+    column: Callable[..., Column]
+    sql: Callable[..., str]
     groupable: bool = True  # usable as a GROUP BY key (primitives only)
     arg_kinds: tuple = ("string",)  # accepted argument schema kinds
+    analytic: bool = False
+    stages: tuple = ()  # ((stage_name, builder(arg)->Column), ...)
+    stages_sql: tuple = ()  # ((stage_name, renderer(x)->str), ...)
+    requires: tuple = ()  # document fields the window geometry reads
 
 
 EXT_FUNCTIONS: Dict[str, ExtFn] = {
@@ -197,5 +323,25 @@ EXT_FUNCTIONS: Dict[str, ExtFn] = {
             arg_kinds=("string", "number"),
         ),
         ExtFn("REDACT", Schema.string(), _redact_column, _redact_sql),
+        ExtFn(
+            "TUMBLE",
+            Schema.number(),
+            _tumble_column,
+            _tumble_sql,
+            # timestamps surface as "string" in the 4-type dialect model
+            # (schema.schema_from_struct); numeric epochs are excluded on
+            # purpose — seconds-vs-micros would be a silent unit ambiguity
+        ),
+        ExtFn(
+            "SESSIONIZE",
+            Schema.number(),
+            _sessionize_final,
+            _sessionize_final_sql,
+            groupable=False,  # window-backed — no scan-stage group key
+            analytic=True,
+            stages=(("new_s", _sessionize_new_flag),),
+            stages_sql=(("new_s", _sessionize_new_flag_sql),),
+            requires=(SESSIONIZE_KEY, SESSIONIZE_TIEBREAK),
+        ),
     )
 }

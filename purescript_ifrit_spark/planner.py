@@ -133,7 +133,28 @@ def build(df: DataFrame, stmt: Statement, flags: CompatFlags = CompatFlags()) ->
             df = df.offset(stmt.offset)
 
     if isinstance(stmt, Select):
-        return df.select(*[_projection_column(sel) for sel in stmt.projections])
+        # analytic extension fns (SESSIONIZE) need intermediate window
+        # columns: Spark rejects a window function nested inside another
+        # window aggregate in ONE expression, so each declared stage
+        # becomes a projection level first. Stage columns use the same
+        # window spec as the final expression — one shuffle + one sort
+        # feeding chained Window operators, never an extra exchange.
+        staged: dict = {}
+        for sel in stmt.projections:
+            if not isinstance(sel, FnCall):
+                continue
+            ext = _ext_fn(sel.fn)
+            if ext is None or not ext.analytic or (sel.fn, sel.path) in staged:
+                continue
+            cols = {}
+            for stage_name, builder in ext.stages:
+                tmp = f"__{sel.fn.lower()}_{stage_name}_{sel.path.replace('.', '_')}"
+                df = df.withColumn(tmp, builder(F.col(sel.path)))
+                cols[stage_name] = F.col(tmp)
+            staged[(sel.fn, sel.path)] = cols
+        return df.select(
+            *[_projection_column(sel, staged) for sel in stmt.projections]
+        )
 
     assert isinstance(stmt, Group)
     aggs: List[Column] = []
@@ -151,12 +172,13 @@ def build(df: DataFrame, stmt: Statement, flags: CompatFlags = CompatFlags()) ->
         if ext is None:
             raise PlanError(f"unknown function {stmt.group_by.fn}")
         if not ext.groupable:
-            # lock-step with plans/spark_sql.py: an array-valued key (CHUNK)
-            # must be rejected by BOTH backends, not just the analyzer —
+            # lock-step with plans/spark_sql.py: a non-groupable key — CHUNK
+            # (array-valued) or SESSIONIZE (window-backed) — must be
+            # rejected by BOTH backends, not just the analyzer:
             # compile_unchecked reaches here without type-checking
             raise PlanError(
                 f"function {stmt.group_by.fn} cannot be a GROUP BY key "
-                "(array-valued result)"
+                "(not a scalar scan-stage expression)"
             )
         key = ext.column(F.col(stmt.group_by.path)).alias("_id")
         return df.groupBy(key).agg(*aggs)
@@ -168,13 +190,19 @@ def build(df: DataFrame, stmt: Statement, flags: CompatFlags = CompatFlags()) ->
 # ---------------------------------------------------------------------------
 
 
-def _projection_column(sel) -> Column:
+def _projection_column(sel, staged: Optional[dict] = None) -> Column:
     if isinstance(sel, Projection):
         return F.col(sel.path).alias(sel.output_name)
 
     assert isinstance(sel, FnCall)
     ext = _ext_fn(sel.fn)
     if ext is not None:
+        if ext.analytic:
+            # final window expression over the pre-staged columns (build())
+            cols = (staged or {}).get((sel.fn, sel.path))
+            if cols is None:  # pragma: no cover — build() always stages
+                raise PlanError(f"{sel.fn} requires staged window columns")
+            return ext.column(F.col(sel.path), cols).alias(sel.output_name)
         # extension scalar: a codegen'd Column expression over the string
         # field — evaluates in the scan stage, no Python anywhere
         return ext.column(F.col(sel.path)).alias(sel.output_name)
@@ -330,6 +358,10 @@ def _field_side(o) -> Column:
         ext = _ext_fn(o.fn)
         if ext is None:  # unchecked path (compile_unchecked)
             raise PlanError(f"unknown function {o.fn}")
+        if ext.analytic:
+            # lock-step with analyzer._analyze_operand: window expressions
+            # are illegal in WHERE (reachable only via compile_unchecked)
+            raise PlanError(f"{o.fn} cannot be used in WHERE (window function)")
         return ext.column(F.col(o.path))
     return F.col(o.path)
 

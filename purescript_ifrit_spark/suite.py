@@ -2295,6 +2295,34 @@ def flagship(spark: SparkSession) -> DataFrame:
 
 
 # ===========================================================================
+# dialect temporal functions (TUMBLE / SESSIONIZE — functions/dialect_ext.py)
+# ===========================================================================
+
+register(
+    "xd_tumble_hourly",
+    # tz-free hour bucketing in epoch SECONDS (fits the dialect's float
+    # numbers exactly; micros would exceed double's 2^53 integer range)
+    "SELECT COUNT(*) AS n, "
+    "CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600 AS _id "
+    "FROM events GROUP BY 2",
+)(_dialect("events", "SELECT COUNT(event_id) AS n GROUP BY TUMBLE(ts)"))
+
+register(
+    "xd_sessionize",
+    # same window construction as x_sessionize's oracle, projected per-row:
+    # the dialect SESSIONIZE fixes key=user_id, tiebreak=event_id, gap=30min
+    "WITH s AS (SELECT event_id, user_id, ts, "
+    "  CASE WHEN lag(ts) OVER w IS NULL "
+    "       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+    "  THEN 1 ELSE 0 END AS new_s FROM events "
+    "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT event_id, CAST(SUM(new_s) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+    "FROM s",
+)(_dialect("events", "SELECT event_id, SESSIONIZE(ts) AS session_id"))
+
+
+# ===========================================================================
 # Driver-window ordering
 # ===========================================================================
 #
@@ -2317,13 +2345,15 @@ def flagship(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py) follows after the window.
 
 _DRIVER_WINDOW_R3 = [
-    # -- (1) fixed-this-round timestamp operators --------------------------
+    # -- (1) fixed-this-round timestamp operators + new dialect twins ------
     "x_sessionize",
     "x_events_hourly",
     "x_asof_join",
     "x_asof_forward",
     "x_range_join",
     "x_rollup_multi",
+    "xd_tumble_hourly",
+    "xd_sessionize",
     # -- (2) never driver-verified (r01 ∪ r02 miss) ------------------------
     "x_ann_ivf_topk",
     "x_multimodal_framesample",
@@ -2360,8 +2390,6 @@ _DRIVER_WINDOW_R3 = [
     "p1_projection",
     "p2_nested_projection",
     "f1_eq",
-    "f6_not_demorgan",
-    "f8_null_compare",
     "o3_limit_before_offset",
     "a1_a3_group_avg",
     "a2_group_by_null",

@@ -318,3 +318,93 @@ def test_where_ext_fn_errors():
     stmt = parse_sql("SELECT doc_id WHERE QUALITY(text) = text")
     with pytest.raises(E.PlanError, match="should target a field"):
         compile_condition(stmt.where)
+
+
+# ---------------------------------------------------------------------------
+# temporal extension functions: TUMBLE (scalar) and SESSIONIZE (analytic)
+# ---------------------------------------------------------------------------
+
+EV_SCHEMA = {
+    "event_id": "number",
+    "user_id": "number",
+    "ts": "string",  # timestamps surface as "string" in the 4-type model
+    "event_type": "string",
+    "value": "number",
+}
+
+
+def test_tumble_types_and_groups():
+    out = compile_query(EV_SCHEMA, "SELECT TUMBLE(ts) AS hour")
+    assert out.output_schema.fields["hour"].kind == "number"
+    out = compile_query(EV_SCHEMA, "SELECT COUNT(event_id) AS n GROUP BY TUMBLE(ts)")
+    assert out.output_schema.fields["_id"].kind == "number"
+
+
+def test_sessionize_projection_only():
+    out = compile_query(EV_SCHEMA, "SELECT event_id, SESSIONIZE(ts) AS sid")
+    assert out.output_schema.fields["sid"].kind == "number"
+    # WHERE: window expressions have no value at filter time
+    with pytest.raises(E.IfritError, match="incompatible"):
+        compile_query(EV_SCHEMA, "SELECT event_id WHERE SESSIONIZE(ts) > 1")
+    # GROUP BY key: window-backed, not a scan-stage scalar
+    with pytest.raises(E.IfritError, match="incompatible"):
+        compile_query(EV_SCHEMA, "SELECT COUNT(event_id) AS n GROUP BY SESSIONIZE(ts)")
+    # grouped SELECT list: per-row analytic, not an aggregation
+    with pytest.raises(E.IfritError, match="incompatible"):
+        compile_query(EV_SCHEMA, "SELECT SESSIONIZE(ts) AS s GROUP BY user_id")
+
+
+def test_sessionize_requires_window_geometry_fields():
+    # the fixed geometry reads user_id + event_id; both must exist
+    with pytest.raises(E.IfritError, match="unexisting field 'user_id'"):
+        compile_query({"event_id": "number", "ts": "string"},
+                      "SELECT SESSIONIZE(ts) AS s")
+    with pytest.raises(E.IfritError, match="unexisting field 'event_id'"):
+        compile_query({"user_id": "number", "ts": "string"},
+                      "SELECT SESSIONIZE(ts) AS s")
+
+
+def test_sessionize_unchecked_rejected_by_both_backends(spark):
+    from purescript_ifrit_spark.api import compile_unchecked
+    from purescript_ifrit_spark.planner import compile_condition
+
+    plan = compile_unchecked("SELECT event_id WHERE SESSIONIZE(ts) > 1")
+    with pytest.raises(E.PlanError, match="cannot be used in WHERE"):
+        compile_condition(plan.statement.where)
+    with pytest.raises(E.PlanError, match="cannot be used in WHERE"):
+        to_spark_sql(plan.statement, "events")
+
+
+def test_temporal_backends_agree_on_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_ext_v")
+    for sql in (
+        "SELECT COUNT(event_id) AS n GROUP BY TUMBLE(ts)",
+        "SELECT event_id, SESSIONIZE(ts) AS session_id",
+        "SELECT event_id, TUMBLE(ts) AS hour, SESSIONIZE(ts) AS session_id",
+    ):
+        df_result = run_query(spark, ev, sql)
+        sql_result = spark.sql(to_spark_sql(parse_sql(sql), "events_ext_v"))
+        a = {tuple(sorted(r.asDict().items())) for r in df_result.collect()}
+        b = {tuple(sorted(r.asDict().items())) for r in sql_result.collect()}
+        assert a == b, sql
+
+
+def test_dialect_sessionize_matches_operator(spark, sf_dir):
+    from purescript_ifrit_spark.operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    dialect = run_query(spark, ev, "SELECT event_id, SESSIONIZE(ts) AS session_id")
+    op = sessionize(ev, "user_id", "ts", 30).select("event_id", "session_id")
+    a = {(r.event_id, r.session_id) for r in dialect.collect()}
+    b = {(r.event_id, r.session_id) for r in op.collect()}
+    assert a == b
+
+
+def test_sessionize_single_exchange_plan(spark, sf_dir):
+    # stage + final share one window spec: the plan must contain exactly
+    # one shuffle (hashpartitioning on user_id), never two
+    ev = load_table(spark, sf_dir, "events")
+    out = run_query(spark, ev, "SELECT event_id, SESSIONIZE(ts) AS session_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
