@@ -813,6 +813,33 @@ def x_dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_dedup_ngram_planted",
+    # exact word-3-gram Jaccard is fully oracle-predictable on the planted
+    # corpus: an exact variant normalizes to its base text (jaccard 1.0);
+    # a near variant is the 38-token prefix of its 40-token base, so its 36
+    # 3-shingles are a strict subset of the base's 38 → 36/38. Blocks pair
+    # each variant with exactly its base (disjoint token namespaces make
+    # cross-doc jaccard 0 anyway), demonstrating the blocked scale path —
+    # the same shape the operator runs downstream of LSH banding.
+    "SELECT doc_id AS id_a, doc_id + 1000000000000 AS id_b, "
+    "CAST(1.0 AS DOUBLE) AS jaccard FROM documents WHERE doc_id % 10 = 0 "
+    "UNION ALL "
+    "SELECT doc_id, doc_id + 2000000000000, "
+    "CAST(ROUND(36.0 / 38.0, 6) AS DOUBLE) FROM documents WHERE doc_id % 10 = 5",
+)
+def x_dedup_ngram_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.dedup import ngram_jaccard_pairs
+
+    planted = _planted_docs(spark, sf_dir).withColumn(
+        "blk", F.col("doc_id") % 1_000_000_000_000
+    )
+    out = ngram_jaccard_pairs(
+        planted, "doc_id", "text", n=3, threshold=0.5, block_col="blk"
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
 @register("x_dedup_simhash_pairs", None)  # approximate — rows-only check
 def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.dedup import simhash_candidate_pairs
@@ -2386,6 +2413,7 @@ _DRIVER_WINDOW_R3 = [
     "x_semi_join",
     "x_equidepth_buckets",
     "x_stratified_sample",
+    "x_dedup_ngram_planted",
     # -- (3) §2 sentinels (driver-side core-surface regression signal) -----
     "p1_projection",
     "p2_nested_projection",
@@ -2396,7 +2424,6 @@ _DRIVER_WINDOW_R3 = [
     "b2_avg_nested_array",
     "s2_derived_table",
     "x_dedup_exact",
-    "x_dedup_minhash_planted",
     "xd_quality_filter",
 ]
 
