@@ -317,3 +317,54 @@ def chunk_documents(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
     ).withColumn("chunk_tokens", F.size(F.split(F.col("chunk_text"), " ")))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText repetition
+    filters, word-level): fraction of duplicate words and of duplicate word
+    2-grams. High values flag boilerplate, keyword spam, and degenerate
+    generations; corpus pipelines filter on thresholds per language.
+
+    No reference counterpart (engine extension, same family as
+    quality_score). Scan-stage and linear per row: total 2-grams need no
+    second array (= n_words - 1 on normalized text), distinct counts are
+    one array_distinct each over the single normalized projection. The
+    stage boundary keeps the normalization regex evaluated once
+    (CollapseProject preserves it — same reasoning as _quality_staged).
+    """
+    c = F.col(text_col)
+    s = F.col("_norm")
+    n = F.col("n_words")
+    rx2 = r"(?=(\S+ \S+))(?:\S+ ?)"
+    staged = df.withColumn("_norm", X.normalize_text(c)).withColumns(
+        {
+            # NULL text is content-free like blank text (word_shingles'
+            # NULL-leg contract): length(NULL)==0 is NULL, so test isNull
+            # explicitly or every stat of a missing-text row becomes NULL
+            "n_words": F.when(
+                s.isNull() | (F.length(s) == 0), F.lit(0)
+            ).otherwise(F.length(s) - F.length(F.translate(s, " ", "")) + 1),
+            "_dw": F.size(F.array_distinct(F.split(s, " "))),
+            "_d2": F.size(
+                F.array_distinct(F.regexp_extract_all(s, F.lit(rx2), 1))
+            ),
+        }
+    )
+    out = staged.withColumns(
+        {
+            "dup_word_frac": F.when(n == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.lit(1.0) - F.col("_dw").cast("double") / n.cast("double"),
+                    6,
+                )
+            ),
+            "dup_2gram_frac": F.when(n < 2, F.lit(0.0)).otherwise(
+                F.round(
+                    F.lit(1.0)
+                    - F.col("_d2").cast("double") / (n - 1).cast("double"),
+                    6,
+                )
+            ),
+        }
+    )
+    return out.drop("_norm", "_dw", "_d2")

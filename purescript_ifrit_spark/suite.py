@@ -2322,6 +2322,81 @@ def flagship(spark: SparkSession) -> DataFrame:
 
 
 # ===========================================================================
+# repetition signals + benchmark contamination (round-3 pipeline operators)
+# ===========================================================================
+
+@register(
+    "x_repetition_stats",
+    # Gopher-style repetition filters: duplicate-word and duplicate-2-gram
+    # fractions over normalized text; total 2-grams = n_words - 1, distinct
+    # counts over list_distinct — same identities as the Spark operator
+    "WITH t AS (SELECT doc_id, "
+    "  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents), "
+    "w AS (SELECT doc_id, s, string_split(s, ' ') AS ws, "
+    "  CASE WHEN s IS NULL OR len(s) = 0 THEN 0 "
+    "  ELSE len(string_split(s, ' ')) END AS n FROM t) "
+    "SELECT doc_id, CAST(n AS BIGINT) AS n_words, "
+    "CASE WHEN n = 0 THEN 0.0 ELSE "
+    "  ROUND(1.0 - len(list_distinct(ws)) * 1.0 / n, 6) END AS dup_word_frac, "
+    "CASE WHEN n < 2 THEN 0.0 ELSE "
+    "  ROUND(1.0 - len(list_distinct(list_transform(range(1, len(ws)), "
+    "    i -> ws[i] || ' ' || ws[i+1]))) * 1.0 / (n - 1), 6) "
+    "END AS dup_2gram_frac FROM w",
+)
+def x_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.text_analysis import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_stats(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "dup_word_frac",
+        "dup_2gram_frac",
+    )
+
+
+# DuckDB twin of functions/text.word_shingles(n=8): distinct 8-gram list
+# with the short-text fallback (whole normalized text) and the empty-text
+# empty list — the operator's exact contract
+_DUCK_8GRAMS = (
+    "CASE WHEN len(s) = 0 THEN CAST([] AS VARCHAR[]) "
+    "WHEN len(ws) >= 8 THEN list_distinct(list_transform(range(1, len(ws) - 6), "
+    "  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' "
+    "  || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) "
+    "ELSE [s] END"
+)
+
+@register(
+    "x_contamination",
+    # benchmark = every 100th document; a doc is contaminated when it holds
+    # >= 50% of a benchmark item's distinct word 8-grams. The oracle
+    # recomputes exact distinct-gram intersections; the Spark side runs the
+    # operator's scale path (hashed grams + broadcast bench), so the value
+    # compare also proves the xxhash64 path collision-free at this scale
+    "WITH t AS (SELECT doc_id, "
+    "  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents), "
+    "w AS (SELECT doc_id, s, string_split(s, ' ') AS ws FROM t), "
+    f"g AS (SELECT doc_id, {_DUCK_8GRAMS} AS gs FROM w), "
+    "b AS (SELECT doc_id AS bench_id, gs AS bgs FROM g WHERE doc_id % 100 = 0) "
+    "SELECT g.doc_id, b.bench_id, "
+    "ROUND(len(list_intersect(g.gs, b.bgs)) * 1.0 / len(b.bgs), 6) AS overlap "
+    "FROM g CROSS JOIN b WHERE len(b.bgs) > 0 "
+    "AND len(list_intersect(g.gs, b.bgs)) * 1.0 / len(b.bgs) >= 0.5",
+)
+def x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return ngram_contamination(docs, bench, n=8, min_frac=0.5)
+
+
+# ===========================================================================
 # dialect temporal functions (TUMBLE / SESSIONIZE — functions/dialect_ext.py)
 # ===========================================================================
 
@@ -2414,14 +2489,14 @@ _DRIVER_WINDOW_R3 = [
     "x_equidepth_buckets",
     "x_stratified_sample",
     "x_dedup_ngram_planted",
+    "x_repetition_stats",
+    "x_contamination",
     # -- (3) §2 sentinels (driver-side core-surface regression signal) -----
     "p1_projection",
     "p2_nested_projection",
     "f1_eq",
     "o3_limit_before_offset",
     "a1_a3_group_avg",
-    "a2_group_by_null",
-    "b2_avg_nested_array",
     "s2_derived_table",
     "x_dedup_exact",
     "xd_quality_filter",

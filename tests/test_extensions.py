@@ -711,3 +711,79 @@ def test_streaming_curation_matches_batch_prefix(spark, sf_dir, tmp_path):
     kept = scored.filter((FF.col("quality") >= 0.2) & (FF.col("n_tokens") >= 5))
     want = {r.doc_id for r in dedup_exact_text(kept, "text", "doc_id").select("doc_id").collect()}
     assert got == want  # later-batch dups dropped, originals kept
+
+
+def test_repetition_stats_known_values(spark):
+    from purescript_ifrit_spark.operators.text_analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 words, all distinct; 3 2-grams all distinct
+            (1, "a b c d"),
+            # "a a a a": 4 words 1 distinct -> dup_word 0.75;
+            # 3 2-grams ("a a" x3) 1 distinct -> dup_2gram 2/3
+            (2, "a a a a"),
+            # single word: no 2-grams -> 0.0
+            (3, "solo"),
+            (4, ""),
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs, "text").collect()}
+    assert rows[1].dup_word_frac == 0.0 and rows[1].dup_2gram_frac == 0.0
+    assert rows[2].dup_word_frac == 0.75
+    assert rows[2].dup_2gram_frac == round(1 - 1 / 3, 6)
+    assert rows[3].n_words == 1 and rows[3].dup_2gram_frac == 0.0
+    assert rows[4].n_words == 0 and rows[4].dup_word_frac == 0.0
+    assert rows[5].dup_word_frac == 0.0  # NULL text -> content-free
+
+
+@pytest.mark.parametrize("hash_grams", [True, False])
+def test_ngram_contamination_planted(spark, hash_grams):
+    from purescript_ifrit_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    # doc 1 contains bench 10 verbatim (overlap 1.0); doc 2 shares half of
+    # bench 20's 2 distinct 3-grams... construct exactly: bench 20 has
+    # 4 words -> 2 3-grams; doc 2 contains the first 3 words -> 1 shared
+    # gram -> overlap 0.5. doc 3 shares nothing.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta extra words here"),
+            (2, "p q r unrelated tail of text"),
+            (3, "totally different content entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (20, "p q r s")],
+        ["bench_id", "text"],
+    )
+    out = ngram_contamination(
+        docs, bench, n=3, min_frac=0.5, hash_grams=hash_grams
+    )
+    got = {(r.doc_id, r.bench_id): r.overlap for r in out.collect()}
+    assert got == {(1, 10): 1.0, (2, 20): 0.5}
+
+
+def test_ngram_contamination_broadcast_plan(spark):
+    from purescript_ifrit_spark.operators.contamination import (
+        ngram_contamination,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out = ngram_contamination(docs, bench, n=8, min_frac=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the gram probe must be a broadcast join: corpus grams never shuffle
+    assert "BroadcastHashJoin" in plan
+    # every bench doc is contaminated by its own source document
+    got = {(r.doc_id, r.bench_id, r.overlap) for r in out.collect()}
+    expected_self = {(b, b, 1.0) for b in
+                     [r.bench_id for r in bench.select("bench_id").collect()]}
+    assert expected_self <= got
