@@ -177,11 +177,23 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
 
         return term_stats(t["documents"], "doc_id", "text")
 
+    def qx_contamination():
+        from purescript_ifrit_spark.operators.contamination import (
+            ngram_contamination,
+        )
+
+        docs = t["documents"]
+        bench = docs.filter(F.col("doc_id") % 100 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        return ngram_contamination(docs, bench, n=8, min_frac=0.5)
+
     extra_queries = {
         "qx_asof_join": qx_asof_join,
         "qx_rollup_multi": qx_rollup_multi,
         "qx_range_join": qx_range_join,
         "qx_term_stats": qx_term_stats,
+        "qx_contamination": qx_contamination,
     }
 
     # JVM warm-up (parquet footers, codegen)
