@@ -176,20 +176,28 @@ def tfidf_topk(
     web-scale vocabularies), then a per-document window top-k
     (WindowGroupLimit pushes the limit map-side).
 
-    `n_docs` overrides the corpus size (one count() action otherwise)."""
+    `n_docs` overrides the corpus size; when omitted it is computed IN the
+    plan — a 1-row count aggregate broadcast-cross-joined onto the scored
+    rows — so the operator stays fully lazy (no blocking driver action;
+    the count scan reads zero columns and rides the same job)."""
     if k <= 0:
         raise ValueError(f"k must be positive (got {k})")
     from pyspark.sql import Window
 
-    if n_docs is None:
-        n_docs = df.count()
     per_doc = _per_doc_term_counts(df, id_col, text_col)
     vocab = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = per_doc.join(vocab, "term").withColumn(
+    scored = per_doc.join(vocab, "term")
+    if n_docs is None:
+        n_col = F.col("_n_docs")
+        scored = scored.crossJoin(
+            F.broadcast(df.select(F.count(F.lit(1)).alias("_n_docs")))
+        )
+    else:
+        n_col = F.lit(n_docs)
+    scored = scored.withColumn(
         "score",
-        (F.col("tf_doc") * F.lit(n_docs)).cast("double")
-        / F.col("df").cast("double"),
-    )
+        (F.col("tf_doc") * n_col).cast("double") / F.col("df").cast("double"),
+    ).drop("_n_docs")
     w = Window.partitionBy("_doc").orderBy(
         F.col("score").desc(), F.col("term").asc()
     )
