@@ -207,6 +207,7 @@ def budget_sample(
     budget: int,
     group_col: str | None = None,
     salt: str = "v1",
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Keep rows, in deterministic hash order, until each group's token
     budget is spent — the standard corpus-mixing cap ("at most N tokens of
@@ -219,22 +220,74 @@ def budget_sample(
     corpus only ever *displaces* rows with later draws — it never reshuffles
     the order itself.
 
-    Scale: ONE window partitioned by `group_col` — state is per-group and
-    the shuffle is the groupBy-equivalent hash exchange; no global sort.
-    With `group_col=None` the window is a single partition: fine for
-    capping a modest slice (the budget bounds useful output anyway), but
-    prefer a group column at corpus scale."""
+    Scale: with a `group_col`, ONE window partitioned by it — state is
+    per-group and the shuffle is the groupBy-equivalent hash exchange; no
+    global sort. With `group_col=None` the cumulative sum is SHARDED on
+    the draw itself (same offset construction as
+    text_analysis.pack_sequences): the md5 draw is an 8-hex-char string
+    whose lexicographic order IS its numeric order, so contiguous
+    hex-prefix ranges are contiguous in the global draw order — rows
+    shard by their first 4 hex digits, the window runs per shard, and
+    each shard adds the token total of all earlier shards. offset +
+    per-shard cumsum == the exact global cumsum, bit-identical to the
+    single-window semantics with no single-partition exchange. The draw
+    is uniform, so shards balance without any min/max scan.
+    `num_shards` defaults to the session parallelism; `num_shards=1`
+    forces the legacy global window."""
     if budget <= 0:
         raise ValueError(f"budget must be positive (got {budget})")
     from pyspark.sql import Window
 
-    order = [_draw(F.col(id_col), salt).asc(), F.col(id_col).asc()]
-    w = (
-        Window.partitionBy(group_col) if group_col is not None else Window.partitionBy()
-    ).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = F.sum(F.col(token_col)).over(w)
+    draw = _draw(F.col(id_col), salt)
+    order = [F.col("_bdraw").asc(), F.col(id_col).asc()]
+
+    if group_col is not None:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.withColumn("_bdraw", draw)
+            .withColumn("_cum_tokens", F.sum(F.col(token_col)).over(w))
+            .filter(F.col("_cum_tokens") <= budget)
+            .drop("_bdraw", "_cum_tokens")
+        )
+
+    if num_shards is None:
+        num_shards = df.sparkSession.sparkContext.defaultParallelism
+    d = df.withColumn("_bdraw", draw)
+    if num_shards <= 1:
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            d.withColumn("_cum_tokens", F.sum(F.col(token_col)).over(w))
+            .filter(F.col("_cum_tokens") <= budget)
+            .drop("_bdraw", "_cum_tokens")
+        )
+
+    # first 4 hex digits → [0, 65536) → num_shards contiguous draw ranges
+    shard = F.floor(
+        F.conv(F.substring(F.col("_bdraw"), 1, 4), 16, 10).cast("long")
+        * num_shards
+        / F.lit(65536)
+    ).cast("int")
+    d = d.withColumn("_shard", shard)
+    totals = d.groupBy("_shard").agg(F.sum(token_col).alias("_tot"))
+    offs = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b._shard") < F.col("a._shard"), "left")
+        .groupBy(F.col("a._shard").alias("_shard"))
+        .agg(F.coalesce(F.sum("b._tot"), F.lit(0)).alias("_off"))
+    )
+    w = Window.partitionBy("_shard").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.col("_off") + F.sum(F.col(token_col)).over(w)
     return (
-        df.withColumn("_cum_tokens", cum)
+        d.join(F.broadcast(offs), "_shard")
+        .withColumn("_cum_tokens", cum)
         .filter(F.col("_cum_tokens") <= budget)
-        .drop("_cum_tokens")
+        .drop("_bdraw", "_shard", "_off", "_cum_tokens")
     )

@@ -787,3 +787,22 @@ def test_ngram_contamination_broadcast_plan(spark):
     expected_self = {(b, b, 1.0) for b in
                      [r.bench_id for r in bench.select("bench_id").collect()]}
     assert expected_self <= got
+
+
+def test_budget_sample_global_sharded_matches_single_window(spark):
+    from purescript_ifrit_spark.operators.sampling import budget_sample
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.length("text").alias("n_tok")
+    )
+    single = budget_sample(docs, "doc_id", "n_tok", 20_000, num_shards=1)
+    sharded = budget_sample(docs, "doc_id", "n_tok", 20_000, num_shards=8)
+    a = {r.doc_id for r in single.collect()}
+    b = {r.doc_id for r in sharded.collect()}
+    assert a == b and len(a) > 0
+    # the sharded plan must not funnel through a single partition
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    # while the legacy global window does (that is what sharding removes)
+    assert "SinglePartition" in single._jdf.queryExecution().executedPlan().toString()
