@@ -186,10 +186,11 @@ SESSIONIZE_GAP_MIN = 30
 
 
 def _tumble_column(c: Column) -> Column:
-    # hour-start epoch SECONDS (a number both engines hold exactly; epoch
-    # micros ~1.7e18 exceeds double's 2^53 integer range, so the dialect's
-    # float-typed numbers could not carry them losslessly). Pure epoch
-    # arithmetic — date_trunc would bucket in the session's local timezone.
+    # hour-start epoch SECONDS: compact, and exactly representable in the
+    # dialect's double-typed numbers forever (epoch MICROS ~1.7e15 today
+    # would also fit 2^53, but only until ~2255 — and hour buckets don't
+    # need sub-second resolution anyway). Pure epoch arithmetic —
+    # date_trunc would bucket in the session's local timezone.
     # cast("timestamp") is a no-op on TimestampType and makes NTZ inputs
     # legal under the engine's UTC session contract (sources/tables.py).
     from pyspark.sql import functions as F

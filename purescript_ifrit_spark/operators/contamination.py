@@ -45,6 +45,7 @@ def ngram_contamination(
     min_frac: float = 0.5,
     hash_grams: bool = True,
     broadcast_bench: bool = True,
+    check_short: bool = True,
 ) -> DataFrame:
     """(doc_id, bench_id, overlap) for every document that contains at
     least `min_frac` of a benchmark item's distinct word n-grams.
@@ -56,6 +57,21 @@ def ngram_contamination(
     """
     bench_text = bench_text_col or text_col
 
+    # Bench items SHORTER than n words cannot be caught by the gram join:
+    # word_shingles collapses them to one whole-text shingle, which never
+    # equals any n-gram of a longer document — a verbatim-contaminated doc
+    # would silently pass. Route them through exact phrase containment
+    # instead (still a broadcast: the short-bench side is a handful of
+    # rows, and BroadcastNestedLoopJoin over it is one scan of the corpus).
+    bench_n = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        X.normalize_text(F.col(bench_text)).alias("_bs"),
+        F.size(X.word_shingles(F.col(bench_text), n)).alias("_bn"),
+        X.token_count(F.col(bench_text)).alias("_bw"),
+    ).filter(F.col("_bn") > 0)
+    bench_long = bench_n.filter(F.col("_bw") >= n)
+    bench_short = bench_n.filter(F.col("_bw") < n).select("bench_id", "_bs")
+
     def grams(df: DataFrame, id_col: str, col: str, out_id: str) -> DataFrame:
         g = F.explode(X.word_shingles(F.col(col), n)).alias("_g")
         out = df.select(F.col(id_col).alias(out_id), g)
@@ -64,21 +80,19 @@ def ngram_contamination(
         return out
 
     doc_g = grams(docs, doc_id_col, text_col, "doc_id")
-    bench_g = grams(bench, bench_id_col, bench_text, "bench_id")
-    bench_sizes = bench.select(
-        F.col(bench_id_col).alias("bench_id"),
-        F.size(X.word_shingles(F.col(bench_text), n)).alias("_bn"),
-    ).filter(F.col("_bn") > 0)
+    bench_g = grams(bench_long, "bench_id", "_bs", "bench_id")
+    bench_sizes = bench_long.select("bench_id", "_bn")
     if broadcast_bench:
         bench_g = F.broadcast(bench_g)
         bench_sizes = F.broadcast(bench_sizes)
+        bench_short = F.broadcast(bench_short)
 
     hits = (
         doc_g.join(bench_g, "_g")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("_hits"))
     )
-    return (
+    long_out = (
         hits.join(bench_sizes, "bench_id")
         .withColumn(
             "overlap",
@@ -89,3 +103,17 @@ def ngram_contamination(
         .filter(F.col("overlap") >= min_frac)
         .select("doc_id", "bench_id", "overlap")
     )
+    if not check_short:
+        # callers that KNOW every benchmark item has >= n words skip the
+        # containment branch and its second corpus scan
+        return long_out
+    # short items: contained-as-phrase == every gram present == overlap 1.0
+    short_out = (
+        docs.select(
+            F.col(doc_id_col).alias("doc_id"),
+            X.normalize_text(F.col(text_col)).alias("_ds"),
+        )
+        .join(bench_short, F.col("_ds").contains(F.col("_bs")))
+        .select("doc_id", "bench_id", F.lit(1.0).alias("overlap"))
+    )
+    return long_out.unionAll(short_out)

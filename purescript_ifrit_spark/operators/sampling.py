@@ -228,10 +228,13 @@ def budget_sample(
     whose lexicographic order IS its numeric order, so contiguous
     hex-prefix ranges are contiguous in the global draw order — rows
     shard by their first 4 hex digits, the window runs per shard, and
-    each shard adds the token total of all earlier shards. offset +
-    per-shard cumsum == the exact global cumsum, bit-identical to the
-    single-window semantics with no single-partition exchange. The draw
-    is uniform, so shards balance without any min/max scan.
+    each shard adds the token total of all earlier shards
+    (operators/sharding.sharded_prefix_sum). offset + per-shard cumsum
+    == the exact global cumsum — bit-identical to the single-window
+    semantics for integral token counts (the expected column type; a
+    float token column could differ in the last ulp at shard boundaries
+    because addition reassociates) — with no single-partition exchange.
+    The draw is uniform, so shards balance without any min/max scan.
     `num_shards` defaults to the session parallelism; `num_shards=1`
     forces the legacy global window."""
     if budget <= 0:
@@ -267,27 +270,23 @@ def budget_sample(
             .drop("_bdraw", "_cum_tokens")
         )
 
-    # first 4 hex digits → [0, 65536) → num_shards contiguous draw ranges
-    shard = F.floor(
-        F.conv(F.substring(F.col("_bdraw"), 1, 4), 16, 10).cast("long")
-        * num_shards
-        / F.lit(65536)
+    # first 4 hex digits → [0, 65536) → num_shards contiguous draw ranges.
+    # A NULL id yields a NULL draw, which the ascending window sorts NULLS
+    # FIRST — pin it to shard 0 (an un-handled NULL shard key would vanish
+    # in the offset equi-join and silently drop the row)
+    from purescript_ifrit_spark.operators.sharding import sharded_prefix_sum
+
+    shard = F.when(F.col("_bdraw").isNull(), F.lit(0)).otherwise(
+        F.floor(
+            F.conv(F.substring(F.col("_bdraw"), 1, 4), 16, 10).cast("long")
+            * num_shards
+            / F.lit(65536)
+        )
     ).cast("int")
     d = d.withColumn("_shard", shard)
-    totals = d.groupBy("_shard").agg(F.sum(token_col).alias("_tot"))
-    offs = (
-        totals.alias("a")
-        .join(totals.alias("b"), F.col("b._shard") < F.col("a._shard"), "left")
-        .groupBy(F.col("a._shard").alias("_shard"))
-        .agg(F.coalesce(F.sum("b._tot"), F.lit(0)).alias("_off"))
-    )
-    w = Window.partitionBy("_shard").orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = F.col("_off") + F.sum(F.col(token_col)).over(w)
+    d, cum = sharded_prefix_sum(d, "_shard", order, token_col)
     return (
-        d.join(F.broadcast(offs), "_shard")
-        .withColumn("_cum_tokens", cum)
+        d.withColumn("_cum_tokens", cum)
         .filter(F.col("_cum_tokens") <= budget)
         .drop("_bdraw", "_shard", "_off", "_cum_tokens")
     )

@@ -282,22 +282,13 @@ def pack_sequences(
     d = df.withColumn("_shard", shard)
 
     # token total per shard → prefix offsets via a tiny triangular self-join
-    # (num_shards rows; a window here would reintroduce SinglePartition)
-    totals = d.groupBy("_shard").agg(F.sum(tokens_col).alias("_tot"))
-    offs = (
-        totals.alias("a")
-        .join(totals.alias("b"), F.col("b._shard") < F.col("a._shard"), "left")
-        .groupBy(F.col("a._shard").alias("_shard"))
-        .agg(F.coalesce(F.sum("b._tot"), F.lit(0)).alias("_off"))
-    )
+    # (num_shards rows; a window here would reintroduce SinglePartition) —
+    # the shared primitive in operators/sharding.sharded_prefix_sum
+    from purescript_ifrit_spark.operators.sharding import sharded_prefix_sum
 
-    w = Window.partitionBy("_shard").orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = F.col("_off") + F.sum(F.col(tokens_col)).over(w)
+    d, cum = sharded_prefix_sum(d, "_shard", order, tokens_col)
     return (
-        d.join(F.broadcast(offs), "_shard")
-        .withColumn(
+        d.withColumn(
             "pack_id",
             F.floor((cum - F.col(tokens_col)) / F.lit(pack_size)).cast("long"),
         )

@@ -152,9 +152,28 @@ def build(df: DataFrame, stmt: Statement, flags: CompatFlags = CompatFlags()) ->
                 df = df.withColumn(tmp, builder(F.col(sel.path)))
                 cols[stage_name] = F.col(tmp)
             staged[(sel.fn, sel.path)] = cols
-        return df.select(
-            *[_projection_column(sel, staged) for sel in stmt.projections]
-        )
+        proj = [_projection_column(sel, staged) for sel in stmt.projections]
+        if staged and stmt.order_by:
+            # the analytic fn's window exchange re-partitions AFTER the
+            # ORDER BY above ran, destroying presentation order (row
+            # SELECTION — ORDER BY + LIMIT — already happened and is
+            # unaffected). Carry the order keys through hidden columns,
+            # re-sort on them, then prune: a Project over Sort preserves
+            # ordering, so the user-visible order survives.
+            hidden = [
+                F.col(k.path).alias(f"__ifrit_ord_{i}")
+                for i, k in enumerate(stmt.order_by)
+            ]
+            out = df.select(*proj, *hidden).orderBy(
+                *[
+                    F.col(f"__ifrit_ord_{i}").asc()
+                    if k.ascending
+                    else F.col(f"__ifrit_ord_{i}").desc()
+                    for i, k in enumerate(stmt.order_by)
+                ]
+            )
+            return out.drop(*[f"__ifrit_ord_{i}" for i in range(len(stmt.order_by))])
+        return df.select(*proj)
 
     assert isinstance(stmt, Group)
     aggs: List[Column] = []

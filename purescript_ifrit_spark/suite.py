@@ -2360,7 +2360,10 @@ def x_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with the short-text fallback (whole normalized text) and the empty-text
 # empty list — the operator's exact contract
 _DUCK_8GRAMS = (
-    "CASE WHEN len(s) = 0 THEN CAST([] AS VARCHAR[]) "
+    # s IS NULL must short-circuit FIRST: len(NULL)=NULL would fall through
+    # both WHENs to ELSE [NULL], while Spark's word_shingles returns [] for
+    # NULL text (its documented load-bearing NULL leg)
+    "CASE WHEN s IS NULL OR len(s) = 0 THEN CAST([] AS VARCHAR[]) "
     "WHEN len(ws) >= 8 THEN list_distinct(list_transform(range(1, len(ws) - 6), "
     "  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' "
     "  || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) "
@@ -2377,12 +2380,18 @@ _DUCK_8GRAMS = (
     "WITH t AS (SELECT doc_id, "
     "  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents), "
     "w AS (SELECT doc_id, s, string_split(s, ' ') AS ws FROM t), "
-    f"g AS (SELECT doc_id, {_DUCK_8GRAMS} AS gs FROM w), "
-    "b AS (SELECT doc_id AS bench_id, gs AS bgs FROM g WHERE doc_id % 100 = 0) "
+    f"g AS (SELECT doc_id, s, ws, {_DUCK_8GRAMS} AS gs FROM w), "
+    "b AS (SELECT doc_id AS bench_id, s AS bs, ws AS bws, gs AS bgs FROM g "
+    "  WHERE doc_id % 100 = 0) "
+    # long bench items (>= 8 words): distinct-gram intersection fraction
     "SELECT g.doc_id, b.bench_id, "
     "ROUND(len(list_intersect(g.gs, b.bgs)) * 1.0 / len(b.bgs), 6) AS overlap "
-    "FROM g CROSS JOIN b WHERE len(b.bgs) > 0 "
-    "AND len(list_intersect(g.gs, b.bgs)) * 1.0 / len(b.bgs) >= 0.5",
+    "FROM g CROSS JOIN b WHERE len(b.bgs) > 0 AND len(b.bws) >= 8 "
+    "AND len(list_intersect(g.gs, b.bgs)) * 1.0 / len(b.bgs) >= 0.5 "
+    "UNION ALL "
+    # short bench items (< 8 words): exact phrase containment == overlap 1.0
+    "SELECT g.doc_id, b.bench_id, 1.0 AS overlap FROM g CROSS JOIN b "
+    "WHERE len(b.bgs) > 0 AND len(b.bws) < 8 AND strpos(g.s, b.bs) > 0",
 )
 def x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.contamination import (
@@ -2433,12 +2442,14 @@ register(
 # round-2 addition — outside that hard-signal window (VERDICT.md r2).
 # Re-rank so the window carries maximum information this round:
 #
-#   1. the 6 operators broken by TIMESTAMP_NTZ in r2, now fixed — the
-#      driver must re-verify them (x_sessionize, x_events_hourly,
-#      x_asof_join, x_asof_forward, x_range_join, x_rollup_multi);
-#   2. every entry never driver-verified in r01 or r02 (35 entries:
-#      tpch_q18ish, clusters, pack_sequences, curate, streaming, sampling,
-#      term stats, set ops, ...);
+#   1. the 6 operators broken by TIMESTAMP_NTZ in r2 (now fixed — the
+#      driver must re-verify them: x_sessionize, x_events_hourly,
+#      x_asof_join, x_asof_forward, x_range_join, x_rollup_multi) plus the
+#      2 new dialect temporal twins (8 entries);
+#   2. every entry never driver-verified in r01 or r02, plus the round-3
+#      additions (34 entries: tpch_q18ish, clusters, pack_sequences,
+#      curate, streaming, sampling, term stats, set ops, ngram/repetition/
+#      contamination, ...);
 #   3. a sentinel subset of long-stable §2 dialect rows so the core
 #      surface keeps driver-side regression signal (ADVICE.md r2 — don't
 #      rotate ALL of them out);

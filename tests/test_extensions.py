@@ -768,13 +768,13 @@ def test_ngram_contamination_planted(spark, hash_grams):
     assert got == {(1, 10): 1.0, (2, 20): 0.5}
 
 
-def test_ngram_contamination_broadcast_plan(spark):
+def test_ngram_contamination_broadcast_plan(spark, sf_dir):
     from purescript_ifrit_spark.operators.contamination import (
         ngram_contamination,
     )
     from purescript_ifrit_spark.sources.tables import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
@@ -789,11 +789,11 @@ def test_ngram_contamination_broadcast_plan(spark):
     assert expected_self <= got
 
 
-def test_budget_sample_global_sharded_matches_single_window(spark):
+def test_budget_sample_global_sharded_matches_single_window(spark, sf_dir):
     from purescript_ifrit_spark.operators.sampling import budget_sample
     from purescript_ifrit_spark.sources.tables import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("n_tok")
     )
     single = budget_sample(docs, "doc_id", "n_tok", 20_000, num_shards=1)
@@ -806,3 +806,66 @@ def test_budget_sample_global_sharded_matches_single_window(spark):
     assert "SinglePartition" not in plan, plan
     # while the legacy global window does (that is what sharding removes)
     assert "SinglePartition" in single._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ngram_contamination_short_bench_items(spark):
+    from purescript_ifrit_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    # a bench item SHORTER than n words must still catch verbatim
+    # containment (the gram join alone is structurally blind to it)
+    docs = spark.createDataFrame(
+        [
+            (1, "lots of words around What is the Capital of France indeed"),
+            (2, "nothing related here at all in this document"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(10, "what is the capital of france")], ["bench_id", "text"]
+    )
+    out = ngram_contamination(docs, bench, n=8, min_frac=0.5)
+    got = {(r.doc_id, r.bench_id, r.overlap) for r in out.collect()}
+    assert got == {(1, 10, 1.0)}
+    # and check_short=False documents the single-scan opt-out (no rows)
+    assert ngram_contamination(
+        docs, bench, n=8, min_frac=0.5, check_short=False
+    ).count() == 0
+
+
+def test_budget_sample_sharded_keeps_null_ids(spark):
+    from purescript_ifrit_spark.operators.sampling import budget_sample
+
+    rows = [(float(i), 10) for i in range(20)] + [(None, 10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    single = budget_sample(docs, "doc_id", "n_tok", 1000, num_shards=1)
+    sharded = budget_sample(docs, "doc_id", "n_tok", 1000, num_shards=4)
+    a = {r.doc_id for r in single.collect()}
+    b = {r.doc_id for r in sharded.collect()}
+    # budget covers everything: the NULL-id row must survive BOTH paths
+    assert a == b and None in b and len(b) == 21
+
+
+def test_sessionize_order_by_preserved(spark, sf_dir):
+    from purescript_ifrit_spark.api import run_query
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sql = ("SELECT event_id, SESSIONIZE(ts) AS sid "
+           "ORDER BY event_id DESC LIMIT 50")
+    out = run_query(spark, ev, sql)
+    ids = [r.event_id for r in out.collect()]
+    # presentation order must survive the window exchange
+    assert ids == sorted(ids, reverse=True) and len(ids) == 50
+    assert out.columns == ["event_id", "sid"]
+    # SQL backend twin agrees INCLUDING order
+    from purescript_ifrit_spark.plans.spark_sql import to_spark_sql
+    from purescript_ifrit_spark.parser import parse_sql
+
+    ev.createOrReplaceTempView("events_ord_v")
+    sql_ids = [
+        r.event_id
+        for r in spark.sql(to_spark_sql(parse_sql(sql), "events_ord_v")).collect()
+    ]
+    assert sql_ids == ids
