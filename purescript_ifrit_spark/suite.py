@@ -2405,6 +2405,48 @@ def x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, bench, n=8, min_frac=0.5)
 
 
+@register(
+    "x_embedding_normalize",
+    # sequential double sum + IEEE sqrt/division are bit-reproducible, but
+    # round to 6dp anyway so the value hash tolerates float-printing paths
+    "SELECT vec_id, list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) "
+    "/ sqrt(list_aggregate(list_transform(embedding, "
+    "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')), 6)) AS unit "
+    "FROM embeddings",
+)
+def x_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = V.l2_normalize(F.col("embedding"))
+    return emb.select(
+        "vec_id", F.transform(unit, lambda x: F.round(x, 6)).alias("unit")
+    )
+
+
+@register(
+    "x_embedding_quantize",
+    # symmetric int8: scale = max|v|/127, q = round(v/scale); both engines
+    # round halves away from zero on doubles
+    "SELECT vec_id, "
+    "ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) "
+    "/ 127.0, 9) AS scale, "
+    "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / "
+    "(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) "
+    "/ 127.0)) AS INT)) AS q FROM embeddings",
+)
+def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = V.quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(qs["scale"], 9).alias("scale"),
+        qs["q"].alias("q"),
+    )
+
+
 # ===========================================================================
 # dialect temporal functions (TUMBLE / SESSIONIZE — functions/dialect_ext.py)
 # ===========================================================================

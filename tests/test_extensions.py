@@ -869,3 +869,43 @@ def test_sessionize_order_by_preserved(spark, sf_dir):
         for r in spark.sql(to_spark_sql(parse_sql(sql), "events_ord_v")).collect()
     ]
     assert sql_ids == ids
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    from purescript_ifrit_spark.functions import vectors as V
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    qs = V.quantize_int8(F.col("embedding"))
+    back = V.dequantize_int8(qs)
+    err = emb.select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding"),
+                back,
+                lambda a, b: F.abs(a.cast("double") - b),
+            )
+        ).alias("e"),
+        qs["scale"].alias("s"),
+    )
+    # per-element worst case is scale/2 (+ tiny float slack)
+    bad = err.filter(F.col("e") > F.col("s") * 0.5 + 1e-12).count()
+    assert bad == 0
+    # q stays in int8 range
+    r = emb.select(F.array_max(F.transform(qs["q"], F.abs)).alias("m"))
+    assert r.agg(F.max("m")).first()[0] <= 127
+
+
+def test_l2_normalize_unit_and_zero(spark):
+    from purescript_ifrit_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["id", "v"]
+    )
+    out = {r.id: r for r in df.select(
+        "id",
+        V.l2_normalize(F.col("v")).alias("u"),
+        V.norm(V.l2_normalize(F.col("v"))).alias("n"),
+    ).collect()}
+    assert out[1].u == [0.6, 0.8] and abs(out[1].n - 1.0) < 1e-12
+    assert out[2].u == [0.0, 0.0] and out[2].n == 0.0
