@@ -70,9 +70,21 @@ def ngram_contamination(
         X.token_count(F.col(bench_text)).alias("_bw"),
     ).filter(F.col("_bn") > 0)
     bench_long = bench_n.filter(F.col("_bw") >= n)
-    bench_short = bench_n.filter(F.col("_bw") < n).select("bench_id", "_bs")
+    # space-pad the short phrase so containment only matches at token
+    # boundaries: 'the cat' must not hit inside 'soothe cattle'. Normalized
+    # text has single internal spaces, so ' phrase ' aligns exactly with
+    # whole tokens of the (equally padded) document below.
+    bench_short = bench_n.filter(F.col("_bw") < n).select(
+        "bench_id",
+        F.concat(F.lit(" "), F.col("_bs"), F.lit(" ")).alias("_bs"),
+    )
 
     def grams(df: DataFrame, id_col: str, col: str, out_id: str) -> DataFrame:
+        # Docs with fewer than n words enter via word_shingles' whole-text
+        # fallback shingle. Load-bearing invariant: that fallback has < n
+        # words while every bench-side gram has exactly n, so the join key
+        # can never collide — short docs probe the broadcast and miss, they
+        # are not silently matched.
         g = F.explode(X.word_shingles(F.col(col), n)).alias("_g")
         out = df.select(F.col(id_col).alias(out_id), g)
         if hash_grams:
@@ -111,7 +123,9 @@ def ngram_contamination(
     short_out = (
         docs.select(
             F.col(doc_id_col).alias("doc_id"),
-            X.normalize_text(F.col(text_col)).alias("_ds"),
+            F.concat(
+                F.lit(" "), X.normalize_text(F.col(text_col)), F.lit(" ")
+            ).alias("_ds"),
         )
         .join(bench_short, F.col("_ds").contains(F.col("_bs")))
         .select("doc_id", "bench_id", F.lit(1.0).alias("overlap"))

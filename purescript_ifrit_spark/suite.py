@@ -938,8 +938,11 @@ def x_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
     "  THEN 1 ELSE 0 END AS new_s FROM events "
     "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
-    "t AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-    "  ROWS UNBOUNDED PRECEDING) AS session_id FROM s) "
+    # CAST AS BIGINT: DuckDB types SUM(int) as HUGEINT (int128), which fails
+    # the driver's type-sensitive value hash even when every value matches
+    # (the r1+r3 x_sessionize hash fails were exactly this, per VERDICT r3)
+    "t AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, "
+    "  event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s) "
     "SELECT user_id, session_id, COUNT(*) AS n_events, "
     "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, "
     "CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us "
@@ -1984,13 +1987,15 @@ def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "x_pivot_events",
-    # per-user event-type counts, pivoted wide — exact integer cells
+    # per-user event-type counts, pivoted wide — exact integer cells.
+    # CAST AS BIGINT: DuckDB types SUM(int) as HUGEINT (int128), which fails
+    # the driver's type-sensitive value hash even when every value matches
     "SELECT user_id, "
-    "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click, "
-    "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error, "
-    "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase, "
-    "SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup, "
-    "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view "
+    "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, "
+    "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, "
+    "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, "
+    "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, "
+    "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view "
     "FROM events GROUP BY user_id",
 )(
     lambda spark, sf_dir: load_table(spark, sf_dir, "events")
@@ -2389,9 +2394,12 @@ _DUCK_8GRAMS = (
     "FROM g CROSS JOIN b WHERE len(b.bgs) > 0 AND len(b.bws) >= 8 "
     "AND len(list_intersect(g.gs, b.bgs)) * 1.0 / len(b.bgs) >= 0.5 "
     "UNION ALL "
-    # short bench items (< 8 words): exact phrase containment == overlap 1.0
+    # short bench items (< 8 words): exact phrase containment == overlap 1.0.
+    # Space-padded on both sides (ADVICE r3): token-boundary matching, so
+    # 'the cat' cannot hit inside 'soothe cattle' — mirrors the operator
     "SELECT g.doc_id, b.bench_id, 1.0 AS overlap FROM g CROSS JOIN b "
-    "WHERE len(b.bgs) > 0 AND len(b.bws) < 8 AND strpos(g.s, b.bs) > 0",
+    "WHERE len(b.bgs) > 0 AND len(b.bws) < 8 "
+    "AND strpos(' ' || g.s || ' ', ' ' || b.bs || ' ') > 0",
 )
 def x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.contamination import (
@@ -2408,11 +2416,16 @@ def x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_embedding_normalize",
     # sequential double sum + IEEE sqrt/division are bit-reproducible, but
-    # round to 6dp anyway so the value hash tolerates float-printing paths
-    "SELECT vec_id, list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) "
-    "/ sqrt(list_aggregate(list_transform(embedding, "
-    "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')), 6)) AS unit "
-    "FROM embeddings",
+    # round to 6dp anyway so the value hash tolerates float-printing paths.
+    # CASE sq = 0 (ADVICE r3): l2_normalize maps all-zero vectors to zeros;
+    # without the guard the oracle would emit NaN for that row
+    "WITH e AS (SELECT vec_id, embedding, "
+    "list_aggregate(list_transform(embedding, "
+    "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum') AS sq FROM embeddings) "
+    "SELECT vec_id, CASE WHEN sq = 0 "
+    "THEN list_transform(embedding, x -> CAST(0 AS DOUBLE)) "
+    "ELSE list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) / sqrt(sq), 6)) "
+    "END AS unit FROM e",
 )
 def x_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.functions import vectors as V
@@ -2427,13 +2440,15 @@ def x_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_embedding_quantize",
     # symmetric int8: scale = max|v|/127, q = round(v/scale); both engines
-    # round halves away from zero on doubles
-    "SELECT vec_id, "
-    "ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) "
-    "/ 127.0, 9) AS scale, "
-    "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / "
-    "(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) "
-    "/ 127.0)) AS INT)) AS q FROM embeddings",
+    # round halves away from zero on doubles. CASE sc = 0 mirrors the
+    # operator's all-zero-vector convention (scale 0 + zero codes)
+    "WITH e AS (SELECT vec_id, embedding, "
+    "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 "
+    "AS sc FROM embeddings) "
+    "SELECT vec_id, ROUND(sc, 9) AS scale, "
+    "CASE WHEN sc = 0 THEN list_transform(embedding, x -> CAST(0 AS INT)) "
+    "ELSE list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / sc) "
+    "AS INT)) END AS q FROM e",
 )
 def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.functions import vectors as V

@@ -408,3 +408,22 @@ def test_sessionize_single_exchange_plan(spark, sf_dir):
     out = run_query(spark, ev, "SELECT event_id, SESSIONIZE(ts) AS session_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_analytic_order_by_shadowed_alias(spark, sf_dir):
+    """ADVICE r3: `SELECT SESSIONIZE(ts) AS ts ... ORDER BY ts` — the
+    select-list alias must NOT capture the outer ORDER BY in the SQL
+    backend. The dialect's ORDER stage precedes projection, so both
+    backends must order the FINAL rows by the SOURCE ts (the planner's
+    hidden re-sort already does); the SQL emitter now stages hidden
+    __ifrit_ord_N aliases so resolution can't prefer the projected alias."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_shadow_v")
+    sql = "SELECT event_id, SESSIONIZE(ts) AS ts ORDER BY ts DESC, event_id ASC"
+    df_result = run_query(spark, ev, sql)
+    sql_result = spark.sql(to_spark_sql(parse_sql(sql), "events_shadow_v"))
+    # ORDER-sensitive compare: (ts, event_id) is a total order, so both
+    # backends must emit event_ids in the identical sequence
+    a = [r.event_id for r in df_result.collect()]
+    b = [r.event_id for r in sql_result.collect()]
+    assert a == b

@@ -89,6 +89,30 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     )
 
 
+def test_no_hugeint_or_decimal_in_oracle_surface(sf_dir):
+    """Static class-wide guard (VERDICT r3 #2): the driver's value hash is
+    type-sensitive, so an oracle whose output includes HUGEINT (DuckDB's
+    int128 result type for SUM over plain integers) hash-mismatches Spark's
+    BIGINT even when every value agrees — this was the ONLY failure mode in
+    r1 and r3. DECIMAL leaking un-cast to the surface is the same class
+    (Spark would produce DOUBLE or a differently-scaled decimal).
+
+    DuckDB relations bind lazily: .types plans the query without executing
+    it, so this covers every oracle with no Spark session and ~0 cost."""
+    con = _duck(sf_dir)
+    offenders = {}
+    for name, sql in sorted(ORACLES.items()):
+        types = [str(t).upper() for t in con.sql(sql).types]
+        bad = [t for t in types if "HUGEINT" in t or t.startswith("DECIMAL")]
+        if bad:
+            offenders[name] = bad
+    con.close()
+    assert not offenders, (
+        "oracles with HUGEINT/DECIMAL output types (cast to BIGINT/DOUBLE "
+        f"in the oracle SQL): {offenders}"
+    )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
