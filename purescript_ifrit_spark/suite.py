@@ -930,9 +930,12 @@ def x_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Headroom bound for every decimal-sum entry in this file: the final
     # DECIMAL→DOUBLE cast is exact-agreement only while a group's scaled
     # integer sum stays under 2^53 (≈9.0e15); the largest group at sf0.1 is
-    # ~5.7e15, so driver SFs (0.01 correctness / 0.1 bench) are safe, but at
-    # sf≥0.2 engines could disagree in the last ulp — coarsen with ROUND on
-    # both sides if these entries are ever run at larger scale factors
+    # join_star's biggest region at 7.56e15 (measured r4; q1ish 5.3e15), so
+    # driver SFs (0.01 correctness / 0.1 bench) are safe, but at sf≥0.2
+    # engines could disagree in the last ulp — coarsen with ROUND on both
+    # sides if these entries are ever run at larger scale factors. Pinned by
+    # tests/test_oracle_parity.py::test_decimal_sum_headroom_under_2_53
+    # (hard <2^53 at any SF, 10× margin at driver SFs).
     "WITH s AS (SELECT user_id, event_id, ts, value, "
     "  CASE WHEN lag(ts) OVER w IS NULL "
     "       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
@@ -1030,6 +1033,43 @@ def x_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(feats, every_n=10).select(
         "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+@register(
+    "x_multimodal_decode",
+    # planted-truth for the REAL netpbm decode path: payloads are generated
+    # from the closed form (w = 4 + id%8, h = 3 + id%5, byte k =
+    # (id*7 + k) % 256, RGB-interleaved), so the oracle recomputes the
+    # decoded dims + channel sums/means arithmetically WITHOUT decoding —
+    # the Spark side must parse the actual P6 header + raster to agree.
+    # Means are raw IEEE divisions of exact integer sums (bit-identical
+    # cross-engine; no ROUND needed). SUMs cast to BIGINT (HUGEINT guard).
+    "WITH d AS (SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h "
+    "FROM documents), "
+    "px AS (SELECT doc_id, w, h, k % 3 AS c, "
+    "CAST((doc_id * 7 + k) % 256 AS BIGINT) AS v "
+    "FROM d, unnest(range(0, 3 * w * h)) AS t(k)) "
+    "SELECT doc_id AS media_id, CAST(MAX(w) AS INT) AS width, "
+    "CAST(MAX(h) AS INT) AS height, CAST(3 AS INT) AS channels, "
+    "CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r, "
+    "CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g, "
+    "CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b, "
+    "CAST(SUM(CASE WHEN c = 0 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_r, "
+    "CAST(SUM(CASE WHEN c = 1 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_g, "
+    "CAST(SUM(CASE WHEN c = 2 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_b "
+    "FROM px GROUP BY doc_id",
+)
+def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-verified image decode (VERDICT r3 item 7): synth_ppm_media
+    writes genuine binary P6 payloads; extract_pixel_stats must parse the
+    header and raster on worker processes to reproduce the closed form."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_pixel_stats,
+        synth_ppm_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_pixel_stats(synth_ppm_media(ids))
 
 
 @register(

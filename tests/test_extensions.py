@@ -432,6 +432,52 @@ def test_multimodal_real_decode_is_stubbed():
         decode_image(b"not an image")
 
 
+def test_decode_ppm_p6_and_p5():
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import decode_ppm
+
+    # 2x2 RGB, known bytes, with a header comment
+    raster = bytes(range(12))
+    img = decode_ppm(b"P6\n# a comment\n2 2\n255\n" + raster)
+    assert img.shape == (2, 2, 3)
+    assert img.reshape(-1).tolist() == list(range(12))
+    # grayscale P5
+    g = decode_ppm(b"P5\n3 2\n255\n" + bytes([9] * 6))
+    assert g.shape == (2, 3, 1) and int(g.sum()) == 54
+    # trailing junk after the raster is ignored (count= bound)
+    img2 = decode_ppm(b"P6\n1 1\n255\nABCjunk")
+    assert img2.reshape(-1).tolist() == [65, 66, 67]
+    assert isinstance(img, np.ndarray)
+    for bad in (b"", b"P7\n1 1\n255\nxxx", b"GIF89a", None):
+        with pytest.raises((ValueError, TypeError)):
+            decode_ppm(bad)
+
+
+def test_pixel_stats_decodes_real_payloads(spark):
+    """End-to-end behavior check on hand-built payloads: one good P6, one
+    grayscale P5 (channels broadcast to r=g=b), one poison payload (NULL
+    stats, batch must survive)."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_pixel_stats,
+    )
+
+    good = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 50, 60, 70])
+    gray = b"P5\n2 2\n255\n" + bytes([8, 8, 8, 8])
+    rows = spark.createDataFrame(
+        [(1, good, ("image/x-portable-pixmap", "t")),
+         (2, gray, ("image/x-portable-graymap", "t")),
+         (3, b"not an image at all", ("application/octet-stream", "t"))],
+        "media_id long, payload binary, meta struct<mime:string,source:string>",
+    )
+    out = {r.media_id: r for r in extract_pixel_stats(rows).collect()}
+    assert (out[1].width, out[1].height, out[1].channels) == (2, 1, 3)
+    assert (out[1].sum_r, out[1].sum_g, out[1].sum_b) == (60, 80, 100)
+    assert out[1].mean_g == 40.0
+    assert (out[2].channels, out[2].sum_r, out[2].sum_b) == (1, 32, 32)
+    assert out[3].width is None and out[3].sum_r is None
+
+
 def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     from purescript_ifrit_spark.operators.windows import tumbling_agg
     from purescript_ifrit_spark.sources.tables import load_table

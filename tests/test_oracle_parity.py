@@ -118,3 +118,53 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.schema is not None
+
+
+def test_decimal_sum_headroom_under_2_53(sf_dir):
+    """Regression guard for the exactness bound documented at the
+    x_sessionize entry (VERDICT r3 item 8): every decimal-sum oracle's
+    DECIMAL→DOUBLE agreement requires the group's scaled integer sum to
+    stay under 2^53. Measured via DuckDB on the real entry groupings (the
+    coarsest grouping per entry family upper-bounds the finer ones).
+
+    Hard bound (any SF): max scaled group sum < 2^53 — past it, engines
+    may disagree in the last ulp. Margin bound (driver SFs, parsed sf <=
+    0.01): 10x headroom, so data-generation drift is caught LONG before
+    the cliff. At sf0.1 the join_star region group is measured at 0.84 of
+    the bound — inside exactness, outside the margin — which is the
+    documented reason bench (sf0.1) is safe but sf>=0.2 would not be."""
+    import os
+    import re
+
+    con = _duck(sf_dir)
+    groupings = {
+        "events_hourly": "SELECT ABS(SUM(CAST(value AS DECIMAL(18,6)) * 1000000)) s "
+        "FROM events GROUP BY floor(epoch_us(ts) / 3600000000), event_type",
+        "sessionize_upper": "SELECT ABS(SUM(CAST(value AS DECIMAL(18,6)) * 1000000)) s "
+        "FROM events GROUP BY user_id",
+        "join_star_region": "SELECT ABS(SUM(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000)) s "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_regionkey",
+        "q1ish": "SELECT ABS(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000)) s "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "running_total_global": "SELECT ABS(SUM(CAST(value AS DECIMAL(18,6)) * 1000000)) s "
+        "FROM events",
+    }
+    maxes = {
+        name: float(con.sql(f"SELECT MAX(s) FROM ({q})").fetchone()[0])
+        for name, q in groupings.items()
+    }
+    con.close()
+    bound = float(2**53)
+    worst = max(maxes, key=maxes.get)
+    assert maxes[worst] < bound, (
+        f"decimal-sum exactness broken: {worst} group sum {maxes[worst]:.3e} "
+        f">= 2^53 — coarsen with ROUND on both engine and oracle sides"
+    )
+    m = re.search(r"sf([0-9.]+)$", os.path.normpath(sf_dir))
+    sf = float(m.group(1)) if m else 0.0
+    if sf <= 0.011:
+        assert maxes[worst] * 10 < bound, (
+            f"decimal-sum 10x margin lost at sf{sf}: {worst} = "
+            f"{maxes[worst]:.3e} vs 2^53/10 = {bound / 10:.3e}"
+        )
