@@ -90,9 +90,9 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         return tumbling_agg(t["events"], "ts", "hour", ("event_type",))
 
     def q6_dedup_minhash():
+        # default geometry (16 lanes, b=8 r=2 — see minhash_candidate_pairs)
         return dedup.dedup_minhash(
-            t["documents"], "doc_id", "text",
-            num_hashes=32, bands=8, jaccard_threshold=0.8,
+            t["documents"], "doc_id", "text", jaccard_threshold=0.8,
         )
 
     def q7_ann_brute():

@@ -78,13 +78,58 @@ def dedup_exact_text(
 # ---------------------------------------------------------------------------
 
 
+_WIDE_NODES = (
+    "Aggregate",
+    "Join",
+    "Window",
+    "Repartition",
+    "RepartitionByExpression",
+    "Deduplicate",
+    "Distinct",
+    "Sort",
+    "GlobalLimit",
+)
+
+
+def _fanout_narrow_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Signature computation is CPU-dense scan-stage work; a narrow input
+    (one small parquet file → ONE split) would serialize it on a single
+    core. When the plan is a pure scan chain with fewer than half the
+    cluster's cores in partitions, shuffle the raw rows out to
+    defaultParallelism first (measured at sf0.1/local[32]: q6 2.48 s →
+    1.77 s from this alone). At real scale file splits already exceed core
+    count and this is a no-op.
+
+    The check is analysis-only: plans containing a wide node (aggregate,
+    join, window, …) are skipped BEFORE touching df.rdd, because under AQE
+    materializing the RDD of a shuffle-rooted plan executes its upstream
+    stages (measured: one full job) — and a post-shuffle input is already
+    partitioned to cluster width anyway."""
+    import re
+
+    if df.isStreaming:
+        return df
+    plan = df._jdf.queryExecution().analyzed().toString()
+    nodes = {
+        m.group(1)
+        for m in (re.match(r"^[\s:+-]*'?(\w+)", ln) for ln in plan.splitlines())
+        if m
+    }
+    if nodes & set(_WIDE_NODES):
+        return df
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() * 2 <= sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, key_col)
+    return df
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     *,
     shingle_words: int = 3,
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     bands: int = 8,
     jaccard_threshold: float = 0.8,
     max_bucket: int = 1000,
@@ -94,8 +139,16 @@ def minhash_candidate_pairs(
 
     Pipeline: shingle → minhash(num_hashes) → bands band-keys → explode →
     self-equi-join on (band, key) → exact Jaccard verification on shingle
-    sets. With b=8, r=4 the LSH S-curve crosses ~0.76, a good match for a
-    0.8 threshold.
+    sets. Default geometry is b=8, r=2 (16 lanes): the S-curve crosses at
+    (1/8)^(1/2) ≈ 0.35, so per-pair candidate recall at j = 0.8 is
+    1-(1-0.8²)⁸ ≈ 0.9997 (r=4's was 0.985) while signature cost halves
+    (r4 A/B at sf0.1: 2.48 s → 1.55 s end-to-end with IDENTICAL verified
+    pairs). The tradeoff is more mid-similarity candidates reaching exact
+    verification (j = 0.3 pairs hit a band with p ≈ 0.5 vs 0.06 at r=4);
+    verification stays correct — it's pure cost — and degenerate
+    boilerplate buckets remain capped by `max_bucket`. Corpora with heavy
+    mid-similarity mass can pass num_hashes=32, bands=8 to get the old
+    r=4 curve.
 
     `eager=True` materializes the (small) pair list immediately
     (localCheckpoint) and releases the cached shingle sets — use it when
@@ -109,6 +162,7 @@ def minhash_candidate_pairs(
         )
     rows = num_hashes // bands
     sh = X.word_shingles(F.col(text_col), shingle_words)
+    df = _fanout_narrow_scan(df, id_col)
     base = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -288,6 +342,7 @@ def simhash_candidate_pairs(
     # blank/NULL docs never pair: tokens('') is [''] and every content-free
     # doc would otherwise share one constant signature and collide in every
     # bit-slice bucket (same guard contract as the minhash path)
+    df = _fanout_narrow_scan(df, id_col)
     base = df.filter(
         F.length(X.normalize_text(F.col(text_col))) > 0
     ).select(

@@ -712,8 +712,9 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.dedup import dedup_minhash
 
     docs = load_table(spark, sf_dir, "documents")
+    # default geometry (16 lanes, b=8 r=2 since r4) — tracks the operator
     return dedup_minhash(
-        docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.8
+        docs, "doc_id", "text", jaccard_threshold=0.8
     ).select("doc_id")
 
 
@@ -786,9 +787,12 @@ def x_dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.dedup import dedup_minhash
 
     planted = _planted_docs(spark, sf_dir)
+    # default geometry (16 lanes, b=8 r=2 since r4): the exact-truth oracle
+    # pins recall of the new curve — the 0.947-jaccard planted variants must
+    # still be caught (per-pair candidate probability 1-(1-0.947²)⁸ ≈
+    # 1 - 2.7e-11) and the sub-threshold ones must survive verification
     return dedup_minhash(
-        planted, "doc_id", "text", num_hashes=32, bands=8,
-        jaccard_threshold=0.8,
+        planted, "doc_id", "text", jaccard_threshold=0.8
     ).select("doc_id")
 
 
