@@ -188,12 +188,26 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         )
         return ngram_contamination(docs, bench, n=8, min_frac=0.5)
 
+    def qx_token_rarity():
+        from purescript_ifrit_spark.operators.text_analysis import (
+            token_rarity_stats,
+        )
+
+        return token_rarity_stats(t["documents"], "doc_id", "text")
+
+    def qx_robust_outliers():
+        from purescript_ifrit_spark.operators.windows import robust_outliers
+
+        return robust_outliers(t["events"], "user_id", "value")
+
     extra_queries = {
         "qx_asof_join": qx_asof_join,
         "qx_rollup_multi": qx_rollup_multi,
         "qx_range_join": qx_range_join,
         "qx_term_stats": qx_term_stats,
         "qx_contamination": qx_contamination,
+        "qx_token_rarity": qx_token_rarity,
+        "qx_robust_outliers": qx_robust_outliers,
     }
 
     # JVM warm-up (parquet footers, codegen)

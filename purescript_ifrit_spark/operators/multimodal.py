@@ -309,6 +309,172 @@ def extract_pixel_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(gen, PIXEL_STATS_SCHEMA)
 
 
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_us", T.LongType(), True),
+        T.StructField("sum_samples", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_wav(payload: bytes):
+    """REAL no-dependency audio decode: RIFF/WAVE, PCM16 little-endian, as
+    (sample_rate, channels, int16 ndarray). The audio counterpart of
+    decode_ppm — stdlib struct + numpy only; compressed codecs stay behind
+    optional dependencies. Walks RIFF chunks generically (fmt before data,
+    unknown chunks skipped, word-aligned sizes)."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", payload, body)
+            bits = struct.unpack_from("<H", payload, body + 14)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported wav encoding fmt={fmt} bits={bits}")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("wav data chunk before fmt chunk")
+            n = min(size, len(payload) - body) // 2
+            samples = np.frombuffer(payload, dtype="<i2", count=n, offset=body)
+            return rate, channels, samples
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("wav payload has no data chunk")
+
+
+def synth_wav_media(ids: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM16 mono WAV per id — planted-truth fixture for the
+    audio decode path (closed-form samples, so an oracle recomputes the
+    stats without decoding): sample_rate = 8000 + (id % 2) * 8000,
+    n_samples = 50 + id % 100, sample k = ((id * 11 + k * 7) % 65536) -
+    32768, little-endian int16."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        # self-contained worker closure (see extract_features NOTE)
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                rate = 8000 + (i % 2) * 8000
+                n = 50 + i % 100
+                samples = (
+                    (np.arange(n, dtype=np.int64) * 7 + i * 11) % 65536 - 32768
+                ).astype("<i2")
+                data = samples.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": [{"mime": "audio/wav", "source": "synth"}]
+                    * len(payloads),
+                }
+            )
+
+    return ids.select(F.col(id_col).alias("media_id")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+def extract_audio_stats(df: DataFrame) -> DataFrame:
+    """media table → per-clip decoded waveform statistics via mapInPandas.
+
+    REAL decode (RIFF/PCM16, stdlib+numpy): sample counts, duration,
+    exact integer sample sums/peak, and rms as sqrt of an exact integer
+    mean — bit-reproducible cross-engine (sum of squares < 2^53, one IEEE
+    division, IEEE sqrt). Undecodable payloads yield NULL stats."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        # self-contained worker closure; RIFF parser re-inlined from
+        # decode_wav (see extract_features NOTE)
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def _decode(payload):
+            if (
+                payload is None
+                or len(payload) < 12
+                or payload[:4] != b"RIFF"
+                or payload[8:12] != b"WAVE"
+            ):
+                return None
+            pos, rate, channels = 12, None, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                size = struct.unpack_from("<I", payload, pos + 4)[0]
+                body = pos + 8
+                if cid == b"fmt ":
+                    fmt, channels, rate = struct.unpack_from("<HHI", payload, body)
+                    bits = struct.unpack_from("<H", payload, body + 14)[0]
+                    if fmt != 1 or bits != 16:
+                        return None
+                elif cid == b"data":
+                    if rate is None:
+                        return None
+                    n = min(size, len(payload) - body) // 2
+                    return rate, channels, np.frombuffer(
+                        payload, dtype="<i2", count=n, offset=body
+                    )
+                pos = body + size + (size & 1)
+            return None
+
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "sample_rate", "channels", "n_samples", "duration_us",
+                "sum_samples", "peak", "rms",
+            )}
+            for p in pdf["payload"]:
+                dec = _decode(p)
+                if dec is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                rate, ch, s = dec
+                s64 = s.astype(np.int64)
+                n = len(s)
+                cols["sample_rate"].append(rate)
+                cols["channels"].append(ch)
+                cols["n_samples"].append(n)
+                # integer micros: n frames / (rate frames/sec), exact
+                cols["duration_us"].append(n // max(ch, 1) * 1_000_000 // rate)
+                cols["sum_samples"].append(int(s64.sum()))
+                cols["peak"].append(int(np.abs(s64).max()) if n else 0)
+                cols["rms"].append(
+                    float(np.sqrt(int((s64 * s64).sum()) / n)) if n else 0.0
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return df.mapInPandas(gen, AUDIO_STATS_SCHEMA)
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter used by tests/suite: treat each document's utf-8 bytes as an
     opaque payload, producing a MEDIA_SCHEMA-shaped table from driver data."""

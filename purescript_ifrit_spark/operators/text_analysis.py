@@ -367,3 +367,47 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         }
     )
     return out.drop("_norm", "_dw", "_d2")
+
+
+def token_rarity_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token commonness against the corpus unigram table:
+    (id, n_tokens, sum_counts, n_hapax, hapax_frac, mean_token_count),
+    where counts are corpus-wide token occurrence totals and hapax means a
+    token that occurs exactly once in the whole corpus. High hapax_frac
+    flags gibberish/OCR noise; high mean_token_count flags stopword soup —
+    the commonness axis of quality filtering, complementing
+    `quality_score` (shape) and `repetition_stats` (self-similarity).
+
+    Deliberately log-free: per-token surprisal (−log p) would sum doubles
+    whose low bits depend on libm's log AND on accumulation order; every
+    statistic here is a ratio of exact BIGINT sums (one IEEE division), so
+    results are bit-reproducible cross-engine.
+
+    Scale: reuses `_per_doc_term_counts` (map-side explode + per-(term,
+    doc) partial combine), derives the vocabulary table from it (one
+    term-keyed shuffle), joins back on term (AQE broadcasts
+    vocabulary-sized sides when they fit), and re-aggregates per doc (one
+    doc-keyed shuffle). The vocabulary is never collected to the driver.
+    Docs with zero tokens (blank/NULL text) do not appear, mirroring
+    `term_stats`' empty-term rule."""
+    per_doc = _per_doc_term_counts(df, id_col, text_col)
+    vocab = per_doc.groupBy("term").agg(F.sum("tf_doc").alias("_tfc"))
+    joined = per_doc.join(vocab, "term")
+    hapax_occ = F.when(F.col("_tfc") <= 1, F.col("tf_doc")).otherwise(F.lit(0))
+    agg = joined.groupBy("_doc").agg(
+        F.sum("tf_doc").alias("n_tokens"),
+        F.sum(F.col("tf_doc") * F.col("_tfc")).alias("sum_counts"),
+        F.sum(hapax_occ).alias("n_hapax"),
+    )
+    return agg.select(
+        F.col("_doc").alias(id_col),
+        "n_tokens",
+        "sum_counts",
+        "n_hapax",
+        (F.col("n_hapax").cast("double") / F.col("n_tokens")).alias(
+            "hapax_frac"
+        ),
+        (F.col("sum_counts").cast("double") / F.col("n_tokens")).alias(
+            "mean_token_count"
+        ),
+    )

@@ -103,3 +103,43 @@ def topk_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier flags: |v − median| > z · MAD, where MAD is
+    the median absolute deviation. Median/MAD resist the very outliers
+    being hunted (a 3σ rule's mean and stddev are dragged by them), which
+    is why monitoring pipelines flag on MAD, not z-scores.
+
+    Determinism: values are rounded through DECIMAL(18,6) first so both
+    engines interpolate over identical doubles; `percentile` is exact
+    (not percentile_approx), and the even-count interpolation
+    lower + (upper−lower)·0.5 matches DuckDB's quantile_cont. A group
+    where every value equals the median has MAD 0 — then ANY deviation
+    flags, the standard MAD-rule degeneracy.
+
+    Scale: one shuffle — both window passes (median, then MAD over the
+    derived deviations) share the same partitioning, so Catalyst plans a
+    single exchange on the group key; exact percentile holds a group's
+    values in memory, fine for per-entity groups (bounded fan-in), wrong
+    for global percentiles — use approx_percentile/equidepth there."""
+    w = Window.partitionBy(group_col)
+    v = F.col(value_col).cast("decimal(18,6)").cast("double")
+    med = F.percentile(v, F.lit(0.5)).over(w)
+    staged = df.withColumn("_v", v).withColumn("_med", med)
+    mad = F.percentile(F.abs(F.col("_v") - F.col("_med")), F.lit(0.5)).over(w)
+    out = staged.withColumn("_mad", mad)
+    return out.select(
+        *df.columns,
+        F.col("_med").alias("med"),
+        F.col("_mad").alias("mad"),
+        (F.abs(F.col("_v") - F.col("_med")) > F.lit(z) * F.col("_mad")).alias(
+            "is_outlier"
+        ),
+    )

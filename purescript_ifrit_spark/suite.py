@@ -1077,6 +1077,41 @@ def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_multimodal_audio",
+    # planted-truth for the REAL RIFF/PCM16 decode path: payloads follow
+    # the closed form (rate = 8000 + (id%2)*8000, n = 50 + id%100, sample
+    # k = (id*11 + k*7) % 65536 - 32768), so the oracle recomputes the
+    # decoded waveform stats arithmetically; the Spark side must walk the
+    # actual RIFF chunks and parse little-endian int16 samples to agree.
+    # rms = sqrt(exact integer sum of squares / n): one IEEE division +
+    # IEEE sqrt — bit-identical cross-engine. Integer SUMs cast to BIGINT.
+    "WITH d AS (SELECT doc_id, 8000 + (doc_id % 2) * 8000 AS rate, "
+    "50 + doc_id % 100 AS n FROM documents), "
+    "s AS (SELECT doc_id, rate, n, "
+    "CAST((doc_id * 11 + k * 7) % 65536 - 32768 AS BIGINT) AS v "
+    "FROM d, unnest(range(0, n)) AS t(k)) "
+    "SELECT doc_id AS media_id, CAST(MAX(rate) AS INT) AS sample_rate, "
+    "CAST(1 AS INT) AS channels, CAST(COUNT(*) AS BIGINT) AS n_samples, "
+    "CAST((MAX(n) * 1000000) // MAX(rate) AS BIGINT) AS duration_us, "
+    "CAST(SUM(v) AS BIGINT) AS sum_samples, "
+    "CAST(MAX(ABS(v)) AS INT) AS peak, "
+    "sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms "
+    "FROM s GROUP BY doc_id",
+)
+def x_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-verified audio decode: synth_wav_media writes genuine RIFF
+    PCM16 payloads; extract_audio_stats must parse chunk structure and
+    samples on worker processes to reproduce the closed form."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_audio_stats,
+        synth_wav_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_audio_stats(synth_wav_media(ids))
+
+
+@register(
     "x_json_extract",
     "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
     "FROM events",
@@ -2405,6 +2440,59 @@ def x_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_token_rarity",
+    # corpus-commonness quality signals: every statistic is a ratio of
+    # exact BIGINT sums (log-free by design — see token_rarity_stats), so
+    # the doubles are single IEEE divisions and hash-exact cross-engine.
+    # Same tokenize/empty-term rule as the term_stats oracle family.
+    "WITH t AS (SELECT doc_id AS d, "
+    "  unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', "
+    "  'g')), ' ')) AS term FROM documents), "
+    "pd AS (SELECT d, term, COUNT(*) AS tf_doc FROM t WHERE term <> '' "
+    "  GROUP BY d, term), "
+    "v AS (SELECT term, CAST(SUM(tf_doc) AS BIGINT) AS tfc FROM pd "
+    "  GROUP BY term) "
+    "SELECT d AS doc_id, CAST(SUM(tf_doc) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(tf_doc * tfc) AS BIGINT) AS sum_counts, "
+    "CAST(SUM(CASE WHEN tfc <= 1 THEN tf_doc ELSE 0 END) AS BIGINT) "
+    "  AS n_hapax, "
+    "CAST(SUM(CASE WHEN tfc <= 1 THEN tf_doc ELSE 0 END) AS DOUBLE) "
+    "  / SUM(tf_doc) AS hapax_frac, "
+    "CAST(SUM(tf_doc * tfc) AS DOUBLE) / SUM(tf_doc) AS mean_token_count "
+    "FROM pd JOIN v USING (term) GROUP BY d",
+)
+def x_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.text_analysis import (
+        token_rarity_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_rarity_stats(docs, "doc_id", "text")
+
+
+@register(
+    "x_robust_outliers",
+    # per-user MAD outlier flags; both engines interpolate exact medians
+    # over the same decimal-rounded doubles (quantile_cont ≡ Spark
+    # percentile: lower + (upper-lower)·frac)
+    "WITH b AS (SELECT event_id, user_id, "
+    "  CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS _v FROM events), "
+    "m AS (SELECT *, quantile_cont(_v, 0.5) OVER "
+    "  (PARTITION BY user_id) AS med FROM b), "
+    "d AS (SELECT *, quantile_cont(abs(_v - med), 0.5) OVER "
+    "  (PARTITION BY user_id) AS mad FROM m) "
+    "SELECT event_id, user_id, med, mad, "
+    "(abs(_v - med) > 3.0 * mad) AS is_outlier FROM d",
+)
+def x_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.windows import robust_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    out = robust_outliers(ev, "user_id", "value", z=3.0)
+    return out.select("event_id", "user_id", "med", "mad", "is_outlier")
+
+
 # DuckDB twin of functions/text.word_shingles(n=8): distinct 8-gram list
 # with the short-text fallback (whole normalized text) and the empty-text
 # empty list — the operator's exact contract
@@ -2558,52 +2646,55 @@ register(
 # everything else (green in r01+r02 AND duplicated by
 # tests/test_oracle_parity.py) follows after the window.
 
-_DRIVER_WINDOW_R3 = [
-    # -- (1) fixed-this-round timestamp operators + new dialect twins ------
-    "x_sessionize",
-    "x_events_hourly",
-    "x_asof_join",
-    "x_asof_forward",
-    "x_range_join",
-    "x_rollup_multi",
-    "xd_tumble_hourly",
-    "xd_sessionize",
-    # -- (2) never driver-verified (r01 ∪ r02 miss) ------------------------
-    "x_ann_ivf_topk",
-    "x_multimodal_framesample",
-    "x_tpch_q18ish",
-    "x_approx_distinct",
-    "x_chunk_documents",
-    "x_pack_sequences",
-    "x_streaming_windowed",
-    "x_streaming_session",
-    "x_dedup_clusters_planted",
-    "x_streaming_state",
-    "x_dedup_clusters",
-    "x_rolling_fingerprint",
-    "x_partitioned_sink",
-    "x_set_ops",
-    "x_explode_chunks",
-    "x_curate_exact",
+_DRIVER_WINDOW_R4 = [
+    # -- (1) oracle/operator changed this round (must re-verify) -----------
+    "x_sessionize",        # oracle HUGEINT->BIGINT fix (the r1/r3 red cell)
+    "x_pivot_events",      # oracle HUGEINT->BIGINT fix (the other red cell)
+    "x_embedding_normalize",   # never driver-verified + zero-guard oracle
+    "x_embedding_quantize",    # never driver-verified + zero-guard oracle
+    "x_contamination",     # word-boundary containment fix on both sides
+    "x_dedup_minhash_planted",  # pins the new 16x(8x2) default geometry
+    "x_dedup_minhash",
+    "x_curate_exact",      # curate consumes the new minhash default
     "x_curate_pipeline",
-    "x_split_train_val",
-    "x_hash_sample",
-    "x_pii_redact",
-    "xd_redact",
-    "x_term_stats",
-    "x_embedding_centroids",
-    "x_tfidf_topk",
-    "x_pivot_events",
-    "x_running_total",
-    "x_anti_join",
-    "x_stratified_fixed_k",
-    "x_semi_join",
-    "x_equidepth_buckets",
-    "x_stratified_sample",
-    "x_dedup_ngram_planted",
-    "x_repetition_stats",
-    "x_contamination",
-    # -- (3) §2 sentinels (driver-side core-surface regression signal) -----
+    # -- (2) new round-4 operators -----------------------------------------
+    "x_multimodal_decode",
+    "x_multimodal_audio",
+    "x_token_rarity",
+    "x_robust_outliers",
+    # -- (3) oldest driver history first: r1-only ... ----------------------
+    "x_join_star",
+    "x_multimodal_features",
+    "x_json_extract",
+    "x_embedding_neardup",
+    "x_tpch_q1ish",
+    "x_tpch_q3ish",
+    "x_tpch_q5ish",
+    "x_topk_per_group",
+    "x_percentiles",
+    "x_distinct_count",
+    # -- ... then r2-only --------------------------------------------------
+    "xd_dedup_exact",
+    "xd_token_count",
+    "xd_quality",
+    "xd_lang_id",
+    "xd_chunk",
+    "x_budget_sample",
+    "xd_quality_where",
+    "xd_split",
+    "x_dedup_simhash_planted",
+    "x_dedup_simhash_pairs",
+    # -- ... then r1+r2 (not checked since r2) -----------------------------
+    "x_ann_cosine_topk",
+    "x_ann_lsh_topk",
+    "x_text_token_count",
+    "x_text_quality",
+    "x_lang_id",
+    "x_fingerprint",
+    "p3_alias",
+    "f1_neq",
+    "o1_o2_topk",
+    # -- (4) standing §2 sentinels (ADVICE r2: never rotate all out) -------
     "p1_projection",
     "p2_nested_projection",
     "f1_eq",
@@ -2626,4 +2717,4 @@ def _apply_driver_window(window: list) -> None:
     REGISTRY.update(ordered)
 
 
-_apply_driver_window(_DRIVER_WINDOW_R3)
+_apply_driver_window(_DRIVER_WINDOW_R4)

@@ -454,6 +454,56 @@ def test_decode_ppm_p6_and_p5():
             decode_ppm(bad)
 
 
+def test_decode_wav_chunks_and_errors():
+    import struct
+
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import decode_wav
+
+    samples = np.array([100, -200, 300], dtype="<i2")
+    data = samples.tobytes()
+    # an unknown odd-sized chunk BEFORE fmt exercises word-aligned skipping
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    wav = (b"RIFF" + struct.pack("<I", 0) + b"WAVE" + junk
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    rate, ch, s = decode_wav(wav)
+    assert (rate, ch) == (8000, 1) and s.tolist() == [100, -200, 300]
+    for bad in (b"", b"RIFFxxxx", b"RIFF\x00\x00\x00\x00WAVE", None):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+    # float32 wav (fmt=3) is unsupported, not silently misread
+    f32 = (b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32))
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav(f32 + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+
+
+def test_audio_stats_decodes_real_payloads(spark):
+    import struct
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_audio_stats,
+    )
+
+    data = struct.pack("<4h", 3, -4, 0, 5)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    rows = spark.createDataFrame(
+        [(1, wav, ("audio/wav", "t")), (2, b"MP3 junk", ("audio/mpeg", "t"))],
+        "media_id long, payload binary, meta struct<mime:string,source:string>",
+    )
+    out = {r.media_id: r for r in extract_audio_stats(rows).collect()}
+    r1 = out[1]
+    assert (r1.sample_rate, r1.channels, r1.n_samples) == (16000, 1, 4)
+    assert (r1.sum_samples, r1.peak) == (4, 5)
+    assert r1.duration_us == 4 * 1_000_000 // 16000
+    assert abs(r1.rms - (50 / 4) ** 0.5) < 1e-12
+    assert out[2].sample_rate is None and out[2].rms is None
+
+
 def test_pixel_stats_decodes_real_payloads(spark):
     """End-to-end behavior check on hand-built payloads: one good P6, one
     grayscale P5 (channels broadcast to r=g=b), one poison payload (NULL
@@ -955,3 +1005,36 @@ def test_l2_normalize_unit_and_zero(spark):
     ).collect()}
     assert out[1].u == [0.6, 0.8] and abs(out[1].n - 1.0) < 1e-12
     assert out[2].u == [0.0, 0.0] and out[2].n == 0.0
+
+
+def test_token_rarity_exact_small_corpus(spark):
+    """Hand-checkable corpus: 'a b a' + 'a c' → counts a=3, b=1, c=1."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        token_rarity_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in token_rarity_stats(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}  # blank/NULL docs don't appear
+    r1 = out[1]
+    assert (r1.n_tokens, r1.sum_counts, r1.n_hapax) == (3, 7, 1)  # 3+1+3, b
+    assert r1.hapax_frac == 1 / 3 and r1.mean_token_count == 7 / 3
+    r2 = out[2]
+    assert (r2.n_tokens, r2.sum_counts, r2.n_hapax) == (2, 4, 1)  # a=3 + c=1
+
+
+def test_robust_outliers_flags_planted_spike(spark):
+    from purescript_ifrit_spark.operators.windows import robust_outliers
+
+    rows = [(i, "u1", 10.0 + (i % 3)) for i in range(20)] + [(99, "u1", 500.0)]
+    rows += [(200 + i, "u2", 5.0) for i in range(5)]  # constant group: MAD 0
+    rows += [(300, "u2", 5.1)]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, value double")
+    out = {r.event_id: r for r in robust_outliers(df, "user_id", "value").collect()}
+    assert out[99].is_outlier  # the planted spike
+    assert not any(out[i].is_outlier for i in range(20))
+    assert out[200].mad == 0.0 and not out[200].is_outlier
+    assert out[300].is_outlier  # any deviation flags in a MAD-0 group

@@ -234,3 +234,30 @@ def test_where_ext_fn_is_scan_stage_filter(spark, sf_dir):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Filter" in plan
+
+
+def test_robust_outliers_single_exchange(spark, sf_dir):
+    """Median and MAD window passes share the user_id partitioning: one
+    Exchange total (the second Window rides the first's distribution)."""
+    from purescript_ifrit_spark.operators.windows import robust_outliers
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = physical(robust_outliers(ev, "user_id", "value"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_token_rarity_no_sortmerge(spark, sf_dir):
+    """The vocabulary join-back must never degrade to SortMergeJoin at
+    test scale (AQE broadcasts the vocab side), and the explode must be
+    pre-aggregated before any wide stage (no raw-occurrence shuffle)."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        token_rarity_stats,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_rarity_stats(docs, "doc_id", "text")
+    assert out.count() > 0  # materialize so AQE finalizes join strategy
+    plan = physical(out)
+    assert "SortMergeJoin" not in plan, plan
