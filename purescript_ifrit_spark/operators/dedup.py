@@ -414,3 +414,119 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against an indexed corpus
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_words: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Persistable LSH index of a corpus: (_band, _key, _id, _sig) — one row
+    per (doc, band). The production shape for INCREMENTAL dedup: build (or
+    append to) the index once, then probe each incoming batch against it
+    without re-reading corpus text. Storage is `bands` rows of
+    (2 longs + id + the 16-long signature) per doc — no shingle sets, so
+    the index is orders of magnitude smaller than the text.
+
+    Write it partitioned/bucketed by `_band, _key` (`sources.write_bucketed`)
+    and the per-batch probe join needs no corpus-side shuffle at all."""
+    rows = num_hashes // bands
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    sh = X.word_shingles(F.col(text_col), shingle_words)
+    df = _fanout_narrow_scan(df, id_col)
+    base = (
+        df.select(F.col(id_col).alias("_id"), sh.alias("_shingles"))
+        .filter(F.size("_shingles") > 0)
+        .withColumn("_sig", H.minhash_signature(F.col("_shingles"), num_hashes))
+        .drop("_shingles")
+    )
+    return base.select(
+        "_id",
+        "_sig",
+        F.explode(H.minhash_bands(F.col("_sig"), bands, rows)).alias("_b"),
+    ).select(
+        F.col("_b.band").alias("_band"),
+        F.col("_b.key").alias("_key"),
+        "_id",
+        "_sig",
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_words: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    est_threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Drop rows of `new_docs` that near-duplicate a document in the
+    indexed corpus (same signature geometry as `build_minhash_index`).
+
+    Verification is the ESTIMATED Jaccard — the fraction of matching
+    signature lanes — because the index deliberately stores no shingle
+    sets; the estimator's stderr is ~sqrt(j(1-j)/16) ≈ 0.12 at j=0.5, so
+    `est_threshold` is a soft boundary (exact-dup j=1 always matches all
+    lanes; the planted-truth suite entry pins the behavior
+    deterministically). This is the standard contract for streaming/
+    incremental web dedup, where the corpus text is long gone.
+
+    Scale: batch docs shingle+sign in their scan stage; the probe is one
+    equi-join on (_band, _key) against the (ideally bucketed) index; only
+    (batch_id, est) pairs reach the final aggregation. Corpus text is
+    never touched."""
+    rows = num_hashes // bands
+    probe = build_minhash_index(
+        new_docs,
+        id_col,
+        text_col,
+        shingle_words=shingle_words,
+        num_hashes=num_hashes,
+        bands=bands,
+    ).select(
+        "_band",
+        "_key",
+        F.col("_id").alias("_new_id"),
+        F.col("_sig").alias("_new_sig"),
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("_band", "_key")
+        probe = (
+            probe.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    matches = probe.join(index, ["_band", "_key"]).withColumn(
+        "_est",
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("_new_sig"), F.col("_sig"), lambda a, b: a == b
+                ),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes)),
+    )
+    losers = (
+        matches.filter(F.col("_est") >= est_threshold)
+        .select(F.col("_new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(losers, [id_col], "left_anti")

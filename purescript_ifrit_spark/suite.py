@@ -718,14 +718,15 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
-def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic planted-duplicate corpus derived from the documents ids:
-    every doc gets 40 tokens unique to its id (cross-doc jaccard is exactly
-    0), docs with id % 10 == 0 get an exact-normalized variant at
-    id + 10**12 (jaccard exactly 1 — always an LSH candidate since
-    identical shingles give identical signatures), and docs with
-    id % 10 == 5 get a 38-token prefix variant at id + 2·10**12
-    (shingle jaccard exactly 36/38 ≈ 0.947)."""
+def _planted_pieces(spark: SparkSession, sf_dir: str):
+    """Deterministic planted-duplicate families derived from the documents
+    ids — returns (base, exact_var, near_var): every base doc gets 40
+    tokens unique to its id (cross-doc jaccard is exactly 0), docs with
+    id % 10 == 0 get an exact-normalized variant at id + 10**12 (jaccard
+    exactly 1 — always an LSH candidate since identical shingles give
+    identical signatures), and docs with id % 10 == 5 get a 38-token
+    prefix variant at id + 2·10**12 (shingle jaccard exactly 36/38 ≈
+    0.947)."""
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
     toks = F.transform(
         F.sequence(F.lit(0), F.lit(39)),
@@ -748,6 +749,11 @@ def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text"
         ),
     )
+    return base, exact_var, near_var
+
+
+def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, exact_var, near_var = _planted_pieces(spark, sf_dir)
     return base.unionAll(exact_var).unionAll(near_var)
 
 
@@ -793,6 +799,49 @@ def x_dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1 - 2.7e-11) and the sub-threshold ones must survive verification
     return dedup_minhash(
         planted, "doc_id", "text", jaccard_threshold=0.8
+    ).select("doc_id")
+
+
+@register(
+    "x_dedup_incremental_planted",
+    # incremental (index-probe) dedup ground truth: the corpus is the
+    # planted base docs; the incoming batch holds their exact variants
+    # (estimated jaccard = 1: identical shingles → identical signatures),
+    # their 36/38-near variants (lane-match estimate ≈ 0.947 ≥ 0.5,
+    # deterministic given the fixed lane seeds), and FRESH docs in a
+    # disjoint 'f' token namespace (true jaccard 0; a false drop would
+    # need a 64-bit band-hash collision). Survivors = exactly the fresh
+    # docs — the oracle recomputes that set arithmetically.
+    "SELECT doc_id + 3000000000000 AS doc_id FROM documents "
+    "WHERE doc_id % 10 = 3",
+)
+def x_dedup_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    base, exact_var, near_var = _planted_pieces(spark, sf_dir)
+    fresh_toks = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda k: F.concat(
+            F.lit("f"), F.col("doc_id").cast("string"), F.lit("x"),
+            k.cast("string"),
+        ),
+    )
+    fresh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 3)
+        .select(
+            (F.col("doc_id") + 3_000_000_000_000).alias("doc_id"),
+            F.array_join(fresh_toks, " ").alias("text"),
+        )
+    )
+    index = build_minhash_index(base, "doc_id", "text")
+    batch = exact_var.unionAll(near_var).unionAll(fresh)
+    return dedup_against_index(
+        batch, index, "doc_id", "text", est_threshold=0.5
     ).select("doc_id")
 
 
@@ -2693,7 +2742,8 @@ _DRIVER_WINDOW_R4 = [
     "x_fingerprint",
     "p3_alias",
     "f1_neq",
-    "o1_o2_topk",
+    "x_dedup_incremental_planted",  # new r4 operator (swapped in for
+    # o1_o2_topk, which holds r1+r2 green history and a pytest twin)
     # -- (4) standing §2 sentinels (ADVICE r2: never rotate all out) -------
     "p1_projection",
     "p2_nested_projection",

@@ -1038,3 +1038,31 @@ def test_robust_outliers_flags_planted_spike(spark):
     assert not any(out[i].is_outlier for i in range(20))
     assert out[200].mad == 0.0 and not out[200].is_outlier
     assert out[300].is_outlier  # any deviation flags in a MAD-0 group
+
+
+def test_incremental_dedup_against_index(spark, docs):
+    """Index the corpus once, then a batch containing one exact copy of an
+    indexed doc, one near-copy, and one fresh doc: copies drop, fresh
+    survives, corpus text is never consulted at probe time."""
+    from purescript_ifrit_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    index = build_minhash_index(docs, "doc_id", "text")
+    corpus_text = {r.doc_id: r.text for r in docs.collect()}
+    batch = spark.createDataFrame(
+        [
+            (100, corpus_text[0]),                       # exact copy of 0
+            (101, corpus_text[2] + " tiny extra bit"),   # near-copy of 2
+            (102, "entirely novel sentence about nothing indexed before ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_against_index(
+            batch, index, "doc_id", "text", est_threshold=0.5
+        ).collect()
+    )
+    assert kept == [102]
