@@ -185,6 +185,11 @@ def decode_ppm(payload: bytes):
             tokens.append(int(payload[start:pos]))
     pos += 1  # exactly one whitespace byte after maxval, then raster
     width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        # explicit: numpy would treat a NEGATIVE frombuffer count as
+        # "whole buffer" and a negative reshape dim as inferred, silently
+        # decoding garbage dims into a wrong-but-valid array
+        raise ValueError(f"invalid netpbm dims {width}x{height}")
     if not (0 < maxval <= 255):
         raise ValueError(f"unsupported maxval {maxval}")
     channels = 3 if magic == "P6" else 1
@@ -268,6 +273,10 @@ def extract_pixel_stats(df: DataFrame) -> DataFrame:
                     tokens.append(int(payload[start:pos]))
             pos += 1
             width, height, maxval = tokens
+            # negative dims would silently mis-decode (numpy count=-1 /
+            # inferred reshape semantics) — same guard as decode_ppm
+            if width <= 0 or height <= 0:
+                return None
             if not (0 < maxval <= 255):
                 return None
             channels = 3 if magic == "P6" else 1
@@ -283,7 +292,13 @@ def extract_pixel_stats(df: DataFrame) -> DataFrame:
                 "mean_r", "mean_g", "mean_b",
             )}
             for p in pdf["payload"]:
-                img = _decode(p)
+                # total over arbitrary bytes: header-token parse errors,
+                # negative dims, short buffers — any failure is a NULL row,
+                # never a dead batch (poison-payload contract)
+                try:
+                    img = _decode(p)
+                except Exception:
+                    img = None
                 if img is None:
                     for k in rows:
                         rows[k].append(None)
@@ -344,6 +359,8 @@ def decode_wav(payload: bytes):
             bits = struct.unpack_from("<H", payload, body + 14)[0]
             if fmt != 1 or bits != 16:
                 raise ValueError(f"unsupported wav encoding fmt={fmt} bits={bits}")
+            if rate == 0:
+                raise ValueError("wav sample rate 0")
         elif cid == b"data":
             if rate is None:
                 raise ValueError("wav data chunk before fmt chunk")
@@ -434,7 +451,8 @@ def extract_audio_stats(df: DataFrame) -> DataFrame:
                 if cid == b"fmt ":
                     fmt, channels, rate = struct.unpack_from("<HHI", payload, body)
                     bits = struct.unpack_from("<H", payload, body + 14)[0]
-                    if fmt != 1 or bits != 16:
+                    # rate 0 would ZeroDivisionError the duration below
+                    if fmt != 1 or bits != 16 or rate == 0:
                         return None
                 elif cid == b"data":
                     if rate is None:
@@ -452,7 +470,12 @@ def extract_audio_stats(df: DataFrame) -> DataFrame:
                 "sum_samples", "peak", "rms",
             )}
             for p in pdf["payload"]:
-                dec = _decode(p)
+                # total over arbitrary bytes (struct.error on truncated
+                # chunks, etc.) — NULL row, never a dead batch
+                try:
+                    dec = _decode(p)
+                except Exception:
+                    dec = None
                 if dec is None:
                     for k in cols:
                         cols[k].append(None)

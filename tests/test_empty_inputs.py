@@ -148,3 +148,38 @@ def test_windows_and_similarity_on_empty(spark, empty_events):
     emb = spark.createDataFrame([], schema)
     assert label_centroids(emb, "label", "embedding").count() == 0
     assert label_centroids(emb, "label", "embedding", exact_grid=2**20).count() == 0
+
+
+def test_round4_operators_on_empty(spark, empty_docs, empty_events):
+    from purescript_ifrit_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_audio_stats,
+        extract_pixel_stats,
+        synth_ppm_media,
+        synth_wav_media,
+    )
+    from purescript_ifrit_spark.operators.text_analysis import (
+        token_rarity_stats,
+    )
+    from purescript_ifrit_spark.operators.windows import robust_outliers
+
+    assert token_rarity_stats(empty_docs, "doc_id", "text").count() == 0
+    assert robust_outliers(empty_events, "user_id", "value").count() == 0
+    ids = empty_docs.select("doc_id")
+    assert extract_pixel_stats(synth_ppm_media(ids)).count() == 0
+    assert extract_audio_stats(synth_wav_media(ids)).count() == 0
+    empty_index = build_minhash_index(empty_docs, "doc_id", "text")
+    assert empty_index.count() == 0
+    # probing an empty index keeps every batch row
+    some = spark.createDataFrame(
+        [(1, "a real document with several words")], ["doc_id", "text"]
+    )
+    assert dedup_against_index(some, empty_index, "doc_id", "text").count() == 1
+    # empty batch against a real index is empty
+    real_index = build_minhash_index(some, "doc_id", "text")
+    assert dedup_against_index(
+        empty_docs, real_index, "doc_id", "text"
+    ).count() == 0

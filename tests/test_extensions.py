@@ -1066,3 +1066,30 @@ def test_incremental_dedup_against_index(spark, docs):
         ).collect()
     )
     assert kept == [102]
+
+
+def test_decode_closures_survive_malformed_headers(spark):
+    """Payloads that pass magic checks but explode mid-parse (non-numeric
+    header token; truncated fmt chunk) must yield NULL rows, not dead
+    batches — the distributed twin of the fuzz-totality property."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_audio_stats,
+        extract_pixel_stats,
+    )
+
+    schema = "media_id long, payload binary, meta struct<mime:string,source:string>"
+    imgs = spark.createDataFrame(
+        [(1, b"P6\nabc def\n255\nxxx", ("x", "t")),      # int() parse error
+         (2, b"P6\n-3 2\n255\nxxxxxx", ("x", "t")),      # negative dims
+         (3, b"P6\n2 1\n255\n" + bytes(6), ("x", "t"))],  # valid
+        schema,
+    )
+    out = {r.media_id: r for r in extract_pixel_stats(imgs).collect()}
+    assert out[1].width is None and out[2].width is None
+    assert out[3].width == 2
+
+    wavs = spark.createDataFrame(
+        [(1, b"RIFF\x00\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00", ("x", "t"))],
+        schema,  # fmt chunk truncated mid-struct -> struct.error
+    )
+    assert extract_audio_stats(wavs).collect()[0].sample_rate is None

@@ -193,3 +193,48 @@ def test_analyzer_total_on_arbitrary_ast(stmt):
         analyze(schema, stmt)
     except IfritError:
         pass
+
+
+# --- decoder fuzzing: arbitrary bytes must never crash a batch ------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200))
+def test_decode_ppm_total_on_garbage(payload):
+    """decode_ppm is TOTAL over arbitrary bytes: a valid ndarray or a clean
+    ValueError — never an unhandled crash (the worker-closure twin maps the
+    same failures to NULL rows, so a poison payload can't kill a batch)."""
+    from purescript_ifrit_spark.operators.multimodal import decode_ppm
+
+    try:
+        img = decode_ppm(payload)
+        assert img.ndim == 3
+    except ValueError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200))
+def test_decode_wav_total_on_garbage(payload):
+    from purescript_ifrit_spark.operators.multimodal import decode_wav
+
+    try:
+        rate, ch, samples = decode_wav(payload)
+        assert rate >= 0 and samples.ndim == 1
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_decode_ppm_header_prefix_garbage(payload):
+    """Valid magic + garbage header/raster still degrades cleanly."""
+    from purescript_ifrit_spark.operators.multimodal import decode_ppm
+
+    try:
+        decode_ppm(b"P6" + payload)
+    except ValueError:
+        pass
