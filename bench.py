@@ -200,6 +200,19 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
 
         return robust_outliers(t["events"], "user_id", "value")
 
+    def qx_funnel():
+        from purescript_ifrit_spark.operators.funnels import funnel_counts
+
+        return funnel_counts(
+            t["events"], "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        )
+
+    def qx_retention():
+        from purescript_ifrit_spark.operators.funnels import retention_cohorts
+
+        return retention_cohorts(t["events"], "user_id", "ts")
+
     extra_queries = {
         "qx_asof_join": qx_asof_join,
         "qx_rollup_multi": qx_rollup_multi,
@@ -208,6 +221,8 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_contamination": qx_contamination,
         "qx_token_rarity": qx_token_rarity,
         "qx_robust_outliers": qx_robust_outliers,
+        "qx_funnel": qx_funnel,
+        "qx_retention": qx_retention,
     }
 
     # JVM warm-up (parquet footers, codegen)

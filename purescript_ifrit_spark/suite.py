@@ -1126,6 +1126,53 @@ def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_funnel",
+    # ordered funnel view→click→purchase. The oracle uses the chained-min
+    # formulation (t_i = min ts of step i at ts >= t_{i-1}); the operator
+    # walks a per-user (ts, step_idx)-sorted array — equivalent because
+    # equal-ts events sort by step index, which IS the >= tie rule
+    "WITH s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events "
+    "  WHERE event_type = 'view' GROUP BY user_id), "
+    "s1 AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e "
+    "  JOIN s0 USING (user_id) "
+    "  WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY e.user_id), "
+    "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+    "  JOIN s1 USING (user_id) "
+    "  WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY e.user_id) "
+    "SELECT CAST(0 AS INT) AS step_idx, 'view' AS step, "
+    "CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users "
+    "UNION ALL SELECT CAST(1 AS INT), 'click', "
+    "CAST((SELECT COUNT(*) FROM s1) AS BIGINT) "
+    "UNION ALL SELECT CAST(2 AS INT), 'purchase', "
+    "CAST((SELECT COUNT(*) FROM s2) AS BIGINT)",
+)
+def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.funnels import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
+@register(
+    "x_retention",
+    # daily retention triangle: cohort = first active day, k = days since;
+    # exact integer day buckets (tz-free epoch arithmetic, same rule as
+    # x_events_hourly)
+    "WITH a AS (SELECT DISTINCT user_id, "
+    "  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS p FROM events), "
+    "f AS (SELECT user_id, MIN(p) AS cohort FROM a GROUP BY user_id) "
+    "SELECT cohort, p - cohort AS k, CAST(COUNT(*) AS BIGINT) AS n_users "
+    "FROM a JOIN f USING (user_id) GROUP BY cohort, k",
+)
+def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.funnels import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts")
+
+
+@register(
     "x_multimodal_audio",
     # planted-truth for the REAL RIFF/PCM16 decode path: payloads follow
     # the closed form (rate = 8000 + (id%2)*8000, n = 50 + id%100, sample
@@ -2740,10 +2787,9 @@ _DRIVER_WINDOW_R4 = [
     "x_text_quality",
     "x_lang_id",
     "x_fingerprint",
-    "p3_alias",
-    "f1_neq",
-    "x_dedup_incremental_planted",  # new r4 operator (swapped in for
-    # o1_o2_topk, which holds r1+r2 green history and a pytest twin)
+    "x_funnel",      # new r4 operators (swapped in for p3_alias / f1_neq /
+    "x_retention",   # o1_o2_topk — all r1+r2 driver-green, pytest-pinned)
+    "x_dedup_incremental_planted",
     # -- (4) standing §2 sentinels (ADVICE r2: never rotate all out) -------
     "p1_projection",
     "p2_nested_projection",

@@ -1093,3 +1093,51 @@ def test_decode_closures_survive_malformed_headers(spark):
         schema,  # fmt chunk truncated mid-struct -> struct.error
     )
     assert extract_audio_stats(wavs).collect()[0].sample_rate is None
+
+
+def test_funnel_tie_and_skip_semantics(spark):
+    """Hand-built funnel corpus: u1 completes all three steps; u2 does
+    click+purchase at the SAME timestamp as its view (ties count, in step
+    order); u3 starts at click (never reaches step 0 → counted nowhere);
+    u4 purchases BEFORE clicking (stops at click... after view)."""
+    from datetime import datetime
+
+    from purescript_ifrit_spark.operators.funnels import funnel_counts
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        ("u1", t(1), "view"), ("u1", t(2), "click"), ("u1", t(3), "purchase"),
+        ("u2", t(5), "view"), ("u2", t(5), "click"), ("u2", t(5), "purchase"),
+        ("u3", t(1), "click"), ("u3", t(2), "purchase"),
+        ("u4", t(1), "view"), ("u4", t(2), "purchase"), ("u4", t(3), "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r.step_idx: r.n_users for r in
+           funnel_counts(df, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"]).collect()}
+    assert out == {0: 3, 1: 3, 2: 2}  # u1,u2,u4 view; u1,u2,u4 click; u1,u2 buy
+
+
+def test_retention_cohorts_exact(spark):
+    from datetime import datetime
+
+    from purescript_ifrit_spark.operators.funnels import retention_cohorts
+
+    d = lambda day, h=0: datetime(2024, 1, day, h)
+    rows = [
+        ("a", d(1)), ("a", d(1, 5)), ("a", d(3)),   # cohort day0, k=0 and k=2
+        ("b", d(1)), ("b", d(2)),                    # cohort day0, k=0,1
+        ("c", d(2)),                                 # cohort day1, k=0
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(r.cohort, r.k): r.n_users
+           for r in retention_cohorts(df, "user_id", "ts").collect()}
+    day0 = min(c for c, _ in out)
+    assert out[(day0, 0)] == 2 and out[(day0, 1)] == 1 and out[(day0, 2)] == 1
+    assert out[(day0 + 1, 0)] == 1
+    # duplicate funnel steps are rejected
+    from purescript_ifrit_spark.operators.funnels import funnel_counts
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="distinct"):
+        funnel_counts(df.withColumn("event_type", F.lit("x")),
+                      "user_id", "ts", "event_type", ["x", "x"])
