@@ -26,17 +26,24 @@ def _duck(sf_dir: str):
 
 
 def _norm_cell(v):
+    """TYPE-SENSITIVE since r4 (VERDICT r3 #2): the driver hashes typed
+    values, so an int-vs-float (or BIGINT-vs-HUGEINT surfaced as Python
+    int-vs-float) divergence must fail HERE, not first in the driver.
+    The old version floated ints, which is exactly what hid the r1/r3
+    x_sessionize failures from pytest. Every cell compares as a
+    (type-class, value) pair; floats keep the 5dp round purely as an ulp
+    guard (all 111 entries are measured bit-exact at sf0.01, r4)."""
     if isinstance(v, bool):
-        return v
+        return ("b", v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
         # + 0.0 folds -0.0 (incl. values that ROUND to -0.0) into +0.0 so
         # the repr-keyed row sort orders value-equal cells identically
-        return round(v, 5) + 0.0
+        return ("f", "NaN" if math.isnan(v) else round(v, 5) + 0.0)
     if isinstance(v, int):
-        return float(v) if abs(v) < 2**52 else v
-    return v
+        return ("i", v)
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_norm_cell(x) for x in v))
+    return ("o", v)
 
 
 def _norm_rows(cols, rows):
