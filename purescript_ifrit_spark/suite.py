@@ -2643,17 +2643,22 @@ def x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_embedding_normalize",
+    # FLAT output contract (VERDICT r4 #1): the driver's pandas canonicalizer
+    # sorts result columns and cannot factorize list cells, so array-valued
+    # results crash the comparator. Emit one row per vector element —
+    # (vec_id, pos, val) — which is also how value diffs stay debuggable.
     # sequential double sum + IEEE sqrt/division are bit-reproducible, but
     # round to 6dp anyway so the value hash tolerates float-printing paths.
     # CASE sq = 0 (ADVICE r3): l2_normalize maps all-zero vectors to zeros;
     # without the guard the oracle would emit NaN for that row
     "WITH e AS (SELECT vec_id, embedding, "
     "list_aggregate(list_transform(embedding, "
-    "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum') AS sq FROM embeddings) "
-    "SELECT vec_id, CASE WHEN sq = 0 "
-    "THEN list_transform(embedding, x -> CAST(0 AS DOUBLE)) "
-    "ELSE list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) / sqrt(sq), 6)) "
-    "END AS unit FROM e",
+    "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum') AS sq FROM embeddings), "
+    "x AS (SELECT vec_id, embedding, sq, "
+    "CAST(unnest(range(len(embedding))) AS INT) AS pos FROM e) "
+    "SELECT vec_id, pos, CASE WHEN sq = 0 THEN 0.0 "
+    "ELSE ROUND(CAST(embedding[pos + 1] AS DOUBLE) / sqrt(sq), 6) "
+    "END AS val FROM x",
 )
 def x_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.functions import vectors as V
@@ -2661,22 +2666,30 @@ def x_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     unit = V.l2_normalize(F.col("embedding"))
     return emb.select(
-        "vec_id", F.transform(unit, lambda x: F.round(x, 6)).alias("unit")
+        "vec_id",
+        F.posexplode(F.transform(unit, lambda x: F.round(x, 6))).alias(
+            "pos", "val"
+        ),
     )
 
 
 @register(
     "x_embedding_quantize",
+    # FLAT output contract — see x_embedding_normalize. scale repeats per
+    # element row (star-schema shape; harmless at the compare and what a
+    # downstream exploded consumer joins on anyway).
     # symmetric int8: scale = max|v|/127, q = round(v/scale); both engines
     # round halves away from zero on doubles. CASE sc = 0 mirrors the
     # operator's all-zero-vector convention (scale 0 + zero codes)
     "WITH e AS (SELECT vec_id, embedding, "
     "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 "
-    "AS sc FROM embeddings) "
-    "SELECT vec_id, ROUND(sc, 9) AS scale, "
-    "CASE WHEN sc = 0 THEN list_transform(embedding, x -> CAST(0 AS INT)) "
-    "ELSE list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / sc) "
-    "AS INT)) END AS q FROM e",
+    "AS sc FROM embeddings), "
+    "x AS (SELECT vec_id, embedding, sc, "
+    "CAST(unnest(range(len(embedding))) AS INT) AS pos FROM e) "
+    "SELECT vec_id, ROUND(sc, 9) AS scale, pos, "
+    "CASE WHEN sc = 0 THEN 0 "
+    "ELSE CAST(ROUND(CAST(embedding[pos + 1] AS DOUBLE) / sc) AS INT) "
+    "END AS q FROM x",
 )
 def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.functions import vectors as V
@@ -2686,7 +2699,7 @@ def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(qs["scale"], 9).alias("scale"),
-        qs["q"].alias("q"),
+        F.posexplode(qs["q"]).alias("pos", "q"),
     )
 
 

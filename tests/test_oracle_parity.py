@@ -120,6 +120,48 @@ def test_no_hugeint_or_decimal_in_oracle_surface(sf_dir):
     )
 
 
+def test_no_nested_types_on_oracle_surface(spark, sf_dir):
+    """Static class-wide guard (VERDICT r4 #2, the class-closure move for
+    the r4 failure): the driver's pandas canonicalizer sorts result frames
+    column-wise, and pandas cannot factorize list/dict cells — any
+    oracle-backed entry returning a top-level ArrayType/MapType/StructType
+    column crashes the comparator (`TypeError: unhashable type: 'list'`,
+    CORRECTNESS_r04 x_embedding_normalize/x_embedding_quantize). Flatten
+    with posexplode (preferred — element rows make diffs debuggable) or
+    array_join before returning.
+
+    Checks BOTH engines' surfaces: Spark schemas resolve lazily (plan
+    analysis only, no job), DuckDB types bind without executing. Rows-only
+    entries are exempt (the driver never canonicalizes them)."""
+    nested = ("ArrayType", "MapType", "StructType")
+    offenders = {}
+    for name in sorted(ORACLES.keys()):
+        schema = QUERIES[name](spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if type(f.dataType).__name__ in nested
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle-backed entries with driver-incomparable nested result "
+        f"columns (flatten with posexplode/array_join): {offenders}"
+    )
+
+    con = _duck(sf_dir)
+    duck_offenders = {}
+    for name, sql in sorted(ORACLES.items()):
+        types = [str(t).upper() for t in con.sql(sql).types]
+        bad = [t for t in types if "[]" in t or t.startswith(("STRUCT", "MAP"))]
+        if bad:
+            duck_offenders[name] = bad
+    con.close()
+    assert not duck_offenders, (
+        f"oracles with nested output types: {duck_offenders}"
+    )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
