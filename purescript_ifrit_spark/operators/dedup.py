@@ -78,16 +78,23 @@ def dedup_exact_text(
 # ---------------------------------------------------------------------------
 
 
-_WIDE_NODES = (
-    "Aggregate",
-    "Join",
-    "Window",
-    "Repartition",
-    "RepartitionByExpression",
-    "Deduplicate",
-    "Distinct",
-    "Sort",
-    "GlobalLimit",
+# Allowlist of logical nodes KNOWN to be narrow scan-chain work (ADVICE
+# r4: the old wide-node denylist was closed-world — an unlisted node like
+# Intersect/CoGroup, or any future Spark node name, fell through to the
+# df.rdd materialization path the guard exists to avoid). Anything not on
+# this list skips the repartition, which fails safe in both cost and
+# behavior.
+_NARROW_NODES = (
+    "Relation",
+    "LogicalRelation",
+    "LocalRelation",
+    "Project",
+    "Filter",
+    "SubqueryAlias",
+    "View",
+    "Generate",
+    "ResolvedHint",
+    "UnresolvedHint",
 )
 
 
@@ -100,11 +107,14 @@ def _fanout_narrow_scan(df: DataFrame, key_col: str) -> DataFrame:
     1.77 s from this alone). At real scale file splits already exceed core
     count and this is a no-op.
 
-    The check is analysis-only: plans containing a wide node (aggregate,
-    join, window, …) are skipped BEFORE touching df.rdd, because under AQE
-    materializing the RDD of a shuffle-rooted plan executes its upstream
-    stages (measured: one full job) — and a post-shuffle input is already
-    partitioned to cluster width anyway."""
+    The check is analysis-only: any plan that is not PROVABLY a pure
+    narrow scan chain (every node on the _NARROW_NODES allowlist) is
+    skipped BEFORE touching df.rdd, because under AQE materializing the
+    RDD of a shuffle-rooted plan executes its upstream stages (measured:
+    one full job) — and a post-shuffle input is already partitioned to
+    cluster width anyway. The plan string comes from a private accessor
+    (_jdf); if its formatting ever shifts so nodes stop matching, the
+    allowlist makes that drift a silent no-op, not a regression."""
     import re
 
     if df.isStreaming:
@@ -115,7 +125,7 @@ def _fanout_narrow_scan(df: DataFrame, key_col: str) -> DataFrame:
         for m in (re.match(r"^[\s:+-]*'?(\w+)", ln) for ln in plan.splitlines())
         if m
     }
-    if nodes & set(_WIDE_NODES):
+    if not nodes or not nodes <= set(_NARROW_NODES):
         return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() * 2 <= sc.defaultParallelism:
@@ -490,8 +500,11 @@ def dedup_against_index(
     Scale: batch docs shingle+sign in their scan stage; the probe is one
     equi-join on (_band, _key) against the (ideally bucketed) index; only
     (batch_id, est) pairs reach the final aggregation. Corpus text is
-    never touched."""
-    rows = num_hashes // bands
+    never touched. `max_bucket` caps BOTH join sides (ADVICE r4): a
+    degenerate boilerplate bucket stored in the corpus index would
+    otherwise fan the join out unboundedly no matter how clean the batch
+    is — a capped-out bucket is boilerplate, not a near-dup signal, on
+    either side."""
     probe = build_minhash_index(
         new_docs,
         id_col,
@@ -509,6 +522,11 @@ def dedup_against_index(
         w = Window.partitionBy("_band", "_key")
         probe = (
             probe.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+        index = (
+            index.withColumn("_n", F.count("*").over(w))
             .filter(F.col("_n") <= max_bucket)
             .drop("_n")
         )

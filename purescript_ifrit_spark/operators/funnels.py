@@ -65,10 +65,18 @@ def funnel_counts(
         lambda acc, e: F.when(e["idx"] == acc, acc + 1).otherwise(acc),
     )
     per_user = ev.select(reached.alias("_reached"))
+    # coalesce: a global agg over zero users (e.g. a mistyped step name
+    # filtering everything out) yields one row of NULL sums — the funnel
+    # must report 0, matching COUNT semantics (ADVICE r4)
     counts = per_user.groupBy().agg(
         *[
-            F.sum(
-                F.when(F.col("_reached") >= i + 1, F.lit(1)).otherwise(F.lit(0))
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_reached") >= i + 1, F.lit(1)
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
             ).alias(f"_s{i}")
             for i in range(len(steps))
         ]

@@ -355,6 +355,11 @@ def decode_wav(payload: bytes):
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = pos + 8
         if cid == b"fmt ":
+            # bounds-check before unpack_from: a payload truncated mid-fmt
+            # must honor the valid-or-ValueError contract, not leak
+            # struct.error (ADVICE r4)
+            if body + 16 > len(payload):
+                raise ValueError("truncated wav fmt chunk")
             fmt, channels, rate = struct.unpack_from("<HHI", payload, body)
             bits = struct.unpack_from("<H", payload, body + 14)[0]
             if fmt != 1 or bits != 16:

@@ -183,3 +183,37 @@ def test_round4_operators_on_empty(spark, empty_docs, empty_events):
     assert dedup_against_index(
         empty_docs, real_index, "doc_id", "text"
     ).count() == 0
+
+
+def test_funnels_on_empty(empty_events):
+    """ADVICE r4: funnel over zero matching events must report 0 per step
+    (the global agg's NULL-sum row), matching the oracle's COUNT(*)=0 —
+    e.g. a mistyped step name must not surface NULL counts."""
+    from purescript_ifrit_spark.operators.funnels import (
+        funnel_counts,
+        retention_cohorts,
+    )
+
+    ev = empty_events.withColumn("event_type", F.lit("view"))
+    out = funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "cart", "buy"]
+    ).collect()
+    assert [r["n_users"] for r in sorted(out, key=lambda r: r["step_idx"])] == [
+        0,
+        0,
+        0,
+    ]
+    assert retention_cohorts(empty_events, "user_id", "ts").count() == 0
+
+
+def test_funnel_no_matching_step_counts_zero(spark):
+    from purescript_ifrit_spark.operators.funnels import funnel_counts
+
+    ev = spark.createDataFrame(
+        [(1, 10, "view"), (1, 20, "cart")],
+        ["user_id", "ts", "event_type"],
+    )
+    out = funnel_counts(
+        ev, "user_id", "ts", "event_type", ["signup", "upgrade"]
+    ).collect()
+    assert all(r["n_users"] == 0 for r in out) and len(out) == 2

@@ -478,6 +478,12 @@ def test_decode_wav_chunks_and_errors():
            + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32))
     with pytest.raises(ValueError, match="unsupported"):
         decode_wav(f32 + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    # a payload truncated MID-fmt-struct must raise ValueError, not leak
+    # struct.error (ADVICE r4: totality contract is valid-or-ValueError)
+    truncated_fmt = (b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+                     + b"fmt " + struct.pack("<I", 16) + b"\x01\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(truncated_fmt)
 
 
 def test_audio_stats_decodes_real_payloads(spark):
@@ -1141,3 +1147,58 @@ def test_retention_cohorts_exact(spark):
     with _pytest.raises(ValueError, match="distinct"):
         funnel_counts(df.withColumn("event_type", F.lit("x")),
                       "user_id", "ts", "event_type", ["x", "x"])
+
+
+def test_fanout_guard_allowlist_fails_safe(spark, sf_dir):
+    """ADVICE r4: the narrow-scan fan-out guard is an ALLOWLIST — it fires
+    only on plans provably made of narrow scan-chain nodes, and skips
+    anything unrecognized (Intersect here stands in for 'any node Spark
+    adds later'), so an unknown plan can never trigger the df.rdd
+    materialization path under AQE."""
+    from purescript_ifrit_spark.operators.dedup import _fanout_narrow_scan
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    # parquet-backed: one small file = one split, the case the guard exists
+    # for (a createDataFrame local relation is already cluster-width)
+    table = load_table(spark, sf_dir, "documents")
+    narrow = table.select("doc_id", "text").filter(F.col("doc_id") >= 0)
+    widened = _fanout_narrow_scan(narrow, "doc_id")
+    assert widened is not narrow
+    assert (
+        widened.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+    wide = table.groupBy("lang").count()
+    assert _fanout_narrow_scan(wide, "lang") is wide
+
+    unknown = table.select("doc_id").intersect(table.select("doc_id"))
+    assert _fanout_narrow_scan(unknown, "doc_id") is unknown
+
+
+def test_incremental_dedup_caps_index_side_buckets(spark):
+    """ADVICE r4: max_bucket must bound BOTH sides of the (_band,_key)
+    probe join. A corpus of identical boilerplate docs puts its whole
+    population in one bucket per band; with the cap that bucket is
+    dropped from the INDEX side too, so a matching batch doc survives
+    instead of fanning the join out across the degenerate bucket."""
+    from purescript_ifrit_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    boiler = "cookie banner accept all rights reserved terms of service apply"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(30)], ["doc_id", "text"]
+    )
+    index = build_minhash_index(corpus, "doc_id", "text")
+    batch = spark.createDataFrame([(1000, boiler)], ["doc_id", "text"])
+
+    # uncapped: the batch doc is a true dup of the boilerplate family
+    assert dedup_against_index(
+        batch, index, "doc_id", "text", max_bucket=None
+    ).count() == 0
+    # capped below the family size: the degenerate index bucket is excluded
+    assert dedup_against_index(
+        batch, index, "doc_id", "text", max_bucket=10
+    ).count() == 1
