@@ -4,7 +4,7 @@ entry(spark)    — flagship query at sf0.001 (smoke check)
 queries()       — one entry per implemented operator (SURVEY.md §2)
 oracle_sql()    — DuckDB-runnable ANSI SQL recomputing each query
 
-The implementations live in purescript_ifrit_spark/suite.py so they are
+The implementations live in purescript_ifrit_spark/suite/ (domain-split package) so they are
 unit-tested (tests/test_oracle_parity.py mirrors the driver's compare).
 """
 

@@ -290,3 +290,41 @@ def budget_sample(
         .filter(F.col("_cum_tokens") <= budget)
         .drop("_bdraw", "_shard", "_off", "_cum_tokens")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global corpus shuffle + sharding for training order:
+    adds (shard, pos) where shard = md5-draw mod n_shards and pos is the
+    row's 0-based rank within its shard in draw order (id as tiebreak —
+    the draw space is 2^32, so collisions exist at corpus scale and an
+    untied rank would be nondeterministic). Reading shards in pos order
+    replays one uniform pseudorandom permutation of the corpus —
+    reproducibly, unlike orderBy(rand()) whose per-partition seeding
+    reshuffles on every repartition or append.
+
+    Scale: ONE shuffle, on the shard key; each shard is corpus/n_shards
+    rows, so pick n_shards >= the cluster's write parallelism (a trainer
+    typically wants hundreds-to-thousands of shard files anyway, which
+    also makes the per-shard rank window's state bounded). Writing with
+    partition_by=shard then streams each shard already in draw order."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive (got {n_shards})")
+    from pyspark.sql import Window
+
+    draw = _draw(F.col(id_col), salt)
+    shard = (F.conv(draw, 16, 10).cast("long") % n_shards).cast("int")
+    w = Window.partitionBy("_shard").orderBy(
+        F.col("_draw").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_draw", draw)
+        .withColumn("_shard", shard)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .withColumnRenamed("_shard", "shard")
+        .drop("_draw")
+    )

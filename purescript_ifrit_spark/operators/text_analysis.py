@@ -411,3 +411,27 @@ def token_rarity_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "mean_token_count"
         ),
     )
+
+
+def term_frequency_spectrum(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Vocabulary frequency spectrum (count-of-counts): for each total
+    corpus term frequency tf, the number of distinct terms occurring
+    exactly tf times — the Zipf curve corpus-health diagnostic (a healthy
+    natural-language corpus is near power-law; boilerplate mass shows up
+    as spikes, OCR noise as a bloated hapax head).
+
+    Scale: the same exploded per-(term, doc) pre-aggregation as
+    `term_stats` (partials collapse map-side before the wide exchange),
+    a vocabulary-keyed total, then a tiny (tf → n_terms) aggregation —
+    the spectrum has at most O(distinct tf values) rows, bounded by the
+    max term frequency, regardless of vocabulary size. The vocabulary is
+    never collected or broadcast."""
+    per_doc = _per_doc_term_counts(df, id_col, text_col)
+    totals = per_doc.groupBy("term").agg(F.sum("tf_doc").alias("tf"))
+    return totals.groupBy(F.col("tf").cast("long").alias("tf")).agg(
+        F.count(F.lit(1)).alias("n_terms")
+    )

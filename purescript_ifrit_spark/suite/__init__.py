@@ -1,0 +1,139 @@
+"""The operator-coverage suite: one named query per implemented operator
+from SURVEY.md §2, each paired with an ANSI-SQL oracle that DuckDB can run
+on the same parquet tables.
+
+This module backs `__spark_entry__.py` (the driver contract). Every entry is
+
+    name -> (spark_fn, oracle_sql | None)
+
+where `spark_fn(spark, sf_dir) -> DataFrame` exercises OUR engine (the
+dialect compiler or an operators/ extension) and `oracle_sql` recomputes the
+same result in plain SQL. Column names are aliased identically on both
+sides; float aggregates are rounded to 6 decimals on both sides so the
+driver's order-insensitive value-hash is robust to summation-order noise.
+
+Determinism notes: every LIMIT query orders by a unique key (or a key
+chain ending in one); collect_list results are sorted + joined to a string
+on both sides.
+"""
+
+from __future__ import annotations
+
+from purescript_ifrit_spark.suite._registry import (  # noqa: F401
+    REGISTRY,
+    SparkFn,
+    register,
+)
+
+# Import order populates REGISTRY; the driver window below pins the
+# first 50 positions regardless, so order here is cosmetic.
+from purescript_ifrit_spark.suite import (  # noqa: E402,F401
+    core,
+    dedup,
+    text,
+    dialect,
+    sampling,
+    vectors,
+    analytics,
+    joins,
+    multimodal,
+    streaming,
+)
+from purescript_ifrit_spark.suite.core import flagship  # noqa: E402,F401
+
+
+
+# ===========================================================================
+# Driver-window ordering
+# ===========================================================================
+#
+# The driver's correctness harness checks the FIRST 50 registry entries
+# (dict insertion order). Rotation policy (COVERAGE.md ledger records the
+# per-entry driver history): changed-this-round and never-verified entries
+# enter first, then the entries with the OLDEST last driver check, so no
+# entry's last hard check ages past two rounds. Round-5 composition is the
+# one VERDICT r4 #4 prescribed:
+#
+#   1. the two entries reshaped this round (r4's only red cells — flat
+#      posexplode output so the driver comparator can canonicalize them)
+#      stay at positions 0-1;
+#   2. the new round-5 DAU pair (never driver-verified);
+#   3. all 24 r1/r2-only core §2 dialect rows — no driver pass since r2,
+#      two rounds of lexer/parser/planner refactoring ago;
+#   4. backfill with the oldest r3-only entries (one driver check each).
+#
+# Everything else (checked r3/r4 AND duplicated by
+# tests/test_oracle_parity.py every round) follows after the window.
+
+_DRIVER_WINDOW_R5 = [
+    # -- (1) reshaped this round (VERDICT r4 #1) ---------------------------
+    "x_embedding_normalize",
+    "x_embedding_quantize",
+    # -- (2) new round-5 operators -----------------------------------------
+    "x_dau_exact",
+    "x_dau_approx",
+    # -- (3) the 24 r1/r2-only §2 dialect rows -----------------------------
+    "p3_alias",
+    "f1_neq",
+    "f2_lt_gt",
+    "f3_lte_via_not",
+    "f3_gte_direct",
+    "f4_and",
+    "f5_or",
+    "f6_not_demorgan",
+    "f7_bare_boolean",
+    "f8_null_compare",
+    "f9_reversed_literal",
+    "o1_o2_topk",
+    "o4_pregroup_sort_limit",
+    "a2_group_by_null",
+    "a4_group_sum",
+    "a5_group_min_max",
+    "a6_group_count",
+    "a7_push_collect",
+    "b1_avg_array",
+    "b3_sum_array",
+    "b4_min_max_array",
+    "b6_count_array",
+    "b2_avg_nested_array",
+    "b5_max_nested_array",
+    # -- (4) oldest r3-only entries, ledger order --------------------------
+    "x_dedup_ngram_planted",
+    "x_ann_ivf_topk",
+    "x_multimodal_framesample",
+    "x_tpch_q18ish",
+    "x_approx_distinct",
+    "x_chunk_documents",
+    "x_pack_sequences",
+    "x_streaming_windowed",
+    "x_streaming_session",
+    "x_dedup_clusters_planted",
+    "x_streaming_state",
+    "x_dedup_clusters",
+    "x_rolling_fingerprint",
+    "x_partitioned_sink",
+    "x_set_ops",
+    "x_explode_chunks",
+    "x_split_train_val",
+    "x_hash_sample",
+    "x_pii_redact",
+    "xd_redact",
+    # x_term_stats / x_embedding_centroids (r3-checked) yield their two
+    # backfill slots to this round's never-verified additions
+    "x_shuffle_shards",
+    "x_term_spectrum",
+]
+
+
+def _apply_driver_window(window: list) -> None:
+    ordered: Dict[str, Tuple[SparkFn, Optional[str]]] = {}
+    for name in window:
+        ordered[name] = REGISTRY[name]  # KeyError on typo = fail at import
+    for name, entry in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = entry
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_apply_driver_window(_DRIVER_WINDOW_R5)

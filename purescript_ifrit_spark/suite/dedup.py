@@ -1,0 +1,292 @@
+"""Deduplication and curation entries (exact, minhash, simhash, ngram, clusters, incremental, curate pipeline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.api import run_query
+from purescript_ifrit_spark.sources.tables import load_table
+from purescript_ifrit_spark.suite._registry import (
+    register,
+)
+from purescript_ifrit_spark.suite._fixtures import (
+    _NORM_SQL,
+    _PLANTED_TOKS,
+    _curate_exact_oracle,
+    _planted_docs,
+    _planted_pieces,
+)
+
+
+
+@register(
+    "x_dedup_exact",
+    f"SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM_SQL})",
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.dedup import dedup_exact_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact_text(docs, "text", "doc_id").select("doc_id")
+
+
+@register("x_dedup_minhash", None)  # approximate — rows-only check
+def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.dedup import dedup_minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    # default geometry (16 lanes, b=8 r=2 since r4) — tracks the operator
+    return dedup_minhash(
+        docs, "doc_id", "text", jaccard_threshold=0.8
+    ).select("doc_id")
+
+
+@register(
+    "x_dedup_minhash_planted",
+    # ground truth recomputed by DuckDB: a planted variant is dropped iff its
+    # exact shingle jaccard to its base doc is >= 0.8; cross-doc pairs are
+    # jaccard 0 by construction (disjoint per-doc token namespaces)
+    f"WITH base AS ({_PLANTED_TOKS}), "
+    "pairs AS ("
+    "  SELECT doc_id, doc_id + 1000000000000 AS vid, toks AS vtoks FROM base "
+    "  WHERE doc_id % 10 = 0 "
+    "  UNION ALL "
+    "  SELECT doc_id, doc_id + 2000000000000 AS vid, toks[1:38] AS vtoks FROM base "
+    "  WHERE doc_id % 10 = 5), "
+    "j AS ("
+    "  SELECT p.vid, "
+    "  len(list_intersect("
+    "    list_transform(range(1, len(b.toks) - 1), "
+    "      i -> b.toks[i] || ' ' || b.toks[i+1] || ' ' || b.toks[i+2]), "
+    "    list_transform(range(1, len(p.vtoks) - 1), "
+    "      i -> p.vtoks[i] || ' ' || p.vtoks[i+1] || ' ' || p.vtoks[i+2]))) AS inter, "
+    "  len(b.toks) - 2 AS na, len(p.vtoks) - 2 AS nb "
+    "  FROM pairs p JOIN base b USING (doc_id)) "
+    "SELECT doc_id FROM documents "
+    "UNION ALL "
+    "SELECT vid AS doc_id FROM j WHERE inter * 1.0 / (na + nb - inter) < 0.8",
+)
+def x_dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.dedup import dedup_minhash
+
+    planted = _planted_docs(spark, sf_dir)
+    # default geometry (16 lanes, b=8 r=2 since r4): the exact-truth oracle
+    # pins recall of the new curve — the 0.947-jaccard planted variants must
+    # still be caught (per-pair candidate probability 1-(1-0.947²)⁸ ≈
+    # 1 - 2.7e-11) and the sub-threshold ones must survive verification
+    return dedup_minhash(
+        planted, "doc_id", "text", jaccard_threshold=0.8
+    ).select("doc_id")
+
+
+@register(
+    "x_dedup_incremental_planted",
+    # incremental (index-probe) dedup ground truth: the corpus is the
+    # planted base docs; the incoming batch holds their exact variants
+    # (estimated jaccard = 1: identical shingles → identical signatures),
+    # their 36/38-near variants (lane-match estimate ≈ 0.947 ≥ 0.5,
+    # deterministic given the fixed lane seeds), and FRESH docs in a
+    # disjoint 'f' token namespace (true jaccard 0; a false drop would
+    # need a 64-bit band-hash collision). Survivors = exactly the fresh
+    # docs — the oracle recomputes that set arithmetically.
+    "SELECT doc_id + 3000000000000 AS doc_id FROM documents "
+    "WHERE doc_id % 10 = 3",
+)
+def x_dedup_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    base, exact_var, near_var = _planted_pieces(spark, sf_dir)
+    fresh_toks = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda k: F.concat(
+            F.lit("f"), F.col("doc_id").cast("string"), F.lit("x"),
+            k.cast("string"),
+        ),
+    )
+    fresh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 3)
+        .select(
+            (F.col("doc_id") + 3_000_000_000_000).alias("doc_id"),
+            F.array_join(fresh_toks, " ").alias("text"),
+        )
+    )
+    index = build_minhash_index(base, "doc_id", "text")
+    batch = exact_var.unionAll(near_var).unionAll(fresh)
+    return dedup_against_index(
+        batch, index, "doc_id", "text", est_threshold=0.5
+    ).select("doc_id")
+
+
+@register(
+    "x_dedup_simhash_planted",
+    # identical normalized text → identical 64-bit simhash → hamming 0 and a
+    # guaranteed shared bit-slice; distinct docs share no tokens, so a false
+    # pair needs a full 64-bit signature collision (max_hamming=0). The
+    # 38-token near-dup variants are EXCLUDED here: sharing 38/40 tokens
+    # often flips zero simhash bits, which is correct simhash behavior but
+    # not oracle-predictable — the minhash entry covers the near-dup tier
+    "SELECT doc_id AS id_a, doc_id + 1000000000000 AS id_b, "
+    "CAST(0 AS BIGINT) AS hamming FROM documents WHERE doc_id % 10 = 0",
+)
+def x_dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.dedup import simhash_candidate_pairs
+
+    planted = _planted_docs(spark, sf_dir).filter(F.col("doc_id") < 2_000_000_000_000)
+    out = simhash_candidate_pairs(planted, "doc_id", "text", max_hamming=0)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@register(
+    "x_dedup_ngram_planted",
+    # exact word-3-gram Jaccard is fully oracle-predictable on the planted
+    # corpus: an exact variant normalizes to its base text (jaccard 1.0);
+    # a near variant is the 38-token prefix of its 40-token base, so its 36
+    # 3-shingles are a strict subset of the base's 38 → 36/38. Blocks pair
+    # each variant with exactly its base (disjoint token namespaces make
+    # cross-doc jaccard 0 anyway), demonstrating the blocked scale path —
+    # the same shape the operator runs downstream of LSH banding.
+    "SELECT doc_id AS id_a, doc_id + 1000000000000 AS id_b, "
+    "CAST(1.0 AS DOUBLE) AS jaccard FROM documents WHERE doc_id % 10 = 0 "
+    "UNION ALL "
+    "SELECT doc_id, doc_id + 2000000000000, "
+    "CAST(ROUND(36.0 / 38.0, 6) AS DOUBLE) FROM documents WHERE doc_id % 10 = 5",
+)
+def x_dedup_ngram_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.dedup import ngram_jaccard_pairs
+
+    planted = _planted_docs(spark, sf_dir).withColumn(
+        "blk", F.col("doc_id") % 1_000_000_000_000
+    )
+    out = ngram_jaccard_pairs(
+        planted, "doc_id", "text", n=3, threshold=0.5, block_col="blk"
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@register("x_dedup_simhash_pairs", None)  # approximate — rows-only check
+def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.dedup import simhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=10)
+
+
+@register(
+    "x_dedup_clusters_planted",
+    # ground truth by construction: per anchor (doc_id % 20 == 0) a CHAIN of
+    # 6 sliding-window variants (adjacent shingle-jaccard 36/38 ≈ 0.947 —
+    # far above the 0.8 threshold; chain ENDS at ≈ 0.73 — below it, so only
+    # transitive closure groups them) plus one isolated variant (window 20
+    # tokens away, max jaccard ≈ 0.31 to anything — must SURVIVE). Expected
+    # survivors: every base doc (the component minimum) + every isolated
+    # variant. Over-dropping kills an isolated row; missing transitivity
+    # leaves a chain variant alive — either way the set mismatches.
+    "SELECT doc_id FROM documents "
+    "UNION ALL SELECT doc_id + 7000000000000 AS doc_id FROM documents "
+    "WHERE doc_id % 20 = 0",
+)
+def x_dedup_clusters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components cluster dedup with exact planted ground truth
+    (minhash pairs → large-star/small-star CC → keep component minimum)."""
+    from functools import reduce
+
+    from purescript_ifrit_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_candidate_pairs,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def txt(w0: int):
+        toks = F.transform(
+            F.sequence(F.lit(w0), F.lit(w0 + 39)),
+            lambda k: F.concat(
+                F.lit("t"), F.col("doc_id").cast("string"), F.lit("x"),
+                k.cast("string"),
+            ),
+        )
+        return F.array_join(toks, " ")
+
+    base = ids.select("doc_id", txt(0).alias("text"))
+    anchors = ids.filter(F.col("doc_id") % 20 == 0)
+    parts = [base]
+    # text is computed BEFORE the id shift: the token lambda resolves
+    # doc_id, and aliasing first would shift the namespace too
+    for k in range(1, 7):
+        parts.append(
+            anchors.select("doc_id", txt(k).alias("text")).select(
+                (F.col("doc_id") + k * 1_000_000_000_000).alias("doc_id"), "text"
+            )
+        )
+    parts.append(
+        anchors.select("doc_id", txt(20).alias("text")).select(
+            (F.col("doc_id") + 7_000_000_000_000).alias("doc_id"), "text"
+        )
+    )
+    corpus = reduce(lambda a, b: a.unionAll(b), parts)
+    pairs = minhash_candidate_pairs(
+        corpus, "doc_id", "text", jaccard_threshold=0.8, eager=True
+    )
+    return dedup_clusters(corpus, "doc_id", pairs).select("doc_id")
+
+
+@register("x_dedup_clusters", None)  # approximate candidates — rows-only
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup: minhash pairs → connected components → keep the
+    canonical (min-id) member per component."""
+    from purescript_ifrit_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", jaccard_threshold=0.8, eager=True
+    )
+    return dedup_clusters(docs, "doc_id", pairs).select("doc_id")
+
+
+@register("x_curate_exact", _curate_exact_oracle())
+def x_curate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's exact prefix as hard signal: quality gate →
+    exact dedup → token stats, every stage oracle-recomputable (the full
+    composition x_curate_pipeline adds LSH and stays rows-only)."""
+    from purescript_ifrit_spark.operators import dedup
+    from purescript_ifrit_spark.operators.text_analysis import (
+        fingerprint_docs,
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs, "text")
+    kept = scored.filter(
+        (F.col("quality") >= 0.2) & (F.col("n_tokens") >= 5)
+    )
+    # fingerprint once, dedup on the carried column (dedup_exact_text
+    # would compute the same md5 internally and drop it)
+    with_fp = fingerprint_docs(kept, "text")
+    exact = dedup.dedup_exact(with_fp, ["fingerprint"], "doc_id")
+    return exact.select(
+        "doc_id",
+        "quality",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "fingerprint",
+    )
+
+
+@register("x_curate_pipeline", None)  # composition incl. approximate dedup — rows-only
+def x_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.pipeline import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate(docs, min_quality=0.2).select(
+        "doc_id", "quality", "n_tokens", "n_bpe_ish", "fingerprint"
+    )

@@ -1,0 +1,161 @@
+"""§2.7 extensions exposed IN the dialect (xd_*): dialect-SQL strings through the full compiler."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.api import run_query
+from purescript_ifrit_spark.sources.tables import load_table
+from purescript_ifrit_spark.suite._registry import (
+    _dialect,
+    register,
+)
+from purescript_ifrit_spark.suite._fixtures import (
+    _NORM_SQL,
+    _QUALITY_ORACLE_EXPR,
+    _QUALITY_ORACLE_INPUTS,
+    _pii_aug_col,
+    _redact_dialect_oracle,
+    _xd_lang_oracle,
+    _xd_split_oracle,
+)
+
+
+
+# ---------------------------------------------------------------------------
+# §2.7 extensions exposed IN the dialect (functions/dialect_ext.py): these
+# entries run dialect-SQL strings through the full compiler, not Python API
+# calls — the hard signal that a query-engine user can reach the operators
+# ---------------------------------------------------------------------------
+
+register(
+    "xd_dedup_exact",
+    f"SELECT min(doc_id) AS doc_id, md5({_NORM_SQL}) AS _id "
+    f"FROM documents GROUP BY md5({_NORM_SQL})",
+)(
+    _dialect(
+        "documents",
+        "SELECT MIN(doc_id) AS doc_id GROUP BY FINGERPRINT(text)",
+    )
+)
+
+register(
+    "xd_token_count",
+    "SELECT doc_id, "
+    f"CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0 "
+    f"ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n_tokens "
+    "FROM documents",
+)(
+    _dialect(
+        "documents",
+        "SELECT doc_id, TOKEN_COUNT(text) AS n_tokens",
+        post=lambda df: df.withColumn(
+            "n_tokens", F.col("n_tokens").cast("long")
+        ),
+    )
+)
+
+register(
+    "xd_quality",
+    "SELECT doc_id, " + _QUALITY_ORACLE_EXPR + " AS q FROM ("
+    + _QUALITY_ORACLE_INPUTS + ") t",
+)(_dialect("documents", "SELECT doc_id, QUALITY(text) AS q"))
+
+
+register("xd_lang_id", _xd_lang_oracle())(
+    _dialect("documents", "SELECT doc_id, LANG_ID(text) AS lang")
+)
+
+register(
+    "xd_chunk",
+    # chunks joined on the unit separator so the compared cell is a string
+    # (list-cell hashing differs across engines; precedent: a7_push_collect)
+    "WITH t AS (SELECT doc_id, "
+    f"string_split({_NORM_SQL}, ' ') AS toks FROM documents) "
+    "SELECT doc_id, array_to_string(list_transform("
+    "range(0, 1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS BIGINT)), "
+    "i -> array_to_string(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], ' ')"
+    "), chr(31)) AS chunks FROM t",
+)(
+    _dialect(
+        "documents",
+        "SELECT doc_id, CHUNK(text) AS chunks",
+        post=lambda df: df.withColumn(
+            "chunks", F.array_join(F.col("chunks"), "\x1f")
+        ),
+    )
+)
+
+register(
+    "xd_quality_filter",
+    # composition: extension scalar in a derived table, filtered outside —
+    # the curation idiom expressed entirely in the dialect. The > 0.5
+    # comparison is exact: q is integer deci-micros / 10⁷ on both engines
+    "SELECT doc_id FROM (SELECT doc_id, " + _QUALITY_ORACLE_EXPR + " AS q "
+    "FROM (" + _QUALITY_ORACLE_INPUTS + ") a) b WHERE q > 0.5",
+)(
+    _dialect(
+        "documents",
+        "SELECT doc_id FROM (SELECT doc_id, QUALITY(text) AS q) WHERE q > 0.5",
+    )
+)
+
+
+register(
+    "xd_quality_where",
+    # same truth as xd_quality_filter, reached through the WHERE-operand
+    # extension instead of the derived-table idiom
+    "SELECT doc_id FROM (SELECT doc_id, " + _QUALITY_ORACLE_EXPR + " AS q "
+    "FROM (" + _QUALITY_ORACLE_INPUTS + ") a) b WHERE q > 0.5",
+)(
+    _dialect("documents", "SELECT doc_id WHERE QUALITY(text) > 0.5")
+)
+
+
+register("xd_split", _xd_split_oracle())(
+    # dialect-level dataset splitting over a NUMERIC id (exercises the
+    # string-or-number arg typing of SPLIT)
+    _dialect("documents", "SELECT doc_id, SPLIT(doc_id) AS split")
+)
+
+
+@register("xd_redact", _redact_dialect_oracle())
+def xd_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction reached through the DIALECT (`REDACT(x)`): the full
+    compiler path (lexer → parser → analyzer → planner), verified
+    byte-exact on planted PII."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id", _pii_aug_col(with_boilerplate=False).alias("x")
+    )
+    out = run_query(spark, aug, "SELECT doc_id, REDACT(x) AS clean")
+    return out.select("doc_id", F.md5("clean").alias("fp"))
+
+
+# ===========================================================================
+# dialect temporal functions (TUMBLE / SESSIONIZE — functions/dialect_ext.py)
+# ===========================================================================
+
+register(
+    "xd_tumble_hourly",
+    # tz-free hour bucketing in epoch SECONDS (fits the dialect's float
+    # numbers exactly; micros would exceed double's 2^53 integer range)
+    "SELECT COUNT(*) AS n, "
+    "CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600 AS _id "
+    "FROM events GROUP BY 2",
+)(_dialect("events", "SELECT COUNT(event_id) AS n GROUP BY TUMBLE(ts)"))
+
+register(
+    "xd_sessionize",
+    # same window construction as x_sessionize's oracle, projected per-row:
+    # the dialect SESSIONIZE fixes key=user_id, tiebreak=event_id, gap=30min
+    "WITH s AS (SELECT event_id, user_id, ts, "
+    "  CASE WHEN lag(ts) OVER w IS NULL "
+    "       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+    "  THEN 1 ELSE 0 END AS new_s FROM events "
+    "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT event_id, CAST(SUM(new_s) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+    "FROM s",
+)(_dialect("events", "SELECT event_id, SESSIONIZE(ts) AS session_id"))

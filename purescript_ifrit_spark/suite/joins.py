@@ -1,0 +1,283 @@
+"""Join-shaped entries: star joins, TPC-H-ish composites, semi/anti, set ops, JSON, partitioned sink."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.api import run_query
+from purescript_ifrit_spark.sources.tables import load_table
+from purescript_ifrit_spark.suite._registry import (
+    register,
+)
+
+
+
+@register(
+    "x_join_star",
+    "SELECT r_name, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+)
+def x_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.joins import orders_enriched
+
+    joined = orders_enriched(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@register(
+    "x_json_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events",
+)
+def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "x_tpch_q1ish",
+    # decimal sums (exact, order-independent — see x_sessionize note); the
+    # product term is computed in IEEE double identically on both engines
+    # BEFORE the decimal cast, so the cast rounds the same value
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base, "
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty, "
+    "COUNT(*) AS n "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def x_tpch_q1ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec(F.col("l_quantity")).alias("sum_qty"),
+        dec(F.col("l_extendedprice")).alias("sum_base"),
+        dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc"),
+        (dec(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "x_tpch_q3ish",
+    "SELECT l_orderkey, "
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' GROUP BY l_orderkey",
+)
+def x_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "x_tpch_q5ish",
+    "SELECT n_name, "
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+    "FROM region JOIN nation ON r_regionkey = n_regionkey "
+    "JOIN customer ON n_nationkey = c_nationkey "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE r_name = 'ASIA' GROUP BY n_name",
+)
+def x_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "x_tpch_q18ish",
+    # large-volume customers: the fact-fact shape (lineitem agg joined back
+    # to orders) the star entries don't exercise. Decimal qty sum for
+    # order-independent exactness; top-k ordered by raw o_totalprice with a
+    # unique tie-break
+    "SELECT c_custkey, o_orderkey, o_totalprice, "
+    "CAST(q AS DOUBLE) AS sum_qty FROM ("
+    "  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS q "
+    "  FROM lineitem GROUP BY l_orderkey "
+    "  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250) t "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100",
+)
+def x_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: per-order quantity aggregation (one fact shuffle,
+    map-side partials), HAVING filter BEFORE the join back to orders (the
+    filtered agg is small → AQE broadcasts it, so the orders fact never
+    sort-merges), broadcast customer dim, TakeOrdered top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
+        .filter(F.col("q") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "x_partitioned_sink",
+    # the sink path gets hard signal too: what goes through a hive-style
+    # partitioned parquet write and a partition-pruned read-back must equal
+    # the source rows exactly
+    "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+)
+def x_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write → pruned read-back round-trip (sources.write with
+    partition_by; the reader hits only the lang=en directory — the unit of
+    partition pruning at rest). The read-back is localCheckpoint-ed so the
+    temp directory can be removed before returning (no /tmp leak per run);
+    the pruning plan itself is pinned in test_sources.py."""
+    import shutil
+    import tempfile
+
+    from purescript_ifrit_spark.sources.tables import write
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out_dir = tempfile.mkdtemp(prefix="ifrit_sink_")
+    try:
+        write(docs, out_dir, mode="overwrite", partition_by=["lang"])
+        return (
+            spark.read.parquet(out_dir)
+            .filter(F.col("lang") == "en")
+            .select("doc_id", "lang", "n_chars")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+register(
+    "x_set_ops",
+    # users who clicked AND purchased, minus users who errored — the
+    # INTERSECT/EXCEPT composition over distinct key sets
+    "SELECT user_id FROM events WHERE event_type = 'click' "
+    "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' "
+    "EXCEPT SELECT user_id FROM events WHERE event_type = 'error'",
+)(
+    lambda spark, sf_dir: (
+        lambda ev: ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .exceptAll(
+            ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+        )
+    )(load_table(spark, sf_dir, "events"))
+)
+
+register(
+    "x_anti_join",
+    # customers with no F-status order — the anti-join shape
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderstatus = 'F')",
+)(
+    lambda spark, sf_dir: load_table(spark, sf_dir, "customer")
+    .join(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey")),
+        ["c_custkey"],
+        "left_anti",
+    )
+    .select("c_custkey", "c_name")
+)
+
+
+register(
+    "x_semi_join",
+    # customers WITH at least one high-value order — the semi-join shape
+    # (no row multiplication, no payload from the right side)
+    "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_totalprice > 400000)",
+)(
+    lambda spark, sf_dir: load_table(spark, sf_dir, "customer")
+    .join(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey")),
+        ["c_custkey"],
+        "left_semi",
+    )
+    .select("c_custkey", "c_name")
+)

@@ -1,0 +1,130 @@
+"""Multimodal entries: features, frame-sample plan, real netpbm/WAV decode."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.api import run_query
+from purescript_ifrit_spark.sources.tables import load_table
+from purescript_ifrit_spark.suite._registry import (
+    register,
+)
+
+
+
+@register(
+    "x_multimodal_features",
+    "SELECT doc_id AS media_id, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "
+    "md5(text) AS digest FROM documents",
+)
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select("media_id", "byte_len", F.col("md5").alias("digest"))
+
+
+@register(
+    "x_multimodal_framesample",
+    # every-10th frame index from the fake per-item frame count
+    # (byte_len % 300 + 1): pure metadata arithmetic, so DuckDB recomputes
+    # the exploded plan exactly. range() is stop-exclusive ≡ Spark's
+    # inclusive sequence(0, nf-1, 10)
+    "SELECT media_id, CAST(unnest(range(0, nf, 10)) AS BIGINT) AS frame_idx "
+    "FROM (SELECT doc_id AS media_id, "
+    "(octet_length(encode(text)) % 300 + 1) AS nf FROM documents) t",
+)
+def x_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan through the REAL multimodal plumbing: utf-8
+    payloads → Arrow-batched mapInPandas feature extraction (byte_len) →
+    metadata-only explode. Verifies the mapInPandas output feeds JVM-side
+    explode-planning correctly, with an exact oracle."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+        frame_sample_plan,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return frame_sample_plan(feats, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+@register(
+    "x_multimodal_decode",
+    # planted-truth for the REAL netpbm decode path: payloads are generated
+    # from the closed form (w = 4 + id%8, h = 3 + id%5, byte k =
+    # (id*7 + k) % 256, RGB-interleaved), so the oracle recomputes the
+    # decoded dims + channel sums/means arithmetically WITHOUT decoding —
+    # the Spark side must parse the actual P6 header + raster to agree.
+    # Means are raw IEEE divisions of exact integer sums (bit-identical
+    # cross-engine; no ROUND needed). SUMs cast to BIGINT (HUGEINT guard).
+    "WITH d AS (SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h "
+    "FROM documents), "
+    "px AS (SELECT doc_id, w, h, k % 3 AS c, "
+    "CAST((doc_id * 7 + k) % 256 AS BIGINT) AS v "
+    "FROM d, unnest(range(0, 3 * w * h)) AS t(k)) "
+    "SELECT doc_id AS media_id, CAST(MAX(w) AS INT) AS width, "
+    "CAST(MAX(h) AS INT) AS height, CAST(3 AS INT) AS channels, "
+    "CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r, "
+    "CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g, "
+    "CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b, "
+    "CAST(SUM(CASE WHEN c = 0 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_r, "
+    "CAST(SUM(CASE WHEN c = 1 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_g, "
+    "CAST(SUM(CASE WHEN c = 2 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_b "
+    "FROM px GROUP BY doc_id",
+)
+def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-verified image decode (VERDICT r3 item 7): synth_ppm_media
+    writes genuine binary P6 payloads; extract_pixel_stats must parse the
+    header and raster on worker processes to reproduce the closed form."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_pixel_stats,
+        synth_ppm_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_pixel_stats(synth_ppm_media(ids))
+
+
+@register(
+    "x_multimodal_audio",
+    # planted-truth for the REAL RIFF/PCM16 decode path: payloads follow
+    # the closed form (rate = 8000 + (id%2)*8000, n = 50 + id%100, sample
+    # k = (id*11 + k*7) % 65536 - 32768), so the oracle recomputes the
+    # decoded waveform stats arithmetically; the Spark side must walk the
+    # actual RIFF chunks and parse little-endian int16 samples to agree.
+    # rms = sqrt(exact integer sum of squares / n): one IEEE division +
+    # IEEE sqrt — bit-identical cross-engine. Integer SUMs cast to BIGINT.
+    "WITH d AS (SELECT doc_id, 8000 + (doc_id % 2) * 8000 AS rate, "
+    "50 + doc_id % 100 AS n FROM documents), "
+    "s AS (SELECT doc_id, rate, n, "
+    "CAST((doc_id * 11 + k * 7) % 65536 - 32768 AS BIGINT) AS v "
+    "FROM d, unnest(range(0, n)) AS t(k)) "
+    "SELECT doc_id AS media_id, CAST(MAX(rate) AS INT) AS sample_rate, "
+    "CAST(1 AS INT) AS channels, CAST(COUNT(*) AS BIGINT) AS n_samples, "
+    "CAST((MAX(n) * 1000000) // MAX(rate) AS BIGINT) AS duration_us, "
+    "CAST(SUM(v) AS BIGINT) AS sum_samples, "
+    "CAST(MAX(ABS(v)) AS INT) AS peak, "
+    "sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms "
+    "FROM s GROUP BY doc_id",
+)
+def x_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-verified audio decode: synth_wav_media writes genuine RIFF
+    PCM16 payloads; extract_audio_stats must parse chunk structure and
+    samples on worker processes to reproduce the closed form."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_audio_stats,
+        synth_wav_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_audio_stats(synth_wav_media(ids))

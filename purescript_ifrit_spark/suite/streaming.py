@@ -1,0 +1,191 @@
+"""Structured Streaming twins replayed against their batch oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.api import run_query
+from purescript_ifrit_spark.sources.tables import load_table
+from purescript_ifrit_spark.suite._registry import (
+    register,
+)
+
+
+
+@register(
+    "x_streaming_windowed",
+    # batch-equivalent truth for the availableNow streaming run: tz-free
+    # epoch hour buckets (F.window aligns to the epoch in micros, so
+    # unix_micros(window.start) is pure epoch arithmetic on both sides);
+    # decimal sum as everywhere (see x_sessionize note)
+    "SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT) AS hour_us, "
+    "event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
+def x_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface, driver-verified: stage the events table
+    as micros-ts parquet files, replay them through a file-source stream
+    with an availableNow trigger into a windowed aggregation, and return
+    the final (complete-mode) memory-sink table. Bounded backlog → the
+    query terminates; the result must equal the batch aggregation exactly.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from purescript_ifrit_spark.streaming.pipeline import read_event_stream
+
+    staged = tempfile.mkdtemp(prefix="ifrit_stream_events_")
+    # repartition(4): several files so availableNow exercises multi-batch
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+
+    stream = read_event_stream(spark, staged, max_files_per_trigger=2)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = f"x_streaming_windowed_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")  # bounded replay: full table at the end
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the complete-mode memory sink holds the aggregated rows in driver
+    # memory — the staged source files are dead weight once the bounded
+    # replay terminates (without this, every suite run leaks a full parquet
+    # copy of the events table in /tmp)
+    shutil.rmtree(staged, ignore_errors=True)
+    return spark.table(name).select(
+        F.unix_micros(F.col("w.start")).alias("hour_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "x_streaming_session",
+    # gap-sessionization truth: session_window merges an event into the
+    # previous session iff its ts lies STRICTLY inside [prev_ts, prev_ts +
+    # gap) — so a gap of exactly 30 min starts a NEW session (>= below;
+    # the batch x_sessionize dialect uses > by its own contract)
+    "WITH s AS (SELECT user_id, ts, value, event_id, "
+    "CASE WHEN lag(ts) OVER w IS NULL "
+    "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 "
+    "THEN 1 ELSE 0 END AS new_s FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "g AS (SELECT user_id, ts, value, SUM(new_s) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+    "AS sid FROM s) "
+    "SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us, "
+    "CAST(epoch_us(MAX(ts)) + 1800000000 AS BIGINT) AS session_end_us, "
+    "COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM g GROUP BY user_id, sid",
+)
+def x_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-sessionization (session_window) driver-verified: the
+    events table replayed through a multi-batch availableNow stream must
+    produce exactly the sessions the oracle computes with lag/cumsum —
+    including sessions MERGED across micro-batch boundaries by the
+    session-window state store."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from purescript_ifrit_spark.streaming.pipeline import read_event_stream
+
+    staged = tempfile.mkdtemp(prefix="ifrit_stream_sess_")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+
+    stream = read_event_stream(spark, staged, max_files_per_trigger=2)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = f"x_streaming_session_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(staged, ignore_errors=True)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+        F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "x_streaming_state",
+    # the custom stateful operator's FINAL per-user counter must equal the
+    # batch count. Counts only: integer state is summation-order-exact,
+    # while a float running total would inherit per-batch pandas sum order
+    "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def x_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState surface, driver-verified: replay the events
+    backlog through the running-totals stateful operator (update mode,
+    multi-batch) and reduce each user's update stream to its final counter
+    (max — the counter is monotone), which must equal the batch count."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from purescript_ifrit_spark.streaming.pipeline import (
+        read_event_stream,
+        running_user_totals,
+    )
+
+    staged = tempfile.mkdtemp(prefix="ifrit_stream_state_")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+
+    stream = read_event_stream(spark, staged, max_files_per_trigger=2)
+    updates = running_user_totals(stream)
+    name = f"x_streaming_state_{uuid.uuid4().hex[:12]}"
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(staged, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )

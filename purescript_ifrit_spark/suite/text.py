@@ -1,0 +1,373 @@
+"""Text-analysis entries: language id, quality, tokens, fingerprints, chunking, term/tfidf stats, PII, contamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.api import run_query
+from purescript_ifrit_spark.sources.tables import load_table
+from purescript_ifrit_spark.suite._registry import (
+    register,
+)
+from purescript_ifrit_spark.suite._fixtures import (
+    _DUCK_8GRAMS,
+    _NORM_SQL,
+    _lang_oracle,
+    _pii_aug_col,
+    _pii_oracle,
+    _rolling_fp_oracle,
+)
+
+
+
+@register(
+    "x_text_token_count",
+    # blank-doc guard: string_split('') is [''] (len 1) but token_count is 0
+    "SELECT doc_id, "
+    f"CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0 "
+    f"ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n_tokens, "
+    "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT)"
+    " AS n_bpe_ish FROM documents",
+)
+def x_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        X.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+    )
+
+
+@register(
+    "x_text_quality",
+    "SELECT doc_id, "
+    f"ROUND(len(list_filter(string_split({_NORM_SQL}, ' '), "
+    "x -> x IN ('the','a','of','and','is','to','in'))) * 1.0 "
+    f"/ len(string_split({_NORM_SQL}, ' ')), 6) AS stopword_ratio, "
+    # zero-guard mirrors Spark's punct_ratio (blank doc → 0.0, not NULL)
+    f"CASE WHEN length(replace({_NORM_SQL}, ' ', '')) = 0 THEN 0.0 ELSE "
+    f"ROUND(length(regexp_replace({_NORM_SQL}, '[a-z0-9\\s]', '', 'g')) * 1.0 "
+    f"/ length(replace({_NORM_SQL}, ' ', '')), 6) END AS punct_ratio "
+    "FROM documents",
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(X.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(X.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+@register("x_lang_id", _lang_oracle())
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.text_analysis import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "x_fingerprint",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
+)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.text_analysis import fingerprint_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_docs(docs, "text").select("doc_id", "fingerprint")
+
+
+@register(
+    "x_chunk_documents",
+    # chunk=64, overlap=8 → stride=56; DuckDB list slice is 1-based inclusive
+    "WITH t AS (SELECT doc_id, "
+    f"string_split({_NORM_SQL}, ' ') AS toks FROM documents), "
+    "c AS (SELECT doc_id, toks, UNNEST(range(1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS BIGINT))) AS i FROM t) "
+    "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+    "array_to_string(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], ' ') AS chunk_text, "
+    "CAST(len(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)]) AS BIGINT) AS chunk_tokens "
+    "FROM c",
+)
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.text_analysis import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+    )
+
+
+@register(
+    "x_pack_sequences",
+    # same chunking CTE as x_chunk_documents, then window-cumsum binning
+    "WITH t AS (SELECT doc_id, "
+    f"string_split({_NORM_SQL}, ' ') AS toks FROM documents), "
+    "c AS (SELECT doc_id, toks, UNNEST(range(1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS BIGINT))) AS i FROM t), "
+    "ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+    "CAST(len(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)]) AS BIGINT) AS chunk_tokens FROM c) "
+    "SELECT doc_id, chunk_idx, chunk_tokens, "
+    "CAST(floor((SUM(chunk_tokens) OVER (ORDER BY doc_id, chunk_idx "
+    "ROWS UNBOUNDED PRECEDING) - chunk_tokens) / 512.0) AS BIGINT) AS pack_id "
+    "FROM ch",
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.text_analysis import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    out = pack_sequences(ch, "chunk_tokens", ("doc_id", "chunk_idx"), 512)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+        "pack_id",
+    )
+
+
+@register("x_rolling_fingerprint", _rolling_fp_oracle())
+def x_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (functions/text.
+    rolling_fingerprint) — char-fold mod 2³¹−1, verified value-exact."""
+    from purescript_ifrit_spark.functions.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp")
+    )
+
+
+@register(
+    "x_explode_chunks",
+    # flatten with position: each document's token windows as rows — the
+    # posexplode twin via per-row index structs (unbounded, unlike a
+    # fixed-size index cross join, which would silently cap long docs)
+    "WITH t AS (SELECT doc_id, string_split(" + _NORM_SQL + ", ' ') AS toks "
+    "FROM documents), "
+    "c AS (SELECT doc_id, 1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) "
+    "AS BIGINT) AS n, toks FROM t) "
+    "SELECT doc_id, CAST(u.i AS INT) AS idx, u.c AS chunk FROM ("
+    "SELECT doc_id, unnest(list_transform(range(0, n), i -> {'i': i, "
+    "'c': array_to_string(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], "
+    "' ')})) AS u FROM c) q",
+)
+def x_explode_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten-with-position (posexplode) over the chunker's output —
+    scan-stage HOF + generate, zero shuffle."""
+    from purescript_ifrit_spark.functions.text import chunk_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(chunk_array(F.col("text"), 64, 8)).alias("idx", "chunk"),
+    )
+
+
+@register("x_pii_redact", _pii_oracle())
+def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip + staged PII redaction (URL → email → phone),
+    verified byte-for-byte (md5 of the cleaned text) plus per-stage
+    redaction counts. PII is planted deterministically from doc_id so the
+    oracle can reproduce the exact input."""
+    from purescript_ifrit_spark.operators.text_cleaning import clean_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn("x", _pii_aug_col(with_boilerplate=True))
+    cleaned = clean_text(aug, "x")
+    return cleaned.select(
+        "doc_id",
+        F.col("n_url").cast("long").alias("n_url"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5("x").alias("fp"),
+    )
+
+
+@register(
+    "x_term_stats",
+    # vocabulary table: per-term total occurrences + document frequency,
+    # top 50 by tf (term as tiebreak) — exact, fully deterministic
+    "WITH e AS (SELECT doc_id, unnest(string_split("
+    + _NORM_SQL
+    + ", ' ')) AS term FROM documents), "
+    "f AS (SELECT term, doc_id, COUNT(*) AS tf_doc FROM e "
+    "WHERE term <> '' GROUP BY 1, 2) "
+    "SELECT term, CAST(SUM(tf_doc) AS BIGINT) AS tf, "
+    "CAST(COUNT(*) AS BIGINT) AS df FROM f GROUP BY term "
+    "ORDER BY tf DESC, term LIMIT 50",
+)
+def x_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics (operators/text_analysis.term_stats):
+    two-stage aggregation — per-(term, doc) partials collapse before the
+    wide shuffle. Top 50 terms by total frequency."""
+    from purescript_ifrit_spark.operators.text_analysis import term_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = term_stats(docs, "doc_id", "text")
+    return stats.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(50)
+
+
+@register(
+    "x_tfidf_topk",
+    # rational tf-idf (tf · N / df): integer operands, ONE double division
+    # — bit-identical across engines, no transcendental
+    "WITH e AS (SELECT doc_id, unnest(string_split("
+    + _NORM_SQL
+    + ", ' ')) AS term FROM documents), "
+    "pd AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf_doc FROM e "
+    "WHERE term <> '' GROUP BY 1, 2), "
+    "v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pd GROUP BY 1), "
+    "s AS (SELECT pd.doc_id, pd.term, pd.tf_doc, v.df, "
+    "CAST(pd.tf_doc * (SELECT COUNT(*) FROM documents) AS DOUBLE) "
+    "/ CAST(v.df AS DOUBLE) AS score FROM pd JOIN v USING (term)), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY score DESC, term) AS rank FROM s) "
+    "SELECT doc_id, term, tf_doc, df, score, CAST(rank AS INT) AS rank "
+    "FROM r WHERE rank <= 3",
+)
+def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by rational tf-idf
+    (operators/text_analysis.tfidf_topk)."""
+    from purescript_ifrit_spark.operators.text_analysis import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+# ===========================================================================
+# repetition signals + benchmark contamination (round-3 pipeline operators)
+# ===========================================================================
+
+@register(
+    "x_repetition_stats",
+    # Gopher-style repetition filters: duplicate-word and duplicate-2-gram
+    # fractions over normalized text; total 2-grams = n_words - 1, distinct
+    # counts over list_distinct — same identities as the Spark operator
+    "WITH t AS (SELECT doc_id, "
+    "  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents), "
+    "w AS (SELECT doc_id, s, string_split(s, ' ') AS ws, "
+    "  CASE WHEN s IS NULL OR len(s) = 0 THEN 0 "
+    "  ELSE len(string_split(s, ' ')) END AS n FROM t) "
+    "SELECT doc_id, CAST(n AS BIGINT) AS n_words, "
+    "CASE WHEN n = 0 THEN 0.0 ELSE "
+    "  ROUND(1.0 - len(list_distinct(ws)) * 1.0 / n, 6) END AS dup_word_frac, "
+    "CASE WHEN n < 2 THEN 0.0 ELSE "
+    "  ROUND(1.0 - len(list_distinct(list_transform(range(1, len(ws)), "
+    "    i -> ws[i] || ' ' || ws[i+1]))) * 1.0 / (n - 1), 6) "
+    "END AS dup_2gram_frac FROM w",
+)
+def x_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.text_analysis import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_stats(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "dup_word_frac",
+        "dup_2gram_frac",
+    )
+
+
+@register(
+    "x_token_rarity",
+    # corpus-commonness quality signals: every statistic is a ratio of
+    # exact BIGINT sums (log-free by design — see token_rarity_stats), so
+    # the doubles are single IEEE divisions and hash-exact cross-engine.
+    # Same tokenize/empty-term rule as the term_stats oracle family.
+    "WITH t AS (SELECT doc_id AS d, "
+    "  unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', "
+    "  'g')), ' ')) AS term FROM documents), "
+    "pd AS (SELECT d, term, COUNT(*) AS tf_doc FROM t WHERE term <> '' "
+    "  GROUP BY d, term), "
+    "v AS (SELECT term, CAST(SUM(tf_doc) AS BIGINT) AS tfc FROM pd "
+    "  GROUP BY term) "
+    "SELECT d AS doc_id, CAST(SUM(tf_doc) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(tf_doc * tfc) AS BIGINT) AS sum_counts, "
+    "CAST(SUM(CASE WHEN tfc <= 1 THEN tf_doc ELSE 0 END) AS BIGINT) "
+    "  AS n_hapax, "
+    "CAST(SUM(CASE WHEN tfc <= 1 THEN tf_doc ELSE 0 END) AS DOUBLE) "
+    "  / SUM(tf_doc) AS hapax_frac, "
+    "CAST(SUM(tf_doc * tfc) AS DOUBLE) / SUM(tf_doc) AS mean_token_count "
+    "FROM pd JOIN v USING (term) GROUP BY d",
+)
+def x_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.text_analysis import (
+        token_rarity_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_rarity_stats(docs, "doc_id", "text")
+
+@register(
+    "x_contamination",
+    # benchmark = every 100th document; a doc is contaminated when it holds
+    # >= 50% of a benchmark item's distinct word 8-grams. The oracle
+    # recomputes exact distinct-gram intersections; the Spark side runs the
+    # operator's scale path (hashed grams + broadcast bench), so the value
+    # compare also proves the xxhash64 path collision-free at this scale
+    "WITH t AS (SELECT doc_id, "
+    "  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents), "
+    "w AS (SELECT doc_id, s, string_split(s, ' ') AS ws FROM t), "
+    f"g AS (SELECT doc_id, s, ws, {_DUCK_8GRAMS} AS gs FROM w), "
+    "b AS (SELECT doc_id AS bench_id, s AS bs, ws AS bws, gs AS bgs FROM g "
+    "  WHERE doc_id % 100 = 0) "
+    # long bench items (>= 8 words): distinct-gram intersection fraction
+    "SELECT g.doc_id, b.bench_id, "
+    "ROUND(len(list_intersect(g.gs, b.bgs)) * 1.0 / len(b.bgs), 6) AS overlap "
+    "FROM g CROSS JOIN b WHERE len(b.bgs) > 0 AND len(b.bws) >= 8 "
+    "AND len(list_intersect(g.gs, b.bgs)) * 1.0 / len(b.bgs) >= 0.5 "
+    "UNION ALL "
+    # short bench items (< 8 words): exact phrase containment == overlap 1.0.
+    # Space-padded on both sides (ADVICE r3): token-boundary matching, so
+    # 'the cat' cannot hit inside 'soothe cattle' — mirrors the operator
+    "SELECT g.doc_id, b.bench_id, 1.0 AS overlap FROM g CROSS JOIN b "
+    "WHERE len(b.bgs) > 0 AND len(b.bws) < 8 "
+    "AND strpos(' ' || g.s || ' ', ' ' || b.bs || ' ') > 0",
+)
+def x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return ngram_contamination(docs, bench, n=8, min_frac=0.5)
+
+
+@register(
+    "x_term_spectrum",
+    # count-of-counts over the exact term_stats tokenization; SUM is
+    # CAST to BIGINT before the outer GROUP BY (DuckDB would type the
+    # grouping key HUGEINT otherwise)
+    "WITH e AS (SELECT doc_id, unnest(string_split("
+    + _NORM_SQL
+    + ", ' ')) AS term FROM documents), "
+    "pd AS (SELECT term, doc_id, COUNT(*) AS tf_doc FROM e "
+    "WHERE term <> '' GROUP BY 1, 2), "
+    "v AS (SELECT term, CAST(SUM(tf_doc) AS BIGINT) AS tf FROM pd GROUP BY 1) "
+    "SELECT tf, COUNT(*) AS n_terms FROM v GROUP BY tf",
+)
+def x_term_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency spectrum (Zipf count-of-counts) —
+    operators/text_analysis.term_frequency_spectrum."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        term_frequency_spectrum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return term_frequency_spectrum(docs, "doc_id", "text")

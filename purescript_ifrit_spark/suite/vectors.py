@@ -1,0 +1,170 @@
+"""Embedding entries: ANN top-k, near-dup, normalize/quantize, centroids."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.api import run_query
+from purescript_ifrit_spark.sources.tables import load_table
+from purescript_ifrit_spark.suite._registry import (
+    register,
+)
+
+
+
+@register(
+    "x_ann_cosine_topk",
+    # order by the UNROUNDED similarity (as the engine does) and round only
+    # the projected value — ordering by the rounded alias would select a
+    # different k-th row whenever two sims collide at 5 decimals
+    "SELECT vec_id, ROUND(s, 5) AS sim FROM ("
+    "SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS s "
+    "FROM embeddings ORDER BY s DESC, vec_id ASC LIMIT 10) t",
+)
+def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = cosine_topk(emb, "vec_id", "embedding", query, k=10)
+    return out.withColumn("sim", F.round("sim", 5))
+
+
+@register("x_ann_lsh_topk", None)  # approximate — rows-only check
+def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.similarity import (
+        lsh_topk,
+        make_hyperplanes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    planes = make_hyperplanes(dim=len(query), n_planes=8, seed=42)
+    out = lsh_topk(emb, "vec_id", "embedding", query, planes, k=10, probe_hamming=1)
+    return out.withColumn("sim", F.round("sim", 5))
+
+
+@register("x_ann_ivf_topk", None)  # approximate (nprobe cells) — rows-only
+def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index path end-to-end: seeded centroid build (bounded
+    driver-side sample), JVM-side cell assignment, nprobe-cell probe +
+    exact cosine rerank. Deterministic (fixed seed + hash-ordered sample)
+    but approximate vs brute force, so rows-only like the LSH twin;
+    pytest pins recall against the brute-force oracle."""
+    from purescript_ifrit_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cents = ivf_centroids(emb, "embedding", nlist=16, seed=42, sample=2048)
+    out = ivf_topk(emb, "vec_id", "embedding", query, cents, k=10, nprobe=4)
+    return out.withColumn("sim", F.round("sim", 5))
+
+
+@register(
+    "x_embedding_neardup",
+    # CAST to DOUBLE[]: DuckDB's list_cosine_similarity computes FLOAT[] in
+    # float32, which diverges from Spark's double math at the 5th decimal
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 5) AS sim "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) >= 0.4",
+)
+def x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # exact all-pairs mode, opted in: this entry IS the evaluation baseline
+    # the oracle recomputes; the scale path (planes=...) is exercised in tests
+    out = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, allow_crossjoin=True
+    )
+    return out.withColumn("sim", F.round("sim", 5))
+
+
+@register(
+    "x_embedding_centroids",
+    # per-label mean embedding, component-wise; floor-quantized integer
+    # sums (grid 2^20) are order-independent AND tie-free, so the division
+    # below is bit-identical across engines
+    "SELECT label, i - 1 AS dim, "
+    "CAST(SUM(CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE) "
+    "* 1048576) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0) AS centroid "
+    "FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2",
+)
+def x_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity.label_centroids,
+    exact_grid mode): distributed class prototypes — posexplode partials
+    collapse map-side; one index-sized shuffle."""
+    from purescript_ifrit_spark.operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding", exact_grid=2**20)
+
+
+@register(
+    "x_embedding_normalize",
+    # FLAT output contract (VERDICT r4 #1): the driver's pandas canonicalizer
+    # sorts result columns and cannot factorize list cells, so array-valued
+    # results crash the comparator. Emit one row per vector element —
+    # (vec_id, pos, val) — which is also how value diffs stay debuggable.
+    # sequential double sum + IEEE sqrt/division are bit-reproducible, but
+    # round to 6dp anyway so the value hash tolerates float-printing paths.
+    # CASE sq = 0 (ADVICE r3): l2_normalize maps all-zero vectors to zeros;
+    # without the guard the oracle would emit NaN for that row
+    "WITH e AS (SELECT vec_id, embedding, "
+    "list_aggregate(list_transform(embedding, "
+    "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum') AS sq FROM embeddings), "
+    "x AS (SELECT vec_id, embedding, sq, "
+    "CAST(unnest(range(len(embedding))) AS INT) AS pos FROM e) "
+    "SELECT vec_id, pos, CASE WHEN sq = 0 THEN 0.0 "
+    "ELSE ROUND(CAST(embedding[pos + 1] AS DOUBLE) / sqrt(sq), 6) "
+    "END AS val FROM x",
+)
+def x_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = V.l2_normalize(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.posexplode(F.transform(unit, lambda x: F.round(x, 6))).alias(
+            "pos", "val"
+        ),
+    )
+
+
+@register(
+    "x_embedding_quantize",
+    # FLAT output contract — see x_embedding_normalize. scale repeats per
+    # element row (star-schema shape; harmless at the compare and what a
+    # downstream exploded consumer joins on anyway).
+    # symmetric int8: scale = max|v|/127, q = round(v/scale); both engines
+    # round halves away from zero on doubles. CASE sc = 0 mirrors the
+    # operator's all-zero-vector convention (scale 0 + zero codes)
+    "WITH e AS (SELECT vec_id, embedding, "
+    "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 "
+    "AS sc FROM embeddings), "
+    "x AS (SELECT vec_id, embedding, sc, "
+    "CAST(unnest(range(len(embedding))) AS INT) AS pos FROM e) "
+    "SELECT vec_id, ROUND(sc, 9) AS scale, pos, "
+    "CASE WHEN sc = 0 THEN 0 "
+    "ELSE CAST(ROUND(CAST(embedding[pos + 1] AS DOUBLE) / sc) AS INT) "
+    "END AS q FROM x",
+)
+def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = V.quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(qs["scale"], 9).alias("scale"),
+        F.posexplode(qs["q"]).alias("pos", "q"),
+    )

@@ -1329,3 +1329,44 @@ def test_pil_codec_decodes_compressed_images(spark):
     assert (out[2].width, out[2].height, out[2].channels) == (6, 4, 1)
     assert out[2].sum_r == out[2].sum_g == int(gray.astype(np.int64).sum())
     assert out[3].width is None and out[3].sum_r is None
+
+
+def test_shuffle_shards_deterministic_and_dense(spark):
+    """(shard, pos) is a pure function of (id, salt): identical under
+    repartition; per-shard positions are dense 0..n-1; the full output is
+    a permutation of the input ids."""
+    from purescript_ifrit_spark.operators.sampling import shuffle_shards
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: (r.shard, r.pos)
+         for r in shuffle_shards(df, "doc_id", 7).collect()}
+    b = {r.doc_id: (r.shard, r.pos)
+         for r in shuffle_shards(df.repartition(13), "doc_id", 7).collect()}
+    assert a == b and len(a) == 500
+    by_shard = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) <= set(range(7))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # uniformity smoke: no shard holds more than 2.5x its fair share
+    assert max(len(p) for p in by_shard.values()) < 2.5 * 500 / 7
+
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_shards(df, "doc_id", 0)
+
+
+def test_term_frequency_spectrum_exact(spark):
+    """Hand-built corpus: 'a' x3, 'b' x2, 'c' x2, 'd' x1 → spectrum
+    {3:1, 2:2, 1:1}; sum(tf * n_terms) recovers the token count."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        term_frequency_spectrum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    out = {r.tf: r.n_terms
+           for r in term_frequency_spectrum(df, "doc_id", "text").collect()}
+    assert out == {3: 1, 2: 2, 1: 1}
+    assert sum(tf * n for tf, n in out.items()) == 8
