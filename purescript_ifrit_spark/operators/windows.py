@@ -184,3 +184,70 @@ def robust_outliers(
             "is_outlier"
         ),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    *,
+    period_us: int = 3_600_000_000,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Open/high/low/close bars per key per tumbling window — the
+    hypertable downsampling staple. open/close are the values at the
+    min/max timestamp in the bucket (tiebreak col makes equal-timestamp
+    buckets deterministic); high/low are plain min/max.
+
+    Scale: ONE hash aggregation on (bucket, key) — open/close use
+    min_by/max_by over a (ts, tiebreak) struct, so no window pass and no
+    second shuffle; map-side partials carry one candidate row per
+    (bucket, key) per partition."""
+    bucket = (
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(period_us)
+        )
+        * F.lit(period_us)
+    ).cast("long")
+    order = F.struct(
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    v = F.col(value_col).cast("double")
+    return df.groupBy(bucket.alias("window_us"), F.col(key_col)).agg(
+        F.min_by(v, order).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, order).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def moving_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    *,
+    n_preceding: int = 5,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key trailing moving average over the current + `n_preceding`
+    prior events in time order — the smoothing pass of every metrics
+    pipeline. DECIMAL(18,6) accumulation keeps the windowed sums exact
+    and order-independent (the same rule as every decimal-sum oracle
+    entry), then one double division.
+
+    Scale: one shuffle on the key; the frame is ROWS-bounded so window
+    state is n_preceding+1 values per key regardless of key size."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(-n_preceding, Window.currentRow)
+    )
+    dec = F.col(value_col).cast("decimal(18,6)")
+    return df.withColumn(
+        "mavg",
+        (F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w)),
+    )

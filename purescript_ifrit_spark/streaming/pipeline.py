@@ -231,3 +231,28 @@ def sessionize_stream(
             "sum_value",
         )
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Streaming twin of windows.distinct_users_windowed: distinct users
+    per tumbling window per event type. EXACT distinct aggregation is
+    unsupported over streams (it would need unbounded per-key value
+    state); the streaming form is the HLL sketch — the same
+    approx_count_distinct the batch approx mode uses, which is exactly
+    why the batch operator keeps an approx twin: sketches are the shape
+    of this query that survives the batch→stream move unchanged.
+    Watermark bounds sketch state per finalized window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=rsd)
+            .cast("long")
+            .alias("n_users")
+        )
+    )

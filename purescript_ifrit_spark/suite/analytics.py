@@ -480,3 +480,72 @@ def x_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = robust_outliers(ev, "user_id", "value", z=3.0)
     return out.select("event_id", "user_id", "med", "mad", "is_outlier")
+
+
+@register("x_percentiles_approx", None)  # sketch-based — engines differ
+def x_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile twin of x_percentiles — the 100 TB path for
+    GLOBAL percentiles, where the exact operator's per-group value
+    buffering is wrong (a global exact percentile would hold the whole
+    column). KLL-style sketch: bounded memory, mergeable map-side
+    partials, `accuracy` trades error for state. Error envelope vs the
+    exact twin is pinned in pytest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("_id")).agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)")
+        .cast("double")
+        .alias("p50"),
+        F.expr("approx_percentile(l_quantity, 0.9, 10000)")
+        .cast("double")
+        .alias("p90"),
+    )
+
+
+@register(
+    "x_ohlc_bars",
+    # open/close via dense ascending/descending row_number picks — DuckDB's
+    # arg_min/arg_max cannot take a composite (ts, tiebreak) ordering, so
+    # the oracle recomputes the picks the windowed way; values are exact
+    # element picks (no arithmetic), so the compare is bit-exact
+    "WITH b AS (SELECT event_type, CAST(value AS DOUBLE) AS v, "
+    "epoch_us(ts) AS ts_us, event_id, "
+    "CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT) AS window_us "
+    "FROM events), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY window_us, event_type "
+    "ORDER BY ts_us, event_id) AS rn_a, "
+    "row_number() OVER (PARTITION BY window_us, event_type "
+    "ORDER BY ts_us DESC, event_id DESC) AS rn_d FROM b) "
+    "SELECT window_us, event_type, "
+    "MAX(CASE WHEN rn_a = 1 THEN v END) AS open, "
+    "MAX(v) AS high, MIN(v) AS low, "
+    "MAX(CASE WHEN rn_d = 1 THEN v END) AS close, "
+    "COUNT(*) AS n FROM r GROUP BY 1, 2",
+)
+def x_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling bars (operators/windows.ohlc_bars): one
+    hash aggregation — open/close are min_by/max_by over a (ts, tiebreak)
+    struct, no window pass, no second shuffle."""
+    from purescript_ifrit_spark.operators.windows import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(ev)
+
+
+@register(
+    "x_moving_avg",
+    # DECIMAL window sum (exact, order-independent) over a ROWS frame,
+    # one double division — same determinism rule as x_running_total
+    "SELECT event_id, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) "
+    "/ COUNT(*) OVER w AS mavg FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)",
+)
+def x_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing moving average over 6 events
+    (operators/windows.moving_avg): one user-key shuffle, ROWS-bounded
+    window state."""
+    from purescript_ifrit_spark.operators.windows import moving_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return moving_avg(ev).select("event_id", "mavg")

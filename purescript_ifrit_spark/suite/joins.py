@@ -281,3 +281,39 @@ register(
     )
     .select("c_custkey", "c_name")
 )
+
+
+@register(
+    "x_salted_join",
+    # oracle = the PLAIN join: salting must be result-invisible. Value
+    # parity here is the hard signal that the salt scatter/replicate is a
+    # pure partitioning trick (no dropped/duplicated rows)
+    "SELECT o.o_orderstatus AS status, COUNT(*) AS n, "
+    "CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY 1",
+)
+def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted fact-fact join (operators/joins.salted_join):
+    the hot-key technique for when one join key dominates and the right
+    side is too big to broadcast but cheap to replicate salt-ways. The
+    left's rows scatter across (key, salt) buckets deterministically
+    (xxhash64 of the row), the right replicates to every salt."""
+    from purescript_ifrit_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    right = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    return (
+        salted_join(li, right, "l_orderkey", salt=8)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

@@ -189,3 +189,43 @@ def x_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+@register("x_streaming_dau", None)  # HLL sketch — rows-only by design
+def x_streaming_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DAU (distinct users per day per event type) via
+    availableNow replay — streaming/pipeline.windowed_distinct_users.
+    Exact distinct is unsupported over streams, so this is the HLL form;
+    pytest pins it equal to the BATCH approx twin (same sketch, same
+    rsd) and inside the rsd envelope of the exact batch count."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from purescript_ifrit_spark.streaming.pipeline import (
+        read_event_stream,
+        windowed_distinct_users,
+    )
+
+    staged = tempfile.mkdtemp(prefix="ifrit_stream_dau_")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+
+    stream = read_event_stream(spark, staged, max_files_per_trigger=2)
+    agg = windowed_distinct_users(stream)
+    name = f"x_streaming_dau_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(staged, ignore_errors=True)
+    return spark.table(name).select(
+        F.unix_micros(F.col("w.start")).alias("window_us"),
+        "event_type",
+        "n_users",
+    )

@@ -1370,3 +1370,79 @@ def test_term_frequency_spectrum_exact(spark):
            for r in term_frequency_spectrum(df, "doc_id", "text").collect()}
     assert out == {3: 1, 2: 2, 1: 1}
     assert sum(tf * n for tf, n in out.items()) == 8
+
+
+def test_approx_percentile_envelope(spark, sf_dir):
+    """The sketch twin must land within 1% relative error of the exact
+    interpolating percentile at accuracy=10000 on the real column (the
+    sketch's rank-error bound is 1/accuracy, value error depends on local
+    density — 1% is a loose, stable envelope for this distribution)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    exact = {r["_id"]: (r["p50"], r["p90"])
+             for r in qs["x_percentiles"](spark, sf_dir).collect()}
+    approx = {r["_id"]: (r["p50"], r["p90"])
+              for r in qs["x_percentiles_approx"](spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for k, (e50, e90) in exact.items():
+        a50, a90 = approx[k]
+        assert abs(a50 - e50) <= 0.01 * max(abs(e50), 1), (k, e50, a50)
+        assert abs(a90 - e90) <= 0.01 * max(abs(e90), 1), (k, e90, a90)
+
+
+def test_streaming_dau_matches_batch_twin(spark, sf_dir):
+    """The streaming DAU replay must equal the BATCH HLL twin exactly
+    (same sketch, same rsd, same buckets) and sit inside the rsd envelope
+    of the exact batch count — the batch↔stream equivalence contract the
+    other streaming twins pin."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    stream = {(r.window_us, r.event_type): r.n_users
+              for r in qs["x_streaming_dau"](spark, sf_dir).collect()}
+    batch_approx = {(r.window_us, r.event_type): r.n_users
+                    for r in qs["x_dau_approx"](spark, sf_dir).collect()}
+    exact = {(r.window_us, r.event_type): r.n_users
+             for r in qs["x_dau_exact"](spark, sf_dir).collect()}
+    assert stream == batch_approx
+    assert set(stream) == set(exact)
+    for k, n in exact.items():
+        assert abs(stream[k] - n) <= max(5, 5 * 0.02 * n), (k, n, stream[k])
+
+
+def test_ohlc_bars_known_values(spark):
+    """Hand-built hour: open = value at earliest ts (tiebreak by event_id
+    for equal ts), close = value at latest, high/low = extremes."""
+    from datetime import datetime, timezone
+
+    from purescript_ifrit_spark.operators.windows import ohlc_bars
+
+    t = lambda m, s=0: datetime(2024, 1, 1, 10, m, s, tzinfo=timezone.utc)
+    rows = [
+        (1, t(5), "px", 10.0),
+        (2, t(0), "px", 7.0),     # earliest → open
+        (3, t(0), "px", 8.0),     # same ts, higher event_id loses the tie
+        (4, t(59), "px", 3.0),    # latest → close, also low
+        (5, t(30), "px", 99.0),   # high
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    out = ohlc_bars(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.open, r.high, r.low, r.close, r.n) == (7.0, 99.0, 3.0, 3.0, 5)
+
+
+def test_moving_avg_known_values(spark):
+    from datetime import datetime, timezone
+
+    from purescript_ifrit_spark.operators.windows import moving_avg
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    rows = [(i, t(i), 7, float(i)) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    out = {r.event_id: r.mavg for r in moving_avg(df, n_preceding=2).collect()}
+    assert out[1] == 1.0
+    assert out[2] == 1.5
+    assert out[3] == 2.0          # (1+2+3)/3
+    assert out[4] == 3.0          # (2+3+4)/3

@@ -261,3 +261,80 @@ def test_token_rarity_no_sortmerge(spark, sf_dir):
     assert out.count() > 0  # materialize so AQE finalizes join strategy
     plan = physical(out)
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dau_exact_two_stage_distinct(spark, sf_dir):
+    """count(DISTINCT user) must plan as the two-stage aggregate: a
+    partial dedup of (bucket, type, user) BEFORE the exchange, so the
+    shuffle carries each triple once, not each event. Plan shape: two
+    hashpartitioning exchanges (triple dedup, then final count) and a
+    partial_count over the deduped keys."""
+    from purescript_ifrit_spark.operators.windows import (
+        distinct_users_windowed,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = physical(distinct_users_windowed(ev))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_count" in plan or "partial aggregation" in plan.lower(), plan
+
+
+def test_dau_approx_single_exchange_sketch(spark, sf_dir):
+    """HLL mode shuffles merged sketches, not user ids: one exchange on
+    (bucket, type) and a partial approx_count_distinct below it."""
+    from purescript_ifrit_spark.operators.windows import (
+        distinct_users_windowed,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = physical(distinct_users_windowed(ev, approx=True))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "approx_count_distinct" in plan, plan
+
+
+def test_shuffle_shards_single_exchange(spark, sf_dir):
+    """One shuffle on the shard key; the rank window rides it."""
+    from purescript_ifrit_spark.operators.sampling import shuffle_shards
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    plan = physical(shuffle_shards(docs, "doc_id", 8))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_term_spectrum_partials_collapse_before_shuffle(spark, sf_dir):
+    """The exploded (term, doc) stream is pre-aggregated map-side in each
+    of the three stages (per-doc counts, vocab totals, count-of-counts) —
+    partial_count/sum below every exchange, and no join anywhere."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        term_frequency_spectrum,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = physical(term_frequency_spectrum(docs, "doc_id", "text"))
+    assert "Join" not in plan, plan
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 3, plan
+
+
+def test_ohlc_bars_single_aggregation_no_window(spark, sf_dir):
+    """OHLC is ONE hash aggregation (min_by/max_by carry the open/close
+    picks in partials) — no window operator, one exchange."""
+    from purescript_ifrit_spark.operators.windows import ohlc_bars
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = physical(ohlc_bars(ev))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_moving_avg_single_exchange(spark, sf_dir):
+    from purescript_ifrit_spark.operators.windows import moving_avg
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = physical(moving_avg(ev))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
