@@ -213,6 +213,23 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
 
         return retention_cohorts(t["events"], "user_id", "ts")
 
+    def qx_dau():
+        from purescript_ifrit_spark.operators.windows import (
+            distinct_users_windowed,
+        )
+
+        return distinct_users_windowed(t["events"])
+
+    def qx_ohlc_bars():
+        from purescript_ifrit_spark.operators.windows import ohlc_bars
+
+        return ohlc_bars(t["events"])
+
+    def qx_shuffle_shards():
+        from purescript_ifrit_spark.operators.sampling import shuffle_shards
+
+        return shuffle_shards(t["documents"].select("doc_id", "lang"), "doc_id", 64)
+
     extra_queries = {
         "qx_asof_join": qx_asof_join,
         "qx_rollup_multi": qx_rollup_multi,
@@ -223,6 +240,9 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_robust_outliers": qx_robust_outliers,
         "qx_funnel": qx_funnel,
         "qx_retention": qx_retention,
+        "qx_dau": qx_dau,
+        "qx_ohlc_bars": qx_ohlc_bars,
+        "qx_shuffle_shards": qx_shuffle_shards,
     }
 
     # JVM warm-up (parquet footers, codegen)
