@@ -315,3 +315,87 @@ def ivf_topk(
     assigned = with_ivf_assignment(df, vec_col, centroids)
     cand = assigned.filter(F.col("ivf_cell").isin(cells))
     return cosine_topk(cand, id_col, vec_col, query, k)
+
+
+def knn_join_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    *,
+    n_planes: int = 8,
+    rotations: int = 3,
+    seed: int = 42,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Approximate KNN self-join: for every row, its top-k cosine
+    neighbors among rows sharing a hyperplane-LSH bucket in at least one
+    of `rotations` independent plane sets. Returns (id, nbr_id, sim,
+    rank). The each-to-each companion of `lsh_topk` (which serves one
+    query vector) — what embedding-dedup graph building and
+    hard-negative mining actually run.
+
+    Recall: two vectors at cosine s share one 8-plane bucket with
+    p₁ = (1 − arccos(s)/π)⁸ (≈0.57 at s=0.95); across r independent
+    rotations recall is 1 − (1 − p₁)^r (≈0.92 at r=3) — pinned vs brute
+    force in tests. Raise `rotations` for more recall, linearly more
+    candidate volume.
+
+    Scale: candidate generation shuffles (rotation, bucket, id) only —
+    vectors never enter the candidate join (minhash-pairs rule);
+    degenerate buckets (zero-ish vectors, template embeddings) are
+    capped at `max_bucket` per (rotation, bucket); cosine runs once per
+    distinct candidate pair; the final per-id top-k is a WindowGroupLimit
+    window. No cross join exists on any path."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    from pyspark.sql import Window
+
+    # bounded plan-time action (1 row) to size the hyperplanes — same
+    # documented pattern as the IVF centroid build; not a per-row collect
+    dim = len(df.select(vec_col).first()[0])
+    bucket_sets = [
+        make_hyperplanes(dim, n_planes, seed + r) for r in range(rotations)
+    ]
+    buckets = F.array(
+        *[
+            V.random_hyperplane_signature(F.col(vec_col), planes)
+            for planes in bucket_sets
+        ]
+    )
+    keys = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(buckets).alias("_rot", "_bkt"),
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("_rot", "_bkt")
+        keys = (
+            keys.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    cand = (
+        keys.select("_rot", "_bkt", F.col("_id").alias("id"))
+        .join(
+            keys.select("_rot", "_bkt", F.col("_id").alias("nbr_id")),
+            ["_rot", "_bkt"],
+        )
+        .filter(F.col("id") != F.col("nbr_id"))
+        .select("id", "nbr_id")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("_vb"))
+    scored = (
+        cand.join(va, "id")
+        .join(vb, "nbr_id")
+        .withColumn("sim", V.cosine(F.col("_va"), F.col("_vb")))
+    )
+    wk = Window.partitionBy("id").orderBy(
+        F.col("sim").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("id", "nbr_id", "sim", "rank")
+    )

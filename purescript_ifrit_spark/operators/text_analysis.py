@@ -435,3 +435,42 @@ def term_frequency_spectrum(
     return totals.groupBy(F.col("tf").cast("long").alias("tf")).agg(
         F.count(F.lit(1)).alias("n_terms")
     )
+
+
+def quality_top_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    frac: float = 0.5,
+) -> DataFrame:
+    """Keep the top `frac` of documents by quality score WITHIN each
+    group (typically language) — the relative-threshold curation filter:
+    an absolute quality cutoff over-prunes whole languages whose score
+    distribution sits lower, a per-group quantile keeps the corpus mix.
+
+    Deterministic: quality is the integer-exact micro-unit formula and
+    ties break by id, so the kept set is reproducible to the row. Keeps
+    ceil(frac * n) rows per group (every group keeps at least one doc
+    for frac > 0).
+
+    Scale: one shuffle on the group key; rank and group size come from
+    two windows over the SAME partitioning (one exchange, plan-pinned
+    like robust_outliers). Groups must be coarse (languages, domains) —
+    a per-group sort holds the group's rows in one task's sort spill,
+    which is exactly the distribution languages give."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1] (got {frac})")
+    from pyspark.sql import Window
+
+    scored = quality_score(df, text_col)
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy(group_col)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(float(frac))))
+        .drop("_rn", "_n")
+    )

