@@ -251,3 +251,79 @@ def moving_avg(
         "mavg",
         (F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w)),
     )
+
+
+def hopping_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    *,
+    size_us: int = 3_600_000_000,
+    slide_us: int = 900_000_000,
+) -> DataFrame:
+    """Hopping (sliding/overlapping) window aggregation: counts + exact
+    value sums per `size_us` window advancing every `slide_us`, per key —
+    the moving-rate companion of `tumbling_agg` (a 1h window every 15min
+    answers 'requests in the last hour' at 15-minute resolution). Windows
+    are epoch-aligned (tz-free) like every bucketing op here.
+
+    `size_us` must be a multiple of `slide_us` (aligned hops — the
+    streaming twin, F.window(size, slide), has the same constraint in
+    effect because state is keyed per window start).
+
+    Scale: each event expands to exactly size/slide (window_start) rows
+    scan-stage via `sequence` — a bounded constant fan-out (4 here), NOT
+    a range join — then one hash aggregation on (window_start, key) with
+    map-side partials; decimal sums keep cross-engine exactness."""
+    if size_us <= 0 or slide_us <= 0 or size_us % slide_us != 0:
+        raise ValueError(
+            f"size_us ({size_us}) must be a positive multiple of "
+            f"slide_us ({slide_us})"
+        )
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    last = (F.floor(ts_us / F.lit(slide_us)) * F.lit(slide_us)).cast("long")
+    first = last - F.lit(int(size_us - slide_us))
+    starts = F.sequence(first, last, F.lit(int(slide_us)))
+    return (
+        df.withColumn("_ws", F.explode(starts))
+        .groupBy(F.col("_ws").alias("window_us"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    *,
+    bin_width: float = 10.0,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column (optionally per group):
+    (bin_lo, n) where bin_lo = floor(v / width) * width — the profiling
+    staple next to the equi-depth buckets operator (fixed-width answers
+    'what does the distribution look like', equi-depth 'where are the
+    cut points'). NULLs are excluded (they have no bin).
+
+    Determinism: floor of one IEEE division is bit-identical across
+    engines; bin ids are BIGINT. Scale: one hash aggregation, map-side
+    partials; output is O(range / width) rows."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive (got {bin_width})")
+    v = F.col(value_col).cast("double")
+    b = F.floor(v / F.lit(float(bin_width))).cast("long")
+    keys = ([F.col(group_col)] if group_col else []) + [
+        b.alias("bin"),
+        (b * F.lit(float(bin_width))).alias("bin_lo"),
+    ]
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .drop("bin")
+    )

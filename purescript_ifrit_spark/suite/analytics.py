@@ -549,3 +549,43 @@ def x_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return moving_avg(ev).select("event_id", "mavg")
+
+
+@register(
+    "x_hopping_agg",
+    # 1h windows every 15min: each event lands in exactly 4 epoch-aligned
+    # window starts; decimal sums (see x_sessionize note)
+    "WITH b AS (SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v, "
+    "epoch_us(ts) AS t FROM events), "
+    "x AS (SELECT event_type, v, "
+    "CAST(floor(t / 900000000) * 900000000 AS BIGINT) AS last FROM b), "
+    "e AS (SELECT event_type, v, last - 900000000 * "
+    "CAST(unnest(range(4)) AS BIGINT) AS window_us FROM x) "
+    "SELECT window_us, event_type, COUNT(*) AS n, "
+    "CAST(SUM(v) AS DOUBLE) AS sum_value FROM e GROUP BY 1, 2",
+)
+def x_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (operators/windows.hopping_agg): 1-hour
+    windows sliding every 15 minutes — bounded 4x scan-stage fan-out,
+    one hash aggregation."""
+    from purescript_ifrit_spark.operators.windows import hopping_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return hopping_agg(ev)
+
+
+@register(
+    "x_value_histogram",
+    # floor of one IEEE division — bit-identical bins on both engines;
+    # outer DOUBLE cast: DuckDB types BIGINT * 10.0 as DECIMAL
+    "SELECT CAST(CAST(floor(CAST(value AS DOUBLE) / 10.0) AS BIGINT) * 10.0 "
+    "AS DOUBLE) AS bin_lo, COUNT(*) AS n FROM events "
+    "WHERE value IS NOT NULL GROUP BY 1",
+)
+def x_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (operators/windows.value_histogram),
+    bin width 10."""
+    from purescript_ifrit_spark.operators.windows import value_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return value_histogram(ev, "value", bin_width=10.0)

@@ -1511,3 +1511,48 @@ def test_knn_join_lsh_recall_on_planted_clusters(spark):
     top1 = {r.id: r.nbr_id for r in out.collect() if r.rank == 1}
     hits = sum(1 for i, _ in rows if top1.get(i) == (i ^ 1))
     assert hits >= 0.85 * len(rows)
+
+
+def test_hopping_agg_known_values(spark):
+    """One event at minute 20 of hour H lands in exactly the 4 window
+    starts H-45m, H-30m, H-15m, H+15m*1... i.e. starts
+    {H+15m*1 - 45m ... H+15m*1}: the 1h/15min hop set containing it."""
+    from datetime import datetime, timezone
+
+    from purescript_ifrit_spark.operators.windows import hopping_agg
+
+    t = datetime(2024, 1, 1, 10, 20, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [(1, t, "px", 2.0)], ["event_id", "ts", "event_type", "value"]
+    )
+    out = hopping_agg(df).collect()
+    assert len(out) == 4
+    t_us = int(t.timestamp()) * 1_000_000
+    slide = 900_000_000
+    last = (t_us // slide) * slide
+    assert sorted(r.window_us for r in out) == [
+        last - 3 * slide, last - 2 * slide, last - slide, last
+    ]
+    assert all(r.n == 1 and r.sum_value == 2.0 for r in out)
+    # every window containing the event: window_us <= t < window_us + 1h
+    assert all(r.window_us <= t_us < r.window_us + 3_600_000_000 for r in out)
+
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_agg(df, size_us=3_600_000_000, slide_us=700_000_000)
+
+
+def test_value_histogram_bins(spark):
+    from purescript_ifrit_spark.operators.windows import value_histogram
+
+    df = spark.createDataFrame(
+        [(1, -0.5), (2, 0.0), (3, 9.99), (4, 10.0), (5, None), (6, 25.0)],
+        "id long, value double",
+    )
+    out = {r.bin_lo: r.n for r in value_histogram(df, bin_width=10.0).collect()}
+    assert out == {-10.0: 1, 0.0: 2, 10.0: 1, 20.0: 1}  # NULL excluded
+    grouped = value_histogram(
+        df.withColumn("g", F.lit("a")), bin_width=10.0, group_col="g"
+    )
+    assert {(r.g, r.bin_lo): r.n for r in grouped.collect()} == {
+        ("a", -10.0): 1, ("a", 0.0): 2, ("a", 10.0): 1, ("a", 20.0): 1
+    }
