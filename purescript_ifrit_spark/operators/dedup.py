@@ -548,3 +548,70 @@ def dedup_against_index(
         .distinct()
     )
     return new_docs.join(losers, [id_col], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# sub-document (chunk-level) dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_subdocument(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Deduplicate at SUB-document granularity: split every document into
+    fixed-size token chunks, keep each distinct chunk's globally-first
+    occurrence, and reassemble documents from their surviving chunks — the
+    repeated-passage removal step of a pre-training pipeline (boilerplate
+    headers, licence blocks, and syndicated paragraphs recur across
+    documents that whole-document dedup can never drop).
+
+    Semantics (deterministic to the row):
+    - chunks are non-overlapping (`overlap=0`), so reassembly by
+      `chunk_idx` reproduces the original token stream exactly when
+      nothing is dropped;
+    - a chunk's winner is the smallest `(id_col, chunk_idx)` among all
+      rows with the same chunk fingerprint (md5 of the chunk text);
+    - output keeps one row per document that retains ≥1 chunk (a document
+      whose every chunk already appeared earlier vanishes — the sub-document
+      generalization of exact dedup dropping a later full duplicate), with
+      `text_dedup` (surviving chunks joined in order), `n_chunks_kept`,
+      and `n_chunks_total`.
+
+    100 TB design: chunking + fingerprinting are scan-stage HOFs (no
+    shuffle); winner election is ONE exchange on the chunk fingerprint
+    (row_number window — fingerprints are md5, uniform, so no skew beyond
+    genuine boilerplate, the same hot-key profile exact dedup has);
+    reassembly is ONE exchange back on the document id with map-side
+    partial collect. Nothing is quadratic, no driver materialization.
+    """
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            X.chunk_array(F.col(text_col), chunk_tokens, 0)
+        ).alias("chunk_idx", "chunk_text"),
+    ).withColumn("_fp", F.md5(F.col("chunk_text")))
+    w = Window.partitionBy("_fp").orderBy(
+        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    )
+    n_w = Window.partitionBy(id_col)
+    ranked = chunks.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n_total", F.count(F.lit(1)).over(n_w)
+    )
+    kept = ranked.filter(F.col("_rn") == 1)
+    out = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_chunks_kept"),
+        F.first("_n_total").alias("n_chunks_total"),
+    )
+    return out

@@ -474,3 +474,55 @@ def quality_top_fraction(
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(float(frac))))
         .drop("_rn", "_n")
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's OWN
+    unigram distribution — the perplexity-style quality filter (documents
+    whose tokens are corpus-atypical score high and get pruned; degenerate
+    repetition scores low). The language model is the corpus itself, so the
+    operator needs no external artifact.
+
+    Output: one row per document with ≥1 token — `xent` (mean of
+    −ln p(token), p = corpus_count/corpus_total, natural log) and
+    `n_tokens`. p is a ratio of exact integers, so cross-engine drift is
+    bounded by one libm ln ulp + summation order (round downstream for
+    comparisons).
+
+    100 TB design — three exchanges, none corpus-row-sized after partials:
+    the vocabulary aggregates straight off the exploded token stream
+    (map-side partials make the exchange vocabulary-sized); the corpus
+    total is a SCAN-STAGE `token_count` sum (char-level arithmetic, no
+    explode, 1-row broadcast) — equal to the explode-side count by
+    construction, and the cheapest possible in-plan total (no driver
+    action); scoring joins token rows to the vocab ON TERM (a plain
+    equi-join AQE broadcasts when the vocab fits — the tfidf_topk join
+    shape) and aggregates by document with map-side partials, so the final
+    exchange carries one partial row per (doc, partition), not one per
+    token. Spark does NOT stage-share the two uses of the token stream
+    (measured: no ReusedExchange), so everything self-referential here is
+    either pre-aggregated or computed scan-stage instead of re-exploded."""
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(X.tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_ctok"))
+    total = df.agg(
+        F.sum(X.token_count(F.col(text_col))).alias("_ntok")
+    )
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_nll",
+            -F.log(
+                F.col("_ctok").cast("double") / F.col("_ntok").cast("double")
+            ),
+        )
+    )
+    return scored.groupBy(F.col("_doc").alias(id_col)).agg(
+        (F.sum("_nll") / F.count(F.lit(1)).cast("double")).alias("xent"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

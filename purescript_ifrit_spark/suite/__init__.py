@@ -72,6 +72,10 @@ _DRIVER_WINDOW_R5 = [
     # -- (2) new round-5 operators -----------------------------------------
     "x_dau_exact",
     "x_dau_approx",
+    "x_dedup_subdoc",
+    "x_unigram_xent",
+    "x_corr_stats",
+    "x_cube_counts",
     # -- (3) the 24 r1/r2-only §2 dialect rows -----------------------------
     "p3_alias",
     "f1_neq",
@@ -114,12 +118,10 @@ _DRIVER_WINDOW_R5 = [
     "x_partitioned_sink",
     "x_set_ops",
     "x_explode_chunks",
-    "x_split_train_val",
-    "x_hash_sample",
-    "x_pii_redact",
-    "xd_redact",
-    # x_term_stats / x_embedding_centroids (r3-checked) yield their two
-    # backfill slots to this round's never-verified additions
+    # x_term_stats / x_embedding_centroids / x_split_train_val /
+    # x_hash_sample / x_pii_redact / xd_redact (all r3-checked) yield their
+    # backfill slots to this round's never-verified additions; they are
+    # first in line for the r6 window
     "x_shuffle_shards",
     "x_term_spectrum",
 ]

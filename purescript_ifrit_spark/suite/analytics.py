@@ -589,3 +589,54 @@ def x_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return value_histogram(ev, "value", bin_width=10.0)
+
+
+@register(
+    "x_corr_stats",
+    # sample (n-1) variants on both engines; round 6 absorbs sum-order noise
+    "SELECT l_returnflag, "
+    "ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
+    "ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price, "
+    "ROUND(stddev_samp(l_discount), 6) AS std_discount, "
+    "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+)
+def x_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped second-moment statistics (corr / covar_samp / stddev_samp) —
+    single hash aggregation with map-side partial moment accumulators, the
+    canonical mergeable-statistics shape (the moments merge associatively,
+    so a 100 TB scan reduces tree-wise with no row ever re-read)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("std_discount"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "x_cube_counts",
+    # documents have no NULL source/lang, so the '(all)' sentinel is
+    # unambiguous for the rollup rows CUBE synthesizes
+    "SELECT COALESCE(source, '(all)') AS source, "
+    "COALESCE(lang, '(all)') AS lang, COUNT(*) AS n_docs, "
+    "ROUND(AVG(n_chars), 6) AS avg_chars "
+    "FROM documents GROUP BY CUBE (source, lang)",
+)
+def x_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets aggregation over the full CUBE lattice — Spark expands
+    the lattice in ONE Expand+hash-agg pass (each input row fans to the 4
+    grouping sets map-side; no per-set rescan of the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.cube("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+    return out.select(
+        F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+        F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
+        "n_docs",
+        "avg_chars",
+    )

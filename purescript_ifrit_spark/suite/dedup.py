@@ -290,3 +290,38 @@ def x_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(docs, min_quality=0.2).select(
         "doc_id", "quality", "n_tokens", "n_bpe_ish", "fingerprint"
     )
+
+
+_SUBDOC_ORACLE = (
+    # non-overlapping chunk=32 (stride=32); DuckDB list slice is 1-based
+    # inclusive; winner = smallest (doc_id, chunk_idx) per chunk text
+    "WITH t AS (SELECT doc_id, "
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks "
+    "FROM documents), "
+    "c AS (SELECT doc_id, toks, UNNEST(range(1 + CAST(ceil(greatest(len(toks) - 32, 0) / 32.0) AS BIGINT))) AS i FROM t), "
+    "ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+    "array_to_string(toks[CAST(i*32+1 AS INT):CAST(i*32+32 AS INT)], ' ') AS chunk_text FROM c), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn, "
+    "COUNT(*) OVER (PARTITION BY doc_id) AS n_total FROM ch) "
+    "SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_dedup, "
+    "COUNT(*) AS n_chunks_kept, CAST(MAX(n_total) AS BIGINT) AS n_chunks_total "
+    "FROM r WHERE rn = 1 GROUP BY doc_id"
+)
+
+
+@register("x_dedup_subdoc", _SUBDOC_ORACLE)
+def x_dedup_subdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document chunk-level dedup with reassembly
+    (operators/dedup.dedup_subdocument): repeated 32-token passages keep
+    only their globally-first occurrence; documents are rebuilt from
+    surviving chunks."""
+    from purescript_ifrit_spark.operators.dedup import dedup_subdocument
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup_subdocument(docs, "doc_id", "text", chunk_tokens=32)
+    return out.select(
+        "doc_id",
+        "text_dedup",
+        F.col("n_chunks_kept").cast("long").alias("n_chunks_kept"),
+        F.col("n_chunks_total").cast("long").alias("n_chunks_total"),
+    )

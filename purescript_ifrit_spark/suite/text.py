@@ -401,3 +401,32 @@ def x_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_top_fraction(docs, "doc_id", "text", "lang", 0.5).select(
         "doc_id", "lang", "quality"
     )
+
+
+@register(
+    "x_unigram_xent",
+    # corpus-unigram cross-entropy; p is a ratio of exact integer counts,
+    # both sides round the mean to 6 decimals (libm ln + sum-order noise)
+    "WITH tok AS (SELECT doc_id, "
+    f"UNNEST(string_split({_NORM_SQL}, ' ')) AS term FROM documents), "
+    "pd AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' "
+    "GROUP BY doc_id, term), "
+    "v AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctok FROM pd GROUP BY term), "
+    "tot AS (SELECT CAST(SUM(ctok) AS BIGINT) AS ntok FROM v) "
+    "SELECT doc_id, "
+    "ROUND(SUM(-ln(ctok * 1.0 / ntok) * tf) / CAST(SUM(tf) AS DOUBLE), 6) AS xent, "
+    "CAST(SUM(tf) AS BIGINT) AS n_tokens "
+    "FROM pd JOIN v USING (term) CROSS JOIN tot GROUP BY doc_id",
+)
+def x_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring under the corpus's own unigram LM
+    (operators/text_analysis.unigram_logprob)."""
+    from purescript_ifrit_spark.operators.text_analysis import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.round(F.col("xent"), 6).alias("xent"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )

@@ -217,3 +217,11 @@ def test_funnel_no_matching_step_counts_zero(spark):
         ev, "user_id", "ts", "event_type", ["signup", "upgrade"]
     ).collect()
     assert all(r["n_users"] == 0 for r in out) and len(out) == 2
+
+
+def test_round5_operators_on_empty(empty_docs):
+    from purescript_ifrit_spark.operators.dedup import dedup_subdocument
+    from purescript_ifrit_spark.operators.text_analysis import unigram_logprob
+
+    assert dedup_subdocument(empty_docs).count() == 0
+    assert unigram_logprob(empty_docs).count() == 0

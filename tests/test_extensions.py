@@ -1556,3 +1556,59 @@ def test_value_histogram_bins(spark):
     assert {(r.g, r.bin_lo): r.n for r in grouped.collect()} == {
         ("a", -10.0): 1, ("a", 0.0): 2, ("a", 10.0): 1, ("a", 20.0): 1
     }
+
+
+def test_dedup_subdocument_keeps_first_and_reassembles(spark):
+    from purescript_ifrit_spark.operators.dedup import dedup_subdocument
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),      # chunks: "a b","c d","e f"
+            (1, "a b c d x y"),      # shares first two chunks with doc 0
+            (2, "a b c d e f"),      # full duplicate of doc 0 → vanishes
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_subdocument(df, chunk_tokens=2).collect()
+    }
+    assert set(out) == {0, 1}  # doc 2's every chunk lost → dropped
+    assert out[0]["text_dedup"] == "a b c d e f"  # winner keeps all
+    assert out[0]["n_chunks_kept"] == 3 and out[0]["n_chunks_total"] == 3
+    assert out[1]["text_dedup"] == "x y"  # only the novel chunk survives
+    assert out[1]["n_chunks_kept"] == 1 and out[1]["n_chunks_total"] == 3
+
+
+def test_dedup_subdocument_lossless_without_duplicates(spark):
+    from purescript_ifrit_spark.operators.dedup import dedup_subdocument
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(70))) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    out = dedup_subdocument(df, chunk_tokens=32).collect()
+    assert len(out) == 5
+    originals = {r["doc_id"]: r["text"] for r in df.collect()}
+    for r in out:
+        # overlap=0 chunking → in-order reassembly is the identity
+        assert r["text_dedup"] == originals[r["doc_id"]]
+        assert r["n_chunks_kept"] == r["n_chunks_total"] == 3
+
+
+def test_unigram_logprob_known_values(spark):
+    import math
+
+    from purescript_ifrit_spark.operators.text_analysis import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    # corpus: a=2 b=2 c=1, total 5
+    assert set(out) == {0, 1}  # token-less doc 2 has no distribution
+    assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 2
+    assert out[0]["xent"] == pytest.approx(-math.log(0.4), abs=1e-12)
+    assert out[1]["xent"] == pytest.approx(
+        (-math.log(0.4) - math.log(0.2)) / 2, abs=1e-12
+    )
