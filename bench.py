@@ -230,6 +230,18 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
 
         return shuffle_shards(t["documents"].select("doc_id", "lang"), "doc_id", 64)
 
+    def qx_subdoc_dedup():
+        from purescript_ifrit_spark.operators.dedup import dedup_subdocument
+
+        return dedup_subdocument(t["documents"], "doc_id", "text", 32)
+
+    def qx_unigram_xent():
+        from purescript_ifrit_spark.operators.text_analysis import (
+            unigram_logprob,
+        )
+
+        return unigram_logprob(t["documents"], "doc_id", "text")
+
     extra_queries = {
         "qx_asof_join": qx_asof_join,
         "qx_rollup_multi": qx_rollup_multi,
@@ -243,6 +255,8 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_dau": qx_dau,
         "qx_ohlc_bars": qx_ohlc_bars,
         "qx_shuffle_shards": qx_shuffle_shards,
+        "qx_subdoc_dedup": qx_subdoc_dedup,
+        "qx_unigram_xent": qx_unigram_xent,
     }
 
     # JVM warm-up (parquet footers, codegen)
