@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -615,3 +616,144 @@ def dedup_subdocument(
         F.first("_n_total").alias("n_chunks_total"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered blocklist dedup
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter:
+    """Broadcast-size Bloom filter over md5-hex keys (Kirsch-Mitzenmacher
+    double hashing: index_i = (h1 + i·h2) mod n_bits with h1/h2 the two
+    64-bit halves of the md5 — k indices from one hash computation,
+    deterministic across engines and sessions).
+
+    NO false negatives ever; false-positive rate ≈ (1 − e^(−k·n/m))^k is a
+    pure cost knob here (see `dedup_against_blocklist` — membership is
+    always re-confirmed exactly), so sizing is about join traffic, not
+    correctness."""
+
+    def __init__(self, bits, n_bits: int, k: int):
+        import numpy as np
+
+        self.bits = np.asarray(bits, dtype=np.uint8)
+        self.n_bits = int(n_bits)
+        self.k = int(k)
+
+    @staticmethod
+    def _indices(md5_hex, n_bits: int, k: int):
+        """(len(md5_hex), k) int64 bit positions for a sequence of md5 hex
+        strings — vectorized numpy, shared by build and probe."""
+        import numpy as np
+
+        h1 = np.array(
+            [int(s[:16], 16) for s in md5_hex], dtype=np.uint64
+        )
+        h2 = np.array(
+            [int(s[16:32], 16) for s in md5_hex], dtype=np.uint64
+        )
+        i = np.arange(k, dtype=np.uint64)
+        # uint64 wrap-around is mod-2^64 arithmetic — fine under the final
+        # mod n_bits because n_bits is a power of two
+        return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(
+            np.int64
+        )
+
+    def contains(self, md5_hex):
+        """Vectorized membership probe: bool ndarray (no false negatives)."""
+        import numpy as np
+
+        if len(md5_hex) == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(md5_hex, self.n_bits, self.k)
+        bit = self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)
+        return (bit & 1).all(axis=1)
+
+
+def build_bloom_filter(
+    keys: DataFrame, key_col: str, n_bits: int = 1 << 23, k: int = 4
+) -> BloomFilter:
+    """Build a Bloom filter over a key column of md5-hex strings.
+
+    EAGER (documented index-build step, same contract as the IVF centroid
+    build in similarity.py): per-partition bitmaps are OR-reduced
+    executor-side via treeReduce, so the driver receives exactly ONE
+    n_bits/8-byte array no matter how many partitions the blocklist has —
+    the legitimate mapPartitions case (per-partition imperative bit math
+    numpy does 3 orders of magnitude faster than per-row anything).
+
+    n_bits must be a power of two (the double-hash mod). Default 2^23 bits
+    = 1 MiB; at 1 % target FP rate a bitmap sized m ≈ 10·n holds n keys,
+    so a billion-key blocklist needs ~1.2 GiB — still broadcastable, vs a
+    billion-row join-side shuffle."""
+    import numpy as np
+
+    if n_bits <= 0 or n_bits & (n_bits - 1):
+        raise ValueError(f"n_bits must be a power of two (got {n_bits})")
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    n_bytes = n_bits // 8
+
+    def _partition_bitmap(rows):
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        hexes = [r[0] for r in rows if r[0] is not None]
+        if hexes:
+            idx = BloomFilter._indices(hexes, n_bits, k).ravel()
+            np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+        yield bits
+
+    rdd = keys.select(key_col).rdd.mapPartitions(_partition_bitmap)
+    merged = rdd.treeReduce(np.bitwise_or)
+    return BloomFilter(merged, n_bits, k)
+
+
+def dedup_against_blocklist(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+    n_bits: int = 1 << 23,
+    k: int = 4,
+) -> DataFrame:
+    """Drop documents whose normalized-text fingerprint appears in a
+    blocklist (prior-ingest fingerprints, benchmark/contamination lists,
+    takedown lists) — EXACT anti-join semantics at a fraction of the
+    anti-join's cost.
+
+    Two-stage: (1) a broadcast Bloom filter over the blocklist probes every
+    document SCAN-STAGE (Arrow-batched pandas_udf over the md5 the plan
+    already computes) — documents the filter rejects are DEFINITIVELY clean
+    (no false negatives) and never reach a shuffle; (2) only the "maybe"
+    fraction (true hits + the FP rate) is re-confirmed by an exact
+    left-anti join, so false positives are never wrongly dropped. Result ≡
+    `docs ANTI JOIN blocklist ON fingerprint` row-for-row, which is exactly
+    what the paired oracle asserts.
+
+    100 TB design: the corpus never shuffles — stage (1) is scan-stage, and
+    stage (2)'s join probe side is hit-rate-sized, not corpus-sized (at a
+    1 % FP rate and a 1 % true-hit rate, join traffic drops 50×). The
+    bitmap build is the only eager step (one treeReduce over the blocklist,
+    driver holds one n_bits/8-byte array — see build_bloom_filter)."""
+    bloom = build_bloom_filter(blocklist, fp_col, n_bits=n_bits, k=k)
+    sc = docs.sparkSession.sparkContext
+    b_bloom = sc.broadcast((bytes(bloom.bits), bloom.n_bits, bloom.k))
+
+    @F.pandas_udf("boolean")
+    def _maybe(fp: pd.Series) -> pd.Series:
+        import numpy as np
+
+        raw, n_bits_, k_ = b_bloom.value
+        bf = BloomFilter(np.frombuffer(raw, dtype=np.uint8), n_bits_, k_)
+        return pd.Series(bf.contains(fp.tolist()), index=fp.index)
+
+    with_fp = docs.withColumn("_fp", X.fingerprint(F.col(text_col)))
+    flagged = with_fp.withColumn("_maybe", _maybe(F.col("_fp")))
+    clean = flagged.filter(~F.col("_maybe"))
+    confirm = flagged.filter(F.col("_maybe")).join(
+        blocklist.select(F.col(fp_col).alias("_fp")).distinct(),
+        "_fp",
+        "left_anti",
+    )
+    return clean.unionByName(confirm).drop("_fp", "_maybe")

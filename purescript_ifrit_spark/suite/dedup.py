@@ -325,3 +325,30 @@ def x_dedup_subdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chunks_kept").cast("long").alias("n_chunks_kept"),
         F.col("n_chunks_total").cast("long").alias("n_chunks_total"),
     )
+
+
+@register(
+    "x_blocklist_dedup",
+    # the Bloom stage is invisible to semantics: the oracle is the plain
+    # fingerprint anti-join the operator is contractually equal to
+    "WITH b AS (SELECT DISTINCT "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+    "FROM documents WHERE doc_id % 7 = 0) "
+    "SELECT d.doc_id, d.n_chars FROM documents d "
+    "WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.fp = "
+    "md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))))",
+)
+def x_blocklist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered blocklist dedup (operators/dedup.
+    dedup_against_blocklist): the blocklist is the fingerprints of every
+    7th document (a synthetic prior-ingest batch); result ≡ exact
+    anti-join, which is what the oracle recomputes."""
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.dedup import dedup_against_blocklist
+
+    docs = load_table(spark, sf_dir, "documents")
+    block = docs.filter(F.col("doc_id") % 7 == 0).select(
+        X.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    out = dedup_against_blocklist(docs, block, "doc_id", "text")
+    return out.select("doc_id", "n_chars")

@@ -1612,3 +1612,80 @@ def test_unigram_logprob_known_values(spark):
     assert out[1]["xent"] == pytest.approx(
         (-math.log(0.4) - math.log(0.2)) / 2, abs=1e-12
     )
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    import hashlib
+
+    from purescript_ifrit_spark.operators.dedup import build_bloom_filter
+
+    keys = [hashlib.md5(f"k{i}".encode()).hexdigest() for i in range(200)]
+    df = spark.createDataFrame([(s,) for s in keys], ["fingerprint"]).repartition(7)
+    bloom = build_bloom_filter(df, "fingerprint", n_bits=1 << 12, k=4)
+    assert bloom.contains(keys).all()  # membership is never missed
+    other = [hashlib.md5(f"x{i}".encode()).hexdigest() for i in range(2000)]
+    fp_rate = bloom.contains(other).mean()
+    assert fp_rate < 0.15  # 4096 bits / 200 keys ≈ 1.6% theoretical
+
+
+def test_bloom_filter_rejects_bad_params(spark):
+    from purescript_ifrit_spark.operators.dedup import build_bloom_filter
+
+    df = spark.createDataFrame([("00" * 16,)], ["fingerprint"])
+    with pytest.raises(ValueError):
+        build_bloom_filter(df, "fingerprint", n_bits=1000)  # not a power of 2
+    with pytest.raises(ValueError):
+        build_bloom_filter(df, "fingerprint", k=0)
+
+
+def test_blocklist_dedup_equals_exact_anti_join(spark, sf_dir):
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.dedup import dedup_against_blocklist
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    block = docs.filter(F.col("doc_id") % 7 == 0).select(
+        X.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    oracle = (
+        docs.withColumn("_fp", X.fingerprint(F.col("text")))
+        .join(
+            block.withColumnRenamed("fingerprint", "_fp").distinct(),
+            "_fp",
+            "left_anti",
+        )
+        .drop("_fp")
+    )
+    expected = {tuple(r) for r in oracle.collect()}
+    got = {
+        tuple(r) for r in dedup_against_blocklist(docs, block).collect()
+    }
+    assert got == expected
+    # a degenerate 64-bit filter is all false positives — semantics hold
+    stressed = {
+        tuple(r)
+        for r in dedup_against_blocklist(docs, block, n_bits=64, k=2).collect()
+    }
+    assert stressed == expected
+
+
+def test_blocklist_dedup_empty_blocklist_keeps_all(spark):
+    import pyspark.sql.types as T
+
+    from purescript_ifrit_spark.operators.dedup import dedup_against_blocklist
+
+    docs = spark.createDataFrame(
+        [(1, "some text here"), (2, "other words entirely")],
+        ["doc_id", "text"],
+    )
+    empty_docs = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    empty_block = empty_docs.select(F.md5("text").alias("fingerprint"))
+    assert dedup_against_blocklist(docs, empty_block).count() == 2
+    assert dedup_against_blocklist(empty_docs, empty_block).count() == 0
