@@ -369,3 +369,67 @@ def test_knn_join_no_cartesian_and_no_vectors_in_candidate_join(spark, sf_dir):
     for block in plan.split("Exchange"):
         if "_bkt" in block.split("\n")[0]:
             assert "embedding" not in block.split("\n")[0], block.split("\n")[0]
+
+
+def test_dedup_subdocument_two_exchanges(spark, sf_dir):
+    """Chunking/fingerprinting are scan-stage (Generate, no UDF); exactly
+    two shuffles — chunk-fingerprint winner election and doc-id
+    reassembly (the per-doc total window rides the second)."""
+    from purescript_ifrit_spark.operators.dedup import dedup_subdocument
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = physical(dedup_subdocument(docs, "doc_id", "text", 32))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_unigram_logprob_no_reexploded_total(spark, sf_dir):
+    """Three shuffles (vocab partial+final, 1-row total, per-doc mean with
+    map-side partials) + two broadcasts; the corpus total comes from a
+    scan-stage token_count sum, so only TWO Generate(explode) nodes exist
+    (probe + vocab), never a third for the total."""
+    from purescript_ifrit_spark.operators.text_analysis import unigram_logprob
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = physical(unigram_logprob(docs, "doc_id", "text"))
+    assert plan.count("Generate explode") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("BroadcastExchange") == 2, plan
+
+
+def test_cube_counts_single_expand_pass(spark, sf_dir):
+    """The CUBE lattice is one Expand + one partial/final aggregation —
+    the corpus is scanned once, not once per grouping set."""
+    from purescript_ifrit_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = physical(
+        docs.cube("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_blocklist_dedup_corpus_never_shuffles(spark, sf_dir):
+    """The corpus side is scan-stage in both branches (Bloom probe via
+    ArrowEvalPython + filter); the only hashpartitioning exchange is the
+    blocklist-side distinct, and the confirm join is broadcast."""
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.dedup import dedup_against_blocklist
+    from purescript_ifrit_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    block = docs.filter(F.col("doc_id") % 7 == 0).select(
+        X.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    plan = physical(dedup_against_blocklist(docs, block))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the sole hash exchange belongs to the blocklist distinct
+    assert plan.count("Exchange hashpartitioning") == 1, plan
