@@ -708,6 +708,25 @@ def build_bloom_filter(
     return BloomFilter(merged, n_bits, k)
 
 
+def bloom_probe_udf(df: DataFrame, bloom: BloomFilter):
+    """Arrow-batched membership probe column for a BloomFilter: broadcasts
+    the bitmap once and returns a `boolean` pandas_udf usable in batch AND
+    streaming plans (the closure is self-contained — worker-safe)."""
+    sc = df.sparkSession.sparkContext
+    b_bloom = sc.broadcast((bytes(bloom.bits), bloom.n_bits, bloom.k))
+
+    @F.pandas_udf("boolean")
+    def _maybe(fp: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as pd
+
+        raw, n_bits_, k_ = b_bloom.value
+        bf = BloomFilter(np.frombuffer(raw, dtype=np.uint8), n_bits_, k_)
+        return pd.Series(bf.contains(fp.tolist()), index=fp.index)
+
+    return _maybe
+
+
 def dedup_against_blocklist(
     docs: DataFrame,
     blocklist: DataFrame,
@@ -737,17 +756,7 @@ def dedup_against_blocklist(
     bitmap build is the only eager step (one treeReduce over the blocklist,
     driver holds one n_bits/8-byte array — see build_bloom_filter)."""
     bloom = build_bloom_filter(blocklist, fp_col, n_bits=n_bits, k=k)
-    sc = docs.sparkSession.sparkContext
-    b_bloom = sc.broadcast((bytes(bloom.bits), bloom.n_bits, bloom.k))
-
-    @F.pandas_udf("boolean")
-    def _maybe(fp: pd.Series) -> pd.Series:
-        import numpy as np
-
-        raw, n_bits_, k_ = b_bloom.value
-        bf = BloomFilter(np.frombuffer(raw, dtype=np.uint8), n_bits_, k_)
-        return pd.Series(bf.contains(fp.tolist()), index=fp.index)
-
+    _maybe = bloom_probe_udf(docs, bloom)
     with_fp = docs.withColumn("_fp", X.fingerprint(F.col(text_col)))
     flagged = with_fp.withColumn("_maybe", _maybe(F.col("_fp")))
     clean = flagged.filter(~F.col("_maybe"))

@@ -256,3 +256,49 @@ def windowed_distinct_users(
             .alias("n_users")
         )
     )
+
+
+def blocklist_filter_stream(
+    stream: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 1 << 23,
+    k: int = 4,
+) -> DataFrame:
+    """Streaming twin of operators/dedup.dedup_against_blocklist: every
+    arriving document is probed against the broadcast Bloom bitmap
+    SCAN-STAGE (stateless — no watermark needed), and only the "maybe"
+    fraction goes through the stream-static left-anti confirm join, so
+    per-batch join work is hit-rate-sized, not batch-sized. Result rows ≡
+    the batch operator applied to the same documents (pinned by the
+    batch-equivalence test).
+
+    The bitmap is built ONCE at plan time from the static blocklist (the
+    same eager treeReduce build); a blocklist that grows between batches
+    needs a restart to refresh the bitmap — the exact-confirm join, by
+    contrast, re-resolves the static side per micro-batch, so a STALE
+    bitmap can only cost extra confirm traffic (rows the old bitmap calls
+    "maybe"), never correctness, as long as the bitmap side stays a
+    SUPERSET-sized build of the list it was built from. For a growing
+    blocklist the safe pattern is periodic restart (bitmap refresh);
+    shrinking lists are correct immediately."""
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.dedup import (
+        bloom_probe_udf,
+        build_bloom_filter,
+    )
+
+    bloom = build_bloom_filter(blocklist, "fingerprint", n_bits=n_bits, k=k)
+    _maybe = bloom_probe_udf(stream, bloom)
+    flagged = stream.withColumn(
+        "_fp", X.fingerprint(F.col(text_col))
+    ).withColumn("_maybe", _maybe(F.col("_fp")))
+    clean = flagged.filter(~F.col("_maybe"))
+    confirm = flagged.filter(F.col("_maybe")).join(
+        F.broadcast(
+            blocklist.select(F.col("fingerprint").alias("_fp")).distinct()
+        ),
+        "_fp",
+        "left_anti",
+    )
+    return clean.unionByName(confirm).drop("_fp", "_maybe")

@@ -1689,3 +1689,28 @@ def test_blocklist_dedup_empty_blocklist_keeps_all(spark):
     empty_block = empty_docs.select(F.md5("text").alias("fingerprint"))
     assert dedup_against_blocklist(docs, empty_block).count() == 2
     assert dedup_against_blocklist(empty_docs, empty_block).count() == 0
+
+
+def test_streaming_blocklist_filter_matches_batch(spark, sf_dir, tmp_path):
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.dedup import dedup_against_blocklist
+    from purescript_ifrit_spark.streaming import pipeline as SP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    block = docs.filter(F.col("doc_id") % 7 == 0).select(
+        X.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    src = str(tmp_path / "bl_src")
+    docs.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    filtered = SP.blocklist_filter_stream(stream, block)
+    q = SP.run_to_memory_sink(filtered, "bl_out", output_mode="append")
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("bl_out").collect()}
+    want = {tuple(r) for r in dedup_against_blocklist(docs, block).collect()}
+    assert got == want
