@@ -382,23 +382,44 @@ def simhash_candidate_pairs(
         "_id", "_sig", F.explode(H.simhash_chunks(F.col("_sig"), chunks)).alias("_c")
     ).select("_id", "_sig", F.col("_c.chunk").alias("_chunk"), F.col("_c.key").alias("_key"))
 
-    if max_bucket is not None:
-        counts = sliced.groupBy("_chunk", "_key").agg(F.count("*").alias("_n"))
-        sliced = (
-            sliced.join(counts, ["_chunk", "_key"])
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
+    # Same bucket-grouped pair expansion as the minhash path (one exchange,
+    # see minhash_candidate_pairs): each bit-slice bucket collects its
+    # (id, sig) structs — sigs are single longs, so unlike shingles they
+    # are cheap to carry — and i<j pairs expand scan-stage from the
+    # id-sorted array. The hamming filter runs BEFORE the pair distinct,
+    # so only qualifying pairs reach that shuffle. Replaces a self-join
+    # plus a counts + join-back bucket guard (three shuffles of the sliced
+    # stream → one).
+    if max_bucket is None:
+        max_bucket = 1 << 31
+    grouped = (
+        sliced.groupBy("_chunk", "_key")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_id", "_sig"))).alias("_xs")
         )
-
-    left = sliced.select("_chunk", "_key", F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"))
-    right = sliced.select("_chunk", "_key", F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"))
+        .filter((F.size("_xs") >= 2) & (F.size("_xs") <= max_bucket))
+    )
+    n = F.size(F.col("_xs"))
+    pair_array = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("_xs"), i + 1, n - i),
+                lambda y: F.struct(
+                    F.element_at(F.col("_xs"), i)["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    H.hamming64(
+                        F.element_at(F.col("_xs"), i)["_sig"], y["_sig"]
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        left.join(right, ["_chunk", "_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", H.hamming64(F.col("_sig_a"), F.col("_sig_b")))
+        grouped.select(F.explode(pair_array).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"), F.col("_p.hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
