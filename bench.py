@@ -230,6 +230,25 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
 
         return shuffle_shards(t["documents"].select("doc_id", "lang"), "doc_id", 64)
 
+    def qx_simhash_pairs():
+        from purescript_ifrit_spark.operators.dedup import (
+            simhash_candidate_pairs,
+        )
+
+        return simhash_candidate_pairs(t["documents"], "doc_id", "text")
+
+    def qx_blocklist_dedup():
+        from purescript_ifrit_spark.functions import text as X
+        from purescript_ifrit_spark.operators.dedup import (
+            dedup_against_blocklist,
+        )
+
+        docs = t["documents"]
+        block = docs.filter(F.col("doc_id") % 7 == 0).select(
+            X.fingerprint(F.col("text")).alias("fingerprint")
+        )
+        return dedup_against_blocklist(docs, block)
+
     def qx_subdoc_dedup():
         from purescript_ifrit_spark.operators.dedup import dedup_subdocument
 
@@ -257,6 +276,8 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_shuffle_shards": qx_shuffle_shards,
         "qx_subdoc_dedup": qx_subdoc_dedup,
         "qx_unigram_xent": qx_unigram_xent,
+        "qx_simhash_pairs": qx_simhash_pairs,
+        "qx_blocklist_dedup": qx_blocklist_dedup,
     }
 
     # JVM warm-up (parquet footers, codegen)
