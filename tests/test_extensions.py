@@ -1714,3 +1714,32 @@ def test_streaming_blocklist_filter_matches_batch(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in spark.table("bl_out").collect()}
     want = {tuple(r) for r in dedup_against_blocklist(docs, block).collect()}
     assert got == want
+
+
+def test_simhash_signatures_df_matches_column_form(spark):
+    from purescript_ifrit_spark.functions import hashing as H
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content with other words"),
+            (4, "single"),
+            (5, "a a a a a a repeated token stream a a a"),
+        ],
+        ["doc_id", "text"],
+    )
+    col_form = {
+        (r["_id"], r["_sig"])
+        for r in df.select(
+            F.col("doc_id").alias("_id"),
+            H.simhash_signature(X.tokens(F.col("text"))).alias("_sig"),
+        ).collect()
+    }
+    df_form = {
+        (r["_id"], r["_sig"])
+        for r in simhash_signatures(df, "doc_id", "text").collect()
+    }
+    assert df_form == col_form
