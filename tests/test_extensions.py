@@ -1743,3 +1743,44 @@ def test_simhash_signatures_df_matches_column_form(spark):
         for r in simhash_signatures(df, "doc_id", "text").collect()
     }
     assert df_form == col_form
+
+
+def test_minhash_agg_signatures_match_column_form(spark):
+    """The explode+MIN-aggregate signature path inside
+    minhash_candidate_pairs must stay bit-identical to
+    hashing.minhash_signature (same lane seeding, same shingle hash)."""
+    from purescript_ifrit_spark.functions import hashing as H
+    from purescript_ifrit_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven"),
+            (2, "one two three four five six eight"),
+            (3, "unrelated words entirely different tokens here"),
+        ],
+        ["doc_id", "text"],
+    )
+    col_form = {
+        (r["_id"], tuple(r["_sig"]))
+        for r in df.select(
+            F.col("doc_id").alias("_id"),
+            H.minhash_signature(
+                X.word_shingles(F.col("text"), 3), 16
+            ).alias("_sig"),
+        ).collect()
+    }
+    hashed = df.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(X.word_shingles(F.col("text"), 3)).alias("_s"),
+    ).select("_id", F.xxhash64("_s").alias("_h"))
+    agg = hashed.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}")
+            for i in range(16)
+        ]
+    )
+    agg_form = {
+        (r["_id"], tuple(r[f"_m{i}"] for i in range(16)))
+        for r in agg.collect()
+    }
+    assert agg_form == col_form
