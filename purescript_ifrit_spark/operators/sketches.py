@@ -1,0 +1,184 @@
+"""Mergeable-summary operators: heavy hitters and corpus-overlap sketches.
+
+No reference counterpart (SURVEY.md §2.7 family — driver-mandated
+training-data-pipeline analytics). Both follow the same scale contract as
+the rest of the package: the EXACT form is the oracle-checkable twin, the
+sketch form is the 100 TB path whose state is bounded and mergeable, with
+the accuracy envelope pinned against the exact twin in pytest.
+
+- Heavy hitters: exact = groupBy count + TakeOrdered (one shuffle of
+  (item, partial count) rows — fine when the item domain fits a shuffle);
+  Misra-Gries = per-partition bounded counter maps (capacity entries, the
+  classic decrement-on-overflow summary) merged by summation + one final
+  truncation — state per partition is O(capacity) regardless of domain
+  size, which is the form that works when the domain itself is too large
+  to shuffle (URLs, shingles, user ids at 100 TB).
+- Set-overlap: exact = pairwise |A∩B|/|A∪B| via a distinct-key self-join;
+  sketch = per-group k-lane min-hash over md5 lane strings — constant
+  state per group, mergeable, and engine-neutral (md5 strings min the
+  same in Spark and DuckDB, so the sketch itself is oracle-checkable
+  value-exactly, not just within tolerance).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def heavy_hitters_exact(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Top-k most frequent values of `col` (count desc, value asc ties).
+
+    One shuffle with map-side partial counts, then TakeOrdered — the right
+    form whenever the distinct-value domain is shuffle-sized."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    return (
+        df.groupBy(F.col(col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("item").asc())
+        .limit(k)
+    )
+
+
+def heavy_hitters_mg(
+    df: DataFrame, col: str, k: int = 10, capacity: int = 256
+) -> DataFrame:
+    """Approximate top-k via per-partition Misra-Gries summaries.
+
+    Each partition keeps at most `capacity` counters (Arrow-batched: exact
+    batch counts fold into the summary, then the standard truncation —
+    subtract the (capacity+1)-th largest weight, drop non-positives).
+    Summaries merge by summation; the merged result underestimates any
+    item's true count by at most n_partition_rows/capacity summed over
+    partitions, so every item with true frequency > n/capacity survives.
+    Output: (item, est_n) for the top k by estimated count — est_n is a
+    LOWER bound on the true count.
+
+    Scale: state is O(capacity) per partition and the merge shuffles at
+    most capacity × partitions rows, independent of the item domain —
+    use when the domain (URLs, n-grams, ids) is itself too large to
+    shuffle; use heavy_hitters_exact otherwise."""
+    if k <= 0 or capacity <= 0:
+        raise ValueError(f"k and capacity must be positive (got {k}, {capacity})")
+    if k > capacity:
+        raise ValueError(f"capacity ({capacity}) must be >= k ({k})")
+    out_schema = f"item {dict(df.dtypes)[col]}, est_n long"
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for item, cnt in pdf[col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > capacity:
+                # Misra-Gries truncation: subtract the (capacity+1)-th
+                # largest weight from everyone, drop non-positives
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    i: c - cut for i, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame(
+            {"item": list(counters), "est_n": list(counters.values())}
+        )
+
+    summaries = df.select(col).filter(F.col(col).isNotNull()).mapInPandas(
+        summarize, out_schema
+    )
+    merged = summaries.groupBy("item").agg(F.sum("est_n").alias("est_n"))
+    return merged.orderBy(F.col("est_n").desc(), F.col("item").asc()).limit(k)
+
+
+def group_overlap_exact(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Exact pairwise Jaccard overlap of the distinct `key_col` sets of
+    every group pair (group_a < group_b) — the corpus-diff report: how much
+    does source X's content overlap source Y's?
+
+    One distinct pass, one self-equi-join ON KEY (the join output is one
+    row per shared key per pair, never |A|×|B|), plus broadcast group
+    sizes. Quadratic only in the number of GROUPS (sources — tens), never
+    in rows."""
+    keys = df.select(
+        F.col(group_col).alias("g"), F.col(key_col).alias("_k")
+    ).distinct()
+    sizes = keys.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        keys.select(F.col("g").alias("group_a"), "_k")
+        .join(keys.select(F.col("g").alias("group_b"), "_k"), "_k")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("g").alias("group_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("g").alias("group_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "group_a")
+        .join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+def group_minhash_overlap(
+    df: DataFrame, group_col: str, key_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """Estimated pairwise Jaccard overlap via per-group k-lane min-hash:
+    lane i of a group is MIN(md5(key || ':' || i)) over the group's keys;
+    the estimate is the fraction of agreeing lanes (standard bottom-1-per-
+    lane MinHash, ±1/√k standard error).
+
+    The 100 TB form of group_overlap_exact: per-group state is `num_hashes`
+    md5 strings (constant, mergeable — mins combine), the shuffle carries
+    one (group, lane, min) row per group-lane-partition, and the pairwise
+    comparison happens on the tiny aggregated sketch table. md5 keeps the
+    lanes engine-neutral, so the ESTIMATE itself is deterministic and
+    value-checkable cross-engine (the paired oracle recomputes it exactly —
+    a stronger check than a tolerance band; the tolerance-vs-exact test
+    lives in pytest instead)."""
+    lanes = df.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            F.col(key_col).cast("string"), F.lit(f":{i}")
+                        )
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("lane", "h"),
+    )
+    sketch = lanes.groupBy("g", "lane").agg(F.min("h").alias("mn"))
+    a = sketch.select(
+        F.col("g").alias("group_a"), "lane", F.col("mn").alias("mn_a")
+    )
+    b = sketch.select(
+        F.col("g").alias("group_b"), "lane", F.col("mn").alias("mn_b")
+    )
+    return (
+        a.join(b, "lane")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("mn_a") == F.col("mn_b"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("est_jaccard")
+        )
+    )

@@ -640,3 +640,101 @@ def x_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "avg_chars",
     )
+
+
+_TOK_CTE = (
+    "WITH tok AS (SELECT doc_id, source, "
+    "UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t "
+    "FROM documents) "
+)
+
+
+@register(
+    "x_heavy_hitters",
+    _TOK_CTE + "SELECT t AS item, COUNT(*) AS n FROM tok WHERE t <> '' "
+    "GROUP BY t ORDER BY n DESC, item ASC LIMIT 20",
+)
+def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 most frequent tokens (operators/sketches.
+    heavy_hitters_exact): one shuffle with map-side partials +
+    TakeOrdered."""
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.sketches import heavy_hitters_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(X.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    return heavy_hitters_exact(toks, "tok", 20)
+
+
+@register("x_heavy_hitters_mg", None)  # bounded-state sketch — rows-only;
+# top-k parity with the exact twin is pinned in pytest
+def x_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.sketches import heavy_hitters_mg
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(X.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    return heavy_hitters_mg(toks, "tok", 20, capacity=256)
+
+
+@register(
+    "x_source_overlap_exact",
+    _TOK_CTE + ", k AS (SELECT DISTINCT source, t FROM tok WHERE t <> ''), "
+    "sz AS (SELECT source, COUNT(*) AS n FROM k GROUP BY source), "
+    "i AS (SELECT a.source AS group_a, b.source AS group_b, COUNT(*) AS ni "
+    "FROM k a JOIN k b ON a.t = b.t AND a.source < b.source GROUP BY 1, 2) "
+    "SELECT group_a, group_b, "
+    "ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard "
+    "FROM i JOIN sz sa ON sa.source = i.group_a "
+    "JOIN sz sb ON sb.source = i.group_b",
+)
+def x_source_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise token-set Jaccard between sources (operators/
+    sketches.group_overlap_exact) — the corpus-diff report."""
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.sketches import group_overlap_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(X.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    out = group_overlap_exact(toks, "source", "tok")
+    return out.select(
+        "group_a", "group_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@register(
+    "x_source_overlap_sketch",
+    # md5-lane min-hash is engine-neutral, so the ESTIMATE itself is
+    # value-exact cross-engine (not a tolerance check)
+    _TOK_CTE + ", lanes AS (SELECT source, i, MIN(md5(t || ':' || i)) AS mn "
+    "FROM tok, range(16) r(i) WHERE t <> '' GROUP BY source, i) "
+    "SELECT a.source AS group_a, b.source AS group_b, "
+    "ROUND(SUM(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) "
+    "AS est_jaccard FROM lanes a JOIN lanes b "
+    "ON a.i = b.i AND a.source < b.source GROUP BY 1, 2",
+)
+def x_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch estimate of pairwise source overlap (operators/
+    sketches.group_minhash_overlap): constant mergeable state per group —
+    the 100 TB form of x_source_overlap_exact."""
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.sketches import (
+        group_minhash_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(X.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    out = group_minhash_overlap(toks, "source", "tok", 16)
+    return out.select(
+        "group_a",
+        "group_b",
+        F.round(F.col("est_jaccard"), 6).alias("est_jaccard"),
+    )

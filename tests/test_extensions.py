@@ -1784,3 +1784,82 @@ def test_minhash_agg_signatures_match_column_form(spark):
         for r in agg.collect()
     }
     assert agg_form == col_form
+
+
+def test_heavy_hitters_mg_recovers_planted_heavies(spark):
+    from purescript_ifrit_spark.operators.sketches import (
+        heavy_hitters_exact,
+        heavy_hitters_mg,
+    )
+
+    # 5 heavy items (1000 each) in a sea of 5000 singletons; capacity 64
+    # forces constant truncation, yet anything with freq > n/capacity
+    # (10000/64 ≈ 156) must survive
+    rows = [(f"heavy{i % 5}",) for i in range(5000)] + [
+        (f"rare{i}",) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, ["item"]).repartition(8)
+    exact = [r["item"] for r in heavy_hitters_exact(df, "item", 5).collect()]
+    mg = heavy_hitters_mg(df, "item", 5, capacity=64).collect()
+    assert sorted(r["item"] for r in mg) == sorted(exact)
+    # est_n is a lower bound on the true count, never above it
+    for r in mg:
+        assert 0 < r["est_n"] <= 1000
+
+
+def test_heavy_hitters_mg_param_guards(spark):
+    from purescript_ifrit_spark.operators.sketches import heavy_hitters_mg
+
+    df = spark.createDataFrame([("a",)], ["item"])
+    with pytest.raises(ValueError):
+        heavy_hitters_mg(df, "item", 0)
+    with pytest.raises(ValueError):
+        heavy_hitters_mg(df, "item", 10, capacity=5)  # capacity < k
+
+
+def test_group_overlap_sketch_tracks_exact(spark):
+    from purescript_ifrit_spark.operators.sketches import (
+        group_minhash_overlap,
+        group_overlap_exact,
+    )
+
+    # three groups with known overlaps: A∩B = 50/150, A∩C = 0
+    rows = (
+        [("A", f"k{i}") for i in range(100)]
+        + [("B", f"k{i}") for i in range(50, 150)]
+        + [("C", f"x{i}") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, ["g", "key"])
+    exact = {
+        (r["group_a"], r["group_b"]): r["jaccard"]
+        for r in group_overlap_exact(df, "g", "key").collect()
+    }
+    est = {
+        (r["group_a"], r["group_b"]): r["est_jaccard"]
+        for r in group_minhash_overlap(df, "g", "key", 64).collect()
+    }
+    assert exact[("A", "B")] == pytest.approx(50 / 150)
+    assert ("A", "C") not in exact  # zero intersection -> no row
+    # 64 lanes: se ≈ 0.06; allow 3 se
+    assert est[("A", "B")] == pytest.approx(exact[("A", "B")], abs=0.2)
+    assert est.get(("A", "C"), 0.0) == pytest.approx(0.0, abs=0.1)
+
+
+def test_sketches_on_empty(spark):
+    import pyspark.sql.types as T
+
+    from purescript_ifrit_spark.operators.sketches import (
+        group_minhash_overlap,
+        group_overlap_exact,
+        heavy_hitters_exact,
+        heavy_hitters_mg,
+    )
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("g", T.StringType()),
+                          T.StructField("key", T.StringType())])
+    )
+    assert heavy_hitters_exact(empty, "key", 5).count() == 0
+    assert heavy_hitters_mg(empty, "key", 5).count() == 0
+    assert group_overlap_exact(empty, "g", "key").count() == 0
+    assert group_minhash_overlap(empty, "g", "key").count() == 0
