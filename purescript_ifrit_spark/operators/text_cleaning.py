@@ -114,3 +114,85 @@ def clean_text(
     out_col = out_col or text_col
     df = strip_boilerplate(df, text_col, out_col=out_col)
     return redact_pii(df, out_col)
+
+
+# HTML extraction stages, IN ORDER (each runs on the previous stage's
+# output — the oracle mirrors them stage by stage). Java∩RE2 subset:
+# (?is) flags and non-greedy repetition are in both; no lookaround.
+HTML_STAGES: Tuple[Tuple[str, str], ...] = (
+    # script/style/noscript blocks vanish wholesale (content is code)
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?is)<noscript\b[^>]*>.*?</noscript>", " "),
+    # HTML comments
+    (r"(?s)<!--.*?-->", " "),
+    # block-level boundaries become newlines so visible-text line structure
+    # survives for the downstream line-level boilerplate filter
+    (r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/table|/section|/article)\b[^>]*>", "\n"),
+    # every remaining tag is a word separator
+    (r"<[^>]+>", " "),
+)
+
+# common entities, applied after tag removal (decoded text must not
+# re-introduce tags before stripping — hence &lt;/&gt; decode LAST)
+HTML_ENTITIES: Tuple[Tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+)
+
+
+def html_text_expr(c: Column) -> Column:
+    """Visible text of an HTML column as one codegen'd projection: drop
+    script/style/comment blocks, turn block boundaries into newlines,
+    strip tags, decode common entities, collapse horizontal whitespace.
+    Scan-stage — the web-corpus ingest step costs one pass over the
+    bytes, like every other cleaning stage in this module."""
+    out = c
+    for rx, repl in HTML_STAGES:
+        out = F.regexp_replace(out, rx, repl)
+    for ent, repl in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(repl))
+    # collapse runs of spaces/tabs but KEEP newlines (line structure feeds
+    # strip_boilerplate); then trim each line's edges via split/join
+    out = F.regexp_replace(out, r"[ \t\r]+", " ")
+    lines = F.split(out, "\n")
+    trimmed = F.filter(
+        F.transform(lines, lambda x: F.trim(x)), lambda x: x != ""
+    )
+    return F.array_join(trimmed, "\n")
+
+
+def html_text_sql(x: str) -> str:
+    """DuckDB twin of `html_text_expr` (same stages, same order).
+
+    DuckDB standard strings do NOT process backslash escapes, so regex
+    patterns embed verbatim (the backslash reaches RE2, which is what we
+    want) and a literal newline replacement must be the chr(10)
+    EXPRESSION, not an '\\n' literal."""
+    out = x
+    for rx, repl in HTML_STAGES:
+        rx_sql = rx.replace("'", "''")
+        repl_sql = "chr(10)" if repl == "\n" else "'" + repl.replace("'", "''") + "'"
+        out = f"regexp_replace({out}, '{rx_sql}', {repl_sql}, 'g')"
+    for ent, repl in HTML_ENTITIES:
+        repl_sql = repl.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{repl_sql}')"
+    out = f"regexp_replace({out}, '[ \\t\\r]+', ' ', 'g')"
+    # COALESCE: DuckDB's array_to_string of an empty list is NULL where
+    # Spark's array_join is '' — fold to the Spark behavior
+    return (
+        "COALESCE(array_to_string(list_filter(list_transform("
+        f"string_split({out}, chr(10)), s -> trim(s)), s -> s <> ''), "
+        "chr(10)), '')"
+    )
+
+
+def extract_html_text(
+    df: DataFrame, html_col: str, out_col: str = "text"
+) -> DataFrame:
+    """Extract visible text from an HTML column (web-corpus ingest)."""
+    return df.withColumn(out_col, html_text_expr(F.col(html_col)))

@@ -430,3 +430,47 @@ def x_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("xent"), 6).alias("xent"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+from purescript_ifrit_spark.operators.text_cleaning import html_text_sql as _hts
+_HTML_SQL = _hts("html")
+
+
+@register(
+    "x_html_extract",
+    # synthesize a deterministic HTML wrapping of each document on BOTH
+    # sides, extract visible text, compare byte-exactly via md5
+    "WITH h AS (SELECT doc_id, "
+    "'<html><head><title>D' || doc_id || '</title>"
+    "<style>body{margin:0}</style></head><body><h1>Doc ' || doc_id || "
+    "'</h1><!-- id --><p>' || text || '</p>"
+    "<script>var a=1;</script></body></html>' AS html FROM documents) "
+    "SELECT doc_id, md5(" + _HTML_SQL + ") AS text_md5, "
+    "CAST(length(" + _HTML_SQL + ") AS BIGINT) AS n_chars FROM h",
+)
+def x_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visible-text extraction from HTML (operators/text_cleaning.
+    extract_html_text) — the web-corpus ingest step, scan-stage."""
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        extract_html_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>D"),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>body{margin:0}</style></head><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><!-- id --><p>"),
+            F.col("text"),
+            F.lit("</p><script>var a=1;</script></body></html>"),
+        ).alias("html"),
+    )
+    out = extract_html_text(html, "html")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+    )

@@ -294,3 +294,51 @@ class TestStratifiedFixedK:
         pop = spark.range(1).select(F.col("id"), F.lit("s").alias("s"))
         with pytest.raises(ValueError):
             stratified_fixed_k(pop, "id", "s", 0)
+
+
+def test_html_extract_known_document(spark):
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        extract_html_text,
+    )
+
+    html = (
+        "<html><head><title>T</title><style>p{color:red}</style></head>"
+        "<body><h1>Header One</h1><p>First &amp; second &lt;para&gt;.</p>"
+        '<!-- hidden --><div>Block two&nbsp;here</div>'
+        '<script>var x = "<p>not text</p>";</script>'
+        "<ul><li>item one</li><li>item two</li></ul></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], ["id", "html"])
+    out = extract_html_text(df, "html").collect()[0]["text"]
+    assert out == (
+        "T Header One\nFirst & second <para>.\nBlock two here\n"
+        "item one\nitem two"
+    )
+
+
+def test_html_extract_matches_duckdb_twin(spark):
+    import duckdb
+
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        extract_html_text,
+        html_text_sql,
+    )
+
+    cases = [
+        "<p>multi<br>line<br/>breaks</p>",
+        "no markup at all",
+        '<SCRIPT SRC="x.js">alert(1)</SCRIPT>visible<STYLE>x</STYLE>',
+        "&quot;quoted&quot; &#39;apos&#39; &amp;amp;",
+        "",
+        "<div><div><p>nested</p></div></div>trailing",
+        "<p>unclosed tag soup <b>bold",
+    ]
+    df = spark.createDataFrame(list(enumerate(cases)), ["id", "html"])
+    got = {r["id"]: r["text"] for r in extract_html_text(df, "html").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, html VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    want = dict(
+        con.execute(f"SELECT id, {html_text_sql('html')} FROM t").fetchall()
+    )
+    assert got == want
