@@ -328,3 +328,81 @@ def shuffle_shards(
         .withColumnRenamed("_shard", "shard")
         .drop("_draw")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    group_col: str,
+    total_budget: int,
+    temperature: float = 2.0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Temperature-based source mixing: split a global token budget across
+    groups proportionally to size^(1/T), then fill each group's share in
+    deterministic hash order — the standard LLM data-mixing move
+    (T=1 is proportional sampling, T→∞ is uniform across groups; T≈2
+    upweights small sources the way multilingual/mixture recipes do).
+
+    T=2 is the INTEGER-EXACT path: weights are floor(sqrt(group_tokens))
+    (sqrt is IEEE-correctly-rounded in every engine, floor makes it an
+    integer), the weight total and per-group budgets use integer
+    division — so the kept SET is a pure integer function of the input
+    and the paired oracle recomputes membership row-for-row. Other
+    temperatures go through float pow: same structure, but a last-ulp
+    pow difference across engines could flip a boundary row, so only
+    T=2 carries a value-exact oracle (the property tests cover the rest).
+
+    Scale: one tiny per-group aggregate (broadcast back), then exactly
+    the budget_sample window — one hash exchange on the group, per-group
+    state only."""
+    if total_budget <= 0:
+        raise ValueError(f"total_budget must be positive (got {total_budget})")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive (got {temperature})")
+    from pyspark.sql import Window
+
+    totals = df.groupBy(group_col).agg(F.sum(F.col(token_col)).alias("_tg"))
+    if temperature == 2.0:
+        weights = totals.withColumn(
+            "_w", F.floor(F.sqrt(F.col("_tg"))).cast("long")
+        )
+        tot_w = weights.agg(F.sum("_w").alias("_wsum"))
+        budgets = (
+            weights.crossJoin(F.broadcast(tot_w))
+            .withColumn(
+                "_budget",
+                F.expr(f"({total_budget}L * _w) div _wsum").cast("long"),
+            )
+            .select(group_col, "_budget")
+        )
+    else:
+        weights = totals.withColumn(
+            "_w", F.pow(F.col("_tg").cast("double"), 1.0 / temperature)
+        )
+        tot_w = weights.agg(F.sum("_w").alias("_wsum"))
+        budgets = (
+            weights.crossJoin(F.broadcast(tot_w))
+            .withColumn(
+                "_budget",
+                F.floor(
+                    F.lit(float(total_budget)) * F.col("_w") / F.col("_wsum")
+                ).cast("long"),
+            )
+            .select(group_col, "_budget")
+        )
+
+    draw = _draw(F.col(id_col), salt)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_bdraw").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(budgets), group_col)
+        .withColumn("_bdraw", draw)
+        .withColumn("_cum", F.sum(F.col(token_col)).over(w))
+        .filter(F.col("_cum") <= F.col("_budget"))
+        .drop("_bdraw", "_cum", "_budget")
+    )

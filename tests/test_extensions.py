@@ -1863,3 +1863,57 @@ def test_sketches_on_empty(spark):
     assert heavy_hitters_mg(empty, "key", 5).count() == 0
     assert group_overlap_exact(empty, "g", "key").count() == 0
     assert group_minhash_overlap(empty, "g", "key").count() == 0
+
+
+def test_temperature_mix_budgets_and_order(spark):
+    import math
+
+    from purescript_ifrit_spark.operators.sampling import (
+        _draw,
+        temperature_mix,
+    )
+
+    # A: 1000 tokens, B: 9000 -> isqrt weights 31/94, budgets 1240/3760
+    rows = [(i, "A", 100) for i in range(10)] + [
+        (100 + i, "B", 100) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    out = temperature_mix(df, "doc_id", "n_tok", "source", 5000)
+    kept = out.collect()
+    a = [r for r in kept if r["source"] == "A"]
+    b = [r for r in kept if r["source"] == "B"]
+    assert len(a) == 10  # budget 1240 > group total: everything kept
+    assert len(b) == 37  # 37 * 100 = 3700 <= 3760 < 3800
+    # B's membership is the 37 smallest draws (hash order, id tiebreak)
+    draws = df.filter(F.col("source") == "B").select(
+        "doc_id", _draw(F.col("doc_id"), "v1").alias("d")
+    ).collect()
+    want = {
+        r.doc_id
+        for r in sorted(draws, key=lambda r: (r.d, r.doc_id))[:37]
+    }
+    assert {r["doc_id"] for r in b} == want
+    # small source got MORE than its proportional share (temperature)
+    assert 1000 / 10000 < len(a) * 100 / 4700
+
+
+def test_temperature_mix_general_t_and_guards(spark):
+    from purescript_ifrit_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "A", 10) for i in range(50)] + [
+        (100 + i, "B", 10) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    # equal groups: any temperature splits the budget evenly
+    out = temperature_mix(df, "doc_id", "n_tok", "source", 400, temperature=1.5)
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(
+            F.sum("n_tok").alias("n")
+        ).collect()
+    }
+    assert per == {"A": 200, "B": 200}
+    with pytest.raises(ValueError):
+        temperature_mix(df, "doc_id", "n_tok", "source", 0)
+    with pytest.raises(ValueError):
+        temperature_mix(df, "doc_id", "n_tok", "source", 100, temperature=0)
