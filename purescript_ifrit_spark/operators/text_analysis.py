@@ -526,3 +526,51 @@ def unigram_logprob(
         (F.sum("_nll") / F.count(F.lit(1)).cast("double")).alias("xent"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean conditional cross-entropy under the corpus's own
+    BIGRAM model: mean over adjacent token pairs of −ln p(w₂|w₁) with
+    p = c(w₁,w₂)/c(w₁·) — the sharper sibling of `unigram_logprob`
+    (word-salad scores high under a bigram model even when its unigram
+    distribution looks normal; boilerplate scores near zero). Counts are
+    the corpus's own, so no external model artifact.
+
+    Output: one row per document with ≥2 tokens — `xent2` and
+    `n_bigrams`. Both counts are exact integers; cross-engine drift is one
+    libm ln ulp + summation order (rounded downstream).
+
+    100 TB design (the unigram lessons applied): bigram pairs explode
+    SCAN-STAGE (arrays_zip of the token array against itself shifted by
+    one — no shuffle); the bigram vocabulary aggregates once with map-side
+    partials; the CONTEXT counts c(w₁·) roll up from the bigram vocabulary
+    (vocabulary-sized input — the corpus is never re-exploded for them);
+    scoring joins pair rows to the vocab (AQE-broadcast when it fits) and
+    aggregates per doc with map-side partials."""
+    toks = X.tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1).alias("w1"),
+                F.slice(toks, 2, n - 1).alias("w2"),
+            )
+        ).alias("_p"),
+    ).select("_doc", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    vocab2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    ctx = vocab2.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    scored = (
+        pairs.join(vocab2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .withColumn(
+            "_nll",
+            -F.log(F.col("_c12").cast("double") / F.col("_c1").cast("double")),
+        )
+    )
+    return scored.groupBy(F.col("_doc").alias(id_col)).agg(
+        (F.sum("_nll") / F.count(F.lit(1)).cast("double")).alias("xent2"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

@@ -474,3 +474,32 @@ def x_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("text_md5"),
         F.length(F.col("text")).cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "x_bigram_xent",
+    # conditional cross-entropy under the corpus's own bigram counts;
+    # docs with <2 tokens have no row on either side
+    "WITH t AS (SELECT doc_id, "
+    f"string_split({_NORM_SQL}, ' ') AS ts FROM documents), "
+    "i AS (SELECT doc_id, ts, UNNEST(range(1, len(ts))) AS i FROM t), "
+    "p AS (SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i+1 AS INT)] AS w2 FROM i), "
+    "v2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM p GROUP BY 1, 2), "
+    "c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM v2 GROUP BY 1) "
+    "SELECT doc_id, "
+    "ROUND(SUM(-ln(c12 * 1.0 / c1)) / COUNT(*), 6) AS xent2, "
+    "CAST(COUNT(*) AS BIGINT) AS n_bigrams "
+    "FROM p JOIN v2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id",
+)
+def x_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM conditional cross-entropy scoring
+    (operators/text_analysis.bigram_logprob)."""
+    from purescript_ifrit_spark.operators.text_analysis import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.round(F.col("xent2"), 6).alias("xent2"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+    )

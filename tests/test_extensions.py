@@ -1917,3 +1917,20 @@ def test_temperature_mix_general_t_and_guards(spark):
         temperature_mix(df, "doc_id", "n_tok", "source", 0)
     with pytest.raises(ValueError):
         temperature_mix(df, "doc_id", "n_tok", "source", 100, temperature=0)
+
+
+def test_bigram_logprob_known_values(spark):
+    import math
+
+    from purescript_ifrit_spark.operators.text_analysis import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    # corpus bigram counts: (a,b)=3 (b,a)=1 (b,c)=1; contexts a·=3 b·=2
+    assert set(out) == {0, 1}  # <2 tokens -> no distribution
+    assert out[0]["n_bigrams"] == 3 and out[1]["n_bigrams"] == 2
+    assert out[0]["xent2"] == pytest.approx(math.log(2) / 3, abs=1e-12)
+    assert out[1]["xent2"] == pytest.approx(math.log(2) / 2, abs=1e-12)
