@@ -249,6 +249,33 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         )
         return dedup_against_blocklist(docs, block)
 
+    def qx_bigram_xent():
+        from purescript_ifrit_spark.operators.text_analysis import (
+            bigram_logprob,
+        )
+
+        return bigram_logprob(t["documents"], "doc_id", "text")
+
+    def qx_heavy_hitters():
+        from purescript_ifrit_spark.functions import text as X
+        from purescript_ifrit_spark.operators.sketches import (
+            heavy_hitters_mg,
+        )
+
+        toks = t["documents"].select(
+            F.explode(X.tokens(F.col("text"))).alias("tok")
+        ).filter(F.col("tok") != "")
+        return heavy_hitters_mg(toks, "tok", 20, capacity=256)
+
+    def qx_temperature_mix():
+        from purescript_ifrit_spark.functions import text as X
+        from purescript_ifrit_spark.operators.sampling import temperature_mix
+
+        docs = t["documents"].withColumn(
+            "n_tok", X.token_count(F.col("text")).cast("long")
+        )
+        return temperature_mix(docs, "doc_id", "n_tok", "source", 100_000)
+
     def qx_subdoc_dedup():
         from purescript_ifrit_spark.operators.dedup import dedup_subdocument
 
@@ -278,6 +305,9 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_unigram_xent": qx_unigram_xent,
         "qx_simhash_pairs": qx_simhash_pairs,
         "qx_blocklist_dedup": qx_blocklist_dedup,
+        "qx_bigram_xent": qx_bigram_xent,
+        "qx_heavy_hitters": qx_heavy_hitters,
+        "qx_temperature_mix": qx_temperature_mix,
     }
 
     # JVM warm-up (parquet footers, codegen)

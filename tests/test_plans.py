@@ -433,3 +433,44 @@ def test_blocklist_dedup_corpus_never_shuffles(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     # the sole hash exchange belongs to the blocklist distinct
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_heavy_hitters_mg_shuffles_only_summaries(spark, sf_dir):
+    """The merge exchange carries per-partition summaries (≤ capacity rows
+    each), never the raw item stream — the Arrow stage runs BELOW the only
+    hashpartitioning exchange."""
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.sketches import heavy_hitters_mg
+    from purescript_ifrit_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(X.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    plan = physical(heavy_hitters_mg(toks, "tok", 10, capacity=64))
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the exchange sits ABOVE MapInPandas in the tree (summary merge)
+    assert plan.index("Exchange hashpartitioning") < plan.index(
+        "MapInPandas"
+    ), plan
+
+
+def test_temperature_mix_single_window_exchange(spark, sf_dir):
+    """Budgets broadcast back onto the corpus; the fill is ONE hash
+    exchange on the group with a single window pass (budget_sample's
+    shape), no sort-merge join anywhere."""
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.sampling import temperature_mix
+    from purescript_ifrit_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", X.token_count(F.col("text")).cast("long")
+    )
+    plan = physical(
+        temperature_mix(docs, "doc_id", "n_tok", "source", 10_000)
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Window") == 1, plan
