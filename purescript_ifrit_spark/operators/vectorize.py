@@ -1,0 +1,142 @@
+"""Text → vector operators built on the hashing trick, plus linear-model
+scoring — the bridge between the text-curation stack and the ANN/embedding
+stack without any external model artifact.
+
+No reference counterpart (SURVEY.md §2.7 family). Feature-hash embeddings
+are the classic deterministic text vectorizer (Weinberger et al.'s hashing
+trick): token → md5 bucket + sign, so the vector is a pure function of the
+text — reproducible across engines, which is what makes the paired oracles
+value-exact. A linear classifier over those features is exactly the
+fastText-style quality-filter shape corpora are actually filtered with at
+scale; `linear_hash_score` applies such a model (any (bucket, weight)
+table) in one scan-stage join-free pass per token stream.
+
+100 TB design: everything follows the codegen-aggregate discipline the
+dedup signatures use — tokens explode once, bucket/sign are scan-stage
+integer expressions on the md5 the engine computes anyway, and the only
+exchanges are doc-keyed aggregations with map-side partials. No interpreted
+per-token higher-order folds, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.functions import text as X
+
+
+def _bucket_and_sign(tok_col, dim: int):
+    """(bucket, sign) of a token under the hashing trick: bucket = the
+    first 8 md5 hex digits mod dim; sign = ±1 from the 9th hex digit's
+    low bit. Engine-neutral (md5 + integer ops only)."""
+    h8 = F.conv(F.substring(F.md5(tok_col), 1, 8), 16, 10).cast("long")
+    bucket = (h8 % dim).cast("int")
+    sign9 = F.conv(F.substring(F.md5(tok_col), 9, 1), 16, 10).cast("long")
+    sign = F.when(sign9 % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return bucket, sign
+
+
+def feature_hash_sparse(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Sparse hashing-trick document vectors: one (id, bucket, value) row
+    per non-zero coordinate, value = signed token count. Flat rows — the
+    oracle-comparable form, and the storage-efficient one (a 1M-dim space
+    costs only the non-zeros).
+
+    Zero-sum coordinates (a +1 and a −1 token colliding) are DROPPED, so
+    the sparse form contains exactly the non-zeros of the dense vector."""
+    if dim <= 0:
+        raise ValueError(f"dim must be positive (got {dim})")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(X.tokens(F.col(text_col))).alias("_t"),
+    ).filter(F.col("_t") != "")
+    bucket, sign = _bucket_and_sign(F.col("_t"), dim)
+    return (
+        toks.select("_id", bucket.alias("bucket"), sign.alias("_s"))
+        .groupBy("_id", "bucket")
+        .agg(F.sum("_s").alias("value"))
+        .filter(F.col("value") != 0)
+        .select(F.col("_id").alias(id_col), "bucket", "value")
+    )
+
+
+def feature_hash_embed(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    dim: int = 64, normalize: bool = True,
+) -> DataFrame:
+    """Dense hashing-trick embeddings (id, embedding: array<double>) —
+    the composable form for the ANN/similarity stack (cosine_topk,
+    knn_join_lsh, embedding_neardup_pairs all accept it directly).
+
+    Built FROM the sparse form: map_from_entries + a sequence transform
+    densify per doc (vocabulary work is already done; this is one
+    scan-stage projection over the aggregated rows). `normalize` L2-scales
+    so cosine is an inner product downstream. Sparse↔dense equivalence is
+    pinned in tests; use the sparse form for driver-comparable output."""
+    sparse = feature_hash_sparse(df, id_col, text_col, dim)
+    entries = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "value"))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("int")).cast("double"),
+            F.lit(0.0),
+        ),
+    )
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                dense, F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        dense = F.transform(
+            dense,
+            lambda x: F.when(nrm == 0, F.lit(0.0)).otherwise(x / nrm),
+        )
+    return entries.select(id_col, dense.alias("embedding"))
+
+
+def linear_hash_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Apply a linear model over hashed token features — the fastText-style
+    corpus quality filter: score = σ(bias + Σ_tokens sign·w[bucket]),
+    keep = score ≥ 0.5 (equivalently margin ≥ 0).
+
+    `weights` is any (bucket:int, w:double) table — learned offline or a
+    heuristic. It is vocabulary-free and at most `dim` rows, so it
+    BROADCASTS; the corpus-side cost is one token explode + one broadcast
+    join + one doc-keyed aggregation with map-side partials. Output:
+    (id, margin, score, keep)."""
+    if dim <= 0:
+        raise ValueError(f"dim must be positive (got {dim})")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(X.tokens(F.col(text_col))).alias("_t"),
+    ).filter(F.col("_t") != "")
+    bucket, sign = _bucket_and_sign(F.col("_t"), dim)
+    feats = toks.select("_id", bucket.alias("bucket"), sign.alias("_s"))
+    joined = feats.join(
+        F.broadcast(weights.select("bucket", "w")), "bucket", "left"
+    ).withColumn("_contrib", F.col("_s") * F.coalesce(F.col("w"), F.lit(0.0)))
+    agg = joined.groupBy(F.col("_id").alias(id_col)).agg(
+        (F.lit(float(bias)) + F.sum("_contrib")).alias("margin")
+    )
+    return agg.select(
+        id_col,
+        "margin",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))).alias("score"),
+        (F.col("margin") >= 0).alias("keep"),
+    )

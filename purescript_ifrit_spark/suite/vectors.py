@@ -180,3 +180,62 @@ def x_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_join_lsh(emb, "vec_id", "embedding", k=5)
+
+
+_FH_TOK = (
+    "WITH tok AS (SELECT doc_id, "
+    "UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t "
+    "FROM documents), "
+    "f AS (SELECT doc_id, "
+    "CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64 AS INT) AS bucket, "
+    "CASE WHEN CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2 = 0 "
+    "THEN 1 ELSE -1 END AS s FROM tok WHERE t <> '') "
+)
+
+
+@register(
+    "x_feature_hash",
+    _FH_TOK + "SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS value "
+    "FROM f GROUP BY doc_id, bucket HAVING SUM(s) <> 0",
+)
+def x_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse document vectors (operators/vectorize.
+    feature_hash_sparse): md5 bucket + sign per token, signed counts —
+    a pure function of the text, recomputed exactly by the oracle."""
+    from purescript_ifrit_spark.operators.vectorize import feature_hash_sparse
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = feature_hash_sparse(docs, "doc_id", "text", dim=64)
+    return out.select(
+        "doc_id", "bucket", F.col("value").cast("long").alias("value")
+    )
+
+
+@register(
+    "x_linear_filter",
+    # planted integer-derived weights: w(b) = ((b*2654435761) % 1000)/1000 - 0.5
+    _FH_TOK + ", sc AS (SELECT doc_id, "
+    "SUM(s * (((bucket * 2654435761) % 1000) / 1000.0 - 0.5)) AS margin "
+    "FROM f GROUP BY doc_id) "
+    "SELECT doc_id, ROUND(margin, 6) AS margin, "
+    "ROUND(1.0 / (1.0 + exp(-margin)), 6) AS score, "
+    "margin >= 0 AS keep FROM sc",
+)
+def x_linear_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality filter over hashed features
+    (operators/vectorize.linear_hash_score) with planted deterministic
+    weights — the apply-a-learned-filter-at-scale path."""
+    from purescript_ifrit_spark.operators.vectorize import linear_hash_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = spark.range(64).select(
+        F.col("id").cast("int").alias("bucket"),
+        (((F.col("id") * 2654435761) % 1000) / 1000.0 - 0.5).alias("w"),
+    )
+    out = linear_hash_score(docs, w, "doc_id", "text", dim=64)
+    return out.select(
+        "doc_id",
+        F.round(F.col("margin"), 6).alias("margin"),
+        F.round(F.col("score"), 6).alias("score"),
+        "keep",
+    )

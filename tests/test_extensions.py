@@ -1934,3 +1934,72 @@ def test_bigram_logprob_known_values(spark):
     assert out[0]["n_bigrams"] == 3 and out[1]["n_bigrams"] == 2
     assert out[0]["xent2"] == pytest.approx(math.log(2) / 3, abs=1e-12)
     assert out[1]["xent2"] == pytest.approx(math.log(2) / 2, abs=1e-12)
+
+
+def test_feature_hash_sparse_dense_equivalence(spark):
+    import math
+
+    from purescript_ifrit_spark.operators.vectorize import (
+        feature_hash_embed,
+        feature_hash_sparse,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "delta"), (3, "")],
+        ["doc_id", "text"],
+    )
+    sparse = feature_hash_sparse(df, dim=16)
+    dense = feature_hash_embed(df, dim=16)
+    sp = {}
+    for r in sparse.collect():
+        sp.setdefault(r["doc_id"], {})[r["bucket"]] = r["value"]
+    dn = {r["doc_id"]: r["embedding"] for r in dense.collect()}
+    assert set(sp) == set(dn)  # blank doc appears in neither
+    assert 3 not in sp
+    for doc, coords in sp.items():
+        nrm = math.sqrt(sum(v * v for v in coords.values()))
+        for b in range(16):
+            want = coords.get(b, 0) / nrm
+            assert abs(dn[doc][b] - want) < 1e-12
+        assert sum(x * x for x in dn[doc]) == pytest.approx(1.0)
+
+
+def test_feature_hash_embed_composes_with_ann(spark):
+    from purescript_ifrit_spark.operators.similarity import cosine_topk
+    from purescript_ifrit_spark.operators.vectorize import feature_hash_embed
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine plans joins"),
+            (2, "spark query engine plans shuffles"),
+            (3, "completely unrelated cooking recipe ingredients"),
+        ],
+        ["doc_id", "text"],
+    )
+    emb = feature_hash_embed(df, dim=64)
+    q = emb.filter(F.col("doc_id") == 1).first()["embedding"]
+    top = cosine_topk(emb, "doc_id", "embedding", list(q), k=2).collect()
+    # doc 1 is its own nearest neighbor, near-dup doc 2 second
+    assert [r["doc_id"] for r in top] == [1, 2]
+
+
+def test_linear_hash_score_known_values(spark):
+    from purescript_ifrit_spark.operators.vectorize import (
+        feature_hash_sparse,
+        linear_hash_score,
+    )
+
+    df = spark.createDataFrame([(1, "alpha beta alpha")], ["doc_id", "text"])
+    # weight 1.0 on every bucket: margin = sum of signed counts
+    w = spark.range(16).select(
+        F.col("id").cast("int").alias("bucket"), F.lit(1.0).alias("w")
+    )
+    signed_total = sum(
+        r["value"]
+        for r in feature_hash_sparse(df, dim=16).collect()
+    )
+    out = linear_hash_score(df, w, dim=16).collect()[0]
+    assert out["margin"] == pytest.approx(float(signed_total))
+    assert out["keep"] == (out["margin"] >= 0)
+    with pytest.raises(ValueError):
+        linear_hash_score(df, w, dim=0)
