@@ -124,3 +124,87 @@ def curate(
         scored.unpersist()
         exact.unpersist()
     return CurationReport(n_input, n_quality, n_exact, n_fuzzy, out)
+
+
+def corpus_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One-call corpus statistics report: a tall (metric, value) frame a
+    data team reads before touching a new corpus — sizes, token totals,
+    length percentiles, language mix, and the exact duplicate rate.
+
+    Everything reduces to aggregates with map-side partials over ONE
+    column-pruned scan pipeline (lazy until consumed); the duplicate rate
+    reuses the exact-dedup fingerprint shuffle. Output is a fixed small
+    set of rows regardless of corpus size — the cheapest possible
+    driver-facing artifact at 100 TB.
+
+    Metrics: n_docs, n_tokens, n_chars, mean/p50/p90/p99_doc_tokens,
+    n_distinct_fingerprints, dup_rate (1 − distinct/total), plus one
+    `lang_frac:<lang>` row per language."""
+    from purescript_ifrit_spark.functions import text as X
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("_lang"),
+        X.token_count(F.col(text_col)).cast("long").alias("_ntok"),
+        F.length(F.col(text_col)).cast("long").alias("_nchr"),
+        X.fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    core = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ntok").alias("n_tokens"),
+        F.sum("_nchr").alias("n_chars"),
+        F.avg("_ntok").alias("mean_doc_tokens"),
+        F.expr("percentile(_ntok, 0.5)").alias("p50_doc_tokens"),
+        F.expr("percentile(_ntok, 0.9)").alias("p90_doc_tokens"),
+        F.expr("percentile(_ntok, 0.99)").alias("p99_doc_tokens"),
+        F.countDistinct("_fp").alias("n_distinct_fp"),
+    )
+    tall = core.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("n_docs"),
+                    F.lit("n_tokens"),
+                    F.lit("n_chars"),
+                    F.lit("mean_doc_tokens"),
+                    F.lit("p50_doc_tokens"),
+                    F.lit("p90_doc_tokens"),
+                    F.lit("p99_doc_tokens"),
+                    F.lit("n_distinct_fingerprints"),
+                    F.lit("dup_rate"),
+                ),
+                F.array(
+                    F.col("n_docs").cast("double"),
+                    F.col("n_tokens").cast("double"),
+                    F.col("n_chars").cast("double"),
+                    F.col("mean_doc_tokens").cast("double"),
+                    F.col("p50_doc_tokens").cast("double"),
+                    F.col("p90_doc_tokens").cast("double"),
+                    F.col("p99_doc_tokens").cast("double"),
+                    F.col("n_distinct_fp").cast("double"),
+                    F.when(F.col("n_docs") == 0, F.lit(None)).otherwise(
+                        F.lit(1.0)
+                        - F.col("n_distinct_fp").cast("double")
+                        / F.col("n_docs").cast("double")
+                    ),
+                ),
+            )
+        ).alias("metric", "value")
+    )
+    langs = base.groupBy("_lang").agg(F.count(F.lit(1)).alias("_n"))
+    total = base.agg(F.count(F.lit(1)).alias("_tot"))
+    lang_rows = (
+        langs.crossJoin(F.broadcast(total))
+        .select(
+            F.concat(F.lit("lang_frac:"), F.col("_lang")).alias("metric"),
+            (F.col("_n").cast("double") / F.col("_tot").cast("double")).alias(
+                "value"
+            ),
+        )
+    )
+    return tall.unionByName(lang_rows)

@@ -738,3 +738,47 @@ def x_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_b",
         F.round(F.col("est_jaccard"), 6).alias("est_jaccard"),
     )
+
+
+_NTOK_SQL = (
+    "CAST(CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0 "
+    "THEN 0 ELSE len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) "
+    "END AS BIGINT)"
+)
+
+_REPORT_ORACLE = (
+    f"WITH d AS (SELECT doc_id, lang, {_NTOK_SQL} AS ntok, "
+    "CAST(length(text) AS BIGINT) AS nchr, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents), "
+    "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(ntok) AS BIGINT) AS n_tokens, CAST(SUM(nchr) AS BIGINT) AS n_chars, "
+    "AVG(ntok) AS mean_t, quantile_cont(ntok, 0.5) AS p50, "
+    "quantile_cont(ntok, 0.9) AS p90, quantile_cont(ntok, 0.99) AS p99, "
+    "CAST(COUNT(DISTINCT fp) AS BIGINT) AS ndfp FROM d) "
+    "SELECT metric, ROUND(value, 6) AS value FROM ("
+    "SELECT 'n_docs' AS metric, n_docs * 1.0 AS value FROM c "
+    "UNION ALL SELECT 'n_tokens', n_tokens * 1.0 FROM c "
+    "UNION ALL SELECT 'n_chars', n_chars * 1.0 FROM c "
+    "UNION ALL SELECT 'mean_doc_tokens', mean_t FROM c "
+    "UNION ALL SELECT 'p50_doc_tokens', p50 * 1.0 FROM c "
+    "UNION ALL SELECT 'p90_doc_tokens', p90 * 1.0 FROM c "
+    "UNION ALL SELECT 'p99_doc_tokens', p99 * 1.0 FROM c "
+    "UNION ALL SELECT 'n_distinct_fingerprints', ndfp * 1.0 FROM c "
+    "UNION ALL SELECT 'dup_rate', 1.0 - ndfp * 1.0 / n_docs FROM c "
+    "UNION ALL SELECT 'lang_frac:' || lang, "
+    "COUNT(*) * 1.0 / (SELECT n_docs FROM c) FROM d GROUP BY lang)"
+)
+
+
+@register("x_corpus_report", _REPORT_ORACLE)
+def x_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus statistics report (operators/pipeline.
+    corpus_report): sizes, token totals, length percentiles, language
+    mix, exact dup rate — a fixed tall frame regardless of corpus size."""
+    from purescript_ifrit_spark.operators.pipeline import corpus_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_report(docs)
+    return out.select(
+        "metric", F.round(F.col("value"), 6).alias("value")
+    )

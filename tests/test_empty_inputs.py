@@ -225,3 +225,13 @@ def test_round5_operators_on_empty(empty_docs):
 
     assert dedup_subdocument(empty_docs).count() == 0
     assert unigram_logprob(empty_docs).count() == 0
+
+
+def test_corpus_report_on_empty(empty_docs):
+    from pyspark.sql import functions as F
+
+    from purescript_ifrit_spark.operators.pipeline import corpus_report
+
+    docs = empty_docs.withColumn("lang", F.lit("en"))
+    rows = {r["metric"]: r["value"] for r in corpus_report(docs).collect()}
+    assert rows["n_docs"] == 0.0 and rows["n_tokens"] is None or rows["n_tokens"] == 0.0

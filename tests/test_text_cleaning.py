@@ -342,3 +342,41 @@ def test_html_extract_matches_duckdb_twin(spark):
         con.execute(f"SELECT id, {html_text_sql('html')} FROM t").fetchall()
     )
     assert got == want
+
+
+def test_html_extract_cross_engine_fuzz(spark):
+    """Randomized tag soup: the Spark expression and the DuckDB twin must
+    agree byte-for-byte on arbitrary fragment combinations (seeded — the
+    same 200 cases every run)."""
+    import random
+
+    import duckdb
+
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        extract_html_text,
+        html_text_sql,
+    )
+
+    rng = random.Random(42)
+    frags = [
+        "<p>", "</p>", "<div class='x'>", "</div>", "<br>", "<br/>",
+        "<script>", "</script>", "<style>", "</style>", "<!--", "-->",
+        "&amp;", "&lt;", "&gt;", "&nbsp;", "&quot;", "&#39;",
+        "plain words", "more text", "x<y", "a>b", "tab\there",
+        "line\nbreak", "  spaces  ", "<h2>", "</h2>", "<unclosed",
+        "<li>item</li>", "'quote'", '"dquote"',
+    ]
+    cases = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(0, 12)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(list(enumerate(cases)), ["id", "html"])
+    got = {r["id"]: r["text"] for r in extract_html_text(df, "html").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, html VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    want = dict(
+        con.execute(f"SELECT id, {html_text_sql('html')} FROM t").fetchall()
+    )
+    mismatches = [i for i in got if got[i] != want[i]]
+    assert not mismatches, (mismatches[:3], [cases[i] for i in mismatches[:3]])
