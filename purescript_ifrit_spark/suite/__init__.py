@@ -69,13 +69,33 @@ _DRIVER_WINDOW_R5 = [
     # -- (1) reshaped this round (VERDICT r4 #1) ---------------------------
     "x_embedding_normalize",
     "x_embedding_quantize",
-    # -- (2) new round-5 operators -----------------------------------------
+    # -- (2) new round-5 operators, never driver-verified ------------------
+    # (oracle-backed entries first — the policy's "never-verified enter
+    # first" outranks backfill; rows-only newcomers except the DAU/exact
+    # pair yield their slots, since their hard signal lives in the paired
+    # exact twins and pytest envelopes)
     "x_dau_exact",
     "x_dau_approx",
     "x_dedup_subdoc",
     "x_unigram_xent",
     "x_corr_stats",
     "x_cube_counts",
+    "x_quality_topfrac",
+    "x_ohlc_bars",
+    "x_moving_avg",
+    "x_hopping_agg",
+    "x_value_histogram",
+    "x_salted_join",
+    "x_blocklist_dedup",
+    "x_heavy_hitters",
+    "x_source_overlap_exact",
+    "x_source_overlap_sketch",
+    "x_html_extract",
+    "x_temperature_mix",
+    "x_bigram_xent",
+    "x_feature_hash",
+    "x_linear_filter",
+    "x_corpus_report",
     # -- (3) the 24 r1/r2-only §2 dialect rows -----------------------------
     "p3_alias",
     "f1_neq",
@@ -102,28 +122,12 @@ _DRIVER_WINDOW_R5 = [
     "b2_avg_nested_array",
     "b5_max_nested_array",
     # -- (4) oldest r3-only entries, ledger order --------------------------
+    # (the remaining r3-only and r1/r2-extension rows — and the rows-only
+    # newcomers x_knn_join / x_percentiles_approx / x_streaming_dau /
+    # x_heavy_hitters_mg / x_shuffle_shards / x_term_spectrum — queue for
+    # the r6 window behind this round's never-verified oracle entries)
     "x_dedup_ngram_planted",
     "x_ann_ivf_topk",
-    "x_multimodal_framesample",
-    "x_tpch_q18ish",
-    "x_approx_distinct",
-    "x_chunk_documents",
-    "x_pack_sequences",
-    "x_streaming_windowed",
-    "x_streaming_session",
-    "x_dedup_clusters_planted",
-    "x_streaming_state",
-    "x_dedup_clusters",
-    "x_rolling_fingerprint",
-    "x_partitioned_sink",
-    "x_set_ops",
-    "x_explode_chunks",
-    # x_term_stats / x_embedding_centroids / x_split_train_val /
-    # x_hash_sample / x_pii_redact / xd_redact (all r3-checked) yield their
-    # backfill slots to this round's never-verified additions; they are
-    # first in line for the r6 window
-    "x_shuffle_shards",
-    "x_term_spectrum",
 ]
 
 
