@@ -128,3 +128,43 @@ def x_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
     return extract_audio_stats(synth_wav_media(ids))
+
+
+@register(
+    "x_multimodal_video",
+    # planted-truth for the REAL concatenated-netpbm VIDEO decode path:
+    # streams follow the closed form (n_frames = 2 + id%4, w = 4 + id%6,
+    # h = 3 + id%4, frame f byte k = (id*7 + f*13 + k) % 256), frames
+    # sampled at stride 2 — the oracle recomputes every sampled frame's
+    # channel sums arithmetically WITHOUT decoding; the Spark side must
+    # walk the actual back-to-back P6 headers/rasters to agree. Means are
+    # raw IEEE divisions of exact integer sums.
+    "WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf, 4 + doc_id % 6 AS w, "
+    "3 + doc_id % 4 AS h FROM documents), "
+    "fr AS (SELECT doc_id, nf, w, h, UNNEST(range(0, nf, 2)) AS f FROM d), "
+    "px AS (SELECT doc_id, nf, w, h, f, k % 3 AS c, "
+    "CAST((doc_id * 7 + f * 13 + k) % 256 AS BIGINT) AS v "
+    "FROM fr, unnest(range(0, 3 * w * h)) AS t(k)) "
+    "SELECT doc_id AS media_id, CAST(MAX(nf) AS INT) AS n_frames, "
+    "CAST(f AS INT) AS frame_idx, CAST(MAX(w) AS INT) AS width, "
+    "CAST(MAX(h) AS INT) AS height, "
+    "CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r, "
+    "CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g, "
+    "CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b, "
+    "CAST(SUM(CASE WHEN c = 0 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_r, "
+    "CAST(SUM(CASE WHEN c = 1 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_g, "
+    "CAST(SUM(CASE WHEN c = 2 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_b "
+    "FROM px GROUP BY doc_id, f",
+)
+def x_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-verified VIDEO decode: synth_ppm_video writes genuine
+    concatenated binary P6 streams; extract_video_stats must parse every
+    frame boundary on the workers to reproduce the closed form for the
+    stride-2 sampled frames."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_video_stats,
+        synth_ppm_video,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_video_stats(synth_ppm_video(ids), every_n=2)

@@ -2003,3 +2003,53 @@ def test_linear_hash_score_known_values(spark):
     assert out["keep"] == (out["margin"] >= 0)
     with pytest.raises(ValueError):
         linear_hash_score(df, w, dim=0)
+
+
+def test_decode_ppm_stream_walks_frames_and_rejects_tails(spark):
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        decode_ppm,
+        decode_ppm_stream,
+    )
+
+    def frame(w, h, fill):
+        return f"P6\n{w} {h}\n255\n".encode() + bytes([fill]) * (3 * w * h)
+
+    stream = frame(2, 2, 10) + frame(3, 1, 20) + frame(1, 1, 30)
+    frames = decode_ppm_stream(stream)
+    assert [f.shape for f in frames] == [(2, 2, 3), (1, 3, 3), (1, 1, 3)]
+    assert frames[1].flatten().tolist() == [20] * 9
+    # single-frame decode agrees with the stream's first frame
+    assert np.array_equal(decode_ppm(stream), frames[0])
+    # empty stream is zero frames; trailing garbage is corrupt
+    assert decode_ppm_stream(b"") == []
+    with pytest.raises(ValueError):
+        decode_ppm_stream(stream + b"junk")
+    with pytest.raises(ValueError):
+        decode_ppm_stream(frame(2, 2, 10)[:-1])  # truncated raster
+
+
+def test_extract_video_stats_sampling_and_poison(spark):
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_video_stats,
+        synth_ppm_video,
+    )
+
+    ids = spark.range(8).select(F.col("id").alias("doc_id"))
+    media = synth_ppm_video(ids)
+    out = extract_video_stats(media, every_n=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for i in range(8):
+        nf = 2 + i % 4
+        assert sorted(by_id[i]) == list(range(0, nf, 2))
+    # poison payload -> one NULL row, media accounted for
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"not a video"))], ["media_id", "payload"]
+    )
+    rows = extract_video_stats(bad).collect()
+    assert len(rows) == 1 and rows[0]["n_frames"] is None
+    with pytest.raises(ValueError):
+        extract_video_stats(media, every_n=0)
