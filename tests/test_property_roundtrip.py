@@ -238,3 +238,20 @@ def test_decode_ppm_header_prefix_garbage(payload):
         decode_ppm(b"P6" + payload)
     except ValueError:
         pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_decode_ppm_stream_total_on_garbage(payload):
+    """decode_ppm_stream is TOTAL: a frame list or a clean ValueError —
+    including garbage spliced AFTER a valid frame (the frame walk must
+    reject corrupt tails, never loop or crash)."""
+    from purescript_ifrit_spark.operators.multimodal import decode_ppm_stream
+
+    valid = b"P6\n2 2\n255\n" + bytes(12)
+    for buf in (payload, valid + payload):
+        try:
+            frames = decode_ppm_stream(buf)
+            assert all(f.ndim == 3 for f in frames)
+        except ValueError:
+            pass
