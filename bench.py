@@ -267,6 +267,15 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         ).filter(F.col("tok") != "")
         return heavy_hitters_mg(toks, "tok", 20, capacity=256)
 
+    def qx_video_stats():
+        from purescript_ifrit_spark.operators.multimodal import (
+            extract_video_stats,
+            synth_ppm_video,
+        )
+
+        ids = t["documents"].select("doc_id")
+        return extract_video_stats(synth_ppm_video(ids), every_n=2)
+
     def qx_temperature_mix():
         from purescript_ifrit_spark.functions import text as X
         from purescript_ifrit_spark.operators.sampling import temperature_mix
@@ -308,6 +317,7 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_bigram_xent": qx_bigram_xent,
         "qx_heavy_hitters": qx_heavy_hitters,
         "qx_temperature_mix": qx_temperature_mix,
+        "qx_video_stats": qx_video_stats,
     }
 
     # JVM warm-up (parquet footers, codegen)
