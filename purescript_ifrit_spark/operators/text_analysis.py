@@ -574,3 +574,101 @@ def bigram_logprob(
         (F.sum("_nll") / F.count(F.lit(1)).cast("double")).alias("xent2"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+def vocab_divergence(
+    df: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-group KL divergence of the group's unigram distribution from the
+    whole corpus's — the corpus-drift / source-skew report (a source whose
+    token mix diverges hard from the pool is boilerplate, another language,
+    or spam; monitoring KL across snapshots catches ingest drift).
+
+    Output: (group, kl, n_tokens, vocab_terms), kl in nats =
+    Σ_t p_g(t)·ln(p_g(t)/p_c(t)). Finite by construction: every group term
+    is a corpus term (the corpus counts ROLL UP from the group counts).
+    Ratios of exact integers — cross-engine drift is ln ulps + sum order
+    (round downstream).
+
+    100 TB design: one corpus-sized exchange (the (group, term) count,
+    map-side partials); corpus counts, group totals, and the corpus total
+    all derive from that vocabulary-sized table (never a second corpus
+    pass); the scoring join is vocab-sized on both sides."""
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(X.tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    gt = toks.groupBy("_g", "term").agg(F.count(F.lit(1)).alias("_cgt"))
+    ct = gt.groupBy("term").agg(F.sum("_cgt").alias("_ct"))
+    gtot = gt.groupBy("_g").agg(
+        F.sum("_cgt").alias("_tg"),
+        F.count(F.lit(1)).alias("_vg"),
+    )
+    tot = ct.agg(F.sum("_ct").alias("_t"))
+    scored = (
+        gt.join(ct, "term")
+        .join(F.broadcast(gtot), "_g")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_pg", F.col("_cgt").cast("double") / F.col("_tg").cast("double")
+        )
+        .withColumn(
+            "_pc", F.col("_ct").cast("double") / F.col("_t").cast("double")
+        )
+    )
+    return scored.groupBy(F.col("_g").alias(group_col)).agg(
+        F.sum(F.col("_pg") * F.log(F.col("_pg") / F.col("_pc"))).alias("kl"),
+        F.first("_tg").alias("n_tokens"),
+        F.first("_vg").alias("vocab_terms"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the document's DISTINCT
+    word n-grams that appear in NO other document — the memorization-risk /
+    templating signal (novelty near 0 = the document is assembled from
+    corpus-recurring passages; near 1 = genuinely novel text).
+
+    Output: (id, n_grams, n_novel, novelty) for documents with ≥ n tokens.
+    Exact integer counts; novelty is one division (round downstream only
+    if comparing cross-engine at full precision matters).
+
+    100 TB design: grams are built scan-stage from the token array and
+    immediately replaced by their md5 (32-byte keys shuffle instead of
+    arbitrarily long gram strings — the same keys the oracle can compute,
+    unlike engine-private hashes); document frequency aggregates over the
+    distinct (doc, gram) pre-aggregation with map-side partials, and the
+    novelty join is gram-keyed with no corpus re-read."""
+    if n <= 0:
+        raise ValueError(f"n must be positive (got {n})")
+    toks = X.tokens(F.col(text_col))
+    sz = F.size(toks)
+    # guard: sequence(1, 0) is the DESCENDING [1, 0], not empty — a doc
+    # shorter than n tokens must yield zero grams, not bogus partial ones
+    gram_keys = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - n + 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(gram_keys).alias("_gk"),
+    )
+    doc_grams = grams.distinct()
+    gram_df = doc_grams.groupBy("_gk").agg(F.count(F.lit(1)).alias("_df"))
+    flagged = doc_grams.join(gram_df, "_gk")
+    return flagged.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_novel"),
+        (
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("novelty"),
+    )

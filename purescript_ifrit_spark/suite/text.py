@@ -503,3 +503,69 @@ def x_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("xent2"), 6).alias("xent2"),
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
     )
+
+
+@register(
+    "x_vocab_divergence",
+    # per-source KL from the corpus unigram pool; ratios of exact integer
+    # counts, rounded to 6dp on both sides
+    "WITH tok AS (SELECT source, "
+    f"UNNEST(string_split({_NORM_SQL}, ' ')) AS term FROM documents), "
+    "gt AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cgt FROM tok "
+    "WHERE term <> '' GROUP BY 1, 2), "
+    "ct AS (SELECT term, CAST(SUM(cgt) AS BIGINT) AS ctc FROM gt GROUP BY 1), "
+    "g AS (SELECT source, CAST(SUM(cgt) AS BIGINT) AS tg, "
+    "CAST(COUNT(*) AS BIGINT) AS vg FROM gt GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(ctc) AS BIGINT) AS tt FROM ct) "
+    "SELECT gt.source, "
+    "ROUND(SUM((cgt * 1.0 / tg) * ln((cgt * 1.0 / tg) / (ctc * 1.0 / tt))), 6) AS kl, "
+    "MAX(tg) AS n_tokens, MAX(vg) AS vocab_terms "
+    "FROM gt JOIN ct USING (term) JOIN g ON g.source = gt.source "
+    "CROSS JOIN tot GROUP BY gt.source",
+)
+def x_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-drift report (operators/text_analysis.
+    vocab_divergence): KL of each source's unigram mix from the pool."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        vocab_divergence,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = vocab_divergence(docs, "source", "text")
+    return out.select(
+        "source",
+        F.round(F.col("kl"), 6).alias("kl"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab_terms").cast("long").alias("vocab_terms"),
+    )
+
+
+@register(
+    "x_ngram_novelty",
+    # fraction of each doc's distinct 8-grams appearing in NO other doc;
+    # md5 gram keys are engine-neutral, counts exact
+    "WITH tk AS (SELECT doc_id, "
+    f"string_split({_NORM_SQL}, ' ') AS ts FROM documents), "
+    "gi AS (SELECT doc_id, ts, "
+    "UNNEST(range(1, greatest(len(ts) - 7, 0) + 1)) AS i FROM tk), "
+    "dg AS (SELECT DISTINCT doc_id, "
+    "md5(array_to_string(ts[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS gk FROM gi), "
+    "dfq AS (SELECT gk, CAST(COUNT(*) AS BIGINT) AS dfc FROM dg GROUP BY 1) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+    "CAST(SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, "
+    "ROUND(SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS novelty "
+    "FROM dg JOIN dfq USING (gk) GROUP BY doc_id",
+)
+def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty (operators/text_analysis.ngram_novelty):
+    the memorization-risk signal."""
+    from purescript_ifrit_spark.operators.text_analysis import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_novelty(docs, "doc_id", "text", n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.round(F.col("novelty"), 6).alias("novelty"),
+    )

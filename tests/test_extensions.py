@@ -2053,3 +2053,51 @@ def test_extract_video_stats_sampling_and_poison(spark):
     assert len(rows) == 1 and rows[0]["n_frames"] is None
     with pytest.raises(ValueError):
         extract_video_stats(media, every_n=0)
+
+
+def test_vocab_divergence_known_values(spark):
+    import math
+
+    from purescript_ifrit_spark.operators.text_analysis import (
+        vocab_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b", "X"), (1, "a a", "Y"), (2, "a b c d e", "X")],
+        ["doc_id", "text", "src"],
+    )
+    out = {r["src"]: r for r in vocab_divergence(df, "src").collect()}
+    # corpus: a=4 b=2 c=1 d=1 e=1 (T=9); X: a2 b2 c1 d1 e1 (Tg=7); Y: a2
+    def kl(counts, tg):
+        corpus = {"a": 4, "b": 2, "c": 1, "d": 1, "e": 1}
+        return sum(
+            (c / tg) * math.log((c / tg) / (corpus[t] / 9))
+            for t, c in counts.items()
+        )
+
+    assert out["X"]["n_tokens"] == 7 and out["X"]["vocab_terms"] == 5
+    assert out["Y"]["n_tokens"] == 2 and out["Y"]["vocab_terms"] == 1
+    assert out["X"]["kl"] == pytest.approx(
+        kl({"a": 2, "b": 2, "c": 1, "d": 1, "e": 1}, 7), abs=1e-12
+    )
+    assert out["Y"]["kl"] == pytest.approx(kl({"a": 2}, 2), abs=1e-12)
+    # identical-to-corpus distribution would be 0; both here are > 0
+    assert out["X"]["kl"] > 0 and out["Y"]["kl"] > 0
+
+
+def test_ngram_novelty_known_values_and_short_docs(spark):
+    from purescript_ifrit_spark.operators.text_analysis import ngram_novelty
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a a"), (2, "a b c d e"), (3, "a")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=2).collect()}
+    # doc3 has < 2 tokens -> no grams, no row (not bogus partial grams)
+    assert set(out) == {0, 1, 2}
+    assert (out[0]["n_grams"], out[0]["n_novel"]) == (1, 0)  # 'a b' shared
+    assert (out[1]["n_grams"], out[1]["n_novel"]) == (1, 1)
+    assert (out[2]["n_grams"], out[2]["n_novel"]) == (4, 3)
+    assert out[2]["novelty"] == pytest.approx(0.75)
+    with pytest.raises(ValueError):
+        ngram_novelty(df, n=0)
