@@ -151,3 +151,97 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_files: bool = True
+) -> DataFrame:
+    """Raw-text corpus ingest: (doc_id, path, text) from a directory of
+    text files — whole_files=True reads one document per FILE (the corpus
+    layout), False one per LINE (jsonl-adjacent layouts pre-parse).
+
+    doc_id is xxhash64 of path (+ line ordinal in line mode): stable
+    across reruns and cluster sizes, unlike monotonically_increasing_id
+    whose values depend on partition layout."""
+    from pyspark.sql import functions as F
+
+    if whole_files:
+        df = spark.read.text(path, wholetext=True).select(
+            F.input_file_name().alias("path"), F.col("value").alias("text")
+        )
+        return df.select(
+            F.xxhash64("path").alias("doc_id"), "path", "text"
+        )
+    df = spark.read.text(path).select(
+        F.input_file_name().alias("path"), F.col("value").alias("text")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("path").orderBy(F.monotonically_increasing_id())
+    return df.withColumn("_ln", F.row_number().over(w)).select(
+        F.xxhash64("path", "_ln").alias("doc_id"), "path", "text"
+    )
+
+
+_MIME_BY_EXT = {
+    "ppm": "image/x-portable-pixmap",
+    "pgm": "image/x-portable-graymap",
+    "wav": "audio/wav",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "png": "image/png",
+    "mp4": "video/mp4",
+    "bin": "application/octet-stream",
+}
+
+
+def read_binary_media(
+    spark: SparkSession, path: str, glob: Optional[str] = None
+) -> DataFrame:
+    """Media ingest via Spark's built-in `binaryFile` source → the
+    MEDIA_SCHEMA shape every multimodal operator consumes (media_id from
+    the path hash, payload bytes, mime guessed from the extension).
+
+    This closes the loop from files on storage to extract_pixel_stats /
+    extract_audio_stats / extract_video_stats — the synth_* fixtures are
+    only the planted-truth twins. binaryFile is splittable per FILE (one
+    file = one row; parallelism = file count), reads lazily, and supports
+    pathGlobFilter pushdown so a mixed directory scans only the wanted
+    extension."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in _MIME_BY_EXT.items() for x in kv]
+    )
+    return df.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.coalesce(
+                F.element_at(mime_map, ext),
+                F.lit("application/octet-stream"),
+            ).alias("mime"),
+            F.col("path").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro ingest — Spark ships avro support as an EXTERNAL module
+    (spark-avro jar); raise the standard optional-dependency error when
+    the jar is absent rather than leaking an AnalysisException."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # AnalysisException without the jar
+        if "avro" in str(exc).lower():
+            raise NotImplementedError(
+                "avro support requires the external spark-avro module "
+                "(--packages org.apache.spark:spark-avro_2.13:<version>); "
+                "not available in this environment"
+            ) from exc
+        raise

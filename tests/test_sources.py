@@ -187,3 +187,54 @@ def test_temporal_operators_accept_ntz_dataframes(spark):
 
     ru = rollup_time(ev, "ts", ["event_type"], "value")
     assert ru.count() > 0
+
+
+def test_read_text_corpus_whole_files(spark, tmp_path):
+    from purescript_ifrit_spark.sources.tables import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("doc one text")
+    (d / "b.txt").write_text("doc two\nwith lines")
+    df = read_text_corpus(spark, str(d))
+    rows = {r["path"].split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    assert rows["b.txt"]["text"] == "doc two\nwith lines"
+    # ids are stable functions of the path
+    again = {r["path"].split("/")[-1]: r["doc_id"] for r in
+             read_text_corpus(spark, str(d)).collect()}
+    assert again == {k: v["doc_id"] for k, v in rows.items()}
+    # line mode: one row per line, ordinal-stable ids
+    lines = read_text_corpus(spark, str(d), whole_files=False)
+    assert lines.count() == 3
+
+
+def test_read_binary_media_feeds_decode_path(spark, tmp_path):
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_pixel_stats,
+    )
+    from purescript_ifrit_spark.sources.tables import read_binary_media
+
+    d = tmp_path / "media"
+    d.mkdir()
+    px = bytes((np.arange(36) % 256).astype(np.uint8))
+    (d / "img.ppm").write_bytes(b"P6\n4 3\n255\n" + px)
+    (d / "skip.txt").write_bytes(b"not media")
+    media = read_binary_media(spark, str(d), glob="*.ppm")
+    rows = media.collect()
+    assert len(rows) == 1
+    assert rows[0]["meta"]["mime"] == "image/x-portable-pixmap"
+    stats = extract_pixel_stats(media).collect()[0]
+    assert (stats["width"], stats["height"]) == (4, 3)
+    assert stats["sum_r"] == sum(range(0, 36, 3))
+
+
+def test_read_avro_gated_without_jar(spark, tmp_path):
+    import pytest
+
+    from purescript_ifrit_spark.sources.tables import read_avro
+
+    with pytest.raises((NotImplementedError, Exception)):
+        read_avro(spark, str(tmp_path / "nope"))
