@@ -327,3 +327,42 @@ def value_histogram(
         .agg(F.count(F.lit(1)).alias("n"))
         .drop("bin")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: Optional[str] = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Clip a numeric column to its (per-group) [lower, upper] exact
+    percentiles — winsorization, the feature-prep step that tames heavy
+    tails without dropping rows (robust_outliers FLAGS; this one CLAMPS).
+
+    Adds `<value_col>_clipped`. Exact interpolating percentiles (the same
+    `percentile` the suite's oracle twins via quantile_cont), computed in
+    one aggregation per group and broadcast back — the corpus-side cost is
+    one scan-stage least/greatest after a broadcast join; no window, no
+    per-row sort. Groups must be coarse (types, sources) — the percentile
+    buffer is per group, the same envelope the exact-percentile entry
+    documents."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1 (got {lower}, {upper})")
+    pcts = F.expr(
+        f"percentile({value_col}, array({lower}D, {upper}D))"
+    )
+    if group_col is None:
+        bounds = df.agg(
+            pcts[0].alias("_lo"), pcts[1].alias("_hi")
+        )
+        joined = df.crossJoin(F.broadcast(bounds))
+    else:
+        bounds = df.groupBy(group_col).agg(
+            pcts[0].alias("_lo"), pcts[1].alias("_hi")
+        )
+        joined = df.join(F.broadcast(bounds), group_col)
+    return joined.withColumn(
+        f"{value_col}_clipped",
+        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+    ).drop("_lo", "_hi")

@@ -782,3 +782,30 @@ def x_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "metric", F.round(F.col("value"), 6).alias("value")
     )
+
+
+@register(
+    "x_winsorize",
+    # exact interpolating percentiles (quantile_cont ≡ Spark percentile);
+    # clipped values rounded 6dp (interpolation is one IEEE lerp)
+    "WITH b AS (SELECT event_type, "
+    "quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi "
+    "FROM events WHERE value IS NOT NULL GROUP BY event_type) "
+    "SELECT e.event_id, e.event_type, "
+    "ROUND(least(greatest(e.value, b.lo), b.hi), 6) AS value_clipped "
+    "FROM events e JOIN b USING (event_type) WHERE e.value IS NOT NULL",
+)
+def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization (operators/windows.winsorize): clamp
+    values to the exact [p5, p95] band."""
+    from purescript_ifrit_spark.operators.windows import winsorize
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    out = winsorize(ev, "value", "event_type", 0.05, 0.95)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value_clipped"), 6).alias("value_clipped"),
+    )

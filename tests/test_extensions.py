@@ -2101,3 +2101,26 @@ def test_ngram_novelty_known_values_and_short_docs(spark):
     assert out[2]["novelty"] == pytest.approx(0.75)
     with pytest.raises(ValueError):
         ngram_novelty(df, n=0)
+
+
+def test_winsorize_bounds_and_groups(spark):
+    from purescript_ifrit_spark.operators.windows import winsorize
+
+    df = spark.range(101).select(
+        F.col("id").cast("double").alias("v"), (F.col("id") % 2).alias("g")
+    )
+    r = winsorize(df, "v", lower=0.1, upper=0.9).agg(
+        F.min("v_clipped"), F.max("v_clipped")
+    ).collect()[0]
+    assert (r[0], r[1]) == (10.0, 90.0)  # exact p10/p90 of 0..100
+    per = {
+        row["g"]: (row["mn"], row["mx"])
+        for row in winsorize(df, "v", "g", 0.1, 0.9)
+        .groupBy("g")
+        .agg(F.min("v_clipped").alias("mn"), F.max("v_clipped").alias("mx"))
+        .collect()
+    }
+    assert per[0] == (10.0, 90.0)  # evens: 0..100 step 2 -> p10=10
+    assert per[1][0] == pytest.approx(10.8)  # odds: 1..99 step 2
+    with pytest.raises(ValueError):
+        winsorize(df, "v", lower=0.9, upper=0.1)
