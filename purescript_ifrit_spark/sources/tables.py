@@ -79,7 +79,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _require_utc_session(spark: SparkSession) -> None:
     """Fail fast when a value-shifting NTZ cast is about to run outside the
     engine's UTC contract (see load_table docstring)."""
-    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+    except Exception:
+        # Spark 4 validates the conf value on read: an invalid ambient
+        # timezone (e.g. TZ='' in the environment) throws HERE — surface
+        # the engine's actionable message instead of the cryptic
+        # INVALID_CONF_VALUE
+        tz = "<invalid>"
     if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
         raise ValueError(
             "events.ts is TIMESTAMP_NTZ and the session timezone is "
