@@ -399,3 +399,47 @@ def knn_join_lsh(
         .filter(F.col("rank") <= k)
         .select("id", "nbr_id", "sim", "rank")
     )
+
+
+def label_entropy(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """Shannon entropy (nats) of the label distribution — the class-balance
+    check before training on a labeled table (0 = degenerate single
+    class, ln(k) = perfectly balanced over k classes). One tiny
+    aggregation; ratios of exact integer counts."""
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(F.sum("_n").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_p", F.col("_n").cast("double") / F.col("_t").cast("double")
+        )
+        .agg(
+            (-F.sum(F.col("_p") * F.log(F.col("_p")))).alias("entropy"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.first("_t").alias("n_rows"),
+        )
+    )
+
+
+def label_dispersion(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label embedding dispersion: the mean per-dimension sample
+    variance of the label's vectors — the cluster-tightness signal (a
+    label whose embeddings barely vary is near-duplicate content or a
+    collapsed embedding space; compare against the global figure).
+
+    Scale: posexplode is scan-stage; ONE (label, dim) aggregation with
+    map-side moment partials, then a label-sized rollup. Vectors never
+    shuffle whole — only (label, dim, partial-moment) rows."""
+    dims = df.select(
+        F.col(label_col).alias("_l"),
+        F.posexplode(F.col(vec_col)).alias("_d", "_v"),
+    )
+    per_dim = dims.groupBy("_l", "_d").agg(
+        F.var_samp(F.col("_v").cast("double")).alias("_var")
+    )
+    return per_dim.groupBy(F.col("_l").alias(label_col)).agg(
+        F.avg("_var").alias("mean_dim_variance"),
+        F.count(F.lit(1)).alias("n_dims"),
+    )

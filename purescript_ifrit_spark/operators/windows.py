@@ -366,3 +366,26 @@ def winsorize(
         f"{value_col}_clipped",
         F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
     ).drop("_lo", "_hi")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: Optional[str] = None,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Rank-based quantile normalization: replace each value by its
+    within-group percent rank in [0, 1] — the scale-free normalization
+    that survives arbitrary monotone distortions of the raw metric
+    (cross-source score calibration: a 0.9 means "top decile WITHIN its
+    source" everywhere).
+
+    One window per group (single exchange); ties share a rank
+    (percent_rank semantics), which is what makes the transform
+    deterministic without a tiebreaker column."""
+    out_col = out_col or f"{value_col}_qn"
+    w = (
+        Window.partitionBy(group_col) if group_col is not None
+        else Window.partitionBy()
+    ).orderBy(F.col(value_col).asc())
+    return df.withColumn(out_col, F.percent_rank().over(w))

@@ -809,3 +809,70 @@ def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value_clipped"), 6).alias("value_clipped"),
     )
+
+
+@register(
+    "x_quantile_normalize",
+    # percent_rank is (rank-1)/(n-1) in both engines; ties share ranks so
+    # no tiebreaker is needed for determinism
+    "SELECT event_id, event_type, "
+    "ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6) "
+    "AS value_qn FROM events WHERE value IS NOT NULL",
+)
+def x_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-type quantile normalization (operators/windows.
+    quantile_normalize): scale-free cross-source calibration."""
+    from purescript_ifrit_spark.operators.windows import quantile_normalize
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = quantile_normalize(ev, "value", "event_type")
+    return out.select(
+        "event_id", "event_type",
+        F.round(F.col("value_qn"), 6).alias("value_qn"),
+    )
+
+
+@register(
+    "x_label_entropy",
+    "WITH c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings "
+    "GROUP BY label), t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM c) "
+    "SELECT ROUND(-SUM((n * 1.0 / tt) * ln(n * 1.0 / tt)), 6) AS entropy, "
+    "CAST(COUNT(*) AS BIGINT) AS n_classes, MAX(tt) AS n_rows "
+    "FROM c CROSS JOIN t",
+)
+def x_label_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance entropy of the embeddings table's labels
+    (operators/similarity.label_entropy)."""
+    from purescript_ifrit_spark.operators.similarity import label_entropy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = label_entropy(emb, "label")
+    return out.select(
+        F.round(F.col("entropy"), 6).alias("entropy"),
+        F.col("n_classes").cast("long").alias("n_classes"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+@register(
+    "x_label_dispersion",
+    # per-dimension sample variance then mean over dims; var_samp on exact
+    # float32 values upcast to double on both engines
+    "WITH e AS (SELECT label, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v "
+    "FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)), "
+    "pd AS (SELECT label, i, var_samp(v) AS vv FROM e GROUP BY label, i) "
+    "SELECT label, ROUND(AVG(vv), 6) AS mean_dim_variance, "
+    "CAST(COUNT(*) AS BIGINT) AS n_dims FROM pd GROUP BY label",
+)
+def x_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding dispersion (operators/similarity.
+    label_dispersion): cluster-tightness via mean per-dim variance."""
+    from purescript_ifrit_spark.operators.similarity import label_dispersion
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = label_dispersion(emb, "label", "embedding")
+    return out.select(
+        "label",
+        F.round(F.col("mean_dim_variance"), 6).alias("mean_dim_variance"),
+        F.col("n_dims").cast("long").alias("n_dims"),
+    )

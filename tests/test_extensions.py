@@ -2124,3 +2124,46 @@ def test_winsorize_bounds_and_groups(spark):
     assert per[1][0] == pytest.approx(10.8)  # odds: 1..99 step 2
     with pytest.raises(ValueError):
         winsorize(df, "v", lower=0.9, upper=0.1)
+
+
+def test_quantile_normalize_known_ranks(spark):
+    from purescript_ifrit_spark.operators.windows import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "a"), (4, 20.0, "a"),
+         (5, 5.0, "b")],
+        ["id", "v", "g"],
+    )
+    out = {r["id"]: r["v_qn"] for r in quantile_normalize(df, "v", "g").collect()}
+    # group a: ranks of 10,20,20,30 -> percent_rank 0, 1/3, 1/3, 1
+    assert out[1] == 0.0 and out[3] == 1.0
+    assert out[2] == out[4] == pytest.approx(1 / 3)
+    assert out[5] == 0.0  # singleton group
+
+
+def test_label_entropy_and_dispersion_known_values(spark):
+    import math
+
+    from purescript_ifrit_spark.operators.similarity import (
+        label_dispersion,
+        label_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]), (0, [2.0, 2.0]),       # label 0: var 2.0/dim
+            (1, [1.0, 5.0]), (1, [1.0, 5.0]),       # label 1: var 0
+            (1, [1.0, 5.0]), (1, [1.0, 5.0]),
+        ],
+        ["label", "embedding"],
+    )
+    ent = label_entropy(df).collect()[0]
+    p0, p1 = 2 / 6, 4 / 6
+    assert ent["entropy"] == pytest.approx(
+        -(p0 * math.log(p0) + p1 * math.log(p1)), abs=1e-12
+    )
+    assert ent["n_classes"] == 2 and ent["n_rows"] == 6
+    disp = {r["label"]: r for r in label_dispersion(df).collect()}
+    assert disp[0]["mean_dim_variance"] == pytest.approx(2.0)
+    assert disp[1]["mean_dim_variance"] == pytest.approx(0.0)
+    assert disp[0]["n_dims"] == 2
