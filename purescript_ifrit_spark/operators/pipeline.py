@@ -208,3 +208,61 @@ def corpus_report(
         )
     )
     return tall.unionByName(lang_rows)
+
+
+def training_shard_pipeline(
+    docs: DataFrame,
+    *,
+    total_budget: int,
+    n_shards: int = 64,
+    min_quality: float = 0.3,
+    seq_tokens: int = 512,
+) -> DataFrame:
+    """The end-to-end make-training-data composition, every stage an
+    operator this package verifies individually:
+
+        curate (quality gate → exact dedup → LSH near-dedup)
+          → temperature_mix (T=2 source budgets, integer-exact)
+          → shuffle_shards (deterministic read-order permutation)
+          → pack_sequences (greedy token packing per shard)
+
+    Output: (shard, pos, doc_id, seq_id, n_tokens) — the manifest a
+    training loader consumes (shard = file, pos = order within it,
+    seq_id = packed sequence within the shard). Deterministic end to end:
+    same input → same manifest, byte for byte (pinned in tests by
+    double-run equality), because every stage orders by md5 draws and
+    ids, never by partition layout.
+
+    Scale: the stages' own documented exchanges and nothing more; packing
+    runs per shard, so no global window appears anywhere in the plan."""
+    from purescript_ifrit_spark.operators.sampling import (
+        shuffle_shards,
+        temperature_mix,
+    )
+    from purescript_ifrit_spark.operators.text_analysis import pack_sequences
+
+    curated = curate(docs, min_quality=min_quality)
+    mixed = temperature_mix(
+        curated.select("doc_id", "source", "text", "n_tokens"),
+        "doc_id",
+        "n_tokens",
+        "source",
+        total_budget,
+    )
+    sharded = shuffle_shards(mixed, "doc_id", n_shards)
+    # pack in the SHUFFLED read order (shard, pos) — the order the loader
+    # replays — so pack_id boundaries are training-order contiguous;
+    # sharding the cumsum on `shard` keeps the window per-shard-parallel
+    packed = pack_sequences(
+        sharded,
+        tokens_col="n_tokens",
+        order_cols=("shard", "pos"),
+        pack_size=seq_tokens,
+    )
+    return packed.select(
+        "shard",
+        "pos",
+        "doc_id",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )

@@ -876,3 +876,17 @@ def x_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_dim_variance"), 6).alias("mean_dim_variance"),
         F.col("n_dims").cast("long").alias("n_dims"),
     )
+
+
+@register("x_training_shards", None)  # composition incl. LSH dedup —
+# rows-only; determinism and stage invariants are pinned in pytest
+def x_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end make-training-data manifest (operators/pipeline.
+    training_shard_pipeline): curate → temperature-mix → shuffle-shard →
+    pack."""
+    from purescript_ifrit_spark.operators.pipeline import (
+        training_shard_pipeline,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return training_shard_pipeline(docs, total_budget=100_000, n_shards=16)

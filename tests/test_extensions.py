@@ -2167,3 +2167,27 @@ def test_label_entropy_and_dispersion_known_values(spark):
     assert disp[0]["mean_dim_variance"] == pytest.approx(2.0)
     assert disp[1]["mean_dim_variance"] == pytest.approx(0.0)
     assert disp[0]["n_dims"] == 2
+
+
+def test_training_shard_pipeline_invariants(spark, sf_dir):
+    from purescript_ifrit_spark.operators.pipeline import (
+        training_shard_pipeline,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = training_shard_pipeline(docs, total_budget=10_000, n_shards=8)
+    rows = m.collect()
+    assert rows, "pipeline produced an empty manifest"
+    # determinism: a second full run yields the identical manifest
+    again = training_shard_pipeline(docs, total_budget=10_000, n_shards=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # pack ids are contiguous from 0 in the (shard, pos) read order
+    ordered = sorted(rows, key=lambda r: (r["shard"], r["pos"]))
+    packs = [r["pack_id"] for r in ordered]
+    assert packs[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(packs, packs[1:]))
+    # every doc appears exactly once
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    # shard ids are within range
+    assert all(0 <= r["shard"] < 8 for r in rows)
