@@ -755,14 +755,25 @@ class BloomFilter:
         )
 
     def contains(self, md5_hex):
-        """Vectorized membership probe: bool ndarray (no false negatives)."""
+        """Vectorized membership probe: bool ndarray (no false negatives).
+        None keys (e.g. the NULL fingerprint of a NULL document) probe
+        False — a NULL can never equal a blocklist fingerprint, so "not in
+        bloom" is the semantically exact answer, and the exact-confirm
+        join downstream agrees (NULL join keys never match)."""
         import numpy as np
 
         if len(md5_hex) == 0:
             return np.zeros(0, dtype=bool)
-        idx = self._indices(md5_hex, self.n_bits, self.k)
+        out = np.zeros(len(md5_hex), dtype=bool)
+        valid = [i for i, s in enumerate(md5_hex) if s is not None]
+        if not valid:
+            return out
+        idx = self._indices(
+            [md5_hex[i] for i in valid], self.n_bits, self.k
+        )
         bit = self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)
-        return (bit & 1).all(axis=1)
+        out[valid] = (bit & 1).all(axis=1)
+        return out
 
 
 def build_bloom_filter(

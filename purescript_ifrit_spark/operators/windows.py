@@ -382,7 +382,13 @@ def quantile_normalize(
 
     One window per group (single exchange); ties share a rank
     (percent_rank semantics), which is what makes the transform
-    deterministic without a tiebreaker column."""
+    deterministic without a tiebreaker column.
+
+    `group_col=None` is a GLOBAL rank — a SinglePartition window, the
+    one plan shape this package otherwise avoids. It exists for small
+    frames (calibration tables, per-batch scoring); at corpus scale
+    always pass a group, or rank against a sampled quantile table
+    instead (the winsorize bounds pattern)."""
     out_col = out_col or f"{value_col}_qn"
     w = (
         Window.partitionBy(group_col) if group_col is not None

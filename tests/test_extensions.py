@@ -2191,3 +2191,24 @@ def test_training_shard_pipeline_invariants(spark, sf_dir):
     assert len(ids) == len(set(ids))
     # shard ids are within range
     assert all(0 <= r["shard"] < 8 for r in rows)
+
+
+def test_blocklist_dedup_null_text_survives(spark):
+    """A NULL-text document has a NULL fingerprint: it can never match a
+    blocklist entry, so it must SURVIVE — and must not crash the Arrow
+    bloom probe (None reaching the int() hex parse did, pre-fix)."""
+    from purescript_ifrit_spark.operators.dedup import dedup_against_blocklist
+
+    docs = spark.createDataFrame(
+        [(1, "real text here"), (2, None), (3, "blocked text")],
+        ["doc_id", "text"],
+    )
+    block = spark.createDataFrame(
+        [("blocked text",)], ["t"]
+    ).select(
+        F.md5(F.trim(F.regexp_replace(F.lower("t"), r"\s+", " "))).alias(
+            "fingerprint"
+        )
+    )
+    kept = {r["doc_id"] for r in dedup_against_blocklist(docs, block).collect()}
+    assert kept == {1, 2}
