@@ -569,3 +569,61 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_novel").cast("long").alias("n_novel"),
         F.round(F.col("novelty"), 6).alias("novelty"),
     )
+
+
+@register(
+    "x_bpe_pairs",
+    # first BPE training iteration: weighted symbol-pair counts over the
+    # char+'</w>' symbolization, top-20 with the trainer's exact tie-break
+    "WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM "
+    f"(SELECT UNNEST(string_split({_NORM_SQL}, ' ')) AS word FROM documents) "
+    "WHERE word <> '' GROUP BY word), "
+    "s AS (SELECT word, n, UNNEST(range(1, length(word) + 1)) AS i FROM w), "
+    "p AS (SELECT substr(word, CAST(i AS INT), 1) AS a, "
+    "CASE WHEN i < length(word) THEN substr(word, CAST(i + 1 AS INT), 1) "
+    "ELSE '</w>' END AS b, n FROM s) "
+    "SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM p GROUP BY a, b "
+    "ORDER BY cnt DESC, a ASC, b ASC LIMIT 20",
+)
+def x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training iteration's pair statistics
+    (operators/bpe): weighted adjacent-symbol counts on the vocabulary
+    table — the oracle-checkable kernel of the iterative trainer."""
+    from purescript_ifrit_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = bpe.word_counts(docs, "text")
+    syms = wc.select(
+        "n",
+        F.concat(
+            F.split(F.col("word"), "").cast("array<string>"),
+            F.array(F.lit(bpe.EOW)),
+        ).alias("syms"),
+    )
+    pairs = syms.select(
+        "n",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("a"),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("b"),
+            )
+        ).alias("_p"),
+    ).select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"), "n")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
+@register("x_bpe_encode", None)  # iterative trainer inside — rows-only;
+# merges + counts are pinned merge-for-merge vs a pure-Python reference
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts under a freshly TRAINED 8-merge BPE
+    (operators/bpe.bpe_train + bpe_encode_counts)."""
+    from purescript_ifrit_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(bpe.word_counts(docs, "text"), 8)
+    return bpe.bpe_encode_counts(docs, merges)

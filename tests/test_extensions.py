@@ -2212,3 +2212,65 @@ def test_blocklist_dedup_null_text_survives(spark):
     )
     kept = {r["doc_id"] for r in dedup_against_blocklist(docs, block).collect()}
     assert kept == {1, 2}
+
+
+def _reference_bpe(word_counts, n_merges):
+    """Pure-Python Sennrich-style BPE with the package's exact tie-break
+    (count desc, left asc, right asc) — the ground truth bpe_train must
+    reproduce merge for merge."""
+    vocab = {w: (list(w) + ["</w>"], n) for w, n in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, n in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (l, r), _ = best
+        merges.append((l, r))
+        for w, (syms, n) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (out, n)
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    from purescript_ifrit_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wc_df = bpe.word_counts(docs)
+    wc = {r["word"]: r["n"] for r in wc_df.collect()}
+    got = bpe.bpe_train(wc_df, 10)
+    want, _ = _reference_bpe(wc, 10)
+    assert got == want  # merge-for-merge identical
+
+
+def test_bpe_encode_counts_match_reference(spark):
+    from purescript_ifrit_spark.operators import bpe
+
+    rows = [(0, "low lower lowest"), (1, "new newer newest"), (2, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    wc = bpe.word_counts(df)
+    merges = bpe.bpe_train(wc, 6)
+    wc_py = {r["word"]: r["n"] for r in wc.collect()}
+    ref_merges, ref_vocab = _reference_bpe(wc_py, 6)
+    assert merges == ref_merges
+    enc = {r["doc_id"]: r for r in bpe.bpe_encode_counts(df, merges).collect()}
+    for doc_id, text in rows:
+        words = text.split()
+        want = sum(len(ref_vocab[w][0]) for w in words)
+        assert enc[doc_id]["n_words"] == len(words)
+        assert enc[doc_id]["n_bpe_tokens"] == want
+    with pytest.raises(ValueError):
+        bpe.bpe_train(wc, 0)
