@@ -177,6 +177,18 @@ def _redact_sql(x: str) -> str:
     return redact_sql(x)
 
 
+def _htmltext_column(c: Column) -> Column:
+    from purescript_ifrit_spark.operators.text_cleaning import html_text_expr
+
+    return html_text_expr(c)
+
+
+def _htmltext_sql(x: str) -> str:
+    from purescript_ifrit_spark.operators.text_cleaning import html_text_sql
+
+    return html_text_sql(x)
+
+
 # fixed temporal geometry (the one-argument fn grammar has no room for
 # parameters; operators/windows.py + operators/temporal.py take them)
 TUMBLE_UNIT_US = 3_600_000_000  # hour
@@ -324,6 +336,7 @@ EXT_FUNCTIONS: Dict[str, ExtFn] = {
             arg_kinds=("string", "number"),
         ),
         ExtFn("REDACT", Schema.string(), _redact_column, _redact_sql),
+        ExtFn("HTMLTEXT", Schema.string(), _htmltext_column, _htmltext_sql),
         ExtFn(
             "TUMBLE",
             Schema.number(),

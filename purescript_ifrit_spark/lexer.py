@@ -88,7 +88,7 @@ _KEYWORDS = [
 _FUNCTIONS = [
     "AVG", "COUNT", "MAX", "MIN", "SUM",
     "TOKEN_COUNT", "QUALITY", "LANG_ID", "FINGERPRINT", "CHUNK", "SPLIT",
-    "REDACT", "TUMBLE", "SESSIONIZE",
+    "REDACT", "HTMLTEXT", "TUMBLE", "SESSIONIZE",
 ]
 
 _WORD_CHARS = r"[a-zA-Z0-9_.]"

@@ -7,6 +7,9 @@ from pyspark.sql import functions as F
 
 from purescript_ifrit_spark.api import run_query
 from purescript_ifrit_spark.sources.tables import load_table
+from purescript_ifrit_spark.operators.text_cleaning import (
+    html_text_sql as _html_text_sql,
+)
 from purescript_ifrit_spark.suite._registry import (
     _dialect,
     register,
@@ -159,3 +162,30 @@ register(
     "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
     "FROM s",
 )(_dialect("events", "SELECT event_id, SESSIONIZE(ts) AS session_id"))
+
+
+@register(
+    "xd_htmltext",
+    # HTMLTEXT through the full compiler path, on deterministically
+    # synthesized HTML; md5 keeps the comparison byte-exact
+    "WITH h AS (SELECT doc_id, "
+    "'<div><h1>D' || doc_id || '</h1><p>' || text || "
+    "'</p><script>x()</script></div>' AS x FROM documents) "
+    "SELECT doc_id, md5(" + _html_text_sql("x") + ") AS fp FROM h",
+)
+def xd_htmltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML visible-text extraction reached through the DIALECT
+    (`HTMLTEXT(x)`): the full compiler path over synthesized markup."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<div><h1>D"),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p><script>x()</script></div>"),
+        ).alias("x"),
+    )
+    out = run_query(spark, aug, "SELECT doc_id, HTMLTEXT(x) AS clean")
+    return out.select("doc_id", F.md5("clean").alias("fp"))
