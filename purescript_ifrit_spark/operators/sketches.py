@@ -22,7 +22,7 @@ the accuracy envelope pinned against the exact twin in pytest.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -182,3 +182,38 @@ def group_minhash_overlap(
             ).alias("est_jaccard")
         )
     )
+
+
+def cms_frequencies(
+    df: DataFrame,
+    col: str,
+    probe_items: Sequence,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Point-query frequency estimates from a Count-Min sketch — the
+    mergeable frequency summary for when you need counts of SPECIFIC items
+    (blocklist hit rates, known-boilerplate tallies) without a groupBy
+    over the whole domain.
+
+    Uses Spark's built-in JVM CMS (`df.stat.countMinSketch`): depth/width
+    from (eps, confidence), built distributively with executor-side merges
+    — the driver holds one width×depth int table (the documented bounded
+    index-build contract). Estimates OVERCOUNT only: true ≤ est ≤
+    true + eps·N with the given confidence (pinned in tests).
+
+    Returns (item, est_n) for the probe items, as a small local-relation
+    DataFrame (probe lists are human-sized; the heavy work was the one
+    corpus pass that built the sketch)."""
+    if not probe_items:
+        raise ValueError("probe_items must be non-empty")
+    # PySpark 4 no longer wraps DataFrameStatFunctions.countMinSketch;
+    # the JVM implementation is still there — call it through the handle
+    # (classic driver-side py4j, fine for a bounded index-build step)
+    jsketch = df._jdf.stat().countMinSketch(col, float(eps), float(confidence), int(seed))
+    spark = df.sparkSession
+    rows = [
+        (item, int(jsketch.estimateCount(item))) for item in probe_items
+    ]
+    return spark.createDataFrame(rows, [col, "est_n"])

@@ -890,3 +890,20 @@ def x_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return training_shard_pipeline(docs, total_budget=100_000, n_shards=16)
+
+
+@register("x_cms_probe", None)  # sketch point-queries — rows-only;
+# the overcount-only envelope vs the exact twin is pinned in pytest
+def x_cms_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch frequency point-queries for five probe tokens
+    (operators/sketches.cms_frequencies)."""
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.sketches import cms_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(X.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    return cms_frequencies(
+        toks, "tok", ["the", "spark", "table", "query", "zzz_absent"]
+    )

@@ -2274,3 +2274,30 @@ def test_bpe_encode_counts_match_reference(spark):
         assert enc[doc_id]["n_bpe_tokens"] == want
     with pytest.raises(ValueError):
         bpe.bpe_train(wc, 0)
+
+
+def test_cms_overcount_only_envelope(spark):
+    from purescript_ifrit_spark.operators.sketches import cms_frequencies
+
+    # adversarial: tiny width (eps=0.5 -> width ~6) forces collisions
+    rows = [(f"k{i % 40}",) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["item"]).repartition(8)
+    probes = [f"k{i}" for i in range(40)] + ["absent"]
+    est = {
+        r["item"]: r["est_n"]
+        for r in cms_frequencies(df, "item", probes, eps=0.5).collect()
+    }
+    true = {f"k{i}": 100 for i in range(40)}
+    n = 4000
+    for item in probes:
+        t = true.get(item, 0)
+        assert est[item] >= t  # CMS never undercounts
+        assert est[item] <= t + 0.5 * n  # eps * N bound
+    # precise sketch: estimates exact on this small domain
+    tight = {
+        r["item"]: r["est_n"]
+        for r in cms_frequencies(df, "item", probes, eps=0.0001).collect()
+    }
+    assert all(tight[i] == true.get(i, 0) for i in probes)
+    with pytest.raises(ValueError):
+        cms_frequencies(df, "item", [])
