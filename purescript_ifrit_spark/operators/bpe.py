@@ -136,9 +136,14 @@ def bpe_train(
 
             return syms.map(go)
 
+        prev = state
         state = state.select(
             "word", "n", _apply(F.col("syms")).alias("syms")
         ).localCheckpoint(eager=True)
+        # release the superseded checkpoint: real tokenizers run tens of
+        # thousands of merges — without this, executor storage pins one
+        # vocabulary copy PER MERGE until eviction
+        prev.unpersist()
     return merges
 
 
@@ -154,7 +159,13 @@ def bpe_encode_counts(
     closure and every document encodes independently — no shuffle at all
     (the aggregate the caller adds is the first exchange). The per-word
     encoding is the reference algorithm applied merge-by-merge, so the
-    counts are exactly the trained tokenizer's."""
+    counts are exactly the trained tokenizer's.
+
+    Tokenization consistency: the text NORMALIZES ON THE SPARK SIDE with
+    the same `X.normalize_text` the training vocabulary used (Java-regex
+    \\s semantics), and the udf only splits the pre-normalized string on
+    single spaces — a Python-side `str.split()` would be unicode-aware
+    (NBSP etc.) and silently diverge from the trained tokenizer."""
     merge_list = [tuple(m) for m in merges]
 
     @F.pandas_udf("struct<n_words: long, n_bpe_tokens: long>")
@@ -162,7 +173,7 @@ def bpe_encode_counts(
         def count_one(t):
             if t is None:
                 return (0, 0)
-            words = [w for w in " ".join(t.lower().split()).split(" ") if w]
+            words = [w for w in t.split(" ") if w]
             total = 0
             for w in words:
                 s = list(w) + ["</w>"]
@@ -190,7 +201,7 @@ def bpe_encode_counts(
 
     return df.select(
         F.col(id_col),
-        _enc(F.col(text_col)).alias("_e"),
+        _enc(X.normalize_text(F.col(text_col))).alias("_e"),
     ).select(
         id_col,
         F.col("_e.n_words").alias("n_words"),

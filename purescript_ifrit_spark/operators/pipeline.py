@@ -136,11 +136,13 @@ def corpus_report(
     data team reads before touching a new corpus — sizes, token totals,
     length percentiles, language mix, and the exact duplicate rate.
 
-    Everything reduces to aggregates with map-side partials over ONE
-    column-pruned scan pipeline (lazy until consumed); the duplicate rate
-    reuses the exact-dedup fingerprint shuffle. Output is a fixed small
-    set of rows regardless of corpus size — the cheapest possible
-    driver-facing artifact at 100 TB.
+    Everything reduces to aggregates with map-side partials over TWO
+    column-pruned scans (the global-percentile pass and the per-language
+    pass — exact percentiles cannot merge from per-language partials, so
+    two is the floor; the corpus total rolls up from the language counts,
+    never a third scan). Output is a fixed small set of rows regardless
+    of corpus size — the cheapest possible driver-facing artifact at
+    100 TB.
 
     Metrics: n_docs, n_tokens, n_chars, mean/p50/p90/p99_doc_tokens,
     n_distinct_fingerprints, dup_rate (1 − distinct/total), plus one
@@ -197,7 +199,10 @@ def corpus_report(
         ).alias("metric", "value")
     )
     langs = base.groupBy("_lang").agg(F.count(F.lit(1)).alias("_n"))
-    total = base.agg(F.count(F.lit(1)).alias("_tot"))
+    # the corpus total rolls up from the LANGUAGE counts (a language-sized
+    # relation), not a third corpus scan; two passes is the floor — the
+    # exact percentiles cannot merge from per-language partials
+    total = langs.agg(F.sum("_n").alias("_tot"))
     lang_rows = (
         langs.crossJoin(F.broadcast(total))
         .select(
@@ -226,15 +231,18 @@ def training_shard_pipeline(
           → shuffle_shards (deterministic read-order permutation)
           → pack_sequences (greedy token packing per shard)
 
-    Output: (shard, pos, doc_id, seq_id, n_tokens) — the manifest a
+    Output: (shard, pos, doc_id, pack_id, n_tokens) — the manifest a
     training loader consumes (shard = file, pos = order within it,
-    seq_id = packed sequence within the shard). Deterministic end to end:
+    pack_id = packed sequence WITHIN the shard, restarting at 0 per
+    shard so every file is independently readable). Deterministic end
+    to end:
     same input → same manifest, byte for byte (pinned in tests by
     double-run equality), because every stage orders by md5 draws and
     ids, never by partition layout.
 
     Scale: the stages' own documented exchanges and nothing more; packing
-    runs per shard, so no global window appears anywhere in the plan."""
+    is one window PARTITIONED BY shard, so no global window appears
+    anywhere in the plan."""
     from purescript_ifrit_spark.operators.sampling import (
         shuffle_shards,
         temperature_mix,
@@ -250,19 +258,27 @@ def training_shard_pipeline(
         total_budget,
     )
     sharded = shuffle_shards(mixed, "doc_id", n_shards)
-    # pack in the SHUFFLED read order (shard, pos) — the order the loader
-    # replays — so pack_id boundaries are training-order contiguous;
-    # sharding the cumsum on `shard` keeps the window per-shard-parallel
-    packed = pack_sequences(
-        sharded,
-        tokens_col="n_tokens",
-        order_cols=("shard", "pos"),
-        pack_size=seq_tokens,
+    # pack PER SHARD in the shuffled read order: shard = file, and a
+    # loader must be able to read one file independently, so a pack can
+    # never straddle a shard boundary — pack_id restarts at 0 inside each
+    # shard (one window partitioned by shard; shards are draw-balanced,
+    # so the per-shard sort is the parallel unit, no global window)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col("n_tokens")).over(w)
+    packed = sharded.withColumn(
+        "pack_id",
+        F.floor((cum - F.col("n_tokens")) / F.lit(seq_tokens)).cast("long"),
     )
     return packed.select(
         "shard",
         "pos",
         "doc_id",
-        F.col("pack_id").cast("long").alias("pack_id"),
+        "pack_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )

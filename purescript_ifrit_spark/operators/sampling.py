@@ -399,9 +399,16 @@ def temperature_mix(
         .orderBy(F.col("_bdraw").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # NULL-SAFE budget join: a NULL group (unattributed source) has its
+    # own totals row and its own window partition on both sides of this
+    # operator — a plain equi-join would silently drop every NULL-group
+    # row and under-fill the global budget
+    budgets_r = budgets.withColumnRenamed(group_col, "_bg")
+    joined = df.join(
+        F.broadcast(budgets_r), F.col(group_col).eqNullSafe(F.col("_bg"))
+    ).drop("_bg")
     return (
-        df.join(F.broadcast(budgets), group_col)
-        .withColumn("_bdraw", draw)
+        joined.withColumn("_bdraw", draw)
         .withColumn("_cum", F.sum(F.col(token_col)).over(w))
         .filter(F.col("_cum") <= F.col("_budget"))
         .drop("_bdraw", "_cum", "_budget")

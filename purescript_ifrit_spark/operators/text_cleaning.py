@@ -133,15 +133,18 @@ HTML_STAGES: Tuple[Tuple[str, str], ...] = (
     (r"<[^>]+>", " "),
 )
 
-# common entities, applied after tag removal (decoded text must not
-# re-introduce tags before stripping — hence &lt;/&gt; decode LAST)
+# common entities, applied after tag removal. &amp; decodes LAST: decoding
+# it earlier turns the escaped-escape '&amp;lt;' (which renders as the
+# literal text '&lt;') into '&lt;' and a later pass double-decodes it to
+# '<' — the single-pass contract is each source entity decodes exactly
+# once. (Tag re-introduction is not a concern: stripping already ran.)
 HTML_ENTITIES: Tuple[Tuple[str, str], ...] = (
     ("&nbsp;", " "),
     ("&quot;", '"'),
     ("&#39;", "'"),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
+    ("&amp;", "&"),
 )
 
 

@@ -90,17 +90,32 @@ def feature_hash_embed(
             F.lit(0.0),
         ),
     )
-    if normalize:
-        nrm = F.sqrt(
+    if not normalize:
+        return entries.select(id_col, dense.alias("embedding"))
+    # STAGED projections: the dense array and its norm materialize as
+    # columns before the element-wise divide — embedding the norm
+    # aggregate inside the transform lambda re-evaluates the full O(dim)
+    # reduction per ELEMENT (higher-order functions run interpreted with
+    # no cross-invocation CSE → O(dim²) per row). CollapseProject keeps
+    # the stages apart because merging would duplicate the non-cheap
+    # aggregate (SPARK-36718 semantics, same as quality_score's stages).
+    staged = entries.select(id_col, dense.alias("_emb")).withColumn(
+        "_nrm",
+        F.sqrt(
             F.aggregate(
-                dense, F.lit(0.0), lambda acc, x: acc + x * x
+                F.col("_emb"), F.lit(0.0), lambda acc, x: acc + x * x
             )
-        )
-        dense = F.transform(
-            dense,
-            lambda x: F.when(nrm == 0, F.lit(0.0)).otherwise(x / nrm),
-        )
-    return entries.select(id_col, dense.alias("embedding"))
+        ),
+    )
+    return staged.select(
+        id_col,
+        F.transform(
+            F.col("_emb"),
+            lambda x: F.when(F.col("_nrm") == 0, F.lit(0.0)).otherwise(
+                x / F.col("_nrm")
+            ),
+        ).alias("embedding"),
+    )
 
 
 def linear_hash_score(

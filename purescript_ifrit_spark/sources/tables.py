@@ -79,14 +79,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _require_utc_session(spark: SparkSession) -> None:
     """Fail fast when a value-shifting NTZ cast is about to run outside the
     engine's UTC contract (see load_table docstring)."""
+    conf_exc = None
     try:
         tz = spark.conf.get("spark.sql.session.timeZone", "")
-    except Exception:
+    except Exception as exc:
         # Spark 4 validates the conf value on read: an invalid ambient
         # timezone (e.g. TZ='' in the environment) throws HERE — surface
         # the engine's actionable message instead of the cryptic
-        # INVALID_CONF_VALUE
-        tz = "<invalid>"
+        # INVALID_CONF_VALUE, but CHAIN the original so an unrelated
+        # conf-read failure (dead gateway etc.) stays diagnosable
+        tz, conf_exc = "<unreadable>", exc
     if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
         raise ValueError(
             "events.ts is TIMESTAMP_NTZ and the session timezone is "
@@ -94,7 +96,7 @@ def _require_utc_session(spark: SparkSession) -> None:
             "value-preserving under UTC. Set "
             'spark.conf.set("spark.sql.session.timeZone", "UTC") '
             "(bench.py/conftest.py/api.get_spark already do)."
-        )
+        ) from conf_exc
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:

@@ -234,4 +234,6 @@ def test_corpus_report_on_empty(empty_docs):
 
     docs = empty_docs.withColumn("lang", F.lit("en"))
     rows = {r["metric"]: r["value"] for r in corpus_report(docs).collect()}
-    assert rows["n_docs"] == 0.0 and rows["n_tokens"] is None or rows["n_tokens"] == 0.0
+    assert rows["n_docs"] == 0.0
+    assert rows["n_tokens"] is None or rows["n_tokens"] == 0.0
+    assert rows["dup_rate"] is None  # guarded division, not a crash

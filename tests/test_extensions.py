@@ -2181,11 +2181,14 @@ def test_training_shard_pipeline_invariants(spark, sf_dir):
     # determinism: a second full run yields the identical manifest
     again = training_shard_pipeline(docs, total_budget=10_000, n_shards=8)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
-    # pack ids are contiguous from 0 in the (shard, pos) read order
-    ordered = sorted(rows, key=lambda r: (r["shard"], r["pos"]))
-    packs = [r["pack_id"] for r in ordered]
-    assert packs[0] == 0
-    assert all(b - a in (0, 1) for a, b in zip(packs, packs[1:]))
+    # pack ids restart at 0 and are contiguous WITHIN each shard — a
+    # pack never straddles a shard/file boundary
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["pos"])):
+        by_shard.setdefault(r["shard"], []).append(r["pack_id"])
+    for packs in by_shard.values():
+        assert packs[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(packs, packs[1:]))
     # every doc appears exactly once
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == len(set(ids))
@@ -2301,3 +2304,35 @@ def test_cms_overcount_only_envelope(spark):
     assert all(tight[i] == true.get(i, 0) for i in probes)
     with pytest.raises(ValueError):
         cms_frequencies(df, "item", [])
+
+
+def test_bpe_encode_tokenizes_like_training(spark):
+    """A non-breaking space is NOT a word boundary for the trained
+    tokenizer (Java \\s), so encode must treat 'a\\u00a0b' as one word —
+    a Python str.split() would silently split it."""
+    from purescript_ifrit_spark.operators import bpe
+
+    df = spark.createDataFrame([(0, "lo w low low")], ["doc_id", "text"])
+    wc = {r["word"]: r["n"] for r in bpe.word_counts(df).collect()}
+    assert "lo w" in wc  # training treats NBSP-joined as one word
+    merges = bpe.bpe_train(bpe.word_counts(df), 2)
+    out = bpe.bpe_encode_counts(df, merges).collect()[0]
+    assert out["n_words"] == 3  # NOT 4
+
+
+def test_temperature_mix_keeps_null_group(spark):
+    """Unattributed (NULL-source) documents get their own budget and
+    window partition — they must not silently vanish from the mix."""
+    from purescript_ifrit_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "A", 100) for i in range(10)] + [
+        (100 + i, None, 100) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    out = temperature_mix(df, "doc_id", "n_tok", "source", 2000)
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.sum("n_tok").alias("n")).collect()
+    }
+    # equal-size groups: the 2000-token budget splits evenly, NULL included
+    assert per == {"A": 1000, None: 1000}

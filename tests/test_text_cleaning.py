@@ -380,3 +380,18 @@ def test_html_extract_cross_engine_fuzz(spark):
     )
     mismatches = [i for i in got if got[i] != want[i]]
     assert not mismatches, (mismatches[:3], [cases[i] for i in mismatches[:3]])
+
+
+def test_html_escaped_escapes_decode_once(spark):
+    """'&amp;lt;' renders as the literal TEXT '&lt;' — a single-pass decode
+    must produce that, never double-decode to '<' (the entity order bug:
+    decoding &amp; before &lt; re-created a decodable entity)."""
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        extract_html_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "<p>&amp;lt;b&amp;gt; is literal markup</p>")], ["id", "html"]
+    )
+    out = extract_html_text(df, "html").collect()[0]["text"]
+    assert out == "&lt;b&gt; is literal markup"
