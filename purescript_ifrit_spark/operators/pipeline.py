@@ -229,7 +229,10 @@ def training_shard_pipeline(
         curate (quality gate → exact dedup → LSH near-dedup)
           → temperature_mix (T=2 source budgets, integer-exact)
           → shuffle_shards (deterministic read-order permutation)
-          → pack_sequences (greedy token packing per shard)
+          → per-shard greedy token packing via pack_sequences' shared
+            bin kernel (text_analysis.pack_bin — same first-fit-in-order
+            assignment, window PARTITIONED BY shard so pack_id restarts
+            at 0 inside each shard)
 
     Output: (shard, pos, doc_id, pack_id, n_tokens) — the manifest a
     training loader consumes (shard = file, pos = order within it,
@@ -247,7 +250,7 @@ def training_shard_pipeline(
         shuffle_shards,
         temperature_mix,
     )
-    from purescript_ifrit_spark.operators.text_analysis import pack_sequences
+    from purescript_ifrit_spark.operators.text_analysis import pack_bin
 
     curated = curate(docs, min_quality=min_quality)
     mixed = temperature_mix(
@@ -272,8 +275,7 @@ def training_shard_pipeline(
     )
     cum = F.sum(F.col("n_tokens")).over(w)
     packed = sharded.withColumn(
-        "pack_id",
-        F.floor((cum - F.col("n_tokens")) / F.lit(seq_tokens)).cast("long"),
+        "pack_id", pack_bin(cum, "n_tokens", seq_tokens)
     )
     return packed.select(
         "shard",

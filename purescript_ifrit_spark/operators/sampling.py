@@ -363,6 +363,10 @@ def temperature_mix(
         raise ValueError(f"temperature must be positive (got {temperature})")
     from pyspark.sql import Window
 
+    # _wsum == 0 (every group's token sum is 0, so every weight floors to
+    # 0) must yield the EMPTY selection, not a DIVIDE_BY_ZERO under ANSI
+    # mode (T=2 integer `div`) or NaN budgets (float path): guard the
+    # division behind CASE WHEN — a NULL budget keeps no rows below.
     totals = df.groupBy(group_col).agg(F.sum(F.col(token_col)).alias("_tg"))
     if temperature == 2.0:
         weights = totals.withColumn(
@@ -373,7 +377,10 @@ def temperature_mix(
             weights.crossJoin(F.broadcast(tot_w))
             .withColumn(
                 "_budget",
-                F.expr(f"({total_budget}L * _w) div _wsum").cast("long"),
+                F.when(
+                    F.col("_wsum") > 0,
+                    F.expr(f"({total_budget}L * _w) div _wsum"),
+                ).cast("long"),
             )
             .select(group_col, "_budget")
         )
@@ -386,8 +393,13 @@ def temperature_mix(
             weights.crossJoin(F.broadcast(tot_w))
             .withColumn(
                 "_budget",
-                F.floor(
-                    F.lit(float(total_budget)) * F.col("_w") / F.col("_wsum")
+                F.when(
+                    F.col("_wsum") > 0,
+                    F.floor(
+                        F.lit(float(total_budget))
+                        * F.col("_w")
+                        / F.col("_wsum")
+                    ),
                 ).cast("long"),
             )
             .select(group_col, "_budget")

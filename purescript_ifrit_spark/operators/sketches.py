@@ -205,15 +205,31 @@ def cms_frequencies(
 
     Returns (item, est_n) for the probe items, as a small local-relation
     DataFrame (probe lists are human-sized; the heavy work was the one
-    corpus pass that built the sketch)."""
+    corpus pass that built the sketch).
+
+    Classic (py4j) deployments only — Spark Connect has no stat handle
+    for CMS; the guard below raises a clear RuntimeError there."""
     if not probe_items:
         raise ValueError("probe_items must be non-empty")
     # PySpark 4 no longer wraps DataFrameStatFunctions.countMinSketch;
     # the JVM implementation is still there — call it through the handle
-    # (classic driver-side py4j, fine for a bounded index-build step)
-    jsketch = df._jdf.stat().countMinSketch(col, float(eps), float(confidence), int(seed))
-    spark = df.sparkSession
+    # (classic driver-side py4j, fine for a bounded index-build step).
+    # CLASSIC-ONLY: under Spark Connect there is no _jdf handle and no
+    # public probe API for the count_min_sketch() aggregate's binary
+    # payload — fail with a actionable message instead of AttributeError.
+    jdf = getattr(df, "_jdf", None)
+    if jdf is None:
+        raise RuntimeError(
+            "cms_frequencies requires a classic (py4j) SparkSession: it "
+            "probes the JVM CountMinSketch via DataFrameStatFunctions, "
+            "which Spark Connect does not expose. On Connect, use "
+            "heavy_hitters_exact / heavy_hitters_mg for frequency "
+            "queries, or an exact filtered groupBy for a fixed probe set."
+        )
+    jsketch = jdf.stat().countMinSketch(
+        col, float(eps), float(confidence), int(seed)
+    )
     rows = [
         (item, int(jsketch.estimateCount(item))) for item in probe_items
     ]
-    return spark.createDataFrame(rows, [col, "est_n"])
+    return df.sparkSession.createDataFrame(rows, [col, "est_n"])

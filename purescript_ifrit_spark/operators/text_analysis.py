@@ -210,6 +210,18 @@ def tfidf_topk(
     )
 
 
+def pack_bin(cum, tokens_col: str, pack_size: int):
+    """The greedy first-fit-in-order bin assignment shared by
+    pack_sequences and pipeline.training_shard_pipeline: given the
+    inclusive cumulative token sum `cum` over the packing order, the bin
+    is floor((cum - row_tokens) / pack_size) — i.e. the bin the row's
+    FIRST token lands in. Kept as one kernel so the per-shard pipeline
+    packing can never drift from the individually-verified operator."""
+    return F.floor(
+        (cum - F.col(tokens_col)) / F.lit(pack_size)
+    ).cast("long")
+
+
 def pack_sequences(
     df: DataFrame,
     tokens_col: str = "chunk_tokens",
@@ -264,10 +276,7 @@ def pack_sequences(
             Window.unboundedPreceding, Window.currentRow
         )
         cum = F.sum(F.col(tokens_col)).over(w)
-        return df.withColumn(
-            "pack_id",
-            F.floor((cum - F.col(tokens_col)) / F.lit(pack_size)).cast("long"),
-        )
+        return df.withColumn("pack_id", pack_bin(cum, tokens_col, pack_size))
 
     # contiguous range shards (bounds fetched above — one bounded scan;
     # parquet min/max statistics serve it when `lead` is a stored column).
@@ -287,13 +296,9 @@ def pack_sequences(
     from purescript_ifrit_spark.operators.sharding import sharded_prefix_sum
 
     d, cum = sharded_prefix_sum(d, "_shard", order, tokens_col)
-    return (
-        d.withColumn(
-            "pack_id",
-            F.floor((cum - F.col(tokens_col)) / F.lit(pack_size)).cast("long"),
-        )
-        .drop("_shard", "_off")
-    )
+    return d.withColumn(
+        "pack_id", pack_bin(cum, tokens_col, pack_size)
+    ).drop("_shard", "_off")
 
 
 def chunk_documents(

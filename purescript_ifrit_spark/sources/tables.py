@@ -171,24 +171,40 @@ def read_text_corpus(
 
     doc_id is xxhash64 of path (+ line ordinal in line mode): stable
     across reruns and cluster sizes, unlike monotonically_increasing_id
-    whose values depend on partition layout."""
+    whose values depend on partition layout. Line ordinals come from a
+    wholetext read + in-row split, NOT from row_number over a split file
+    scan: Spark's file source bin-packs splits by SIZE, not byte offset,
+    so partition order over a multi-split file does not follow the file —
+    ordinals derived from partition order would reassign ids across
+    cluster sizes. The trade: in BOTH modes a single file must fit in one
+    task (wholetext); line mode exists for many-small-files jsonl layouts,
+    not one giant file."""
     from pyspark.sql import functions as F
 
+    df = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("path"), F.col("value").alias("text")
+    )
     if whole_files:
-        df = spark.read.text(path, wholetext=True).select(
-            F.input_file_name().alias("path"), F.col("value").alias("text")
-        )
         return df.select(
             F.xxhash64("path").alias("doc_id"), "path", "text"
         )
-    df = spark.read.text(path).select(
-        F.input_file_name().alias("path"), F.col("value").alias("text")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("path").orderBy(F.monotonically_increasing_id())
-    return df.withColumn("_ln", F.row_number().over(w)).select(
-        F.xxhash64("path", "_ln").alias("doc_id"), "path", "text"
+    # split semantics mirror spark.read.text: \n terminates a line (a
+    # trailing terminator yields no extra empty line), a final \r per
+    # line (\r\n files) is stripped
+    lines = F.split(F.col("text"), "\n")
+    lines = F.when(
+        (F.size(lines) > 0) & (F.element_at(lines, -1) == ""),
+        F.slice(lines, 1, F.size(lines) - 1),
+    ).otherwise(lines)
+    return (
+        df.select("path", F.posexplode(lines).alias("_ln0", "line"))
+        .select(
+            F.xxhash64("path", (F.col("_ln0") + 1).alias("_ln")).alias(
+                "doc_id"
+            ),
+            "path",
+            F.regexp_replace("line", "\r$", "").alias("text"),
+        )
     )
 
 

@@ -1919,6 +1919,25 @@ def test_temperature_mix_general_t_and_guards(spark):
         temperature_mix(df, "doc_id", "n_tok", "source", 100, temperature=0)
 
 
+def test_temperature_mix_zero_weight_total_is_empty(spark):
+    # every group's token sum is 0 → every T=2 weight floors to 0 →
+    # _wsum == 0: must be the EMPTY selection, not an ANSI
+    # DIVIDE_BY_ZERO (integer path) or silent NaN budgets (float path)
+    from purescript_ifrit_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(1, "A", 0), (2, "A", 0), (3, "B", 0)],
+        ["doc_id", "source", "n_tok"],
+    )
+    assert temperature_mix(df, "doc_id", "n_tok", "source", 100).count() == 0
+    assert (
+        temperature_mix(
+            df, "doc_id", "n_tok", "source", 100, temperature=1.5
+        ).count()
+        == 0
+    )
+
+
 def test_bigram_logprob_known_values(spark):
     import math
 

@@ -209,6 +209,35 @@ def test_read_text_corpus_whole_files(spark, tmp_path):
     assert lines.count() == 3
 
 
+def test_read_text_corpus_line_mode_offset_stable(spark, tmp_path):
+    # line ordinals must follow BYTE ORDER in the file (wholetext+split),
+    # not partition order — and mirror spark.read.text's terminator
+    # semantics: a trailing newline adds no empty line; \r\n is stripped
+    from purescript_ifrit_spark.sources.tables import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("l0\nl1\nl2\n")        # trailing terminator
+    (d / "b.txt").write_text("m0\r\nm1")            # CRLF, no terminator
+    (d / "c.txt").write_text("x\n\ny\n")            # interior empty line
+    out = read_text_corpus(spark, str(d), whole_files=False)
+    rows = sorted(
+        ((r["path"].split("/")[-1], r["text"], r["doc_id"]) for r in out.collect())
+    )
+    by_file: dict = {}
+    for name, text, _id in rows:
+        by_file.setdefault(name, []).append(text)
+    assert sorted(by_file["a.txt"]) == ["l0", "l1", "l2"]
+    assert sorted(by_file["b.txt"]) == ["m0", "m1"]
+    assert sorted(by_file["c.txt"]) == ["", "x", "y"]
+    # doc_id is a pure function of (path, ordinal): rerun-identical
+    again = sorted(
+        ((r["path"].split("/")[-1], r["text"], r["doc_id"])
+         for r in read_text_corpus(spark, str(d), whole_files=False).collect())
+    )
+    assert again == rows
+
+
 def test_read_binary_media_feeds_decode_path(spark, tmp_path):
     import numpy as np
 
