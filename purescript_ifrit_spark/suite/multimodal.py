@@ -96,6 +96,44 @@ def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_multimodal_png",
+    # planted-truth for the REAL baseline-PNG decode path (stdlib zlib
+    # inflate + all five scanline filters, CRC-verified): synth_png_media
+    # writes genuine compressed PNGs from the SAME closed form as the
+    # netpbm fixture, so the oracle recomputes the decoded stats
+    # arithmetically — the Spark side must inflate, unfilter (rows use
+    # filter type r % 5, so every filter is on the path) and sum the
+    # raster to agree, bit-exactly, same contract as x_multimodal_decode.
+    "WITH d AS (SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h "
+    "FROM documents), "
+    "px AS (SELECT doc_id, w, h, k % 3 AS c, "
+    "CAST((doc_id * 7 + k) % 256 AS BIGINT) AS v "
+    "FROM d, unnest(range(0, 3 * w * h)) AS t(k)) "
+    "SELECT doc_id AS media_id, CAST(MAX(w) AS INT) AS width, "
+    "CAST(MAX(h) AS INT) AS height, CAST(3 AS INT) AS channels, "
+    "CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r, "
+    "CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g, "
+    "CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b, "
+    "CAST(SUM(CASE WHEN c = 0 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_r, "
+    "CAST(SUM(CASE WHEN c = 1 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_g, "
+    "CAST(SUM(CASE WHEN c = 2 THEN v END) AS DOUBLE) / (MAX(w) * MAX(h)) AS mean_b "
+    "FROM px GROUP BY doc_id",
+)
+def x_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-verified COMPRESSED image decode (VERDICT r5 #4): the
+    compressed path executes in this container — no PIL gate — because
+    baseline PNG needs only stdlib zlib + struct (operators/multimodal.
+    decode_png)."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_pixel_stats,
+        synth_png_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_pixel_stats(synth_png_media(ids), codec="png")
+
+
+@register(
     "x_multimodal_audio",
     # planted-truth for the REAL RIFF/PCM16 decode path: payloads follow
     # the closed form (rate = 8000 + (id%2)*8000, n = 50 + id%100, sample

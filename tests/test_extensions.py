@@ -534,6 +534,131 @@ def test_pixel_stats_decodes_real_payloads(spark):
     assert out[3].width is None and out[3].sum_r is None
 
 
+def test_png_roundtrip_all_filters_and_channels():
+    """encode_png → decode_png is the identity for every channel count
+    (gray/GA/RGB/RGBA), every single filter type, and the all-five-cycled
+    default — the decoder's unfilter must invert the encoder's filter."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        for (h, w) in ((1, 1), (3, 4), (7, 11), (5, 1)):
+            arr = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+            for filters in (None, [0], [1], [2], [3], [4]):
+                out = decode_png(encode_png(arr, filters))
+                assert out.shape == arr.shape
+                assert np.array_equal(out, arr), (ch, h, w, filters)
+
+
+def test_png_decode_rejects_malformed_payloads():
+    """Totality contract: bad signature, truncation, corrupt CRC, and
+    unsupported variants (16-bit, interlace) all raise ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(
+        np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    )
+    assert decode_png(good).shape == (2, 4, 3)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    deep = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    ) + chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
+    laced = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    ) + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
+    bads = [
+        None,
+        b"",
+        sig,                                 # no chunks at all
+        good[:-5],                           # truncated (IEND lost)
+        b"JUNK" + good,                      # bad signature
+        good[:20] + bytes([good[20] ^ 0xFF]) + good[21:],  # CRC mismatch
+        deep,                                # 16-bit depth unsupported
+        laced,                               # interlace unsupported
+    ]
+    for b in bads:
+        with pytest.raises(ValueError):
+            decode_png(b)
+
+
+def test_png_stats_bit_identical_to_ppm_stats(spark):
+    """synth_png_media and synth_ppm_media share one closed form, so the
+    compressed path's stats must agree with the netpbm path's BIT FOR BIT
+    — inflate + unfilter proves itself against the uncompressed twin."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_pixel_stats,
+        synth_png_media,
+        synth_ppm_media,
+    )
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    png = {
+        r.media_id: r
+        for r in extract_pixel_stats(
+            synth_png_media(ids), codec="png"
+        ).collect()
+    }
+    ppm = {
+        r.media_id: r
+        for r in extract_pixel_stats(synth_ppm_media(ids)).collect()
+    }
+    assert set(png) == set(ppm) and len(png) == 40
+    for k in png:
+        assert png[k] == ppm[k]
+
+
+def test_png_stats_poison_and_alpha(spark):
+    """Poison payloads yield NULL rows (batch survives); alpha channels
+    are dropped before the stats (RGBA→RGB, GA→G) to match the PIL
+    convention; grayscale replicates r=g=b like the other codecs."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        encode_png,
+        extract_pixel_stats,
+    )
+
+    rgba = np.zeros((1, 2, 4), dtype=np.uint8)
+    rgba[0, 0] = (10, 20, 30, 255)
+    rgba[0, 1] = (50, 60, 70, 128)
+    gray = np.full((2, 2, 1), 8, dtype=np.uint8)
+    rows = spark.createDataFrame(
+        [(1, bytearray(encode_png(rgba)), ("image/png", "t")),
+         (2, bytearray(encode_png(gray)), ("image/png", "t")),
+         (3, b"not a png", ("application/octet-stream", "t"))],
+        "media_id long, payload binary, meta struct<mime:string,source:string>",
+    )
+    out = {
+        r.media_id: r
+        for r in extract_pixel_stats(rows, codec="png").collect()
+    }
+    assert (out[1].width, out[1].height, out[1].channels) == (2, 1, 3)
+    assert (out[1].sum_r, out[1].sum_g, out[1].sum_b) == (60, 80, 100)
+    assert (out[2].channels, out[2].sum_r, out[2].sum_b) == (1, 32, 32)
+    assert out[3].width is None and out[3].sum_r is None
+
+
 def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     from purescript_ifrit_spark.operators.windows import tumbling_agg
     from purescript_ifrit_spark.sources.tables import load_table
