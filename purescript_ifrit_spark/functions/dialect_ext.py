@@ -177,6 +177,30 @@ def _redact_sql(x: str) -> str:
     return redact_sql(x)
 
 
+def _vectorize_column(c: Column) -> Column:
+    from purescript_ifrit_spark.operators.vectorize import vectorize_expr
+
+    return vectorize_expr(c)
+
+
+def _vectorize_sql(x: str) -> str:
+    from purescript_ifrit_spark.operators.vectorize import vectorize_sql
+
+    return vectorize_sql(x)
+
+
+def _quality_score_column(c: Column) -> Column:
+    from purescript_ifrit_spark.operators.vectorize import hash_margin_expr
+
+    return hash_margin_expr(c)
+
+
+def _quality_score_sql(x: str) -> str:
+    from purescript_ifrit_spark.operators.vectorize import hash_margin_sql
+
+    return hash_margin_sql(x)
+
+
 def _htmltext_column(c: Column) -> Column:
     from purescript_ifrit_spark.operators.text_cleaning import html_text_expr
 
@@ -337,6 +361,25 @@ EXT_FUNCTIONS: Dict[str, ExtFn] = {
         ),
         ExtFn("REDACT", Schema.string(), _redact_column, _redact_sql),
         ExtFn("HTMLTEXT", Schema.string(), _htmltext_column, _htmltext_sql),
+        ExtFn(
+            "VECTORIZE",
+            # dense dim-16 hashing-trick vector (signed token counts) —
+            # operators/vectorize.vectorize_expr; the Python operator
+            # feature_hash_embed takes dim/normalize as parameters
+            Schema.array(Schema.number()),
+            _vectorize_column,
+            _vectorize_sql,
+            groupable=False,  # array-typed result is not a valid group key
+        ),
+        ExtFn(
+            "QUALITY_SCORE",
+            # integer linear-model margin over hashed features (keep ≡
+            # margin ≥ 0) — operators/vectorize.hash_margin_expr; a
+            # LEARNED model goes through linear_hash_score
+            Schema.number(),
+            _quality_score_column,
+            _quality_score_sql,
+        ),
         ExtFn(
             "TUMBLE",
             Schema.number(),

@@ -87,8 +87,9 @@ _KEYWORDS = [
 # name is a prefix of another within the boundary rule.
 _FUNCTIONS = [
     "AVG", "COUNT", "MAX", "MIN", "SUM",
-    "TOKEN_COUNT", "QUALITY", "LANG_ID", "FINGERPRINT", "CHUNK", "SPLIT",
-    "REDACT", "HTMLTEXT", "TUMBLE", "SESSIONIZE",
+    "TOKEN_COUNT", "QUALITY_SCORE", "QUALITY", "LANG_ID", "FINGERPRINT",
+    "CHUNK", "SPLIT", "REDACT", "HTMLTEXT", "TUMBLE", "SESSIONIZE",
+    "VECTORIZE",
 ]
 
 _WORD_CHARS = r"[a-zA-Z0-9_.]"

@@ -155,3 +155,108 @@ def linear_hash_score(
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))).alias("score"),
         (F.col("margin") >= 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scan-stage scalar twins for the dialect surface (functions/dialect_ext.py:
+# VECTORIZE / QUALITY_SCORE). Same hashing trick as the operators above,
+# re-expressed as per-row Column expressions so the query dialect can reach
+# them without a groupBy. Geometry is FIXED (the one-argument fn grammar has
+# no room for parameters); the Python operators take dim/weights/bias.
+# ---------------------------------------------------------------------------
+
+VECTOR_DIM = 16  # dialect VECTORIZE / QUALITY_SCORE dimensionality
+
+# fixed integer weight of a bucket for the dialect QUALITY_SCORE margin:
+# w(b) = (b * 2654435761) % 201 − 100 ∈ [−100, 100] (Knuth multiplicative
+# constant — a deterministic stand-in model; a learned model goes through
+# linear_hash_score with its own weights table). INTEGER weights on
+# purpose: the margin is then a pure integer function of the text —
+# value-exact across engines, no float summation order, no sigmoid ulp.
+_W_MULT = 2654435761
+_W_MOD = 201
+_W_OFF = 100
+
+
+def _bucket_sign_exprs(t, dim: int):
+    """Column (bucket, sign) of one token expression — the lambda-friendly
+    twin of _bucket_and_sign (which takes a column over exploded rows)."""
+    b = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim
+    s9 = F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("long")
+    return b, F.when(s9 % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+
+def vectorize_expr(c, dim: int = VECTOR_DIM):
+    """Per-row dense hashing-trick vector (array<double>, signed token
+    counts — the UNnormalized feature_hash_embed row). Scan-stage HOFs
+    only. O(dim·n_tokens) interpreted work per row: the convenience form
+    for dialect queries and small dims; the 100 TB path for large dims is
+    the explode+aggregate operator feature_hash_sparse/embed (equality of
+    the two pinned in tests)."""
+    toks = F.filter(X.tokens(c), lambda t: t != F.lit(""))
+
+    def coord(i):
+        def step(acc, t):
+            b, s = _bucket_sign_exprs(t, dim)
+            return acc + F.when(b == i.cast("long"), s).otherwise(0)
+
+        return F.aggregate(
+            toks, F.lit(0).cast("long"), step
+        ).cast("double")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), coord)
+
+
+def vectorize_sql(x: str, dim: int = VECTOR_DIM) -> str:
+    """Spark-SQL twin of vectorize_expr (for the SQL emitter backend)."""
+    norm = f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
+    toks = f"filter(split({norm}, ' '), t -> t <> '')"
+    b = f"(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {dim})"
+    s = (
+        "(CASE WHEN CAST(conv(substring(md5(t), 9, 1), 16, 10) AS BIGINT) "
+        "% 2 = 0 THEN 1 ELSE -1 END)"
+    )
+    return (
+        f"transform(sequence(0, {dim - 1}), i -> CAST(aggregate({toks}, 0L, "
+        f"(acc, t) -> acc + (CASE WHEN {b} = CAST(i AS BIGINT) THEN {s} "
+        f"ELSE 0 END)) AS DOUBLE))"
+    )
+
+
+def hash_margin_expr(c, dim: int = VECTOR_DIM):
+    """Per-row linear-model margin over hashed token features with the
+    FIXED integer weights above: margin = Σ_tokens sign·w(bucket), a pure
+    integer function of the text (long). keep ≡ margin ≥ 0 — the dialect
+    QUALITY_SCORE form of linear_hash_score (equality with the operator
+    under the same weights table pinned in tests)."""
+    toks = F.filter(X.tokens(c), lambda t: t != F.lit(""))
+
+    def step(acc, t):
+        b, s = _bucket_sign_exprs(t, dim)
+        w = (b * _W_MULT) % _W_MOD - _W_OFF
+        return acc + s.cast("long") * w
+
+    return F.aggregate(toks, F.lit(0).cast("long"), step)
+
+
+def hash_margin_sql(x: str, dim: int = VECTOR_DIM) -> str:
+    """Spark-SQL twin of hash_margin_expr."""
+    norm = f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
+    toks = f"filter(split({norm}, ' '), t -> t <> '')"
+    b = f"(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {dim})"
+    s = (
+        "(CASE WHEN CAST(conv(substring(md5(t), 9, 1), 16, 10) AS BIGINT) "
+        "% 2 = 0 THEN 1L ELSE -1L END)"
+    )
+    w = f"(({b} * {_W_MULT}L) % {_W_MOD} - {_W_OFF})"
+    return f"aggregate({toks}, 0L, (acc, t) -> acc + {s} * {w})"
+
+
+def margin_weights(spark, dim: int = VECTOR_DIM):
+    """The fixed QUALITY_SCORE weight table as a (bucket, w) DataFrame —
+    feed it to linear_hash_score to reproduce the dialect margin through
+    the verified operator (the parity test's bridge)."""
+    rows = [
+        (b, float((b * _W_MULT) % _W_MOD - _W_OFF)) for b in range(dim)
+    ]
+    return spark.createDataFrame(rows, ["bucket", "w"])

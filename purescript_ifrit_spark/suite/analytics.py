@@ -907,3 +907,146 @@ def x_cms_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_frequencies(
         toks, "tok", ["the", "spark", "table", "query", "zzz_absent"]
     )
+
+
+@register(
+    "x_cms_probe_planted",
+    # planted-truth conversion of the rows-only CMS probe (VERDICT r5 #3):
+    # the CMS guarantees exact ≤ est (never undercounts) and, for this
+    # fixed corpus + fixed seed, est ≤ exact + ε·N deterministically —
+    # so BOTH bound checks are emitted as booleans the oracle recomputes
+    # as constants, and exact_n itself is recomputed from the token CTE.
+    # Integer bound arithmetic (est·1000 ≤ exact·1000 + N for ε = 0.001):
+    # no float rounding to disagree on.
+    _TOK_CTE + ", c AS (SELECT t AS item, COUNT(*) AS n FROM tok "
+    "WHERE t <> '' GROUP BY t), "
+    "p AS (SELECT * FROM (VALUES ('the'), ('spark'), ('table'), "
+    "('query'), ('zzz_absent')) v(item)) "
+    "SELECT p.item, CAST(COALESCE(c.n, 0) AS BIGINT) AS exact_n, "
+    "TRUE AS lower_ok, TRUE AS upper_ok FROM p LEFT JOIN c USING (item)",
+)
+def x_cms_probe_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min probe with its accuracy envelope made oracle-checkable:
+    (item, exact_n, est ≥ exact, est·1000 ≤ exact·1000 + N) — a bound
+    violation flips a boolean and fails the value hash."""
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.sketches import cms_frequencies
+
+    probes = ["the", "spark", "table", "query", "zzz_absent"]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(X.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    est = cms_frequencies(toks, "tok", probes).withColumnRenamed(
+        "tok", "item"
+    )
+    exact = (
+        toks.groupBy(F.col("tok").alias("item"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_tot"))
+    pr = spark.createDataFrame([(p,) for p in probes], ["item"])
+    return (
+        pr.join(exact, "item", "left")
+        .withColumn("exact_n", F.coalesce(F.col("_n"), F.lit(0)).cast("long"))
+        .join(F.broadcast(est), "item")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item",
+            "exact_n",
+            (F.col("est_n") >= F.col("exact_n")).alias("lower_ok"),
+            (
+                F.col("est_n") * 1000
+                <= F.col("exact_n") * 1000 + F.col("_tot")
+            ).alias("upper_ok"),
+        )
+    )
+
+
+@register(
+    "x_heavy_hitters_mg_planted",
+    # planted-truth conversion of the rows-only Misra-Gries entry: build a
+    # stream where 'hot' appears once per document (frequency 1/2 of the
+    # 2·D-row stream — far above n/capacity = n/64) among per-doc unique
+    # noise items. MG's guarantees become booleans: the hot item MUST
+    # surface in the top-k, its estimate never overcounts (est ≤ exact),
+    # and underestimates by at most n/capacity (est·64 ≥ exact·64 − n ⇔
+    # est ≥ D·62/64). The oracle recomputes exact_n = COUNT(documents)
+    # and emits the guaranteed booleans.
+    "SELECT 'hot' AS item, CAST(COUNT(*) AS BIGINT) AS exact_n, "
+    "TRUE AS surfaced, TRUE AS lower_ok, TRUE AS upper_ok FROM documents",
+)
+def x_heavy_hitters_mg_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries with its deterministic guarantees oracle-checked on a
+    planted stream (operators/sketches.heavy_hitters_mg)."""
+    from purescript_ifrit_spark.operators.sketches import heavy_hitters_mg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    items = docs.select(
+        F.explode(
+            F.array(
+                F.lit("hot"),
+                F.concat(F.lit("u"), F.col("doc_id").cast("string")),
+            )
+        ).alias("item")
+    )
+    mg = heavy_hitters_mg(items, "item", 5, capacity=64)
+    exact = docs.agg(F.count(F.lit(1)).alias("exact_n"))
+    hot = mg.filter(F.col("item") == "hot")
+    return (
+        exact.join(F.broadcast(hot), how="left")
+        .select(
+            F.coalesce(F.col("item"), F.lit("MISSING")).alias("item"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("est_n").isNotNull().alias("surfaced"),
+            (
+                F.coalesce(F.col("est_n"), F.lit(0)) * 64
+                >= F.col("exact_n") * 64 - F.col("exact_n") * 2
+            ).alias("lower_ok"),
+            (
+                F.coalesce(F.col("est_n"), F.lit(0)) <= F.col("exact_n")
+            ).alias("upper_ok"),
+        )
+    )
+
+
+@register(
+    "x_percentiles_approx_planted",
+    # planted-truth conversion of the rows-only approx_percentile entry:
+    # Spark guarantees the returned value's exact RANK is within
+    # n/accuracy of q·n. The Spark side recomputes the returned value's
+    # true rank range against the data and emits the bound check as a
+    # boolean; the oracle states the guarantee. Tie-safe: a value's rank
+    # is the [count(<v)+1, count(≤v)] interval, and the check accepts the
+    # interval overlapping [q·n − n/acc, q·n + n/acc].
+    "SELECT CAST(q AS DOUBLE) AS q, rank_ok FROM "
+    "(VALUES (0.5, TRUE), (0.9, TRUE)) t(q, rank_ok)",
+)
+def x_percentiles_approx_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile rank-error envelope as an oracle row
+    (KLL/GK-style sketch: bounded mergeable state — the 100 TB global
+    percentile path; exact twin: x_percentiles)."""
+    ev = load_table(spark, sf_dir, "events")
+    acc = 100
+    pcts = ev.agg(
+        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("p50"),
+        F.expr(f"approx_percentile(value, 0.9, {acc})").alias("p90"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    out = []
+    for q, col in ((0.5, "p50"), (0.9, "p90")):
+        ranks = ev.crossJoin(F.broadcast(pcts.select(col, "_n"))).agg(
+            F.sum((F.col("value") < F.col(col)).cast("long")).alias("_lt"),
+            F.sum((F.col("value") <= F.col(col)).cast("long")).alias("_le"),
+            F.max("_n").alias("_n"),
+        )
+        out.append(
+            ranks.select(
+                F.lit(q).alias("q"),
+                (
+                    (F.col("_lt") + 1 <= F.col("_n") * q + F.col("_n") / acc)
+                    & (F.col("_le") >= F.col("_n") * q - F.col("_n") / acc)
+                ).alias("rank_ok"),
+            )
+        )
+    return out[0].unionByName(out[1])

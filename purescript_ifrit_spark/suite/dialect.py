@@ -189,3 +189,65 @@ def xd_htmltext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_query(spark, aug, "SELECT doc_id, HTMLTEXT(x) AS clean")
     return out.select("doc_id", F.md5("clean").alias("fp"))
+
+
+_XD_TOK = (
+    "WITH tok AS (SELECT doc_id, "
+    "UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), "
+    "' ')) AS t FROM documents) "
+)
+
+
+@register(
+    "xd_vectorize",
+    # VECTORIZE through the full compiler path: the dim-16 hashing-trick
+    # vector is a pure integer function of the text (md5 bucket + sign),
+    # so the oracle recomputes every coordinate exactly; flat posexplode
+    # rows for the driver comparator (no ArrayType on the oracle surface)
+    _XD_TOK + ", b AS (SELECT doc_id, "
+    "CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16 AS bucket, "
+    "CASE WHEN CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2 = 0 "
+    "THEN 1 ELSE -1 END AS s FROM tok WHERE t <> ''), "
+    "g AS (SELECT doc_id, bucket, SUM(s) AS v FROM b GROUP BY doc_id, bucket) "
+    "SELECT d.doc_id, CAST(r.i AS INT) AS pos, "
+    "CAST(COALESCE(g.v, 0) AS BIGINT) AS val "
+    "FROM documents d CROSS JOIN UNNEST(range(0, 16)) AS r(i) "
+    "LEFT JOIN g ON g.doc_id = d.doc_id AND g.bucket = r.i",
+)
+def xd_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization reached through the DIALECT
+    (`VECTORIZE(text)` → operators/vectorize.vectorize_expr, value-equal
+    to feature_hash_sparse — pinned in test_dialect_ext)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_query(spark, docs, "SELECT doc_id, VECTORIZE(text) AS v")
+    return out.select(
+        "doc_id", F.posexplode("v").alias("pos", "_val")
+    ).select("doc_id", "pos", F.col("_val").cast("long").alias("val"))
+
+
+@register(
+    "xd_quality_score",
+    # QUALITY_SCORE through the full compiler path: the linear margin is a
+    # pure INTEGER function of the text (integer weights by construction),
+    # so the oracle recomputes it exactly — no sigmoid, no float sums
+    _XD_TOK + ", m AS (SELECT doc_id, "
+    "(CASE WHEN CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2 = 0 "
+    "THEN 1 ELSE -1 END) * "
+    "(((CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16) * 2654435761) "
+    "% 201 - 100) AS c FROM tok WHERE t <> '') "
+    "SELECT d.doc_id, CAST(COALESCE(SUM(m.c), 0) AS BIGINT) AS margin, "
+    "COALESCE(SUM(m.c), 0) >= 0 AS keep "
+    "FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id GROUP BY d.doc_id",
+)
+def xd_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality filter reached through the DIALECT
+    (`QUALITY_SCORE(text)` → operators/vectorize.hash_margin_expr,
+    value-equal to linear_hash_score under margin_weights — pinned in
+    test_dialect_ext)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_query(spark, docs, "SELECT doc_id, QUALITY_SCORE(text) AS m")
+    return out.select(
+        "doc_id",
+        F.col("m").cast("long").alias("margin"),
+        (F.col("m") >= 0).alias("keep"),
+    )

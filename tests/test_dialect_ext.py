@@ -156,6 +156,78 @@ def test_chunk_matches_chunk_documents(spark, docs):
     assert want.exceptAll(got).count() == 0
 
 
+def test_vectorize_matches_feature_hash_sparse(spark, docs):
+    """The dialect VECTORIZE scalar must equal the verified explode+agg
+    operator coordinate-for-coordinate (posexploded dense vs sparse with
+    implicit zeros)."""
+    from purescript_ifrit_spark.operators.vectorize import (
+        VECTOR_DIM,
+        feature_hash_sparse,
+    )
+
+    got = (
+        run_query(spark, docs, "SELECT doc_id, VECTORIZE(text) AS v")
+        .select("doc_id", F.posexplode("v").alias("bucket", "val"))
+        .filter(F.col("val") != 0.0)
+        .select("doc_id", "bucket", F.col("val").cast("long").alias("value"))
+    )
+    want = feature_hash_sparse(docs, "doc_id", "text", VECTOR_DIM).select(
+        "doc_id", "bucket", F.col("value").cast("long").alias("value")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_quality_score_matches_linear_hash_score(spark, docs):
+    """The dialect QUALITY_SCORE margin must equal linear_hash_score under
+    the same fixed weights table (margin_weights) for every doc that has
+    tokens; tokenless docs score 0 in the scalar form."""
+    from purescript_ifrit_spark.operators.vectorize import (
+        VECTOR_DIM,
+        linear_hash_score,
+        margin_weights,
+    )
+
+    got = {
+        r["doc_id"]: r["m"]
+        for r in run_query(
+            spark, docs, "SELECT doc_id, QUALITY_SCORE(text) AS m"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["margin"]
+        for r in linear_hash_score(
+            docs, margin_weights(spark, VECTOR_DIM), "doc_id", "text",
+            VECTOR_DIM,
+        ).collect()
+    }
+    assert got and all(
+        float(m) == want.get(i, 0.0) for i, m in got.items()
+    )
+
+
+def test_vectorize_not_groupable_and_typed():
+    from purescript_ifrit_spark.analyzer import analyze
+    from purescript_ifrit_spark.errors import AnalysisError
+    from purescript_ifrit_spark.parser import parse_sql
+    from purescript_ifrit_spark.schema import schema_from_json
+
+    schema = schema_from_json({"doc_id": "number", "text": "string"})
+    out = analyze(
+        schema, parse_sql("SELECT doc_id, VECTORIZE(text) AS v")
+    ).to_json_obj()
+    assert out["v"] == ["number"]
+    out2 = analyze(
+        schema, parse_sql("SELECT doc_id, QUALITY_SCORE(text) AS m")
+    ).to_json_obj()
+    assert out2["m"] == "number"
+    with pytest.raises(AnalysisError):
+        analyze(
+            schema,
+            parse_sql("SELECT COUNT(doc_id) AS n GROUP BY VECTORIZE(text)"),
+        )
+
+
 def test_group_by_fingerprint_is_exact_dedup(spark, docs):
     from purescript_ifrit_spark.operators.dedup import dedup_exact_text
 
@@ -184,6 +256,9 @@ EXT_QUERIES = [
     "SELECT doc_id FROM (SELECT doc_id, QUALITY(text) AS q) WHERE q > 0.5",
     "SELECT doc_id, SPLIT(doc_id) AS split",
     "SELECT COUNT(doc_id) AS n GROUP BY SPLIT(doc_id)",
+    "SELECT doc_id, VECTORIZE(text) AS v",
+    "SELECT doc_id, QUALITY_SCORE(text) AS m",
+    "SELECT COUNT(doc_id) AS n GROUP BY QUALITY_SCORE(text)",
 ]
 
 
