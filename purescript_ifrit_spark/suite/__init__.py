@@ -49,85 +49,80 @@ from purescript_ifrit_spark.suite.core import flagship  # noqa: E402,F401
 #
 # The driver's correctness harness checks the FIRST 50 registry entries
 # (dict insertion order). Rotation policy (COVERAGE.md ledger records the
-# per-entry driver history): changed-this-round and never-verified entries
-# enter first, then the entries with the OLDEST last driver check, so no
-# entry's last hard check ages past two rounds. Round-5 composition is the
-# one VERDICT r4 #4 prescribed:
+# per-entry driver history): never-verified ORACLE entries enter first,
+# then the entries with the OLDEST last driver check, so no entry's last
+# hard check ages past two rounds. Rows-only entries yield their slots —
+# a `no_oracle` row can never go hash-green, so it wastes a hard-signal
+# slot (VERDICT r5 item 2: x_dau_approx / x_ann_ivf_topk are dropped
+# this round for exactly that reason); their behavior stays pinned by
+# paired exact twins, planted-oracle conversions, and pytest envelopes.
 #
-#   1. the two entries reshaped this round (r4's only red cells — flat
-#      posexplode output so the driver comparator can canonicalize them)
-#      stay at positions 0-1;
-#   2. the new round-5 DAU pair (never driver-verified);
-#   3. all 24 r1/r2-only core §2 dialect rows — no driver pass since r2,
-#      two rounds of lexer/parser/planner refactoring ago;
-#   4. backfill with the oldest r3-only entries (one driver check each).
+# Round-6 composition (VERDICT r5 #2, exactly 50):
+#   1. the 11 round-5 late additions that are oracle-backed but have
+#      never been driver-checked;
+#   2. the 6 new round-6 oracle entries (planted conversions of the CMS /
+#      Misra-Gries / approx-percentile sketches, the baseline-PNG decode,
+#      and the VECTORIZE / QUALITY_SCORE dialect functions);
+#   3. the full r3-only cohort — every oracle entry whose last driver
+#      check was round 3 (33 entries, ledger order).
 #
-# Everything else (checked r3/r4 AND duplicated by
+# Everything else (checked r4/r5 AND duplicated by
 # tests/test_oracle_parity.py every round) follows after the window.
 
-_DRIVER_WINDOW_R5 = [
-    # -- (1) reshaped this round (VERDICT r4 #1) ---------------------------
-    "x_embedding_normalize",
-    "x_embedding_quantize",
-    # -- (2) new round-5 operators, never driver-verified ------------------
-    # (oracle-backed entries first — the policy's "never-verified enter
-    # first" outranks backfill; rows-only newcomers except the DAU/exact
-    # pair yield their slots, since their hard signal lives in the paired
-    # exact twins and pytest envelopes)
-    "x_dau_exact",
-    "x_dau_approx",
-    "x_dedup_subdoc",
-    "x_unigram_xent",
-    "x_corr_stats",
-    "x_cube_counts",
-    "x_quality_topfrac",
-    "x_ohlc_bars",
-    "x_moving_avg",
-    "x_hopping_agg",
-    "x_value_histogram",
-    "x_salted_join",
-    "x_blocklist_dedup",
-    "x_heavy_hitters",
-    "x_source_overlap_exact",
-    "x_source_overlap_sketch",
-    "x_html_extract",
-    "x_temperature_mix",
-    "x_bigram_xent",
-    "x_feature_hash",
-    "x_linear_filter",
-    "x_corpus_report",
-    # -- (3) the 24 r1/r2-only §2 dialect rows -----------------------------
-    "p3_alias",
-    "f1_neq",
-    "f2_lt_gt",
-    "f3_lte_via_not",
-    "f3_gte_direct",
-    "f4_and",
-    "f5_or",
-    "f6_not_demorgan",
-    "f7_bare_boolean",
-    "f8_null_compare",
-    "f9_reversed_literal",
-    "o1_o2_topk",
-    "o4_pregroup_sort_limit",
-    "a2_group_by_null",
-    "a4_group_sum",
-    "a5_group_min_max",
-    "a6_group_count",
-    "a7_push_collect",
-    "b1_avg_array",
-    "b3_sum_array",
-    "b4_min_max_array",
-    "b6_count_array",
-    "b2_avg_nested_array",
-    "b5_max_nested_array",
-    # -- (4) oldest r3-only entries, ledger order --------------------------
-    # (the remaining r3-only and r1/r2-extension rows — and the rows-only
-    # newcomers x_knn_join / x_percentiles_approx / x_streaming_dau /
-    # x_heavy_hitters_mg / x_shuffle_shards / x_term_spectrum — queue for
-    # the r6 window behind this round's never-verified oracle entries)
-    "x_dedup_ngram_planted",
-    "x_ann_ivf_topk",
+_DRIVER_WINDOW_R6 = [
+    # -- (1) round-5 late additions, oracle-backed, never driver-checked --
+    "x_term_spectrum",
+    "x_vocab_divergence",
+    "x_ngram_novelty",
+    "x_bpe_pairs",
+    "xd_htmltext",
+    "x_shuffle_shards",
+    "x_winsorize",
+    "x_quantile_normalize",
+    "x_label_entropy",
+    "x_label_dispersion",
+    "x_multimodal_video",
+    # -- (2) new round-6 oracle entries ------------------------------------
+    "x_cms_probe_planted",
+    "x_heavy_hitters_mg_planted",
+    "x_percentiles_approx_planted",
+    "x_multimodal_png",
+    "xd_vectorize",
+    "xd_quality_score",
+    # -- (3) the r3-only cohort (oldest last check), ledger order ----------
+    "x_dedup_clusters_planted",
+    "x_chunk_documents",
+    "x_pack_sequences",
+    "x_rolling_fingerprint",
+    "x_explode_chunks",
+    "x_pii_redact",
+    "x_term_stats",
+    "x_tfidf_topk",
+    "x_repetition_stats",
+    "xd_redact",
+    "xd_tumble_hourly",
+    "xd_sessionize",
+    "x_split_train_val",
+    "x_hash_sample",
+    "x_stratified_fixed_k",
+    "x_stratified_sample",
+    "x_embedding_centroids",
+    "x_events_hourly",
+    "x_running_total",
+    "x_equidepth_buckets",
+    "x_asof_join",
+    "x_asof_forward",
+    "x_range_join",
+    "x_rollup_multi",
+    "x_tpch_q18ish",
+    "x_partitioned_sink",
+    "x_set_ops",
+    "x_anti_join",
+    "x_semi_join",
+    "x_multimodal_framesample",
+    "x_streaming_windowed",
+    "x_streaming_session",
+    "x_streaming_state",
 ]
 
 
@@ -142,4 +137,4 @@ def _apply_driver_window(window: list) -> None:
     REGISTRY.update(ordered)
 
 
-_apply_driver_window(_DRIVER_WINDOW_R5)
+_apply_driver_window(_DRIVER_WINDOW_R6)

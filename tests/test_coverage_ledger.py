@@ -1,0 +1,77 @@
+"""Static guards for the COVERAGE.md driver-verification ledger and the
+driver window (VERDICT r5 #5): commit 5cd00bc repaired 12 ledger rows that
+hand-edits had silently dropped when the table renumbered — these tests
+make the repair permanent by failing whenever the committed table drifts
+from the registry or the renderer, and by pinning the window invariants
+the rotation policy promises."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from purescript_ifrit_spark.suite import _DRIVER_WINDOW_R6, REGISTRY
+from purescript_ifrit_spark.suite._ledger import (
+    DRIVER_HISTORY,
+    render_ledger_table,
+)
+
+COVERAGE = Path(__file__).resolve().parents[1] / "COVERAGE.md"
+
+
+def _committed_table_rows() -> list:
+    rows = []
+    for line in COVERAGE.read_text().split("\n"):
+        m = re.match(r"\| (\d+) \| `([^`]+)` \| ([^|]+) \| ([^|]+) \|", line)
+        if m:
+            rows.append(
+                (int(m.group(1)), m.group(2), m.group(3).strip(),
+                 m.group(4).strip())
+            )
+    return rows
+
+
+def test_ledger_history_covers_registry_exactly():
+    # every registry entry has a history row and vice versa — the r5
+    # failure mode (silently dropped rows) becomes a hard test failure
+    assert set(DRIVER_HISTORY) == set(REGISTRY)
+
+
+def test_committed_ledger_table_matches_renderer():
+    # COVERAGE.md's table must be the renderer's output byte-for-byte —
+    # hand-edits against a renumbered table can no longer silently no-op
+    committed = COVERAGE.read_text()
+    assert render_ledger_table() in committed
+
+
+def test_committed_ledger_positions_match_registry_order():
+    rows = _committed_table_rows()
+    names = list(REGISTRY)
+    assert len(rows) == len(names)
+    for pos, name, check, hist in rows:
+        assert names[pos] == name, (pos, name, names[pos])
+        want_check = "oracle" if REGISTRY[name][1] else "rows-only"
+        assert check == want_check, (name, check, want_check)
+
+
+def test_driver_window_is_exactly_fifty_oracle_entries():
+    # the driver checks the FIRST 50 — all 50 slots must be spendable on
+    # hash-green outcomes (no rows-only entries per the rotation policy)
+    assert len(_DRIVER_WINDOW_R6) == 50
+    assert len(set(_DRIVER_WINDOW_R6)) == 50
+    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R6
+    rows_only = [n for n in _DRIVER_WINDOW_R6 if REGISTRY[n][1] is None]
+    assert rows_only == []
+
+
+def test_window_prioritizes_never_verified_oracle_entries():
+    # every oracle-backed entry whose history has no driver round yet
+    # ("new r5"/"new r6" with no r{1..5} record) must be IN the window
+    never = [
+        name
+        for name, (check, hist) in DRIVER_HISTORY.items()
+        if check == "oracle"
+        and not re.search(r"\br[1-5]\b", hist.replace("new r5", "").replace("new r6", ""))
+    ]
+    missing = [n for n in never if n not in _DRIVER_WINDOW_R6]
+    assert missing == [], missing
