@@ -943,3 +943,23 @@ def dedup_against_blocklist(
         "left_anti",
     )
     return clean.unionByName(confirm).drop("_fp", "_maybe")
+
+
+def cluster_size_histogram(
+    assignments: DataFrame, cluster_col: str = "component"
+) -> DataFrame:
+    """(cluster_size, n_clusters) histogram of a cluster assignment — the
+    dedup REPORT: how much of the corpus sits in near-dup families of
+    size 2, 3, …, and how heavy is the heaviest family (the number that
+    decides whether cluster dedup is worth its connected-components
+    passes on a given source).
+
+    Two exchanges, both with map-side partials: cluster sizes, then the
+    size histogram — state is one counter per distinct size, never a
+    per-cluster member list."""
+    sizes = assignments.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )

@@ -677,3 +677,38 @@ def ngram_novelty(
             / F.count(F.lit(1)).cast("double")
         ).alias("novelty"),
     )
+
+
+def packing_stats(
+    packed: DataFrame,
+    tokens_col: str = "chunk_tokens",
+    pack_col: str = "pack_id",
+    pack_size: int = 512,
+) -> DataFrame:
+    """Bin-level report over pack_sequences output: one row per pack with
+    (n_items, n_tokens, overflow, utilization) — the packing-efficiency
+    numbers a training-data owner watches (first-fit-in-order lets a bin
+    overflow by at most one chunk; every bin except the last is filled to
+    ≥ pack_size by construction, so utilization < 1 flags only the tail).
+
+    One exchange keyed by pack with map-side partials; utilization is a
+    single IEEE division of the exact integer token sum, so the whole row
+    is value-exact cross-engine."""
+    if pack_size <= 0:
+        raise ValueError(f"pack_size must be positive (got {pack_size})")
+    return (
+        packed.groupBy(F.col(pack_col).alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col(tokens_col)).cast("long").alias("n_tokens"),
+        )
+        .select(
+            "pack_id",
+            "n_items",
+            "n_tokens",
+            (F.col("n_tokens") > pack_size).alias("overflow"),
+            (F.col("n_tokens").cast("double") / float(pack_size)).alias(
+                "utilization"
+            ),
+        )
+    )

@@ -199,3 +199,72 @@ def extract_html_text(
 ) -> DataFrame:
     """Extract visible text from an HTML column (web-corpus ingest)."""
     return df.withColumn(out_col, html_text_expr(F.col(html_col)))
+
+
+# ---------------------------------------------------------------------------
+# corpus hygiene reports: URL domains, encoding quality
+# ---------------------------------------------------------------------------
+
+# URL shape shared with the redaction stage above; DOMAIN_RX captures the
+# host (authority up to the first /, :, ?, # or whitespace) — both patterns
+# stay inside the Java∩RE2 subset so DuckDB oracles recompute them verbatim
+URL_RX = r"https?://\S+"
+DOMAIN_RX = r"^https?://([^/\s:?#]+)"
+
+
+def url_domain_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain URL statistics over a corpus — (domain, n_docs, n_urls),
+    the report domain blocklists/allowlists are built from (the standard
+    first step of web-corpus curation: rank domains by volume, eyeball the
+    head, block the spam).
+
+    Scale: URL extraction and host parsing are scan-stage regex; the only
+    exchange is keyed by domain with map-side partials (n_docs is a
+    two-stage distinct aggregate — (domain, doc) partial-distinct before
+    the count, never a per-domain row buffer)."""
+    urls = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_RX), 0)
+        ).alias("_u"),
+    )
+    dom = urls.select(
+        "_id",
+        F.lower(F.regexp_extract(F.col("_u"), DOMAIN_RX, 1)).alias("domain"),
+    ).filter(F.col("domain") != "")
+    return dom.groupBy("domain").agg(
+        F.countDistinct("_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+    )
+
+
+def encoding_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document encoding-damage screen: counts of U+FFFD replacement
+    characters (the mojibake tombstone a lossy decode leaves behind),
+    C0 control characters (excluding \\t \\n \\r), and non-ASCII
+    codepoints, plus the non-ASCII ratio — the columns a curation
+    pipeline filters or routes on before any language-level scoring.
+
+    All counts are integers from one scan-stage pass (length/translate
+    for the literal char, regexp_count for the classes); the single
+    ratio is one IEEE division of exact integers, so every column is
+    value-exact cross-engine."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_repl = n_chars - F.length(F.translate(t, "�", ""))
+    n_ctrl = F.regexp_count(t, F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F]"))
+    n_non_ascii = F.regexp_count(t, F.lit(r"[^\x00-\x7F]"))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_ctrl.cast("long").alias("n_control"),
+        n_non_ascii.cast("long").alias("n_non_ascii"),
+        F.when(n_chars > 0, n_non_ascii.cast("double") / n_chars.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("non_ascii_ratio"),
+    )

@@ -60,11 +60,14 @@ from purescript_ifrit_spark.suite.core import flagship  # noqa: E402,F401
 # Round-6 composition (VERDICT r5 #2, exactly 50):
 #   1. the 11 round-5 late additions that are oracle-backed but have
 #      never been driver-checked;
-#   2. the 6 new round-6 oracle entries (planted conversions of the CMS /
-#      Misra-Gries / approx-percentile sketches, the baseline-PNG decode,
-#      and the VECTORIZE / QUALITY_SCORE dialect functions);
-#   3. the full r3-only cohort — every oracle entry whose last driver
-#      check was round 3 (33 entries, ledger order).
+#   2. the 10 new round-6 oracle entries (planted conversions of the CMS /
+#      Misra-Gries / approx-percentile sketches + the cluster-size
+#      histogram, the baseline-PNG decode, the VECTORIZE / QUALITY_SCORE
+#      dialect functions, URL-domain stats, encoding quality, packing
+#      stats);
+#   3. the r3-only cohort — oracle entries whose last driver check was
+#      round 3, ledger order (29 of 33 fit; the 4 tail entries wait for
+#      r7, never-verified newcomers outrank backfill).
 #
 # Everything else (checked r4/r5 AND duplicated by
 # tests/test_oracle_parity.py every round) follows after the window.
@@ -89,7 +92,14 @@ _DRIVER_WINDOW_R6 = [
     "x_multimodal_png",
     "xd_vectorize",
     "xd_quality_score",
+    "x_url_domains",
+    "x_encoding_quality",
+    "x_packing_stats",
+    "x_cluster_stats_planted",
     # -- (3) the r3-only cohort (oldest last check), ledger order ----------
+    # (never-verified oracle entries outrank backfill, so the cohort's 4
+    # tail entries — x_multimodal_framesample and the three streaming
+    # twins, each pytest-verified every round — wait for the r7 window)
     "x_dedup_clusters_planted",
     "x_chunk_documents",
     "x_pack_sequences",
@@ -119,10 +129,6 @@ _DRIVER_WINDOW_R6 = [
     "x_set_ops",
     "x_anti_join",
     "x_semi_join",
-    "x_multimodal_framesample",
-    "x_streaming_windowed",
-    "x_streaming_session",
-    "x_streaming_state",
 ]
 
 

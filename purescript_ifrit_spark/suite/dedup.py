@@ -193,15 +193,13 @@ def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "UNION ALL SELECT doc_id + 7000000000000 AS doc_id FROM documents "
     "WHERE doc_id % 20 = 0",
 )
-def x_dedup_clusters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected-components cluster dedup with exact planted ground truth
-    (minhash pairs → large-star/small-star CC → keep component minimum)."""
+def _planted_chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chain fixture shared by x_dedup_clusters_planted and
+    x_cluster_stats_planted: per anchor (doc_id % 20 == 0) a chain of 6
+    sliding-window variants (adjacent shingle-jaccard 36/38 ≈ 0.947; the
+    chain's ends sit at ≈ 0.73 — only transitive closure groups all 7)
+    plus one isolated variant (window 20 away, max jaccard ≈ 0.31)."""
     from functools import reduce
-
-    from purescript_ifrit_spark.operators.dedup import (
-        dedup_clusters,
-        minhash_candidate_pairs,
-    )
 
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -231,11 +229,53 @@ def x_dedup_clusters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 7_000_000_000_000).alias("doc_id"), "text"
         )
     )
-    corpus = reduce(lambda a, b: a.unionAll(b), parts)
+    return reduce(lambda a, b: a.unionAll(b), parts)
+
+
+def x_dedup_clusters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components cluster dedup with exact planted ground truth
+    (minhash pairs → large-star/small-star CC → keep component minimum)."""
+    from purescript_ifrit_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_candidate_pairs,
+    )
+
+    corpus = _planted_chain_corpus(spark, sf_dir)
     pairs = minhash_candidate_pairs(
         corpus, "doc_id", "text", jaccard_threshold=0.8, eager=True
     )
     return dedup_clusters(corpus, "doc_id", pairs).select("doc_id")
+
+
+@register(
+    "x_cluster_stats_planted",
+    # the chain fixture's component structure IS the ground truth: every
+    # anchor contributes exactly one 7-member component (base + 6 chained
+    # variants — extra shift≤4 edges don't change the component), isolated
+    # variants and non-anchor docs appear in no pair and thus in no
+    # component, so the histogram is one row: (7, n_anchors)
+    "SELECT CAST(7 AS BIGINT) AS cluster_size, "
+    "CAST(COUNT(*) AS BIGINT) AS n_clusters "
+    "FROM documents WHERE doc_id % 20 = 0",
+)
+def x_cluster_stats_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram (operators/dedup.cluster_size_histogram) —
+    the dedup report — with exact planted component structure."""
+    from purescript_ifrit_spark.operators.dedup import (
+        cluster_size_histogram,
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    corpus = _planted_chain_corpus(spark, sf_dir)
+    pairs = minhash_candidate_pairs(
+        corpus, "doc_id", "text", jaccard_threshold=0.8, eager=True
+    )
+    comp = connected_components(pairs)
+    return cluster_size_histogram(comp, "component").select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+    )
 
 
 @register("x_dedup_clusters", None)  # approximate candidates — rows-only

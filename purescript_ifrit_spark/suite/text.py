@@ -627,3 +627,130 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe.bpe_train(bpe.word_counts(docs, "text"), 8)
     return bpe.bpe_encode_counts(docs, merges)
+
+
+@register(
+    "x_url_domains",
+    # URLs synthesized deterministically from doc_id (two per doc + a third
+    # repeat-domain URL on doc_id % 3 == 0, so n_urls > n_docs somewhere);
+    # BOTH engines re-extract them with the same Java∩RE2 regexes over the
+    # same augmented text — robust even if the base text ever contains URLs
+    "WITH h AS (SELECT doc_id, "
+    "'see http://site' || (doc_id % 17) || '.example/p' || doc_id || "
+    "' and https://cdn' || (doc_id % 5) || '.example.org/x?q=1 ' || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'http://site' || (doc_id % 17) || "
+    "'.example/z ' ELSE '' END || text AS x FROM documents), "
+    "u AS (SELECT doc_id, UNNEST(regexp_extract_all(x, 'https?://\\S+', 0)) "
+    "AS url FROM h), "
+    "d AS (SELECT doc_id, "
+    "lower(regexp_extract(url, '^https?://([^/\\s:?#]+)', 1)) AS domain "
+    "FROM u WHERE regexp_extract(url, '^https?://([^/\\s:?#]+)', 1) <> '') "
+    "SELECT domain, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls "
+    "FROM d GROUP BY domain",
+)
+def x_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL statistics (operators/text_cleaning.url_domain_stats)
+    — the domain-blocklist report of web-corpus curation."""
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        url_domain_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("see http://site"),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit(".example/p"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and https://cdn"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org/x?q=1 "),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("http://site"),
+                    (F.col("doc_id") % 17).cast("string"),
+                    F.lit(".example/z "),
+                ),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("x"),
+    )
+    return url_domain_stats(aug, "doc_id", "x")
+
+
+@register(
+    "x_encoding_quality",
+    # planted damage: doc_id % 3 replacement chars (U+FFFD), doc_id % 2
+    # BEL control chars, doc_id % 4 'é' codepoints — every count is then a
+    # pure integer function of doc_id PLUS whatever the base text already
+    # contains, and both engines recount over the same augmented text
+    # (length() is codepoints in both; the ratio is one IEEE division)
+    "WITH h AS (SELECT doc_id, "
+    "text || repeat(chr(65533), doc_id % 3) || repeat(chr(7), doc_id % 2) "
+    "|| repeat('é', doc_id % 4) AS x FROM documents) "
+    "SELECT doc_id, CAST(length(x) AS BIGINT) AS n_chars, "
+    "CAST(length(x) - length(replace(x, chr(65533), '')) AS BIGINT) "
+    "AS n_replacement, "
+    "CAST(len(regexp_extract_all(x, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', 0)) "
+    "AS BIGINT) AS n_control, "
+    "CAST(len(regexp_extract_all(x, '[^\\x00-\\x7F]', 0)) AS BIGINT) "
+    "AS n_non_ascii, "
+    "CASE WHEN length(x) > 0 THEN "
+    "CAST(len(regexp_extract_all(x, '[^\\x00-\\x7F]', 0)) AS DOUBLE) "
+    "/ length(x) ELSE 0.0 END AS non_ascii_ratio "
+    "FROM h",
+)
+def x_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage screen (operators/text_cleaning.encoding_quality):
+    U+FFFD tombstones, C0 controls, non-ASCII counts + ratio."""
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        encoding_quality,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr("repeat('�', doc_id % 3)"),
+            F.expr("repeat(chr(7), doc_id % 2)"),
+            F.expr("repeat('é', doc_id % 4)"),
+        ).alias("x"),
+    )
+    return encoding_quality(aug, "doc_id", "x")
+
+
+@register(
+    "x_packing_stats",
+    # the x_pack_sequences bin assignment, aggregated per pack: counts and
+    # token sums are exact integers; utilization is ONE IEEE division
+    "WITH t AS (SELECT doc_id, "
+    f"string_split({_NORM_SQL}, ' ') AS toks FROM documents), "
+    "c AS (SELECT doc_id, toks, UNNEST(range(1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS BIGINT))) AS i FROM t), "
+    "ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+    "CAST(len(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)]) AS BIGINT) AS chunk_tokens FROM c), "
+    "p AS (SELECT chunk_tokens, "
+    "CAST(floor((SUM(chunk_tokens) OVER (ORDER BY doc_id, chunk_idx "
+    "ROWS UNBOUNDED PRECEDING) - chunk_tokens) / 512.0) AS BIGINT) AS pack_id "
+    "FROM ch) "
+    "SELECT pack_id, COUNT(*) AS n_items, "
+    "CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens, "
+    "SUM(chunk_tokens) > 512 AS overflow, "
+    "CAST(SUM(chunk_tokens) AS DOUBLE) / 512.0 AS utilization "
+    "FROM p GROUP BY pack_id",
+)
+def x_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (operators/text_analysis.packing_stats)
+    over the verified pack_sequences bins."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        chunk_documents,
+        pack_sequences,
+        packing_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    packed = pack_sequences(ch, "chunk_tokens", ("doc_id", "chunk_idx"), 512)
+    return packing_stats(packed, "chunk_tokens", "pack_id", 512)

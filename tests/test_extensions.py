@@ -2480,3 +2480,37 @@ def test_temperature_mix_keeps_null_group(spark):
     }
     # equal-size groups: the 2000-token budget splits evenly, NULL included
     assert per == {"A": 1000, None: 1000}
+
+
+def test_packing_stats_overflow_and_utilization(spark):
+    from purescript_ifrit_spark.operators.text_analysis import packing_stats
+
+    packed = spark.createDataFrame(
+        [(0, 300), (0, 250),   # pack 0: 550 tokens -> overflow
+         (1, 512),             # pack 1: exactly full, no overflow
+         (2, 100)],            # tail pack: underfilled
+        ["pack_id", "chunk_tokens"],
+    )
+    got = {r["pack_id"]: r for r in
+           packing_stats(packed, "chunk_tokens", "pack_id", 512).collect()}
+    assert (got[0]["n_items"], got[0]["n_tokens"], got[0]["overflow"]) == (2, 550, True)
+    assert got[0]["utilization"] == 550 / 512
+    assert got[1]["overflow"] is False and got[1]["utilization"] == 1.0
+    assert got[2]["n_tokens"] == 100
+    import pytest
+    with pytest.raises(ValueError):
+        packing_stats(packed, "chunk_tokens", "pack_id", 0)
+
+
+def test_cluster_size_histogram(spark):
+    from purescript_ifrit_spark.operators.dedup import cluster_size_histogram
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1),    # component 1: size 3
+         (4, 4), (5, 4),            # component 4: size 2
+         (6, 6), (7, 6)],           # component 6: size 2
+        ["id", "component"],
+    )
+    got = {r["cluster_size"]: r["n_clusters"]
+           for r in cluster_size_histogram(comp).collect()}
+    assert got == {3: 1, 2: 2}

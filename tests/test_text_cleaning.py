@@ -395,3 +395,48 @@ def test_html_escaped_escapes_decode_once(spark):
     )
     out = extract_html_text(df, "html").collect()[0]["text"]
     assert out == "&lt;b&gt; is literal markup"
+
+
+def test_url_domain_stats_counts_docs_and_urls(spark):
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        url_domain_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "see http://A.example/x and http://a.example/y plain"),
+            (2, "https://a.example:8080/z?q=1 and ftp://ignored.example"),
+            (3, "no urls at all"),
+            (4, "http://b.example/only"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["domain"]: (r["n_docs"], r["n_urls"])
+           for r in url_domain_stats(df).collect()}
+    # case-folded host; port kept out by the :-terminator; ftp ignored
+    assert got == {"a.example": (2, 3), "b.example": (1, 1)}
+
+
+def test_encoding_quality_counts(spark):
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        encoding_quality,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean ascii"),
+            (2, "bad �� and \x07 bell"),
+            (3, "café né"),            # 2 non-ascii, nothing else
+            (4, ""),                   # empty: all zeros, ratio 0.0
+            (5, "tab\tand\nnewline"),  # \t \n are NOT control hits
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in encoding_quality(df).collect()}
+    assert got[1]["n_replacement"] == 0 and got[1]["n_control"] == 0
+    assert got[2]["n_replacement"] == 2 and got[2]["n_control"] == 1
+    assert got[2]["n_non_ascii"] == 2  # the two U+FFFD are non-ascii too
+    assert got[3]["n_non_ascii"] == 2 and got[3]["n_control"] == 0
+    assert got[3]["non_ascii_ratio"] == 2 / 7
+    assert got[4]["n_chars"] == 0 and got[4]["non_ascii_ratio"] == 0.0
+    assert got[5]["n_control"] == 0
