@@ -270,3 +270,51 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                 "not available in this environment"
             ) from exc
         raise
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[str] = None,
+    id_field: Optional[str] = None,
+) -> DataFrame:
+    """JSONL corpus ingest — the interchange format LLM training corpora
+    actually ship in (one JSON document per line). Built on the native
+    json source: splittable per line even WITHIN a file (unlike
+    read_text_corpus's wholetext modes), so one multi-GB shard still
+    parallelizes.
+
+    Pass `schema` (a DDL string, e.g. "text string, url string") to skip
+    schema inference — at 100 TB inference is a full extra pass over the
+    data and must never run implicitly; omitting it here is for notebooks.
+
+    doc_id: xxhash64 of `id_field`'s value when given (stable,
+    content-derived); else xxhash64 of the canonical JSON of the whole
+    row — also content-derived, so reruns and cluster sizes cannot
+    reassign ids (the failure mode monotonically_increasing_id has).
+    Malformed lines surface under the json source's PERMISSIVE default:
+    a `_corrupt_record` column when inference is on, nulls when a schema
+    is passed — filter or count them explicitly; at corpus scale a
+    poison line must not kill the job."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if id_field is not None:
+        if id_field not in df.columns:
+            raise ValueError(
+                f"id_field {id_field!r} not in parsed columns {df.columns}"
+            )
+        doc_id = F.xxhash64(F.col(id_field).cast("string"))
+    else:
+        payload = [c for c in df.columns if c != "_corrupt_record"]
+        doc_id = F.xxhash64(F.to_json(F.struct(*sorted(payload))))
+    return df.select(doc_id.alias("doc_id"), "*")
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "error") -> None:
+    """JSONL sink twin of read_jsonl_corpus (one JSON object per line,
+    one file per partition — repartition first to control shard count)."""
+    df.write.mode(mode).json(path)

@@ -267,3 +267,72 @@ def test_read_avro_gated_without_jar(spark, tmp_path):
 
     with pytest.raises((NotImplementedError, Exception)):
         read_avro(spark, str(tmp_path / "nope"))
+
+
+def test_read_jsonl_corpus_roundtrip_and_ids(spark, tmp_path):
+    import json
+
+    from purescript_ifrit_spark.sources.tables import (
+        read_jsonl_corpus,
+        write_jsonl,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    rows = [
+        {"id": "a1", "text": "hello world", "lang": "en"},
+        {"id": "b2", "text": "bonjour", "lang": "fr"},
+        {"id": "c3", "text": "hola", "lang": "es"},
+    ]
+    with open(d / "part0.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    # schema-first read (the scale path: no inference pass)
+    df = read_jsonl_corpus(
+        spark, str(d), schema="id string, text string, lang string",
+        id_field="id",
+    )
+    got = {r["id"]: r for r in df.collect()}
+    assert set(got) == {"a1", "b2", "c3"}
+    assert got["a1"]["text"] == "hello world"
+    # ids are content-derived: rerun-identical
+    again = {r["id"]: r["doc_id"] for r in read_jsonl_corpus(
+        spark, str(d), schema="id string, text string, lang string",
+        id_field="id").collect()}
+    assert again == {k: v["doc_id"] for k, v in got.items()}
+
+    # content-hash ids when no id field exists (inference mode)
+    df2 = read_jsonl_corpus(spark, str(d))
+    assert df2.select("doc_id").distinct().count() == 3
+
+    with pytest.raises(ValueError):
+        read_jsonl_corpus(spark, str(d), schema="text string",
+                          id_field="missing")
+
+    # write twin round-trips
+    out = tmp_path / "out"
+    write_jsonl(df.select("id", "text", "lang"), str(out))
+    back = read_jsonl_corpus(
+        spark, str(out), schema="id string, text string, lang string",
+        id_field="id",
+    )
+    assert {r["id"] for r in back.collect()} == {"a1", "b2", "c3"}
+
+
+def test_read_jsonl_corpus_poison_line_survives(spark, tmp_path):
+    from purescript_ifrit_spark.sources.tables import read_jsonl_corpus
+
+    d = tmp_path / "c2"
+    d.mkdir()
+    (d / "x.jsonl").write_text(
+        '{"id": "ok", "text": "fine"}\n'
+        "{this is not json}\n"
+        '{"id": "ok2", "text": "also fine"}\n'
+    )
+    # schema passed: poison line becomes a null row, batch survives
+    df = read_jsonl_corpus(spark, str(d), schema="id string, text string",
+                           id_field="id")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert sum(1 for r in rows if r["id"] is None) == 1
