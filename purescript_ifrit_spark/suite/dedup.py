@@ -179,20 +179,6 @@ def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=10)
 
 
-@register(
-    "x_dedup_clusters_planted",
-    # ground truth by construction: per anchor (doc_id % 20 == 0) a CHAIN of
-    # 6 sliding-window variants (adjacent shingle-jaccard 36/38 ≈ 0.947 —
-    # far above the 0.8 threshold; chain ENDS at ≈ 0.73 — below it, so only
-    # transitive closure groups them) plus one isolated variant (window 20
-    # tokens away, max jaccard ≈ 0.31 to anything — must SURVIVE). Expected
-    # survivors: every base doc (the component minimum) + every isolated
-    # variant. Over-dropping kills an isolated row; missing transitivity
-    # leaves a chain variant alive — either way the set mismatches.
-    "SELECT doc_id FROM documents "
-    "UNION ALL SELECT doc_id + 7000000000000 AS doc_id FROM documents "
-    "WHERE doc_id % 20 = 0",
-)
 def _planted_chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The chain fixture shared by x_dedup_clusters_planted and
     x_cluster_stats_planted: per anchor (doc_id % 20 == 0) a chain of 6
@@ -232,6 +218,20 @@ def _planted_chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionAll(b), parts)
 
 
+@register(
+    "x_dedup_clusters_planted",
+    # ground truth by construction: per anchor (doc_id % 20 == 0) a CHAIN of
+    # 6 sliding-window variants (adjacent shingle-jaccard 36/38 ≈ 0.947 —
+    # far above the 0.8 threshold; chain ENDS at ≈ 0.73 — below it, so only
+    # transitive closure groups them) plus one isolated variant (window 20
+    # tokens away, max jaccard ≈ 0.31 to anything — must SURVIVE). Expected
+    # survivors: every base doc (the component minimum) + every isolated
+    # variant. Over-dropping kills an isolated row; missing transitivity
+    # leaves a chain variant alive — either way the set mismatches.
+    "SELECT doc_id FROM documents "
+    "UNION ALL SELECT doc_id + 7000000000000 AS doc_id FROM documents "
+    "WHERE doc_id % 20 = 0",
+)
 def x_dedup_clusters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components cluster dedup with exact planted ground truth
     (minhash pairs → large-star/small-star CC → keep component minimum)."""
