@@ -2392,6 +2392,18 @@ def _reference_bpe(word_counts, n_merges):
     return merges, vocab
 
 
+def test_bpe_train_rejects_impractical_merge_counts(spark):
+    # the merge loop is one sequential Spark job per merge — a request
+    # past the documented 64k cap must fail fast, not schedule it
+    import pytest
+
+    from purescript_ifrit_spark.operators import bpe
+
+    vocab = spark.createDataFrame([("ab", 5)], ["word", "n"])
+    with pytest.raises(ValueError, match="cap"):
+        bpe.bpe_train(vocab, bpe._MAX_MERGES + 1)
+
+
 def test_bpe_train_matches_reference(spark, sf_dir):
     from purescript_ifrit_spark.operators import bpe
 
