@@ -438,13 +438,20 @@ def bench_compile() -> dict:
         "nested_from": "SELECT AVG(power) AS avg_pow FROM "
         "(SELECT AVG(spells.power) AS power, age) WHERE age > 18 GROUP BY NULL",
     }
+    # max over three short windows per shape: one co-tenant CPU spike in a
+    # single 0.5 s window halved several shapes' recorded rates in r6's
+    # first artifact — the best window is the machine's achievable rate,
+    # same reasoning as min-of-4 wall times above
     out = {}
     for name, sql in shapes.items():
-        n, start = 0, time.perf_counter()
-        while time.perf_counter() - start < 0.5:
-            compile_query(schema, sql)
-            n += 1
-        out[name] = round(n / (time.perf_counter() - start))
+        best = 0.0
+        for _ in range(3):
+            n, start = 0, time.perf_counter()
+            while time.perf_counter() - start < 0.2:
+                compile_query(schema, sql)
+                n += 1
+            best = max(best, n / (time.perf_counter() - start))
+        out[name] = round(best)
     return out
 
 
