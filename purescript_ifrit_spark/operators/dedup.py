@@ -493,12 +493,19 @@ def simhash_candidate_pairs(
     # bucket the pair's FIRST shared slice" is a scan-stage predicate:
     # emit in bucket c only when no slice i < c matches. Every pair then
     # leaves the expansion exactly once and the plan ends at the filter —
-    # no pair-level shuffle at all. Cap interaction (documented trade,
-    # same recall contract as before): if a pair's EARLIEST shared slice
-    # sits in a bucket dropped by max_bucket, the pair is lost even when
-    # a later shared slice survives — the cap is already an explicit
-    # recall trade for degenerate near-identical mass buckets, and those
-    # pairs share (nearly) all slices anyway.
+    # no pair-level shuffle at all.
+    #
+    # BEHAVIOR CHANGE vs r5 under capped buckets (recall, not values): a
+    # pair whose EARLIEST shared slice sits in a max_bucket-dropped
+    # bucket is now lost even when a later shared slice survives; r5's
+    # any-surviving-slice emission would have found it. "First shared
+    # slice among SURVIVING buckets" needs bucket sizes, which a
+    # scan-stage predicate cannot see — the shuffle-free plan buys this
+    # narrower capped-recall contract. Uncapped (max_bucket=None) output
+    # is exactly r5's, and at the driver SFs no bucket reaches the cap
+    # (A/B value-checked identical at sf0.01 and sf0.1). Pairs in capped
+    # buckets are degenerate near-identical mass duplicates that share
+    # (nearly) all slices, so the practical loss is confined to them.
     if max_bucket is None:
         max_bucket = 1 << 31
     grouped = (

@@ -178,12 +178,23 @@ _W_MOD = 201
 _W_OFF = 100
 
 
-def _bucket_sign_exprs(t, dim: int):
-    """Column (bucket, sign) of one token expression — the lambda-friendly
-    twin of _bucket_and_sign (which takes a column over exploded rows)."""
-    b = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim
-    s9 = F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("long")
-    return b, F.when(s9 % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+# SQL-renderer fragments shared by vectorize_sql / hash_margin_sql — one
+# copy of the tokenization + hash recipe, so the two dialect functions can
+# never desynchronize on the SQL-emitter backend (they already share
+# _bucket_and_sign on the Column backend)
+def _toks_sql(x: str) -> str:
+    norm = f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
+    return f"filter(split({norm}, ' '), t -> t <> '')"
+
+
+def _bucket_sql_frag(dim: int) -> str:
+    return f"(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {dim})"
+
+
+_SIGN_SQL_FRAG = (
+    "(CASE WHEN CAST(conv(substring(md5(t), 9, 1), 16, 10) AS BIGINT) "
+    "% 2 = 0 THEN 1L ELSE -1L END)"
+)
 
 
 def vectorize_expr(c, dim: int = VECTOR_DIM):
@@ -197,8 +208,11 @@ def vectorize_expr(c, dim: int = VECTOR_DIM):
 
     def coord(i):
         def step(acc, t):
-            b, s = _bucket_sign_exprs(t, dim)
-            return acc + F.when(b == i.cast("long"), s).otherwise(0)
+            # the ONE hashing-trick recipe (shared with the explode+agg
+            # operators) — a drifting duplicate here would silently break
+            # the pinned VECTORIZE == feature_hash_sparse equality
+            b, s = _bucket_and_sign(t, dim)
+            return acc + F.when(b == i.cast("int"), s).otherwise(0)
 
         return F.aggregate(
             toks, F.lit(0).cast("long"), step
@@ -209,17 +223,12 @@ def vectorize_expr(c, dim: int = VECTOR_DIM):
 
 def vectorize_sql(x: str, dim: int = VECTOR_DIM) -> str:
     """Spark-SQL twin of vectorize_expr (for the SQL emitter backend)."""
-    norm = f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
-    toks = f"filter(split({norm}, ' '), t -> t <> '')"
-    b = f"(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {dim})"
-    s = (
-        "(CASE WHEN CAST(conv(substring(md5(t), 9, 1), 16, 10) AS BIGINT) "
-        "% 2 = 0 THEN 1 ELSE -1 END)"
-    )
     return (
-        f"transform(sequence(0, {dim - 1}), i -> CAST(aggregate({toks}, 0L, "
-        f"(acc, t) -> acc + (CASE WHEN {b} = CAST(i AS BIGINT) THEN {s} "
-        f"ELSE 0 END)) AS DOUBLE))"
+        f"transform(sequence(0, {dim - 1}), i -> "
+        f"CAST(aggregate({_toks_sql(x)}, 0L, "
+        f"(acc, t) -> acc + (CASE WHEN {_bucket_sql_frag(dim)} = "
+        f"CAST(i AS BIGINT) THEN {_SIGN_SQL_FRAG} "
+        f"ELSE 0L END)) AS DOUBLE))"
     )
 
 
@@ -232,8 +241,8 @@ def hash_margin_expr(c, dim: int = VECTOR_DIM):
     toks = F.filter(X.tokens(c), lambda t: t != F.lit(""))
 
     def step(acc, t):
-        b, s = _bucket_sign_exprs(t, dim)
-        w = (b * _W_MULT) % _W_MOD - _W_OFF
+        b, s = _bucket_and_sign(t, dim)
+        w = (b.cast("long") * _W_MULT) % _W_MOD - _W_OFF
         return acc + s.cast("long") * w
 
     return F.aggregate(toks, F.lit(0).cast("long"), step)
@@ -241,15 +250,11 @@ def hash_margin_expr(c, dim: int = VECTOR_DIM):
 
 def hash_margin_sql(x: str, dim: int = VECTOR_DIM) -> str:
     """Spark-SQL twin of hash_margin_expr."""
-    norm = f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
-    toks = f"filter(split({norm}, ' '), t -> t <> '')"
-    b = f"(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {dim})"
-    s = (
-        "(CASE WHEN CAST(conv(substring(md5(t), 9, 1), 16, 10) AS BIGINT) "
-        "% 2 = 0 THEN 1L ELSE -1L END)"
+    w = f"(({_bucket_sql_frag(dim)} * {_W_MULT}L) % {_W_MOD} - {_W_OFF})"
+    return (
+        f"aggregate({_toks_sql(x)}, 0L, "
+        f"(acc, t) -> acc + {_SIGN_SQL_FRAG} * {w})"
     )
-    w = f"(({b} * {_W_MULT}L) % {_W_MOD} - {_W_OFF})"
-    return f"aggregate({toks}, 0L, (acc, t) -> acc + {s} * {w})"
 
 
 def margin_weights(spark, dim: int = VECTOR_DIM):

@@ -188,10 +188,11 @@ def read_text_corpus(
         return df.select(
             F.xxhash64("path").alias("doc_id"), "path", "text"
         )
-    # split semantics mirror spark.read.text: \n terminates a line (a
-    # trailing terminator yields no extra empty line), a final \r per
-    # line (\r\n files) is stripped
-    lines = F.split(F.col("text"), "\n")
+    # split semantics mirror spark.read.text's Hadoop line reader: a line
+    # terminates at \r\n, \r, or \n (the alternation order makes \r\n one
+    # terminator, not two), and a trailing terminator yields no extra
+    # empty line
+    lines = F.split(F.col("text"), "\r\n|\r|\n")
     lines = F.when(
         (F.size(lines) > 0) & (F.element_at(lines, -1) == ""),
         F.slice(lines, 1, F.size(lines) - 1),
@@ -203,7 +204,7 @@ def read_text_corpus(
                 "doc_id"
             ),
             "path",
-            F.regexp_replace("line", "\r$", "").alias("text"),
+            F.col("line").alias("text"),
         )
     )
 
@@ -292,6 +293,9 @@ def read_jsonl_corpus(
     content-derived); else xxhash64 of the canonical JSON of the whole
     row — also content-derived, so reruns and cluster sizes cannot
     reassign ids (the failure mode monotonically_increasing_id has).
+    A source field literally named `doc_id` (common in shipped corpora)
+    is preserved as `doc_id_raw` so the engine's id column never
+    collides with it — pass id_field="doc_id" to derive ids from it.
     Malformed lines surface under the json source's PERMISSIVE default:
     a `_corrupt_record` column when inference is on, nulls when a schema
     is passed — filter or count them explicitly; at corpus scale a
@@ -302,6 +306,12 @@ def read_jsonl_corpus(
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.json(path)
+    if "doc_id" in df.columns:
+        # two columns named doc_id would make every downstream reference
+        # AMBIGUOUS_REFERENCE — keep the source's under a stable rename
+        df = df.withColumnRenamed("doc_id", "doc_id_raw")
+        if id_field == "doc_id":
+            id_field = "doc_id_raw"
     if id_field is not None:
         if id_field not in df.columns:
             raise ValueError(

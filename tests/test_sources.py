@@ -220,22 +220,35 @@ def test_read_text_corpus_line_mode_offset_stable(spark, tmp_path):
     (d / "a.txt").write_text("l0\nl1\nl2\n")        # trailing terminator
     (d / "b.txt").write_text("m0\r\nm1")            # CRLF, no terminator
     (d / "c.txt").write_text("x\n\ny\n")            # interior empty line
+    (d / "d.txt").write_text("p\rq\r")              # classic-Mac lone \r
     out = read_text_corpus(spark, str(d), whole_files=False)
     rows = sorted(
         ((r["path"].split("/")[-1], r["text"], r["doc_id"]) for r in out.collect())
     )
     by_file: dict = {}
     for name, text, _id in rows:
-        by_file.setdefault(name, []).append(text)
-    assert sorted(by_file["a.txt"]) == ["l0", "l1", "l2"]
-    assert sorted(by_file["b.txt"]) == ["m0", "m1"]
-    assert sorted(by_file["c.txt"]) == ["", "x", "y"]
-    # doc_id is a pure function of (path, ordinal): rerun-identical
-    again = sorted(
-        ((r["path"].split("/")[-1], r["text"], r["doc_id"])
-         for r in read_text_corpus(spark, str(d), whole_files=False).collect())
-    )
-    assert again == rows
+        by_file.setdefault(name, []).append((text, _id))
+    assert sorted(t for t, _ in by_file["a.txt"]) == ["l0", "l1", "l2"]
+    assert sorted(t for t, _ in by_file["b.txt"]) == ["m0", "m1"]
+    assert sorted(t for t, _ in by_file["c.txt"]) == ["", "x", "y"]
+    assert sorted(t for t, _ in by_file["d.txt"]) == ["p", "q"]
+    # the ids ARE (path, byte-order ordinal) hashes — recompute the
+    # expectation independently so a regression back to partition-order
+    # ordinals cannot pass via rerun-equality alone
+    paths = {r["path"].split("/")[-1]: r["path"] for r in out.collect()}
+    want = {}
+    for fname, lines in (("a.txt", ["l0", "l1", "l2"]),
+                         ("b.txt", ["m0", "m1"]),
+                         ("c.txt", ["x", "", "y"]),
+                         ("d.txt", ["p", "q"])):
+        hashes = spark.range(1).select(*[
+            F.xxhash64(F.lit(paths[fname]), F.lit(i + 1)).alias(f"h{i}")
+            for i in range(len(lines))
+        ]).first()
+        for i, text in enumerate(lines):
+            want[(fname, text, hashes[f"h{i}"])] = True
+    got = {(n, t, h): True for n, t, h in rows}
+    assert got == want
 
 
 def test_read_binary_media_feeds_decode_path(spark, tmp_path):
@@ -318,6 +331,25 @@ def test_read_jsonl_corpus_roundtrip_and_ids(spark, tmp_path):
         id_field="id",
     )
     assert {r["id"] for r in back.collect()} == {"a1", "b2", "c3"}
+
+
+def test_read_jsonl_corpus_source_doc_id_field_does_not_collide(spark, tmp_path):
+    # corpora commonly ship with a doc_id field already — the engine's
+    # hash id must not produce two doc_id columns (AMBIGUOUS_REFERENCE
+    # downstream); the source's value survives as doc_id_raw
+    import json
+
+    from purescript_ifrit_spark.sources.tables import read_jsonl_corpus
+
+    d = tmp_path / "c3"
+    d.mkdir()
+    with open(d / "x.jsonl", "w") as fh:
+        fh.write(json.dumps({"doc_id": "src-9", "text": "t"}) + "\n")
+    df = read_jsonl_corpus(spark, str(d), schema="doc_id string, text string",
+                           id_field="doc_id")
+    assert df.columns.count("doc_id") == 1
+    row = df.select("doc_id", "doc_id_raw", "text").first()  # unambiguous
+    assert row["doc_id_raw"] == "src-9" and isinstance(row["doc_id"], int)
 
 
 def test_read_jsonl_corpus_poison_line_survives(spark, tmp_path):
