@@ -365,6 +365,51 @@ def dedup_clusters(
     return df.join(losers, [id_col], "left_anti")
 
 
+def dedup_clusters_keep_best(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    keep_by: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster-level dedup keeping the BEST member of each near-dup family
+    — highest `keep_by` (quality score, token count, recency…), id
+    ascending on ties — instead of dedup_clusters' arbitrary minimum id.
+    This is the curation-correct form: when a document exists in several
+    variants, a pipeline wants the highest-quality copy to survive, not
+    whichever one happens to carry the smallest id.
+
+    Scale: connected components over the PAIRS (edge list — never the
+    corpus), then one component-keyed max_by aggregation over only the
+    clustered rows (a broadcast-sized join against the assignment table),
+    and one left-anti join back. Unclustered rows never enter any wide
+    operation beyond the anti-join probe."""
+    comp = connected_components(pairs, max_iterations)
+    scored = df.select(
+        F.col(id_col).alias("id"), F.col(keep_by).alias("_kb")
+    ).join(comp, "id")
+    # winner per component = max keep_by, min id on ties, in two tiny
+    # aggregations over the CLUSTERED rows only (max per component, then
+    # min id among rows at the max) — type-agnostic, unlike a negated-id
+    # max_by struct trick. eqNullSafe makes an all-NULL-quality component
+    # degrade to plain min-id instead of keeping every member.
+    best_kb = scored.groupBy("component").agg(F.max("_kb").alias("_best"))
+    winners = (
+        scored.join(F.broadcast(best_kb), "component")
+        .filter(F.col("_kb").eqNullSafe(F.col("_best")))
+        .groupBy("component")
+        .agg(F.min("id").alias("_win"))
+    )
+    losers = (
+        comp.join(
+            F.broadcast(winners.select("component", "_win")), "component"
+        )
+        .filter(F.col("id") != F.col("_win"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, [id_col], "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash fuzzy dedup
 # ---------------------------------------------------------------------------

@@ -392,3 +392,39 @@ def x_blocklist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = dedup_against_blocklist(docs, block, "doc_id", "text")
     return out.select("doc_id", "n_chars")
+
+
+@register(
+    "x_dedup_keep_best_planted",
+    # keep-best cluster dedup over the chain fixture with a PLANTED
+    # quality: q(id) = (id div 10^12) % 7, so inside every anchor's
+    # 7-member component the k=6 variant is strictly best and must be the
+    # sole survivor (base and v1..v5 lose); isolated variants and
+    # non-anchor docs are in no pair and survive untouched. The expected
+    # set is pure doc_id arithmetic.
+    "SELECT doc_id FROM documents WHERE doc_id % 20 <> 0 "
+    "UNION ALL SELECT doc_id + 6000000000000 AS doc_id FROM documents "
+    "WHERE doc_id % 20 = 0 "
+    "UNION ALL SELECT doc_id + 7000000000000 AS doc_id FROM documents "
+    "WHERE doc_id % 20 = 0",
+)
+def x_dedup_keep_best_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup (operators/dedup.
+    dedup_clusters_keep_best): the curation-correct keep-the-best-copy
+    form, exact planted ground truth."""
+    from purescript_ifrit_spark.operators.dedup import (
+        dedup_clusters_keep_best,
+        minhash_candidate_pairs,
+    )
+
+    corpus = _planted_chain_corpus(spark, sf_dir).withColumn(
+        "q",
+        ((F.col("doc_id") / F.lit(1_000_000_000_000)).cast("long") % 7)
+        .cast("double"),
+    )
+    pairs = minhash_candidate_pairs(
+        corpus, "doc_id", "text", jaccard_threshold=0.8, eager=True
+    )
+    return dedup_clusters_keep_best(corpus, "doc_id", pairs, "q").select(
+        "doc_id"
+    )

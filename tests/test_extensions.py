@@ -2526,3 +2526,26 @@ def test_cluster_size_histogram(spark):
     got = {r["cluster_size"]: r["n_clusters"]
            for r in cluster_size_histogram(comp).collect()}
     assert got == {3: 1, 2: 2}
+
+
+def test_dedup_clusters_keep_best_semantics(spark):
+    from purescript_ifrit_spark.operators.dedup import (
+        dedup_clusters_keep_best,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9),      # cluster A: 2 and 3 tie at max
+         (4, None), (5, None),              # cluster B: all-NULL quality
+         (6, 0.1), (7, 0.8),                # cluster C: 7 wins
+         (8, 0.5)],                         # unclustered: survives
+        ["doc_id", "q"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7)], ["id_a", "id_b"]
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_clusters_keep_best(df, "doc_id", pairs, "q").collect()
+    )
+    # A -> min id among the tied max (2); B -> min id (4); C -> 7; 8 free
+    assert got == [2, 4, 7, 8]
