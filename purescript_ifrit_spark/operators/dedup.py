@@ -769,6 +769,90 @@ def dedup_against_index(
     return new_docs.join(losers, [id_col], "left_anti")
 
 
+def build_simhash_index(
+    df: DataFrame, id_col: str, text_col: str, *, chunks: int = 4
+) -> DataFrame:
+    """Persistable SimHash index of a corpus: (_chunk, _key, _id, _sig) —
+    one row per (doc, bit-slice), the simhash twin of build_minhash_index
+    for the incremental/streaming dedup contract. Storage per doc is
+    `chunks` rows of (int, long, id, long) — ONE 8-byte signature instead
+    of minhash's 16-lane array, so this is the cheapest durable near-dup
+    index the engine ships; the trade is simhash's coarser similarity
+    notion (hamming distance over token-set bits, no Jaccard estimate).
+
+    Write it bucketed by `_chunk, _key` (sources.write_bucketed) and the
+    per-batch probe join needs no corpus-side shuffle at all."""
+    normed = df.select(
+        F.col(id_col).alias("_id"),
+        X.normalize_text(F.col(text_col)).alias("_nt"),
+    ).filter(F.length("_nt") > 0)
+    sigs = _simhash_signatures_normed(normed)
+    return sigs.select(
+        "_id",
+        "_sig",
+        F.explode(H.simhash_chunks(F.col("_sig"), chunks)).alias("_c"),
+    ).select(
+        F.col("_c.chunk").alias("_chunk"),
+        F.col("_c.key").alias("_key"),
+        "_id",
+        "_sig",
+    )
+
+
+def dedup_against_simhash_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunks: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Drop rows of `new_docs` whose simhash is within `max_hamming` bits
+    of an indexed corpus document (same slice geometry as
+    build_simhash_index; pigeonhole guarantees a shared slice for any
+    pair within hamming < chunks).
+
+    Verification is exact hamming on the two stored signatures — unlike
+    the minhash index's lane-match ESTIMATE, the simhash index carries
+    the full signature in every row, so the probe's accept/reject is
+    deterministic, not statistical. Scale contract mirrors
+    dedup_against_index: batch docs sign in their scan stage, the probe
+    is one (_chunk, _key) equi-join against the (ideally bucketed)
+    index, corpus text is never touched, and `max_bucket` caps BOTH join
+    sides (a capped-out slice bucket is boilerplate, not signal)."""
+    probe = build_simhash_index(
+        new_docs, id_col, text_col, chunks=chunks
+    ).select(
+        "_chunk",
+        "_key",
+        F.col("_id").alias("_new_id"),
+        F.col("_sig").alias("_new_sig"),
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("_chunk", "_key")
+        probe = (
+            probe.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+        index = (
+            index.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    losers = (
+        probe.join(index, ["_chunk", "_key"])
+        .filter(
+            H.hamming64(F.col("_new_sig"), F.col("_sig")) <= max_hamming
+        )
+        .select(F.col("_new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(losers, [id_col], "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # sub-document (chunk-level) dedup
 # ---------------------------------------------------------------------------

@@ -428,3 +428,53 @@ def x_dedup_keep_best_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters_keep_best(corpus, "doc_id", pairs, "q").select(
         "doc_id"
     )
+
+
+@register(
+    "x_dedup_incremental_simhash_planted",
+    # simhash-index incremental dedup ground truth: the corpus index holds
+    # the planted base docs; the batch holds their exact-normalized
+    # variants (identical normalized text → identical signature → hamming
+    # 0, always within max_hamming) and FRESH docs in a disjoint 'f'
+    # token namespace. A fresh doc can share one 16-bit slice by chance
+    # (candidate), but dropping it would need hamming ≤ 3 over the other
+    # 48 bits of two independent token-set signatures — like
+    # x_dedup_simhash_planted, the near variants are EXCLUDED (token
+    # overlap often flips zero bits: correct simhash, not
+    # oracle-predictable). Survivors = exactly the fresh docs.
+    "SELECT doc_id + 3000000000000 AS doc_id FROM documents "
+    "WHERE doc_id % 10 = 3",
+)
+def x_dedup_incremental_simhash_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental dedup against a persistable SIMHASH index
+    (operators/dedup.build_simhash_index + dedup_against_simhash_index) —
+    the cheapest durable near-dup index (one 8-byte signature per doc)."""
+    from purescript_ifrit_spark.operators.dedup import (
+        build_simhash_index,
+        dedup_against_simhash_index,
+    )
+
+    base, exact_var, _near = _planted_pieces(spark, sf_dir)
+    fresh_toks = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda k: F.concat(
+            F.lit("f"), F.col("doc_id").cast("string"), F.lit("x"),
+            k.cast("string"),
+        ),
+    )
+    fresh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 3)
+        .select(
+            (F.col("doc_id") + 3_000_000_000_000).alias("doc_id"),
+            F.array_join(fresh_toks, " ").alias("text"),
+        )
+    )
+    index = build_simhash_index(base, "doc_id", "text")
+    batch = exact_var.unionAll(fresh)
+    return dedup_against_simhash_index(
+        batch, index, "doc_id", "text", max_hamming=3
+    ).select("doc_id")

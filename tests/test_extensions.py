@@ -555,6 +555,37 @@ def test_png_roundtrip_all_filters_and_channels():
                 assert np.array_equal(out, arr), (ch, h, w, filters)
 
 
+def test_png_roundtrip_property():
+    """Property sweep: encode→decode is the identity for arbitrary small
+    images over every channel count and per-row filter choice (hypothesis
+    drives dims/content/filters; deadline off — first call pays imports)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 9),
+        w=st.integers(1, 9),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    )
+    def check(h, w, ch, seed, filters):
+        arr = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, ch), dtype=np.uint8
+        )
+        out = decode_png(encode_png(arr, filters))
+        assert out.shape == arr.shape and np.array_equal(out, arr)
+
+    check()
+
+
 def test_png_decode_rejects_malformed_payloads():
     """Totality contract: bad signature, truncation, corrupt CRC, and
     unsupported variants (16-bit, interlace) all raise ValueError."""
@@ -2549,3 +2580,30 @@ def test_dedup_clusters_keep_best_semantics(spark):
     )
     # A -> min id among the tied max (2); B -> min id (4); C -> 7; 8 free
     assert got == [2, 4, 7, 8]
+
+
+def test_simhash_index_probe_semantics(spark):
+    from purescript_ifrit_spark.operators.dedup import (
+        build_simhash_index,
+        dedup_against_simhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight")],
+        ["doc_id", "text"],
+    )
+    index = build_simhash_index(corpus, "doc_id", "text")
+    assert index.count() == 8  # 2 docs x 4 slices
+    batch = spark.createDataFrame(
+        [(10, "ALPHA  beta gamma delta epsilon zeta eta theta"),  # exact dup
+         (11, "wholly unrelated words qq ww ee rr tt yy uu ii")],
+        ["doc_id", "text"],
+    )
+    out = dedup_against_simhash_index(batch, index, "doc_id", "text")
+    assert [r["doc_id"] for r in out.collect()] == [11]
+    # max_hamming=0 still drops the exact dup (hamming 0)
+    out0 = dedup_against_simhash_index(
+        batch, index, "doc_id", "text", max_hamming=0
+    )
+    assert [r["doc_id"] for r in out0.collect()] == [11]
