@@ -521,7 +521,24 @@ def simhash_candidate_pairs(
         X.normalize_text(F.col(text_col)).alias("_nt"),
     ).filter(F.length("_nt") > 0)
     base = _simhash_signatures_normed(normed)
-    sliced = base.select(
+    return signature_candidate_pairs(
+        base, max_hamming=max_hamming, chunks=chunks, max_bucket=max_bucket
+    )
+
+
+def signature_candidate_pairs(
+    sigs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within `max_hamming` over ANY (_id,
+    _sig) 64-bit-signature relation — the slicing/blocking/expansion
+    kernel shared by simhash_candidate_pairs (text) and
+    image_neardup_pairs (dHash): two signatures within hamming < chunks
+    share at least one bit-slice (pigeonhole)."""
+    sliced = sigs.select(
         "_id", "_sig", F.explode(H.simhash_chunks(F.col("_sig"), chunks)).alias("_c")
     ).select("_id", "_sig", F.col("_c.chunk").alias("_chunk"), F.col("_c.key").alias("_key"))
 

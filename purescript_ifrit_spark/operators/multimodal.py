@@ -257,6 +257,53 @@ def decode_ppm_stream(payload: bytes):
     return frames
 
 
+def _make_ppm_decoder():
+    """Factory for a self-contained netpbm (P5/P6) decoder closure — the
+    by-value-pickled twin of _parse_ppm_frame for worker closures (same
+    rationale as _make_png_decoder below). Single image, trailing bytes
+    tolerated; malformed payloads raise ValueError."""
+    import numpy as np
+
+    def decode(payload):
+        if payload is None or len(payload) < 2 or bytes(payload[:1]) != b"P":
+            raise ValueError("not a netpbm payload")
+        magic = bytes(payload[:2]).decode("ascii", errors="replace")
+        if magic not in ("P5", "P6"):
+            raise ValueError(f"unsupported netpbm magic {magic!r}")
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            if pos >= len(payload):
+                raise ValueError("truncated netpbm header")
+            b = payload[pos]
+            if b in b" \t\r\n":
+                pos += 1
+            elif b in b"#":
+                while pos < len(payload) and payload[pos] not in b"\r\n":
+                    pos += 1
+            else:
+                start = pos
+                while pos < len(payload) and payload[pos] not in b" \t\r\n#":
+                    pos += 1
+                try:
+                    tokens.append(int(payload[start:pos]))
+                except ValueError:
+                    raise ValueError("malformed netpbm header token") from None
+        pos += 1
+        width, height, maxval = tokens
+        if width <= 0 or height <= 0:
+            raise ValueError(f"invalid netpbm dims {width}x{height}")
+        if not (0 < maxval <= 255):
+            raise ValueError(f"unsupported maxval {maxval}")
+        channels = 3 if magic == "P6" else 1
+        n = width * height * channels
+        if pos + n > len(payload):
+            raise ValueError("truncated netpbm raster")
+        raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+        return raster.reshape(height, width, channels)
+
+    return decode
+
+
 def _make_png_decoder():
     """Factory for a self-contained baseline-PNG decoder closure.
 
@@ -578,47 +625,14 @@ def extract_pixel_stats(df: DataFrame, *, codec: str = "netpbm") -> DataFrame:
     if codec == "png":
         return _extract_pixel_stats_png(df)
 
+    _decode = _make_ppm_decoder()
+
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        # self-contained worker closure (see extract_features NOTE): the
-        # netpbm parser is intentionally re-inlined from decode_ppm
+        # self-contained worker closure (see extract_features NOTE):
+        # `_decode` is a captured nested function, pickled by value — the
+        # ONE netpbm parser shared with dhash_images (was an inline copy)
         import numpy as np
         import pandas as pd
-
-        def _decode(payload):
-            if payload is None or len(payload) < 2 or payload[:1] != b"P":
-                return None
-            magic = payload[:2].decode("ascii", errors="replace")
-            if magic not in ("P5", "P6"):
-                return None
-            pos, tokens = 2, []
-            while len(tokens) < 3:
-                if pos >= len(payload):
-                    return None
-                b = payload[pos]
-                if b in b" \t\r\n":
-                    pos += 1
-                elif b in b"#":
-                    while pos < len(payload) and payload[pos] not in b"\r\n":
-                        pos += 1
-                else:
-                    start = pos
-                    while pos < len(payload) and payload[pos] not in b" \t\r\n#":
-                        pos += 1
-                    tokens.append(int(payload[start:pos]))
-            pos += 1
-            width, height, maxval = tokens
-            # negative dims would silently mis-decode (numpy count=-1 /
-            # inferred reshape semantics) — same guard as decode_ppm
-            if width <= 0 or height <= 0:
-                return None
-            if not (0 < maxval <= 255):
-                return None
-            channels = 3 if magic == "P6" else 1
-            n = width * height * channels
-            if pos + n > len(payload):
-                return None
-            raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
-            return raster.reshape(height, width, channels)
 
         for pdf in batches:
             rows = {k: [] for k in (
@@ -1076,4 +1090,124 @@ def extract_video_stats(df: DataFrame, *, every_n: int = 2) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         gen, VIDEO_STATS_SCHEMA
+    )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def dhash_images(df: DataFrame, *, codec: str = "netpbm") -> DataFrame:
+    """(media_id, dhash): 64-bit difference hash of each decoded image —
+    the standard perceptual fingerprint for IMAGE near-dup dedup (exact
+    re-encodes and identical frames collide at hamming 0; small edits
+    flip few bits, pinned by envelope tests).
+
+    Deterministic integer pipeline, so identical pixels give identical
+    hashes on any engine/platform: grayscale = (Σ channels) // channels;
+    an 8×9 grid of block means with boundaries floor(i·h/8) /
+    floor(j·w/9) (blocks padded to ≥1 row/col for tiny images — sums are
+    exact ints, means are floor divisions); bit 8·i+j set iff
+    grid[i][j+1] > grid[i][j]. Bit 63 lands in the sign bit — two's
+    complement, compared only via XOR downstream.
+
+    Arrow mapInPandas over (media_id, payload): the binary column never
+    shuffles; only 16-byte rows leave the worker. Poison payloads yield
+    a NULL dhash (same contract as extract_pixel_stats)."""
+    if codec not in ("netpbm", "png"):
+        raise ValueError(f"unknown codec {codec!r}: use 'netpbm' or 'png'")
+    decode = (
+        _make_ppm_decoder() if codec == "netpbm" else _make_png_decoder()
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        # self-contained: `decode` is a captured nested function (see
+        # _make_png_decoder docstring)
+        import numpy as np
+        import pandas as pd
+
+        def _dhash(img):
+            h, w, c = img.shape
+            gray = img.astype(np.int64).sum(axis=2) // c
+            cells = np.empty((8, 9), dtype=np.int64)
+            for i in range(8):
+                r0, r1 = i * h // 8, max((i + 1) * h // 8, i * h // 8 + 1)
+                for j in range(9):
+                    c0 = j * w // 9
+                    c1 = max((j + 1) * w // 9, c0 + 1)
+                    block = gray[r0:r1, c0:c1]
+                    cells[i, j] = int(block.sum()) // block.size
+            bits = 0
+            for i in range(8):
+                for j in range(8):
+                    if cells[i, j + 1] > cells[i, j]:
+                        k = 8 * i + j
+                        bits |= 1 << k
+            if bits >= 1 << 63:
+                bits -= 1 << 64
+            return bits
+
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                try:
+                    out.append(_dhash(decode(p)))
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "dhash": out})
+
+    return df.select("media_id", "payload").mapInPandas(gen, DHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    *,
+    codec: str = "netpbm",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int = 1000,
+    exact_confirm: bool = False,
+) -> DataFrame:
+    """Image near-dup pairs (id_a < id_b, hamming) by dHash — the
+    multimodal twin of simhash_candidate_pairs, reusing its bit-slice
+    blocking + single-emission expansion kernel
+    (operators/dedup.signature_candidate_pairs) over the 64-bit dhash.
+
+    `exact_confirm=True` additionally requires byte-identical payloads
+    (md5 equality, joined onto the candidate pairs only) — the exact
+    image-dedup tier, deterministic enough for a value oracle; the fuzzy
+    tier (hamming > 0) is envelope-pinned in pytest like the text
+    simhash, since tiny fixture images make cross-image hash distances
+    non-oracle-predictable.
+
+    Scale: decode + hash never shuffle (mapInPandas); the kernel's two
+    exchanges move 16-byte signature rows; exact_confirm joins md5
+    strings for the candidate set only — payloads stay where they were
+    read."""
+    from purescript_ifrit_spark.operators.dedup import (
+        signature_candidate_pairs,
+    )
+
+    sigs = (
+        dhash_images(df, codec=codec)
+        .filter(F.col("dhash").isNotNull())
+        .select(F.col("media_id").alias("_id"), F.col("dhash").alias("_sig"))
+    )
+    pairs = signature_candidate_pairs(
+        sigs, max_hamming=max_hamming, chunks=chunks, max_bucket=max_bucket
+    )
+    if not exact_confirm:
+        return pairs
+    fp = df.select("media_id", F.md5(F.col("payload")).alias("_fp"))
+    fa = fp.select(F.col("media_id").alias("id_a"), F.col("_fp").alias("_fa"))
+    fb = fp.select(F.col("media_id").alias("id_b"), F.col("_fp").alias("_fb"))
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .filter(F.col("_fa") == F.col("_fb"))
+        .select("id_a", "id_b", "hamming")
     )

@@ -60,13 +60,13 @@ from purescript_ifrit_spark.suite.core import flagship  # noqa: E402,F401
 # Round-6 composition (VERDICT r5 #2, exactly 50):
 #   1. the 11 round-5 late additions that are oracle-backed but have
 #      never been driver-checked;
-#   2. the 12 new round-6 oracle entries (planted conversions of the CMS /
+#   2. the 13 new round-6 oracle entries (planted conversions of the CMS /
 #      Misra-Gries / approx-percentile sketches + the cluster-size
 #      histogram, the baseline-PNG decode, the VECTORIZE / QUALITY_SCORE
 #      dialect functions, URL-domain stats, encoding quality, packing
 #      stats);
 #   3. the r3-only cohort — oracle entries whose last driver check was
-#      round 3, ledger order (27 of 33 fit; the 6 tail entries wait for
+#      round 3, ledger order (26 of 33 fit; the 7 tail entries wait for
 #      r7, never-verified newcomers outrank backfill).
 #
 # Everything else (checked r4/r5 AND duplicated by
@@ -98,11 +98,12 @@ _DRIVER_WINDOW_R6 = [
     "x_cluster_stats_planted",
     "x_dedup_keep_best_planted",
     "x_dedup_incremental_simhash_planted",
+    "x_image_dedup_planted",
     # -- (3) the r3-only cohort (oldest last check), ledger order ----------
-    # (never-verified oracle entries outrank backfill, so the cohort's 6
-    # tail entries — x_anti_join, x_semi_join, x_multimodal_framesample
-    # and the three streaming twins, each pytest-verified every round —
-    # wait for r7)
+    # (never-verified oracle entries outrank backfill, so the cohort's 7
+    # tail entries — x_set_ops, x_anti_join, x_semi_join,
+    # x_multimodal_framesample and the three streaming twins, each
+    # pytest-verified every round — wait for r7)
     "x_dedup_clusters_planted",
     "x_chunk_documents",
     "x_pack_sequences",
@@ -129,7 +130,6 @@ _DRIVER_WINDOW_R6 = [
     "x_rollup_multi",
     "x_tpch_q18ish",
     "x_partitioned_sink",
-    "x_set_ops",
 ]
 
 

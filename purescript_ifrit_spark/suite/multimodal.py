@@ -206,3 +206,46 @@ def x_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
     return extract_video_stats(synth_ppm_video(ids), every_n=2)
+
+
+@register(
+    "x_image_dedup_planted",
+    # IMAGE near-dup dedup ground truth: the corpus is every planted image
+    # twice (original id and id + 10^12, byte-identical payloads), capped
+    # at doc_id < 500 so the set is the same at every SF and no two
+    # DIFFERENT ids share a payload (synth pixels repeat only at id ≡ id'
+    # mod lcm(40,256) = 1280). Identical payloads → identical dHash →
+    # hamming 0 → always blocked together; different images that happen
+    # to share a dHash (tiny fixtures make that common) are candidates
+    # but fail the byte-identity confirm. Expected pairs = exactly the
+    # planted (d, d + 10^12) duplicates.
+    "SELECT doc_id AS id_a, doc_id + 1000000000000 AS id_b, "
+    "CAST(0 AS BIGINT) AS hamming FROM documents WHERE doc_id < 500",
+)
+def x_image_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-tier image dedup via dHash blocking + byte-identity confirm
+    (operators/multimodal.dhash_images + image_neardup_pairs): the
+    multimodal member of the dedup family — decode → perceptual hash →
+    the shared signature_candidate_pairs kernel."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        image_neardup_pairs,
+        synth_ppm_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 500)
+    )
+    m1 = synth_ppm_media(ids)
+    m2 = m1.select(
+        (F.col("media_id") + 1_000_000_000_000).alias("media_id"),
+        "payload",
+        "meta",
+    )
+    return image_neardup_pairs(
+        m1.unionByName(m2),
+        max_hamming=0,
+        exact_confirm=True,
+        max_bucket=None,
+    )

@@ -2607,3 +2607,44 @@ def test_simhash_index_probe_semantics(spark):
         batch, index, "doc_id", "text", max_hamming=0
     )
     assert [r["doc_id"] for r in out0.collect()] == [11]
+
+
+def test_dhash_determinism_noise_envelope_and_poison(spark):
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        dhash_images,
+        encode_png,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    big = rng.randint(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    noisy = big.copy()
+    noisy[10, 20] = 255 - noisy[10, 20]  # flip one pixel hard
+
+    def ppm(arr):
+        h, w, _ = arr.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+    rows = spark.createDataFrame(
+        [(1, ppm(big), ("x", "t")), (2, ppm(big), ("x", "t")),
+         (3, ppm(noisy), ("x", "t")), (4, b"not an image", ("x", "t"))],
+        "media_id long, payload binary, meta struct<mime:string,source:string>",
+    )
+    dh = {r["media_id"]: r["dhash"] for r in dhash_images(rows).collect()}
+    assert dh[1] == dh[2]                      # identical images collide
+    assert dh[4] is None                       # poison -> NULL, batch lives
+    assert bin((dh[1] ^ dh[3]) & ((1 << 64) - 1)).count("1") <= 4  # 1px edit
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_neardup_pairs(rows, max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0 and (1, 3) in pairs and (2, 3) in pairs
+
+    # the png codec path hashes identical pixels to the identical value
+    rows_png = spark.createDataFrame(
+        [(1, bytearray(encode_png(big)), ("x", "t"))],
+        "media_id long, payload binary, meta struct<mime:string,source:string>",
+    )
+    dh_png = dhash_images(rows_png, codec="png").first()["dhash"]
+    assert dh_png == dh[1]
