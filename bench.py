@@ -318,6 +318,24 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
             t["documents"], total_budget=100_000, n_shards=16
         )
 
+    def qx_image_dedup():
+        from purescript_ifrit_spark.operators.multimodal import (
+            image_neardup_pairs,
+            synth_ppm_media,
+        )
+
+        ids = t["documents"].select("doc_id").filter(F.col("doc_id") < 500)
+        m1 = synth_ppm_media(ids)
+        m2 = m1.select(
+            (F.col("media_id") + 1_000_000_000_000).alias("media_id"),
+            "payload",
+            "meta",
+        )
+        return image_neardup_pairs(
+            m1.unionByName(m2), max_hamming=0, exact_confirm=True,
+            max_bucket=None,
+        )
+
     def qx_cms_probe():
         from purescript_ifrit_spark.functions import text as X
         from purescript_ifrit_spark.operators.sketches import cms_frequencies
@@ -354,6 +372,7 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_quantile_normalize": qx_quantile_normalize,
         "qx_training_shards": qx_training_shards,
         "qx_cms_probe": qx_cms_probe,
+        "qx_image_dedup": qx_image_dedup,
     }
 
     # JVM warm-up (parquet footers, codegen)
