@@ -393,17 +393,19 @@ def dedup_clusters_keep_best(
     # min id among rows at the max) — type-agnostic, unlike a negated-id
     # max_by struct trick. eqNullSafe makes an all-NULL-quality component
     # degrade to plain min-id instead of keeping every member.
+    # no forced broadcast: best_kb/winners carry ONE ROW PER COMPONENT,
+    # which grows with the corpus's near-dup mass (tens of millions of
+    # components at web scale would OOM a forced broadcast) — AQE picks
+    # broadcast when they actually fit
     best_kb = scored.groupBy("component").agg(F.max("_kb").alias("_best"))
     winners = (
-        scored.join(F.broadcast(best_kb), "component")
+        scored.join(best_kb, "component")
         .filter(F.col("_kb").eqNullSafe(F.col("_best")))
         .groupBy("component")
         .agg(F.min("id").alias("_win"))
     )
     losers = (
-        comp.join(
-            F.broadcast(winners.select("component", "_win")), "component"
-        )
+        comp.join(winners.select("component", "_win"), "component")
         .filter(F.col("id") != F.col("_win"))
         .select(F.col("id").alias(id_col))
     )
@@ -710,6 +712,19 @@ def build_minhash_index(
     )
 
 
+def _cap_buckets(df: DataFrame, keys: list, max_bucket: int) -> DataFrame:
+    """Drop every row of a bucket whose size exceeds `max_bucket` — the
+    shared probe/index capping step of both incremental dedup paths (a
+    capped-out bucket is boilerplate, not a near-dup signal, on either
+    join side)."""
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     index: DataFrame,
@@ -755,17 +770,8 @@ def dedup_against_index(
         F.col("_sig").alias("_new_sig"),
     )
     if max_bucket is not None:
-        w = Window.partitionBy("_band", "_key")
-        probe = (
-            probe.withColumn("_n", F.count("*").over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
-        index = (
-            index.withColumn("_n", F.count("*").over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
+        probe = _cap_buckets(probe, ["_band", "_key"], max_bucket)
+        index = _cap_buckets(index, ["_band", "_key"], max_bucket)
     matches = probe.join(index, ["_band", "_key"]).withColumn(
         "_est",
         F.size(
@@ -848,17 +854,8 @@ def dedup_against_simhash_index(
         F.col("_sig").alias("_new_sig"),
     )
     if max_bucket is not None:
-        w = Window.partitionBy("_chunk", "_key")
-        probe = (
-            probe.withColumn("_n", F.count("*").over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
-        index = (
-            index.withColumn("_n", F.count("*").over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
+        probe = _cap_buckets(probe, ["_chunk", "_key"], max_bucket)
+        index = _cap_buckets(index, ["_chunk", "_key"], max_bucket)
     losers = (
         probe.join(index, ["_chunk", "_key"])
         .filter(

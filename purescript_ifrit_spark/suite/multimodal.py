@@ -243,9 +243,15 @@ def x_image_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload",
         "meta",
     )
-    return image_neardup_pairs(
+    out = image_neardup_pairs(
         m1.unionByName(m2),
         max_hamming=0,
         exact_confirm=True,
         max_bucket=None,
+    )
+    # bit_count yields INT32; the oracle is BIGINT — the driver comparator
+    # hashes TYPED values (the r1/r3 failure class), so cast like
+    # x_dedup_simhash_planted does
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
