@@ -511,7 +511,14 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """Near-dup pairs by simhash: two docs within hamming distance
     < `chunks` share at least one bit-slice (pigeonhole), so blocking on
-    `chunks` slices finds all pairs with distance <= chunks-1."""
+    `chunks` slices finds all pairs with distance <= chunks-1.
+
+    Capped-recall contract (ADVICE r6): with a finite `max_bucket`, a
+    pair is found only if its EARLIEST shared bit-slice lands in a
+    surviving (un-capped) bucket — see signature_candidate_pairs for the
+    full statement. Pass max_bucket=None for the uncapped exact-recall
+    guarantee (at the cost of unbounded bucket expansion on degenerate
+    mass-duplicate slices)."""
     # blank/NULL docs never pair: tokens('') is [''] and every content-free
     # doc would otherwise share one constant signature and collide in every
     # bit-slice bucket (same guard contract as the minhash path). The
@@ -539,7 +546,15 @@ def signature_candidate_pairs(
     _sig) 64-bit-signature relation — the slicing/blocking/expansion
     kernel shared by simhash_candidate_pairs (text) and
     image_neardup_pairs (dHash): two signatures within hamming < chunks
-    share at least one bit-slice (pigeonhole)."""
+    share at least one bit-slice (pigeonhole).
+
+    Capped-recall contract (ADVICE r6): pairs are emitted from their
+    FIRST shared bit-slice only (the shuffle-free single-emission plan),
+    so with a finite `max_bucket` a pair whose first shared slice sits in
+    a capped bucket is lost even when a later shared slice survives.
+    Uncapped (max_bucket=None) recall is exact for hamming < chunks.
+    Capped buckets hold degenerate near-identical mass duplicates that
+    share (nearly) all slices, so the loss is confined to them."""
     sliced = sigs.select(
         "_id", "_sig", F.explode(H.simhash_chunks(F.col("_sig"), chunks)).alias("_c")
     ).select("_id", "_sig", F.col("_c.chunk").alias("_chunk"), F.col("_c.key").alias("_key"))

@@ -370,11 +370,17 @@ def _make_png_decoder():
             raise ValueError(f"invalid png dims {width}x{height}")
         ch = channels_of[color]
         stride = width * ch
+        # Bounded inflate (ADVICE r6): cap output at the raster size the
+        # declared dims imply, so a tiny crafted IDAT (decompression bomb)
+        # cannot allocate beyond height*(1+stride)+1 bytes on a worker —
+        # one extra byte distinguishes "too much output" from "exact fit".
+        expected = height * (1 + stride)
         try:
-            raw = zlib.decompress(b"".join(idat))
+            dec = zlib.decompressobj()
+            raw = dec.decompress(b"".join(idat), expected + 1)
         except zlib.error as exc:
             raise ValueError(f"bad png idat stream: {exc}") from exc
-        if len(raw) != height * (1 + stride):
+        if len(raw) != expected or dec.unconsumed_tail:
             raise ValueError("png raster size mismatch")
         out = bytearray(height * stride)
         for r in range(height):
@@ -1187,7 +1193,13 @@ def image_neardup_pairs(
     Scale: decode + hash never shuffle (mapInPandas); the kernel's two
     exchanges move 16-byte signature rows; exact_confirm joins md5
     strings for the candidate set only — payloads stay where they were
-    read."""
+    read.
+
+    Capped-recall contract (ADVICE r6): inherited from the shared kernel
+    — with a finite `max_bucket`, a pair whose FIRST shared bit-slice
+    falls in a capped bucket is lost even if a later shared slice
+    survives; max_bucket=None restores exact recall for
+    hamming < chunks."""
     from purescript_ifrit_spark.operators.dedup import (
         signature_candidate_pairs,
     )

@@ -163,7 +163,10 @@ def write_bucketed(
 
 
 def read_text_corpus(
-    spark: SparkSession, path: str, whole_files: bool = True
+    spark: SparkSession,
+    path: str,
+    whole_files: bool = True,
+    max_file_bytes: Optional[int] = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Raw-text corpus ingest: (doc_id, path, text) from a directory of
     text files — whole_files=True reads one document per FILE (the corpus
@@ -178,9 +181,30 @@ def read_text_corpus(
     ordinals derived from partition order would reassign ids across
     cluster sizes. The trade: in BOTH modes a single file must fit in one
     task (wholetext); line mode exists for many-small-files jsonl layouts,
-    not one giant file."""
+    not one giant file. `max_file_bytes` (default 256 MiB) enforces that
+    contract up front via a metadata-only binaryFile listing — one
+    oversized file raises with a pointer to read_jsonl_corpus (whose line
+    reader splits WITHIN a file) instead of OOMing a task mid-job
+    (ADVICE r6). Pass None to skip the listing for trusted layouts."""
     from pyspark.sql import functions as F
 
+    if max_file_bytes is not None:
+        over = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select("path", "length")
+            .filter(F.col("length") > max_file_bytes)
+            .head(1)
+        )
+        if over:
+            raise ValueError(
+                f"read_text_corpus reads each file as ONE task (wholetext); "
+                f"{over[0].path!r} is {over[0].length} bytes "
+                f"(> max_file_bytes={max_file_bytes}). For large single-file "
+                f"line corpora use read_jsonl_corpus (splittable within a "
+                f"file), or raise/disable max_file_bytes if the executors "
+                f"really have the memory."
+            )
     df = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("path"), F.col("value").alias("text")
     )
@@ -317,7 +341,17 @@ def read_jsonl_corpus(
             raise ValueError(
                 f"id_field {id_field!r} not in parsed columns {df.columns}"
             )
-        doc_id = F.xxhash64(F.col(id_field).cast("string"))
+        # NULL id stays NULL (ADVICE r6): xxhash64 of a NULL column is a
+        # constant seed hash, so corrupt/permissive-parsed lines (and
+        # genuinely-null ids) would otherwise collapse onto ONE shared
+        # doc_id that downstream dedup silently merges. NULL doc_ids are
+        # distinguishable and filterable; content-derived fallback is not
+        # used here on purpose — a caller who named an id_field wants
+        # id-derived ids or an explicit gap, not a silent mixed scheme.
+        doc_id = F.when(
+            F.col(id_field).isNotNull(),
+            F.xxhash64(F.col(id_field).cast("string")),
+        )
     else:
         payload = [c for c in df.columns if c != "_corrupt_record"]
         doc_id = F.xxhash64(F.to_json(F.struct(*sorted(payload))))

@@ -632,6 +632,18 @@ def test_png_decode_rejects_malformed_payloads():
         with pytest.raises(ValueError):
             decode_png(b)
 
+    # decompression bomb (ADVICE r6): a ~1 KB IDAT that inflates to
+    # ~64 MB against declared dims of 2x2 must raise from the BOUNDED
+    # inflate (output capped at raster+1 bytes), not allocate the 64 MB
+    bomb = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    ) + chunk(b"IDAT", zlib.compress(b"\x00" * (64 << 20), 9)) + chunk(
+        b"IEND", b""
+    )
+    assert len(bomb) < 70_000  # the payload really is tiny on the wire
+    with pytest.raises(ValueError, match="raster size"):
+        decode_png(bomb)
+
 
 def test_png_stats_bit_identical_to_ppm_stats(spark):
     """synth_png_media and synth_ppm_media share one closed form, so the

@@ -368,3 +368,48 @@ def test_read_jsonl_corpus_poison_line_survives(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 3
     assert sum(1 for r in rows if r["id"] is None) == 1
+
+
+def test_read_jsonl_corpus_null_id_yields_null_doc_id(spark, tmp_path):
+    # ADVICE r6: xxhash64(NULL) is one constant seed hash, so poison
+    # lines / genuinely-null ids would all collapse onto a single shared
+    # doc_id that downstream dedup silently merges — NULL id must give
+    # NULL doc_id (distinguishable, filterable), never a shared hash
+    from purescript_ifrit_spark.sources.tables import read_jsonl_corpus
+
+    d = tmp_path / "cnull"
+    d.mkdir()
+    (d / "x.jsonl").write_text(
+        '{"id": "ok", "text": "fine"}\n'
+        "{not json at all}\n"
+        '{"id": null, "text": "null id"}\n'
+        '{"text": "missing id"}\n'
+    )
+    df = read_jsonl_corpus(spark, str(d), schema="id string, text string",
+                           id_field="id")
+    rows = df.collect()
+    assert len(rows) == 4
+    null_ids = [r for r in rows if r["id"] is None]
+    assert len(null_ids) == 3
+    assert all(r["doc_id"] is None for r in null_ids)
+    (ok,) = [r for r in rows if r["id"] == "ok"]
+    assert ok["doc_id"] is not None
+
+
+def test_read_text_corpus_oversized_file_raises(spark, tmp_path):
+    # ADVICE r6: both modes read wholetext (one file = one task), so an
+    # oversized file must fail fast with a pointer at read_jsonl_corpus,
+    # not OOM a task mid-job
+    import pytest
+
+    from purescript_ifrit_spark.sources.tables import read_text_corpus
+
+    d = tmp_path / "big"
+    d.mkdir()
+    (d / "a.txt").write_text("small\n")
+    (d / "b.txt").write_text("x" * 4096)
+    with pytest.raises(ValueError, match="read_jsonl_corpus"):
+        read_text_corpus(spark, str(d), max_file_bytes=1024)
+    # under the cap (and with the guard off) both modes still read
+    assert read_text_corpus(spark, str(d), max_file_bytes=8192).count() == 2
+    assert read_text_corpus(spark, str(d), max_file_bytes=None).count() == 2
