@@ -57,79 +57,81 @@ from purescript_ifrit_spark.suite.core import flagship  # noqa: E402,F401
 # this round for exactly that reason); their behavior stays pinned by
 # paired exact twins, planted-oracle conversions, and pytest envelopes.
 #
-# Round-6 composition (VERDICT r5 #2, exactly 50):
-#   1. the 11 round-5 late additions that are oracle-backed but have
-#      never been driver-checked;
-#   2. the 13 new round-6 oracle entries (planted conversions of the CMS /
-#      Misra-Gries / approx-percentile sketches + the cluster-size
-#      histogram, the baseline-PNG decode, the VECTORIZE / QUALITY_SCORE
-#      dialect functions, URL-domain stats, encoding quality, packing
-#      stats);
-#   3. the r3-only cohort — oracle entries whose last driver check was
-#      round 3, ledger order (26 of 33 fit; the 7 tail entries wait for
-#      r7, never-verified newcomers outrank backfill).
+# Round-7 composition (VERDICT r6 #1/#7 — planned at round start, 50 slots):
+#   1. the 7 r3-stale entries FIRST — `x_anti_join`, `x_semi_join`,
+#      `x_set_ops`, `x_multimodal_framesample` and the three streaming
+#      twins: their last hard check was round 3 and the rotation
+#      invariant ("no entry ages past two rounds") is violated for
+#      exactly these seven (VERDICT r6 item 1);
+#   2. the new round-7 oracle entries as they land (PLANNED:
+#      x_knn_join_planted, x_bpe_encode_planted,
+#      x_training_shards_planted, x_streaming_dau_planted — the four
+#      planted-oracle conversions of VERDICT r6 #3 — plus
+#      x_multimodal_jpeg (#4) and xd_image_dhash (#6); late additions
+#      beyond these displace backfill tail BY THIS POLICY, recorded
+#      here, not by accident);
+#   3. backfill: the r4-last-checked oracle cohort in ledger order
+#      (44 entries; the tail that new r7 entries displace waits for r8
+#      — after r7 every surviving backfill entry's last check is ≥ r4
+#      and every non-window oracle entry's is ≥ r5).
 #
-# Everything else (checked r4/r5 AND duplicated by
+# Everything else (checked r5/r6 AND duplicated by
 # tests/test_oracle_parity.py every round) follows after the window.
 
-_DRIVER_WINDOW_R6 = [
-    # -- (1) round-5 late additions, oracle-backed, never driver-checked --
-    "x_term_spectrum",
-    "x_vocab_divergence",
-    "x_ngram_novelty",
-    "x_bpe_pairs",
-    "xd_htmltext",
-    "x_shuffle_shards",
-    "x_winsorize",
-    "x_quantile_normalize",
-    "x_label_entropy",
-    "x_label_dispersion",
-    "x_multimodal_video",
-    # -- (2) new round-6 oracle entries ------------------------------------
-    "x_cms_probe_planted",
-    "x_heavy_hitters_mg_planted",
-    "x_percentiles_approx_planted",
-    "x_multimodal_png",
-    "xd_vectorize",
-    "xd_quality_score",
-    "x_url_domains",
-    "x_encoding_quality",
-    "x_packing_stats",
-    "x_cluster_stats_planted",
-    "x_dedup_keep_best_planted",
-    "x_dedup_incremental_simhash_planted",
-    "x_image_dedup_planted",
-    # -- (3) the r3-only cohort (oldest last check), ledger order ----------
-    # (never-verified oracle entries outrank backfill, so the cohort's 7
-    # tail entries — x_set_ops, x_anti_join, x_semi_join,
-    # x_multimodal_framesample and the three streaming twins, each
-    # pytest-verified every round — wait for r7)
-    "x_dedup_clusters_planted",
-    "x_chunk_documents",
-    "x_pack_sequences",
-    "x_rolling_fingerprint",
-    "x_explode_chunks",
-    "x_pii_redact",
-    "x_term_stats",
-    "x_tfidf_topk",
-    "x_repetition_stats",
-    "xd_redact",
-    "xd_tumble_hourly",
-    "xd_sessionize",
-    "x_split_train_val",
-    "x_hash_sample",
-    "x_stratified_fixed_k",
-    "x_stratified_sample",
-    "x_embedding_centroids",
-    "x_events_hourly",
-    "x_running_total",
-    "x_equidepth_buckets",
-    "x_asof_join",
-    "x_asof_forward",
-    "x_range_join",
-    "x_rollup_multi",
-    "x_tpch_q18ish",
-    "x_partitioned_sink",
+_DRIVER_WINDOW_R7 = [
+    # -- (1) the 7 r3-stale entries (rotation-invariant repair) ------------
+    "x_anti_join",
+    "x_semi_join",
+    "x_set_ops",
+    "x_multimodal_framesample",
+    "x_streaming_windowed",
+    "x_streaming_session",
+    "x_streaming_state",
+    # -- (2) new round-7 oracle entries land HERE as built ------------------
+    # -- (3) r4-cohort backfill, ledger order -------------------------------
+    "p1_projection",
+    "f1_eq",
+    "o3_limit_before_offset",
+    "a1_a3_group_avg",
+    "s2_derived_table",
+    "p2_nested_projection",
+    "x_dedup_exact",
+    "x_dedup_minhash_planted",
+    "x_dedup_incremental_planted",
+    "x_dedup_simhash_planted",
+    "x_curate_exact",
+    "x_text_token_count",
+    "x_text_quality",
+    "x_lang_id",
+    "x_fingerprint",
+    "x_token_rarity",
+    "x_contamination",
+    "xd_dedup_exact",
+    "xd_token_count",
+    "xd_quality",
+    "xd_lang_id",
+    "xd_chunk",
+    "xd_quality_filter",
+    "xd_quality_where",
+    "xd_split",
+    "x_budget_sample",
+    "x_ann_cosine_topk",
+    "x_embedding_neardup",
+    "x_sessionize",
+    "x_funnel",
+    "x_retention",
+    "x_topk_per_group",
+    "x_percentiles",
+    "x_distinct_count",
+    "x_pivot_events",
+    "x_robust_outliers",
+    "x_join_star",
+    "x_json_extract",
+    "x_tpch_q1ish",
+    "x_tpch_q3ish",
+    "x_tpch_q5ish",
+    "x_multimodal_features",
+    "x_multimodal_decode",
 ]
 
 
@@ -144,4 +146,4 @@ def _apply_driver_window(window: list) -> None:
     REGISTRY.update(ordered)
 
 
-_apply_driver_window(_DRIVER_WINDOW_R6)
+_apply_driver_window(_DRIVER_WINDOW_R7)

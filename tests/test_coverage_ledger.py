@@ -10,7 +10,7 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
-from purescript_ifrit_spark.suite import _DRIVER_WINDOW_R6, REGISTRY
+from purescript_ifrit_spark.suite import _DRIVER_WINDOW_R7, REGISTRY
 from purescript_ifrit_spark.suite._ledger import (
     DRIVER_HISTORY,
     render_ledger_table,
@@ -57,21 +57,56 @@ def test_committed_ledger_positions_match_registry_order():
 def test_driver_window_is_exactly_fifty_oracle_entries():
     # the driver checks the FIRST 50 — all 50 slots must be spendable on
     # hash-green outcomes (no rows-only entries per the rotation policy)
-    assert len(_DRIVER_WINDOW_R6) == 50
-    assert len(set(_DRIVER_WINDOW_R6)) == 50
-    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R6
-    rows_only = [n for n in _DRIVER_WINDOW_R6 if REGISTRY[n][1] is None]
+    assert len(_DRIVER_WINDOW_R7) == 50
+    assert len(set(_DRIVER_WINDOW_R7)) == 50
+    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R7
+    rows_only = [n for n in _DRIVER_WINDOW_R7 if REGISTRY[n][1] is None]
     assert rows_only == []
+
+
+def _checked_rounds(hist: str) -> list:
+    # "new rN" marks creation, not a driver check; plain rN tokens are
+    # the recorded driver rounds
+    return [int(x) for x in re.findall(r"\br(\d+)\b", re.sub(r"new r\d+", "", hist))]
 
 
 def test_window_prioritizes_never_verified_oracle_entries():
     # every oracle-backed entry whose history has no driver round yet
-    # ("new r5"/"new r6" with no r{1..5} record) must be IN the window
+    # must be IN the window
     never = [
         name
         for name, (check, hist) in DRIVER_HISTORY.items()
-        if check == "oracle"
-        and not re.search(r"\br[1-5]\b", hist.replace("new r5", "").replace("new r6", ""))
+        if check == "oracle" and not _checked_rounds(hist)
     ]
-    missing = [n for n in never if n not in _DRIVER_WINDOW_R6]
+    missing = [n for n in never if n not in _DRIVER_WINDOW_R7]
     assert missing == [], missing
+
+
+def test_window_repairs_the_r3_stale_cohort_first():
+    # VERDICT r6 #1: the seven entries whose last hard check was round 3
+    # hold the window's FIRST seven slots — the rotation-invariant repair
+    # is position-pinned so late additions cannot displace it
+    stale = [
+        "x_anti_join",
+        "x_semi_join",
+        "x_set_ops",
+        "x_multimodal_framesample",
+        "x_streaming_windowed",
+        "x_streaming_session",
+        "x_streaming_state",
+    ]
+    assert _DRIVER_WINDOW_R7[:7] == stale
+    for name in stale:
+        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 3
+
+
+def test_window_backfill_leaves_no_entry_older_than_r4():
+    # after the r7 window lands, every oracle entry NOT in the window
+    # must have a last check of r5 or r6 — the backfill composition
+    # covers the whole r4 cohort except the tail displaced by new
+    # r7 entries (those r4-tail entries must still be windowed or r4)
+    for name, (check, hist) in DRIVER_HISTORY.items():
+        if check != "oracle" or name in _DRIVER_WINDOW_R7:
+            continue
+        rounds = _checked_rounds(hist)
+        assert rounds and max(rounds) >= 4, (name, hist)
