@@ -88,6 +88,10 @@ _DRIVER_WINDOW_R7 = [
     "x_streaming_session",
     "x_streaming_state",
     # -- (2) new round-7 oracle entries land HERE as built ------------------
+    "x_knn_join_planted",
+    "x_bpe_encode_planted",
+    "x_training_shards_planted",
+    "x_streaming_dau_planted",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
@@ -128,10 +132,6 @@ _DRIVER_WINDOW_R7 = [
     "x_join_star",
     "x_json_extract",
     "x_tpch_q1ish",
-    "x_tpch_q3ish",
-    "x_tpch_q5ish",
-    "x_multimodal_features",
-    "x_multimodal_decode",
 ]
 
 

@@ -892,6 +892,73 @@ def x_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_shard_pipeline(docs, total_budget=100_000, n_shards=16)
 
 
+@register(
+    "x_training_shards_planted",
+    # planted-truth conversion of the rows-only capstone (VERDICT r6 #3):
+    # per doc the text becomes n_tok = 5 + doc_id%7 tokens "w{id}x{i}" —
+    # alnum-only (quality = (4·len_micro + 3·10⁶)/10⁷ ∈ [0.32, 0.7], all
+    # above the 0.3 gate), pairwise-distinct (no exact dups), and with
+    # doc-unique shingles (jaccard 0 between every pair, and the minhash
+    # stage filters candidates by EXACT jaccard ≥ 0.8, so near-dedup
+    # provably removes nothing). Curation is then the identity and the
+    # manifest is the mix→shard→pack composition, every stage md5-keyed
+    # and already individually oracled (x_temperature_mix,
+    # x_shuffle_shards, x_pack_sequences) — recomputed here end to end:
+    # ONE correct manifest, value-pinned row for row.
+    "WITH d AS (SELECT doc_id, source, "
+    "CAST(5 + doc_id % 7 AS BIGINT) AS n_tok FROM documents), "
+    "t AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tg FROM d GROUP BY source), "
+    "w AS (SELECT source, CAST(floor(sqrt(tg)) AS BIGINT) AS wt FROM t), "
+    "s AS (SELECT CAST(SUM(wt) AS BIGINT) AS wsum FROM w), "
+    "b AS (SELECT source, (2000 * wt) // wsum AS budget FROM w, s), "
+    "r AS (SELECT d.doc_id, d.n_tok, b.budget, "
+    "SUM(d.n_tok) OVER (PARTITION BY d.source "
+    "ORDER BY substr(md5(d.doc_id || ':v1'), 1, 8), d.doc_id "
+    "ROWS UNBOUNDED PRECEDING) AS cum "
+    "FROM d JOIN b USING (source)), "
+    "kept AS (SELECT doc_id, n_tok FROM r WHERE cum <= budget), "
+    "sh AS (SELECT doc_id, n_tok, substr(md5(concat(CAST(doc_id AS VARCHAR), "
+    "':shuffle-v1')), 1, 8) AS draw FROM kept), "
+    "sh2 AS (SELECT doc_id, n_tok, draw, "
+    "CAST(CAST(concat('0x', draw) AS BIGINT) % 8 AS INT) AS shard FROM sh), "
+    "sh3 AS (SELECT doc_id, n_tok, shard, "
+    "CAST(row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id) - 1 "
+    "AS BIGINT) AS pos FROM sh2) "
+    "SELECT shard, pos, doc_id, "
+    "CAST(floor((SUM(n_tok) OVER (PARTITION BY shard ORDER BY pos "
+    "ROWS UNBOUNDED PRECEDING) - n_tok) / 64.0) AS BIGINT) AS pack_id, "
+    "n_tok AS n_tokens FROM sh3",
+)
+def x_training_shards_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curate→mix→shard→pack pipeline on a planted corpus with
+    exactly one correct manifest (operators/pipeline.
+    training_shard_pipeline) — double-run equality proved determinism in
+    r5; this pins the VALUE."""
+    from purescript_ifrit_spark.operators.pipeline import (
+        training_shard_pipeline,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), (5 + F.col("doc_id") % 7).cast("int")),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("x"),
+                    i.cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return training_shard_pipeline(
+        docs, total_budget=2000, n_shards=8, seq_tokens=64
+    )
+
+
 @register("x_cms_probe", None)  # sketch point-queries — rows-only;
 # the overcount-only envelope vs the exact twin is pinned in pytest
 def x_cms_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -229,3 +229,87 @@ def x_streaming_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_users",
     )
+
+
+@register(
+    "x_streaming_dau_planted",
+    # planted-oracle conversion of the rows-only streaming-DAU entry
+    # (VERDICT r6 #3): the stream replays a bounded backlog, so its HLL
+    # result must be BIT-EQUAL to the batch sketch over the same rows
+    # (same aggregate, same rsd, complete output mode) — emitted as
+    # stream_eq_batch — and the sketch's deterministic error on this
+    # fixed dataset sits inside a generous envelope vs the exact count
+    # (within_envelope; rsd=0.02, bound = max(4, 10% of exact)). The
+    # oracle recomputes the exact per-day-per-type distinct count and
+    # the two booleans as the constants the guarantees make them.
+    "SELECT CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT) "
+    "AS window_us, event_type, COUNT(DISTINCT user_id) AS n_exact, "
+    "TRUE AS stream_eq_batch, TRUE AS within_envelope "
+    "FROM events GROUP BY 1, 2",
+)
+def x_streaming_dau_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL DAU with its guarantees made oracle-checkable:
+    bit-equality to the batch sketch plus the accuracy envelope vs the
+    exact count, each a boolean that flips (and fails the value hash) on
+    violation."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from purescript_ifrit_spark.operators.windows import (
+        distinct_users_windowed,
+    )
+    from purescript_ifrit_spark.streaming.pipeline import (
+        read_event_stream,
+        windowed_distinct_users,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    staged = tempfile.mkdtemp(prefix="ifrit_stream_daup_")
+    ev.repartition(4).write.mode("overwrite").parquet(staged)
+
+    stream = read_event_stream(spark, staged, max_files_per_trigger=2)
+    agg = windowed_distinct_users(stream)
+    name = f"x_streaming_dau_planted_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(staged, ignore_errors=True)
+    streamed = spark.table(name).select(
+        F.unix_micros(F.col("w.start")).alias("window_us"),
+        "event_type",
+        F.col("n_users").alias("_n_stream"),
+    )
+    batch_hll = distinct_users_windowed(ev, approx=True, rsd=0.02).select(
+        "window_us", "event_type", F.col("n_users").alias("_n_hll")
+    )
+    exact = distinct_users_windowed(ev).select(
+        "window_us", "event_type", F.col("n_users").alias("n_exact")
+    )
+    # exact defines the key set: a stream row missing there flips its
+    # boolean to false via the null-safe coalesce and fails the hash
+    return (
+        exact.join(streamed, ["window_us", "event_type"], "left")
+        .join(batch_hll, ["window_us", "event_type"], "left")
+        .select(
+            "window_us",
+            "event_type",
+            "n_exact",
+            F.coalesce(
+                F.col("_n_stream") == F.col("_n_hll"), F.lit(False)
+            ).alias("stream_eq_batch"),
+            F.coalesce(
+                F.abs(F.col("_n_stream") - F.col("n_exact"))
+                <= F.greatest(
+                    F.lit(4).cast("long"),
+                    F.ceil(F.col("n_exact") * 0.1).cast("long"),
+                ),
+                F.lit(False),
+            ).alias("within_envelope"),
+        )
+    )

@@ -629,6 +629,58 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode_counts(docs, merges)
 
 
+# The planted-BPE corpus (VERDICT r6 #3): per doc d the text is
+#   "ab"×(10 + d%3)  "cd"×(5 + d%2)  "abcd"  "abx"
+# Pair-frequency order is then strict at every merge step for ANY doc_id
+# mix (N_ab ≥ 10D dominates, N_cd + N_abcd ≥ 6D next, the three D-count
+# pairs tie-break by (left asc, right asc)), so a 5-merge training run
+# MUST learn exactly
+#   (a,b) (ab,</w>) (c,d) (cd,</w>) (ab,cd</w>)
+# and encoding is closed-form: "ab"/"cd"/"abcd" → 1 token, "abx" → 3
+# (only (a,b) applies). Hence per doc: n_words = 17 + d%3 + d%2 and
+# n_bpe_tokens = 19 + d%3 + d%2 — pure integer functions of doc_id the
+# oracle recomputes, while merges_ok pins the learned merge list itself.
+_BPE_EXPECTED_MERGES = [
+    ("a", "b"),
+    ("ab", "</w>"),
+    ("c", "d"),
+    ("cd", "</w>"),
+    ("ab", "cd</w>"),
+]
+
+
+@register(
+    "x_bpe_encode_planted",
+    "SELECT doc_id, "
+    "CAST(17 + doc_id % 3 + doc_id % 2 AS BIGINT) AS n_words, "
+    "CAST(19 + doc_id % 3 + doc_id % 2 AS BIGINT) AS n_bpe_tokens, "
+    "TRUE AS merges_ok FROM documents",
+)
+def x_bpe_encode_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode under a planted corpus whose merge sequence and
+    token counts are closed-form (operators/bpe.bpe_train +
+    bpe_encode_counts) — the planted-oracle conversion of x_bpe_encode:
+    the REAL iterative trainer runs, and both the learned merge list
+    (merges_ok) and every encoded count are value-pinned."""
+    from purescript_ifrit_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(repeat('ab ', CAST(10 + doc_id % 3 AS INT)), "
+            "repeat('cd ', CAST(5 + doc_id % 2 AS INT)), 'abcd abx')"
+        ).alias("text"),
+    )
+    merges = bpe.bpe_train(bpe.word_counts(docs, "text"), 5)
+    out = bpe.bpe_encode_counts(docs, merges)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        F.lit(merges == _BPE_EXPECTED_MERGES).alias("merges_ok"),
+    )
+
+
 @register(
     "x_url_domains",
     # URLs synthesized deterministically from doc_id (two per doc + a third

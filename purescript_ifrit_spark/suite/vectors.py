@@ -182,6 +182,47 @@ def x_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_lsh(emb, "vec_id", "embedding", k=5)
 
 
+@register(
+    "x_knn_join_planted",
+    # planted-truth conversion of the rows-only KNN join (VERDICT r6 #3):
+    # vec_ids < 96 get IDENTICAL unit basis vectors e_{id div 6} (dim 32),
+    # so every 6-block is one cluster — identical vectors share every LSH
+    # bucket under ANY deterministic plane set (a hash of the vector alone),
+    # making recall exactly 1 by construction, cosine exactly 1.0
+    # (1.0·1.0 / 1·1, no float accumulation), and the top-5 = the 5 block
+    # peers with rank ordered by nbr_id (the operator's pinned tiebreak).
+    # Cross-cluster candidates score 0 < 1 and can never enter the top-5
+    # because every full block has exactly 5 peers; partial tail blocks
+    # (N % 6, small sf) emit their fewer-than-5 peers — also closed-form.
+    "WITH ids AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < 96), "
+    "p AS (SELECT a.id AS id, b.id AS nbr_id FROM ids a JOIN ids b "
+    "ON a.id // 6 = b.id // 6 AND a.id <> b.id) "
+    "SELECT id, nbr_id, CAST(1.0 AS DOUBLE) AS sim, CAST(row_number() OVER "
+    "(PARTITION BY id ORDER BY nbr_id) AS BIGINT) AS rank FROM p",
+)
+def x_knn_join_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN LSH join with planted known-neighbor clusters — the full
+    operator path (3 rotated plane sets, bucket cap, candidate join,
+    top-k window) under inputs whose true neighbor sets are closed-form,
+    so the approximate operator carries an exact value oracle."""
+    from purescript_ifrit_spark.operators.similarity import knn_join_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 96)
+    planted = emb.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda d: F.when(
+                d == (F.col("vec_id") / 6).cast("int"), F.lit(1.0)
+            ).otherwise(F.lit(0.0)).cast("float"),
+        ).alias("embedding"),
+    )
+    out = knn_join_lsh(planted, "vec_id", "embedding", k=5)
+    return out.select(
+        "id", "nbr_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 _FH_TOK = (
     "WITH tok AS (SELECT doc_id, "
     "UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t "
