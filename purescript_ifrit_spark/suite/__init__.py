@@ -92,6 +92,7 @@ _DRIVER_WINDOW_R7 = [
     "x_bpe_encode_planted",
     "x_training_shards_planted",
     "x_streaming_dau_planted",
+    "x_multimodal_jpeg",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
@@ -131,7 +132,6 @@ _DRIVER_WINDOW_R7 = [
     "x_robust_outliers",
     "x_join_star",
     "x_json_extract",
-    "x_tpch_q1ish",
 ]
 
 

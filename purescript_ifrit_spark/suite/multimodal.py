@@ -134,6 +134,61 @@ def x_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_multimodal_jpeg",
+    # planted-truth for the REAL baseline-JFIF decode path (stdlib
+    # Huffman + float IDCT + YCbCr, operators/multimodal.decode_jpeg):
+    # synth_jpeg_media writes genuine compressed streams whose 8×8
+    # blocks are each one constant — DC-only spectra under an all-ones
+    # quantizer reconstruct EXACTLY (see _make_jpeg_decoder), so the
+    # oracle recomputes the decoded stats arithmetically. Even ids:
+    # grayscale with per-block varying constants (every DC differential
+    # nonzero → Huffman category coding across the range). Odd ids: one
+    # constant YCbCr color at 4:2:0 (MCU interleave + upsample +
+    # floor(x+0.5) JFIF color conversion — one float multiply per
+    # channel, IEEE-identical cross-engine).
+    "WITH d AS (SELECT doc_id, doc_id % 2 AS m, 1 + doc_id % 3 AS wb, "
+    "1 + doc_id % 4 AS hb FROM documents), "
+    "gp AS (SELECT doc_id, 8 * wb AS w, 8 * hb AS h, "
+    "(doc_id * 7 + (k // wb) * 13 + (k % wb) * 5) % 256 AS v "
+    "FROM d, UNNEST(range(0, wb * hb)) t(k) WHERE m = 0), "
+    "gs AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h, 1 AS c, "
+    "64 * SUM(v) AS sr, 64 * SUM(v) AS sg, 64 * SUM(v) AS sb "
+    "FROM gp GROUP BY doc_id), "
+    "cc AS (SELECT doc_id, 16 * wb AS w, 16 * hb AS h, 3 AS c, "
+    "(doc_id * 5) % 256 AS y, "
+    "(doc_id * 11) % 256 - 128 AS cb, (doc_id * 17) % 256 - 128 AS cr "
+    "FROM d WHERE m = 1), "
+    "cs AS (SELECT doc_id, w, h, c, "
+    "w * h * LEAST(255, GREATEST(0, "
+    "CAST(floor(y + 1.402 * cr + 0.5) AS BIGINT))) AS sr, "
+    "w * h * LEAST(255, GREATEST(0, "
+    "CAST(floor(y - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT))) AS sg, "
+    "w * h * LEAST(255, GREATEST(0, "
+    "CAST(floor(y + 1.772 * cb + 0.5) AS BIGINT))) AS sb FROM cc), "
+    "u AS (SELECT * FROM gs UNION ALL SELECT * FROM cs) "
+    "SELECT doc_id AS media_id, CAST(w AS INT) AS width, "
+    "CAST(h AS INT) AS height, CAST(c AS INT) AS channels, "
+    "CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g, "
+    "CAST(sb AS BIGINT) AS sum_b, "
+    "CAST(sr AS DOUBLE) / (w * h) AS mean_r, "
+    "CAST(sg AS DOUBLE) / (w * h) AS mean_g, "
+    "CAST(sb AS DOUBLE) / (w * h) AS mean_b FROM u",
+)
+def x_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-verified baseline-JPEG decode (VERDICT r6 #4): the
+    dominant web image format's decode path executes in this container —
+    no PIL gate — because baseline JFIF needs only stdlib struct + numpy
+    (operators/multimodal.decode_jpeg)."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_pixel_stats,
+        synth_jpeg_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_pixel_stats(synth_jpeg_media(ids), codec="jpeg")
+
+
+@register(
     "x_multimodal_audio",
     # planted-truth for the REAL RIFF/PCM16 decode path: payloads follow
     # the closed form (rate = 8000 + (id%2)*8000, n = 50 + id%100, sample

@@ -2660,3 +2660,167 @@ def test_dhash_determinism_noise_envelope_and_poison(spark):
     )
     dh_png = dhash_images(rows_png, codec="png").first()["dhash"]
     assert dh_png == dh[1]
+
+
+# ---------------------------------------------------------------------------
+# baseline-JFIF JPEG decode (round 7 — VERDICT r6 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_gray_roundtrip_exact():
+    """Constant-block grayscale streams reconstruct EXACTLY through the
+    full Huffman → dequantize → IDCT chain (the planted-oracle
+    contract), across the whole sample range and with nonzero DC
+    differentials between every adjacent block."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray_blocks,
+    )
+
+    for seed in (0, 3, 7):
+        vals = (np.arange(20, dtype=np.int64) * 37 + seed * 101) % 256
+        vals = vals.reshape(4, 5)
+        img = decode_jpeg(encode_jpeg_gray_blocks(vals))
+        assert img.shape == (32, 40, 1)
+        exp = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        assert (img[:, :, 0] == exp).all()
+    # extremes: categories up to 11 (|diff| up to 2040)
+    vals = np.array([[0, 255], [255, 0]])
+    img = decode_jpeg(encode_jpeg_gray_blocks(vals))
+    assert (img[::8, ::8, 0] == vals).all()
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: predictors reset per interval; the decode equals the
+    unrestarted stream's."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray_blocks,
+    )
+
+    vals = (np.arange(24, dtype=np.int64) * 53 % 256).reshape(4, 6)
+    plain = decode_jpeg(encode_jpeg_gray_blocks(vals))
+    for interval in (1, 5, 7):
+        rst = decode_jpeg(encode_jpeg_gray_blocks(vals, interval))
+        assert (rst == plain).all()
+
+
+def test_jpeg_color_constant_roundtrip():
+    """4:2:0 three-component streams: MCU interleaving, chroma
+    upsampling and the pinned floor(x+0.5) JFIF YCbCr→RGB conversion all
+    reconstruct the closed-form constant color."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color_const,
+    )
+
+    def expect(y, cb, cr):
+        conv = (
+            y + 1.402 * (cr - 128),
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+            y + 1.772 * (cb - 128),
+        )
+        return [min(255, max(0, int(np.floor(v + 0.5)))) for v in conv]
+
+    for y, cb, cr in [(90, 40, 220), (0, 0, 0), (255, 255, 255),
+                      (128, 128, 128), (17, 250, 3)]:
+        img = decode_jpeg(encode_jpeg_color_const(y, cb, cr, 2, 1))
+        assert img.shape == (16, 32, 3)
+        r, g, b = expect(y, cb, cr)
+        assert (img[:, :, 0] == r).all()
+        assert (img[:, :, 1] == g).all()
+        assert (img[:, :, 2] == b).all()
+
+
+def test_jpeg_totality_contract():
+    """Malformed/unsupported streams raise ValueError: truncation at
+    every stage, progressive SOF2, marker desync, exhausted entropy
+    data."""
+    import numpy as np
+    import pytest
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray_blocks,
+    )
+
+    good = encode_jpeg_gray_blocks(np.array([[10, 200], [60, 140]]))
+    assert decode_jpeg(good).shape == (16, 16, 1)
+    bads = [
+        None,
+        b"",
+        b"\xff\xd8",                       # SOI only
+        good[:30],                          # truncated in headers
+        good[:-6],                          # truncated entropy data
+        b"xx" + good[2:],                   # bad signature
+        good.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive
+        good.replace(b"\xff\xc4", b"\xff\x7f", 1),  # marker desync
+        good[:2] + good[4:],                # segment soup
+    ]
+    for b in bads:
+        with pytest.raises(ValueError):
+            decode_jpeg(b)
+
+
+def test_jpeg_stats_and_dhash_paths(spark):
+    """The Spark-side plumbing: codec='jpeg' in extract_pixel_stats
+    (poison → NULL row, batch survives; gray replicates r=g=b) and in
+    dhash_images (hash of decoded pixels equals the netpbm hash of the
+    same raster)."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        dhash_images,
+        encode_jpeg_gray_blocks,
+        extract_pixel_stats,
+        synth_jpeg_media,
+    )
+
+    ids = spark.range(0, 16).select(F.col("id").alias("doc_id"))
+    media = synth_jpeg_media(ids)
+    rows = {r.media_id: r for r in
+            extract_pixel_stats(media, codec="jpeg").collect()}
+    assert len(rows) == 16
+    for i, r in rows.items():
+        if i % 2 == 0:
+            wb, hb = 1 + i % 3, 1 + i % 4
+            k = np.arange(wb * hb, dtype=np.int64)
+            vals = (i * 7 + (k // wb) * 13 + (k % wb) * 5) % 256
+            assert (r.width, r.height, r.channels) == (8 * wb, 8 * hb, 1)
+            assert r.sum_r == r.sum_g == r.sum_b == 64 * int(vals.sum())
+        else:
+            assert r.channels == 3 and r.width % 16 == 0
+
+    # poison payload → NULL row among good ones
+    good = encode_jpeg_gray_blocks(np.array([[7, 250]]))
+    mixed = spark.createDataFrame(
+        [(1, bytearray(good), ("image/jpeg", "t")),
+         (2, bytearray(b"\xff\xd8garbage"), ("image/jpeg", "t"))],
+        "media_id long, payload binary, meta struct<mime:string,source:string>",
+    )
+    out = {r.media_id: r for r in
+           extract_pixel_stats(mixed, codec="jpeg").collect()}
+    assert out[1].sum_r == 64 * (7 + 250) and out[2].sum_r is None
+
+    # dhash over the jpeg decode == dhash over the same raster as P6
+    vals = (np.arange(12, dtype=np.int64) * 91 % 256).reshape(3, 4)
+    raster = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    p6 = (f"P5\n{raster.shape[1]} {raster.shape[0]}\n255\n".encode()
+          + raster.tobytes())
+    rows_j = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg_gray_blocks(vals)), ("x", "t"))],
+        "media_id long, payload binary, meta struct<mime:string,source:string>",
+    )
+    rows_p = spark.createDataFrame(
+        [(1, bytearray(p6), ("x", "t"))],
+        "media_id long, payload binary, meta struct<mime:string,source:string>",
+    )
+    dh_j = dhash_images(rows_j, codec="jpeg").first()["dhash"]
+    dh_p = dhash_images(rows_p, codec="netpbm").first()["dhash"]
+    assert dh_j == dh_p
