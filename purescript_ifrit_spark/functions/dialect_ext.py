@@ -25,11 +25,25 @@ Surface (each takes one string-typed field path, like the built-in fns):
                                            -- (analytic — see below)
 
 Extension functions are projection-mode scalars (per row, scan-stage Column
-expressions — never Python UDFs); they are rejected inside grouped SELECT
-lists, and every one except CHUNK (whose result is an array) can serve as a
-GROUP BY key. Both backends stay in lock-step: `column` builds the planner's
-Column, `sql` renders the identical expression for the Spark-SQL emitter,
-and backend-equivalence tests compare the two on real data.
+expressions — never Python UDFs, with ONE documented exception: IMAGE_DHASH
+is an Arrow-vectorized pandas_udf, because a binary image decode is not
+expressible as a Column tree; it is still scan-stage and batch-transferred,
+never row-at-a-time). They are rejected inside grouped SELECT lists, and
+every one except CHUNK (whose result is an array) can serve as a GROUP BY
+key. Both backends stay in lock-step: `column` builds the planner's Column,
+`sql` renders the identical expression for the Spark-SQL emitter, and
+backend-equivalence tests compare the two on real data. The SQL emitter's
+IMAGE_DHASH rendering references the session function `ifrit_image_dhash`
+— call `register_sql_functions(spark)` before executing emitted SQL that
+uses it (the DataFrame backend needs no registration).
+
+    SELECT media_id, IMAGE_DHASH(payload) AS dhash
+                                           -- 64-bit perceptual hash of a
+                                           -- netpbm/PNG/baseline-JPEG
+                                           -- payload (codec sniffed from
+                                           -- magic bytes; poison → NULL)
+    SELECT MIN(media_id) AS keep GROUP BY IMAGE_DHASH(payload)
+                                           -- perceptual exact-dup groups
 
 SESSIONIZE is the one ANALYTIC extension (`analytic=True`): it compiles to
 window expressions (lag → gap flag → running sum — the same single-shuffle
@@ -304,6 +318,48 @@ def _sessionize_final_sql(x: str, staged: Dict[str, str]) -> str:
     )
 
 
+def _image_dhash_udf():
+    """The Arrow-batched IMAGE_DHASH kernel as a pandas_udf — built once
+    per call site (the closure is self-contained via the multimodal
+    factory chain, so workers need no package import)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        _make_payload_dhash,
+    )
+
+    go = _make_payload_dhash()
+
+    # annotations must be REAL objects for pyspark's eval-type inference,
+    # but this module's `from __future__ import annotations` stringifies
+    # inline hints (and they would then resolve in function globals,
+    # where pd is absent) — so attach them explicitly
+    def _kernel(p):
+        return p.map(go)
+
+    _kernel.__annotations__ = {"p": pd.Series, "return": pd.Series}
+    return pandas_udf(_kernel, "long")
+
+
+def _image_dhash_column(c: Column) -> Column:
+    return _image_dhash_udf()(c)
+
+
+def _image_dhash_sql(x: str) -> str:
+    # the one emitted expression that is not pure built-in SQL: it names
+    # the session UDF register_sql_functions() installs
+    return f"ifrit_image_dhash({x})"
+
+
+def register_sql_functions(spark) -> None:
+    """Install the session UDFs the Spark-SQL backend's emitted text can
+    reference (currently: `ifrit_image_dhash` for IMAGE_DHASH). Required
+    only before spark.sql() on emitted queries that use them; the
+    DataFrame backend resolves everything in-process."""
+    spark.udf.register("ifrit_image_dhash", _image_dhash_udf())
+
+
 @dataclass(frozen=True)
 class ExtFn:
     """One dialect extension function: name, result schema, and the two
@@ -379,6 +435,19 @@ EXT_FUNCTIONS: Dict[str, ExtFn] = {
             Schema.number(),
             _quality_score_column,
             _quality_score_sql,
+        ),
+        ExtFn(
+            "IMAGE_DHASH",
+            # signed-64-bit perceptual hash of a binary image payload
+            # (operators/multimodal._make_payload_dhash: codec sniffed
+            # from magic bytes — netpbm/PNG/baseline-JPEG; poison/unknown
+            # → NULL). Binary columns surface as "string" in the 4-type
+            # dialect model (schema.schema_from_struct), hence the
+            # default arg kind. Groupable: GROUP BY IMAGE_DHASH(payload)
+            # is the perceptual exact-dedup move.
+            Schema.number(),
+            _image_dhash_column,
+            _image_dhash_sql,
         ),
         ExtFn(
             "TUMBLE",

@@ -1618,44 +1618,85 @@ def dhash_images(df: DataFrame, *, codec: str = "netpbm") -> DataFrame:
             f"unknown codec {codec!r}: use 'netpbm', 'png' or 'jpeg'"
         )
     decode = decoders[codec]()
+    dhash = _make_dhash_kernel()
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        # self-contained: `decode` is a captured nested function (see
-        # _make_png_decoder docstring)
-        import numpy as np
+        # self-contained: `decode`/`dhash` are captured nested functions
+        # (see _make_png_decoder docstring)
         import pandas as pd
-
-        def _dhash(img):
-            h, w, c = img.shape
-            gray = img.astype(np.int64).sum(axis=2) // c
-            cells = np.empty((8, 9), dtype=np.int64)
-            for i in range(8):
-                r0, r1 = i * h // 8, max((i + 1) * h // 8, i * h // 8 + 1)
-                for j in range(9):
-                    c0 = j * w // 9
-                    c1 = max((j + 1) * w // 9, c0 + 1)
-                    block = gray[r0:r1, c0:c1]
-                    cells[i, j] = int(block.sum()) // block.size
-            bits = 0
-            for i in range(8):
-                for j in range(8):
-                    if cells[i, j + 1] > cells[i, j]:
-                        k = 8 * i + j
-                        bits |= 1 << k
-            if bits >= 1 << 63:
-                bits -= 1 << 64
-            return bits
 
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
                 try:
-                    out.append(_dhash(decode(p)))
+                    out.append(dhash(decode(p)))
                 except Exception:
                     out.append(None)
             yield pd.DataFrame({"media_id": pdf["media_id"], "dhash": out})
 
     return df.select("media_id", "payload").mapInPandas(gen, DHASH_SCHEMA)
+
+
+def _make_dhash_kernel():
+    """Factory for the raster → signed-64-bit difference-hash kernel
+    shared by dhash_images (per-codec mapInPandas) and the IMAGE_DHASH
+    dialect function (codec-sniffing pandas_udf) — one definition so the
+    two surfaces can never drift (same extraction rationale as
+    signature_candidate_pairs). Nested for by-value pickling; see
+    dhash_images for the integer-exactness argument."""
+    import numpy as np
+
+    def dhash(img):
+        h, w, c = img.shape
+        gray = img.astype(np.int64).sum(axis=2) // c
+        cells = np.empty((8, 9), dtype=np.int64)
+        for i in range(8):
+            r0, r1 = i * h // 8, max((i + 1) * h // 8, i * h // 8 + 1)
+            for j in range(9):
+                c0 = j * w // 9
+                c1 = max((j + 1) * w // 9, c0 + 1)
+                block = gray[r0:r1, c0:c1]
+                cells[i, j] = int(block.sum()) // block.size
+        bits = 0
+        for i in range(8):
+            for j in range(8):
+                if cells[i, j + 1] > cells[i, j]:
+                    bits |= 1 << (8 * i + j)
+        if bits >= 1 << 63:
+            bits -= 1 << 64
+        return bits
+
+    return dhash
+
+
+def _make_payload_dhash():
+    """Factory for a self-contained payload → dhash closure that SNIFFS
+    the codec from magic bytes (netpbm P5/P6, PNG, baseline JPEG) — the
+    kernel of the IMAGE_DHASH dialect function, where the one-argument
+    fn grammar has no room for a codec parameter and real media tables
+    mix formats anyway. Unknown magic, NULL and poison payloads all
+    yield None (the poison-payload contract as a scalar)."""
+    ppm = _make_ppm_decoder()
+    png = _make_png_decoder()
+    jpg = _make_jpeg_decoder()
+    dhash = _make_dhash_kernel()
+
+    def go(p):
+        if p is None:
+            return None
+        head = bytes(p[:8])
+        try:
+            if head[:2] in (b"P5", b"P6"):
+                return dhash(ppm(p))
+            if head == b"\x89PNG\r\n\x1a\n":
+                return dhash(png(p))
+            if head[:2] == b"\xff\xd8":
+                return dhash(jpg(p))
+            return None
+        except Exception:
+            return None
+
+    return go
 
 
 def image_neardup_pairs(

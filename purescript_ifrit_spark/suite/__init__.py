@@ -93,6 +93,7 @@ _DRIVER_WINDOW_R7 = [
     "x_training_shards_planted",
     "x_streaming_dau_planted",
     "x_multimodal_jpeg",
+    "xd_image_dhash",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
@@ -131,7 +132,6 @@ _DRIVER_WINDOW_R7 = [
     "x_pivot_events",
     "x_robust_outliers",
     "x_join_star",
-    "x_json_extract",
 ]
 
 

@@ -251,3 +251,78 @@ def xd_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("long").alias("margin"),
         (F.col("m") >= 0).alias("keep"),
     )
+
+
+@register(
+    "xd_image_dhash",
+    # IMAGE_DHASH through the full compiler path (VERDICT r6 #6 — the
+    # HTMLTEXT/VECTORIZE precedent reaching the newest operator family):
+    # per doc, ONE 8×72 stripe raster (9 vertical 8px stripes of value
+    # a_j = (doc_id·13 + j·29) % 256) is shipped as netpbm P5, baseline
+    # PNG and baseline JPEG (c = 0/1/2; media_id = doc_id·4 + c). Stripe
+    # boundaries coincide with the dHash 8×9 cell grid, so every cell
+    # mean is exactly a_j and the hash is closed-form: bit 8i+j set iff
+    # a_{j+1} > a_j — identical across all three codecs (the sniffing
+    # dispatch), recomputed by the oracle in signed-64 arithmetic
+    # (bit 63 contributes −2⁶³; all other set bits are positive).
+    "WITH m AS (SELECT doc_id, doc_id * 4 + c AS media_id "
+    "FROM documents, UNNEST([0, 1, 2]) t(c)), "
+    "bits AS (SELECT media_id, i, j, CASE WHEN "
+    "(doc_id * 13 + (j + 1) * 29) % 256 > (doc_id * 13 + j * 29) % 256 "
+    "THEN 1 ELSE 0 END AS b "
+    "FROM m, UNNEST(range(0, 8)) ti(i), UNNEST(range(0, 8)) tj(j)) "
+    "SELECT media_id, CAST(SUM(CASE WHEN b = 1 THEN "
+    "CASE WHEN 8 * i + j = 63 THEN -9223372036854775807 - 1 "
+    "ELSE (CAST(1 AS BIGINT) << CAST(8 * i + j AS INT)) END "
+    "ELSE 0 END) AS BIGINT) AS dhash FROM bits GROUP BY media_id",
+)
+def xd_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing reached through the DIALECT
+    (`IMAGE_DHASH(payload)` → the codec-sniffing pandas_udf over
+    operators/multimodal._make_payload_dhash), with each raster planted
+    in three real codecs so the decode dispatch itself is under the
+    value oracle."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _make_jpeg_encoder,
+        _make_png_encoder,
+    )
+
+    png_enc = _make_png_encoder()
+    jpg_enc, _ = _make_jpeg_encoder()
+
+    def gen(batches):
+        # self-contained worker closure: png_enc/jpg_enc are factory
+        # nested functions, pickled by value
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                a = np.array(
+                    [(i * 13 + j * 29) % 256 for j in range(9)],
+                    dtype=np.uint8,
+                )
+                raster = np.tile(np.repeat(a, 8), (8, 1))
+                p5 = b"P5\n72 8\n255\n" + raster.tobytes()
+                png = png_enc(raster[:, :, None])
+                jpg = jpg_enc(a.astype(np.int64).reshape(1, 9))
+                for c, payload in enumerate((p5, png, jpg)):
+                    ids.append(i * 4 + c)
+                    payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "meta": [{"mime": "image/mixed", "source": "synth"}]
+                    * len(ids),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(gen, MEDIA_SCHEMA)
+    return run_query(
+        spark, media, "SELECT media_id, IMAGE_DHASH(payload) AS dhash"
+    )

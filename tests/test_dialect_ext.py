@@ -502,3 +502,83 @@ def test_analytic_order_by_shadowed_alias(spark, sf_dir):
     a = [r.event_id for r in df_result.collect()]
     b = [r.event_id for r in sql_result.collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# IMAGE_DHASH (round 7 — VERDICT r6 #6)
+# ---------------------------------------------------------------------------
+
+
+def test_image_dhash_parse_analyze_golden():
+    """Parser/analyzer goldens: IMAGE_DHASH lexes as a function keyword,
+    types as number, accepts string-kind (binary-surfaced) args, and
+    serves as a GROUP BY key (the perceptual-dedup move)."""
+    from purescript_ifrit_spark.analyzer import analyze
+    from purescript_ifrit_spark.parser import parse_sql
+    from purescript_ifrit_spark.plans.ast import FnCall
+    from purescript_ifrit_spark.schema import schema_from_json
+
+    stmt = parse_sql("SELECT media_id, IMAGE_DHASH(payload) AS dhash")
+    (p1, p2) = stmt.projections
+    assert isinstance(p2, FnCall) and p2.fn == "IMAGE_DHASH"
+    assert p2.path == "payload" and p2.alias == "dhash"
+    schema = schema_from_json({"media_id": "number", "payload": "string"})
+    out = analyze(schema, stmt).to_json_obj()
+    assert out["dhash"] == "number"
+    grouped = analyze(
+        schema,
+        parse_sql("SELECT MIN(media_id) AS keep GROUP BY IMAGE_DHASH(payload)"),
+    ).to_json_obj()
+    assert grouped["_id"] == "number"
+
+
+def test_image_dhash_matches_dhash_images_and_sniffs_codecs(spark):
+    """The dialect scalar must equal the verified dhash_images operator on
+    the SAME payload for every codec the sniffing dispatch covers, yield
+    NULL on poison/unknown magic, and agree across backends (the emitted
+    SQL runs after register_sql_functions)."""
+    import numpy as np
+
+    from purescript_ifrit_spark.api import run_query
+    from purescript_ifrit_spark.functions.dialect_ext import (
+        register_sql_functions,
+    )
+    from purescript_ifrit_spark.operators.multimodal import (
+        dhash_images,
+        encode_jpeg_gray_blocks,
+        encode_png,
+    )
+    from purescript_ifrit_spark.parser import parse_sql
+    from purescript_ifrit_spark.plans.spark_sql import to_spark_sql
+
+    vals = (np.arange(12, dtype=np.int64) * 91 % 256).reshape(3, 4)
+    raster = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    p5 = (f"P5\n{raster.shape[1]} {raster.shape[0]}\n255\n".encode()
+          + raster.tobytes())
+    png = encode_png(raster[:, :, None])
+    jpg = encode_jpeg_gray_blocks(vals)
+    ddl = "media_id long, payload binary, meta struct<mime:string,source:string>"
+    media = spark.createDataFrame(
+        [(1, bytearray(p5), ("x", "t")), (2, bytearray(png), ("x", "t")),
+         (3, bytearray(jpg), ("x", "t")),
+         (4, bytearray(b"not an image"), ("x", "t")), (5, None, ("x", "t"))],
+        ddl,
+    )
+    got = {r.media_id: r.dhash for r in run_query(
+        spark, media, "SELECT media_id, IMAGE_DHASH(payload) AS dhash"
+    ).collect()}
+    ref = dhash_images(
+        spark.createDataFrame([(1, bytearray(p5), ("x", "t"))], ddl),
+        codec="netpbm",
+    ).first()["dhash"]
+    assert got[1] == got[2] == got[3] == ref
+    assert got[4] is None and got[5] is None
+
+    register_sql_functions(spark)
+    media.createOrReplaceTempView("image_dhash_test_v")
+    emitted = to_spark_sql(
+        parse_sql("SELECT media_id, IMAGE_DHASH(payload) AS dhash"),
+        "image_dhash_test_v",
+    )
+    via_sql = {r.media_id: r.dhash for r in spark.sql(emitted).collect()}
+    assert via_sql == got
