@@ -69,8 +69,20 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     [NULL], making every missing-text doc a jaccard-1.0 pair of every
     other.)
     """
-    s = normalize_text(c)
-    toks = tokens(c)
+    return word_shingles_normed(normalize_text(c), n)
+
+
+def word_shingles_normed(s: Column, n: int = 3) -> Column:
+    """word_shingles over an ALREADY-NORMALIZED string column — the
+    shared-projection variant. Catalyst does not CSE across operators, so
+    a pipeline that has materialized normalize_text once (e.g.
+    operators/pipeline.curate's persisted scored stage) passes that
+    column here instead of paying the normalization regex again — and
+    again inside each `when` branch, where codegen's subexpression
+    elimination cannot see it. Output is identical to word_shingles for
+    s = normalize_text(c) (the tree below is word_shingles' with s
+    substituted; split(s) ≡ tokens(c) on normalized text)."""
+    toks = F.split(s, " ")
     rx = "(?=(" + " ".join([r"\S+"] * n) + r"))(?:\S+ ?)"
     grams = F.array_distinct(F.regexp_extract_all(s, F.lit(rx), 1))
     empty = F.array().cast("array<string>")

@@ -58,7 +58,8 @@ def dedup_exact(
 
 
 def dedup_exact_text(
-    df: DataFrame, text_col: str, order_col: str
+    df: DataFrame, text_col: str, order_col: str,
+    norm_col: Optional[str] = None,
 ) -> DataFrame:
     """Exact content dedup on the *normalized* text fingerprint (md5), the
     standard first pass of a corpus pipeline. Keeps the smallest
@@ -66,8 +67,15 @@ def dedup_exact_text(
 
     Single hash-shuffle on the fingerprint via min_by (map-side partial
     aggregation carries one candidate row per fingerprint per partition) —
-    no join-back pass."""
-    with_fp = df.withColumn("_fp", X.fingerprint(F.col(text_col)))
+    no join-back pass. `norm_col` names an already-normalized projection
+    of `text_col` (md5(norm_col) ≡ fingerprint(text_col)): pipelines that
+    materialized normalize_text once pass it to skip the regex re-run
+    (Catalyst does not CSE across operators — see pipeline.curate)."""
+    fp = (
+        F.md5(F.col(norm_col)) if norm_col is not None
+        else X.fingerprint(F.col(text_col))
+    )
+    with_fp = df.withColumn("_fp", fp)
     kept = with_fp.groupBy("_fp").agg(
         F.min_by(F.struct(*df.columns), F.col(order_col)).alias("_row")
     )
@@ -145,8 +153,14 @@ def minhash_candidate_pairs(
     jaccard_threshold: float = 0.8,
     max_bucket: int = 1000,
     eager: bool = False,
+    norm_col: Optional[str] = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    `norm_col` names an already-normalized projection of `text_col`
+    (pipelines that materialized normalize_text pass it so shingling
+    skips the normalization regex — output identical; see
+    functions/text.word_shingles_normed).
 
     Pipeline: shingle → minhash(num_hashes) → bands band-keys → explode →
     bucket-grouped i<j pair expansion (one exchange; see inline note) →
@@ -173,7 +187,11 @@ def minhash_candidate_pairs(
             "— trailing signature lanes would be silently ignored"
         )
     rows = num_hashes // bands
-    sh = X.word_shingles(F.col(text_col), shingle_words)
+    sh = (
+        X.word_shingles_normed(F.col(norm_col), shingle_words)
+        if norm_col is not None
+        else X.word_shingles(F.col(text_col), shingle_words)
+    )
     df = _fanout_narrow_scan(df, id_col)
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -193,13 +211,21 @@ def minhash_candidate_pairs(
     hashed = base.select("_id", F.explode("_shingles").alias("_s")).select(
         "_id", F.xxhash64("_s").alias("_h")
     )
+    # F.expr strings, not Column chains: building these lanes as
+    # F.min(F.xxhash64(F.lit(i), col)).alias(...) costs ~5 py4j round
+    # trips per lane; on a fresh plan per run (the bench contract) the
+    # constructor chatter is real wall time. Identical expressions —
+    # integer SQL literals type as INT exactly like F.lit(i) — and the
+    # signature values stay pinned bit-identical in tests.
     sigs = hashed.groupBy("_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}")
+            F.expr(f"min(xxhash64({i}, _h)) AS _m{i}")
             for i in range(num_hashes)
         ]
     )
-    sig_array = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    sig_array = F.expr(
+        "array(" + ",".join(f"_m{i}" for i in range(num_hashes)) + ")"
+    )
 
     # band rows carry ONLY (id, band, key): candidate generation must never
     # shuffle shingle arrays (at corpus scale those are the bulk of bytes)

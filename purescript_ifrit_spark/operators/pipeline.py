@@ -80,7 +80,22 @@ def curate(
     (slower: the duplicated scan comes back)."""
     n_input = docs.count() if with_report else -1
 
-    scored = quality_score(docs, text_col)
+    # keep_norm + fingerprint-in-scored (round 7, VERDICT r6 #2): the
+    # quality stage's normalized projection feeds md5 ONCE, and the
+    # 32-char fingerprint is materialized IN the persisted relation
+    # (then _norm dropped — persisting the full normalized text roughly
+    # doubles the cached bytes for no consumer left downstream).
+    # Catalyst does not CSE across operators, so r6's shape re-ran the
+    # normalization regex in the exact-dedup stage AND the output
+    # fingerprint stage; both now read the materialized column. The
+    # shingle stage still normalizes once from raw text — storing _norm
+    # to avoid that single pass measured as a net loss (bigger persist
+    # write; SCALE.md round-7 A/B table, value-identical output in all
+    # variants).
+    scored = quality_score(docs, text_col, keep_norm=True)
+    scored = scored.withColumn(
+        "fingerprint", F.md5(F.col("_norm"))
+    ).drop("_norm")
     if cache_intermediate:
         scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     kept = scored.filter(
@@ -88,7 +103,7 @@ def curate(
     )
     n_quality = kept.count() if with_report else -1
 
-    exact = dedup.dedup_exact_text(kept, text_col, id_col)
+    exact = dedup.dedup_exact(kept, ["fingerprint"], id_col)
     if cache_intermediate and with_report:
         # the report path drives several independent actions over `exact`
         # (counts + the final consume); shuffle outputs are not reused
@@ -115,8 +130,14 @@ def curate(
             exact, id_col, text_col, jaccard_threshold=jaccard_threshold,
             eager=with_report or not cache_intermediate,
         )
-    out = fuzzy.withColumn("n_bpe_ish", X.bpe_ish_token_count(F.col(text_col))) \
-               .withColumn("fingerprint", X.fingerprint(F.col(text_col)))
+    # dedup_exact fronts its key column — restore the r6 output order
+    # (original columns, then n_bpe_ish, then fingerprint)
+    out = fuzzy.withColumn(
+        "n_bpe_ish", X.bpe_ish_token_count(F.col(text_col))
+    )
+    out = out.select(
+        *[c for c in out.columns if c != "fingerprint"], "fingerprint"
+    )
     if not with_report:
         return out
     n_fuzzy = out.count()

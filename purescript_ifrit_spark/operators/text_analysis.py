@@ -21,7 +21,10 @@ from purescript_ifrit_spark.functions.text import (  # noqa: F401
 )
 
 
-def _quality_staged(df: DataFrame, text_col: str, with_quality: bool) -> DataFrame:
+def _quality_staged(
+    df: DataFrame, text_col: str, with_quality: bool,
+    keep_norm: bool = False,
+) -> DataFrame:
     """Three staged projections so each text scan runs ONCE:
 
       1. `_norm`  — the normalization regex (the only full-text regex pass
@@ -87,7 +90,10 @@ def _quality_staged(df: DataFrame, text_col: str, with_quality: bool) -> DataFra
             "quality",
             X.quality_from_parts(n, nonspace, F.col("_punct"), F.col("_hits")),
         )
-    return out.drop("_norm", "_nonspace", "_punct", "_hits")
+    drop = ("_nonspace", "_punct", "_hits") if keep_norm else (
+        "_norm", "_nonspace", "_punct", "_hits"
+    )
+    return out.drop(*drop)
 
 
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
@@ -95,14 +101,24 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     return _quality_staged(df, text_col, with_quality=False)
 
 
-def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str, keep_norm: bool = False
+) -> DataFrame:
     """Single scalar quality score in [0,1]: penalizes too-short docs,
     punctuation soup and stopword-free keyword spam. Deterministic, linear,
     documented — NOT a learned model. The score is the canonical
     cross-engine-exact formula from functions/text.quality (integer
     micro-unit arithmetic — see its docstring); the feature columns remain
-    6dp-rounded floats for human consumption."""
-    return _quality_staged(df, text_col, with_quality=True)
+    6dp-rounded floats for human consumption.
+
+    `keep_norm=True` keeps the staged `_norm` column (normalize_text of
+    the text) in the output, so a downstream stage that needs normalized
+    text — fingerprinting, shingling — consumes the SAME projection
+    instead of re-running the regex: Catalyst does not CSE across
+    operators, and with the scored stage persisted (pipeline.curate) the
+    column is paid for once. Costs ~text-sized extra bytes in the cached
+    relation."""
+    return _quality_staged(df, text_col, with_quality=True, keep_norm=keep_norm)
 
 
 def token_stats(df: DataFrame, text_col: str) -> DataFrame:
