@@ -1753,3 +1753,135 @@ def image_neardup_pairs(
         .filter(F.col("_fa") == F.col("_fb"))
         .select("id_a", "id_b", "hamming")
     )
+
+
+AUDIO_ACTIVITY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("n_zero_crossings", T.LongType(), True),
+        T.StructField("n_silent", T.LongType(), True),
+        T.StructField("silence_frac", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_activity_stats(
+    df: DataFrame, *, silence_threshold: int = 328
+) -> DataFrame:
+    """Per-clip activity statistics over the REAL decoded waveform: zero
+    crossings (sign changes between consecutive samples, zero counting as
+    non-negative) and silent-sample counts (|s| < threshold; the 328
+    default ≈ 1% of int16 full scale) — the voice-activity / dead-air
+    screens an audio-pretraining pipeline runs before spending decode
+    time on features. Multichannel clips are measured on channel 0 (the
+    convention is part of the contract, pinned by the oracle).
+
+    Exactness: both counts are pure integer functions of the PCM16
+    samples, and silence_frac is one IEEE division of exact integers —
+    oracle-recomputable like the other planted multimodal stats. Poison
+    payloads yield NULL stats (batch survives). Arrow mapInPandas;
+    payloads never shuffle."""
+    if silence_threshold < 0:
+        raise ValueError(
+            f"silence_threshold must be >= 0 (got {silence_threshold})"
+        )
+    thr = int(silence_threshold)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from purescript_ifrit_spark.operators.multimodal import decode_wav
+
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "n_samples", "n_zero_crossings", "n_silent", "silence_frac",
+            )}
+            for p in pdf["payload"]:
+                try:
+                    rate, channels, samples = decode_wav(
+                        bytes(p) if p is not None else None
+                    )
+                except Exception:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                ch0 = samples[::channels].astype(np.int64)
+                n = int(ch0.size)
+                nonneg = ch0 >= 0
+                zc = int((nonneg[1:] != nonneg[:-1]).sum()) if n > 1 else 0
+                silent = int((np.abs(ch0) < thr).sum())
+                cols["n_samples"].append(n)
+                cols["n_zero_crossings"].append(zc)
+                cols["n_silent"].append(silent)
+                cols["silence_frac"].append(silent / n if n else 0.0)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return df.select("media_id", "payload").mapInPandas(
+        gen, AUDIO_ACTIVITY_SCHEMA
+    )
+
+
+SCENE_CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("mad", T.DoubleType(), True),
+        T.StructField("is_cut", T.BooleanType(), True),
+    ]
+)
+
+
+def scene_changes(df: DataFrame, *, threshold: float = 30.0) -> DataFrame:
+    """Shot-boundary detection over the REAL decoded frame stream: one
+    row per frame transition (frame_idx = the later frame) with the mean
+    absolute pixel difference to the previous frame and the cut flag —
+    the scene-segmentation step a video-pretraining pipeline runs to
+    pick representative frames. mad is an exact integer sum over all
+    raster bytes divided once (IEEE) by the byte count, so a planted
+    oracle recomputes it bit-exactly.
+
+    Frames must share dimensions with their predecessor to compare; a
+    dimension change IS reported as a cut with NULL mad (the standard
+    treat-format-change-as-boundary convention). Poison payloads yield
+    one NULL row. Arrow mapInPandas; payloads never shuffle."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from purescript_ifrit_spark.operators.multimodal import (
+            decode_ppm_stream,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_ppm_stream(
+                        bytes(payload) if payload is not None else None
+                    )
+                    if not frames:
+                        raise ValueError("empty stream")
+                except Exception:
+                    rows.append((int(mid), None, None, None))
+                    continue
+                for f in range(1, len(frames)):
+                    a, b = frames[f - 1], frames[f]
+                    if a.shape != b.shape:
+                        rows.append((int(mid), f, None, True))
+                        continue
+                    diff = np.abs(
+                        a.astype(np.int64) - b.astype(np.int64)
+                    )
+                    mad = int(diff.sum()) / diff.size
+                    rows.append((int(mid), f, mad, mad > threshold))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "mad", "is_cut"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        gen, SCENE_CHANGE_SCHEMA
+    )

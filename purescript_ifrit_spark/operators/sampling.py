@@ -425,3 +425,38 @@ def temperature_mix(
         .filter(F.col("_cum") <= F.col("_budget"))
         .drop("_bdraw", "_cum", "_budget")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: Sequence[Tuple[str, float]] = (
+        ("train", 0.98), ("val", 0.01), ("test", 0.01)
+    ),
+    salt: str = "v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Group-aware train/val/test assignment: documents connected by a
+    near-duplicate edge (any pair list — minhash, simhash, embedding
+    near-dup) must never straddle a split boundary, or the held-out set
+    leaks training content and eval numbers lie. Labels each connected
+    component of the pair graph (dedup.connected_components) and draws
+    the split from the COMPONENT representative's md5 — every member
+    lands in the same split; documents absent from the graph are their
+    own singleton component (drawn from their own id, which is exactly
+    hash_split's behavior, so adding an empty pair list degrades to
+    plain hash_split).
+
+    Scale: the component labeling is the large-star/small-star
+    contraction over the EDGE list only (near-dup-pair-sized, not
+    corpus-sized); the label join is one corpus-keyed exchange; the
+    draw itself is scan-stage. Output: df's columns + `out_col`."""
+    from purescript_ifrit_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    joined = df.join(comp, [id_col], "left")
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    return joined.withColumn(
+        out_col, split_expr(rep, list(weights), salt)
+    ).drop("component")

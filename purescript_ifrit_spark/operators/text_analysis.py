@@ -728,3 +728,125 @@ def packing_stats(
             ),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for one query over the corpus — the
+    classic sparse-retrieval scorer (idf · tf·(k1+1) / (tf + k1·(1−b +
+    b·len/avglen)), idf = ln((N−df+0.5)/(df+0.5) + 1)) that contamination
+    checks, dedup triage and RAG-ish corpus probes run at scale.
+
+    Scale: the query-term filter lands AT the token explode, so the
+    (term, doc) shuffle is match-sized, not corpus-sized; document-
+    frequency and corpus stats are term-/1-row-sized aggregates joined
+    back by broadcast; the doc-length join is the one corpus-keyed
+    exchange; the final top-k is a TakeOrdered, never a global sort.
+
+    Determinism contract: per-doc scores are rounded to 6 decimals
+    BEFORE ranking and ties break by id, so the returned set is stable
+    cross-engine (the unrounded sum is float-addition-order dependent —
+    same convention as the suite's float aggregates)."""
+    terms = [t for t in query_terms if t]
+    if not terms:
+        raise ValueError("query_terms must name at least one term")
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    per_doc = _per_doc_term_counts(df, id_col, text_col).filter(
+        F.col("term").isin(terms)
+    )
+    lens = df.select(
+        F.col(id_col).alias("_doc"),
+        X.token_count(F.col(text_col)).cast("long").alias("_len"),
+    )
+    corpus = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_len").alias("_avg")
+    )
+    dfreq = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    contrib = idf * (
+        (F.col("tf_doc") * (k1 + 1.0))
+        / (
+            F.col("tf_doc")
+            + k1 * (1.0 - b + b * F.col("_len") / F.col("_avg"))
+        )
+    )
+    scored = (
+        per_doc.join(F.broadcast(dfreq), "term")
+        .join(lens, "_doc")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("_doc")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("_doc").asc())
+        .limit(k)
+        .select(F.col("_doc").alias(id_col), "score")
+    )
+
+
+def truncate_documents(
+    df: DataFrame, id_col: str, text_col: str, max_tokens: int
+) -> DataFrame:
+    """Token-budget truncation: cap every document at `max_tokens`
+    whitespace tokens of its normalized text, reporting original/kept
+    counts and the truncation flag — the context-length guard a training
+    pipeline applies before packing (a 2M-token outlier document must
+    not blow up a 512-token packer; truncate-and-flag beats drop).
+
+    Scan-stage only (split + slice + array_join higher-order
+    expressions), no shuffle, no UDF."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive (got {max_tokens})")
+    s = X.normalize_text(F.col(text_col))
+    toks = F.split(s, " ")
+    n = F.when(F.length(s) == 0, F.lit(0)).otherwise(
+        F.length(s) - F.length(F.translate(s, " ", "")) + 1
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.array_join(F.slice(toks, 1, max_tokens), " ").alias("text_trunc"),
+        n.alias("n_tokens_orig"),
+        F.least(n, F.lit(max_tokens).cast("long")).alias("n_tokens_kept"),
+        (n > max_tokens).alias("truncated"),
+    )
+
+
+def pack_text(
+    chunks: DataFrame,
+    order_cols=("doc_id", "chunk_idx"),
+    text_col: str = "chunk_text",
+    pack_col: str = "pack_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Materialize packed training sequences as TEXT: one row per pack
+    with its chunks joined in packing order — the step that turns
+    pack_sequences' (chunk → pack_id) manifest into the actual sequence
+    payloads a trainer tokenizes. Output: (pack_col, n_chunks,
+    packed_text).
+
+    One exchange (the pack-keyed aggregation); ordering inside a pack is
+    reconstructed from the collected (order_cols, text) structs via
+    sort_array — struct comparison is field-order lexicographic, so the
+    packing order keys must lead the struct — never from partition
+    order."""
+    order = list(order_cols)
+    gathered = F.sort_array(
+        F.collect_list(F.struct(*order, text_col))
+    )
+    joined = F.array_join(
+        F.transform(gathered, lambda s: s[text_col]), sep
+    )
+    return chunks.groupBy(pack_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        joined.alias("packed_text"),
+    )

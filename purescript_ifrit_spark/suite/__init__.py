@@ -94,6 +94,12 @@ _DRIVER_WINDOW_R7 = [
     "x_streaming_dau_planted",
     "x_multimodal_jpeg",
     "xd_image_dhash",
+    "x_bm25_topk",
+    "x_truncate_docs",
+    "x_pack_text",
+    "x_leakage_split",
+    "x_audio_activity",
+    "x_scene_changes",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
@@ -126,12 +132,6 @@ _DRIVER_WINDOW_R7 = [
     "x_sessionize",
     "x_funnel",
     "x_retention",
-    "x_topk_per_group",
-    "x_percentiles",
-    "x_distinct_count",
-    "x_pivot_events",
-    "x_robust_outliers",
-    "x_join_star",
 ]
 
 

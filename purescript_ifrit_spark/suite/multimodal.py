@@ -310,3 +310,70 @@ def x_image_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+@register(
+    "x_audio_activity",
+    # planted-truth for the activity screens over the REAL RIFF/PCM16
+    # decode: same closed-form waveform as x_multimodal_audio (sample k =
+    # (id·11 + k·7) % 65536 − 32768, mono), so zero crossings (sign
+    # change between consecutive samples, zero counting non-negative)
+    # and silent counts (|s| < 328) are exact integers both engines
+    # recompute; silence_frac is one IEEE division
+    "WITH d AS (SELECT doc_id, 50 + doc_id % 100 AS n FROM documents), "
+    "s AS (SELECT doc_id, n, k, "
+    "(doc_id * 11 + k * 7) % 65536 - 32768 AS v "
+    "FROM d, unnest(range(0, n)) AS t(k)), "
+    "z AS (SELECT doc_id, n, v, "
+    "lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s) "
+    "SELECT doc_id AS media_id, CAST(MAX(n) AS BIGINT) AS n_samples, "
+    "CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0)) "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_crossings, "
+    "CAST(SUM(CASE WHEN ABS(v) < 328 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_silent, "
+    "CAST(SUM(CASE WHEN ABS(v) < 328 THEN 1 ELSE 0 END) AS DOUBLE) / MAX(n) "
+    "AS silence_frac FROM z GROUP BY doc_id",
+)
+def x_audio_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity / dead-air screens over the decoded waveform
+    (operators/multimodal.audio_activity_stats)."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        audio_activity_stats,
+        synth_wav_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return audio_activity_stats(synth_wav_media(ids))
+
+
+@register(
+    "x_scene_changes",
+    # planted-truth for shot-boundary detection over the REAL
+    # concatenated-netpbm decode: same closed-form frames as
+    # x_multimodal_video (frame f byte k = (id·7 + f·13 + k) % 256), so
+    # each transition's mean absolute difference is an exact integer sum
+    # over the raster divided once (IEEE); the 30.0 threshold keeps the
+    # planted corpus cut-free (|Δ| is 13 or 243 with mean ≈ 24.7) — a
+    # real cut is pinned in pytest with hand-built frames
+    "WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf, 4 + doc_id % 6 AS w, "
+    "3 + doc_id % 4 AS h FROM documents), "
+    "fr AS (SELECT doc_id, w, h, UNNEST(range(1, nf)) AS f FROM d), "
+    "px AS (SELECT doc_id, f, w, h, "
+    "ABS((doc_id * 7 + f * 13 + k) % 256 - "
+    "(doc_id * 7 + (f - 1) * 13 + k) % 256) AS dv "
+    "FROM fr, unnest(range(0, 3 * w * h)) AS t(k)) "
+    "SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, "
+    "CAST(SUM(dv) AS DOUBLE) / (3 * MAX(w) * MAX(h)) AS mad, "
+    "(CAST(SUM(dv) AS DOUBLE) / (3 * MAX(w) * MAX(h))) > 30.0 AS is_cut "
+    "FROM px GROUP BY doc_id, f",
+)
+def x_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the decoded frame stream
+    (operators/multimodal.scene_changes)."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        scene_changes,
+        synth_ppm_video,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return scene_changes(synth_ppm_video(ids), threshold=30.0)

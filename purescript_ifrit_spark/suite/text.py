@@ -806,3 +806,100 @@ def x_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
     packed = pack_sequences(ch, "chunk_tokens", ("doc_id", "chunk_idx"), 512)
     return packing_stats(packed, "chunk_tokens", "pack_id", 512)
+
+
+_TOKN_SQL = (
+    f"CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0 "
+    f"ELSE length({_NORM_SQL}) - "
+    f"length(replace({_NORM_SQL}, ' ', '')) + 1 END AS BIGINT)"
+)
+
+
+@register(
+    "x_bm25_topk",
+    # Okapi BM25 for a fixed 3-term query, recomputed end to end: tf/df
+    # are exact integers, idf/score use the same IEEE double composition
+    # (ln + one division chain, parenthesized identically to the Column
+    # tree), and the determinism contract rounds to 6dp BEFORE ranking
+    # with id tiebreak — so the top-20 SET and scores match exactly
+    "WITH tok AS (SELECT doc_id, "
+    f"UNNEST(string_split({_NORM_SQL}, ' ')) AS t FROM documents), "
+    "pd AS (SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf "
+    "FROM tok WHERE t IN ('spark', 'window', 'merge') GROUP BY doc_id, t), "
+    f"l AS (SELECT doc_id, {_TOKN_SQL} AS len FROM documents), "
+    "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(len) AS avg FROM l), "
+    "d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfq FROM pd GROUP BY term), "
+    "s AS (SELECT pd.doc_id, "
+    "SUM(ln((c.n - d.dfq + 0.5) / (d.dfq + 0.5) + 1.0) * "
+    "((pd.tf * 2.2) / (pd.tf + 1.2 * (0.25 + 0.75 * (l.len / c.avg))))) AS sc "
+    "FROM pd JOIN d USING (term) JOIN l USING (doc_id), c GROUP BY pd.doc_id) "
+    "SELECT doc_id, ROUND(sc, 6) AS score FROM s "
+    "ORDER BY ROUND(sc, 6) DESC, doc_id LIMIT 20",
+)
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse retrieval over the corpus (operators/text_analysis.
+    bm25_topk): top-20 documents for a 3-term query by Okapi BM25."""
+    from purescript_ifrit_spark.operators.text_analysis import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", ["spark", "window", "merge"], k=20
+    )
+
+
+@register(
+    "x_truncate_docs",
+    # token-budget truncation: pure list arithmetic both engines
+    # recompute — slice bounds are 1-based inclusive in DuckDB, matching
+    # F.slice(toks, 1, 64); empty docs keep text_trunc = '' on both
+    # sides (split('') = [''] → join '')
+    f"WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks, "
+    f"{_TOKN_SQL} AS n FROM documents) "
+    "SELECT doc_id, array_to_string(toks[1:64], ' ') AS text_trunc, "
+    "n AS n_tokens_orig, LEAST(n, 64) AS n_tokens_kept, "
+    "n > 64 AS truncated FROM t",
+)
+def x_truncate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length guard (operators/text_analysis.truncate_documents):
+    cap every document at 64 normalized tokens, value-exact."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        truncate_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return truncate_documents(docs, "doc_id", "text", 64)
+
+
+@register(
+    "x_pack_text",
+    # materialized packed sequences: the x_pack_sequences chunk/bin CTE
+    # plus an ordered string_agg — packing order is (doc_id, chunk_idx)
+    # on both sides, so the joined text is byte-identical
+    "WITH t AS (SELECT doc_id, "
+    f"string_split({_NORM_SQL}, ' ') AS toks FROM documents), "
+    "c AS (SELECT doc_id, toks, UNNEST(range(1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS BIGINT))) AS i FROM t), "
+    "ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+    "array_to_string(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], ' ') AS chunk_text, "
+    "CAST(len(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)]) AS BIGINT) AS chunk_tokens FROM c), "
+    "p AS (SELECT doc_id, chunk_idx, chunk_text, "
+    "CAST(floor((SUM(chunk_tokens) OVER (ORDER BY doc_id, chunk_idx "
+    "ROWS UNBOUNDED PRECEDING) - chunk_tokens) / 512.0) AS BIGINT) AS pack_id "
+    "FROM ch) "
+    "SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+    "string_agg(chunk_text, chr(10) ORDER BY doc_id, chunk_idx) AS packed_text "
+    "FROM p GROUP BY pack_id",
+)
+def x_pack_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-sequence materialization (operators/text_analysis.
+    pack_text): the actual training-sequence payloads, chunks joined in
+    packing order — byte-identical strings on both engines."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        chunk_documents,
+        pack_sequences,
+        pack_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    packed = pack_sequences(ch, "chunk_tokens", ("doc_id", "chunk_idx"), 512)
+    return pack_text(packed)

@@ -2824,3 +2824,165 @@ def test_jpeg_stats_and_dhash_paths(spark):
     dh_j = dhash_images(rows_j, codec="jpeg").first()["dhash"]
     dh_p = dhash_images(rows_p, codec="netpbm").first()["dhash"]
     assert dh_j == dh_p
+
+
+# ---------------------------------------------------------------------------
+# round-7 extras: BM25, leakage-safe split, truncation, pack_text,
+# audio activity, scene changes
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranking_sanity(spark):
+    """A document stuffed with the query term outranks one that mentions
+    it once, which outranks one that lacks it entirely (absent docs are
+    not returned at all); rare terms outweigh common ones via idf."""
+    from purescript_ifrit_spark.operators.text_analysis import bm25_topk
+
+    rows = [
+        (1, "needle needle needle needle hay"),
+        (2, "needle hay hay hay hay"),
+        (3, "hay hay hay hay hay"),
+        (4, "hay straw grass field barn"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, "doc_id", "text", ["needle"], k=10).collect()
+    got = [r.doc_id for r in out]
+    assert got == [1, 2]  # 3 and 4 never match
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[1] > scores[2] > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "doc_id", "text", [], k=5)
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "doc_id", "text", ["needle"], k=0)
+
+
+def test_leakage_safe_split_keeps_components_together(spark):
+    """Every member of a connected component lands in the SAME split,
+    including transitive chains; documents outside the graph fall back
+    to plain hash_split's assignment exactly."""
+    from purescript_ifrit_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    # chain 0-1-2-3 plus pairs (10,11), (20,21); the rest are singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = {r.doc_id: r.split
+           for r in leakage_safe_split(docs, "doc_id", pairs).collect()}
+    assert len({out[i] for i in (0, 1, 2, 3)}) == 1
+    assert out[10] == out[11] and out[20] == out[21]
+    plain = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    grouped = {0, 1, 2, 3, 10, 11, 20, 21}
+    for i in range(400):
+        if i not in grouped:
+            assert out[i] == plain[i]
+    # with a nonempty split the three classes all appear at n=400
+    assert {"train", "val", "test"} >= set(out.values())
+
+
+def test_truncate_documents_edges(spark):
+    from purescript_ifrit_spark.operators.text_analysis import (
+        truncate_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, None), (4, "  x   y  ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           truncate_documents(docs, "doc_id", "text", 3).collect()}
+    assert out[1].text_trunc == "a b c" and out[1].truncated
+    assert out[1].n_tokens_orig == 5 and out[1].n_tokens_kept == 3
+    assert out[2].text_trunc == "" and not out[2].truncated
+    assert out[2].n_tokens_orig == 0 and out[2].n_tokens_kept == 0
+    assert out[4].text_trunc == "x y" and not out[4].truncated
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        truncate_documents(docs, "doc_id", "text", 0)
+
+
+def test_pack_text_orders_chunks_within_pack(spark):
+    """Packed text joins chunks in (doc_id, chunk_idx) order regardless
+    of input partition order."""
+    from purescript_ifrit_spark.operators.text_analysis import pack_text
+
+    rows = [
+        (2, 0, "C", 7), (1, 1, "B", 7), (1, 0, "A", 7), (3, 0, "D", 7),
+    ]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, chunk_text string, chunk_tokens long"
+    ).repartition(4).withColumn(
+        "pack_id", (F.col("doc_id") <= 2).cast("long")
+    )
+    out = {r.pack_id: r for r in pack_text(chunks).collect()}
+    assert out[1].packed_text == "A\nB\nC" and out[1].n_chunks == 3
+    assert out[0].packed_text == "D"
+
+
+def test_audio_activity_known_waveform(spark):
+    """Hand-built PCM16 clip: zero crossings and silent samples counted
+    exactly; poison payload yields a NULL row."""
+    import struct
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        audio_activity_stats,
+    )
+
+    samples = [1000, -1000, 1000, 0, -5, 327, -328, 20000]
+    # crossings between consecutive (s>=0) flags:
+    # 1000,-1000 X | -1000,1000 X | 1000,0 - | 0,-5 X | -5,327 X |
+    # 327,-328 X | -328,20000 X  => 6
+    # silent (|s|<328): 0, -5, 327 => 3
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    media = spark.createDataFrame(
+        [(1, bytearray(wav), ("audio/wav", "t")),
+         (2, bytearray(b"RIFFjunk"), ("audio/wav", "t"))],
+        "media_id long, payload binary, meta struct<mime:string,source:string>",
+    )
+    out = {r.media_id: r for r in audio_activity_stats(media).collect()}
+    assert out[1].n_samples == 8
+    assert out[1].n_zero_crossings == 6
+    assert out[1].n_silent == 3
+    assert abs(out[1].silence_frac - 3 / 8) < 1e-12
+    assert out[2].n_samples is None
+
+
+def test_scene_changes_detects_planted_cut(spark):
+    """Two identical frames, then a hard cut to a different image, then a
+    small drift: exactly the middle transition trips the threshold; a
+    dimension change reports as a cut with NULL mad."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import scene_changes
+
+    def p6(arr):
+        h, w, _ = arr.shape
+        return f"P6\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+    a = np.zeros((4, 4, 3), dtype=np.uint8)
+    b = np.full((4, 4, 3), 200, dtype=np.uint8)
+    c = np.full((4, 4, 3), 205, dtype=np.uint8)
+    wide = np.zeros((4, 6, 3), dtype=np.uint8)
+    stream = p6(a) + p6(a) + p6(b) + p6(c) + p6(wide)
+    media = spark.createDataFrame(
+        [(1, bytearray(stream), ("video/x", "t"))],
+        "media_id long, payload binary, meta struct<mime:string,source:string>",
+    )
+    out = {r.frame_idx: r for r in
+           scene_changes(media, threshold=30.0).collect()}
+    assert out[1].mad == 0.0 and not out[1].is_cut
+    assert out[2].mad == 200.0 and out[2].is_cut
+    assert out[3].mad == 5.0 and not out[3].is_cut
+    assert out[4].mad is None and out[4].is_cut
