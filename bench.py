@@ -347,6 +347,35 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
             toks, "tok", ["the", "spark", "table", "query", "zzz_absent"]
         )
 
+    def qx_bm25():
+        from purescript_ifrit_spark.operators.text_analysis import bm25_topk
+
+        return bm25_topk(
+            t["documents"], "doc_id", "text",
+            ["spark", "window", "merge"], k=20,
+        )
+
+    def qx_jpeg_decode():
+        from purescript_ifrit_spark.operators.multimodal import (
+            extract_pixel_stats,
+            synth_jpeg_media,
+        )
+
+        ids = t["documents"].select("doc_id")
+        return extract_pixel_stats(synth_jpeg_media(ids), codec="jpeg")
+
+    def qx_leakage_split():
+        from purescript_ifrit_spark.operators.sampling import (
+            leakage_safe_split,
+        )
+
+        docs = t["documents"].select("doc_id")
+        pairs = docs.filter(F.col("doc_id") % 2 == 1).select(
+            (F.col("doc_id") - 1).alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+        )
+        return leakage_safe_split(docs, "doc_id", pairs)
+
     extra_queries = {
         "qx_asof_join": qx_asof_join,
         "qx_rollup_multi": qx_rollup_multi,
@@ -373,6 +402,9 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_training_shards": qx_training_shards,
         "qx_cms_probe": qx_cms_probe,
         "qx_image_dedup": qx_image_dedup,
+        "qx_bm25": qx_bm25,
+        "qx_jpeg_decode": qx_jpeg_decode,
+        "qx_leakage_split": qx_leakage_split,
     }
 
     # JVM warm-up (parquet footers, codegen)
