@@ -89,6 +89,10 @@ _DRIVER_WINDOW_R7 = [
     "x_streaming_state",
     # -- (2) new round-7 oracle entries land HERE as built ------------------
     "x_knn_join_planted",
+    "x_ann_lsh_planted",
+    "x_ann_ivf_planted",
+    "x_hll_distinct_planted",
+    "x_dau_bound_planted",
     "x_bpe_encode_planted",
     "x_training_shards_planted",
     "x_streaming_dau_planted",
@@ -128,10 +132,9 @@ _DRIVER_WINDOW_R7 = [
     "xd_split",
     "x_budget_sample",
     "x_ann_cosine_topk",
-    "x_embedding_neardup",
-    "x_sessionize",
-    "x_funnel",
-    "x_retention",
+    # (displaced to r8 by the four late-r7 planted conversions, per the
+    # round-start policy above: x_embedding_neardup, x_sessionize,
+    # x_funnel, x_retention)
 ]
 
 

@@ -217,6 +217,80 @@ def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_hll_distinct_planted",
+    # bound-as-boolean conversion of the rows-only HLL entry (the r6
+    # CMS/MG pattern): exact_parts is a hard value DuckDB recomputes, and
+    # the sketch's accuracy contract — |approx − exact| ≤ 5% of exact,
+    # 2.5σ headroom over rsd=0.02, deterministic for this fixed data
+    # since HLL++ hashes values with no run randomness — is emitted as a
+    # boolean in integer arithmetic (20·|a−e| ≤ e ⇔ rel err ≤ 0.05).
+    "SELECT l_returnflag AS _id, "
+    "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts, "
+    "TRUE AS within_5pct FROM lineitem GROUP BY 1",
+)
+def x_hll_distinct_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate with its accuracy envelope made
+    oracle-checkable: a bound violation flips `within_5pct` and fails
+    the driver's value hash. The estimate itself stays rows-only
+    (x_approx_distinct) because no other engine reproduces Spark's
+    sketch bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("_id"))
+        .agg(
+            F.count_distinct("l_partkey").alias("_exact"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_apx"),
+        )
+        .select(
+            "_id",
+            F.col("_exact").cast("long").alias("exact_parts"),
+            (
+                F.abs(F.col("_apx") - F.col("_exact")) * 20 <= F.col("_exact")
+            ).alias("within_5pct"),
+        )
+    )
+
+
+@register(
+    "x_dau_bound_planted",
+    # same bound-as-boolean conversion for the batch HLL DAU path: the
+    # exact per-(day, type) user count is the hard oracle value; the
+    # sketch must land within 5% of it (small DAU groups sit in HLL's
+    # sparse mode and are typically exact — the bound still pins them).
+    "SELECT CAST(floor(epoch_us(ts) / 86400000000) "
+    "* 86400000000 AS BIGINT) AS window_us, event_type, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+    "TRUE AS within_5pct FROM events GROUP BY 1, 2",
+)
+def x_dau_bound_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch HLL DAU (operators/windows.distinct_users_windowed,
+    approx=True) joined against its exact twin on the window key, with
+    the accuracy envelope as an oracle-checked boolean — the hard driver
+    signal for x_dau_approx (whose estimates are engine-specific).
+    x_streaming_dau_planted separately pins streaming ≡ batch sketch."""
+    from purescript_ifrit_spark.operators.windows import (
+        distinct_users_windowed,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = distinct_users_windowed(ev).withColumnRenamed(
+        "n_users", "exact_users"
+    )
+    apx = distinct_users_windowed(ev, approx=True, rsd=0.02).withColumnRenamed(
+        "n_users", "_apx"
+    )
+    return exact.join(apx, ["window_us", "event_type"]).select(
+        "window_us",
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("_apx") - F.col("exact_users")) * 20
+            <= F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
 register(
     "x_pivot_events",
     # per-user event-type counts, pivoted wide — exact integer cells.

@@ -207,20 +207,98 @@ def x_knn_join_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the approximate operator carries an exact value oracle."""
     from purescript_ifrit_spark.operators.similarity import knn_join_lsh
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 96)
-    planted = emb.select(
-        "vec_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(31)),
-            lambda d: F.when(
-                d == (F.col("vec_id") / 6).cast("int"), F.lit(1.0)
-            ).otherwise(F.lit(0.0)).cast("float"),
-        ).alias("embedding"),
-    )
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
     out = knn_join_lsh(planted, "vec_id", "embedding", k=5)
     return out.select(
         "id", "nbr_id", "sim", F.col("rank").cast("long").alias("rank")
     )
+
+
+def _planted_basis_embeddings(emb: DataFrame, n_ids: int = 96, block: int = 6) -> DataFrame:
+    """Shared planted-truth input for the approximate-ANN oracle entries:
+    vec_ids < `n_ids` get IDENTICAL 32-dim unit basis vectors
+    e_{id // block}, so every `block`-sized id range is one cluster of
+    bit-equal vectors. Identical vectors agree on every LSH hyperplane
+    sign and sit at L2 distance 0 from their own IVF centroid, so recall
+    is 1 BY CONSTRUCTION and cosine within a cluster is exactly 1.0
+    (1·1/(1·1), no float accumulation) — closed-form truth for
+    lsh_topk / ivf_topk / knn_join_lsh."""
+    return emb.filter(F.col("vec_id") < n_ids).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda d: F.when(
+                d == (F.col("vec_id") / block).cast("int"), F.lit(1.0)
+            ).otherwise(F.lit(0.0)).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+# the e_0 basis query both planted top-k entries probe with: cluster 0
+# (vec_ids 0-5) is the unique answer set at sim exactly 1.0
+_E0_QUERY = [1.0] + [0.0] * 31
+
+_PLANTED_TOPK_ORACLE = (
+    # closed-form: the 6 cluster-0 members, each at cosine exactly 1.0.
+    # Everything outside the cluster is orthogonal (sim 0.0) and can never
+    # enter a top-6 that cluster 0 already fills.
+    "SELECT vec_id, CAST(1.0 AS DOUBLE) AS sim "
+    "FROM embeddings WHERE vec_id < 6"
+)
+
+
+@register(
+    "x_ann_lsh_planted",
+    # planted-truth conversion of the rows-only LSH top-k (the last ANN
+    # path without a hard driver signal): identical vectors share every
+    # hyperplane-sign bucket with the e_0 query, so the probe set always
+    # contains all of cluster 0 and the exact rerank returns it whole.
+    _PLANTED_TOPK_ORACLE,
+)
+def x_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH multi-probe top-k under planted basis clusters — the full
+    operator path (signature in the scan, probe-bucket filter, exact
+    cosine rerank) with a closed-form answer set, so the approximate
+    operator carries an exact value oracle (the r6 planted-conversion
+    pattern; recall itself stays pinned by pytest on real data)."""
+    from purescript_ifrit_spark.operators.similarity import (
+        lsh_topk,
+        make_hyperplanes,
+    )
+
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    planes = make_hyperplanes(dim=32, n_planes=8, seed=42)
+    out = lsh_topk(
+        planted, "vec_id", "embedding", _E0_QUERY, planes, k=6, probe_hamming=1
+    )
+    return out.select("vec_id", "sim")
+
+
+@register(
+    "x_ann_ivf_planted",
+    # planted-truth conversion of the rows-only IVF top-k: with 16
+    # clusters of identical vectors and nlist=16, k-means++ D²-weighting
+    # gives zero weight to every already-covered point, so the 16 seeds
+    # deterministically cover all 16 clusters (any rng path) and one
+    # Lloyd pass lands every centroid EXACTLY on its basis vector; the
+    # e_0 probe cell then holds exactly cluster 0.
+    _PLANTED_TOPK_ORACLE,
+)
+def x_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k under planted basis clusters — the full index path
+    (bounded seeded centroid build, JVM-side cell assignment, nprobe
+    filter, exact rerank) with a closed-form answer set."""
+    from purescript_ifrit_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    cents = ivf_centroids(planted, "embedding", nlist=16, seed=42, sample=4096)
+    out = ivf_topk(
+        planted, "vec_id", "embedding", _E0_QUERY, cents, k=6, nprobe=1
+    )
+    return out.select("vec_id", "sim")
 
 
 _FH_TOK = (
