@@ -1154,3 +1154,121 @@ def cluster_size_histogram(
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).cast("long").alias("n_clusters")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring-span dedup (token n-gram granularity)
+# ---------------------------------------------------------------------------
+
+
+def _gram_positions(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, pos, gram_key) for every token n-gram position: grams are
+    built scan-stage from the token array and immediately replaced by
+    their md5 (32-byte engine-neutral keys shuffle instead of long gram
+    strings — the ngram_novelty contract). Docs shorter than n tokens
+    yield zero rows (sequence(1, 0) is DESCENDING in Spark, so the
+    short-doc branch must be guarded, not clamped)."""
+    if n <= 0:
+        raise ValueError(f"n must be positive (got {n})")
+    toks = X.tokens(F.col(text_col))
+    sz = F.size(toks)
+    keys = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - n + 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("_id"), F.posexplode(keys).alias("_pos", "_gk")
+    ).select("_id", (F.col("_pos") + 1).alias("_pos"), "_gk")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level exact substring-span dedup at token n-gram
+    granularity — the span analogue of dedup_exact, after the
+    exact-substring-dedup recipe of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), bounded to fixed-width
+    token n-grams so it stays a pure DataFrame aggregation instead of a
+    suffix-array build.
+
+    Output: (gram_key, n_docs, n_occ) for spans appearing in ≥ min_docs
+    distinct documents — the table you join against to strip or
+    down-weight corpus-recurring passages.
+
+    100 TB design: one wide exchange on the md5 gram key with map-side
+    partial counts (count-distinct docs plans as a two-phase aggregate);
+    no joins, no per-doc state. Hot boilerplate grams are exactly the
+    rows this emits — skew lives in the OUTPUT, not the shuffle, because
+    partial aggregation collapses each (partition, gram) to one row
+    before the exchange."""
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1 (got {min_docs})")
+    pos = _gram_positions(df, id_col, text_col, n)
+    return (
+        pos.groupBy(F.col("_gk").alias("gram_key"))
+        .agg(
+            F.count_distinct(F.col("_id")).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "gram_key",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+        )
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span exposure: how many of the document's
+    n-gram positions carry a gram that also appears in ≥ min_docs − 1
+    OTHER documents — the filtering signal built on duplicate_spans
+    (docs with high dup_frac are assembled from corpus-recurring
+    passages; standard curation drops or trims them).
+
+    Output: (id, n_positions, n_dup_positions, dup_frac) for docs with
+    ≥ n tokens.
+
+    100 TB design: gram doc-frequencies aggregate once (the
+    duplicate_spans exchange), then join back to the position stream on
+    the gram key — gram-keyed equi-join, AQE handles boilerplate-gram
+    skew — and the per-doc rollup is the only other exchange. The
+    position stream is never collected or re-read."""
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1 (got {min_docs})")
+    pos = _gram_positions(df, id_col, text_col, n)
+    # doc-frequency from the SAME position stream (the gram build runs
+    # twice — scan-stage expressions, cheaper than persisting the
+    # exploded positions — but the lineage is shared and auditable)
+    dup = (
+        pos.groupBy("_gk")
+        .agg(F.count_distinct(F.col("_id")).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_gk", F.lit(True).alias("_dup"))
+    )
+    flagged = pos.join(dup, "_gk", "left")
+    return flagged.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_positions"),
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_positions"),
+        (
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_frac"),
+    )

@@ -460,3 +460,66 @@ def leakage_safe_split(
     return joined.withColumn(
         out_col, split_expr(rep, list(weights), salt)
     ).drop("component")
+
+
+def mixture_to_target(
+    df: DataFrame,
+    token_col: str,
+    group_col: str,
+    target_shares: "dict[str, float]",
+) -> DataFrame:
+    """Per-group resampling weights that move the corpus token mix to a
+    TARGET distribution — the other standard LLM data-mixing move
+    (temperature_mix rebalances by a power law; this one hits explicit
+    shares, e.g. a domain-weights recipe tuned downstream à la DoReMi).
+
+    Output: (group, n_docs, n_tokens, actual_share, target_share,
+    weight) with weight = target_share / actual_share — multiply into
+    per-document sampling probabilities (weight > 1 oversamples the
+    group, < 1 downsamples; 0 drops groups missing from the target).
+    Weights are emitted, not applied: composition with budget_sample /
+    weighted sampling stays the caller's choice, and the report itself
+    is the auditable artifact.
+
+    100 TB design: one tiny per-group aggregate plus a broadcast 1-row
+    total — no data-sized shuffle at all; the weight table is
+    group-cardinality-sized and broadcasts into whatever sampler
+    consumes it."""
+    if not target_shares:
+        raise ValueError("target_shares must be a non-empty mapping")
+    tgt = F.create_map(
+        *[
+            F.lit(x)
+            for kv in target_shares.items()
+            for x in (kv[0], float(kv[1]))
+        ]
+    )
+    totals = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
+    )
+    grand = totals.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        totals.crossJoin(F.broadcast(grand))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.when(
+                F.col("_tot") > 0,
+                F.col("n_tokens").cast("double") / F.col("_tot").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("actual_share"),
+            F.coalesce(tgt[F.col(group_col)], F.lit(0.0)).alias(
+                "target_share"
+            ),
+        )
+        .withColumn(
+            "weight",
+            F.when(
+                F.col("actual_share") > 0,
+                F.col("target_share") / F.col("actual_share"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -850,3 +850,83 @@ def pack_text(
         F.count(F.lit(1)).alias("n_chunks"),
         joined.alias("packed_text"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Rule-based document quality flags after the Gopher heuristics
+    (Rae et al. 2021 §A1.1 — the public rule set MassiveWeb filtered
+    with), complementing the STATISTICAL quality_score: each rule is a
+    reported column so a curation run can audit WHICH rule rejected a
+    document, plus the combined `gopher_pass`.
+
+    Word-level rules only (word count bounds, mean word length bounds,
+    symbol-to-word ratio for '#'/'…', fraction of words with an
+    alphabetic character, stopword presence); the paper's line-level
+    rules (bullet/ellipsis line fractions) need multi-line documents —
+    see encoding_quality for the char-class screens that cover
+    single-line corpora.
+
+    100 TB design: pure scan-stage HOF expressions over the shared
+    normalized token array — zero shuffles, codegen'd, composes with
+    any downstream filter without materialization."""
+    toks = X.tokens(F.col(text_col))
+    blank = F.length(X.normalize_text(F.col(text_col))) == 0
+    n_words = F.when(blank, F.lit(0)).otherwise(F.size(toks)).cast("long")
+    sum_len = F.when(blank, F.lit(0)).otherwise(
+        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
+    )
+    mean_wl = F.when(
+        n_words > 0, sum_len.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    raw = F.col(text_col)
+    n_symbols = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    ) + F.size(F.split(raw, r"\.\.\.")) - 1
+    symbol_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.when(blank, F.lit(0)).otherwise(
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    )
+    alpha_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    gpass = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        gpass.alias("gopher_pass"),
+    )

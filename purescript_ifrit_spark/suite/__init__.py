@@ -104,6 +104,10 @@ _DRIVER_WINDOW_R7 = [
     "x_leakage_split",
     "x_audio_activity",
     "x_scene_changes",
+    "x_duplicate_spans",
+    "x_span_dup_stats",
+    "x_gopher_quality",
+    "x_mixture_weights",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
@@ -128,13 +132,11 @@ _DRIVER_WINDOW_R7 = [
     "xd_lang_id",
     "xd_chunk",
     "xd_quality_filter",
-    "xd_quality_where",
-    "xd_split",
-    "x_budget_sample",
-    "x_ann_cosine_topk",
-    # (displaced to r8 by the four late-r7 planted conversions, per the
-    # round-start policy above: x_embedding_neardup, x_sessionize,
-    # x_funnel, x_retention)
+    # (displaced to r8 by the late-r7 additions, per the round-start
+    # policy above: x_embedding_neardup, x_sessionize, x_funnel,
+    # x_retention by the four planted conversions; xd_quality_where,
+    # xd_split, x_budget_sample, x_ann_cosine_topk by the four new
+    # operator entries)
 ]
 
 

@@ -478,3 +478,62 @@ def x_dedup_incremental_simhash_planted(
     return dedup_against_simhash_index(
         batch, index, "doc_id", "text", max_hamming=3
     ).select("doc_id")
+
+
+# shared n-gram position CTE for the span-dedup oracles (n=3; mirrors
+# operators/dedup._gram_positions: md5 gram keys over normalized tokens,
+# docs shorter than n yield zero rows — string_split('') is [''] len 1,
+# so greatest(len-2, 0) zeroes the range the same way the Spark guard does)
+_SPAN_G = (
+    f"WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts "
+    "FROM documents), "
+    "gi AS (SELECT doc_id, ts, "
+    "UNNEST(range(1, greatest(len(ts) - 2, 0) + 1)) AS i FROM tk), "
+    "g AS (SELECT doc_id, md5(array_to_string("
+    "ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')) AS gk FROM gi) "
+)
+
+
+@register(
+    "x_duplicate_spans",
+    _SPAN_G + "SELECT gk AS gram_key, "
+    "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+    "CAST(COUNT(*) AS BIGINT) AS n_occ "
+    "FROM g GROUP BY gk HAVING COUNT(DISTINCT doc_id) >= 2",
+)
+def x_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-recurring token 3-gram spans (operators/dedup.
+    duplicate_spans): the exact-substring-dedup table, Lee et al. 2022
+    style — exact integer counts recomputed gram-for-gram by the
+    oracle."""
+    from purescript_ifrit_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", n=3, min_docs=2)
+
+
+@register(
+    "x_span_dup_stats",
+    _SPAN_G + ", dfq AS (SELECT gk, COUNT(DISTINCT doc_id) AS dfc "
+    "FROM g GROUP BY gk) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_positions, "
+    "CAST(SUM(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dup_positions, "
+    "ROUND(SUM(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) "
+    "AS dup_frac FROM g JOIN dfq USING (gk) GROUP BY doc_id",
+)
+def x_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span exposure (operators/dedup.
+    span_dedup_stats): the filter signal on top of duplicate_spans —
+    position counts exact, the fraction one division rounded 6dp both
+    sides."""
+    from purescript_ifrit_spark.operators.dedup import span_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = span_dedup_stats(docs, "doc_id", "text", n=3, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_positions",
+        "n_dup_positions",
+        F.round(F.col("dup_frac"), 6).alias("dup_frac"),
+    )

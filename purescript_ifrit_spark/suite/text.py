@@ -903,3 +903,61 @@ def x_pack_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
     packed = pack_sequences(ch, "chunk_tokens", ("doc_id", "chunk_idx"), 512)
     return pack_text(packed)
+
+
+def _gopher_oracle() -> str:
+    from purescript_ifrit_spark.operators.text_analysis import (
+        GOPHER_STOPWORDS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    # sum of token lengths == nonspace chars of the normalized text, so
+    # mean word length needs no per-token loop; symbol counts run over
+    # the RAW text exactly as the operator does (string_split is the
+    # same greedy left-to-right non-overlapping scan as Spark's split
+    # on the literal '...' pattern). The pass boolean composes the
+    # UNROUNDED doubles — identical int-derived divisions both engines —
+    # and floats round only in the projection.
+    return (
+        "WITH b AS (SELECT doc_id, text, "
+        f"CASE WHEN length({_NORM_SQL}) = 0 THEN 0 "
+        f"ELSE len(string_split({_NORM_SQL}, ' ')) END AS nw, "
+        f"length(replace({_NORM_SQL}, ' ', '')) AS sl, "
+        "length(text) - length(replace(text, '#', '')) "
+        "+ len(string_split(text, '...')) - 1 AS sy, "
+        f"len(list_filter(string_split({_NORM_SQL}, ' '), "
+        "w -> regexp_matches(w, '[a-z]'))) AS na, "
+        f"len(list_filter(list_distinct(string_split({_NORM_SQL}, ' ')), "
+        f"w -> w IN ({stops}))) AS ns FROM documents), "
+        "c AS (SELECT doc_id, nw, ns, "
+        "CASE WHEN nw > 0 THEN sl * 1.0 / nw ELSE 0.0 END AS mwl, "
+        "CASE WHEN nw > 0 THEN sy * 1.0 / nw ELSE 0.0 END AS syr, "
+        "CASE WHEN nw > 0 THEN na * 1.0 / nw ELSE 0.0 END AS af FROM b) "
+        "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, "
+        "ROUND(mwl, 6) AS mean_word_len, ROUND(syr, 6) AS symbol_ratio, "
+        "ROUND(af, 6) AS alpha_frac, CAST(ns AS BIGINT) AS n_stopwords, "
+        "(nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0 "
+        "AND syr <= 0.1 AND af >= 0.8 AND ns >= 2) AS gopher_pass FROM c"
+    )
+
+
+@register("x_gopher_quality", _gopher_oracle())
+def x_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality flags (operators/text_analysis.
+    gopher_quality_flags): every rule column plus the combined pass,
+    integer counts exact and each ratio one int-derived division."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = gopher_quality_flags(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("mean_word_len"), 6).alias("mean_word_len"),
+        F.round(F.col("symbol_ratio"), 6).alias("symbol_ratio"),
+        F.round(F.col("alpha_frac"), 6).alias("alpha_frac"),
+        "n_stopwords",
+        "gopher_pass",
+    )

@@ -2986,3 +2986,97 @@ def test_scene_changes_detects_planted_cut(spark):
     assert out[2].mad == 200.0 and out[2].is_cut
     assert out[3].mad == 5.0 and not out[3].is_cut
     assert out[4].mad is None and out[4].is_cut
+
+
+def test_duplicate_spans_planted_counts(spark):
+    from purescript_ifrit_spark.operators.dedup import (
+        duplicate_spans,
+        span_dedup_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # grams: abc, bcd
+            (2, "alpha beta gamma epsilon"),    # shares 'alpha beta gamma'
+            (3, "zeta eta theta"),              # unique gram
+            (4, "xy"),                          # < n tokens: no grams
+        ],
+        ["doc_id", "text"],
+    )
+    dup = duplicate_spans(docs, "doc_id", "text", n=3, min_docs=2).collect()
+    assert len(dup) == 1
+    assert dup[0].n_docs == 2 and dup[0].n_occ == 2
+
+    stats = {
+        r.doc_id: r
+        for r in span_dedup_stats(docs, "doc_id", "text", n=3).collect()
+    }
+    # doc 4 has no 3-gram positions at all — absent, not zero-row
+    assert set(stats) == {1, 2, 3}
+    assert stats[1].n_positions == 2 and stats[1].n_dup_positions == 1
+    assert stats[1].dup_frac == 0.5
+    assert stats[3].n_dup_positions == 0 and stats[3].dup_frac == 0.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="min_docs"):
+        duplicate_spans(docs, "doc_id", "text", min_docs=0)
+    with _pt.raises(ValueError, match="n must be positive"):
+        duplicate_spans(docs, "doc_id", "text", n=0)
+
+
+def test_gopher_quality_flags_rules(spark):
+    from purescript_ifrit_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    good = "the and that have with " + " ".join(
+        f"word{i}" for i in range(60)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),                       # passes every rule
+            (2, ""),                         # blank: all zeros, fail
+            (3, "ab " * 60),                 # mean word len 2 < 3
+            (4, "### " + good),              # symbols, ratio still small
+            (5, "123 456 " * 40),            # no alphabetic words
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1].gopher_pass is True
+    assert out[1].n_stopwords == 5 and out[1].alpha_frac == 1.0
+    assert out[2].n_words == 0 and out[2].gopher_pass is False
+    assert out[3].mean_word_len == 2.0 and out[3].gopher_pass is False
+    assert out[4].symbol_ratio > 0  # three '#' counted
+    assert out[5].alpha_frac == 0.0 and out[5].gopher_pass is False
+    # '...' occurrences count via the split scan
+    e = gopher_quality_flags(
+        spark.createDataFrame([(9, "a .... b")], ["doc_id", "text"])
+    ).collect()[0]
+    assert e.symbol_ratio == 1.0 / 3.0  # one '...' over three words
+
+
+def test_mixture_to_target_weights(spark):
+    from purescript_ifrit_spark.operators.sampling import mixture_to_target
+
+    df = spark.createDataFrame(
+        [(1, 600, "a"), (2, 300, "b"), (3, 100, "c")],
+        ["doc_id", "n_tok", "grp"],
+    )
+    out = {
+        r.grp: r
+        for r in mixture_to_target(
+            df, "n_tok", "grp", {"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    assert out["a"].actual_share == 0.6
+    assert abs(out["a"].weight - 0.5 / 0.6) < 1e-12
+    assert out["b"].weight == 0.5 / 0.3
+    # group missing from the target mapping → weight 0, not NULL
+    assert out["c"].target_share == 0.0 and out["c"].weight == 0.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        mixture_to_target(df, "n_tok", "grp", {})
