@@ -45,6 +45,9 @@ uses it (the DataFrame backend needs no registration).
     SELECT MIN(media_id) AS keep GROUP BY IMAGE_DHASH(payload)
                                            -- perceptual exact-dup groups
 
+    SELECT doc_id WHERE GOPHER(text) = true -- Gopher rule-set pass/fail
+                                           -- (boolean; default thresholds)
+
 SESSIONIZE is the one ANALYTIC extension (`analytic=True`): it compiles to
 window expressions (lag → gap flag → running sum — the same single-shuffle
 shape as operators/windows.sessionize) rather than a scan-stage scalar, so
@@ -213,6 +216,22 @@ def _quality_score_sql(x: str) -> str:
     from purescript_ifrit_spark.operators.vectorize import hash_margin_sql
 
     return hash_margin_sql(x)
+
+
+def _gopher_column(c: Column) -> Column:
+    from purescript_ifrit_spark.operators.text_analysis import (
+        gopher_pass_expr,
+    )
+
+    return gopher_pass_expr(c)
+
+
+def _gopher_sql(x: str) -> str:
+    from purescript_ifrit_spark.operators.text_analysis import (
+        gopher_pass_sql,
+    )
+
+    return gopher_pass_sql(x)
 
 
 def _htmltext_column(c: Column) -> Column:
@@ -448,6 +467,18 @@ EXT_FUNCTIONS: Dict[str, ExtFn] = {
             Schema.number(),
             _image_dhash_column,
             _image_dhash_sql,
+        ),
+        ExtFn(
+            "GOPHER",
+            # combined Gopher rule-set pass/fail at the paper's default
+            # thresholds (operators/text_analysis.gopher_pass_expr) — a
+            # boolean scalar, so it composes as `WHERE GOPHER(text) =
+            # true` (the bare-predicate form stays boolean-FIELD-only)
+            # and as a GROUP BY key for pass/fail corpus splits; the
+            # per-rule audit columns go through gopher_quality_flags
+            Schema.boolean(),
+            _gopher_column,
+            _gopher_sql,
         ),
         ExtFn(
             "TUMBLE",

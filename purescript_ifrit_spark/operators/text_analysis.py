@@ -884,8 +884,32 @@ def gopher_quality_flags(
     100 TB design: pure scan-stage HOF expressions over the shared
     normalized token array — zero shuffles, codegen'd, composes with
     any downstream filter without materialization."""
-    toks = X.tokens(F.col(text_col))
-    blank = F.length(X.normalize_text(F.col(text_col))) == 0
+    n_words, mean_wl, symbol_ratio, alpha_frac, n_stop = _gopher_parts(
+        F.col(text_col)
+    )
+    gpass = _gopher_combine(
+        n_words, mean_wl, symbol_ratio, alpha_frac, n_stop,
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_ratio, min_alpha_frac, min_stopwords,
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        gpass.alias("gopher_pass"),
+    )
+
+
+def _gopher_parts(raw):
+    """The five Gopher rule measurements as Column expressions over one
+    raw-text column — shared by gopher_quality_flags (the report) and
+    gopher_pass_expr (the dialect GOPHER scalar), so the two surfaces
+    cannot drift."""
+    toks = X.tokens(raw)
+    blank = F.length(X.normalize_text(raw)) == 0
     n_words = F.when(blank, F.lit(0)).otherwise(F.size(toks)).cast("long")
     sum_len = F.when(blank, F.lit(0)).otherwise(
         F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
@@ -893,7 +917,6 @@ def gopher_quality_flags(
     mean_wl = F.when(
         n_words > 0, sum_len.cast("double") / n_words.cast("double")
     ).otherwise(F.lit(0.0))
-    raw = F.col(text_col)
     n_symbols = (
         F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
     ) + F.size(F.split(raw, r"\.\.\.")) - 1
@@ -912,7 +935,15 @@ def gopher_quality_flags(
             F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
         )
     ).cast("long")
-    gpass = (
+    return n_words, mean_wl, symbol_ratio, alpha_frac, n_stop
+
+
+def _gopher_combine(
+    n_words, mean_wl, symbol_ratio, alpha_frac, n_stop,
+    min_words, max_words, min_mean_word_len, max_mean_word_len,
+    max_symbol_ratio, min_alpha_frac, min_stopwords,
+):
+    return (
         (n_words >= min_words)
         & (n_words <= max_words)
         & (mean_wl >= min_mean_word_len)
@@ -921,12 +952,45 @@ def gopher_quality_flags(
         & (alpha_frac >= min_alpha_frac)
         & (n_stop >= min_stopwords)
     )
-    return df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        alpha_frac.alias("alpha_frac"),
-        n_stop.alias("n_stopwords"),
-        gpass.alias("gopher_pass"),
+
+
+def gopher_pass_expr(raw):
+    """The combined Gopher pass/fail at the DEFAULT thresholds as one
+    scan-stage Column — the dialect GOPHER(f) kernel (parameterized
+    thresholds go through gopher_quality_flags)."""
+    return _gopher_combine(*_gopher_parts(raw), 50, 100_000, 3.0, 10.0,
+                           0.1, 0.8, 2)
+
+
+def gopher_pass_sql(x: str) -> str:
+    """Spark-SQL twin of gopher_pass_expr (the dialect GOPHER scalar):
+    same rule arithmetic, with the mean word length taken from the
+    nonspace-character identity (sum of token lengths == nonspace chars
+    of the single-space-normalized text) instead of a per-token loop —
+    value-identical, and the backend-equivalence tests pin it."""
+    n = f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
+    toks = f"split({n}, ' ')"
+    nw = (
+        f"CAST(CASE WHEN length({n}) = 0 THEN 0 "
+        f"ELSE size({toks}) END AS BIGINT)"
+    )
+    nonspace = f"(length({n}) - length(translate({n}, ' ', '')))"
+    mwl = f"CASE WHEN {nw} > 0 THEN CAST({nonspace} AS DOUBLE) / {nw} ELSE 0.0D END"
+    dots = "'" + "\\\\." * 3 + "'"
+    sy = (
+        f"(length({x}) - length(replace({x}, '#', '')) "
+        f"+ size(split({x}, {dots})) - 1)"
+    )
+    syr = f"CASE WHEN {nw} > 0 THEN CAST({sy} AS DOUBLE) / {nw} ELSE 0.0D END"
+    na = (
+        f"CASE WHEN length({n}) = 0 THEN 0 "
+        f"ELSE size(filter({toks}, w -> w rlike '[a-z]')) END"
+    )
+    af = f"CASE WHEN {nw} > 0 THEN CAST({na} AS DOUBLE) / {nw} ELSE 0.0D END"
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    ns = f"size(array_intersect(array_distinct({toks}), array({stops})))"
+    return (
+        f"({nw} >= 50 AND {nw} <= 100000 AND ({mwl}) >= 3.0D "
+        f"AND ({mwl}) <= 10.0D AND ({syr}) <= 0.1D AND ({af}) >= 0.8D "
+        f"AND {ns} >= 2)"
     )

@@ -326,3 +326,20 @@ def xd_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_query(
         spark, media, "SELECT media_id, IMAGE_DHASH(payload) AS dhash"
     )
+
+
+def _xd_gopher_oracle() -> str:
+    from purescript_ifrit_spark.suite.text import _gopher_oracle
+
+    return _gopher_oracle(pass_only=True)
+
+
+@register("xd_gopher", _xd_gopher_oracle())
+def xd_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set pass/fail reached through the DIALECT
+    (`GOPHER(text)` → operators/text_analysis.gopher_pass_expr): the
+    oracle re-derives every rule from scratch, so a single wrongly
+    passed/failed document flips a boolean and fails the value hash
+    (per-rule audit values are pinned by x_gopher_quality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return run_query(spark, docs, "SELECT doc_id, GOPHER(text) AS gpass")

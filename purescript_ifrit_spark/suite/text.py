@@ -905,7 +905,7 @@ def x_pack_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_text(packed)
 
 
-def _gopher_oracle() -> str:
+def _gopher_oracle(pass_only: bool = False) -> str:
     from purescript_ifrit_spark.operators.text_analysis import (
         GOPHER_STOPWORDS,
     )
@@ -917,7 +917,23 @@ def _gopher_oracle() -> str:
     # same greedy left-to-right non-overlapping scan as Spark's split
     # on the literal '...' pattern). The pass boolean composes the
     # UNROUNDED doubles — identical int-derived divisions both engines —
-    # and floats round only in the projection.
+    # and floats round only in the projection. pass_only trims the
+    # projection to (doc_id, gpass) for the dialect GOPHER twin
+    # (suite/dialect.xd_gopher) so the rule SQL lives exactly once.
+    if pass_only:
+        final = (
+            "SELECT doc_id, (nw >= 50 AND nw <= 100000 AND mwl >= 3.0 "
+            "AND mwl <= 10.0 AND syr <= 0.1 AND af >= 0.8 AND ns >= 2) "
+            "AS gpass FROM c"
+        )
+    else:
+        final = (
+            "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, "
+            "ROUND(mwl, 6) AS mean_word_len, ROUND(syr, 6) AS symbol_ratio, "
+            "ROUND(af, 6) AS alpha_frac, CAST(ns AS BIGINT) AS n_stopwords, "
+            "(nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0 "
+            "AND syr <= 0.1 AND af >= 0.8 AND ns >= 2) AS gopher_pass FROM c"
+        )
     return (
         "WITH b AS (SELECT doc_id, text, "
         f"CASE WHEN length({_NORM_SQL}) = 0 THEN 0 "
@@ -933,11 +949,7 @@ def _gopher_oracle() -> str:
         "CASE WHEN nw > 0 THEN sl * 1.0 / nw ELSE 0.0 END AS mwl, "
         "CASE WHEN nw > 0 THEN sy * 1.0 / nw ELSE 0.0 END AS syr, "
         "CASE WHEN nw > 0 THEN na * 1.0 / nw ELSE 0.0 END AS af FROM b) "
-        "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, "
-        "ROUND(mwl, 6) AS mean_word_len, ROUND(syr, 6) AS symbol_ratio, "
-        "ROUND(af, 6) AS alpha_frac, CAST(ns AS BIGINT) AS n_stopwords, "
-        "(nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0 "
-        "AND syr <= 0.1 AND af >= 0.8 AND ns >= 2) AS gopher_pass FROM c"
+        + final
     )
 
 

@@ -259,6 +259,9 @@ EXT_QUERIES = [
     "SELECT doc_id, VECTORIZE(text) AS v",
     "SELECT doc_id, QUALITY_SCORE(text) AS m",
     "SELECT COUNT(doc_id) AS n GROUP BY QUALITY_SCORE(text)",
+    "SELECT doc_id, GOPHER(text) AS gpass",
+    "SELECT COUNT(doc_id) AS n GROUP BY GOPHER(text)",
+    "SELECT doc_id WHERE GOPHER(text) = true",
 ]
 
 
@@ -582,3 +585,40 @@ def test_image_dhash_matches_dhash_images_and_sniffs_codecs(spark):
     )
     via_sql = {r.media_id: r.dhash for r in spark.sql(emitted).collect()}
     assert via_sql == got
+
+
+def test_gopher_dialect_matches_operator(spark, docs):
+    """GOPHER(text) through the compiler must equal gopher_quality_flags'
+    combined boolean at the default thresholds, including on a planted
+    passing document (the real corpus fails every doc on word count, so
+    without the plant this test would never see the True branch)."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    good = "the and that have with " + " ".join(f"word{i}" for i in range(60))
+    aug = docs.select("doc_id", "text").unionAll(
+        spark.createDataFrame([(990_001, good)], ["doc_id", "text"])
+    )
+    via_dialect = {
+        r.doc_id: r.gpass
+        for r in run_query(
+            spark, aug, "SELECT doc_id, GOPHER(text) AS gpass"
+        ).collect()
+    }
+    via_operator = {
+        r.doc_id: r.gopher_pass
+        for r in gopher_quality_flags(aug).collect()
+    }
+    assert via_dialect == via_operator
+    assert via_dialect[990_001] is True
+
+
+def test_gopher_typed_boolean_and_where():
+    plan = compile_query(DOC_SCHEMA, "SELECT GOPHER(text) AS g")
+    assert plan.output_schema.fields["g"].kind == "boolean"
+    # bare-predicate form stays boolean-FIELD-only
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        compile_query(DOC_SCHEMA, "SELECT doc_id WHERE GOPHER(text)")
