@@ -376,8 +376,22 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         )
         return leakage_safe_split(docs, "doc_id", pairs)
 
+    def qx_span_dedup():
+        from purescript_ifrit_spark.operators.dedup import span_dedup_stats
+
+        return span_dedup_stats(t["documents"], "doc_id", "text", n=3)
+
+    def qx_gopher():
+        from purescript_ifrit_spark.operators.text_analysis import (
+            gopher_quality_flags,
+        )
+
+        return gopher_quality_flags(t["documents"])
+
     extra_queries = {
         "qx_asof_join": qx_asof_join,
+        "qx_span_dedup": qx_span_dedup,
+        "qx_gopher": qx_gopher,
         "qx_rollup_multi": qx_rollup_multi,
         "qx_range_join": qx_range_join,
         "qx_term_stats": qx_term_stats,

@@ -1669,30 +1669,48 @@ def _make_dhash_kernel():
     return dhash
 
 
-def _make_payload_dhash():
-    """Factory for a self-contained payload → dhash closure that SNIFFS
-    the codec from magic bytes (netpbm P5/P6, PNG, baseline JPEG) — the
-    kernel of the IMAGE_DHASH dialect function, where the one-argument
-    fn grammar has no room for a codec parameter and real media tables
-    mix formats anyway. Unknown magic, NULL and poison payloads all
-    yield None (the poison-payload contract as a scalar)."""
+def _make_sniff_decoder():
+    """Factory for a self-contained payload → raster closure that SNIFFS
+    the codec from magic bytes (netpbm P5/P6, PNG, baseline JPEG) —
+    shared by the IMAGE_DHASH scalar and resize_images, where real media
+    tables mix formats and there is no room for a codec parameter.
+    Unknown magic, NULL and poison payloads all yield None (the
+    poison-payload contract as a function)."""
     ppm = _make_ppm_decoder()
     png = _make_png_decoder()
     jpg = _make_jpeg_decoder()
-    dhash = _make_dhash_kernel()
 
-    def go(p):
+    def decode(p):
         if p is None:
             return None
         head = bytes(p[:8])
         try:
             if head[:2] in (b"P5", b"P6"):
-                return dhash(ppm(p))
+                return ppm(p)
             if head == b"\x89PNG\r\n\x1a\n":
-                return dhash(png(p))
+                return png(p)
             if head[:2] == b"\xff\xd8":
-                return dhash(jpg(p))
+                return jpg(p)
             return None
+        except Exception:
+            return None
+
+    return decode
+
+
+def _make_payload_dhash():
+    """Factory for a self-contained payload → dhash closure over the
+    codec-sniffing decoder — the kernel of the IMAGE_DHASH dialect
+    function. Poison/NULL/unknown-magic payloads yield None."""
+    decode = _make_sniff_decoder()
+    dhash = _make_dhash_kernel()
+
+    def go(p):
+        img = decode(p)
+        if img is None:
+            return None
+        try:
+            return dhash(img)
         except Exception:
             return None
 
@@ -1885,3 +1903,98 @@ def scene_changes(df: DataFrame, *, threshold: float = 30.0) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         gen, SCENE_CHANGE_SCHEMA
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, *, codec: str = "sniff"
+) -> DataFrame:
+    """media table → fixed-size thumbnails: decode (codec-sniffed by
+    default — netpbm/PNG/baseline-JPEG, the same real decoders as the
+    stats and dhash paths), nearest-neighbor resample to (out_w, out_h),
+    re-encode as netpbm (P6 for color, P5 for gray — the format every
+    downstream op here decodes), plus the resized per-channel sums so a
+    planted oracle can verify the RESAMPLE ARITHMETIC value-exactly.
+
+    Nearest-neighbor source index is floor arithmetic — src_y =
+    y·h // out_h, src_x = x·w // out_w — a pure integer function of the
+    dims, so the planted fixture's resized raster is closed-form (the
+    decode entries' contract extended through the resample).
+
+    100 TB design: one Arrow mapInPandas over the payload column —
+    decode, resample and re-encode never leave the scan stage, payloads
+    never shuffle, and the output thumbnail is bounded (out_w·out_h·3
+    bytes) regardless of input size — the feature-extraction pre-pass
+    that makes trillion-pixel corpora joinable. Poison payloads yield a
+    NULL row, never a dead batch."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(
+            f"output dims must be positive (got {out_w}x{out_h})"
+        )
+    if codec not in ("sniff", "netpbm", "png", "jpeg"):
+        raise ValueError(
+            f"unknown codec {codec!r}: use 'sniff', 'netpbm', 'png' or 'jpeg'"
+        )
+    if codec == "sniff":
+        _decode = _make_sniff_decoder()
+    elif codec == "netpbm":
+        _decode = _make_ppm_decoder()
+    elif codec == "png":
+        _decode = _make_png_decoder()
+    else:
+        _decode = _make_jpeg_decoder()
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        # self-contained worker closure: `_decode` is a factory-built
+        # nested function, pickled by value (see _make_png_decoder)
+        import numpy as np
+        import pandas as pd
+
+        cols = (
+            "width", "height", "channels", "payload",
+            "sum_r", "sum_g", "sum_b",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for p in pdf["payload"]:
+                try:
+                    img = _decode(p)
+                except Exception:
+                    img = None
+                if img is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                h, w, c = img.shape
+                ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                out = img[ys][:, xs]
+                if c == 3:
+                    head = f"P6\n{out_w} {out_h}\n255\n".encode("ascii")
+                else:
+                    head = f"P5\n{out_w} {out_h}\n255\n".encode("ascii")
+                payload = head + out.astype(np.uint8).tobytes()
+                flat = out.reshape(-1, c).astype(np.int64)
+                sums = [int(flat[:, min(i, c - 1)].sum()) for i in range(3)]
+                rows["width"].append(out_w)
+                rows["height"].append(out_h)
+                rows["channels"].append(c)
+                rows["payload"].append(payload)
+                for i, ch in enumerate("rgb"):
+                    rows[f"sum_{ch}"].append(sums[i])
+            yield pd.DataFrame({"media_id": pdf["media_id"], **rows})
+
+    return df.mapInPandas(gen, RESIZED_SCHEMA)

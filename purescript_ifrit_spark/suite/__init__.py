@@ -109,6 +109,7 @@ _DRIVER_WINDOW_R7 = [
     "x_gopher_quality",
     "x_mixture_weights",
     "xd_gopher",
+    "x_multimodal_resize",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
@@ -131,12 +132,12 @@ _DRIVER_WINDOW_R7 = [
     "xd_token_count",
     "xd_quality",
     "xd_lang_id",
-    "xd_chunk",
     # (displaced to r8 by the late-r7 additions, per the round-start
     # policy above: x_embedding_neardup, x_sessionize, x_funnel,
     # x_retention by the four planted conversions; xd_quality_where,
     # xd_split, x_budget_sample, x_ann_cosine_topk by the four new
-    # operator entries; xd_quality_filter by xd_gopher)
+    # operator entries; xd_quality_filter by xd_gopher; xd_chunk by
+    # x_multimodal_resize)
 ]
 
 

@@ -377,3 +377,50 @@ def x_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
     return scene_changes(synth_ppm_video(ids), threshold=30.0)
+
+
+@register(
+    "x_multimodal_resize",
+    # planted-truth for the resize path: nearest-neighbor source indices
+    # are pure integer floor arithmetic (src_y = y*h // 6, src_x =
+    # x*w // 8), so the oracle recomputes every resized pixel of the
+    # closed-form P6 fixture and sums it — the decode entries' contract
+    # extended through the resample. payload_len pins the re-encode
+    # (11-byte P6 header + 3*8*6 raster bytes); the byte-exact re-encode
+    # round-trip is pinned in pytest (an oracle cannot build raw BLOBs).
+    "WITH d AS (SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h "
+    "FROM documents), "
+    "o AS (SELECT doc_id, c, CAST((doc_id * 7 "
+    "+ 3 * (((y * h) // 6) * w + ((x * w) // 8)) + c) % 256 AS BIGINT) AS v "
+    "FROM d, UNNEST(range(0, 8)) tx(x), UNNEST(range(0, 6)) ty(y), "
+    "UNNEST(range(0, 3)) tc(c)) "
+    "SELECT doc_id AS media_id, CAST(8 AS INT) AS width, "
+    "CAST(6 AS INT) AS height, CAST(3 AS INT) AS channels, "
+    "CAST(155 AS BIGINT) AS payload_len, "
+    "CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r, "
+    "CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g, "
+    "CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b "
+    "FROM o GROUP BY doc_id",
+)
+def x_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize/thumbnail (operators/multimodal.resize_images): the
+    feature-extraction pre-pass — decode, nearest-neighbor resample to
+    8x6, netpbm re-encode — with the resample arithmetic value-verified
+    against the planted fixture."""
+    from purescript_ifrit_spark.operators.multimodal import (
+        resize_images,
+        synth_ppm_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = resize_images(synth_ppm_media(ids), 8, 6)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.length("payload").cast("long").alias("payload_len"),
+        "sum_r",
+        "sum_g",
+        "sum_b",
+    )

@@ -3080,3 +3080,60 @@ def test_mixture_to_target_weights(spark):
 
     with _pt.raises(ValueError, match="non-empty"):
         mixture_to_target(df, "n_tok", "grp", {})
+
+
+def test_resize_images_roundtrip_poison_and_codecs(spark):
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        resize_images,
+        synth_png_media,
+    )
+
+    # planted P6 4x3 + a poison payload
+    w, h = 4, 3
+    px = (np.arange(3 * w * h) * 31 % 256).astype(np.uint8)
+    p6 = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    media = spark.createDataFrame(
+        [(1, bytearray(p6), {"mime": "x", "source": "t"}),
+         (2, bytearray(b"NOT AN IMAGE"), {"mime": "x", "source": "t"})],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in resize_images(media, 8, 6).collect()}
+    assert out[2].payload is None and out[2].sum_r is None  # poison → NULL
+    r = out[1]
+    assert (r.width, r.height, r.channels) == (8, 6, 3)
+    # the emitted payload must DECODE back to the emitted sums (re-encode
+    # round-trip the oracle cannot see)
+    img = decode_ppm(bytes(r.payload))
+    assert img.shape == (6, 8, 3)
+    flat = img.reshape(-1, 3).astype(np.int64)
+    assert [int(flat[:, i].sum()) for i in range(3)] == [
+        r.sum_r, r.sum_g, r.sum_b
+    ]
+    # nearest-neighbor upscale of a 1x1 image is constant
+    one = spark.createDataFrame(
+        [(3, bytearray(b"P6\n1 1\n255\n\x07\x08\x09"),
+          {"mime": "x", "source": "t"})],
+        MEDIA_SCHEMA,
+    )
+    rr = resize_images(one, 4, 4).collect()[0]
+    assert (rr.sum_r, rr.sum_g, rr.sum_b) == (7 * 16, 8 * 16, 9 * 16)
+
+    # sniffed compressed path: PNG payloads resize through the real
+    # inflate+unfilter decoder
+    ids = spark.createDataFrame([(5,)], ["doc_id"]).select(
+        F.col("doc_id").alias("media_id")
+    )
+    png = resize_images(synth_png_media(ids, id_col="media_id"), 8, 6)
+    pr = png.collect()[0]
+    assert pr.payload is not None and pr.channels == 3
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="positive"):
+        resize_images(media, 0, 6)
+    with _pt.raises(ValueError, match="unknown codec"):
+        resize_images(media, 8, 6, codec="gif")
