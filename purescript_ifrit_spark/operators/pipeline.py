@@ -92,7 +92,11 @@ def curate(
     # to avoid that single pass measured as a net loss (bigger persist
     # write; SCALE.md round-7 A/B table, value-identical output in all
     # variants).
-    scored = quality_score(docs, text_col, keep_norm=True)
+    # with_features=False (round 7): the three rounded ratio columns were
+    # outside curate's documented output contract yet persisted AND
+    # materialized by every consumer — the scalar quality derives from
+    # the staged integers alone
+    scored = quality_score(docs, text_col, keep_norm=True, with_features=False)
     scored = scored.withColumn(
         "fingerprint", F.md5(F.col("_norm"))
     ).drop("_norm")

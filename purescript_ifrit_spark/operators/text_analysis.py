@@ -23,7 +23,7 @@ from purescript_ifrit_spark.functions.text import (  # noqa: F401
 
 def _quality_staged(
     df: DataFrame, text_col: str, with_quality: bool,
-    keep_norm: bool = False,
+    keep_norm: bool = False, with_features: bool = True,
 ) -> DataFrame:
     """Three staged projections so each text scan runs ONCE:
 
@@ -63,28 +63,31 @@ def _quality_staged(
     ).withColumn(
         "_nonspace", F.length(s) - F.greatest(n - F.lit(1), F.lit(0))
     )
-    out = staged.withColumns(
-        {
-            "mean_token_len": F.round(
-                F.when(n == 0, F.lit(0.0)).otherwise(
-                    nonspace.cast("double") / n.cast("double")
+    out = staged
+    if with_features:
+        out = out.withColumns(
+            {
+                "mean_token_len": F.round(
+                    F.when(n == 0, F.lit(0.0)).otherwise(
+                        nonspace.cast("double") / n.cast("double")
+                    ),
+                    6,
                 ),
-                6,
-            ),
-            "punct_ratio": F.round(
-                F.when(nonspace == 0, F.lit(0.0)).otherwise(
-                    F.col("_punct").cast("double") / nonspace.cast("double")
+                "punct_ratio": F.round(
+                    F.when(nonspace == 0, F.lit(0.0)).otherwise(
+                        F.col("_punct").cast("double")
+                        / nonspace.cast("double")
+                    ),
+                    6,
                 ),
-                6,
-            ),
-            "stopword_ratio": F.round(
-                F.when(n == 0, F.lit(0.0)).otherwise(
-                    F.col("_hits").cast("double") / n.cast("double")
+                "stopword_ratio": F.round(
+                    F.when(n == 0, F.lit(0.0)).otherwise(
+                        F.col("_hits").cast("double") / n.cast("double")
+                    ),
+                    6,
                 ),
-                6,
-            ),
-        }
-    )
+            }
+        )
     if with_quality:
         out = out.withColumn(
             "quality",
@@ -102,7 +105,8 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def quality_score(
-    df: DataFrame, text_col: str, keep_norm: bool = False
+    df: DataFrame, text_col: str, keep_norm: bool = False,
+    with_features: bool = True,
 ) -> DataFrame:
     """Single scalar quality score in [0,1]: penalizes too-short docs,
     punctuation soup and stopword-free keyword spam. Deterministic, linear,
@@ -117,8 +121,17 @@ def quality_score(
     instead of re-running the regex: Catalyst does not CSE across
     operators, and with the scored stage persisted (pipeline.curate) the
     column is paid for once. Costs ~text-sized extra bytes in the cached
-    relation."""
-    return _quality_staged(df, text_col, with_quality=True, keep_norm=keep_norm)
+    relation.
+
+    `with_features=False` omits the three 6dp-rounded ratio columns
+    (mean_token_len / punct_ratio / stopword_ratio) — the scalar quality
+    needs only the staged integers, and a pipeline that persists the
+    scored stage (curate) should not cache three doubles per row nobody
+    downstream reads."""
+    return _quality_staged(
+        df, text_col, with_quality=True, keep_norm=keep_norm,
+        with_features=with_features,
+    )
 
 
 def token_stats(df: DataFrame, text_col: str) -> DataFrame:
