@@ -1164,12 +1164,14 @@ def cluster_size_histogram(
 def _gram_positions(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, pos, gram_key) for every token n-gram position: grams are
-    built scan-stage from the token array and immediately replaced by
-    their md5 (32-byte engine-neutral keys shuffle instead of long gram
-    strings — the ngram_novelty contract). Docs shorter than n tokens
-    yield zero rows (sequence(1, 0) is DESCENDING in Spark, so the
-    short-doc branch must be guarded, not clamped)."""
+    """(id, gram_key) for every token n-gram position (one row per
+    position — repeats kept): grams are built scan-stage from the token
+    array and immediately replaced by their md5 (32-byte engine-neutral
+    keys shuffle instead of long gram strings — the ngram_novelty
+    contract). No position index: neither consumer reads one, and it
+    would ride the widest exchange of the pipeline for nothing. Docs
+    shorter than n tokens yield zero rows (sequence(1, 0) is DESCENDING
+    in Spark, so the short-doc branch must be guarded, not clamped)."""
     if n <= 0:
         raise ValueError(f"n must be positive (got {n})")
     toks = X.tokens(F.col(text_col))
@@ -1182,8 +1184,8 @@ def _gram_positions(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return df.select(
-        F.col(id_col).alias("_id"), F.posexplode(keys).alias("_pos", "_gk")
-    ).select("_id", (F.col("_pos") + 1).alias("_pos"), "_gk")
+        F.col(id_col).alias("_id"), F.explode(keys).alias("_gk")
+    )
 
 
 def duplicate_spans(
@@ -1267,8 +1269,8 @@ def span_dedup_stats(
         F.sum(F.when(F.col("_dup"), 1).otherwise(0))
         .cast("long")
         .alias("n_dup_positions"),
-        (
-            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("dup_frac"),
+    ).withColumn(
+        "dup_frac",
+        F.col("n_dup_positions").cast("double")
+        / F.col("n_positions").cast("double"),
     )

@@ -1978,6 +1978,15 @@ def resize_images(
                     for k in rows:
                         rows[k].append(None)
                     continue
+                # drop alpha BEFORE re-encoding (GA→G, RGBA→RGB — the
+                # stats/dhash convention): the PNG decoder emits 2- and
+                # 4-channel rasters, and netpbm has no alpha plane, so
+                # without this a RGBA thumbnail would serialize as a
+                # corrupt P5 with 4·w·h raster bytes
+                if img.shape[2] == 4:
+                    img = img[:, :, :3]
+                elif img.shape[2] == 2:
+                    img = img[:, :, :1]
                 h, w, c = img.shape
                 ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 xs = (np.arange(out_w, dtype=np.int64) * w) // out_w

@@ -867,19 +867,33 @@ def pack_text(
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+# the paper's default thresholds, consumed by gopher_quality_flags'
+# keyword defaults, gopher_pass_expr, gopher_pass_sql AND the DuckDB
+# oracles (suite/text._gopher_oracle) — one definition so a threshold
+# tweak cannot leave one of the four surfaces behind
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "min_alpha_frac": 0.8,
+    "min_stopwords": 2,
+}
+
 
 def gopher_quality_flags(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    max_symbol_ratio: float = 0.1,
-    min_alpha_frac: float = 0.8,
-    min_stopwords: int = 2,
+    min_words: int = GOPHER_DEFAULTS["min_words"],
+    max_words: int = GOPHER_DEFAULTS["max_words"],
+    min_mean_word_len: float = GOPHER_DEFAULTS["min_mean_word_len"],
+    max_mean_word_len: float = GOPHER_DEFAULTS["max_mean_word_len"],
+    max_symbol_ratio: float = GOPHER_DEFAULTS["max_symbol_ratio"],
+    min_alpha_frac: float = GOPHER_DEFAULTS["min_alpha_frac"],
+    min_stopwords: int = GOPHER_DEFAULTS["min_stopwords"],
 ) -> DataFrame:
     """Rule-based document quality flags after the Gopher heuristics
     (Rae et al. 2021 §A1.1 — the public rule set MassiveWeb filtered
@@ -922,11 +936,13 @@ def _gopher_parts(raw):
     gopher_pass_expr (the dialect GOPHER scalar), so the two surfaces
     cannot drift."""
     toks = X.tokens(raw)
-    blank = F.length(X.normalize_text(raw)) == 0
+    norm = X.normalize_text(raw)
+    blank = F.length(norm) == 0
     n_words = F.when(blank, F.lit(0)).otherwise(F.size(toks)).cast("long")
-    sum_len = F.when(blank, F.lit(0)).otherwise(
-        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
-    )
+    # sum of token lengths == nonspace chars of the single-space-
+    # normalized text: length(norm) minus its n-1 separators — the same
+    # O(chars) identity _quality_staged uses, no per-token HOF fold
+    sum_len = F.length(norm) - F.greatest(n_words - 1, F.lit(0))
     mean_wl = F.when(
         n_words > 0, sum_len.cast("double") / n_words.cast("double")
     ).otherwise(F.lit(0.0))
@@ -971,24 +987,35 @@ def gopher_pass_expr(raw):
     """The combined Gopher pass/fail at the DEFAULT thresholds as one
     scan-stage Column — the dialect GOPHER(f) kernel (parameterized
     thresholds go through gopher_quality_flags)."""
-    return _gopher_combine(*_gopher_parts(raw), 50, 100_000, 3.0, 10.0,
-                           0.1, 0.8, 2)
+    d = GOPHER_DEFAULTS
+    return _gopher_combine(
+        *_gopher_parts(raw),
+        d["min_words"], d["max_words"], d["min_mean_word_len"],
+        d["max_mean_word_len"], d["max_symbol_ratio"],
+        d["min_alpha_frac"], d["min_stopwords"],
+    )
 
 
 def gopher_pass_sql(x: str) -> str:
     """Spark-SQL twin of gopher_pass_expr (the dialect GOPHER scalar):
-    same rule arithmetic, with the mean word length taken from the
-    nonspace-character identity (sum of token lengths == nonspace chars
-    of the single-space-normalized text) instead of a per-token loop —
-    value-identical, and the backend-equivalence tests pin it."""
+    same rule arithmetic and the same nonspace-character identity for
+    mean word length (sum of token lengths == length of the normalized
+    text minus its n−1 separators) — value-identical, pinned by the
+    backend-equivalence tests including a planted PASSING document (the
+    sf corpus fails every doc on word count, which once masked an
+    inverted identity here)."""
+    d = GOPHER_DEFAULTS
     n = f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
     toks = f"split({n}, ' ')"
     nw = (
         f"CAST(CASE WHEN length({n}) = 0 THEN 0 "
         f"ELSE size({toks}) END AS BIGINT)"
     )
-    nonspace = f"(length({n}) - length(translate({n}, ' ', '')))"
-    mwl = f"CASE WHEN {nw} > 0 THEN CAST({nonspace} AS DOUBLE) / {nw} ELSE 0.0D END"
+    sum_len = f"(length({n}) - greatest({nw} - 1, 0))"
+    mwl = (
+        f"CASE WHEN {nw} > 0 THEN CAST({sum_len} AS DOUBLE) / {nw} "
+        "ELSE 0.0D END"
+    )
     dots = "'" + "\\\\." * 3 + "'"
     sy = (
         f"(length({x}) - length(replace({x}, '#', '')) "
@@ -1003,7 +1030,10 @@ def gopher_pass_sql(x: str) -> str:
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     ns = f"size(array_intersect(array_distinct({toks}), array({stops})))"
     return (
-        f"({nw} >= 50 AND {nw} <= 100000 AND ({mwl}) >= 3.0D "
-        f"AND ({mwl}) <= 10.0D AND ({syr}) <= 0.1D AND ({af}) >= 0.8D "
-        f"AND {ns} >= 2)"
+        f"({nw} >= {d['min_words']} AND {nw} <= {d['max_words']} "
+        f"AND ({mwl}) >= {d['min_mean_word_len']}D "
+        f"AND ({mwl}) <= {d['max_mean_word_len']}D "
+        f"AND ({syr}) <= {d['max_symbol_ratio']}D "
+        f"AND ({af}) >= {d['min_alpha_frac']}D "
+        f"AND {ns} >= {d['min_stopwords']})"
     )

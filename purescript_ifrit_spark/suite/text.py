@@ -907,10 +907,19 @@ def x_pack_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _gopher_oracle(pass_only: bool = False) -> str:
     from purescript_ifrit_spark.operators.text_analysis import (
+        GOPHER_DEFAULTS,
         GOPHER_STOPWORDS,
     )
 
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    d = GOPHER_DEFAULTS
+    rules = (
+        f"nw >= {d['min_words']} AND nw <= {d['max_words']} "
+        f"AND mwl >= {d['min_mean_word_len']} "
+        f"AND mwl <= {d['max_mean_word_len']} "
+        f"AND syr <= {d['max_symbol_ratio']} "
+        f"AND af >= {d['min_alpha_frac']} AND ns >= {d['min_stopwords']}"
+    )
     # sum of token lengths == nonspace chars of the normalized text, so
     # mean word length needs no per-token loop; symbol counts run over
     # the RAW text exactly as the operator does (string_split is the
@@ -921,18 +930,13 @@ def _gopher_oracle(pass_only: bool = False) -> str:
     # projection to (doc_id, gpass) for the dialect GOPHER twin
     # (suite/dialect.xd_gopher) so the rule SQL lives exactly once.
     if pass_only:
-        final = (
-            "SELECT doc_id, (nw >= 50 AND nw <= 100000 AND mwl >= 3.0 "
-            "AND mwl <= 10.0 AND syr <= 0.1 AND af >= 0.8 AND ns >= 2) "
-            "AS gpass FROM c"
-        )
+        final = f"SELECT doc_id, ({rules}) AS gpass FROM c"
     else:
         final = (
             "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, "
             "ROUND(mwl, 6) AS mean_word_len, ROUND(syr, 6) AS symbol_ratio, "
             "ROUND(af, 6) AS alpha_frac, CAST(ns AS BIGINT) AS n_stopwords, "
-            "(nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0 "
-            "AND syr <= 0.1 AND af >= 0.8 AND ns >= 2) AS gopher_pass FROM c"
+            f"({rules}) AS gopher_pass FROM c"
         )
     return (
         "WITH b AS (SELECT doc_id, text, "

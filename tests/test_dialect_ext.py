@@ -612,6 +612,21 @@ def test_gopher_dialect_matches_operator(spark, docs):
     }
     assert via_dialect == via_operator
     assert via_dialect[990_001] is True
+    # the emitted-SQL backend must agree ON THE TRUE BRANCH too — the
+    # corpus fails every doc on word count, which once masked an
+    # inverted nonspace identity in gopher_pass_sql
+    aug.createOrReplaceTempView("gopher_aug_view")
+    via_sql = {
+        r.doc_id: r.gpass
+        for r in spark.sql(
+            to_spark_sql(
+                parse_sql("SELECT doc_id, GOPHER(text) AS gpass"),
+                "gopher_aug_view",
+            )
+        ).collect()
+    }
+    assert via_sql == via_dialect
+    assert via_sql[990_001] is True
 
 
 def test_gopher_typed_boolean_and_where():

@@ -3137,3 +3137,59 @@ def test_resize_images_roundtrip_poison_and_codecs(spark):
         resize_images(media, 0, 6)
     with _pt.raises(ValueError, match="unknown codec"):
         resize_images(media, 8, 6, codec="gif")
+
+
+def test_resize_images_drops_alpha(spark):
+    """RGBA/gray+alpha PNGs (color types the decoder supports) must
+    resize to valid 3-/1-channel netpbm, not corrupt P5 payloads."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        resize_images,
+    )
+
+    def make_png(raster, color_type):
+        h, w = raster.shape[:2]
+        def chunk(tag, data):
+            c = tag + data
+            return struct.pack(">I", len(data)) + c + struct.pack(
+                ">I", zlib.crc32(c)
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + raster[y].tobytes() for y in range(h)
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rgba = np.arange(4 * 4 * 4, dtype=np.uint8).reshape(4, 4, 4)
+    ga = np.arange(4 * 4 * 2, dtype=np.uint8).reshape(4, 4, 2)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(make_png(rgba, 6)), {"mime": "x", "source": "t"}),
+            (2, bytearray(make_png(ga, 4)), {"mime": "x", "source": "t"}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in resize_images(media, 4, 4).collect()}
+    assert out[1].channels == 3 and out[2].channels == 1
+    # payloads must decode back cleanly with the emitted sums
+    for mid, nch in ((1, 3), (2, 1)):
+        r = out[mid]
+        img = decode_ppm(bytes(r.payload))
+        assert img.shape == (4, 4, nch)
+        flat = img.reshape(-1, nch).astype(np.int64)
+        sums = [int(flat[:, min(i, nch - 1)].sum()) for i in range(3)]
+        assert sums == [r.sum_r, r.sum_g, r.sum_b]
+    # alpha bytes must not leak into the channel sums: RGBA input's sum_r
+    # is the sum of every 4th byte starting at 0, resized identity 4x4
+    assert out[1].sum_r == int(rgba[:, :, 0].sum())
