@@ -1,0 +1,122 @@
+"""Link-graph operators for corpus curation: damped power-iteration
+authority scores (PageRank-style) over an edge list.
+
+Web-corpus pipelines use link-graph authority as a document/domain
+quality prior (the Common Crawl ranking family — harmonic centrality /
+PageRank over the domain graph). SURVEY.md §2.7 scope: no reference
+counterpart; this is the driver-mandated training-data-pipeline
+extension surface, like operators/dedup.connected_components.
+
+INTEGER-EXACT DESIGN (the codebase's oracle contract for iterative
+float algorithms): scores are integers at a fixed scale (default 10¹²),
+the damping factor is a percentage, and every redistribution step is a
+floor division — so the score vector after k iterations is a pure
+integer function of the edge list, reproducible bit-for-bit by any
+engine (a DuckDB oracle recomputes the unrolled iterations exactly;
+float power iteration would drift in the last ulp per summation order
+and amplify over iterations). Floor losses slightly deflate total mass
+per step — identically on every engine; ranking order is what the
+signal is for.
+
+Dangling nodes (no out-edges) keep receiving the teleport term but
+their mass is not redistributed (the "pruned" PageRank variant) —
+documented, deterministic, and the common choice for quality-prior use
+where absolute probabilities are irrelevant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def power_iteration_ranks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping_pct: int = 85,
+    n_iter: int = 10,
+    scale: int = 10**12,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Authority scores over a directed edge list via `n_iter` damped
+    power iterations, integer-exact (see module docstring).
+
+    Returns (node, score_scaled, rank): score_scaled is the exact
+    integer score at `scale`; rank = score_scaled / scale as a double.
+
+    100 TB design: per iteration, ONE edge-sized join (edges ⋈ the
+    node-sized score vector on src — AQE broadcasts the scores side
+    while it fits, shuffle-joins beyond that), one dst-keyed aggregate
+    with map-side partials, and one node-sized left join for the
+    teleport term. Edges are never mutated or re-derived, so a
+    pre-partitioning on src is reused across iterations. The ONLY
+    driver action is one bounded count (the node total, a single long —
+    needed because the teleport share divides by N). Lineage grows
+    linearly with n_iter: set `checkpoint_every` (localCheckpoint) for
+    long runs — the loop itself is lazy plan construction, not
+    per-iteration jobs.
+
+    Overflow headroom: total mass never exceeds `scale` (floors only
+    lose mass), so the per-edge product score·damping_pct ≤ scale·100
+    ≈ 10¹⁴ ≪ 2⁶³.
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0, 100] (got {damping_pct})")
+    if not 1 <= n_iter <= 50:
+        raise ValueError(
+            f"n_iter must be in [1, 50] (got {n_iter}) — power iteration "
+            "converges geometrically; >50 is a misuse, not a need"
+        )
+    if scale < 10**6:
+        raise ValueError(f"scale too small for meaningful floors ({scale})")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # the one bounded driver action (a single long)
+    if n_nodes == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("score_scaled"),
+            F.lit(0.0).alias("rank"),
+        )
+    init = scale // n_nodes
+    teleport = (scale * (100 - damping_pct)) // (100 * n_nodes)
+    outdeg = edges.groupBy(F.col(src).alias("_u")).agg(
+        F.count(F.lit(1)).alias("_outdeg")
+    )
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).join(
+        outdeg, "_u"
+    )
+    scores = nodes.select("node", F.lit(init).cast("long").alias("score"))
+    for i in range(n_iter):
+        contribs = (
+            e.join(scores.withColumnRenamed("node", "_u"), "_u")
+            .select(
+                "_v",
+                F.expr(f"(score * {damping_pct}) div (100 * _outdeg)").alias(
+                    "_c"
+                ),
+            )
+            .groupBy("_v")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        scores = (
+            nodes.join(contribs, nodes.node == contribs._v, "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.coalesce(F.col("_in"), F.lit(0)))
+                .cast("long")
+                .alias("score"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            scores = scores.localCheckpoint()
+    return scores.select(
+        "node",
+        F.col("score").alias("score_scaled"),
+        (F.col("score").cast("double") / F.lit(float(scale))).alias("rank"),
+    )

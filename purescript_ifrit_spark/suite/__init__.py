@@ -35,6 +35,7 @@ from purescript_ifrit_spark.suite import (  # noqa: E402,F401
     sampling,
     vectors,
     analytics,
+    graph,
     joins,
     multimodal,
     streaming,
@@ -110,6 +111,7 @@ _DRIVER_WINDOW_R7 = [
     "x_mixture_weights",
     "xd_gopher",
     "x_multimodal_resize",
+    "x_pagerank_planted",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
@@ -131,13 +133,12 @@ _DRIVER_WINDOW_R7 = [
     "xd_dedup_exact",
     "xd_token_count",
     "xd_quality",
-    "xd_lang_id",
     # (displaced to r8 by the late-r7 additions, per the round-start
     # policy above: x_embedding_neardup, x_sessionize, x_funnel,
     # x_retention by the four planted conversions; xd_quality_where,
     # xd_split, x_budget_sample, x_ann_cosine_topk by the four new
     # operator entries; xd_quality_filter by xd_gopher; xd_chunk by
-    # x_multimodal_resize)
+    # x_multimodal_resize; xd_lang_id by x_pagerank_planted)
 ]
 
 

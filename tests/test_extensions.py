@@ -3193,3 +3193,67 @@ def test_resize_images_drops_alpha(spark):
     # alpha bytes must not leak into the channel sums: RGBA input's sum_r
     # is the sum of every 4th byte starting at 0, resized identity 4x4
     assert out[1].sum_r == int(rgba[:, :, 0].sum())
+
+
+def test_power_iteration_ranks_known_values(spark):
+    from purescript_ifrit_spark.operators.graph import power_iteration_ranks
+
+    scale, d = 10**12, 85
+
+    def expected(edges, n_iter):
+        # pure-Python twin of the integer recurrence
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        n = len(nodes)
+        out = {}
+        for u, _ in edges:
+            out[u] = out.get(u, 0) + 1
+        s = {v: scale // n for v in nodes}
+        tele = (scale * (100 - d)) // (100 * n)
+        for _ in range(n_iter):
+            nxt = {v: tele for v in nodes}
+            for u, v in edges:
+                nxt[v] += (s[u] * d) // (100 * out[u])
+            s = nxt
+        return s
+
+    # two-node cycle: symmetric, scores equal every iteration
+    cyc = [(1, 2), (2, 1)]
+    df = spark.createDataFrame(cyc, ["src", "dst"])
+    got = {
+        r.node: r.score_scaled
+        for r in power_iteration_ranks(df, n_iter=4).collect()
+    }
+    assert got == expected(cyc, 4)
+    assert got[1] == got[2]
+
+    # dangling node: B has no out-edges — its mass is NOT redistributed
+    # (pruned variant); A receives only the teleport term
+    dang = [(1, 2)]
+    df2 = spark.createDataFrame(dang, ["src", "dst"])
+    got2 = {
+        r.node: r.score_scaled
+        for r in power_iteration_ranks(df2, n_iter=3).collect()
+    }
+    exp2 = expected(dang, 3)
+    assert got2 == exp2
+    assert got2[2] > got2[1]  # the sink outranks its source
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="damping_pct"):
+        power_iteration_ranks(df, damping_pct=101)
+    with _pt.raises(ValueError, match="n_iter"):
+        power_iteration_ranks(df, n_iter=0)
+    with _pt.raises(ValueError, match="scale"):
+        power_iteration_ranks(df, scale=10)
+    # empty edge list → empty result, not a division by zero
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert power_iteration_ranks(empty).count() == 0
+    # checkpoint path produces identical values
+    got3 = {
+        r.node: r.score_scaled
+        for r in power_iteration_ranks(
+            df, n_iter=4, checkpoint_every=2
+        ).collect()
+    }
+    assert got3 == got
