@@ -388,10 +388,28 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
 
         return gopher_quality_flags(t["documents"])
 
+    def qx_pagerank():
+        from purescript_ifrit_spark.operators.graph import (
+            power_iteration_ranks,
+        )
+        from pyspark.sql import functions as FF
+
+        edges = (
+            t["events"]
+            .select(
+                FF.col("user_id").alias("src"),
+                ((FF.col("user_id") * 31 + 7) % 997).alias("dst"),
+            )
+            .filter(FF.col("src") != FF.col("dst"))
+            .distinct()
+        )
+        return power_iteration_ranks(edges, n_iter=5)
+
     extra_queries = {
         "qx_asof_join": qx_asof_join,
         "qx_span_dedup": qx_span_dedup,
         "qx_gopher": qx_gopher,
+        "qx_pagerank": qx_pagerank,
         "qx_rollup_multi": qx_rollup_multi,
         "qx_range_join": qx_range_join,
         "qx_term_stats": qx_term_stats,
