@@ -309,3 +309,46 @@ def training_shard_pipeline(
         "pack_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus delta — the dataset-versioning report
+    run between crawl/curation iterations: per document, whether it was
+    `added`, `removed`, `changed` (same id, different normalized
+    content) or `unchanged`.
+
+    Returns (id, status, old_fp, new_fp): fingerprints are md5 of the
+    normalized text (the exact-dedup key, functions/text.fingerprint),
+    so `changed` means the CONTENT changed under the same normalization
+    the dedup stages use — whitespace-only edits are `unchanged` by
+    design, and either fp is NULL exactly when the doc is absent from
+    that side.
+
+    100 TB design: fingerprints are computed scan-stage on each side
+    (32-byte keys — the raw text never joins), then ONE id-keyed
+    full-outer join; the status column is pure projection arithmetic
+    over null-ness and fp equality. Aggregate downstream for the
+    summary counts (one map-side-partial groupBy on status)."""
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        X.fingerprint(F.col(text_col)).alias("old_fp"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        X.fingerprint(F.col(text_col)).alias("new_fp"),
+    )
+    joined = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("_id").alias(id_col), status.alias("status"), "old_fp", "new_fp"
+    )

@@ -112,6 +112,7 @@ _DRIVER_WINDOW_R7 = [
     "xd_gopher",
     "x_multimodal_resize",
     "x_pagerank_planted",
+    "x_corpus_diff",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
@@ -132,13 +133,13 @@ _DRIVER_WINDOW_R7 = [
     "x_contamination",
     "xd_dedup_exact",
     "xd_token_count",
-    "xd_quality",
     # (displaced to r8 by the late-r7 additions, per the round-start
     # policy above: x_embedding_neardup, x_sessionize, x_funnel,
     # x_retention by the four planted conversions; xd_quality_where,
     # xd_split, x_budget_sample, x_ann_cosine_topk by the four new
     # operator entries; xd_quality_filter by xd_gopher; xd_chunk by
-    # x_multimodal_resize; xd_lang_id by x_pagerank_planted)
+    # x_multimodal_resize; xd_lang_id by x_pagerank_planted;
+    # xd_quality by x_corpus_diff)
 ]
 
 

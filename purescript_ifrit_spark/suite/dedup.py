@@ -537,3 +537,51 @@ def x_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_positions",
         F.round(F.col("dup_frac"), 6).alias("dup_frac"),
     )
+
+
+def _corpus_diff_oracle() -> str:
+    # planted second snapshot, same construction as the entry: docs with
+    # id % 11 == 0 removed, id % 7 == 0 get ' v2' appended (content
+    # change), and id % 13 == 0 re-enter as fresh ids (+1e9). Statuses
+    # re-derive from md5 of the SAME normalization on both engines.
+    def norm(x: str) -> str:
+        return f"trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
+
+    return (
+        f"WITH o AS (SELECT doc_id, md5({norm('text')}) AS fp "
+        "FROM documents), "
+        "nsrc AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+        "THEN text || ' v2' ELSE text END AS text FROM documents "
+        "WHERE doc_id % 11 <> 0 "
+        "UNION ALL SELECT doc_id + 1000000000 AS doc_id, text "
+        "FROM documents WHERE doc_id % 13 = 0), "
+        f"n AS (SELECT doc_id, md5({norm('text')}) AS fp FROM nsrc) "
+        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+        "CASE WHEN o.fp IS NULL THEN 'added' "
+        "WHEN n.fp IS NULL THEN 'removed' "
+        "WHEN o.fp = n.fp THEN 'unchanged' ELSE 'changed' END AS status, "
+        "o.fp AS old_fp, n.fp AS new_fp "
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"
+    )
+
+
+@register("x_corpus_diff", _corpus_diff_oracle())
+def x_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus delta (operators/pipeline.corpus_diff)
+    on a planted second snapshot — per-document added/removed/changed/
+    unchanged, fingerprint-exact on both engines."""
+    from purescript_ifrit_spark.operators.pipeline import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+    )
+    return corpus_diff(docs, kept.unionAll(fresh))

@@ -3257,3 +3257,23 @@ def test_power_iteration_ranks_known_values(spark):
         ).collect()
     }
     assert got3 == got
+
+
+def test_corpus_diff_statuses(spark):
+    from purescript_ifrit_spark.operators.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "delta")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "  alpha   beta "),  # whitespace-only edit: unchanged
+         (2, "gamma EDITED"),     # content change
+         (4, "epsilon")],         # added; doc 3 removed
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in corpus_diff(old, new).collect()}
+    assert out[1].status == "unchanged"  # normalization absorbs whitespace
+    assert out[2].status == "changed"
+    assert out[3].status == "removed" and out[3].new_fp is None
+    assert out[4].status == "added" and out[4].old_fp is None
