@@ -59,7 +59,13 @@ def power_iteration_ranks(
     teleport share already needs (a single long — the ONLY driver
     action). Lineage still grows linearly with n_iter: set
     `checkpoint_every` (localCheckpoint) for long runs — the loop
-    itself is lazy plan construction, not per-iteration jobs.
+    itself is lazy plan construction, not per-iteration jobs. The
+    final score vector is localCheckpointed (one node-sized job) so
+    both loop-invariant caches can be RELEASED before returning —
+    without it the returned lazy plan would keep them pinned for the
+    session's lifetime (the curate persist-contract lesson,
+    pipeline.py:24), and the checkpoint also truncates the n_iter-deep
+    lineage the caller would otherwise re-optimize on every action.
 
     Overflow headroom: total mass never exceeds `scale` (floors only
     lose mass), so the per-edge product score·damping_pct ≤ scale·100
@@ -83,11 +89,13 @@ def power_iteration_ranks(
     n_nodes = nodes.count()  # the one bounded driver action (a single long)
     # — also materializes the node cache every iteration reuses
     if n_nodes == 0:
-        return nodes.select(
+        out = nodes.select(
             "node",
             F.lit(0).cast("long").alias("score_scaled"),
             F.lit(0.0).alias("rank"),
-        )
+        ).localCheckpoint()
+        nodes.unpersist()
+        return out
     init = scale // n_nodes
     teleport = (scale * (100 - damping_pct)) // (100 * n_nodes)
     outdeg = edges.groupBy(F.col(src).alias("_u")).agg(
@@ -120,8 +128,11 @@ def power_iteration_ranks(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             scores = scores.localCheckpoint()
-    return scores.select(
+    out = scores.select(
         "node",
         F.col("score").alias("score_scaled"),
         (F.col("score").cast("double") / F.lit(float(scale))).alias("rank"),
-    )
+    ).localCheckpoint()
+    nodes.unpersist()
+    e.unpersist()
+    return out
