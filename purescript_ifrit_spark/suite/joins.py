@@ -317,3 +317,49 @@ def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+_FUZZY_EDIT_SQL = (
+    # planted near-duplicate keys, closed-form from p_partkey: one char
+    # DELETED at position (p_partkey % 10)+1 for % 3 == 0, SUBSTITUTED
+    # with 'x' for % 3 == 1, unchanged otherwise (p_name is 7-12 chars,
+    # so the edit position always lands inside the key)
+    "CASE WHEN p_partkey % 3 = 0 THEN "
+    "substr(p_name, 1, p_partkey % 10) || substr(p_name, (p_partkey % 10) + 2) "
+    "WHEN p_partkey % 3 = 1 THEN "
+    "substr(p_name, 1, p_partkey % 10) || 'x' || substr(p_name, (p_partkey % 10) + 2) "
+    "ELSE p_name END"
+)
+
+
+@register(
+    "x_fuzzy_join",
+    # brute-force oracle: the length prefilter mirrors the operator's
+    # blocking IDENTITY (edit distance >= length difference), then plain
+    # levenshtein — DuckDB and Spark both implement classic unit-cost
+    # Levenshtein, so the pair set and distances agree exactly
+    "WITH e AS (SELECT p_partkey AS e_partkey, "
+    f"{_FUZZY_EDIT_SQL} AS e_name FROM part), "
+    "o AS (SELECT p_partkey AS o_partkey, p_name AS o_name FROM part) "
+    "SELECT o_partkey, e_partkey, "
+    "CAST(levenshtein(o_name, e_name) AS INT) AS edit_dist "
+    "FROM o JOIN e ON abs(length(o_name) - length(e_name)) <= 1 "
+    "AND levenshtein(o_name, e_name) <= 1",
+)
+def x_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance key join (operators/joins.fuzzy_key_join) — record
+    linkage over planted typo'd part names: length-blocked equi-join +
+    threshold levenshtein, vs DuckDB's brute-force quadratic twin."""
+    from purescript_ifrit_spark.operators.joins import fuzzy_key_join
+
+    part = load_table(spark, sf_dir, "part")
+    o = part.select(
+        F.col("p_partkey").alias("o_partkey"), F.col("p_name").alias("o_name")
+    )
+    e = part.select(
+        F.col("p_partkey").alias("e_partkey"),
+        F.expr(_FUZZY_EDIT_SQL).alias("e_name"),
+    )
+    return fuzzy_key_join(o, e, "o_name", "e_name", max_dist=1).select(
+        "o_partkey", "e_partkey", "edit_dist"
+    )

@@ -3277,3 +3277,78 @@ def test_corpus_diff_statuses(spark):
     assert out[2].status == "changed"
     assert out[3].status == "removed" and out[3].new_fp is None
     assert out[4].status == "added" and out[4].old_fp is None
+
+
+def test_fuzzy_key_join_matches_brute_force(spark):
+    from purescript_ifrit_spark.operators.joins import fuzzy_key_join
+
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "saturday"), (3, "flaw"), (4, "x")],
+        ["lid", "lkey"],
+    )
+    right = spark.createDataFrame(
+        [(10, "sitten"),    # kitten @1 (substitution)
+         (11, "kitte"),     # kitten @1 (deletion)
+         (12, "sunday"),    # saturday @3 — beyond k=2
+         (13, "lawn"),      # flaw @2 (delete f, append n)
+         (14, "xy"),        # x @1
+         (15, "zzzzzzzz")], # matches nothing within 2
+        ["rid", "rkey"],
+    )
+    got = sorted(
+        (r.lid, r.rid, r.edit_dist)
+        for r in fuzzy_key_join(left, right, "lkey", "rkey", max_dist=2)
+        .collect()
+    )
+    # brute force in python
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = sorted(
+        (lid, rid, lev(a, b))
+        for lid, a in [(1, "kitten"), (2, "saturday"), (3, "flaw"), (4, "x")]
+        for rid, b in [(10, "sitten"), (11, "kitte"), (12, "sunday"),
+                       (13, "lawn"), (14, "xy"), (15, "zzzzzzzz")]
+        if lev(a, b) <= 2
+    )
+    assert got == want and (1, 10, 1) in got and (4, 14, 1) in got
+
+
+def test_fuzzy_key_join_guards(spark):
+    import pytest
+
+    from purescript_ifrit_spark.operators.joins import fuzzy_key_join
+
+    df = spark.createDataFrame([(1, "a")], ["id", "key"])
+    other = spark.createDataFrame([(2, "b")], ["id2", "key2"])
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_key_join(df, other, "key", "key2", max_dist=9)
+    with pytest.raises(ValueError, match="collision"):
+        fuzzy_key_join(df, df, "key", "key", max_dist=1)
+
+
+def test_fuzzy_key_join_exact_block_cols(spark):
+    from purescript_ifrit_spark.operators.joins import fuzzy_key_join
+
+    left = spark.createDataFrame(
+        [(1, "abc", "en"), (2, "abc", "fr")], ["lid", "lkey", "llang"]
+    )
+    right = spark.createDataFrame(
+        [(10, "abd", "en")], ["rid", "rkey", "rlang"]
+    )
+    # without blocking both left rows match; with the language conjunct
+    # only the same-language pair survives (semantic narrowing)
+    free = fuzzy_key_join(left, right, "lkey", "rkey", max_dist=1)
+    assert sorted(r.lid for r in free.collect()) == [1, 2]
+    blocked = fuzzy_key_join(
+        left, right, "lkey", "rkey", max_dist=1,
+        exact_block_cols=[("llang", "rlang")],
+    )
+    assert [r.lid for r in blocked.collect()] == [1]
