@@ -268,3 +268,51 @@ def encoding_quality(
         .otherwise(F.lit(0.0))
         .alias("non_ascii_ratio"),
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_nfc",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization of a text column — the canonicalization
+    step that belongs BEFORE any fingerprint/dedup stage: visually
+    identical strings with different codepoint sequences ("café"
+    composed vs "cafe" + U+0301) would otherwise carry different
+    md5/minhash keys and silently escape every dedup family.
+
+    `form` is one of NFC/NFD/NFKC/NFKD (NFC is the storage-canonical
+    choice; NFKC additionally folds compatibility characters — ligature
+    ﬁ → fi, fullwidth digits — which is lossy and should be a deliberate
+    corpus decision).
+
+    100 TB design: Spark has no builtin normalizer, so this is the
+    slow-path exception done the fast way — ONE Arrow-batched
+    `pandas_udf` at scan stage, no shuffle, no join. Inside the batch,
+    `str.isascii()` short-circuits: ASCII is closed under all four
+    forms, so a mostly-ASCII corpus pays Arrow transfer only, and the
+    C-level normalizer runs just on rows that can change. Cross-engine
+    caveat recorded: Python's unicodedata and DuckDB's utf8proc may
+    trail different Unicode versions; normalization of ASSIGNED
+    codepoints is stabilized by the standard, so parity holds for any
+    real-world text (the oracle pins composed accents; unassigned
+    codepoints are out of contract)."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(
+            f"form must be one of NFC/NFD/NFKC/NFKD (got {form!r})"
+        )
+
+    @F.pandas_udf("string")
+    def _norm(s):
+        # self-contained closure: imports inside, nothing from the repo
+        import unicodedata
+
+        def one(x):
+            if x is None or x.isascii():
+                return x
+            return unicodedata.normalize(form, x)
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

@@ -114,6 +114,7 @@ _DRIVER_WINDOW_R7 = [
     "x_pagerank_planted",
     "x_corpus_diff",
     "x_fuzzy_join",
+    "x_unicode_nfc",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
@@ -132,14 +133,14 @@ _DRIVER_WINDOW_R7 = [
     "x_fingerprint",
     "x_token_rarity",
     "x_contamination",
-    "xd_dedup_exact",
     # (displaced to r8 by the late-r7 additions, per the round-start
     # policy above: x_embedding_neardup, x_sessionize, x_funnel,
     # x_retention by the four planted conversions; xd_quality_where,
     # xd_split, x_budget_sample, x_ann_cosine_topk by the four new
     # operator entries; xd_quality_filter by xd_gopher; xd_chunk by
     # x_multimodal_resize; xd_lang_id by x_pagerank_planted;
-    # xd_quality by x_corpus_diff; xd_token_count by x_fuzzy_join)
+    # xd_quality by x_corpus_diff; xd_token_count by x_fuzzy_join;
+    # xd_dedup_exact by x_unicode_nfc)
 ]
 
 

@@ -977,3 +977,47 @@ def x_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_stopwords",
         "gopher_pass",
     )
+
+
+@register(
+    "x_unicode_nfc",
+    # planted decomposed sequences (combining acute/tilde) on doc_id % 4
+    # == 0; the base corpus is pure ASCII (NFC-invariant on both engines
+    # regardless of Unicode version skew), so the planted suffix is the
+    # entire signal and its compositions (é, ñ) are stable since
+    # Unicode 3
+    "WITH h AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN "
+    "' cafe' || chr(769) || ' jalapen' || chr(771) || 'o' ELSE '' END AS x "
+    "FROM documents), "
+    "n AS (SELECT doc_id, x, nfc_normalize(x) AS y FROM h) "
+    "SELECT doc_id, (y <> x) AS changed, "
+    "CAST(length(x) AS BIGINT) AS len_raw, "
+    "CAST(length(y) AS BIGINT) AS len_nfc, md5(y) AS fp_nfc FROM n",
+)
+def x_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/text_cleaning.
+    normalize_unicode) on planted decomposed accents — composed output
+    fingerprint-exact vs DuckDB's utf8proc nfc_normalize."""
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        normalize_unicode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(" cafe\u0301 jalapen\u0303o"),  # decomposed, kept escaped
+            ).otherwise(F.lit("")),
+        ).alias("x"),
+    )
+    out = normalize_unicode(aug, "x", "y", form="NFC")
+    return out.select(
+        "doc_id",
+        (F.col("y") != F.col("x")).alias("changed"),
+        F.length("x").cast("long").alias("len_raw"),
+        F.length("y").cast("long").alias("len_nfc"),
+        F.md5(F.col("y")).alias("fp_nfc"),
+    )

@@ -440,3 +440,33 @@ def test_encoding_quality_counts(spark):
     assert got[3]["non_ascii_ratio"] == 2 / 7
     assert got[4]["n_chars"] == 0 and got[4]["non_ascii_ratio"] == 0.0
     assert got[5]["n_control"] == 0
+
+
+def test_normalize_unicode_forms(spark):
+    import pytest
+
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        normalize_unicode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "café"),      # decomposed acute -> é under NFC
+         (2, "ﬁne"),        # ligature fi: NFC keeps, NFKC folds
+         (3, "plain ascii"),
+         (4, None)],
+        ["id", "t"],
+    )
+    nfc = {r.id: r.o for r in
+           normalize_unicode(df, "t", "o", "NFC").collect()}
+    assert nfc[1] == "café"
+    assert nfc[2] == "ﬁne"          # compatibility chars untouched
+    assert nfc[3] == "plain ascii"       # ASCII short-circuit: identity
+    assert nfc[4] is None
+    nfkc = {r.id: r.o for r in
+            normalize_unicode(df, "t", "o", "NFKC").collect()}
+    assert nfkc[2] == "fine"             # ligature folded
+    nfd = {r.id: r.o for r in
+           normalize_unicode(df, "t", "o", "NFD").collect()}
+    assert nfd[1] == "café"        # NFD re-decomposes
+    with pytest.raises(ValueError, match="form"):
+        normalize_unicode(df, "t", "o", "NFX")
