@@ -316,3 +316,84 @@ def normalize_unicode(
         return s.map(one)
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+# Java-regex ∩ RE2 (the url_domain_stats convention): inline (?i),
+# anchored groups, no backreferences — both engines read these verbatim.
+CANON_URL_RX = r"(?i)^(https?)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+TRACKING_PARAM_RX = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)"
+
+
+def canonicalize_url_expr(c: Column) -> Column:
+    """Canonical form of an http(s) URL as ONE codegen'd projection —
+    the crawl-dedup prerequisite: the same page arrives as
+    `HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#top` and
+    `http://example.com/a?a=1&b=2`, and URL-keyed dedup/frontier logic
+    only works if both map to one key.
+
+    Rules (deterministic, mirrored verbatim by canonicalize_url_sql):
+    scheme+host lowercased; default port stripped (:80 http, :443
+    https — :8080 kept); trailing path slashes stripped (bare root
+    stays "/"); fragment dropped; query params split, tracking params
+    (utm_*/gclid/fbclid/msclkid/ref) and empties dropped, the rest
+    SORTED and rejoined (param order never survives proxies); NULL for
+    anything that is not an http(s) URL. Scan-stage, zero UDFs."""
+    scheme = F.lower(F.regexp_extract(c, CANON_URL_RX, 1))
+    rawhost = F.lower(F.regexp_extract(c, CANON_URL_RX, 2))
+    host = F.when(
+        scheme == "http", F.regexp_replace(rawhost, ":80$", "")
+    ).otherwise(F.regexp_replace(rawhost, ":443$", ""))
+    path = F.regexp_replace(F.regexp_extract(c, CANON_URL_RX, 3), "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract(c, CANON_URL_RX, 4), "&"),
+            lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RX),
+        )
+    )
+    q = F.array_join(params, "&")
+    out = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return F.when(scheme != "", out)
+
+
+def canonicalize_url_sql(x: str) -> str:
+    """DuckDB twin of `canonicalize_url_expr` (same regexes, same rule
+    order; see html_text_sql for the twin-builder convention)."""
+    rx = CANON_URL_RX.replace("'", "''")
+    trx = TRACKING_PARAM_RX.replace("'", "''")
+    scheme = f"lower(regexp_extract({x}, '{rx}', 1))"
+    rawhost = f"lower(regexp_extract({x}, '{rx}', 2))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN "
+        f"regexp_replace({rawhost}, ':80$', '') "
+        f"ELSE regexp_replace({rawhost}, ':443$', '') END"
+    )
+    path = f"regexp_replace(regexp_extract({x}, '{rx}', 3), '/+$', '')"
+    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    q = (
+        "array_to_string(list_sort(list_filter(string_split("
+        f"regexp_extract({x}, '{rx}', 4), '&'), "
+        f"y -> y <> '' AND NOT regexp_matches(y, '{trx}'))), '&')"
+    )
+    # array_to_string of an empty list is NULL in DuckDB — COALESCE to
+    # the Spark '' so the ?-suffix CASE agrees
+    q = f"COALESCE({q}, '')"
+    return (
+        f"CASE WHEN {scheme} <> '' THEN "
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {q} <> '' THEN '?' || {q} ELSE '' END "
+        "ELSE NULL END"
+    )
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_canon"
+) -> DataFrame:
+    """Add the canonical-URL column (see canonicalize_url_expr)."""
+    return df.withColumn(out_col, canonicalize_url_expr(F.col(url_col)))

@@ -115,6 +115,7 @@ _DRIVER_WINDOW_R7 = [
     "x_corpus_diff",
     "x_fuzzy_join",
     "x_unicode_nfc",
+    "x_url_canonicalize",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
@@ -132,7 +133,6 @@ _DRIVER_WINDOW_R7 = [
     "x_lang_id",
     "x_fingerprint",
     "x_token_rarity",
-    "x_contamination",
     # (displaced to r8 by the late-r7 additions, per the round-start
     # policy above: x_embedding_neardup, x_sessionize, x_funnel,
     # x_retention by the four planted conversions; xd_quality_where,
@@ -140,7 +140,8 @@ _DRIVER_WINDOW_R7 = [
     # operator entries; xd_quality_filter by xd_gopher; xd_chunk by
     # x_multimodal_resize; xd_lang_id by x_pagerank_planted;
     # xd_quality by x_corpus_diff; xd_token_count by x_fuzzy_join;
-    # xd_dedup_exact by x_unicode_nfc)
+    # xd_dedup_exact by x_unicode_nfc; x_contamination by
+    # x_url_canonicalize)
 ]
 
 

@@ -1021,3 +1021,47 @@ def x_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("y").cast("long").alias("len_nfc"),
         F.md5(F.col("y")).alias("fp_nfc"),
     )
+
+
+# messy-URL fixture, one expression valid in BOTH Spark SQL and DuckDB
+# (the x_fuzzy_join shared-CASE convention): five shapes exercising
+# case-folding, default/non-default ports, trailing slashes, tracking
+# and empty-valued params, duplicate params, fragments, and a non-URL
+_MESSY_URL_SQL = (
+    "CASE doc_id % 5 "
+    "WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id % 9) || '.COM:80/Path/' "
+    "|| doc_id || '/?utm_source=feed&b=2&a=1#frag' "
+    "WHEN 1 THEN 'https://cdn' || (doc_id % 4) || '.example.org:443/x' "
+    "WHEN 2 THEN 'http://host' || (doc_id % 9) || "
+    "'.example:8080/a//?gclid=9&z=3&y=' "
+    "WHEN 3 THEN 'not a url ' || doc_id "
+    "ELSE 'https://Example.net/' || doc_id || '?ref=tw&q=' || "
+    "(doc_id % 3) || '&q=' || (doc_id % 3) END"
+)
+
+
+def _url_canon_oracle() -> str:
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        canonicalize_url_sql,
+    )
+
+    return (
+        f"WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url "
+        "FROM documents) "
+        f"SELECT doc_id, {canonicalize_url_sql('url')} AS url_canon FROM u"
+    )
+
+
+@register("x_url_canonicalize", _url_canon_oracle())
+def x_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/text_cleaning.
+    canonicalize_url_expr) over planted messy URLs — the crawl-dedup
+    key: case/port/slash/param-order/tracking/fragment normalization,
+    value-exact against the DuckDB twin builder."""
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        canonicalize_urls,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", F.expr(_MESSY_URL_SQL).alias("url"))
+    return canonicalize_urls(u).select("doc_id", "url_canon")

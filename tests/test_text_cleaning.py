@@ -470,3 +470,28 @@ def test_normalize_unicode_forms(spark):
     assert nfd[1] == "café"        # NFD re-decomposes
     with pytest.raises(ValueError, match="form"):
         normalize_unicode(df, "t", "o", "NFX")
+
+
+def test_canonicalize_url_rules(spark):
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        canonicalize_urls,
+    )
+
+    cases = [
+        (1, "HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#top",
+         "http://example.com/a?a=1&b=2"),
+        (2, "https://example.com:443/", "https://example.com/"),
+        (3, "http://example.com:8080/x", "http://example.com:8080/x"),
+        (4, "https://h.net", "https://h.net/"),          # bare root
+        (5, "http://h.net/x?utm_source=a&gclid=1", "http://h.net/x"),
+        (6, "ftp://example.com/x", None),                # non-http(s)
+        (7, "plain text", None),
+        (8, "http://h.net/x?b=1&b=1&a=", "http://h.net/x?a=&b=1&b=1"),
+        (9, "HTTPS://H.net:80/x", "https://h.net:80/x"), # :80 on https kept
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], ["id", "url"]
+    )
+    got = {r.id: r.url_canon for r in canonicalize_urls(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
