@@ -1,0 +1,125 @@
+"""Distributed k-means (Lloyd's algorithm) over integer vectors —
+embedding-space clustering for corpus mixing / topic balancing: cluster
+the embedding table, then sample or weight per cluster (the
+data-mixing companion to operators/sampling.temperature_mix).
+
+INTEGER-EXACT DESIGN (the operators/graph.py contract for iterative
+algorithms): vectors are int64 arrays (quantize floats upstream, e.g.
+floor(x*1000) + offset), assignment is exact integer squared-L2 with
+ties broken toward the LOWEST centroid id, and the centroid update is
+element-wise floor-division mean — so the centroids after k iterations
+are a pure integer function of the input and an unrolled SQL twin can
+recompute them bit-for-bit (float k-means differs in the last ulp per
+summation order, which flips assignments near Voronoi boundaries and
+cascades).
+
+NONNEGATIVITY NOTE: keep quantized coordinates nonnegative (add a
+constant offset — k-means is translation-invariant, assignments and
+relative centroids are unchanged). Floor-division of negative sums is
+engine-divergent (Python floors toward -inf, DuckDB/Spark `div`
+truncate toward zero); nonnegative sums make them agree, and the
+operator raises on negative input rather than silently diverging from
+its own oracle contract.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec, centroid: Sequence[int]):
+    lit = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_expr(vec, centroids: List[List[int]]):
+    dists = F.array(*[_sq_dist(vec, c) for c in centroids])
+    # array_position returns the FIRST (1-based) occurrence of the min —
+    # exactly the lowest-centroid-id tie-break the contract pins
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str,
+    init_centroids: List[List[int]],
+    n_iter: int = 3,
+    *,
+    with_dist: bool = False,
+) -> Tuple[DataFrame, List[List[int]]]:
+    """`n_iter` exact Lloyd iterations from explicit integer seed
+    centroids; returns (df + `cluster` column assigned under the FINAL
+    centroids, the final centroids). `with_dist` adds `sq_dist`, the
+    exact squared distance to the assigned centroid — one integer that
+    witnesses every final centroid coordinate (the planted-oracle
+    hook).
+
+    Empty clusters keep their previous centroid (deterministic; no
+    re-seeding randomness).
+
+    100 TB design: assignment is a scan-stage unrolled expression (k
+    codegen'd HOF folds — no join, nothing shuffles); the update is ONE
+    (cluster, pos)-keyed exchange per iteration (posexplode → partial
+    sums map-side), and the only driver materialization is the k×dim
+    centroid matrix per iteration (k and dim are model constants, like
+    ivf_centroids' bounded build — similarity.py:249). The input plan
+    is re-read per iteration: persist the quantized projection upstream
+    for multi-iteration runs over slow sources (the power-iteration
+    lesson, operators/graph.py — measured, Spark does not dedupe
+    identical subtrees)."""
+    k = len(init_centroids)
+    if k < 1:
+        raise ValueError("need at least one centroid")
+    dim = len(init_centroids[0])
+    if any(len(c) != dim for c in init_centroids):
+        raise ValueError("ragged init_centroids")
+    if not 1 <= n_iter <= 50:
+        raise ValueError(f"n_iter must be in [1, 50] (got {n_iter})")
+    if any(x < 0 for c in init_centroids for x in c):
+        raise ValueError(
+            "negative centroid coordinate: shift the quantization to a "
+            "nonnegative domain (see module docstring — floor division "
+            "semantics diverge across engines below zero)"
+        )
+
+    vec = F.col(vec_col)
+    centroids = [[int(x) for x in c] for c in init_centroids]
+    for _ in range(n_iter):
+        assigned = df.select(
+            _assign_expr(vec, centroids).alias("_c"), vec.alias("_v")
+        )
+        sums = (
+            assigned.select("_c", F.posexplode("_v").alias("_p", "_x"))
+            .groupBy("_c", "_p")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        by_cluster: dict = {}
+        for r in sums:
+            if r["_s"] < 0:
+                raise ValueError(
+                    "negative coordinate sum: input vectors must be "
+                    "nonnegative for the exactness contract"
+                )
+            by_cluster.setdefault(r["_c"], {})[r["_p"]] = (r["_s"], r["_n"])
+        centroids = [
+            [
+                by_cluster[cid][p][0] // by_cluster[cid][p][1]
+                if cid in by_cluster
+                else centroids[cid][p]
+                for p in range(dim)
+            ]
+            for cid in range(k)
+        ]
+    out = df.withColumn("cluster", _assign_expr(vec, centroids))
+    if with_dist:
+        dists = F.array(*[_sq_dist(vec, c) for c in centroids])
+        out = out.withColumn("sq_dist", F.array_min(dists))
+    return out, centroids

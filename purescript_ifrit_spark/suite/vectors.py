@@ -358,3 +358,96 @@ def x_linear_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score"), 6).alias("score"),
         "keep",
     )
+
+
+_KM_K = 4
+_KM_DIM = 4
+_KM_ITER = 3
+_KM_OFF = 1024  # translation to the nonnegative domain (clustering.py)
+
+
+def _km_quant_sql(i: int) -> str:
+    # DuckDB lists are 1-based; corpus floats are in (-1, 1) so the
+    # offset keeps every coordinate positive
+    return (
+        f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * 1000) AS BIGINT) "
+        f"+ {_KM_OFF}"
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled DuckDB twin of kmeans_lloyd (the _pagerank_oracle
+    pattern): 3 assign+update rounds plus the final assignment, all in
+    exact integer arithmetic — sq_dist witnesses every final centroid
+    coordinate."""
+    vs = [f"v{i}" for i in range(1, _KM_DIM + 1)]
+    dist = " + ".join(f"(p.{v} - c.e{j+1}) * (p.{v} - c.e{j+1})"
+                      for j, v in enumerate(vs))
+    parts = [
+        "WITH p AS (SELECT vec_id, "
+        + ", ".join(f"{_km_quant_sql(i+1)} AS v{i+1}" for i in range(_KM_DIM))
+        + " FROM embeddings), ",
+        "c0 AS (SELECT vec_id AS cid, "
+        + ", ".join(f"v{i+1} AS e{i+1}" for i in range(_KM_DIM))
+        + f" FROM p WHERE vec_id < {_KM_K}), ",
+    ]
+    for i in range(1, _KM_ITER + 2):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cid, dist FROM ("
+            "SELECT vec_id, cid, dist, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ("
+            f"SELECT p.vec_id, c.cid, {dist} AS dist "
+            f"FROM p CROSS JOIN c{i-1} c)) WHERE rn = 1), "
+        )
+        if i <= _KM_ITER:
+            sums = ", ".join(f"SUM(p.v{j+1}) AS s{j+1}" for j in range(_KM_DIM))
+            upd = ", ".join(
+                f"COALESCE(g.s{j+1} // g.n, c.e{j+1}) AS e{j+1}"
+                for j in range(_KM_DIM)
+            )
+            parts.append(
+                f"c{i} AS (SELECT c.cid, {upd} FROM c{i-1} c "
+                f"LEFT JOIN (SELECT a.cid, {sums}, COUNT(*) AS n "
+                f"FROM a{i} a JOIN p USING (vec_id) GROUP BY a.cid) g "
+                "USING (cid)), "
+            )
+    parts[-1] = parts[-1].rstrip(", ") + " "
+    parts.append(
+        f"SELECT vec_id, CAST(cid AS INT) AS cluster, dist AS sq_dist "
+        f"FROM a{_KM_ITER + 1}"
+    )
+    return "".join(parts)
+
+
+@register("x_kmeans_planted", _kmeans_oracle())
+def x_kmeans_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact distributed k-means (operators/clustering.
+    kmeans_lloyd) on offset-quantized embedding slices, seeded at the
+    four lowest vec_ids — assignments AND exact squared distances under
+    the final centroids, value-exact vs the unrolled DuckDB twin."""
+    from purescript_ifrit_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.array(
+            *[
+                (
+                    F.floor(
+                        F.element_at("embedding", i + 1).cast("double")
+                        * 1000
+                    )
+                    + _KM_OFF
+                ).cast("long")
+                for i in range(_KM_DIM)
+            ]
+        ).alias("qv"),
+    )
+    seeds = [
+        list(r["qv"])
+        for r in q.filter(F.col("vec_id") < _KM_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    out, _ = kmeans_lloyd(q, "qv", seeds, n_iter=_KM_ITER, with_dist=True)
+    return out.select("vec_id", "cluster", "sq_dist")

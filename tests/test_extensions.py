@@ -3352,3 +3352,71 @@ def test_fuzzy_key_join_exact_block_cols(spark):
         exact_block_cols=[("llang", "rlang")],
     )
     assert [r.lid for r in blocked.collect()] == [1]
+
+
+def _py_kmeans(points, cents, n_iter):
+    cents = [list(c) for c in cents]
+    dim = len(cents[0])
+    for _ in range(n_iter):
+        assign = {}
+        for pid, v in points.items():
+            d = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents]
+            assign[pid] = d.index(min(d))  # first min = lowest cid
+        for cid in range(len(cents)):
+            members = [points[p] for p, c in assign.items() if c == cid]
+            if members:
+                cents[cid] = [
+                    sum(col) // len(members) for col in zip(*members)
+                ]
+    final = {}
+    for pid, v in points.items():
+        d = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents]
+        final[pid] = (d.index(min(d)), min(d))
+    return final, cents
+
+
+def test_kmeans_lloyd_matches_python_twin(spark):
+    from purescript_ifrit_spark.operators.clustering import kmeans_lloyd
+
+    pts = {
+        1: [0, 0], 2: [1, 1], 3: [2, 0],        # near origin
+        4: [100, 100], 5: [101, 99],             # far cluster
+        6: [50, 50],                              # between
+    }
+    seeds = [[0, 0], [100, 100]]
+    df = spark.createDataFrame(
+        [(k, v) for k, v in pts.items()], ["id", "qv"]
+    )
+    out, cents = kmeans_lloyd(df, "qv", seeds, n_iter=3, with_dist=True)
+    got = {r.id: (r.cluster, r.sq_dist) for r in out.collect()}
+    want, want_cents = _py_kmeans(pts, seeds, 3)
+    assert got == want
+    assert cents == want_cents
+
+
+def test_kmeans_lloyd_empty_cluster_and_ties(spark):
+    from purescript_ifrit_spark.operators.clustering import kmeans_lloyd
+
+    # second centroid captures nothing -> keeps its seed; point 1 is
+    # equidistant to both seeds -> lowest cid wins
+    df = spark.createDataFrame([(1, [5, 5])], ["id", "qv"])
+    out, cents = kmeans_lloyd(df, "qv", [[0, 0], [10, 10]], n_iter=2)
+    assert [r.cluster for r in out.collect()] == [0]
+    assert cents == [[5, 5], [10, 10]]  # updated; empty keeps seed
+
+
+def test_kmeans_lloyd_guards(spark):
+    import pytest
+
+    from purescript_ifrit_spark.operators.clustering import kmeans_lloyd
+
+    df = spark.createDataFrame([(1, [1, 2])], ["id", "qv"])
+    with pytest.raises(ValueError, match="nonnegative"):
+        kmeans_lloyd(df, "qv", [[-1, 0]], n_iter=1)
+    with pytest.raises(ValueError, match="ragged"):
+        kmeans_lloyd(df, "qv", [[1, 2], [1]], n_iter=1)
+    with pytest.raises(ValueError, match="n_iter"):
+        kmeans_lloyd(df, "qv", [[1, 2]], n_iter=0)
+    neg = spark.createDataFrame([(1, [-5, 2])], ["id", "qv"])
+    with pytest.raises(ValueError, match="negative coordinate sum"):
+        kmeans_lloyd(neg, "qv", [[1, 2]], n_iter=1)
