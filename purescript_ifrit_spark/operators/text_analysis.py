@@ -1037,3 +1037,66 @@ def gopher_pass_sql(x: str) -> str:
         f"AND ({af}) >= {d['min_alpha_frac']}D "
         f"AND {ns} >= {d['min_stopwords']})"
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_every: int = 50,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: at id-ordered corpus
+    checkpoints, the cumulative token count, cumulative vocabulary size
+    (distinct tokens first seen at or before the checkpoint) and
+    type-token ratio — the curve that says whether more data still buys
+    new vocabulary or the corpus has saturated (dedup/dataset-mixing
+    feedback; token-budget planning reads the TTR knee).
+
+    A document belongs to checkpoint ((id div every) + 1) * every; a
+    checkpoint appears iff some document (with at least one token)
+    lands in its bucket. Tokens are the module convention
+    (functions/text.tokens: normalized whitespace split, '' dropped).
+
+    100 TB design: one explode + two keyed aggregations (term-level
+    MIN(checkpoint) is the only wide shuffle — term-keyed, the same
+    scale class as term_stats), then cumulative windows over the GRID
+    relation only, whose row count is corpus_size / checkpoint_every —
+    the single-partition window is bounded by the curve's own
+    resolution, never by the corpus."""
+    from pyspark.sql import Window
+
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1 (got {checkpoint_every})")
+    cp = (
+        F.expr(f"(({id_col} div {checkpoint_every}) + 1) * {checkpoint_every}")
+        .cast("long")
+        .alias("checkpoint")
+    )
+    tok = df.select(
+        cp, F.explode(X.tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tok_by_cp = tok.groupBy("checkpoint").agg(
+        F.count(F.lit(1)).alias("_n_tok")
+    )
+    first_cp = tok.groupBy("term").agg(F.min("checkpoint").alias("_fcp"))
+    vocab_by_cp = first_cp.groupBy(F.col("_fcp").alias("checkpoint")).agg(
+        F.count(F.lit(1)).alias("_n_new")
+    )
+    grid = tok_by_cp.join(vocab_by_cp, "checkpoint", "left").select(
+        "checkpoint",
+        F.col("_n_tok"),
+        F.coalesce(F.col("_n_new"), F.lit(0)).alias("_n_new"),
+    )
+    w = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return grid.select(
+        "checkpoint",
+        F.sum("_n_tok").over(w).cast("long").alias("cum_tokens"),
+        F.sum("_n_new").over(w).cast("long").alias("cum_vocab"),
+    ).withColumn(
+        "ttr",
+        F.round(
+            F.col("cum_vocab").cast("double") / F.col("cum_tokens"), 6
+        ),
+    )

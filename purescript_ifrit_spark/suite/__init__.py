@@ -117,6 +117,7 @@ _DRIVER_WINDOW_R7 = [
     "x_unicode_nfc",
     "x_url_canonicalize",
     "x_kmeans_planted",
+    "x_vocab_growth",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
@@ -132,7 +133,6 @@ _DRIVER_WINDOW_R7 = [
     "x_text_token_count",
     "x_text_quality",
     "x_lang_id",
-    "x_fingerprint",
     # (displaced to r8 by the late-r7 additions, per the round-start
     # policy above: x_embedding_neardup, x_sessionize, x_funnel,
     # x_retention by the four planted conversions; xd_quality_where,
@@ -141,7 +141,8 @@ _DRIVER_WINDOW_R7 = [
     # x_multimodal_resize; xd_lang_id by x_pagerank_planted;
     # xd_quality by x_corpus_diff; xd_token_count by x_fuzzy_join;
     # xd_dedup_exact by x_unicode_nfc; x_contamination by
-    # x_url_canonicalize; x_token_rarity by x_kmeans_planted)
+    # x_url_canonicalize; x_token_rarity by x_kmeans_planted;
+    # x_fingerprint by x_vocab_growth)
 ]
 
 

@@ -1065,3 +1065,34 @@ def x_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     u = docs.select("doc_id", F.expr(_MESSY_URL_SQL).alias("url"))
     return canonicalize_urls(u).select("doc_id", "url_canon")
+
+
+@register(
+    "x_vocab_growth",
+    # Heaps'-law curve at 50-doc checkpoints: cumulative tokens,
+    # cumulative first-seen vocabulary, type-token ratio — exact
+    # integers + one rounded division
+    "WITH d AS (SELECT ((doc_id // 50) + 1) * 50 AS cp, "
+    + _NORM_SQL
+    + " AS nt FROM documents), "
+    "tok AS (SELECT cp, unnest(string_split(nt, ' ')) AS term FROM d), "
+    "tok2 AS (SELECT cp, term FROM tok WHERE term <> ''), "
+    "tbc AS (SELECT cp, COUNT(*) AS n_tok FROM tok2 GROUP BY cp), "
+    "fcp AS (SELECT term, MIN(cp) AS fc FROM tok2 GROUP BY term), "
+    "vbc AS (SELECT fc AS cp, COUNT(*) AS n_new FROM fcp GROUP BY fc), "
+    "g AS (SELECT t.cp, t.n_tok, COALESCE(v.n_new, 0) AS n_new "
+    "FROM tbc t LEFT JOIN vbc v USING (cp)), "
+    "c AS (SELECT cp AS checkpoint, "
+    "CAST(SUM(n_tok) OVER (ORDER BY cp) AS BIGINT) AS cum_tokens, "
+    "CAST(SUM(n_new) OVER (ORDER BY cp) AS BIGINT) AS cum_vocab FROM g) "
+    "SELECT checkpoint, cum_tokens, cum_vocab, "
+    "ROUND(CAST(cum_vocab AS DOUBLE) / cum_tokens, 6) AS ttr FROM c",
+)
+def x_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth / Heaps'-law curve (operators/text_analysis.
+    vocab_growth) — cumulative tokens vs first-seen vocabulary at
+    50-doc checkpoints, integer-exact plus one rounded division."""
+    from purescript_ifrit_spark.operators.text_analysis import vocab_growth
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_growth(docs, "doc_id", "text", checkpoint_every=50)

@@ -3420,3 +3420,25 @@ def test_kmeans_lloyd_guards(spark):
     neg = spark.createDataFrame([(1, [-5, 2])], ["id", "qv"])
     with pytest.raises(ValueError, match="negative coordinate sum"):
         kmeans_lloyd(neg, "qv", [[1, 2]], n_iter=1)
+
+
+def test_vocab_growth_known_curve(spark):
+    import pytest
+
+    from purescript_ifrit_spark.operators.text_analysis import vocab_growth
+
+    df = spark.createDataFrame(
+        [(0, "a b a"),      # cp 2: 3 tokens, vocab {a, b}
+         (1, "b c"),        # cp 2: 2 tokens, +{c}
+         (2, "c d  "),      # cp 4: 2 tokens, +{d}
+         (5, "")],          # cp 6: blank -> no tokens, no checkpoint
+        ["doc_id", "text"],
+    )
+    rows = {r.checkpoint: r for r in
+            vocab_growth(df, checkpoint_every=2).collect()}
+    assert set(rows) == {2, 4}
+    assert (rows[2].cum_tokens, rows[2].cum_vocab) == (5, 3)
+    assert (rows[4].cum_tokens, rows[4].cum_vocab) == (7, 4)
+    assert rows[4].ttr == round(4 / 7, 6)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        vocab_growth(df, checkpoint_every=0)
