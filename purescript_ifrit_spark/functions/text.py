@@ -317,6 +317,20 @@ def quality_from_parts(
     return q_dm.cast("double") / F.lit(10_000_000.0)
 
 
+def bind_once(c: Column, f) -> Column:
+    """Evaluate `c` ONCE per row and pass the result to `f` as a bound
+    lambda variable. Lambda bodies in Spark higher-order functions run
+    interpreted with NO subexpression elimination, so a computed array
+    referenced inside a transform/filter lambda is re-evaluated per
+    ELEMENT — tokens(text) inside an n-gram transform re-runs the
+    lower+regexp+split chain once per POSITION, turning a linear scan
+    quadratic (measured: the sf0.1 span-dedup position build dropped
+    3.8 s → 0.7 s from this binding alone; SCALE.md r7). Wrapping as
+    element_at(transform(array(c), f), 1) makes `c` the HOF's input —
+    evaluated once — and every reference inside `f` a variable read."""
+    return F.element_at(F.transform(F.array(c), f), 1)
+
+
 def chunk_array(c: Column, chunk_tokens: int = 64, overlap: int = 8) -> Column:
     """Array of fixed-size token windows with overlap (the dialect CHUNK
     function and the kernel of operators.text_analysis.chunk_documents).
@@ -328,11 +342,18 @@ def chunk_array(c: Column, chunk_tokens: int = 64, overlap: int = 8) -> Column:
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = tokens(c)
-    n = F.size(toks)
-    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
-    n_chunks = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " "),
-    )
+
+    def mk(toks):
+        # toks is a BOUND variable (bind_once): the tokenizer runs once
+        # per row, not once per chunk
+        n = F.size(toks)
+        extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+        n_chunks = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * stride + 1, chunk_tokens), " "
+            ),
+        )
+
+    return bind_once(tokens(c), mk)

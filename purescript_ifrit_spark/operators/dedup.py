@@ -1174,15 +1174,21 @@ def _gram_positions(
     in Spark, so the short-doc branch must be guarded, not clamped)."""
     if n <= 0:
         raise ValueError(f"n must be positive (got {n})")
-    toks = X.tokens(F.col(text_col))
-    sz = F.size(toks)
-    keys = F.when(
-        sz >= n,
-        F.transform(
-            F.sequence(F.lit(1), sz - n + 1),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def mk(toks):
+        # bind_once: the tokenizer runs once per row — inlining tokens()
+        # into the lambda re-ran lower+regexp+split per POSITION
+        # (quadratic; measured 3.8 s → 0.7 s at sf0.1, SCALE.md r7)
+        sz = F.size(toks)
+        return F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(1), sz - n + 1),
+                lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    keys = X.bind_once(X.tokens(F.col(text_col)), mk)
     return df.select(
         F.col(id_col).alias("_id"), F.explode(keys).alias("_gk")
     )
@@ -1246,31 +1252,37 @@ def span_dedup_stats(
     Output: (id, n_positions, n_dup_positions, dup_frac) for docs with
     ≥ n tokens.
 
-    100 TB design: gram doc-frequencies aggregate once (the
-    duplicate_spans exchange), then join back to the position stream on
-    the gram key — gram-keyed equi-join, AQE handles boilerplate-gram
-    skew — and the per-doc rollup is the only other exchange. The
-    position stream is never collected or re-read."""
+    100 TB design (r7 re-plan — the simhash single-emission lesson
+    applied to spans): raw positions NEVER shuffle and the md5 gram
+    build runs ONCE. Positions collapse map-side to (gram, doc) counts
+    (exchange 1 is partial-sized); a gram's doc-frequency is then just
+    its ROW COUNT in that relation — one unordered window over the
+    (g,d) rows (exchange 2), no join back to the position stream (the
+    old plan's widest exchange) — and the per-doc rollup sums the
+    counts (exchange 3, all three on the (g,d) relation, ≤ positions
+    and far smaller on repetitive text). Boilerplate-gram skew lands on
+    single window partitions of (g,d) rows, not on replicated position
+    rows. Measured at sf0.1 (SCALE.md r7): join-back plan 7.9 s →
+    (g,d) re-plan 4.2 s → +bind_once position build 1.2 s steady."""
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1 (got {min_docs})")
+    from pyspark.sql import Window
+
     pos = _gram_positions(df, id_col, text_col, n)
-    # doc-frequency from the SAME position stream (the gram build runs
-    # twice — scan-stage expressions, cheaper than persisting the
-    # exploded positions — but the lineage is shared and auditable)
-    dup = (
-        pos.groupBy("_gk")
-        .agg(F.count_distinct(F.col("_id")).alias("_df"))
-        .filter(F.col("_df") >= min_docs)
-        .select("_gk", F.lit(True).alias("_dup"))
-    )
-    flagged = pos.join(dup, "_gk", "left")
-    return flagged.groupBy(F.col("_id").alias(id_col)).agg(
-        F.count(F.lit(1)).cast("long").alias("n_positions"),
-        F.sum(F.when(F.col("_dup"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_dup_positions"),
-    ).withColumn(
-        "dup_frac",
-        F.col("n_dup_positions").cast("double")
-        / F.col("n_positions").cast("double"),
+    gd = pos.groupBy("_gk", "_id").agg(F.count(F.lit(1)).alias("_cnt"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("_gk"))
+    gd = gd.withColumn("_dup", dfreq >= min_docs)
+    return (
+        gd.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.sum("_cnt").cast("long").alias("n_positions"),
+            F.sum(F.when(F.col("_dup"), F.col("_cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_positions"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup_positions").cast("double")
+            / F.col("n_positions").cast("double"),
+        )
     )

@@ -680,17 +680,22 @@ def ngram_novelty(
     novelty join is gram-keyed with no corpus re-read."""
     if n <= 0:
         raise ValueError(f"n must be positive (got {n})")
-    toks = X.tokens(F.col(text_col))
-    sz = F.size(toks)
+
     # guard: sequence(1, 0) is the DESCENDING [1, 0], not empty — a doc
     # shorter than n tokens must yield zero grams, not bogus partial ones
-    gram_keys = F.when(
-        sz >= n,
-        F.transform(
-            F.sequence(F.lit(1), sz - n + 1),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    def _mk(toks):
+        # bind_once: tokenizer once per row, not per position (the
+        # _gram_positions lesson, SCALE.md r7)
+        sz = F.size(toks)
+        return F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(1), sz - n + 1),
+                lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    gram_keys = X.bind_once(X.tokens(F.col(text_col)), _mk)
     grams = df.select(
         F.col(id_col).alias("_id"),
         F.explode(gram_keys).alias("_gk"),

@@ -397,3 +397,118 @@ def canonicalize_urls(
 ) -> DataFrame:
     """Add the canonical-URL column (see canonicalize_url_expr)."""
     return df.withColumn(out_col, canonicalize_url_expr(F.col(url_col)))
+
+
+def repair_mojibake(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_fixed"
+) -> DataFrame:
+    """Repair double-encoded UTF-8 — the classic crawl defect where
+    UTF-8 bytes were decoded as cp1252/latin-1 once too often and
+    "café" ships as "cafÃ©". The fix is the inverse round-trip:
+    re-encode through cp1252 (latin-1 fallback for the five bytes
+    cp1252 leaves unmapped) and re-decode as UTF-8, applied ONLY when
+    the full round-trip succeeds. Correctly-encoded non-ASCII text
+    fails the UTF-8 re-decode by construction (a lone é is the byte
+    0xE9 — not a valid UTF-8 sequence) and passes through untouched;
+    pure ASCII short-circuits. One pass — triple-encoded text repairs
+    one layer per call. Known heuristic edge (ftfy's too): genuine
+    text that IS a valid mojibake image (a literal "Â¡") repairs to its
+    pre-image.
+
+    100 TB design: one Arrow-batched pandas_udf at scan stage — no
+    shuffle, no join; the ASCII short-circuit makes the common case
+    pure Arrow transfer."""
+
+    @F.pandas_udf("string")
+    def _fix(s):
+        # self-contained closure (worker-side import only)
+        def one(x):
+            if x is None or x.isascii():
+                return x
+            try:
+                b = x.encode("cp1252")
+            except UnicodeEncodeError:
+                try:
+                    b = x.encode("latin-1")
+                except UnicodeEncodeError:
+                    return x
+            try:
+                return b.decode("utf-8")
+            except UnicodeDecodeError:
+                return x
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _fix(F.col(text_col)))
+
+
+def annotate_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Suffix-matching domain blocklist — the crawl-exclusion filter: a
+    document is blocked iff its URL's domain equals a blocklist pattern
+    or ends with '.' + pattern (pattern `spam.example` blocks
+    `spam.example` and every subdomain, never `notspam.example`).
+
+    Returns (id, domain, blocked). Non-URL / NULL urls get domain ''
+    and blocked = false (filter them on the encoding screen, not the
+    blocklist).
+
+    100 TB design: the domain is scan-stage regex; each doc explodes to
+    its label-suffix chain (≤ label count, ~4-6) and probes the
+    BROADCAST blocklist with one equi-join — the corpus never shuffles
+    and the match is hash lookup, not LIKE-scan over patterns (a
+    pattern-side LIKE join is quadratic in patterns; the suffix-chain
+    trick makes it O(labels) probes per doc, the standard
+    reversed-domain trie flattened into rows)."""
+    from purescript_ifrit_spark.functions.text import bind_once
+
+    dom = F.lower(
+        F.coalesce(F.regexp_extract(F.col(url_col), DOMAIN_RX, 1), F.lit(""))
+    )
+    sufs = bind_once(
+        F.split(dom, r"\."),
+        lambda parts: F.transform(
+            F.sequence(F.lit(0), F.size(parts) - 1),
+            lambda i: F.array_join(
+                F.slice(parts, i + 1, F.size(parts) - i), "."
+            ),
+        ),
+    )
+    base = df.select(F.col(id_col), dom.alias("domain"), sufs.alias("_sufs"))
+    probes = base.select(id_col, F.explode("_sufs").alias("_suf"))
+    hits = (
+        probes.join(
+            F.broadcast(blocklist.select(F.col(pattern_col).alias("_suf"))),
+            "_suf",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "domain",
+            F.coalesce(F.col("_hit"), F.lit(False)).alias("blocked"),
+        )
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Keep only documents whose domain survives the suffix blocklist
+    (see annotate_blocked_domains)."""
+    ann = annotate_blocked_domains(df, blocklist, url_col, id_col, pattern_col)
+    keep = ann.filter(~F.col("blocked")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

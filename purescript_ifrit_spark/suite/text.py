@@ -1096,3 +1096,45 @@ def x_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_growth(docs, "doc_id", "text", checkpoint_every=50)
+
+
+# mojibake fixture: 'cafÃ© naÃ¯ve' is the double-encoded image of
+# 'café naïve' — Ã=chr(195), ©=chr(169), ¯(diaeresis i pre-image)=chr(175)
+_MOJI_BAD = " caf\u00c3\u00a9 na\u00c3\u00afve"  # bytes-as-latin1 image, kept escaped
+_MOJI_BAD_SQL = "' caf' || chr(195) || chr(169) || ' na' || chr(195) || chr(175) || 've'"
+_MOJI_FIXED_SQL = "' caf' || chr(233) || ' na' || chr(239) || 've'"
+
+
+@register(
+    "x_mojibake_repair",
+    # the oracle doesn't re-implement the repair: the plant is closed-form,
+    # so the EXPECTED post-repair text is constructible directly — the
+    # planted-oracle pattern for operators SQL cannot express
+    "SELECT doc_id, (doc_id % 3 = 0) AS repaired, "
+    f"CASE WHEN doc_id % 3 = 0 THEN md5(text || {_MOJI_FIXED_SQL}) "
+    "ELSE md5(text) END AS fp_fixed FROM documents",
+)
+def x_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-encoding repair (operators/text_cleaning.repair_mojibake)
+    on planted mojibake — the repaired text matches the closed-form
+    pre-image fingerprint; untouched docs keep their own."""
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        repair_mojibake,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_MOJI_BAD)).otherwise(
+                F.lit("")
+            ),
+        ).alias("x"),
+    )
+    out = repair_mojibake(aug, "x", "y")
+    return out.select(
+        "doc_id",
+        (F.col("y") != F.col("x")).alias("repaired"),
+        F.md5(F.col("y")).alias("fp_fixed"),
+    )
