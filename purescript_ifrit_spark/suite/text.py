@@ -1138,3 +1138,33 @@ def x_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y") != F.col("x")).alias("repaired"),
         F.md5(F.col("y")).alias("fp_fixed"),
     )
+
+
+@register(
+    "x_domain_blocklist",
+    # suffix semantics in the oracle via LIKE (the brute twin of the
+    # operator's suffix-chain broadcast probe): blocked iff domain = pat
+    # or domain ends with '.' || pat; non-URLs get domain '' / false
+    "WITH u AS (SELECT doc_id, " + _MESSY_URL_SQL + " AS url "
+    "FROM documents), "
+    "d AS (SELECT doc_id, lower(regexp_extract(url, "
+    "'^https?://([^/\\s:?#]+)', 1)) AS domain FROM u), "
+    "bl(pat) AS (VALUES ('site3.com'), ('example.org')) "
+    "SELECT doc_id, domain, "
+    "EXISTS (SELECT 1 FROM bl WHERE d.domain = bl.pat "
+    "OR d.domain LIKE '%.' || bl.pat) AS blocked FROM d",
+)
+def x_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-matching domain blocklist (operators/text_cleaning.
+    annotate_blocked_domains) over the planted messy URLs — the
+    suffix-chain broadcast probe vs DuckDB's brute LIKE twin."""
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        annotate_blocked_domains,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", F.expr(_MESSY_URL_SQL).alias("url"))
+    bl = spark.createDataFrame(
+        [("site3.com",), ("example.org",)], ["pattern"]
+    )
+    return annotate_blocked_domains(u, bl, "url", "doc_id")

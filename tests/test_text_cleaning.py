@@ -495,3 +495,51 @@ def test_canonicalize_url_rules(spark):
     got = {r.id: r.url_canon for r in canonicalize_urls(df).collect()}
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_repair_mojibake_round_trip(spark):
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        repair_mojibake,
+    )
+
+    bad = "cafÃ©"                 # 'café' double-encoded
+    cp1252_bad = "cafâ€œ"    # cp1252 image of U+201C quote
+    cases = [
+        (1, bad, "café"),                   # repaired (latin-1 range)
+        (2, cp1252_bad, "caf“"),       # repaired via cp1252 (euro-range)
+        (3, "café", "café"),                # genuine UTF-8: round-trip fails
+        (4, "plain ascii", "plain ascii"),  # short-circuit
+        (5, None, None),
+        (6, "中文", "中文"),  # CJK: not encodable, untouched
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], ["id", "t"])
+    got = {r.id: r.o for r in repair_mojibake(df, "t", "o").collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_domain_blocklist_suffix_semantics(spark):
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        annotate_blocked_domains,
+        filter_blocked_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "http://spam.example/x"),        # exact pattern
+         (2, "https://a.b.spam.example/y"),   # subdomain
+         (3, "http://notspam.example/z"),     # suffix of the STRING, not a label
+         (4, "http://ok.net/w"),
+         (5, "not a url"),
+         (6, None)],
+        ["doc_id", "url"],
+    )
+    bl = spark.createDataFrame([("spam.example",)], ["pattern"])
+    ann = {r.doc_id: r for r in
+           annotate_blocked_domains(docs, bl).collect()}
+    assert ann[1].blocked and ann[2].blocked
+    assert not ann[3].blocked            # label boundary respected
+    assert not ann[4].blocked
+    assert ann[5].domain == "" and not ann[5].blocked
+    assert ann[6].domain == "" and not ann[6].blocked
+    kept = sorted(r.doc_id for r in filter_blocked_domains(docs, bl).collect())
+    assert kept == [3, 4, 5, 6]
