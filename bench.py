@@ -381,6 +381,48 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
 
         return span_dedup_stats(t["documents"], "doc_id", "text", n=3)
 
+    def qx_fuzzy_join():
+        from purescript_ifrit_spark.operators.joins import fuzzy_key_join
+
+        part = t["part"]
+        o = part.select(
+            F.col("p_partkey").alias("oid"), F.col("p_name").alias("okey")
+        )
+        e = part.select(
+            F.col("p_partkey").alias("eid"),
+            F.expr(
+                "substr(p_name, 1, p_partkey % 10) || 'x' || "
+                "substr(p_name, (p_partkey % 10) + 2)"
+            ).alias("ekey"),
+        )
+        return fuzzy_key_join(o, e, "okey", "ekey", max_dist=1)
+
+    def qx_kmeans():
+        from purescript_ifrit_spark.operators.clustering import kmeans_lloyd
+
+        emb = t["embeddings"]
+        q = emb.select(
+            "vec_id",
+            F.array(
+                *[
+                    (
+                        F.floor(
+                            F.element_at("embedding", i + 1).cast("double")
+                            * 1000
+                        )
+                        + 1024
+                    ).cast("long")
+                    for i in range(8)
+                ]
+            ).alias("qv"),
+        )
+        seeds = [
+            list(r["qv"])
+            for r in q.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ]
+        out, _ = kmeans_lloyd(q, "qv", seeds, n_iter=3)
+        return out.select("vec_id", "cluster")
+
     def qx_gopher():
         from purescript_ifrit_spark.operators.text_analysis import (
             gopher_quality_flags,
@@ -437,6 +479,8 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_bm25": qx_bm25,
         "qx_jpeg_decode": qx_jpeg_decode,
         "qx_leakage_split": qx_leakage_split,
+        "qx_fuzzy_join": qx_fuzzy_join,
+        "qx_kmeans": qx_kmeans,
     }
 
     # JVM warm-up (parquet footers, codegen)

@@ -1105,3 +1105,126 @@ def vocab_growth(
             F.col("cum_vocab").cast("double") / F.col("cum_tokens"), 6
         ),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+    min_count: int = 3,
+) -> DataFrame:
+    """Top collocations (adjacent-bigram phrase mining) by a rational
+    PMI proxy: score(w1, w2) = n_12 · N / (n_1 · n_2), the lift of the
+    bigram over token independence (PMI without the log — the log is
+    monotone, so the RANKING is identical, and the rational form is
+    engine-exact where log PMI drifts by libm ulps). The corpus-mining
+    step that surfaces multiword units ("new york", "machine learning")
+    before tokenizer/vocab decisions.
+
+    Output: (w1, w2, n_12, score) — top_k by score desc (bigram asc
+    tie-break), bigrams with n_12 >= min_count (rare pairs make the
+    lift degenerate: a once-seen pair of two hapaxes scores N).
+
+    100 TB design: bigrams explode scan-stage (arrays_zip of the
+    bind_once'd token array against its shift — no shuffle); ONE
+    (w1,w2)-keyed exchange builds the bigram vocabulary with map-side
+    partials; unigram counts roll up FROM that vocabulary (context
+    totals, vocabulary-sized — the corpus is never re-exploded), so
+    scoring is vocab-sized joins + one broadcast 1-row total. Uses
+    left-context totals c(w·) for n_1 and right-context c(·w) for n_2,
+    i.e. counts over bigram positions — N is the bigram total, keeping
+    all four operands from ONE relation (the standard collocation
+    normalization; a separate unigram pass would disagree with the
+    bigram universe at document edges)."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1 (got {top_k})")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1 (got {min_count})")
+
+    def _pairs(toks):
+        n = F.size(toks)
+        return F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("w1"),
+            F.slice(toks, 2, n - 1).alias("w2"),
+        )
+
+    pairs = df.select(
+        F.explode(X.bind_once(X.tokens(F.col(text_col)), _pairs)).alias("_p")
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    vocab2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_12"))
+    left = vocab2.groupBy("w1").agg(F.sum("n_12").alias("_n1"))
+    right = vocab2.groupBy("w2").agg(F.sum("n_12").alias("_n2"))
+    total = vocab2.agg(F.sum("n_12").alias("_nn"))
+    scored = (
+        vocab2.filter(F.col("n_12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_12").cast("long").alias("n_12"),
+            F.round(
+                (F.col("n_12").cast("double") * F.col("_nn").cast("double"))
+                / (F.col("_n1").cast("double") * F.col("_n2").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)
+
+
+# Unicode script ranges shared by script_profile and its oracle builder.
+# (name, lo, hi) — BMP core blocks; Java regex spells them \uXXXX, RE2
+# (DuckDB) \x{XXXX}, so each engine renders its own escape from this one
+# table and the classes can never diverge.
+SCRIPT_RANGES = (
+    ("latin", 0x0041, 0x007A),      # A-Z a-z (plus [\]^_` — excluded below)
+    ("cyrillic", 0x0400, 0x04FF),
+    ("arabic", 0x0600, 0x06FF),
+    ("cjk", 0x4E00, 0x9FFF),
+    ("hangul", 0xAC00, 0xD7AF),
+)
+
+
+def _script_rx_java(name: str, lo: int, hi: int) -> str:
+    if name == "latin":
+        return "[A-Za-z]"
+    return f"[\\u{lo:04X}-\\u{hi:04X}]"
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document script histogram — the multilingual-corpus routing
+    signal (lang_id's n-gram heuristic only separates LATIN languages;
+    script counts separate writing systems, which is the first split a
+    multilingual pipeline makes): counts of Latin / Cyrillic / Arabic /
+    CJK / Hangul codepoints plus the dominant script ('none' for
+    text with no scripted characters; ties break in SCRIPT_RANGES
+    order, deterministically).
+
+    Scan-stage: one regexp_count per script class over the raw text,
+    dominance is a CASE chain over the integer columns — zero UDFs,
+    zero shuffles, and every output is an exact integer or a
+    deterministic label, so the oracle is value-exact."""
+    c = F.col(text_col)
+    counts = {
+        name: F.regexp_count(c, F.lit(_script_rx_java(name, lo, hi)))
+        for name, lo, hi in SCRIPT_RANGES
+    }
+    out = df.select(
+        F.col(id_col),
+        *[counts[n].cast("long").alias(f"n_{n}") for n, _, _ in SCRIPT_RANGES],
+    )
+    mx = F.greatest(*[F.col(f"n_{n}") for n, _, _ in SCRIPT_RANGES])
+    dom = F.lit("none")
+    # reversed: earlier ranges win ties because they are applied LAST
+    for name, _, _ in reversed(SCRIPT_RANGES):
+        dom = F.when(
+            (mx > 0) & (F.col(f"n_{name}") == mx), F.lit(name)
+        ).otherwise(dom)
+    return out.withColumn("dominant", dom)

@@ -120,6 +120,8 @@ _DRIVER_WINDOW_R7 = [
     "x_vocab_growth",
     "x_mojibake_repair",
     "x_domain_blocklist",
+    "x_pmi_collocations",
+    "x_script_profile",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
@@ -131,8 +133,6 @@ _DRIVER_WINDOW_R7 = [
     "x_dedup_minhash_planted",
     "x_dedup_incremental_planted",
     "x_dedup_simhash_planted",
-    "x_curate_exact",
-    "x_text_token_count",
     # (displaced to r8 by the late-r7 additions, per the round-start
     # policy above: x_embedding_neardup, x_sessionize, x_funnel,
     # x_retention by the four planted conversions; xd_quality_where,
@@ -143,7 +143,9 @@ _DRIVER_WINDOW_R7 = [
     # xd_dedup_exact by x_unicode_nfc; x_contamination by
     # x_url_canonicalize; x_token_rarity by x_kmeans_planted;
     # x_fingerprint by x_vocab_growth; x_text_quality by
-    # x_mojibake_repair; x_lang_id by x_domain_blocklist)
+    # x_mojibake_repair; x_lang_id by x_domain_blocklist;
+    # x_text_token_count by x_pmi_collocations; x_curate_exact by
+    # x_script_profile)
 ]
 
 

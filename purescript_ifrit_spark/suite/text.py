@@ -1168,3 +1168,101 @@ def x_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("site3.com",), ("example.org",)], ["pattern"]
     )
     return annotate_blocked_domains(u, bl, "url", "doc_id")
+
+
+@register(
+    "x_pmi_collocations",
+    # rational PMI lift (no log — monotone, so the ranking is identical
+    # and every operand is an exact integer); ORDER BY uses the ROUNDED
+    # score on BOTH engines so 6dp-equal scores tie-break identically
+    "WITH t AS (SELECT string_split(" + _NORM_SQL + ", ' ') AS toks "
+    "FROM documents), "
+    "b AS (SELECT toks[u.i] AS w1, toks[u.i + 1] AS w2 "
+    "FROM t, UNNEST(range(1, len(toks))) AS u(i)), "
+    "v AS (SELECT w1, w2, COUNT(*) AS n_12 FROM b GROUP BY 1, 2), "
+    "l AS (SELECT w1, SUM(n_12) AS n1 FROM v GROUP BY w1), "
+    "r AS (SELECT w2, SUM(n_12) AS n2 FROM v GROUP BY w2), "
+    "nn AS (SELECT SUM(n_12) AS n FROM v), "
+    "s AS (SELECT w1, w2, CAST(n_12 AS BIGINT) AS n_12, "
+    "ROUND((CAST(n_12 AS DOUBLE) * CAST(nn.n AS DOUBLE)) / "
+    "(CAST(l.n1 AS DOUBLE) * CAST(r.n2 AS DOUBLE)), 6) AS score "
+    "FROM v JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN nn "
+    "WHERE n_12 >= 3) "
+    "SELECT * FROM s ORDER BY score DESC, w1, w2 LIMIT 100",
+)
+def x_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by rational PMI lift (operators/text_analysis.
+    pmi_collocations) — top multiword units, integer operands + one
+    rounded division, value-exact both engines."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "doc_id", "text", top_k=100, min_count=3)
+
+
+# planted script suffixes (escaped, the x_unicode_nfc convention):
+# Cyrillic п×4, CJK 中×3, Arabic س×2, Hangul 가×2 on doc_id % 5 slots
+_SCRIPT_SUFFIX = {
+    1: "\u043f" * 4,
+    2: "\u4e2d" * 3,
+    3: "\u0633" * 2,
+    4: "\uac00" * 2,
+}
+_SCRIPT_SUFFIX_SQL = (
+    "CASE doc_id % 5 "
+    "WHEN 1 THEN repeat(chr(1087), 4) "
+    "WHEN 2 THEN repeat(chr(20013), 3) "
+    "WHEN 3 THEN repeat(chr(1587), 2) "
+    "WHEN 4 THEN repeat(chr(44032), 2) ELSE '' END"
+)
+
+
+def _script_profile_oracle() -> str:
+    from purescript_ifrit_spark.operators.text_analysis import SCRIPT_RANGES
+
+    def rx(name, lo, hi):
+        if name == "latin":
+            return "[A-Za-z]"
+        return f"[\\x{{{lo:04x}}}-\\x{{{hi:04x}}}]"
+
+    counts = ", ".join(
+        # single-char classes: matched count = chars removed by the sub
+        f"CAST(length(x) - length(regexp_replace(x, '{rx(n, lo, hi)}', "
+        f"'', 'g')) AS BIGINT) AS n_{n}"
+        for n, lo, hi in SCRIPT_RANGES
+    )
+    mx = "greatest(" + ", ".join(f"n_{n}" for n, _, _ in SCRIPT_RANGES) + ")"
+    dom = (
+        "CASE "
+        + " ".join(
+            f"WHEN {mx} > 0 AND n_{n} = {mx} THEN '{n}'"
+            for n, _, _ in SCRIPT_RANGES
+        )
+        + " ELSE 'none' END"
+    )
+    return (
+        f"WITH h AS (SELECT doc_id, text || {_SCRIPT_SUFFIX_SQL} AS x "
+        "FROM documents), "
+        f"c AS (SELECT doc_id, {counts} FROM h) "
+        f"SELECT *, {dom} AS dominant FROM c"
+    )
+
+
+@register("x_script_profile", _script_profile_oracle())
+def x_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode script histogram (operators/text_analysis.
+    script_profile) over planted multi-script suffixes — integer counts
+    + deterministic dominance, value-exact from one shared range
+    table rendered as Java regex (Spark) and RE2 (DuckDB)."""
+    from purescript_ifrit_spark.operators.text_analysis import script_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.lit("")
+    for k, v in _SCRIPT_SUFFIX.items():
+        suffix = F.when(F.col("doc_id") % 5 == k, F.lit(v)).otherwise(suffix)
+    aug = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("x")
+    )
+    return script_profile(aug, "doc_id", "x")

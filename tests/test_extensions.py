@@ -3442,3 +3442,51 @@ def test_vocab_growth_known_curve(spark):
     assert rows[4].ttr == round(4 / 7, 6)
     with pytest.raises(ValueError, match="checkpoint_every"):
         vocab_growth(df, checkpoint_every=0)
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import pytest
+
+    from purescript_ifrit_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    # bigram universe: (a b) x3, (b a) x2, (c d) x3, (d c) x2, (b c) x1...
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "c d c d c d")],
+        ["doc_id", "text"],
+    )
+    # pairs doc1: ab ba ab ba ab ; doc2: cd dc cd dc cd  -> N = 10
+    rows = pmi_collocations(df, top_k=10, min_count=2).collect()
+    got = {(r.w1, r.w2): (r.n_12, r.score) for r in rows}
+    # n(a.)=3? left totals: a->3 (ab x3), b->2 (ba), c->3, d->2
+    # right: b<-3, a<-2, d<-3, c<-2
+    assert got[("a", "b")] == (3, round(3 * 10 / (3 * 3), 6))
+    assert got[("b", "a")] == (2, round(2 * 10 / (2 * 2), 6))
+    assert got[("c", "d")] == (3, round(3 * 10 / (3 * 3), 6))
+    assert len(got) == 4  # min_count=2 drops nothing else; no 1-count pairs
+    with pytest.raises(ValueError, match="top_k"):
+        pmi_collocations(df, top_k=0)
+
+
+def test_script_profile_dominance(spark):
+    from purescript_ifrit_spark.operators.text_analysis import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "hello"),                     # latin
+         (2, "ппп ok"),     # cyrillic 3 vs latin 2
+         (3, "中文"),              # cjk
+         (4, "123 456"),                   # no script -> none
+         (5, "ab пп"),           # tie 2-2 -> latin (order)
+         (6, "سلام"),  # arabic
+         (7, "가나")],             # hangul
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in script_profile(df).collect()}
+    assert got[1].dominant == "latin" and got[1].n_latin == 5
+    assert got[2].dominant == "cyrillic" and got[2].n_cyrillic == 3
+    assert got[3].dominant == "cjk"
+    assert got[4].dominant == "none"
+    assert got[5].dominant == "latin"      # deterministic tie-break
+    assert got[6].dominant == "arabic"
+    assert got[7].dominant == "hangul"
