@@ -413,8 +413,11 @@ def _kmeans_oracle() -> str:
             )
     parts[-1] = parts[-1].rstrip(", ") + " "
     parts.append(
-        f"SELECT vec_id, CAST(cid AS INT) AS cluster, dist AS sq_dist "
-        f"FROM a{_KM_ITER + 1}"
+        # BIGINT*BIGINT is HUGEINT in DuckDB — cast the surfaced distance
+        # back to BIGINT or the driver's type-sensitive hash mismatches
+        # Spark's LONG even with every value equal (the r1/r3 failure class)
+        f"SELECT vec_id, CAST(cid AS INT) AS cluster, "
+        f"CAST(dist AS BIGINT) AS sq_dist FROM a{_KM_ITER + 1}"
     )
     return "".join(parts)
 
