@@ -512,3 +512,73 @@ def filter_blocked_domains(
     ann = annotate_blocked_domains(df, blocklist, url_col, id_col, pattern_col)
     keep = ann.filter(~F.col("blocked")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020, §2.2 "C4") — the
+# canonical web-corpus line filter. Rule set (deterministic, mirrored by
+# the suite oracle):
+#   line level (each line TRIMMED first; kept lines are emitted trimmed):
+#     - must end in a terminal punctuation mark  [.!?"]
+#     - must contain at least `min_words_per_line` whitespace words
+#     - must not contain the word "javascript" (case-insensitive)
+#   page level (flags, not drops — callers filter on c4_pass):
+#     - at least `min_kept_lines` surviving lines (the paper's >=3
+#       sentences rule, applied at line granularity — documented deviation)
+#     - must not contain "lorem ipsum" (case-insensitive)
+#     - must not contain "{" (code marker)
+#
+# 100 TB design: pure higher-order array functions over split lines —
+# zero shuffle, zero Python, one whole-stage-codegen'd pass over the
+# text bytes, exactly like the redaction chain above.
+C4_TERMINAL_RX = r'[.!?"]$'
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_KEPT_LINES = 3
+
+
+def _c4_keep_line(x: Column, min_words: int) -> Column:
+    wc = F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+    return (
+        x.rlike(C4_TERMINAL_RX)
+        & (wc >= min_words)
+        & ~F.lower(x).contains("javascript")
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+    out_col: str = "text_c4",
+) -> DataFrame:
+    """Apply the C4 line rules; adds `out_col` (kept lines re-joined with
+    \\n), n_lines / n_kept counts, and the page-level `c4_pass` flag.
+
+    The page-level rules FLAG rather than drop so the operator stays a
+    pure projection (callers filter on c4_pass); empty documents yield
+    out_col = '' and c4_pass = false."""
+    # NOT `F.transform(..., F.trim)`: transform inspects callable arity and
+    # trim's optional second parameter makes it call trim(x, index) — which
+    # strips index DIGITS, not whitespace
+    lines = F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x))
+    kept = F.filter(lines, lambda x: _c4_keep_line(x, min_words_per_line))
+    low = F.lower(F.col(text_col))
+    return (
+        df.withColumn("_lines", lines)
+        .withColumn("_kept", kept)
+        .select(
+            "*",
+            F.size(F.col("_lines")).alias("n_lines"),
+            F.size(F.col("_kept")).alias("n_kept"),
+            F.array_join(F.col("_kept"), "\n").alias(out_col),
+            (
+                (F.size(F.col("_kept")) >= min_kept_lines)
+                & ~low.contains("lorem ipsum")
+                & ~F.col(text_col).contains("{")
+            ).alias("c4_pass"),
+        )
+        .drop("_lines", "_kept")
+    )

@@ -1266,3 +1266,88 @@ def x_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("text"), suffix).alias("x")
     )
     return script_profile(aug, "doc_id", "x")
+
+
+# C4 line fixture: planted lines exercise every rule — line 1 (prefix +
+# '.') and the "planted sentence" pass; 'short line' fails both the
+# terminal-punct and min-words rules; the javascript line (doc_id % 7)
+# fails the word filter; the tail substring has no terminal punct; the
+# page-level flags trip on lorem-ipsum (% 11) and '{' (% 13); docs with
+# doc_id % 2 = 0 get a third passing line so c4_pass varies.
+_C4_LINE_PASS = "This planted sentence definitely has enough words to pass."
+_C4_LINE_PASS2 = "Another planted line with plenty of words kept here."
+_C4_LINE_JS = "Contains javascript tracking code everywhere today."
+_C4_AUG_SQL = (
+    "substr(text, 1, 80) || '.' || chr(10) || 'short line' || chr(10) || "
+    f"'{_C4_LINE_PASS}' || chr(10) || "
+    f"CASE WHEN doc_id % 7 = 0 THEN '{_C4_LINE_JS}' || chr(10) ELSE '' END || "
+    f"CASE WHEN doc_id % 2 = 0 THEN '{_C4_LINE_PASS2}' || chr(10) ELSE '' END || "
+    "substr(text, 81, 60) || "
+    "CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'config = {' ELSE '' END"
+)
+_C4_KEEP_SQL = (
+    "list_filter(list_transform(string_split(x, chr(10)), l -> trim(l)), "
+    "l -> regexp_matches(l, '[.!?\"]$') "
+    "AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3 "
+    "AND NOT contains(lower(l), 'javascript'))"
+)
+
+
+def _c4_aug_expr() -> F.Column:
+    return F.concat(
+        F.substring(F.col("text"), 1, 80),
+        F.lit(".\n"),
+        F.lit("short line\n"),
+        F.lit(_C4_LINE_PASS + "\n"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit(_C4_LINE_JS + "\n")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit(_C4_LINE_PASS2 + "\n")
+        ).otherwise(F.lit("")),
+        F.substring(F.col("text"), 81, 60),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("\nlorem ipsum dolor sit amet."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit("\nconfig = {")
+        ).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "x_c4_line_filter",
+    # full value parity on the planted lined corpus: counts, page flag,
+    # and the md5 of the REBUILT text (kept lines joined with \n) —
+    # array_to_string of an empty DuckDB list is NULL, hence COALESCE
+    f"WITH a AS (SELECT doc_id, {_C4_AUG_SQL} AS x FROM documents), "
+    f"k AS (SELECT doc_id, x, {_C4_KEEP_SQL} AS kept FROM a) "
+    "SELECT doc_id, "
+    "CAST(len(string_split(x, chr(10))) AS INT) AS n_lines, "
+    "CAST(len(kept) AS INT) AS n_kept, "
+    "md5(COALESCE(array_to_string(kept, chr(10)), '')) AS fp_c4, "
+    "(len(kept) >= 3 AND NOT contains(lower(x), 'lorem ipsum') "
+    "AND NOT contains(x, '{')) AS c4_pass FROM k",
+)
+def x_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (operators/text_cleaning.
+    c4_line_filter; Raffel et al. 2020 §2.2) on a planted lined corpus —
+    terminal-punct / min-words / javascript line rules plus the
+    lorem-ipsum and '{' page flags, rebuilt-text fingerprint exact."""
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        c4_line_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _c4_aug_expr().alias("x"))
+    out = c4_line_filter(aug, "doc_id", "x")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5(F.col("text_c4")).alias("fp_c4"),
+        "c4_pass",
+    )

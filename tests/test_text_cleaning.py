@@ -543,3 +543,42 @@ def test_domain_blocklist_suffix_semantics(spark):
     assert ann[6].domain == "" and not ann[6].blocked
     kept = sorted(r.doc_id for r in filter_blocked_domains(docs, bl).collect())
     assert kept == [3, 4, 5, 6]
+
+
+def test_c4_line_filter_rules(spark):
+    from purescript_ifrit_spark.operators.text_cleaning import c4_line_filter
+
+    cases = [
+        # (id, text, want_kept_lines, want_pass)
+        (1, "Good first sentence here.\nshort.\nno terminal punct line\n"
+            "Uses javascript heavily today.\nAnother good long sentence!",
+         ["Good first sentence here.", "Another good long sentence!"], False),
+        (2, "One fine line right here.\nSecond fine line is good.\n"
+            "Third fine line stays too.", 3 * [None], True),
+        (3, "A passing sentence number one.\nA passing sentence number two.\n"
+            "A passing sentence number three.\nlorem ipsum dolor sit amet.",
+         4 * [None], False),                      # lorem ipsum page flag
+        (4, "Braces kill the page rule.\nSecond keeps the line count up.\n"
+            "Third keeps the line count up.\nvar x = {", 3 * [None], False),
+        (5, "", [], False),                        # empty doc
+        (6, "  Trimmed line survives fine.  \nok?", 
+         ["Trimmed line survives fine."], False),  # trim-first; 'ok?' 1 word
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, *_ in cases], ["id", "t"])
+    out = {r.id: r for r in c4_line_filter(df, "id", "t").collect()}
+    assert out[1].text_c4.split("\n") == cases[0][2]
+    assert out[1].n_kept == 2 and out[1].c4_pass is False
+    assert out[2].n_kept == 3 and out[2].c4_pass is True
+    assert out[3].n_kept == 4 and out[3].c4_pass is False
+    assert out[4].c4_pass is False
+    assert out[5].n_kept == 0 and out[5].text_c4 == "" and not out[5].c4_pass
+    assert out[6].text_c4 == "Trimmed line survives fine."
+
+
+def test_c4_line_filter_scan_stage(spark):
+    # zero shuffle: the whole rule set is one codegen'd projection
+    from purescript_ifrit_spark.operators.text_cleaning import c4_line_filter
+
+    df = spark.createDataFrame([(1, "A line here now.")], ["id", "t"])
+    plan = physical(c4_line_filter(df, "id", "t"))
+    assert "Exchange" not in plan
