@@ -1286,3 +1286,70 @@ def span_dedup_stats(
             / F.col("n_positions").cast("double"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# global line-level dedup (cross-document, keep-first, reassembling)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    out_col: str = "text_ldedup",
+) -> DataFrame:
+    """Remove every duplicate LINE across the whole corpus, keeping only
+    its first occurrence in (id, position) order, and reassemble each
+    document from its surviving lines — the C4 cross-document span rule
+    at line granularity (Raffel et al. 2020 §2.2 dedup step).
+
+    Contract (mirrored by the suite oracle):
+    - lines match on their TRIMMED content; kept lines are emitted
+      verbatim (untrimmed) in original order
+    - blank/whitespace-only lines are exempt (never dedup'd, always kept)
+      — they are structure, not content
+    - every input document survives, possibly with out_col = ''
+    - adds n_lines / n_kept counts
+
+    100 TB design: exactly two exchanges — one window keyed on the line
+    fingerprint (blank lines get per-row unique keys so they never form
+    a skewed partition; a corpus-wide boilerplate line's partition is
+    bounded by its true duplication count, the same bound as exact
+    dedup's fingerprint shuffle), then one groupBy on the doc id for
+    reassembly. collect_list skips the NULLed dropped lines, so no
+    second scan or join-back is needed."""
+    idc, NL = F.col(id_col), "\n"
+    parts = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), NL)).alias("_pos", "_line")
+    )
+    norm = F.trim(F.col("_line"))
+    exempt = norm == ""
+    key = F.when(
+        exempt, F.concat_ws(":", F.lit("u"), idc.cast("string"), F.col("_pos"))
+    ).otherwise(F.concat(F.lit("l:"), F.md5(norm)))
+    first = F.min(F.struct(idc.alias("i"), F.col("_pos").alias("p"))).over(
+        Window.partitionBy(key)
+    )
+    keep = exempt | ((idc == first["i"]) & (F.col("_pos") == first["p"]))
+    tagged = parts.select(id_col, "_pos", "_line", keep.alias("_keep"))
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_keep"),
+                        F.struct(F.col("_pos").alias("p"), F.col("_line").alias("l")),
+                    )
+                )
+            ),
+            lambda s: s["l"],
+        ),
+        NL,
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum(F.col("_keep").cast("int")).cast("int").alias("n_kept"),
+        rebuilt.alias(out_col),
+    )

@@ -123,6 +123,7 @@ _DRIVER_WINDOW_R7 = [
     "x_pmi_collocations",
     "x_script_profile",
     "x_c4_line_filter",
+    "x_line_dedup_global",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
@@ -132,7 +133,6 @@ _DRIVER_WINDOW_R7 = [
     "p2_nested_projection",
     "x_dedup_exact",
     "x_dedup_minhash_planted",
-    "x_dedup_incremental_planted",
     # (displaced to r8 by the late-r7 additions, per the round-start
     # policy above: x_embedding_neardup, x_sessionize, x_funnel,
     # x_retention by the four planted conversions; xd_quality_where,
@@ -145,7 +145,8 @@ _DRIVER_WINDOW_R7 = [
     # x_fingerprint by x_vocab_growth; x_text_quality by
     # x_mojibake_repair; x_lang_id by x_domain_blocklist;
     # x_text_token_count by x_pmi_collocations; x_curate_exact by
-    # x_script_profile; x_dedup_simhash_planted by x_c4_line_filter)
+    # x_script_profile; x_dedup_simhash_planted by x_c4_line_filter;
+    # x_dedup_incremental_planted by x_line_dedup_global)
 ]
 
 

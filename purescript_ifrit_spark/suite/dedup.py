@@ -585,3 +585,71 @@ def x_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
     )
     return corpus_diff(docs, kept.unionAll(fresh))
+
+
+# line-dedup fixture: a lined corpus with cross-document duplication at
+# three scales — a 5-way shared header (~100 docs each at sf0.01), a
+# corpus-universal footer (one survivor in the whole corpus), a blank
+# exempt line, and per-doc substring lines (any natural prefix collision
+# in the synthetic corpus dedups identically on both engines). The
+# prefix line carries trailing-space trim bait: matching is on trimmed
+# content, reassembly emits the line verbatim.
+_LD_AUG_SQL = (
+    "'shared header line number ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) "
+    "|| substr(text, 1, 60) || ' ' || chr(10) || chr(10) || "
+    "'universal footer line shared by every document' || chr(10) || "
+    "substr(text, 61, 40)"
+)
+
+
+def _ld_aug_expr() -> F.Column:
+    return F.concat(
+        F.lit("shared header line number "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("\n"),
+        F.substring(F.col("text"), 1, 60),
+        F.lit(" \n\n"),
+        F.lit("universal footer line shared by every document\n"),
+        F.substring(F.col("text"), 61, 40),
+    )
+
+
+@register(
+    "x_line_dedup_global",
+    # the oracle recomputes keep-first membership with a window over the
+    # same trimmed-line keys and reassembles with an ordered filtered
+    # string_agg; string_agg of zero kept rows is NULL -> COALESCE ''
+    f"WITH a AS (SELECT doc_id, {_LD_AUG_SQL} AS x FROM documents), "
+    "l AS (SELECT doc_id, t.k AS pos, arr[t.k + 1] AS line FROM "
+    "(SELECT doc_id, string_split(x, chr(10)) AS arr FROM a) d, "
+    "unnest(range(0, len(arr))) AS t(k)), "
+    "f AS (SELECT doc_id, pos, line, "
+    "CASE WHEN trim(line) = '' THEN 'u:' || doc_id || ':' || pos "
+    "ELSE 'l:' || md5(trim(line)) END AS key, "
+    "(trim(line) = '') AS exempt FROM l), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY key "
+    "ORDER BY doc_id, pos) AS rn FROM f) "
+    "SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines, "
+    "CAST(SUM(CASE WHEN exempt OR rn = 1 THEN 1 ELSE 0 END) AS INT) "
+    "AS n_kept, "
+    "md5(COALESCE(string_agg(line, chr(10) ORDER BY pos) "
+    "FILTER (WHERE exempt OR rn = 1), '')) AS fp_ldedup FROM r "
+    "GROUP BY doc_id",
+)
+def x_line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide keep-first line dedup with reassembly
+    (operators/dedup.dedup_lines_global; the C4 cross-document rule at
+    line granularity) — counts and rebuilt-text fingerprints exact on a
+    planted lined corpus with 5-way, corpus-universal, and exempt-blank
+    duplication."""
+    from purescript_ifrit_spark.operators.dedup import dedup_lines_global
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _ld_aug_expr().alias("x"))
+    out = dedup_lines_global(aug, "doc_id", "x")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5(F.col("text_ldedup")).alias("fp_ldedup"),
+    )

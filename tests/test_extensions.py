@@ -3490,3 +3490,34 @@ def test_script_profile_dominance(spark):
     assert got[5].dominant == "latin"      # deterministic tie-break
     assert got[6].dominant == "arabic"
     assert got[7].dominant == "hangul"
+
+
+def test_dedup_lines_global_keep_first_and_exempt_blanks(spark):
+    from purescript_ifrit_spark.operators.dedup import dedup_lines_global
+
+    rows = [
+        (1, "alpha line here\n\nshared line\ntail one"),
+        (2, "shared line\nbeta line here\n  shared line  "),  # both dup'd
+        (3, "shared line\n\n\n"),                # loses its only content line
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {r.id: r for r in dedup_lines_global(df, "id", "t").collect()}
+    # doc 1 owns the first occurrence of 'shared line'
+    assert out[1].text_ldedup == "alpha line here\n\nshared line\ntail one"
+    assert out[1].n_lines == 4 and out[1].n_kept == 4
+    # doc 2 loses both copies (trim-matched: '  shared line  ' too),
+    # keeps its unique line
+    assert out[2].text_ldedup == "beta line here"
+    assert out[2].n_kept == 1
+    # doc 3 keeps only its exempt blanks — survives with structure intact
+    assert out[3].text_ldedup == "\n\n"
+    assert out[3].n_lines == 4 and out[3].n_kept == 3
+
+
+def test_dedup_lines_global_two_exchanges(spark):
+    from purescript_ifrit_spark.operators.dedup import dedup_lines_global
+
+    df = spark.createDataFrame([(1, "a line\nb line")], ["id", "t"])
+    plan = dedup_lines_global(df, "id", "t")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
