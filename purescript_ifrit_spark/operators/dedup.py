@@ -1353,3 +1353,117 @@ def dedup_lines_global(
         F.sum(F.col("_keep").cast("int")).cast("int").alias("n_kept"),
         rebuilt.alias(out_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity self-join via prefix filtering (AllPairs / PPJoin)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_join_prefix(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold_num: int,
+    threshold_den: int,
+    *,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """EXACT Jaccard >= num/den self-join over a set-valued column —
+    prefix filtering (Bayardo et al. 2007 AllPairs; Xiao et al. 2008
+    PPJoin), the lossless alternative to MinHash-LSH: every qualifying
+    pair is found, no probabilistic recall.
+
+    Principle: order each set by a single global token order (document
+    frequency ascending, token ascending — rarest first); a pair with
+    Jaccard >= t over sets of size n must overlap by >= ceil(t*n), so it
+    must share at least one token among each side's first
+    n - ceil(t*n) + 1 tokens. Candidates come from an equi-join on
+    PREFIX tokens only; exact intersection/union sizes verify.
+
+    The threshold is a RATIONAL (num/den) and every predicate is integer
+    (den*inter >= num*union; prefix length by integer ceiling), so the
+    qualifying-pair SET is bit-reproducible on any engine — the oracle
+    brute-forces the same integer predicate.
+
+    100 TB design: the wide exchanges carry (token, doc) prefix rows and
+    (doc -> set) relations — never all-pairs. Prefix tokens are by
+    construction the RAREST tokens of each set, so candidate buckets are
+    naturally small; `max_bucket` (optional — the join is exact without
+    it) additionally drops degenerate hot prefix tokens at a documented
+    recall cost, the `signature_candidate_pairs` contract. Returns
+    (id_a, id_b, n_inter, n_union, jaccard) with id_a < id_b."""
+    num, den = int(threshold_num), int(threshold_den)
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be in (0, 1]: {num}/{den}")
+    sets = df.select(
+        F.col(id_col).alias("_id"), F.array_distinct(F.col(set_col)).alias("_s")
+    ).filter(F.size("_s") > 0)
+    toks = sets.select("_id", F.explode("_s").alias("_t"))
+    dfreq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        toks.join(dfreq, "_t")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_df"), F.col("_t")))
+                ),
+                lambda s: s["_t"],
+            ).alias("_ord")
+        )
+    )
+    n = F.size(F.col("_ord"))
+    p = F.expr(f"CAST(size(_ord) - ({num} * size(_ord) + {den} - 1) "
+               f"DIV {den} + 1 AS INT)")
+    pre = ordered.select(
+        "_id", F.explode(F.slice(F.col("_ord"), F.lit(1), p)).alias("_t")
+    )
+    if max_bucket is not None:
+        pre = _cap_buckets(pre, ["_t"], max_bucket)
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(b, (F.col("a._t") == F.col("b._t"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    sb = sets.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("int").alias("n_inter"),
+            union.cast("int").alias("n_union"),
+        )
+        .filter(F.col("n_inter") * den >= F.col("n_union") * num)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / F.col("n_union"), 6),
+        )
+    )
+
+
+def jaccard_text_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int,
+    threshold_den: int,
+    *,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """`jaccard_join_prefix` over normalized-token SETS of a text column
+    (the tokenizer contract of functions/text.tokens)."""
+    sets = df.select(
+        F.col(id_col), X.tokens(F.col(text_col)).alias("_toks")
+    )
+    return jaccard_join_prefix(
+        sets, id_col, "_toks", threshold_num, threshold_den,
+        max_bucket=max_bucket,
+    )

@@ -653,3 +653,34 @@ def x_line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.md5(F.col("text_ldedup")).alias("fp_ldedup"),
     )
+
+
+@register(
+    "x_jaccard_join_prefix",
+    # brute-force integer-predicate twin over the reconstructed planted
+    # corpus (base J=0 pairwise; exact variants J=1; near variants
+    # J=38/40): den*inter >= num*union, the operator's own predicate
+    "WITH t AS (" + _PLANTED_TOKS + "), "
+    "corpus AS (SELECT doc_id, toks FROM t "
+    "UNION ALL SELECT doc_id + 1000000000000, toks FROM t "
+    "WHERE doc_id % 10 = 0 "
+    "UNION ALL SELECT doc_id + 2000000000000, toks[1:38] FROM t "
+    "WHERE doc_id % 10 = 5), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS n_inter, "
+    "CAST(len(a.toks) + len(b.toks) "
+    "- len(list_intersect(a.toks, b.toks)) AS INT) AS n_union "
+    "FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id) "
+    "SELECT id_a, id_b, n_inter, n_union, "
+    "ROUND(n_inter * 1.0 / n_union, 6) AS jaccard "
+    "FROM p WHERE 10 * n_inter >= 9 * n_union",
+)
+def x_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering
+    (operators/dedup.jaccard_join_prefix; AllPairs/PPJoin) at Jaccard >=
+    9/10 over the planted token corpus — lossless candidate generation
+    verified pair-for-pair against the oracle's all-pairs brute force."""
+    from purescript_ifrit_spark.operators.dedup import jaccard_text_join
+
+    planted = _planted_docs(spark, sf_dir)
+    return jaccard_text_join(planted, "doc_id", "text", 9, 10)

@@ -3521,3 +3521,48 @@ def test_dedup_lines_global_two_exchanges(spark):
     plan = dedup_lines_global(df, "id", "t")._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 2, plan
+
+
+def test_jaccard_join_prefix_is_lossless_vs_brute(spark):
+    # prefix filtering must find EVERY qualifying pair — compare against
+    # an in-Python brute force on a deterministic mixed-overlap corpus
+    from itertools import combinations
+    from purescript_ifrit_spark.operators.dedup import jaccard_join_prefix
+
+    sets = {
+        i: sorted({f"w{(i * 7 + k * 3) % 23}" for k in range(8)})
+        for i in range(1, 21)
+    }
+    df = spark.createDataFrame(list(sets.items()), ["id", "s"])
+    num, den = 1, 2
+    want = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(set(sets[a]) & set(sets[b]))
+        union = len(set(sets[a]) | set(sets[b]))
+        if den * inter >= num * union:
+            want.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_join_prefix(df, "id", "s", num, den).collect()
+    }
+    assert got == want, (got ^ want)
+
+
+def test_jaccard_join_prefix_threshold_one_and_empties(spark):
+    from purescript_ifrit_spark.operators.dedup import jaccard_join_prefix
+
+    rows = [(1, ["a", "b"]), (2, ["b", "a"]), (3, ["a"]), (4, [])]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    out = jaccard_join_prefix(df, "id", "s", 1, 1).collect()
+    # threshold 1 (prefix length 1): only the identical pair; empty sets drop
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+
+def test_jaccard_join_prefix_no_cartesian(spark):
+    from purescript_ifrit_spark.operators.dedup import jaccard_join_prefix
+
+    df = spark.createDataFrame([(1, ["a"]), (2, ["b"])], ["id", "s"])
+    plan = jaccard_join_prefix(df, "id", "s", 8, 10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
