@@ -1228,3 +1228,96 @@ def script_profile(
             (mx > 0) & (F.col(f"n_{name}") == mx), F.lit(name)
         ).otherwise(dom)
     return out.withColumn("dominant", dom)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (Rabin-style rolling-hash boundaries)
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 8     # rolling-hash window, chars
+CDC_DIVISOR = 64   # boundary where window-hash % divisor == 0 (mean chunk)
+
+
+def cdc_chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Content-defined chunking: split each document where the rolling
+    hash of the trailing `window` chars is ≡ 0 (mod `divisor`) — the
+    Rabin construction underlying rsync/LBFS/dedup stores. Unlike
+    fixed-size chunking, an insertion shifts only the chunks it touches:
+    every boundary is a pure function of local content, so identical
+    passages chunk identically at ANY offset — the property that makes
+    chunk-hash dedup robust to prepended boilerplate.
+
+    Contract (mirrored by the oracle): boundary AFTER char i (1-based)
+    for i in [window, n-1] iff fold(h*31 + codepoint, window chars
+    ending at i) mod (2^31-1) ≡ 0 (mod divisor); no min/max chunk
+    bounds — the rule is stateless, which is what keeps it a scan-stage
+    expression on both engines (bounded variants need a sequential scan;
+    degenerate periodic content can produce runs of tiny chunks — cap
+    downstream if that matters). Empty documents yield zero chunks.
+
+    100 TB design: one codegen'd HOF pass, ~window integer ops per char,
+    zero shuffle — chunking happens at parquet read speed. Char arrays
+    are bound once (functions/text.bind_once) so nothing re-evaluates
+    per position."""
+    B, M = X.ROLLING_BASE, X.ROLLING_MOD
+
+    def hw(chars, i):
+        return F.aggregate(
+            F.sequence(i - (window - 1), i),
+            F.lit(0).cast("long"),
+            lambda h, p: (h * B + F.ascii(F.element_at(chars, p))) % M,
+        )
+
+    def mk(chars):
+        n = F.size(chars)
+        bounds = F.when(
+            n - 1 >= window,
+            F.filter(
+                F.sequence(F.lit(window), n - 1),
+                lambda i: hw(chars, i) % divisor == 0,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        cuts = F.concat(
+            F.array(F.lit(0)), bounds, F.array(n)
+        )
+        return X.bind_once(
+            cuts,
+            lambda cts: F.transform(
+                F.sequence(F.lit(1), F.size(cts) - 1),
+                lambda k: F.array_join(
+                    F.slice(
+                        chars,
+                        F.element_at(cts, k) + 1,
+                        F.element_at(cts, k + 1) - F.element_at(cts, k),
+                    ),
+                    "",
+                ),
+            ),
+        )
+
+    chunks = F.when(
+        F.length(F.col(text_col)) > 0,
+        X.bind_once(F.split(F.col(text_col), ""), mk),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(id_col, chunks.alias("_chunks"))
+        .select(
+            id_col,
+            F.size(F.col("_chunks")).cast("int").alias("n_chunks"),
+            F.posexplode(F.col("_chunks")).alias("chunk_idx", "chunk"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "n_chunks",
+            "chunk",
+            F.md5(F.col("chunk")).alias("chunk_fp"),
+        )
+    )

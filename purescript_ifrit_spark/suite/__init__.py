@@ -125,6 +125,7 @@ _DRIVER_WINDOW_R7 = [
     "x_c4_line_filter",
     "x_line_dedup_global",
     "x_jaccard_join_prefix",
+    "x_cdc_chunks",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
@@ -132,7 +133,6 @@ _DRIVER_WINDOW_R7 = [
     "a1_a3_group_avg",
     "s2_derived_table",
     "p2_nested_projection",
-    "x_dedup_exact",
     # (displaced to r8 by the late-r7 additions, per the round-start
     # policy above: x_embedding_neardup, x_sessionize, x_funnel,
     # x_retention by the four planted conversions; xd_quality_where,
@@ -147,7 +147,8 @@ _DRIVER_WINDOW_R7 = [
     # x_text_token_count by x_pmi_collocations; x_curate_exact by
     # x_script_profile; x_dedup_simhash_planted by x_c4_line_filter;
     # x_dedup_incremental_planted by x_line_dedup_global;
-    # x_dedup_minhash_planted by x_jaccard_join_prefix)
+    # x_dedup_minhash_planted by x_jaccard_join_prefix;
+    # x_dedup_exact by x_cdc_chunks)
 ]
 
 

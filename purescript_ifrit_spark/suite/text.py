@@ -1351,3 +1351,49 @@ def x_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text_c4")).alias("fp_c4"),
         "c4_pass",
     )
+
+
+@register(
+    "x_cdc_chunks",
+    # full value parity on the raw corpus: same fold (prepend-0
+    # list_reduce ≡ aggregate with 0 init), same boundary rule, same
+    # char-based slicing; chunk text surfaces as length + md5
+    "WITH c AS (SELECT doc_id, text AS x, "
+    "string_split_regex(text, '') AS ch FROM documents "
+    "WHERE length(text) > 0), "
+    "b AS (SELECT doc_id, x, ch, "
+    "list_filter(range(8, len(ch)), i -> "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(i - 7, i + 1), p -> CAST(ord(ch[p]) AS BIGINT))), "
+    "(h, cc) -> (h * 31 + cc) % 2147483647) % 64 = 0) AS bounds FROM c), "
+    "k AS (SELECT doc_id, x, list_concat(list_concat("
+    "[CAST(0 AS BIGINT)], bounds), [CAST(len(ch) AS BIGINT)]) AS cuts "
+    "FROM b) "
+    "SELECT doc_id, CAST(u.i AS INT) AS chunk_idx, "
+    "CAST(u.m AS INT) AS n_chunks, CAST(u.l AS INT) AS chunk_len, "
+    "u.f AS chunk_fp FROM (SELECT doc_id, "
+    "unnest(list_transform(range(1, len(cuts)), k -> {'i': k - 1, "
+    "'m': len(cuts) - 1, "
+    "'l': cuts[CAST(k + 1 AS INT)] - cuts[CAST(k AS INT)], "
+    "'f': md5(substr(x, CAST(cuts[CAST(k AS INT)] + 1 AS INT), "
+    "CAST(cuts[CAST(k + 1 AS INT)] - cuts[CAST(k AS INT)] AS INT)))})) "
+    "AS u FROM k) q",
+)
+def x_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/text_analysis.
+    cdc_chunk_documents; Rabin rolling-hash boundaries, the rsync/LBFS
+    construction) over the raw corpus — boundary positions, chunk counts
+    and chunk fingerprints value-exact on both engines."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        cdc_chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cdc_chunk_documents(docs)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunks",
+        F.length(F.col("chunk")).cast("int").alias("chunk_len"),
+        F.col("chunk_fp"),
+    )

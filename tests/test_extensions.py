@@ -3566,3 +3566,51 @@ def test_jaccard_join_prefix_no_cartesian(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_chunks_lossless_and_shift_resistant(spark):
+    from purescript_ifrit_spark.operators.text_analysis import (
+        cdc_chunk_documents,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green bottles stand on the wall and every sentence here adds "
+        "entropy so that rolling hash boundaries appear at their natural "
+        "one in sixty four rate across several hundred characters of "
+        "prose without any artificial periodicity in the stream at all"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, ""), (3, "tiny")], ["id", "t"]
+    )
+    rows = cdc_chunk_documents(df, "id", "t").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    # lossless: chunks concatenate back to the text, in index order
+    got = "".join(
+        r.chunk for r in sorted(by_id[1], key=lambda r: r.chunk_idx)
+    )
+    assert got == base
+    assert all(r.n_chunks == len(by_id[1]) for r in by_id[1])
+    assert 2 not in by_id                       # empty doc: zero chunks
+    assert [r.chunk for r in by_id[3]] == ["tiny"]   # sub-window: one chunk
+
+    # content-defined: prepending noise preserves most chunk hashes
+    # (boundaries are functions of local content, not offsets)
+    df2 = spark.createDataFrame([(1, "NOISE PREFIX 123 " + base)], ["id", "t"])
+    fp1 = {r.chunk_fp for r in by_id[1]}
+    fp2 = {r.chunk_fp for r in cdc_chunk_documents(df2, "id", "t").collect()}
+    assert len(fp1) > 2   # the fixture is long enough to split
+    assert len(fp1 & fp2) >= len(fp1) - 2   # only the head chunk may differ
+
+
+def test_cdc_chunks_scan_stage(spark):
+    from purescript_ifrit_spark.operators.text_analysis import (
+        cdc_chunk_documents,
+    )
+
+    df = spark.createDataFrame([(1, "some text here.")], ["id", "t"])
+    plan = cdc_chunk_documents(df, "id", "t")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
