@@ -123,3 +123,82 @@ def kmeans_lloyd(
         dists = F.array(*[_sq_dist(vec, c) for c in centroids])
         out = out.withColumn("sq_dist", F.array_min(dists))
     return out, centroids
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    init_centroids: List[List[int]],
+    n_iter: int = 3,
+    *,
+    threshold_num: int = 19,
+    threshold_den: int = 20,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    k-means, then within each cluster drop every item that has a
+    LOWER-id neighbor with cosine >= num/den — semantic dedup where the
+    quadratic work is bounded by cluster size, never the corpus.
+
+    INTEGER-EXACT decision rule on integer vectors (the module
+    contract): cos(x, y) >= t  ⇔  dot >= 0 AND dot²·den² >= num²·|x|²·|y|²
+    — every operand an exact integer, evaluated in DECIMAL(38,0) so the
+    squares cannot overflow int64 (bound: dot²·den² < 10³⁸, comfortable
+    for quantized embeddings up to ~2^14 per coordinate at dim ≲ 64).
+    The keep/drop decision is therefore bit-reproducible on any engine.
+
+    Cross-cluster near-duplicates are NOT examined — that is SemDeDup's
+    documented approximation (k trades dedup recall against the
+    quadratic bound); boundary pairs split by k-means survive.
+
+    100 TB design: one self-join keyed on (cluster) — at production k
+    (tens of thousands) clusters are small and uniform; the join input
+    carries only (id, cluster, vector). Returns (id, cluster, keep) with
+    keep = true for survivors (the minimum id of every within-cluster
+    near-dup neighborhood always survives)."""
+    assigned, _ = kmeans_lloyd(
+        df.select(id_col, vec_col), vec_col, init_centroids, n_iter
+    )
+    x = assigned.select(
+        F.col(id_col).alias("_ix"), "cluster", F.col(vec_col).alias("_vx")
+    )
+    y = assigned.select(
+        F.col(id_col).alias("_iy"), "cluster", F.col(vec_col).alias("_vy")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_vx"), F.col("_vy"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = (
+        x.join(y, "cluster")
+        .filter(F.col("_iy") < F.col("_ix"))
+        .withColumn("_dot", dot)
+        .withColumn("_nx2", sq(F.col("_vx")))
+        .withColumn("_ny2", sq(F.col("_vy")))
+        .filter(
+            (F.col("_dot") >= 0)
+            & (
+                dec(F.col("_dot")) * dec(F.col("_dot"))
+                * F.lit(threshold_den * threshold_den)
+                >= F.lit(threshold_num * threshold_num)
+                * dec(F.col("_nx2")) * dec(F.col("_ny2"))
+            )
+        )
+    )
+    dropped = pairs.select(F.col("_ix").alias(id_col)).distinct().withColumn(
+        "_dropped", F.lit(True)
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col, "cluster", F.col("_dropped").isNull().alias("keep")
+        )
+    )

@@ -375,18 +375,26 @@ def _km_quant_sql(i: int) -> str:
     )
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled DuckDB twin of kmeans_lloyd (the _pagerank_oracle
-    pattern): 3 assign+update rounds plus the final assignment, all in
-    exact integer arithmetic — sq_dist witnesses every final centroid
-    coordinate."""
+def _kmeans_cte(points_sql: str | None = None) -> str:
+    """The unrolled kmeans_lloyd WITH-chain (the _pagerank_oracle
+    pattern): 3 assign+update rounds plus the final assignment CTE
+    a{iter+1}, all in exact integer arithmetic. `points_sql` overrides
+    the quantized-embeddings point set (must yield vec_id, v1..v4) so
+    compositions (semdedup) can plant variants while replaying the
+    identical clustering."""
     vs = [f"v{i}" for i in range(1, _KM_DIM + 1)]
     dist = " + ".join(f"(p.{v} - c.e{j+1}) * (p.{v} - c.e{j+1})"
                       for j, v in enumerate(vs))
+    if points_sql is None:
+        points_sql = (
+            "SELECT vec_id, "
+            + ", ".join(
+                f"{_km_quant_sql(i+1)} AS v{i+1}" for i in range(_KM_DIM)
+            )
+            + " FROM embeddings"
+        )
     parts = [
-        "WITH p AS (SELECT vec_id, "
-        + ", ".join(f"{_km_quant_sql(i+1)} AS v{i+1}" for i in range(_KM_DIM))
-        + " FROM embeddings), ",
+        "WITH p AS (" + points_sql + "), ",
         "c0 AS (SELECT vec_id AS cid, "
         + ", ".join(f"v{i+1} AS e{i+1}" for i in range(_KM_DIM))
         + f" FROM p WHERE vec_id < {_KM_K}), ",
@@ -412,14 +420,17 @@ def _kmeans_oracle() -> str:
                 "USING (cid)), "
             )
     parts[-1] = parts[-1].rstrip(", ") + " "
-    parts.append(
+    return "".join(parts)
+
+
+def _kmeans_oracle() -> str:
+    return _kmeans_cte() + (
         # BIGINT*BIGINT is HUGEINT in DuckDB — cast the surfaced distance
         # back to BIGINT or the driver's type-sensitive hash mismatches
         # Spark's LONG even with every value equal (the r1/r3 failure class)
         f"SELECT vec_id, CAST(cid AS INT) AS cluster, "
         f"CAST(dist AS BIGINT) AS sq_dist FROM a{_KM_ITER + 1}"
     )
-    return "".join(parts)
 
 
 @register("x_kmeans_planted", _kmeans_oracle())
@@ -454,3 +465,87 @@ def x_kmeans_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out, _ = kmeans_lloyd(q, "qv", seeds, n_iter=_KM_ITER, with_dist=True)
     return out.select("vec_id", "cluster", "sq_dist")
+
+
+_SD_NUM, _SD_DEN = 19, 20  # semdedup cosine threshold 0.95, rational
+
+
+def _sd_coord_sql(j: int) -> str:
+    # planted direction families (pure function of vec_id, naturally
+    # nonnegative — no translation offset, which would collapse all
+    # cosines toward 1): family f = vec_id % 4 puts weight s on axis f;
+    # every 10th-plus-7 point is TWO-hot (axes f and f+1 mod 4, cosine
+    # ~0.707 vs its one-hot family — below threshold, so it survives);
+    # off-axis coordinates carry small noise n
+    return (
+        f"CASE WHEN (vec_id % 4) = {j} OR (vec_id % 10 = 7 AND "
+        f"((vec_id % 4) + 1) % 4 = {j}) THEN 1000 + vec_id % 97 "
+        f"ELSE vec_id % 13 END"
+    )
+
+
+def _semdedup_points_sql() -> str:
+    cols = ", ".join(
+        f"CAST({_sd_coord_sql(j)} AS BIGINT) AS v{j+1}"
+        for j in range(_KM_DIM)
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+def _sd_coord_expr(j: int):
+    f = F.col("vec_id") % 4
+    hot = (f == j) | (
+        (F.col("vec_id") % 10 == 7) & (((f + 1) % 4) == j)
+    )
+    return (
+        F.when(hot, 1000 + F.col("vec_id") % 97)
+        .otherwise(F.col("vec_id") % 13)
+        .cast("long")
+    )
+
+
+def _semdedup_oracle() -> str:
+    vs = [f"v{i}" for i in range(1, _KM_DIM + 1)]
+    dot = " + ".join(f"pa.{v} * pb.{v}" for v in vs)
+    nx2 = " + ".join(f"pa.{v} * pa.{v}" for v in vs)
+    ny2 = " + ".join(f"pb.{v} * pb.{v}" for v in vs)
+    a_last = f"a{_KM_ITER + 1}"
+    return _kmeans_cte(_semdedup_points_sql()) + (
+        "SELECT a.vec_id, CAST(a.cid AS INT) AS cluster, "
+        f"NOT EXISTS (SELECT 1 FROM {a_last} b JOIN p pb "
+        "ON b.vec_id = pb.vec_id "
+        "WHERE b.cid = a.cid AND b.vec_id < a.vec_id "
+        f"AND ({dot}) >= 0 "
+        f"AND ({dot}) * ({dot}) * {_SD_DEN * _SD_DEN} >= "
+        f"{_SD_NUM * _SD_NUM} * ({nx2}) * ({ny2})) AS keep "
+        f"FROM {a_last} a JOIN p pa ON a.vec_id = pa.vec_id"
+    )
+
+
+@register("x_semdedup_planted", _semdedup_oracle())
+def x_semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/clustering.semdedup; Abbas et al. 2023) on
+    planted direction families: k-means replayed exactly, then the
+    integer cosine-squared predicate decides every within-cluster
+    keep/drop — one-hot family members collapse to their minimum id,
+    two-hot outliers (cos ~0.707 < 19/20) survive; bit-reproducible vs
+    the unrolled DuckDB twin."""
+    from purescript_ifrit_spark.operators.clustering import semdedup
+
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pts = ids.select(
+        "vec_id",
+        F.array(
+            *[_sd_coord_expr(j) for j in range(_KM_DIM)]
+        ).alias("qv"),
+    )
+    seeds = [
+        list(r["qv"])
+        for r in pts.filter(F.col("vec_id") < _KM_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return semdedup(
+        pts, "vec_id", "qv", seeds, n_iter=_KM_ITER,
+        threshold_num=_SD_NUM, threshold_den=_SD_DEN,
+    )

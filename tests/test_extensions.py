@@ -3614,3 +3614,43 @@ def test_cdc_chunks_scan_stage(spark):
     plan = cdc_chunk_documents(df, "id", "t")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_semdedup_keeps_min_id_and_outliers(spark):
+    from purescript_ifrit_spark.operators.clustering import semdedup
+
+    # two tight direction families + one angular outlier in family A's
+    # cluster; threshold 19/20 — scaled copies (cos = 1) collapse to the
+    # min id, the 45-degree outlier (cos ~ .707) survives
+    rows = [
+        (1, [100, 0, 0, 0]),
+        (2, [200, 0, 0, 0]),      # colinear with 1 -> dropped
+        (5, [300, 1, 0, 0]),      # near-colinear -> dropped
+        (10, [0, 100, 0, 0]),
+        (11, [0, 150, 0, 0]),     # colinear with 10 -> dropped
+        (12, [70, 70, 0, 0]),     # 45 deg to both axes -> survives
+    ]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    seeds = [[100, 0, 0, 0], [0, 100, 0, 0]]
+    out = {r.id: r.keep for r in
+           semdedup(df, "id", "v", seeds, n_iter=2).collect()}
+    assert out == {1: True, 2: False, 5: False,
+                   10: True, 11: False, 12: True}, out
+
+
+def test_semdedup_threshold_boundary_is_exact(spark):
+    from purescript_ifrit_spark.operators.clustering import semdedup
+
+    # cos(x, y) exactly 3/5 for x=[3,4], y=[4,3] (dot 24, norms 25):
+    # 24^2*den^2 vs num^2*625^2 — qualify iff (num/den) <= 24/25
+    rows = [(1, [3, 4, 0, 0]), (2, [4, 3, 0, 0])]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    seeds = [[3, 4, 0, 0]]
+    at = {r.id: r.keep for r in semdedup(
+        df, "id", "v", seeds, n_iter=1,
+        threshold_num=24, threshold_den=25).collect()}
+    above = {r.id: r.keep for r in semdedup(
+        df, "id", "v", seeds, n_iter=1,
+        threshold_num=97, threshold_den=100).collect()}
+    assert at == {1: True, 2: False}      # cos == t: inclusive, dropped
+    assert above == {1: True, 2: True}    # cos < t: both survive
