@@ -447,8 +447,92 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         )
         return power_iteration_ranks(edges, n_iter=5)
 
+    def qx_c4_lines():
+        from purescript_ifrit_spark.operators.text_cleaning import (
+            c4_line_filter,
+        )
+
+        docs = t["documents"]
+        # synthesize lines (the corpus is single-line): break on ' the '
+        lined = docs.select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), " the ", "\n").alias("text"),
+        )
+        out = c4_line_filter(lined, "doc_id", "text")
+        return out.select("doc_id", "n_lines", "n_kept", "c4_pass")
+
+    def qx_line_dedup():
+        from purescript_ifrit_spark.operators.dedup import dedup_lines_global
+
+        docs = t["documents"]
+        lined = docs.select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), " the ", "\n").alias("text"),
+        )
+        out = dedup_lines_global(lined, "doc_id", "text")
+        return out.select("doc_id", "n_lines", "n_kept")
+
+    def qx_jaccard_prefix():
+        from purescript_ifrit_spark.functions import text as X
+        from purescript_ifrit_spark.operators.dedup import jaccard_join_prefix
+
+        # shingle SETS (3-word): mostly unique per doc, so the prefix
+        # index stays rare-token-bucketed — the scale-path shape (token
+        # UNIGRAM sets on this tiny-vocab corpus would be degenerate
+        # near-identical sets, an adversarial input, not the design
+        # point)
+        sets = t["documents"].select(
+            "doc_id", X.word_shingles(F.col("text"), 3).alias("sh")
+        )
+        return jaccard_join_prefix(sets, "doc_id", "sh", 8, 10)
+
+    def qx_cdc_chunks():
+        from purescript_ifrit_spark.operators.text_analysis import (
+            cdc_chunk_documents,
+        )
+
+        out = cdc_chunk_documents(t["documents"])
+        return out.select("doc_id", "chunk_idx", "chunk_fp")
+
+    def qx_semdedup():
+        from purescript_ifrit_spark.operators.clustering import semdedup
+
+        emb = t["embeddings"]
+        q = emb.select(
+            "vec_id",
+            F.array(
+                *[
+                    (
+                        F.floor(
+                            F.element_at("embedding", i + 1).cast("double")
+                            * 1000
+                        )
+                        + 1024
+                    ).cast("long")
+                    for i in range(8)
+                ]
+            ).alias("qv"),
+        )
+        # k=64 bounds the within-cluster quadratic (the production
+        # shape); threshold 9999/10000 because offset-translated vectors
+        # compress toward the diagonal
+        seeds = [
+            list(r["qv"])
+            for r in q.filter(F.col("vec_id") < 64).orderBy("vec_id").collect()
+        ]
+        out = semdedup(
+            q, "vec_id", "qv", seeds, n_iter=2,
+            threshold_num=9999, threshold_den=10000,
+        )
+        return out.select("vec_id", "cluster", "keep")
+
     extra_queries = {
         "qx_asof_join": qx_asof_join,
+        "qx_c4_lines": qx_c4_lines,
+        "qx_line_dedup": qx_line_dedup,
+        "qx_jaccard_prefix": qx_jaccard_prefix,
+        "qx_cdc_chunks": qx_cdc_chunks,
+        "qx_semdedup": qx_semdedup,
         "qx_span_dedup": qx_span_dedup,
         "qx_gopher": qx_gopher,
         "qx_pagerank": qx_pagerank,

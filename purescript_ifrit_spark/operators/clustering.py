@@ -39,8 +39,34 @@ def _sq_dist(vec, centroid: Sequence[int]):
     )
 
 
+# Above this k, the unrolled per-centroid folds stop paying: k separate
+# aggregate subtrees make Catalyst planning + janino codegen grow with k
+# (measured: k=64/dim=8 assignment plans in ~6 s BEFORE any data moves;
+# k=16 in ~1 s). The single-HOF form below collapses the tree to ONE
+# transform over an array-of-arrays centroid literal — planning is flat
+# in k; the lambda body is interpreted, a per-row constant factor the
+# scan absorbs. Same integer math, same first-occurrence tie-break.
+_UNROLL_MAX_K = 16
+
+
 def _assign_expr(vec, centroids: List[List[int]]):
-    dists = F.array(*[_sq_dist(vec, c) for c in centroids])
+    if len(centroids) <= _UNROLL_MAX_K:
+        dists = F.array(*[_sq_dist(vec, c) for c in centroids])
+    else:
+        cent = F.array(
+            *[
+                F.array(*[F.lit(int(x)).cast("long") for x in c])
+                for c in centroids
+            ]
+        )
+        dists = F.transform(
+            cent,
+            lambda c: F.aggregate(
+                F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
     # array_position returns the FIRST (1-based) occurrence of the min —
     # exactly the lowest-centroid-id tie-break the contract pins
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
