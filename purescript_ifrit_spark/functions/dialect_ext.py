@@ -48,6 +48,9 @@ uses it (the DataFrame backend needs no registration).
     SELECT doc_id WHERE GOPHER(text) = true -- Gopher rule-set pass/fail
                                            -- (boolean; default thresholds)
 
+    SELECT doc_id WHERE C4PASS(text) = true -- C4 line+page rules pass/fail
+                                           -- (boolean; default thresholds)
+
 SESSIONIZE is the one ANALYTIC extension (`analytic=True`): it compiles to
 window expressions (lag → gap flag → running sum — the same single-shuffle
 shape as operators/windows.sessionize) rather than a scan-stage scalar, so
@@ -232,6 +235,18 @@ def _gopher_sql(x: str) -> str:
     )
 
     return gopher_pass_sql(x)
+
+
+def _c4pass_column(c: Column) -> Column:
+    from purescript_ifrit_spark.operators.text_cleaning import c4_pass_expr
+
+    return c4_pass_expr(c)
+
+
+def _c4pass_sql(x: str) -> str:
+    from purescript_ifrit_spark.operators.text_cleaning import c4_pass_sql
+
+    return c4_pass_sql(x)
 
 
 def _htmltext_column(c: Column) -> Column:
@@ -479,6 +494,17 @@ EXT_FUNCTIONS: Dict[str, ExtFn] = {
             Schema.boolean(),
             _gopher_column,
             _gopher_sql,
+        ),
+        ExtFn(
+            "C4PASS",
+            # C4 page-level pass/fail (Raffel et al. 2020 §2.2 line +
+            # page rules at the module defaults —
+            # operators/text_cleaning.c4_pass_expr): boolean scalar, so
+            # it composes as a WHERE operand and a GROUP BY key exactly
+            # like GOPHER; the per-line audit path is c4_line_filter
+            Schema.boolean(),
+            _c4pass_column,
+            _c4pass_sql,
         ),
         ExtFn(
             "TUMBLE",

@@ -545,6 +545,46 @@ def _c4_keep_line(x: Column, min_words: int) -> Column:
     )
 
 
+def c4_kept_expr(
+    c: Column, min_words: int = C4_MIN_WORDS_PER_LINE
+) -> Column:
+    """The surviving (trimmed) lines of a text value under the C4 line
+    rules, as an array<string> Column — the shared kernel of
+    c4_line_filter and the dialect C4PASS function."""
+    # NOT `F.transform(..., F.trim)`: transform inspects callable arity and
+    # trim's optional second parameter makes it call trim(x, index) — which
+    # strips index DIGITS, not whitespace
+    lines = F.transform(F.split(c, "\n"), lambda x: F.trim(x))
+    return F.filter(lines, lambda x: _c4_keep_line(x, min_words))
+
+
+def c4_pass_expr(c: Column) -> Column:
+    """The C4 page-level pass/fail as one boolean scalar (default
+    thresholds) — the dialect C4PASS backend."""
+    return (
+        (F.size(c4_kept_expr(c)) >= C4_MIN_KEPT_LINES)
+        & ~F.lower(c).contains("lorem ipsum")
+        & ~c.contains("{")
+    )
+
+
+def c4_pass_sql(x: str) -> str:
+    """Spark-SQL twin of c4_pass_expr (same rules, same trim-first
+    contract) — keeps the dialect's two backends in lock-step."""
+    kept = (
+        f"filter(transform(split({x}, '\\n'), l -> trim(l)), "
+        "l -> l rlike '[.!?\"]$' "
+        f"AND size(filter(split(l, ' '), w -> w != '')) >= "
+        f"{C4_MIN_WORDS_PER_LINE} "
+        "AND NOT contains(lower(l), 'javascript'))"
+    )
+    return (
+        f"(size({kept}) >= {C4_MIN_KEPT_LINES} "
+        f"AND NOT contains(lower({x}), 'lorem ipsum') "
+        f"AND NOT contains({x}, '{{'))"
+    )
+
+
 def c4_line_filter(
     df: DataFrame,
     id_col: str,
@@ -560,11 +600,8 @@ def c4_line_filter(
     The page-level rules FLAG rather than drop so the operator stays a
     pure projection (callers filter on c4_pass); empty documents yield
     out_col = '' and c4_pass = false."""
-    # NOT `F.transform(..., F.trim)`: transform inspects callable arity and
-    # trim's optional second parameter makes it call trim(x, index) — which
-    # strips index DIGITS, not whitespace
     lines = F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x))
-    kept = F.filter(lines, lambda x: _c4_keep_line(x, min_words_per_line))
+    kept = c4_kept_expr(F.col(text_col), min_words_per_line)
     low = F.lower(F.col(text_col))
     return (
         df.withColumn("_lines", lines)

@@ -343,3 +343,29 @@ def xd_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-rule audit values are pinned by x_gopher_quality)."""
     docs = load_table(spark, sf_dir, "documents")
     return run_query(spark, docs, "SELECT doc_id, GOPHER(text) AS gpass")
+
+
+def _xd_c4_oracle() -> str:
+    from purescript_ifrit_spark.suite.text import _C4_AUG_SQL, _C4_KEEP_SQL
+
+    return (
+        f"WITH a AS (SELECT doc_id, {_C4_AUG_SQL} AS x FROM documents), "
+        f"k AS (SELECT doc_id, x, {_C4_KEEP_SQL} AS kept FROM a) "
+        "SELECT doc_id, (len(kept) >= 3 "
+        "AND NOT contains(lower(x), 'lorem ipsum') "
+        "AND NOT contains(x, '{')) AS cpass FROM k"
+    )
+
+
+@register("xd_c4", _xd_c4_oracle())
+def xd_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page-level pass/fail reached through the DIALECT
+    (`C4PASS(text)` → operators/text_cleaning.c4_pass_expr) on the
+    planted lined corpus — the oracle re-derives every line and page
+    rule from scratch (per-line audit values are pinned by
+    x_c4_line_filter)."""
+    from purescript_ifrit_spark.suite.text import _c4_aug_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _c4_aug_expr().alias("text"))
+    return run_query(spark, aug, "SELECT doc_id, C4PASS(text) AS cpass")

@@ -262,6 +262,9 @@ EXT_QUERIES = [
     "SELECT doc_id, GOPHER(text) AS gpass",
     "SELECT COUNT(doc_id) AS n GROUP BY GOPHER(text)",
     "SELECT doc_id WHERE GOPHER(text) = true",
+    "SELECT doc_id, C4PASS(text) AS cpass",
+    "SELECT COUNT(doc_id) AS n GROUP BY C4PASS(text)",
+    "SELECT doc_id WHERE C4PASS(text) = true",
 ]
 
 
@@ -637,3 +640,46 @@ def test_gopher_typed_boolean_and_where():
 
     with _pt.raises(Exception):
         compile_query(DOC_SCHEMA, "SELECT doc_id WHERE GOPHER(text)")
+
+
+def test_c4pass_dialect_matches_operator(spark, docs):
+    """C4PASS(text) through the compiler must equal c4_line_filter's
+    page flag, including on a planted passing document (the single-line
+    corpus fails every doc on kept-line count)."""
+    from purescript_ifrit_spark.operators.text_cleaning import c4_line_filter
+
+    good = "One fine line right here.\nSecond fine line is good.\n" \
+        "Third fine line stays too."
+    aug = docs.select("doc_id", "text").unionAll(
+        spark.createDataFrame([(990_001, good)], ["doc_id", "text"])
+    )
+    via_dialect = {
+        r.doc_id: r.cpass
+        for r in run_query(
+            spark, aug, "SELECT doc_id, C4PASS(text) AS cpass"
+        ).collect()
+    }
+    via_operator = {
+        r.doc_id: r.c4_pass
+        for r in c4_line_filter(aug, "doc_id", "text").collect()
+    }
+    assert via_dialect == via_operator
+    assert via_dialect[990_001] is True
+    # emitted-SQL backend must agree on the True branch too
+    aug.createOrReplaceTempView("c4_aug_view")
+    via_sql = {
+        r.doc_id: r.cpass
+        for r in spark.sql(
+            to_spark_sql(
+                parse_sql("SELECT doc_id, C4PASS(text) AS cpass"),
+                "c4_aug_view",
+            )
+        ).collect()
+    }
+    assert via_sql == via_dialect
+    assert via_sql[990_001] is True
+
+
+def test_c4pass_typed_boolean():
+    plan = compile_query(DOC_SCHEMA, "SELECT C4PASS(text) AS c")
+    assert plan.output_schema.fields["c"].kind == "boolean"
