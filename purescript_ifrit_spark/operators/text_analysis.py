@@ -1328,3 +1328,60 @@ def cdc_chunk_documents(
             F.md5(F.col("chunk")).alias("chunk_fp"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_token_col: str = "token",
+) -> DataFrame:
+    """Out-of-vocabulary profile of each document against a FIXED vocab
+    table (a model artifact: tokenizer vocabulary, allowlist, embedding
+    rows) — the coverage check run before committing a corpus to a
+    tokenizer. Adds n_tok / n_oov / n_unique_oov / oov_rate per doc;
+    zero-token documents survive with zeros.
+
+    100 TB design: the vocab side is model-sized, so it rides a
+    broadcast (explicit hint — never a shuffle of the corpus tokens
+    against it); the corpus side is one explode + one (id)-keyed
+    aggregation, plus the id-keyed join-back that restores token-less
+    docs. Token contract is functions/text.tokens (normalized
+    whitespace split), counted over OCCURRENCES, not distinct types."""
+    toks = df.select(
+        F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    v = F.broadcast(
+        vocab.select(F.col(vocab_token_col).alias("_tok")).distinct()
+        .withColumn("_in_v", F.lit(True))
+    )
+    agg = (
+        toks.join(v, "_tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tok"),
+            F.sum(F.col("_in_v").isNull().cast("int")).cast("int").alias(
+                "n_oov"
+            ),
+            F.count_distinct(
+                F.when(F.col("_in_v").isNull(), F.col("_tok"))
+            ).cast("int").alias("n_unique_oov"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tok"), F.lit(0)).alias("n_tok"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            F.coalesce(F.col("n_unique_oov"), F.lit(0)).alias(
+                "n_unique_oov"
+            ),
+            F.when(
+                F.coalesce(F.col("n_tok"), F.lit(0)) > 0,
+                F.round(F.col("n_oov") / F.col("n_tok"), 6),
+            ).otherwise(F.lit(0.0)).alias("oov_rate"),
+        )
+    )

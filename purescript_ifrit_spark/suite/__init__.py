@@ -128,11 +128,11 @@ _DRIVER_WINDOW_R7 = [
     "x_cdc_chunks",
     "x_semdedup_planted",
     "xd_c4",
+    "x_vocab_coverage",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
     "o3_limit_before_offset",
-    "a1_a3_group_avg",
     # (displaced to r8 by the late-r7 additions, per the round-start
     # policy above: x_embedding_neardup, x_sessionize, x_funnel,
     # x_retention by the four planted conversions; xd_quality_where,
@@ -149,7 +149,8 @@ _DRIVER_WINDOW_R7 = [
     # x_dedup_incremental_planted by x_line_dedup_global;
     # x_dedup_minhash_planted by x_jaccard_join_prefix;
     # x_dedup_exact by x_cdc_chunks; p2_nested_projection by
-    # x_semdedup_planted; s2_derived_table by xd_c4)
+    # x_semdedup_planted; s2_derived_table by xd_c4; a1_a3_group_avg by
+    # x_vocab_coverage)
 ]
 
 

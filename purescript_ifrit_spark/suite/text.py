@@ -1397,3 +1397,50 @@ def x_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("chunk")).cast("int").alias("chunk_len"),
         F.col("chunk_fp"),
     )
+
+
+@register(
+    "x_vocab_coverage",
+    # vocab = top-15 corpus tokens (count desc, token asc — deterministic
+    # ties both engines); zero-token docs survive with zeros via the
+    # outer join, the operator's contract
+    "WITH t AS (SELECT doc_id, unnest(string_split(" + _NORM_SQL + ", ' ')) "
+    "AS tok FROM documents), "
+    "tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''), "
+    "v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM tt "
+    "GROUP BY tok ORDER BY c DESC, tok LIMIT 15)), "
+    "a AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tok, "
+    "CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS INT) AS n_oov, "
+    "CAST(COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN tt.tok END) AS INT) "
+    "AS n_unique_oov "
+    "FROM tt LEFT JOIN v ON tt.tok = v.tok GROUP BY doc_id) "
+    "SELECT d.doc_id, COALESCE(n_tok, 0) AS n_tok, "
+    "COALESCE(n_oov, 0) AS n_oov, "
+    "COALESCE(n_unique_oov, 0) AS n_unique_oov, "
+    "CASE WHEN COALESCE(n_tok, 0) > 0 "
+    "THEN ROUND(n_oov * 1.0 / n_tok, 6) ELSE 0.0 END AS oov_rate "
+    "FROM documents d LEFT JOIN a USING (doc_id)",
+)
+def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary profile vs a fixed vocab table
+    (operators/text_analysis.vocab_coverage) — tokenizer-coverage
+    analysis; the fixture vocab is the corpus top-15 so OOV rates are
+    nondegenerate, the oracle re-derives it identically."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        vocab_coverage,
+    )
+
+    from purescript_ifrit_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(X.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(15)
+        .select("token")
+    )
+    return vocab_coverage(docs, vocab)

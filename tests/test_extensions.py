@@ -3654,3 +3654,39 @@ def test_semdedup_threshold_boundary_is_exact(spark):
         threshold_num=97, threshold_den=100).collect()}
     assert at == {1: True, 2: False}      # cos == t: inclusive, dropped
     assert above == {1: True, 2: True}    # cos < t: both survive
+
+
+def test_vocab_coverage_counts_and_zero_token_docs(spark):
+    from purescript_ifrit_spark.operators.text_analysis import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "zebra quark zebra"),
+            (3, ""),           # zero tokens -> zeros row, not dropped
+            (4, "the the the"),
+        ],
+        ["doc_id", "text"],
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("mat",), ("on",)], ["token"]
+    )
+    out = {r.doc_id: r for r in vocab_coverage(docs, vocab).collect()}
+    assert (out[1].n_tok, out[1].n_oov, out[1].n_unique_oov) == (6, 1, 1)
+    assert out[1].oov_rate == round(1 / 6, 6)
+    assert (out[2].n_tok, out[2].n_oov, out[2].n_unique_oov) == (3, 3, 2)
+    assert (out[3].n_tok, out[3].n_oov, out[3].oov_rate) == (0, 0, 0.0)
+    assert (out[4].n_tok, out[4].n_oov) == (3, 0)
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    from purescript_ifrit_spark.operators.text_analysis import vocab_coverage
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    vocab = spark.createDataFrame([("a",)], ["token"])
+    plan = vocab_coverage(docs, vocab)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the token-side join must be the broadcast (corpus tokens never
+    # shuffle against the vocab); the id-keyed join-back may sort-merge
+    assert "BroadcastHashJoin [_tok" in plan
+    assert plan.count("SortMergeJoin") <= 1
