@@ -61,7 +61,7 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
 
     t = {n: load_table(spark, SF_DIR, n) for n in
          ("lineitem", "orders", "customer", "nation", "region",
-          "events", "documents", "embeddings")}
+          "events", "documents", "embeddings", "part")}
 
     def q1_pricing_summary():
         return run_query(

@@ -443,3 +443,85 @@ def label_dispersion(
         F.avg("_var").alias("mean_dim_variance"),
         F.count(F.lit(1)).alias("n_dims"),
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[int],
+    k: int = 5,
+    *,
+    rel_weight: int = 7,
+    div_weight: int = 3,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
+    diversified top-k — each step selects the candidate maximizing
+    rel_weight·dot(query, x) − div_weight·max_{s∈selected} dot(x, s),
+    ties broken toward the LOWEST id.
+
+    INTEGER-EXACT contract: similarities are raw DOT PRODUCTS over
+    integer vectors, weights are integers, so every score is an exact
+    int64 and the selection sequence is bit-reproducible on any engine
+    (the planted oracle unrolls the same greedy argmax). Dot ranks
+    identically to cosine when all vectors share one norm — feed
+    normalized-then-quantized embeddings, or any planted equal-norm
+    family; with mixed norms this is dot-MMR, documented.
+
+    100 TB design: k driver-bounded iterations (the bpe_train/kmeans
+    contract — k is a model constant), each one scan + TakeOrdered(1);
+    step j recomputes j dots per candidate, so total work is
+    O(k²·n·dim) with NO shuffle beyond the 1-row gathers. Returns
+    (rank, id, score) in selection order."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rel_weight < 0 or div_weight < 0:
+        raise ValueError("weights must be nonnegative")
+    q = F.array(*[F.lit(int(x)).cast("long") for x in query])
+    vec = F.col(vec_col)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    base = df.select(F.col(id_col).alias("_id"), vec.alias("_v")).withColumn(
+        "_rel", dot(F.col("_v"), q)
+    )
+    selected: list = []  # [(id, vector-as-list, score)]
+    for step in range(k):
+        cand = base
+        for sid, svec, _ in selected:
+            cand = cand.filter(F.col("_id") != sid)
+        score = F.col("_rel") * rel_weight
+        if selected:
+            sims = F.array(
+                *[
+                    dot(
+                        F.col("_v"),
+                        F.array(*[F.lit(int(x)).cast("long") for x in sv]),
+                    )
+                    for _, sv, _ in selected
+                ]
+            )
+            score = score - F.array_max(sims) * div_weight
+        top = (
+            cand.withColumn("_score", score)
+            .orderBy(F.col("_score").desc(), F.col("_id").asc())
+            .limit(1)
+            .select("_id", "_v", "_score")
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        selected.append((r["_id"], list(r["_v"]), r["_score"]))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, sid, int(sc)) for i, (sid, _, sc) in enumerate(selected)],
+        ["rank", id_col, "score"],
+    ).select(
+        F.col("rank").cast("int"), F.col(id_col), F.col("score").cast("long")
+    )

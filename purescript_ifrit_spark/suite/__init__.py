@@ -129,10 +129,10 @@ _DRIVER_WINDOW_R7 = [
     "x_semdedup_planted",
     "xd_c4",
     "x_vocab_coverage",
+    "x_mmr_planted",
     # -- (3) r4-cohort backfill, ledger order -------------------------------
     "p1_projection",
     "f1_eq",
-    "o3_limit_before_offset",
     # (displaced to r8 by the late-r7 additions, per the round-start
     # policy above: x_embedding_neardup, x_sessionize, x_funnel,
     # x_retention by the four planted conversions; xd_quality_where,
@@ -150,7 +150,7 @@ _DRIVER_WINDOW_R7 = [
     # x_dedup_minhash_planted by x_jaccard_join_prefix;
     # x_dedup_exact by x_cdc_chunks; p2_nested_projection by
     # x_semdedup_planted; s2_derived_table by xd_c4; a1_a3_group_avg by
-    # x_vocab_coverage)
+    # x_vocab_coverage; o3_limit_before_offset by x_mmr_planted)
 ]
 
 

@@ -549,3 +549,84 @@ def x_semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, "vec_id", "qv", seeds, n_iter=_KM_ITER,
         threshold_num=_SD_NUM, threshold_den=_SD_DEN,
     )
+
+
+_MMR_BASE = (9, 5, 3, 1)   # rotated by vec_id % 4 — every norm equal
+_MMR_K = 5
+_MMR_REL, _MMR_DIV = 3, 7  # diversity-heavy: duplicates of a selected
+                           # class (dot 116) lose to fresh rotations
+
+
+def _mmr_vec_sql() -> tuple:
+    # coordinate j of rotation r is base[(j - r) mod 4]
+    cols = []
+    for j in range(4):
+        branches = " ".join(
+            f"WHEN vec_id % 4 = {r} THEN {_MMR_BASE[(j - r) % 4]}"
+            for r in range(4)
+        )
+        cols.append(f"CAST(CASE {branches} END AS BIGINT) AS v{j+1}")
+    return ", ".join(cols)
+
+
+def _mmr_oracle() -> str:
+    q = _MMR_BASE
+    rel = " + ".join(f"{q[j]} * v{j+1}" for j in range(4))
+
+    def dot(a, b):
+        return " + ".join(f"{a}.v{j+1} * {b}.v{j+1}" for j in range(4))
+
+    parts = [
+        f"WITH p AS (SELECT vec_id, {_mmr_vec_sql()}, "
+        f"CAST({rel} AS BIGINT) AS rel FROM embeddings), ",
+        f"s1 AS (SELECT vec_id, v1, v2, v3, v4, "
+        f"{_MMR_REL} * rel AS sc FROM p "
+        "ORDER BY sc DESC, vec_id LIMIT 1), ",
+    ]
+    for step in range(2, _MMR_K + 1):
+        prev = [f"s{i}" for i in range(1, step)]
+        maxsim = ", ".join(f"({dot('p', s)})" for s in prev)
+        notin = ", ".join(s + ".vec_id" for s in prev)
+        joins = " CROSS JOIN ".join(prev)
+        parts.append(
+            f"s{step} AS (SELECT p.vec_id, p.v1, p.v2, p.v3, p.v4, "
+            f"{_MMR_REL} * p.rel - {_MMR_DIV} * greatest({maxsim}) AS sc "
+            f"FROM p CROSS JOIN {joins} "
+            f"WHERE p.vec_id NOT IN ({notin}) "
+            "ORDER BY sc DESC, p.vec_id LIMIT 1), "
+        )
+    parts[-1] = parts[-1].rstrip(", ") + " "
+    sel = " UNION ALL ".join(
+        f"SELECT {i - 1} AS rank, vec_id, sc FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return "".join(parts) + (
+        "SELECT CAST(rank AS INT) AS rank, vec_id, "
+        f"CAST(sc AS BIGINT) AS score FROM ({sel})"
+    )
+
+
+@register("x_mmr_planted", _mmr_oracle())
+def x_mmr_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k
+    (operators/similarity.mmr_topk; Carbonell & Goldstein 1998) on a
+    planted equal-norm rotation family — every greedy step's argmax and
+    integer score replayed exactly by the unrolled oracle (duplicates of
+    an already-selected direction lose to fresh rotations under the
+    3:7 diversity-heavy weights)."""
+    from purescript_ifrit_spark.operators.similarity import mmr_topk
+
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    coords = []
+    for j in range(4):
+        c = F.when(F.col("vec_id") % 4 == 0, F.lit(_MMR_BASE[j]))
+        for r in range(1, 4):
+            c = c.when(
+                F.col("vec_id") % 4 == r, F.lit(_MMR_BASE[(j - r) % 4])
+            )
+        coords.append(c.cast("long"))
+    pts = ids.select("vec_id", F.array(*coords).alias("qv"))
+    return mmr_topk(
+        pts, "vec_id", "qv", list(_MMR_BASE), k=_MMR_K,
+        rel_weight=_MMR_REL, div_weight=_MMR_DIV,
+    )

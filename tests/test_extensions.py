@@ -3690,3 +3690,36 @@ def test_vocab_coverage_broadcasts_vocab(spark):
     # shuffle against the vocab); the id-keyed join-back may sort-merge
     assert "BroadcastHashJoin [_tok" in plan
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_mmr_topk_diversifies(spark):
+    from purescript_ifrit_spark.operators.similarity import mmr_topk
+
+    # two tight groups + one outlier; pure relevance would take both
+    # group-A members first, MMR interleaves
+    rows = [
+        (1, [10, 0]),   # A: rel 100
+        (2, [10, 0]),   # A duplicate
+        (3, [0, 10]),   # B: rel 0
+        (4, [7, 7]),    # mixed: rel 70
+    ]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = mmr_topk(df, "id", "v", [10, 0], k=3,
+                   rel_weight=1, div_weight=1).collect()
+    order = [(r.rank, r.id, r.score) for r in out]
+    # step1: id1 (score 100); step2: id4 (70-70=0) beats dup id2
+    # (100-100=0)? tie at 0 -> lowest id wins: id2... verify exact ints:
+    # id2: 1*100 - 1*dot([10,0],[10,0])=100-100=0
+    # id3: 0 - 0 = 0 ; id4: 70 - 70 = 0  -> all tie at 0, id2 selected
+    assert order[0] == (0, 1, 100)
+    assert order[1] == (1, 2, 0)
+    # step3: id3: 0 - max(0, 0) = 0 ; id4: 70 - max(70,70) = 0 -> id3
+    assert order[2] == (2, 3, 0)
+
+
+def test_mmr_topk_k_exceeds_corpus(spark):
+    from purescript_ifrit_spark.operators.similarity import mmr_topk
+
+    df = spark.createDataFrame([(1, [1, 0]), (2, [0, 1])], ["id", "v"])
+    out = mmr_topk(df, "id", "v", [1, 0], k=10).collect()
+    assert len(out) == 2   # stops when candidates run out
