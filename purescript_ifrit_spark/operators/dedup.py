@@ -1321,8 +1321,14 @@ def dedup_lines_global(
     reassembly. collect_list skips the NULLed dropped lines, so no
     second scan or join-back is needed."""
     idc, NL = F.col(id_col), "\n"
+    # NULL text coalesces to '' (one exempt blank line) — posexplode of a
+    # NULL array would silently drop the document, breaking the
+    # every-document-survives contract for poison rows
     parts = df.select(
-        id_col, F.posexplode(F.split(F.col(text_col), NL)).alias("_pos", "_line")
+        id_col,
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), NL)
+        ).alias("_pos", "_line"),
     )
     norm = F.trim(F.col("_line"))
     exempt = norm == ""

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from purescript_ifrit_spark.functions import vectors as V
 
@@ -519,9 +520,17 @@ def mmr_topk(
         r = top[0]
         selected.append((r["_id"], list(r["_v"]), r["_score"]))
     spark = df.sparkSession
+    # explicit schema: createDataFrame cannot infer from an empty
+    # selection (k > 0 on an empty corpus must return 0 rows, not raise)
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType()),
+            T.StructField(id_col, id_type),
+            T.StructField("score", T.LongType()),
+        ]
+    )
     return spark.createDataFrame(
         [(i, sid, int(sc)) for i, (sid, _, sc) in enumerate(selected)],
-        ["rank", id_col, "score"],
-    ).select(
-        F.col("rank").cast("int"), F.col(id_col), F.col("score").cast("long")
+        schema,
     )

@@ -598,11 +598,14 @@ def c4_line_filter(
     \\n), n_lines / n_kept counts, and the page-level `c4_pass` flag.
 
     The page-level rules FLAG rather than drop so the operator stays a
-    pure projection (callers filter on c4_pass); empty documents yield
-    out_col = '' and c4_pass = false."""
-    lines = F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x))
-    kept = c4_kept_expr(F.col(text_col), min_words_per_line)
-    low = F.lower(F.col(text_col))
+    pure projection (callers filter on c4_pass); empty and NULL
+    documents yield out_col = '' and c4_pass = false (NULL coalesces to
+    '' so poison rows keep well-typed counts/flags instead of NULLing
+    through every rule)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.transform(F.split(c, "\n"), lambda x: F.trim(x))
+    kept = c4_kept_expr(c, min_words_per_line)
+    low = F.lower(c)
     return (
         df.withColumn("_lines", lines)
         .withColumn("_kept", kept)
@@ -614,7 +617,7 @@ def c4_line_filter(
             (
                 (F.size(F.col("_kept")) >= min_kept_lines)
                 & ~low.contains("lorem ipsum")
-                & ~F.col(text_col).contains("{")
+                & ~c.contains("{")
             ).alias("c4_pass"),
         )
         .drop("_lines", "_kept")

@@ -237,3 +237,33 @@ def test_corpus_report_on_empty(empty_docs):
     assert rows["n_docs"] == 0.0
     assert rows["n_tokens"] is None or rows["n_tokens"] == 0.0
     assert rows["dup_rate"] is None  # guarded division, not a crash
+
+
+def test_c4_line_filter_null_text(spark):
+    from purescript_ifrit_spark.operators.text_cleaning import c4_line_filter
+
+    df = spark.createDataFrame([(1, None), (2, "A fine line stays here.")],
+                               "id long, t string")
+    out = {r.id: r for r in c4_line_filter(df, "id", "t").collect()}
+    assert (out[1].n_lines, out[1].n_kept, out[1].text_c4) == (1, 0, "")
+    assert out[1].c4_pass is False
+    assert out[2].n_kept == 1
+
+
+def test_dedup_lines_global_null_text_survives(spark):
+    from purescript_ifrit_spark.operators.dedup import dedup_lines_global
+
+    df = spark.createDataFrame([(1, None), (2, "keep this line.")],
+                               "id long, t string")
+    out = {r.id: r for r in dedup_lines_global(df, "id", "t").collect()}
+    assert set(out) == {1, 2}             # NULL doc is not dropped
+    assert (out[1].n_lines, out[1].n_kept, out[1].text_ldedup) == (1, 1, "")
+
+
+def test_mmr_topk_empty_corpus(spark):
+    from purescript_ifrit_spark.operators.similarity import mmr_topk
+
+    df = spark.createDataFrame([], "id long, v array<long>")
+    out = mmr_topk(df, "id", "v", [1, 0], k=3)
+    assert out.count() == 0
+    assert out.columns == ["rank", "id", "score"]
