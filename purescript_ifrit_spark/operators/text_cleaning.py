@@ -622,3 +622,57 @@ def c4_line_filter(
         )
         .drop("_lines", "_kept")
     )
+
+
+# Hyperlink extraction: double-quoted href attributes only (the
+# normalized form a crawler's fetcher emits) — single-quoted/bare
+# attributes are out of contract, documented. Java∩RE2 subset: inline
+# (?is), non-greedy repetition, no lookaround.
+LINK_RX = r'(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+_TAG_RX = r"<[^>]+>"
+
+
+def extract_links(
+    df: DataFrame,
+    id_col: str,
+    html_col: str,
+    *,
+    canonicalize: bool = True,
+) -> DataFrame:
+    """Extract anchors from HTML: (id, link_idx, href, anchor[, url_canon])
+    — the crawl-graph construction step that feeds the URL-domain report
+    and the link-graph authority scores (operators/graph.py).
+
+    anchor is the VISIBLE anchor text: inner tags become spaces, then
+    whitespace collapses and trims. `canonicalize=True` adds url_canon
+    via canonicalize_url_expr (NULL for relative/non-http links — join
+    the crawl frontier on it, not on raw href).
+
+    100 TB design: two regexp_extract_all passes over the same pattern
+    (group 1 = href, group 2 = inner HTML — same match sequence, so
+    arrays_zip aligns them by construction) + one posexplode; all
+    scan-stage, zero shuffle."""
+    c = F.coalesce(F.col(html_col), F.lit(""))
+    rx = F.lit(LINK_RX)
+    hrefs = F.regexp_extract_all(c, rx, 1)
+    inner = F.regexp_extract_all(c, rx, 2)
+    pairs = F.arrays_zip(hrefs.alias("u"), inner.alias("a"))
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_p")["a"], _TAG_RX, " "), r"\s+", " "
+        )
+    )
+    out = (
+        df.select(id_col, F.posexplode(pairs).alias("_i", "_p"))
+        .select(
+            id_col,
+            F.col("_i").cast("int").alias("link_idx"),
+            F.col("_p")["u"].alias("href"),
+            anchor.alias("anchor"),
+        )
+    )
+    if canonicalize:
+        out = out.withColumn(
+            "url_canon", canonicalize_url_expr(F.col("href"))
+        )
+    return out

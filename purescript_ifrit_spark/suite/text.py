@@ -1444,3 +1444,66 @@ def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token")
     )
     return vocab_coverage(docs, vocab)
+
+
+def _links_oracle() -> str:
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        LINK_RX,
+        canonicalize_url_sql,
+    )
+
+    html = (
+        "'<html><body><p>' || substr(text, 1, 40) || '</p>"
+        "<a href=\"https://EX' || (doc_id % 7) || "
+        "'.example.com:443/p/' || doc_id || "
+        "'/?utm_source=x&b=2&a=1#f\">Doc <b>' || doc_id || "
+        "'</b> link</a> mid <a href=\"/rel/' || doc_id || "
+        "'\">relative</a>' || CASE WHEN doc_id % 5 = 0 THEN "
+        "'<a href=\"https://hub.example.org/\">Hub</a>' ELSE '' END || "
+        "'</body></html>'"
+    )
+    anchor = (
+        "trim(regexp_replace(regexp_replace(u.a, '<[^>]+>', ' ', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    return (
+        f"WITH h AS (SELECT doc_id, {html} AS x FROM documents), "
+        f"e AS (SELECT doc_id, regexp_extract_all(x, '{LINK_RX}', 1) AS hs, "
+        f"regexp_extract_all(x, '{LINK_RX}', 2) AS ins FROM h), "
+        "z AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) + 1), "
+        "k -> {'i': k - 1, 'u': hs[CAST(k AS INT)], "
+        "'a': ins[CAST(k AS INT)]})) AS u FROM e) "
+        "SELECT doc_id, CAST(u.i AS INT) AS link_idx, u.u AS href, "
+        f"{anchor} AS anchor, "
+        f"{canonicalize_url_sql('u.u')} AS url_canon FROM z"
+    )
+
+
+@register("x_extract_links", _links_oracle())
+def x_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink extraction (operators/text_cleaning.extract_links) on
+    synthesized HTML wrapping — hrefs, cleaned anchor text, and the
+    composed canonical URL (NULL for relatives), value-exact per link."""
+    from purescript_ifrit_spark.operators.text_cleaning import extract_links
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.substring(F.col("text"), 1, 40),
+        F.lit('</p><a href="https://EX'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com:443/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit('/?utm_source=x&b=2&a=1#f">Doc <b>'),
+        F.col("doc_id").cast("string"),
+        F.lit('</b> link</a> mid <a href="/rel/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">relative</a>'),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit('<a href="https://hub.example.org/">Hub</a>'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    aug = docs.select("doc_id", html.alias("x"))
+    return extract_links(aug, "doc_id", "x")

@@ -582,3 +582,33 @@ def test_c4_line_filter_scan_stage(spark):
     df = spark.createDataFrame([(1, "A line here now.")], ["id", "t"])
     plan = physical(c4_line_filter(df, "id", "t"))
     assert "Exchange" not in plan
+
+
+def test_extract_links_rules(spark):
+    from purescript_ifrit_spark.operators.text_cleaning import extract_links
+
+    rows = [
+        (1, '<a href="https://A.example/x?utm_source=s&z=1">One <i>two</i>\n'
+            'three</a><a href="/r">rel</a>'),
+        (2, "no links at all"),
+        (3, None),
+        (4, "<a href='https://singlequote.example/'>out of contract</a>"),
+    ]
+    df = spark.createDataFrame(rows, "id long, h string")
+    out = [tuple(r) for r in
+           extract_links(df, "id", "h").orderBy("id", "link_idx").collect()]
+    assert out == [
+        (1, 0, "https://A.example/x?utm_source=s&z=1", "One two three",
+         "https://a.example/x?z=1"),
+        (1, 1, "/r", "rel", None),
+    ]  # docs 2-4 emit nothing (no links / NULL / unquoted contract)
+
+
+def test_extract_links_scan_stage(spark):
+    from purescript_ifrit_spark.operators.text_cleaning import extract_links
+
+    df = spark.createDataFrame([(1, '<a href="https://e.x/">t</a>')],
+                               "id long, h string")
+    plan = extract_links(df, "id", "h")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
