@@ -384,15 +384,21 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
     def qx_fuzzy_join():
         from purescript_ifrit_spark.operators.joins import fuzzy_key_join
 
+        # UNIQUE keys (name + partkey suffix): the raw synthetic p_name
+        # has only 64 distinct values over 20k rows at sf0.1, so raw
+        # names make the TRUE answer ~6M pairs (300×300 per name group)
+        # — that measures output materialization, not the join. Unique
+        # keys measure the machinery: ~1 match per probe.
         part = t["part"]
         o = part.select(
-            F.col("p_partkey").alias("oid"), F.col("p_name").alias("okey")
+            F.col("p_partkey").alias("oid"),
+            F.expr("p_name || '-' || p_partkey").alias("okey"),
         )
         e = part.select(
             F.col("p_partkey").alias("eid"),
             F.expr(
-                "substr(p_name, 1, p_partkey % 10) || 'x' || "
-                "substr(p_name, (p_partkey % 10) + 2)"
+                "substr(p_name, 1, p_partkey % 5) || 'x' || "
+                "substr(p_name, (p_partkey % 5) + 2) || '-' || p_partkey"
             ).alias("ekey"),
         )
         return fuzzy_key_join(o, e, "okey", "ekey", max_dist=1)

@@ -3723,3 +3723,30 @@ def test_mmr_topk_k_exceeds_corpus(spark):
     df = spark.createDataFrame([(1, [1, 0]), (2, [0, 1])], ["id", "v"])
     out = mmr_topk(df, "id", "v", [1, 0], k=10).collect()
     assert len(out) == 2   # stops when candidates run out
+
+
+def test_fuzzy_join_del1_blocking_is_complete(spark):
+    # the FastSS variant join must find every lev<=1 pair class:
+    # equal / substitution / insertion / deletion — and nothing else
+    from purescript_ifrit_spark.operators.joins import fuzzy_key_join
+
+    l = spark.createDataFrame(
+        [(1, "anchor"), (2, "rope"), (3, "x")], ["lid", "lk"]
+    )
+    r = spark.createDataFrame(
+        [
+            (10, "anchor"),    # equal        -> dist 0
+            (11, "anchOr"),    # substitution -> dist 1
+            (12, "anchors"),   # insertion    -> dist 1
+            (13, "ancho"),     # deletion     -> dist 1
+            (14, "anchoring"), # dist 3       -> excluded
+            (15, ""),          # vs "x": dist 1 (empty-string edge)
+        ],
+        ["rid", "rk"],
+    )
+    got = {
+        (row.lid, row.rid, row.edit_dist)
+        for row in fuzzy_key_join(l, r, "lk", "rk", max_dist=1).collect()
+    }
+    assert got == {(1, 10, 0), (1, 11, 1), (1, 12, 1), (1, 13, 1),
+                   (3, 15, 1)}, got
