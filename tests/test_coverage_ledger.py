@@ -110,3 +110,16 @@ def test_window_backfill_leaves_no_entry_older_than_r4():
             continue
         rounds = _checked_rounds(hist)
         assert rounds and max(rounds) >= 4, (name, hist)
+
+
+def test_bench_loads_every_table_it_references():
+    """Static guard for the r7 defect class: a bench extra referenced
+    t["part"] but the loader tuple was never extended, so every full
+    bench run crashed with KeyError before emitting JSON."""
+    import re
+
+    src = (COVERAGE.parent / "bench.py").read_text()
+    loaded = set(re.findall(r'"(\w+)"', src.split("t = {", 1)[1].split("}", 1)[0]))
+    referenced = set(re.findall(r'\bt\["(\w+)"\]', src))
+    missing = referenced - loaded
+    assert not missing, f"bench references unloaded tables: {sorted(missing)}"
