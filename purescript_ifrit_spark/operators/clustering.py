@@ -228,3 +228,67 @@ def semdedup(
             id_col, "cluster", F.col("_dropped").isNull().alias("keep")
         )
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    init_centroids: List[List[int]],
+    n_iter: int = 3,
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the k most-similar items with a DIFFERENT label — searched within
+    the anchor's k-means cluster, which is where hard negatives live by
+    definition (a negative outside the cluster is an easy negative).
+
+    INTEGER-EXACT contract (the module invariant): similarity is the
+    raw dot product over integer vectors, ranked (dot desc, id asc), so
+    the mined set is bit-reproducible and the planted oracle replays
+    the same clustering, the same window, the same ties.
+
+    100 TB design: clustering bounds the candidate join exactly as in
+    semdedup — one (cluster)-keyed self-join, then one anchor-keyed
+    window for the top-k; at production k-means fan-out (tens of
+    thousands of clusters) both stay cluster-sized. Returns
+    (id, neg_rank 1..k, neg_id, dot)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    assigned, _ = kmeans_lloyd(
+        df.select(id_col, vec_col, label_col), vec_col, init_centroids,
+        n_iter,
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_ia"), "cluster",
+        F.col(vec_col).alias("_va"), F.col(label_col).alias("_la"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_ib"), "cluster",
+        F.col(vec_col).alias("_vb"), F.col(label_col).alias("_lb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_ia").orderBy(
+        F.col("_dot").desc(), F.col("_ib").asc()
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("_la") != F.col("_lb"))
+        .withColumn("_dot", dot)
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            F.col("_ia").alias(id_col),
+            F.col("neg_rank").cast("int"),
+            F.col("_ib").alias("neg_id"),
+            F.col("_dot").alias("dot"),
+        )
+    )

@@ -131,8 +131,9 @@ _DRIVER_WINDOW_R7 = [
     "x_vocab_coverage",
     "x_mmr_planted",
     "x_extract_links",
-    # -- (3) r4-cohort backfill, ledger order -------------------------------
-    "p1_projection",
+    "x_hard_negatives_planted",
+    # -- (3) r4-cohort backfill, ledger order (fully displaced by the
+    #        session-2 additions; the r4 cohort heads the r8 queue) ---------
     # (displaced to r8 by the late-r7 additions, per the round-start
     # policy above: x_embedding_neardup, x_sessionize, x_funnel,
     # x_retention by the four planted conversions; xd_quality_where,
@@ -151,7 +152,8 @@ _DRIVER_WINDOW_R7 = [
     # x_dedup_exact by x_cdc_chunks; p2_nested_projection by
     # x_semdedup_planted; s2_derived_table by xd_c4; a1_a3_group_avg by
     # x_vocab_coverage; o3_limit_before_offset by x_mmr_planted;
-    # f1_eq by x_extract_links)
+    # f1_eq by x_extract_links; p1_projection by
+    # x_hard_negatives_planted)
 ]
 
 

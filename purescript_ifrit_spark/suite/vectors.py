@@ -630,3 +630,60 @@ def x_mmr_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, "vec_id", "qv", list(_MMR_BASE), k=_MMR_K,
         rel_weight=_MMR_REL, div_weight=_MMR_DIV,
     )
+
+
+def _hardneg_oracle() -> str:
+    vs = [f"v{i}" for i in range(1, _KM_DIM + 1)]
+    dot = " + ".join(f"pa.{v} * pb.{v}" for v in vs)
+    a_last = f"a{_KM_ITER + 1}"
+    return _kmeans_cte(_semdedup_points_sql()) + (
+        "SELECT vec_id, CAST(neg_rank AS INT) AS neg_rank, neg_id, "
+        "CAST(dot AS BIGINT) AS dot FROM ("
+        "SELECT a.vec_id, b.vec_id AS neg_id, "
+        f"CAST(({dot}) AS BIGINT) AS dot, "
+        "row_number() OVER (PARTITION BY a.vec_id "
+        f"ORDER BY ({dot}) DESC, b.vec_id) AS neg_rank "
+        f"FROM {a_last} a JOIN p pa ON a.vec_id = pa.vec_id "
+        f"JOIN {a_last} b ON b.cid = a.cid "
+        "JOIN p pb ON b.vec_id = pb.vec_id "
+        "WHERE (a.vec_id // 4) % 2 <> (b.vec_id // 4) % 2) t WHERE neg_rank <= 3"
+    )
+
+
+@register("x_hard_negatives_planted", _hardneg_oracle())
+def x_hard_negatives_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/clustering.hard_negatives): per anchor, the 3
+    most-similar different-label items within its k-means cluster —
+    clustering, integer dots, ranks and ties all replayed exactly by
+    the unrolled twin on the planted direction families (label =
+    (vec_id div 4) mod 2, alternating WITHIN each family so every
+    anchor has same-direction opposite-label neighbors)."""
+    from purescript_ifrit_spark.operators.clustering import hard_negatives
+
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    coords = []
+    for j in range(_KM_DIM):
+        f_ = F.col("vec_id") % 4
+        hot = (f_ == j) | (
+            (F.col("vec_id") % 10 == 7) & (((f_ + 1) % 4) == j)
+        )
+        coords.append(
+            F.when(hot, 1000 + F.col("vec_id") % 97)
+            .otherwise(F.col("vec_id") % 13)
+            .cast("long")
+        )
+    pts = ids.select(
+        "vec_id",
+        F.array(*coords).alias("qv"),
+        ((F.col("vec_id") / 4).cast("long") % 2).cast("int").alias("lbl"),
+    )
+    seeds = [
+        list(r["qv"])
+        for r in pts.filter(F.col("vec_id") < _KM_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return hard_negatives(
+        pts, "vec_id", "qv", "lbl", seeds, n_iter=_KM_ITER, k=3
+    )

@@ -3750,3 +3750,26 @@ def test_fuzzy_join_del1_blocking_is_complete(spark):
     }
     assert got == {(1, 10, 0), (1, 11, 1), (1, 12, 1), (1, 13, 1),
                    (3, 15, 1)}, got
+
+
+def test_hard_negatives_ranks_within_cluster_only(spark):
+    from purescript_ifrit_spark.operators.clustering import hard_negatives
+
+    # one tight cluster on axis 0, one on axis 1; anchors must never
+    # mine negatives across clusters, and ranks follow exact dots
+    rows = [
+        (1, [100, 0], 0),
+        (2, [110, 0], 1),     # dot(1,2)=11000
+        (3, [90, 1], 1),      # dot(1,3)=9000
+        (4, [0, 100], 0),
+        (5, [0, 95], 1),      # the only negative in cluster B
+    ]
+    df = spark.createDataFrame(rows, ["id", "v", "lbl"])
+    seeds = [[100, 0], [0, 100]]
+    out = hard_negatives(df, "id", "v", "lbl", seeds, n_iter=1, k=2)
+    got = {(r.id, r.neg_rank): (r.neg_id, r.dot) for r in out.collect()}
+    assert got[(1, 1)] == (2, 11000) and got[(1, 2)] == (3, 9000)
+    assert got[(4, 1)] == (5, 9500)
+    assert (5, 1) in got and got[(5, 1)] == (4, 9500)
+    # anchors never cross clusters: no (1, *) -> 5 and no rank beyond k
+    assert all(g[0] in (2, 3) for k_, g in got.items() if k_[0] == 1)
