@@ -3773,3 +3773,61 @@ def test_hard_negatives_ranks_within_cluster_only(spark):
     assert (5, 1) in got and got[(5, 1)] == (4, 9500)
     # anchors never cross clusters: no (1, *) -> 5 and no rank beyond k
     assert all(g[0] in (2, 3) for k_, g in got.items() if k_[0] == 1)
+
+
+def test_streaming_c4_and_cdc_are_stateless_scan_expressions(
+    spark, sf_dir, tmp_path
+):
+    """The r7 cleaning/chunking kernels are pure scan-stage expressions,
+    so they run UNCHANGED over readStream and match batch exactly —
+    the property that makes the curation prefix streamable."""
+    from pyspark.sql import functions as FF
+    from pyspark.sql import types as TT
+    from purescript_ifrit_spark.operators.text_cleaning import c4_line_filter
+    from purescript_ifrit_spark.operators.text_analysis import (
+        cdc_chunk_documents,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+    from purescript_ifrit_spark.streaming import pipeline as SP
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text") \
+        .limit(120)
+    src = str(tmp_path / "doc_stream_src")
+    docs.coalesce(2).write.parquet(src)
+    schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("text", TT.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    assert stream.isStreaming
+
+    q1 = SP.run_to_memory_sink(
+        c4_line_filter(stream, "doc_id", "text"), "c4_stream",
+        output_mode="append",
+    )
+    q1.awaitTermination(120)
+    got_c4 = {
+        r.doc_id: (r.n_lines, r.n_kept, r.c4_pass)
+        for r in spark.table("c4_stream").collect()
+    }
+    want_c4 = {
+        r.doc_id: (r.n_lines, r.n_kept, r.c4_pass)
+        for r in c4_line_filter(docs, "doc_id", "text").collect()
+    }
+    assert got_c4 == want_c4 and len(got_c4) == 120
+
+    q2 = SP.run_to_memory_sink(
+        cdc_chunk_documents(stream), "cdc_stream", output_mode="append"
+    )
+    q2.awaitTermination(120)
+    got = {
+        (r.doc_id, r.chunk_idx): r.chunk_fp
+        for r in spark.table("cdc_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_idx): r.chunk_fp
+        for r in cdc_chunk_documents(docs).collect()
+    }
+    assert got == want
