@@ -39,6 +39,8 @@ from purescript_ifrit_spark.suite import (  # noqa: E402,F401
     joins,
     multimodal,
     streaming,
+    chat,
+    layout,
 )
 from purescript_ifrit_spark.suite.core import flagship  # noqa: E402,F401
 
@@ -154,6 +156,24 @@ _DRIVER_WINDOW_R7 = [
     # x_vocab_coverage; o3_limit_before_offset by x_mmr_planted;
     # f1_eq by x_extract_links; p1_projection by
     # x_hard_negatives_planted)
+]
+
+
+# Session-3 additions arrived AFTER the 50-slot window saturated with
+# never-driver-checked r7 entries (7 stale + 43 new) — there is no
+# backfill left to displace, and displacing another never-checked entry
+# would be a zero-sum shuffle. These queue at the HEAD of the r8 window
+# instead; tests/test_coverage_ledger.py enforces that every
+# never-checked oracle entry is either windowed or pinned here, so an
+# entry can saturate out of the window but never silently drop out of
+# the rotation.
+_R8_QUEUE_HEAD = [
+    "x_chat_stats",
+    "x_sft_spans",
+    "x_preference_pairs",
+    "x_zorder_key",
+    "x_layout_pruning",
+    "x_skew_profile",
 ]
 
 

@@ -1,0 +1,146 @@
+"""Unit tests for operators/chat.py and operators/layout.py — edge
+semantics the oracle-parity entries can't isolate (malformed
+conversations, ties, banding boundaries, interleave bit positions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from purescript_ifrit_spark.operators.chat import (
+    conversation_stats,
+    preference_pairs,
+    sft_loss_spans,
+)
+from purescript_ifrit_spark.operators.layout import (
+    layout_file_stats,
+    skew_profile,
+    zorder_key,
+    zorder_sql,
+)
+
+
+def _msgs(spark, rows):
+    return spark.createDataFrame(rows, "conv_id long, turn long, role string, content string")
+
+
+def test_conversation_stats_alternation_shapes(spark):
+    rows = [
+        # conv 1: system head + strict alternation -> ok
+        (1, 0, "system", "s"),
+        (1, 1, "user", "hi there"),
+        (1, 2, "assistant", "hello"),
+        # conv 2: starts with assistant -> not ok
+        (2, 0, "assistant", "a"),
+        (2, 1, "user", "b"),
+        # conv 3: double user turn -> not ok
+        (3, 0, "user", "a"),
+        (3, 1, "user", "b"),
+        # conv 4: system ONLY -> malformed (empty body)
+        (4, 0, "system", "x"),
+        # conv 5: system in the middle -> not ok
+        (5, 0, "user", "a"),
+        (5, 1, "system", "b"),
+    ]
+    out = {
+        r["conv_id"]: r.asDict()
+        for r in conversation_stats(_msgs(spark, rows)).collect()
+    }
+    assert out[1]["alternation_ok"] is True
+    assert out[2]["alternation_ok"] is False
+    assert out[3]["alternation_ok"] is False
+    assert out[4]["alternation_ok"] is False
+    assert out[5]["alternation_ok"] is False
+    assert out[1]["n_turns"] == 3 and out[1]["n_system"] == 1
+    assert out[1]["first_role"] == "system"
+    assert out[1]["last_role"] == "assistant"
+    assert out[1]["total_chars"] == len("s") + len("hi there") + len("hello")
+    assert out[1]["assistant_chars"] == len("hello")
+    assert out[4]["assistant_chars"] == 0  # coalesce, not NULL
+
+
+def test_sft_loss_spans_offsets(spark):
+    rows = [
+        (1, 0, "system", "a b c"),        # 3 tokens: [0, 3)
+        (1, 1, "user", "d d"),            # 2 tokens: [3, 5)
+        (1, 2, "assistant", "x y z w"),   # 4 tokens: [5, 9)
+        (1, 3, "user", "q"),              # 1 token:  [9, 10)
+        (1, 4, "assistant", ""),          # 0 tokens: [10, 10)
+    ]
+    out = sorted(
+        (r["turn"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in sft_loss_spans(_msgs(spark, rows)).collect()
+    )
+    assert out == [(2, 5, 9, 4), (4, 10, 10, 0)]
+
+
+def test_preference_pairs_ties_and_singletons(spark):
+    rows = [
+        (1, 10, 5, "a a a"),
+        (1, 11, 7, "b b"),      # higher score wins
+        (2, 20, 4, "c"),
+        (2, 21, 4, "d d"),      # score tie -> LOWER cand_id chosen
+        (3, 30, 9, "e"),        # singleton -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, cand_id long, score long, content string"
+    )
+    out = {r["prompt_id"]: r.asDict() for r in preference_pairs(df).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["chosen_id"], out[1]["rejected_id"]) == (11, 10)
+    assert (out[1]["chosen_tokens"], out[1]["rejected_tokens"]) == (2, 3)
+    assert out[1]["len_gap"] == -1 and out[1]["score_gap"] == 2
+    assert (out[2]["chosen_id"], out[2]["rejected_id"]) == (20, 21)
+    assert out[2]["score_gap"] == 0
+
+
+def test_zorder_key_known_bits(spark):
+    # x = 0b11, y = 0b01 with 2 dims: bit i of dim d -> position 2i+d
+    # x contributes bits 0,2 ; y contributes bit 1 -> z = 0b0111 = 7
+    df = spark.range(1).select(
+        zorder_key([F.lit(3), F.lit(1)], bits=2).alias("z")
+    )
+    assert df.collect()[0]["z"] == 7
+    # SQL twin produces the identical expression semantics
+    assert "<< 0" in zorder_sql(["x", "y"], 2)
+
+
+def test_zorder_key_guards():
+    with pytest.raises(ValueError):
+        zorder_key([F.lit(1)], bits=8)
+    with pytest.raises(ValueError):
+        zorder_key([F.lit(1), F.lit(2)], bits=32)
+
+
+def test_layout_file_stats_banding_and_hit(spark):
+    # 8 rows, 4 files -> 2 rows per file under ascending key
+    df = spark.createDataFrame(
+        [(i, i, 100 - i) for i in range(8)], "id long, a long, b long"
+    )
+    out = layout_file_stats(
+        df,
+        F.col("a"),
+        F.col("id"),
+        {"a": F.col("a"), "b": F.col("b")},
+        n_files=4,
+        query_box={"a": (2, 3)},
+    ).collect()
+    rows = {r["file_id"]: r.asDict() for r in out}
+    assert len(rows) == 4
+    assert (rows[0]["a_min"], rows[0]["a_max"]) == (0, 1)
+    assert (rows[1]["a_min"], rows[1]["a_max"]) == (2, 3)
+    assert rows[1]["hit"] is True
+    assert rows[0]["hit"] is False and rows[3]["hit"] is False
+    assert (rows[2]["b_min"], rows[2]["b_max"]) == (95, 96)
+
+
+def test_skew_profile_tie_breaks_to_min_key(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in [5, 5, 5, 2, 2, 2, 9]], "k long"
+    )
+    r = skew_profile(df, F.col("k")).collect()[0]
+    assert r["n_keys"] == 3 and r["rows_total"] == 7 and r["max_cnt"] == 3
+    assert r["top_key"] == 2  # tie between 2 and 5 at cnt=3 -> min key
+    # skew = 3*3/7 = 1.2857... -> 1285714 micro; salt = ceil(9/7) = 2
+    assert r["skew_micro"] == 1285714
+    assert r["salt_factor"] == 2

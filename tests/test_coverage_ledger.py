@@ -72,14 +72,27 @@ def _checked_rounds(hist: str) -> list:
 
 def test_window_prioritizes_never_verified_oracle_entries():
     # every oracle-backed entry whose history has no driver round yet
-    # must be IN the window
+    # must be IN the window — or, once the window saturated with
+    # never-checked entries (session 3), pinned in the declared r8
+    # queue head. Either way, no entry silently leaves the rotation.
+    from purescript_ifrit_spark.suite import _R8_QUEUE_HEAD
+
     never = [
         name
         for name, (check, hist) in DRIVER_HISTORY.items()
         if check == "oracle" and not _checked_rounds(hist)
     ]
-    missing = [n for n in never if n not in _DRIVER_WINDOW_R7]
+    missing = [
+        n for n in never
+        if n not in _DRIVER_WINDOW_R7 and n not in _R8_QUEUE_HEAD
+    ]
     assert missing == [], missing
+    # the queue is real: disjoint from the window, oracle-backed,
+    # registry-resident, never-checked
+    for n in _R8_QUEUE_HEAD:
+        assert n in REGISTRY and REGISTRY[n][1] is not None, n
+        assert n not in _DRIVER_WINDOW_R7, n
+        assert not _checked_rounds(DRIVER_HISTORY[n][1]), n
 
 
 def test_window_repairs_the_r3_stale_cohort_first():
@@ -105,8 +118,11 @@ def test_window_backfill_leaves_no_entry_older_than_r4():
     # must have a last check of r5 or r6 — the backfill composition
     # covers the whole r4 cohort except the tail displaced by new
     # r7 entries (those r4-tail entries must still be windowed or r4)
+    from purescript_ifrit_spark.suite import _R8_QUEUE_HEAD
+
     for name, (check, hist) in DRIVER_HISTORY.items():
-        if check != "oracle" or name in _DRIVER_WINDOW_R7:
+        if (check != "oracle" or name in _DRIVER_WINDOW_R7
+                or name in _R8_QUEUE_HEAD):
             continue
         rounds = _checked_rounds(hist)
         assert rounds and max(rounds) >= 4, (name, hist)
