@@ -66,6 +66,28 @@ def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def minhash_bands_sql(lane_cols, bands: int, rows_per_band: int) -> str:
+    """minhash_bands as ONE SQL expression string over named signature
+    lane columns (no array assembly). Semantically identical to
+    minhash_bands over array(lane_cols...): integer SQL literals type as
+    INT exactly like F.lit(b), and xxhash64 sees the same BIGINT lanes in
+    the same order — pinned against the Column form in tests.
+
+    Why a string: the Column form costs ~7 py4j constructor round trips
+    per band (~120 ms of pure driver chatter for b=8 on a fresh plan —
+    the bench/driver contract builds a fresh plan every run). One
+    F.expr(...) parses JVM-side in one call. Same move as the signature
+    lanes in minhash_candidate_pairs (SCALE.md round-6 fresh-plan note).
+    """
+    parts = []
+    for b in range(bands):
+        lanes = ",".join(
+            str(lane_cols[b * rows_per_band + r]) for r in range(rows_per_band)
+        )
+        parts.append(f"named_struct('band',{b},'key',xxhash64({lanes}))")
+    return "array(" + ",".join(parts) + ")"
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two (distinct-element) arrays."""
     inter = F.size(F.array_intersect(a, b))

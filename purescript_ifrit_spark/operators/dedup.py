@@ -223,15 +223,15 @@ def minhash_candidate_pairs(
             for i in range(num_hashes)
         ]
     )
-    sig_array = F.expr(
-        "array(" + ",".join(f"_m{i}" for i in range(num_hashes)) + ")"
-    )
-
     # band rows carry ONLY (id, band, key): candidate generation must never
-    # shuffle shingle arrays (at corpus scale those are the bulk of bytes)
+    # shuffle shingle arrays (at corpus scale those are the bulk of bytes).
+    # One parsed expr over the lane columns (minhash_bands_sql) — the
+    # Column band builder cost ~120 ms of py4j chatter per fresh plan.
     banded = sigs.select(
         "_id",
-        F.explode(H.minhash_bands(sig_array, bands, rows)).alias("_b"),
+        F.explode(F.expr(H.minhash_bands_sql(
+            [f"_m{i}" for i in range(num_hashes)], bands, rows
+        ))).alias("_b"),
     ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
 
     # Candidate generation: ONE exchange — collect each (band, key) bucket's

@@ -3831,3 +3831,28 @@ def test_streaming_c4_and_cdc_are_stateless_scan_expressions(
         for r in cdc_chunk_documents(docs).collect()
     }
     assert got == want
+
+
+def test_minhash_bands_sql_twin_is_bit_identical(spark):
+    # the parsed-expr band builder (minhash_bands_sql, the fresh-plan
+    # py4j-chatter fix) must produce the same (band, key) stream as the
+    # Column form for the same signature lanes
+    from purescript_ifrit_spark.functions import hashing as H
+
+    df = spark.range(50).select(
+        F.col("id"),
+        *[F.xxhash64(F.lit(i), "id").alias(f"_m{i}") for i in range(16)],
+    )
+    sig = F.array(*[F.col(f"_m{i}") for i in range(16)])
+    via_col = df.select(
+        "id", F.explode(H.minhash_bands(sig, 8, 2)).alias("b")
+    ).select("id", "b.band", "b.key")
+    via_sql = df.select(
+        "id",
+        F.explode(
+            F.expr(H.minhash_bands_sql([f"_m{i}" for i in range(16)], 8, 2))
+        ).alias("b"),
+    ).select("id", "b.band", "b.key")
+    assert sorted(map(tuple, via_col.collect())) == sorted(
+        map(tuple, via_sql.collect())
+    )
