@@ -1257,19 +1257,105 @@ def cdc_chunk_documents(
     Contract (mirrored by the oracle): boundary AFTER char i (1-based)
     for i in [window, n-1] iff fold(h*31 + codepoint, window chars
     ending at i) mod (2^31-1) ≡ 0 (mod divisor); no min/max chunk
-    bounds — the rule is stateless, which is what keeps it a scan-stage
-    expression on both engines (bounded variants need a sequential scan;
-    degenerate periodic content can produce runs of tiny chunks — cap
-    downstream if that matters). Empty documents yield zero chunks.
+    bounds (bounded variants need a sequential scan; degenerate
+    periodic content can produce runs of tiny chunks — cap downstream
+    if that matters). Empty/NULL documents yield zero chunks.
 
-    100 TB design: one HOF pass, ~window integer ops per char, no wide
-    exchange — chunking happens at read speed. Char arrays are bound
-    once (functions/text.bind_once) so nothing re-evaluates per
-    position. The work is CPU-dense interpreted-lambda time, so a
-    narrow input (one small file → one split) would serialize it on a
-    single core: narrow scan chains fan out to cluster width first
-    (dedup._fanout_narrow_scan; measured at sf0.1/local[32]: 6.4 s →
-    sub-second steady compute once 32 tasks carry it)."""
+    Implementation: one Arrow mapInPandas pass, numpy-vectorized. The
+    fold is linear under mod, so the per-position window hash equals
+    (Σⱼ 31^(w-1-j)·cⱼ) mod M — one sliding-window int64 matvec per
+    document (max term 8·31⁷·0x10FFFF ≈ 2.5e17, no int64 overflow)
+    instead of w interpreted HOF steps per char. Measured at
+    sf0.1/local[32], fresh plan per run: 4.4 s → 0.62 s steady,
+    bit-identical output (pinned vs the retained HOF form in
+    test_cdc_arrow_equals_hof). Codepoint semantics are exact on both
+    engines: utf-32 units here ≡ DuckDB ord() ≡ Spark ascii() on
+    codepoint-split strings.
+
+    100 TB design: scan-stage, no wide exchange — chunking happens at
+    read speed in Arrow batches. CPU-dense work on a narrow input (one
+    small file → one split) would serialize on a single core: narrow
+    scan chains fan out to cluster width first
+    (dedup._fanout_narrow_scan)."""
+    from purescript_ifrit_spark.operators.dedup import _fanout_narrow_scan
+
+    df = _fanout_narrow_scan(df, id_col)
+    B, M = X.ROLLING_BASE, X.ROLLING_MOD
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, chunk_idx int, n_chunks int, "
+        "chunk string, chunk_fp string"
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        pws = np.array(
+            [B ** (window - 1 - j) for j in range(window)], dtype=np.int64
+        )
+        for pdf in batches:
+            ids, idxs, ns, chks, fps = [], [], [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None or len(txt) == 0:
+                    continue
+                try:
+                    cp = np.frombuffer(
+                        txt.encode("utf-32-le"), dtype="<u4"
+                    ).astype(np.int64)
+                except UnicodeEncodeError:
+                    # lone surrogates can't encode; ord() still yields
+                    # their codepoint, matching the JVM form
+                    cp = np.fromiter(
+                        map(ord, txt), dtype=np.int64, count=len(txt)
+                    )
+                n = cp.size
+                if n - 1 >= window:
+                    win = np.lib.stride_tricks.sliding_window_view(
+                        cp, window
+                    )[: n - window]
+                    h = (win * pws).sum(axis=1) % M
+                    bounds = (np.nonzero(h % divisor == 0)[0] + window).tolist()
+                else:
+                    bounds = []
+                cuts = [0] + bounds + [n]
+                m = len(cuts) - 1
+                for k in range(m):
+                    piece = txt[cuts[k]: cuts[k + 1]]
+                    ids.append(did)
+                    idxs.append(k)
+                    ns.append(m)
+                    chks.append(piece)
+                    fps.append(hashlib.md5(piece.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "chunk_idx": pd.array(idxs, dtype="int32"),
+                    "n_chunks": pd.array(ns, dtype="int32"),
+                    "chunk": chks,
+                    "chunk_fp": fps,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def cdc_chunk_documents_hof(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """The pure-JVM higher-order-function form of cdc_chunk_documents —
+    same contract, same output, no Python workers. Retained as the
+    cross-implementation pin (test_cdc_arrow_equals_hof) and for
+    deployments that must stay JVM-only; it costs ~window interpreted
+    ops per char (7× the Arrow path at sf0.1), which is why the Arrow
+    form is the default."""
     from purescript_ifrit_spark.operators.dedup import _fanout_narrow_scan
 
     df = _fanout_narrow_scan(df, id_col)

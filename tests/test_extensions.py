@@ -3856,3 +3856,19 @@ def test_minhash_bands_sql_twin_is_bit_identical(spark):
     assert sorted(map(tuple, via_col.collect())) == sorted(
         map(tuple, via_sql.collect())
     )
+
+
+def test_cdc_arrow_equals_hof(spark, sf_dir):
+    # the vectorized Arrow default and the retained JVM HOF form must be
+    # bit-identical on real corpus text (incl. non-ASCII): same ids,
+    # indices, counts, chunk text and fingerprints
+    from purescript_ifrit_spark.operators.text_analysis import (
+        cdc_chunk_documents,
+        cdc_chunk_documents_hof,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = sorted(map(tuple, cdc_chunk_documents(docs).collect()))
+    b = sorted(map(tuple, cdc_chunk_documents_hof(docs).collect()))
+    assert a == b and len(a) > 200
