@@ -49,9 +49,29 @@ def _sq_dist(vec, centroid: Sequence[int]):
 _UNROLL_MAX_K = 16
 
 
-def _assign_expr(vec, centroids: List[List[int]]):
+def _assign_expr(vec, centroids: List[List[int]], vec_sql: str = None):
     if len(centroids) <= _UNROLL_MAX_K:
         dists = F.array(*[_sq_dist(vec, c) for c in centroids])
+    elif vec_sql is not None:
+        # ONE parsed expression: the Column form of a k×dim centroid
+        # literal costs k·dim F.lit py4j round trips (~850 ms at
+        # k=64/dim=8, and kmeans+semdedup build it three times per run —
+        # the minhash_bands_sql lesson applied to the centroid matrix).
+        # Same longs, same lambda bodies, same first-occurrence
+        # tie-break; pinned vs the Column form in
+        # test_assign_expr_sql_twin_is_bit_identical.
+        cent_sql = "array(" + ",".join(
+            "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
+            for c in centroids
+        ) + ")"
+        d = (
+            f"transform({cent_sql}, c -> aggregate("
+            f"zip_with({vec_sql}, c, (x, y) -> (x - y) * (x - y)), "
+            "0L, (acc, x) -> acc + x))"
+        )
+        return F.expr(
+            f"CAST(array_position({d}, array_min({d})) - 1 AS INT)"
+        )
     else:
         cent = F.array(
             *[
@@ -119,7 +139,8 @@ def kmeans_lloyd(
     centroids = [[int(x) for x in c] for c in init_centroids]
     for _ in range(n_iter):
         assigned = df.select(
-            _assign_expr(vec, centroids).alias("_c"), vec.alias("_v")
+            _assign_expr(vec, centroids, f"`{vec_col}`").alias("_c"),
+            vec.alias("_v"),
         )
         sums = (
             assigned.select("_c", F.posexplode("_v").alias("_p", "_x"))
@@ -144,7 +165,9 @@ def kmeans_lloyd(
             ]
             for cid in range(k)
         ]
-    out = df.withColumn("cluster", _assign_expr(vec, centroids))
+    out = df.withColumn(
+        "cluster", _assign_expr(vec, centroids, f"`{vec_col}`")
+    )
     if with_dist:
         dists = F.array(*[_sq_dist(vec, c) for c in centroids])
         out = out.withColumn("sq_dist", F.array_min(dists))

@@ -3872,3 +3872,30 @@ def test_cdc_arrow_equals_hof(spark, sf_dir):
     a = sorted(map(tuple, cdc_chunk_documents(docs).collect()))
     b = sorted(map(tuple, cdc_chunk_documents_hof(docs).collect()))
     assert a == b and len(a) > 200
+
+
+def test_assign_expr_sql_twin_is_bit_identical(spark):
+    # the parsed single-expression assignment (k > unroll cap) must make
+    # the same cluster choice as the Column form on every row, including
+    # equidistant ties (first-occurrence min)
+    import random
+
+    from purescript_ifrit_spark.operators.clustering import _assign_expr
+
+    rnd = random.Random(7)
+    k, dim = 20, 8
+    cents = [[rnd.randrange(0, 2000) for _ in range(dim)] for _ in range(k)]
+    cents[3] = cents[11] = [500] * dim  # duplicate centroid: forced tie
+    rows = [
+        (i, [rnd.randrange(0, 2000) for _ in range(dim)]) for i in range(300)
+    ] + [(1000, [500] * dim)]
+    df = spark.createDataFrame(rows, "id long, qv array<long>")
+    via_sql = df.select(
+        "id", _assign_expr(F.col("qv"), cents, "`qv`").alias("c")
+    ).collect()
+    via_col = df.select(
+        "id", _assign_expr(F.col("qv"), cents).alias("c")
+    ).collect()
+    assert sorted(map(tuple, via_sql)) == sorted(map(tuple, via_col))
+    tie = {r.id: r.c for r in via_sql}[1000]
+    assert tie == 3  # first occurrence of the duplicated centroid
