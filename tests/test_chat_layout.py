@@ -144,3 +144,34 @@ def test_skew_profile_tie_breaks_to_min_key(spark):
     # skew = 3*3/7 = 1.2857... -> 1285714 micro; salt = ceil(9/7) = 2
     assert r["skew_micro"] == 1285714
     assert r["salt_factor"] == 2
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_chat_operator_plan_shapes(spark):
+    # conversation_stats and preference_pairs: ONE hash exchange (the
+    # groupBy), no window, no join; sft_loss_spans: one exchange feeding
+    # the window sort. These are the 100 TB contracts the docstrings
+    # promise — pin them so a refactor cannot silently add a shuffle.
+    msgs = spark.createDataFrame(
+        [(1, 0, "user", "a b"), (1, 1, "assistant", "c")],
+        "conv_id long, turn long, role string, content string",
+    )
+    p = _plan(conversation_stats(msgs))
+    assert p.count("Exchange") == 1 and "Window" not in p and "Join" not in p
+    p = _plan(sft_loss_spans(msgs))
+    assert p.count("Exchange") == 1 and "Join" not in p
+    cands = spark.createDataFrame(
+        [(1, 10, 5, "x"), (1, 11, 7, "y")],
+        "prompt_id long, cand_id long, score long, content string",
+    )
+    p = _plan(preference_pairs(cands))
+    assert p.count("Exchange") == 1 and "Window" not in p and "Join" not in p
+
+
+def test_zorder_is_scan_stage(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "id long, a long, b long")
+    p = _plan(df.select(zorder_key([F.col("a"), F.col("b")], 8).alias("z")))
+    assert "Exchange" not in p
