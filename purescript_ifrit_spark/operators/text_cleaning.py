@@ -676,3 +676,80 @@ def extract_links(
             "url_canon", canonicalize_url_expr(F.col("href"))
         )
     return out
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """Robots-exclusion decisions for a URL table — the crawl-pipeline
+    step between frontier and fetch (and, for training corpora, the
+    retroactive compliance audit): per URL, apply the domain's robots
+    rules for `agent` using the published REP semantics (RFC 9309):
+
+    - a domain's rule GROUP is the specific agent's if any rule for
+      that agent exists there, else the `*` group (groups never mix);
+    - within the group, the LONGEST path-prefix match decides;
+    - an allow/disallow tie at equal length resolves to allow;
+    - no matching rule (or no rules at all for the domain) = allowed.
+
+    `rules` rows: (domain, agent, allow boolean, prefix). Returns
+    (id, domain, path, allowed).
+
+    100 TB design: rules are metadata-sized next to the corpus — one
+    domain-keyed equi-join (AQE picks broadcast when they fit), prefix
+    match and ranking computed as scan-stage expressions on the joined
+    rows, then ONE url-keyed max_by aggregate; the tie-break is the
+    integer key 2·len(prefix)+allow so ranking needs no window. The
+    specific-vs-wildcard group choice is a domain-keyed aggregate over
+    the RULES side only (tiny) joined back before the probe."""
+    tgt = F.lit(agent)
+    scoped_dom = rules.groupBy(F.col(domain_col).alias("_rd")).agg(
+        F.max(F.when(F.col("agent") == tgt, 1).otherwise(0)).alias("_has_spec")
+    )
+    r = (
+        rules.select(
+            F.col(domain_col).alias("_rd"),
+            F.col("agent").alias("_agent"),
+            F.col("allow").alias("_allow"),
+            F.col("prefix").alias("_prefix"),
+        )
+        .join(scoped_dom, "_rd")
+        .filter(
+            F.when(F.col("_has_spec") == 1, F.col("_agent") == tgt)
+            .otherwise(F.col("_agent") == "*")
+        )
+    )
+    base = urls.select(
+        F.col(id_col).alias("_id"),
+        F.col(domain_col).alias("domain"),
+        F.col(path_col).alias("path"),
+    )
+    joined = base.join(
+        r, base["domain"] == r["_rd"], "left"
+    ).withColumn(
+        "_matched",
+        F.col("_prefix").isNotNull()
+        & F.col("path").startswith(F.col("_prefix")),
+    )
+    ord_ = F.when(
+        F.col("_matched"),
+        F.length("_prefix") * 2 + F.col("_allow").cast("int"),
+    )
+    decided = joined.groupBy("_id").agg(
+        F.first("domain").alias("domain"),
+        F.first("path").alias("path"),
+        F.max_by(
+            F.when(F.col("_matched"), F.col("_allow")), ord_
+        ).alias("_decision"),
+    )
+    return decided.select(
+        F.col("_id").alias(id_col),
+        "domain",
+        "path",
+        F.coalesce(F.col("_decision"), F.lit(True)).alias("allowed"),
+    )

@@ -174,6 +174,7 @@ _R8_QUEUE_HEAD = [
     "x_zorder_key",
     "x_layout_pruning",
     "x_skew_profile",
+    "x_robots_filter",
 ]
 
 

@@ -1507,3 +1507,77 @@ def x_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = docs.select("doc_id", html.alias("x"))
     return extract_links(aug, "doc_id", "x")
+
+
+# planted robots rules — ONE Python constant rendered to createDataFrame
+# (Spark) and VALUES (DuckDB) so the two rule tables can never drift.
+# Shapes covered: longest-prefix override (d0), specific-agent group
+# fully shadowing '*' (d1), equal-length allow/disallow tie -> allow
+# (d2), rules for a different agent only -> wildcard group empty ->
+# allowed (d3), deep prefix (d4), no rules at all (d5, d6).
+_ROBOTS_RULES = [
+    ("d0.com", "*", False, "/"),
+    ("d0.com", "*", True, "/p3"),
+    ("d1.com", "trainbot", False, "/p1"),
+    ("d1.com", "*", False, "/"),
+    ("d2.com", "*", False, "/p2"),
+    ("d2.com", "*", True, "/p2"),
+    ("d3.com", "otherbot", False, "/"),
+    ("d4.com", "*", False, "/p4/x2"),
+]
+
+_ROBOTS_URLS_SQL = (
+    "SELECT doc_id, 'd' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain, "
+    "'/p' || CAST(doc_id % 13 AS VARCHAR) || '/x' || "
+    "CAST(doc_id % 5 AS VARCHAR) AS path FROM documents"
+)
+
+
+def _robots_oracle() -> str:
+    vals = ", ".join(
+        f"('{d}', '{a}', {'true' if al else 'false'}, '{p}')"
+        for d, a, al, p in _ROBOTS_RULES
+    )
+    return (
+        f"WITH u AS ({_ROBOTS_URLS_SQL}), "
+        f"ru(domain, agent, allow, prefix) AS (VALUES {vals}), "
+        "hs AS (SELECT domain AS rd, "
+        "max(CASE WHEN agent = 'trainbot' THEN 1 ELSE 0 END) AS has_spec "
+        "FROM ru GROUP BY domain), "
+        "g AS (SELECT ru.domain AS rd, allow, prefix FROM ru "
+        "JOIN hs ON ru.domain = hs.rd "
+        "WHERE CASE WHEN has_spec = 1 THEN agent = 'trainbot' "
+        "ELSE agent = '*' END), "
+        "j AS (SELECT u.doc_id, u.domain, u.path, g.allow, g.prefix, "
+        "(g.prefix IS NOT NULL AND starts_with(u.path, g.prefix)) AS m "
+        "FROM u LEFT JOIN g ON u.domain = g.rd) "
+        "SELECT doc_id, min(domain) AS domain, min(path) AS path, "
+        "coalesce(arg_max(allow, length(prefix) * 2 + CAST(allow AS INT)) "
+        "FILTER (WHERE m), true) AS allowed "
+        "FROM j GROUP BY doc_id"
+    )
+
+
+@register("x_robots_filter", _robots_oracle())
+def x_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-exclusion decisions (operators/text_cleaning.robots_filter;
+    RFC 9309 semantics: specific-agent group shadows '*' entirely,
+    longest path-prefix wins, equal-length ties resolve to allow, no
+    match = allowed) on planted per-domain rule groups — every decision
+    replayed by the oracle's FILTERed arg_max over the same integer
+    ranking key."""
+    from purescript_ifrit_spark.operators.text_cleaning import robots_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".com")).alias("domain"),
+        F.concat(F.lit("/p"), (F.col("doc_id") % 13).cast("string"),
+                 F.lit("/x"), (F.col("doc_id") % 5).cast("string"))
+        .alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "domain string, agent string, allow boolean, prefix string"
+    )
+    return robots_filter(urls, rules, "trainbot")

@@ -612,3 +612,54 @@ def test_extract_links_scan_stage(spark):
     plan = extract_links(df, "id", "h")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_robots_filter_rep_semantics(spark):
+    from pyspark.sql import functions as F
+    from purescript_ifrit_spark.operators.text_cleaning import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "*", False, "/"),
+            ("a.com", "*", True, "/pub"),
+            ("b.com", "bot", False, "/x"),
+            ("b.com", "*", False, "/"),      # shadowed by the bot group
+            ("c.com", "*", False, "/t"),
+            ("c.com", "*", True, "/t"),      # equal length -> allow wins
+        ],
+        "domain string, agent string, allow boolean, prefix string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/pub/page"),   # longest match allow
+            (2, "a.com", "/private"),    # falls to "/" disallow
+            (3, "b.com", "/x/1"),        # bot group disallow
+            (4, "b.com", "/y"),          # bot group has no match -> allowed
+            (5, "c.com", "/t/z"),        # tie -> allow
+            (6, "d.com", "/anything"),   # no rules -> allowed
+        ],
+        "doc_id long, domain string, path string",
+    )
+    got = {
+        r["doc_id"]: r["allowed"]
+        for r in robots_filter(urls, rules, "bot").collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: True, 6: True}
+
+
+def test_robots_filter_single_join_single_agg(spark):
+    from purescript_ifrit_spark.operators.text_cleaning import robots_filter
+
+    rules = spark.createDataFrame(
+        [("a.com", "*", False, "/")],
+        "domain string, agent string, allow boolean, prefix string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/p")], "doc_id long, domain string, path string"
+    )
+    plan = robots_filter(urls, rules, "bot")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # corpus side: one probe join (plus the rules-side scope join),
+    # never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
