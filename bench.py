@@ -532,6 +532,25 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         )
         return out.select("vec_id", "cluster", "keep")
 
+    def qx_chat_stats():
+        # session-3 chat family: the planted 5-turn conversation shape
+        # from the suite entry, full stats + alternation HOF
+        from purescript_ifrit_spark.operators.chat import conversation_stats
+        from purescript_ifrit_spark.suite.chat import _planted_msgs
+
+        return conversation_stats(_planted_msgs(spark, SF_DIR))
+
+    def qx_zorder_layout():
+        # session-3 layout family: Z-order vs linear 64-file pruning A/B
+        from purescript_ifrit_spark.suite.layout import x_layout_pruning
+
+        return x_layout_pruning(spark, SF_DIR)
+
+    def qx_robots():
+        from purescript_ifrit_spark.suite.text import x_robots_filter
+
+        return x_robots_filter(spark, SF_DIR)
+
     extra_queries = {
         "qx_asof_join": qx_asof_join,
         "qx_c4_lines": qx_c4_lines,
@@ -571,6 +590,9 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_leakage_split": qx_leakage_split,
         "qx_fuzzy_join": qx_fuzzy_join,
         "qx_kmeans": qx_kmeans,
+        "qx_chat_stats": qx_chat_stats,
+        "qx_zorder_layout": qx_zorder_layout,
+        "qx_robots": qx_robots,
     }
 
     # JVM warm-up (parquet footers, codegen)

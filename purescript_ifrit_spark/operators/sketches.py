@@ -233,3 +233,77 @@ def cms_frequencies(
         (item, int(jsketch.estimateCount(item))) for item in probe_items
     ]
     return df.sparkSession.createDataFrame(rows, [col, "est_n"])
+
+
+def corpus_stats_state(
+    df: DataFrame,
+    text_col: str = "text",
+    num_lanes: int = 8,
+) -> DataFrame:
+    """One-row MERGEABLE corpus-statistics state: doc/char/token counts,
+    token min/max, and a `num_lanes`-lane md5 min-hash over normalized-
+    content fingerprints (the engine-neutral distinct-content sketch of
+    group_minhash_overlap, reduced to one global group).
+
+    Every field is algebraic — counts and sums add, min/max compose, and
+    lane minimums compose under MIN — so states computed per ingestion
+    batch (per day, per source, per partition) merge into the exact
+    state of the union WITHOUT rescanning history. That is the 100 TB
+    contract: corpus-level reporting becomes O(batches) arithmetic on
+    constant-size rows instead of an O(corpus) rescan; the merge
+    identity (state(A ∪ B) = merge(state(A), state(B)), disjoint
+    inputs) is oracle-checked end-to-end by the x_mergeable_stats entry.
+
+    Columns: n_docs, n_chars, n_tokens, min_tokens, max_tokens,
+    lane_0..lane_{k-1} (md5 hex strings — lexicographic MIN is
+    consistent across engines on the hex charset).
+    """
+    from purescript_ifrit_spark.functions.text import (
+        fingerprint,
+        token_count,
+    )
+
+    ntok = token_count(F.col(text_col))
+    fp = fingerprint(F.col(text_col))
+    base = df.select(
+        F.length(F.col(text_col)).alias("_chars"),
+        ntok.alias("_ntok"),
+        fp.alias("_fp"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.sum("_ntok").cast("long").alias("n_tokens"),
+        F.min("_ntok").cast("long").alias("min_tokens"),
+        F.max("_ntok").cast("long").alias("max_tokens"),
+    ]
+    for i in range(num_lanes):
+        aggs.append(
+            F.min(
+                F.md5(F.concat(F.col("_fp"), F.lit(f":{i}")))
+            ).alias(f"lane_{i}")
+        )
+    return base.agg(*aggs)
+
+
+def merge_corpus_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of corpus_stats_state rows into the state of the
+    union: ONE union + ONE aggregation — counts/sums re-add, min/max and
+    lane minimums re-compose (MIN of MINs over disjoint inputs is the
+    global MIN). The aggregation IS the merge; no custom combiner, no
+    rescan of any input corpus. Merging zero-doc states is well-defined
+    (identity elements: 0 for sums, NULL-skipped for min/max/lanes)."""
+    if not states:
+        raise ValueError("merge_corpus_states needs at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    lane_cols = [c for c in u.columns if c.startswith("lane_")]
+    return u.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("min_tokens").cast("long").alias("min_tokens"),
+        F.max("max_tokens").cast("long").alias("max_tokens"),
+        *[F.min(c).alias(c) for c in lane_cols],
+    )

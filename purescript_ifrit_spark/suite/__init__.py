@@ -175,6 +175,7 @@ _R8_QUEUE_HEAD = [
     "x_layout_pruning",
     "x_skew_profile",
     "x_robots_filter",
+    "x_mergeable_stats",
 ]
 
 

@@ -1191,3 +1191,46 @@ def x_percentiles_approx_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1])
+
+
+def _mergeable_stats_oracle() -> str:
+    from purescript_ifrit_spark.suite._fixtures import _NORM_SQL
+
+    ntok = (
+        f"CASE WHEN length({_NORM_SQL}) = 0 THEN 0 "
+        f"ELSE len(string_split({_NORM_SQL}, ' ')) END"
+    )
+    lanes = ", ".join(
+        f"min(md5(fp || ':{i}')) AS lane_{i}" for i in range(8)
+    )
+    return (
+        f"WITH b AS (SELECT text, {ntok} AS ntok, md5({_NORM_SQL}) AS fp "
+        "FROM documents) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars, "
+        "CAST(sum(ntok) AS BIGINT) AS n_tokens, "
+        "CAST(min(ntok) AS BIGINT) AS min_tokens, "
+        "CAST(max(ntok) AS BIGINT) AS max_tokens, "
+        f"{lanes} FROM b"
+    )
+
+
+@register("x_mergeable_stats", _mergeable_stats_oracle())
+def x_mergeable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable corpus-statistics states (operators/sketches.
+    corpus_stats_state / merge_corpus_states): the corpus is split into
+    disjoint halves by doc_id parity, each half reduced to its one-row
+    algebraic state, and the two states MERGED — while the oracle
+    computes the state of the full corpus directly. Equality holds iff
+    every field is genuinely algebraic (sums add, MIN of per-half lane
+    MINs is the global MIN), i.e. the driver hash-checks the
+    incremental-ingestion contract itself, not just the arithmetic."""
+    from purescript_ifrit_spark.operators.sketches import (
+        corpus_stats_state,
+        merge_corpus_states,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    even = corpus_stats_state(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = corpus_stats_state(docs.filter(F.col("doc_id") % 2 == 1))
+    return merge_corpus_states(even, odd)

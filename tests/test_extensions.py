@@ -3899,3 +3899,30 @@ def test_assign_expr_sql_twin_is_bit_identical(spark):
     assert sorted(map(tuple, via_sql)) == sorted(map(tuple, via_col))
     tie = {r.id: r.c for r in via_sql}[1000]
     assert tie == 3  # first occurrence of the duplicated centroid
+
+
+def test_merge_corpus_states_algebra(spark):
+    # merge(state(A), state(B)) == state(A ∪ B) for disjoint halves,
+    # n-way merge associativity via a 3-way split, and the zero-doc
+    # state is a merge identity
+    from purescript_ifrit_spark.operators.sketches import (
+        corpus_stats_state,
+        merge_corpus_states,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body " + "w " * (i % 5)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    whole = corpus_stats_state(df).collect()[0]
+    parts = [
+        corpus_stats_state(df.filter(F.col("doc_id") % 3 == r))
+        for r in range(3)
+    ]
+    merged = merge_corpus_states(*parts).collect()[0]
+    assert tuple(merged) == tuple(whole)
+    empty = corpus_stats_state(df.filter(F.lit(False)))
+    with_identity = merge_corpus_states(
+        corpus_stats_state(df), empty
+    ).collect()[0]
+    assert tuple(with_identity) == tuple(whole)
