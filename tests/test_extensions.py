@@ -3926,3 +3926,34 @@ def test_merge_corpus_states_algebra(spark):
         corpus_stats_state(df), empty
     ).collect()[0]
     assert tuple(with_identity) == tuple(whole)
+
+
+def test_corpus_stats_state_streams_complete_mode(spark, sf_dir, tmp_path):
+    # the mergeable state is a global algebraic aggregate, so it runs
+    # UNCHANGED over readStream in complete mode and the final batch
+    # equals the batch state — the streaming face of incremental
+    # ingestion (each micro-batch folds into the same one-row state)
+    from pyspark.sql import types as TT
+    from purescript_ifrit_spark.operators.sketches import corpus_stats_state
+    from purescript_ifrit_spark.sources.tables import load_table
+    from purescript_ifrit_spark.streaming import pipeline as SP
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text") \
+        .limit(100)
+    src = str(tmp_path / "stats_stream_src")
+    docs.coalesce(4).write.parquet(src)
+    schema = TT.StructType([
+        TT.StructField("doc_id", TT.LongType()),
+        TT.StructField("text", TT.StringType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = SP.run_to_memory_sink(
+        corpus_stats_state(stream), "stats_stream", output_mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.table("stats_stream").collect()
+    want = corpus_stats_state(
+        spark.read.parquet(src)
+    ).collect()
+    assert len(got) == 1
+    assert tuple(got[0]) == tuple(want[0])
