@@ -181,3 +181,51 @@ def preference_pairs(
         (F.col("chosen_tokens") - F.col("rejected_tokens")).alias("len_gap"),
         "score_gap",
     )
+
+
+def truncate_conversation(
+    msgs: DataFrame,
+    token_budget: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn",
+    role_col: str = "role",
+    content_col: str = "content",
+) -> DataFrame:
+    """Context-window truncation for SFT data: keep every `system` turn
+    plus the LONGEST SUFFIX of the remaining turns whose token total
+    fits in `token_budget − system_tokens` — the standard "system
+    prompt + most recent history" recipe. A non-system turn survives
+    iff the token sum from it to the conversation's end (system turns
+    excluded) fits the residual budget; if the system turns alone
+    exceed the budget, only they survive.
+
+    One conv-keyed exchange: a suffix window sum (turn descending) and
+    a whole-partition system-token sum share the same partitioning.
+    Output: conv_id, turn, role, n_tokens, kept.
+    """
+    w_sfx = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(turn_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(conv_col)
+    is_sys = F.col(role_col) == "system"
+    toks = token_count(F.col(content_col)).cast("long")
+    base = msgs.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn"),
+        F.col(role_col).alias("role"),
+        toks.alias("n_tokens"),
+        F.sum(F.when(~is_sys, toks).otherwise(0)).over(w_sfx).alias("_sfx"),
+        F.sum(F.when(is_sys, toks).otherwise(0)).over(w_all).alias("_systot"),
+    )
+    return base.select(
+        "conv_id",
+        "turn",
+        "role",
+        "n_tokens",
+        (
+            (F.col("role") == "system")
+            | (F.col("_sfx") <= F.lit(token_budget) - F.col("_systot"))
+        ).alias("kept"),
+    )

@@ -176,6 +176,7 @@ _R8_QUEUE_HEAD = [
     "x_skew_profile",
     "x_robots_filter",
     "x_mergeable_stats",
+    "x_chat_truncate",
 ]
 
 

@@ -168,3 +168,36 @@ def x_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("content"),
     )
     return preference_pairs(cands)
+
+
+_TRUNC_BUDGET = 60
+
+
+def _chat_truncate_oracle() -> str:
+    return (
+        f"WITH m AS (SELECT doc_id // 5 AS conv_id, doc_id % 5 AS turn, "
+        f"{_ROLE_SQL} AS role, CAST({_NTOK_SQL} AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "w AS (SELECT *, "
+        "SUM(CASE WHEN role <> 'system' THEN n_tokens ELSE 0 END) "
+        "OVER (PARTITION BY conv_id ORDER BY turn DESC "
+        "ROWS UNBOUNDED PRECEDING) AS sfx, "
+        "SUM(CASE WHEN role = 'system' THEN n_tokens ELSE 0 END) "
+        "OVER (PARTITION BY conv_id) AS systot FROM m) "
+        "SELECT conv_id, turn, role, n_tokens, "
+        f"(role = 'system' OR sfx <= {_TRUNC_BUDGET} - systot) AS kept "
+        "FROM w"
+    )
+
+
+@register("x_chat_truncate", _chat_truncate_oracle())
+def x_chat_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation (operators/chat.truncate_conversation):
+    system turns always survive, then the longest suffix of recent
+    turns fitting the residual token budget — suffix window sums
+    replayed exactly by the oracle on the planted 5-turn corpus (budget
+    60 lands mid-conversation for most documents, so both kept and
+    dropped turns appear)."""
+    from purescript_ifrit_spark.operators.chat import truncate_conversation
+
+    return truncate_conversation(_planted_msgs(spark, sf_dir), _TRUNC_BUDGET)

@@ -175,3 +175,31 @@ def test_zorder_is_scan_stage(spark):
     df = spark.createDataFrame([(1, 2, 3)], "id long, a long, b long")
     p = _plan(df.select(zorder_key([F.col("a"), F.col("b")], 8).alias("z")))
     assert "Exchange" not in p
+
+
+def test_truncate_conversation_budget_edges(spark):
+    from purescript_ifrit_spark.operators.chat import truncate_conversation
+
+    rows = [
+        # conv 1: sys(2) + turns of 3,4,5 tokens; budget 8 ->
+        # residual 6 -> suffix {5}=5 ok, {4,5}=9 no -> keep sys + last
+        (1, 0, "system", "s s"),
+        (1, 1, "user", "a a a"),
+        (1, 2, "assistant", "b b b b"),
+        (1, 3, "user", "c c c c c"),
+        # conv 2: system alone exceeds budget -> only system survives
+        (2, 0, "system", "x " * 20),
+        (2, 1, "user", "y"),
+        # conv 3: everything fits
+        (3, 0, "user", "q"),
+        (3, 1, "assistant", "r"),
+    ]
+    df = _msgs(spark, rows)
+    got = {
+        (r["conv_id"], r["turn"]): r["kept"]
+        for r in truncate_conversation(df, 8).collect()
+    }
+    assert got[(1, 0)] is True and got[(1, 3)] is True
+    assert got[(1, 1)] is False and got[(1, 2)] is False
+    assert got[(2, 0)] is True and got[(2, 1)] is False
+    assert got[(3, 0)] is True and got[(3, 1)] is True
