@@ -30,7 +30,10 @@ modeling dataset:
   window.
 
 All outputs are flat scalar columns (the driver's comparator hashes flat
-cells; array columns crashed it in r4 — suite._ledger history).
+cells; array columns crashed it in r4 — suite._ledger history). NULL
+content counts as zero tokens / zero chars throughout (real corpora
+always contain some): token and char expressions are coalesced at the
+operator boundary so window sums and kept-flags never go NULL.
 """
 
 from __future__ import annotations
@@ -93,7 +96,8 @@ def conversation_stats(
         F.count(F.when(is_a, 1)).alias("n_assistant"),
         F.min_by(F.col(role_col), F.col(turn_col)).alias("first_role"),
         F.max_by(F.col(role_col), F.col(turn_col)).alias("last_role"),
-        F.sum(F.length(content_col)).cast("long").alias("total_chars"),
+        F.coalesce(F.sum(F.length(content_col)), F.lit(0))
+        .cast("long").alias("total_chars"),
         F.coalesce(
             F.sum(F.when(is_a, F.length(content_col))), F.lit(0)
         ).cast("long").alias("assistant_chars"),
@@ -126,7 +130,8 @@ def sft_loss_spans(
         F.col(conv_col).alias("conv_id"),
         F.col(turn_col).alias("turn"),
         F.col(role_col).alias("_role"),
-        token_count(F.col(content_col)).cast("long").alias("n_tokens"),
+        F.coalesce(token_count(F.col(content_col)), F.lit(0))
+        .cast("long").alias("n_tokens"),
     )
     spans = toks.select(
         "conv_id",
@@ -162,7 +167,7 @@ def preference_pairs(
     """
     ord_ = (F.col(score_col).cast("long") * F.lit(1 << 20)
             - F.col(cand_col).cast("long"))
-    toks = token_count(F.col(content_col)).cast("long")
+    toks = F.coalesce(token_count(F.col(content_col)), F.lit(0)).cast("long")
     out = cands.groupBy(F.col(prompt_col).alias("prompt_id")).agg(
         F.count(F.lit(1)).alias("_n"),
         F.max_by(F.col(cand_col), ord_).cast("long").alias("chosen_id"),
@@ -210,7 +215,7 @@ def truncate_conversation(
     )
     w_all = Window.partitionBy(conv_col)
     is_sys = F.col(role_col) == "system"
-    toks = token_count(F.col(content_col)).cast("long")
+    toks = F.coalesce(token_count(F.col(content_col)), F.lit(0)).cast("long")
     base = msgs.select(
         F.col(conv_col).alias("conv_id"),
         F.col(turn_col).alias("turn"),

@@ -203,3 +203,34 @@ def test_truncate_conversation_budget_edges(spark):
     assert got[(1, 1)] is False and got[(1, 2)] is False
     assert got[(2, 0)] is True and got[(2, 1)] is False
     assert got[(3, 0)] is True and got[(3, 1)] is True
+
+
+def test_chat_operators_null_content_is_zero_tokens(spark):
+    # NULL content must count as zero tokens/chars — spans stay defined,
+    # truncation kept-flags never go NULL, pairs still form
+    from purescript_ifrit_spark.operators.chat import truncate_conversation
+
+    rows = [
+        (1, 0, "user", None),
+        (1, 1, "assistant", None),
+        (1, 2, "user", "a b"),
+        (1, 3, "assistant", "c"),
+    ]
+    df = _msgs(spark, rows)
+    spans = {
+        r["turn"]: (r["span_start"], r["span_end"])
+        for r in sft_loss_spans(df).collect()
+    }
+    assert spans == {1: (0, 0), 3: (2, 3)}
+    kept = {
+        r["turn"]: r["kept"] for r in truncate_conversation(df, 10).collect()
+    }
+    assert all(v is True for v in kept.values())
+    stats = conversation_stats(df).collect()[0]
+    assert stats["total_chars"] == 4 and stats["assistant_chars"] == 1
+    cands = spark.createDataFrame(
+        [(1, 10, 5, None), (1, 11, 7, "x y")],
+        "prompt_id long, cand_id long, score long, content string",
+    )
+    pair = preference_pairs(cands).collect()[0]
+    assert (pair["chosen_tokens"], pair["rejected_tokens"]) == (2, 0)
