@@ -49,44 +49,47 @@ def _sq_dist(vec, centroid: Sequence[int]):
 _UNROLL_MAX_K = 16
 
 
-def _assign_expr(vec, centroids: List[List[int]], vec_sql: str = None):
+def _dists_expr(vec, centroids: List[List[int]], vec_sql: str = None):
+    """Array of exact squared distances to every centroid — the shared
+    kernel behind assignment AND the `with_dist` witness column, so both
+    take the same k-scaled strategy: unrolled codegen folds below
+    `_UNROLL_MAX_K`, ONE parsed SQL expression above it (the Column form
+    of a k×dim centroid literal costs k·dim F.lit py4j round trips,
+    ~850 ms at k=64/dim=8, and kmeans+semdedup build it three times per
+    run — the minhash_bands_sql lesson applied to the centroid matrix),
+    Column-DSL HOF as the no-vec_sql fallback. Same longs, same lambda
+    bodies; pinned vs the Column form in
+    test_assign_expr_sql_twin_is_bit_identical."""
     if len(centroids) <= _UNROLL_MAX_K:
-        dists = F.array(*[_sq_dist(vec, c) for c in centroids])
-    elif vec_sql is not None:
-        # ONE parsed expression: the Column form of a k×dim centroid
-        # literal costs k·dim F.lit py4j round trips (~850 ms at
-        # k=64/dim=8, and kmeans+semdedup build it three times per run —
-        # the minhash_bands_sql lesson applied to the centroid matrix).
-        # Same longs, same lambda bodies, same first-occurrence
-        # tie-break; pinned vs the Column form in
-        # test_assign_expr_sql_twin_is_bit_identical.
+        return F.array(*[_sq_dist(vec, c) for c in centroids])
+    if vec_sql is not None:
         cent_sql = "array(" + ",".join(
             "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
             for c in centroids
         ) + ")"
-        d = (
+        return F.expr(
             f"transform({cent_sql}, c -> aggregate("
             f"zip_with({vec_sql}, c, (x, y) -> (x - y) * (x - y)), "
             "0L, (acc, x) -> acc + x))"
         )
-        return F.expr(
-            f"CAST(array_position({d}, array_min({d})) - 1 AS INT)"
-        )
-    else:
-        cent = F.array(
-            *[
-                F.array(*[F.lit(int(x)).cast("long") for x in c])
-                for c in centroids
-            ]
-        )
-        dists = F.transform(
-            cent,
-            lambda c: F.aggregate(
-                F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
+    cent = F.array(
+        *[
+            F.array(*[F.lit(int(x)).cast("long") for x in c])
+            for c in centroids
+        ]
+    )
+    return F.transform(
+        cent,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _assign_expr(vec, centroids: List[List[int]], vec_sql: str = None):
+    dists = _dists_expr(vec, centroids, vec_sql)
     # array_position returns the FIRST (1-based) occurrence of the min —
     # exactly the lowest-centroid-id tie-break the contract pins
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
@@ -169,8 +172,13 @@ def kmeans_lloyd(
         "cluster", _assign_expr(vec, centroids, f"`{vec_col}`")
     )
     if with_dist:
-        dists = F.array(*[_sq_dist(vec, c) for c in centroids])
-        out = out.withColumn("sq_dist", F.array_min(dists))
+        # same k-scaled strategy as the assignment: the unrolled form
+        # here would re-pay the k·dim py4j + Catalyst planning tax the
+        # parsed-SQL path exists to avoid at k > _UNROLL_MAX_K
+        out = out.withColumn(
+            "sq_dist",
+            F.array_min(_dists_expr(vec, centroids, f"`{vec_col}`")),
+        )
     return out, centroids
 
 

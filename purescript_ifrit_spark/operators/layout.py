@@ -97,23 +97,36 @@ def layout_file_stats(
     `query_box`, [min(dim), max(dim)] intersects the box's closed
     [lo, hi] range. Output: file_id, <dim>_min/<dim>_max per dim, hit.
 
-    One total-order sort (range exchange) + one hash aggregate on
-    file_id — a diagnostic over samples/row-groups, not a data path.
+    Plan shape — read before pointing this at a full corpus: the global
+    row numbering compiles to Exchange SinglePartition + one-task sort
+    (a partition-less ordered window; a distributed global row-number
+    needs range boundaries that are consistent across two jobs, which
+    Spark's range sampler does not guarantee — per-exchange rdd-id
+    seeds). This is a layout DIAGNOSTIC for samples / row-group stats /
+    test-SF frames, not a data-path operator; on a real cluster the
+    same report comes free from parquet footer min/max. total_rows is
+    computed in the same window pass (count over the unbounded frame),
+    so building the plan runs no eager job and the input is scanned
+    once.
     """
     sel = [sort_key.alias("_k"), tiebreak.alias("_tb")] + [
         c.alias(d) for d, c in dims.items()
     ]
     base = df.select(*sel)
     w = Window.orderBy("_k", "_tb")
-    total = base.count() or 1  # empty frame: no rows to band, avoid div 0
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     banded = base.select(
         *[F.col(d) for d in dims],
         (F.row_number().over(w) - 1).cast("long").alias("_rn"),
+        # same sort, second frame on the one Window exec: no eager
+        # count() action, no second scan (empty frame => no rows, so the
+        # division is never evaluated)
+        F.count(F.lit(1)).over(wall).cast("long").alias("_total"),
     ).select(
         *[F.col(d) for d in dims],
         # integer div: float-divide-then-cast can cross a band boundary in
         # the last ulp and disagree with the oracle's //
-        F.expr(f"(_rn * {n_files}) div {total}").alias("file_id"),
+        F.expr(f"(_rn * {n_files}) div _total").alias("file_id"),
     )
     aggs = []
     for d in dims:
@@ -179,16 +192,23 @@ def skew_profile(df: DataFrame, key: Column) -> DataFrame:
         .alias("top_key"),
     )
     # integer division only — float division then cast truncates through a
-    # double and can disagree with the oracle's // in the last unit
+    # double and can disagree with the oracle's // in the last unit. The
+    # products run on DECIMAL(38,0): max_cnt*n_keys*1e6 wraps int64 already
+    # at max_cnt=1e4, n_keys=1e10 (a plausible 100 TB key profile), while
+    # the decimal form is exact to 38 digits on both engines
     return stats.select(
         "n_keys",
         "rows_total",
         "max_cnt",
         "top_key",
-        F.expr("(max_cnt * n_keys * 1000000L) div rows_total")
-        .alias("skew_micro"),
-        F.expr("(max_cnt * n_keys + rows_total - 1) div rows_total")
-        .alias("salt_factor"),
+        F.expr(
+            "CAST((CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000) "
+            "div rows_total AS BIGINT)"
+        ).alias("skew_micro"),
+        F.expr(
+            "CAST((CAST(max_cnt AS DECIMAL(38,0)) * n_keys + rows_total - 1) "
+            "div rows_total AS BIGINT)"
+        ).alias("salt_factor"),
     )
 
 

@@ -122,8 +122,13 @@ def _skew_oracle() -> str:
         "SELECT n_keys, rows_total, max_cnt, "
         "(SELECT min(k) FROM c WHERE cnt = (SELECT max_cnt FROM s)) "
         "AS top_key, "
-        "(max_cnt * n_keys * 1000000) // rows_total AS skew_micro, "
-        "(max_cnt * n_keys + rows_total - 1) // rows_total AS salt_factor "
+        # HUGEINT (exact int128 floor-div) — DuckDB's DECIMAL `//`
+        # degrades to DOUBLE and does not floor; Spark's exact twin is
+        # DECIMAL(38,0) with `div`
+        "CAST((CAST(max_cnt AS HUGEINT) * n_keys * 1000000) "
+        "// rows_total AS BIGINT) AS skew_micro, "
+        "CAST((CAST(max_cnt AS HUGEINT) * n_keys + rows_total - 1) "
+        "// rows_total AS BIGINT) AS salt_factor "
         "FROM s"
     )
 

@@ -146,6 +146,55 @@ def test_skew_profile_tie_breaks_to_min_key(spark):
     assert r["salt_factor"] == 2
 
 
+def test_skew_micro_decimal_headroom(spark):
+    # regression: max_cnt*n_keys*1e6 wraps int64 at a plausible 100 TB
+    # key profile (1e4 hot count x 1e10 distinct keys) — the
+    # DECIMAL(38,0) forms in skew_profile and its oracle must stay exact
+    # and agree cross-engine at that operand scale
+    import duckdb
+
+    s = spark.sql(
+        "SELECT CAST((CAST(10000 AS DECIMAL(38,0)) * 10000000000L * "
+        "1000000) div 2000000000000L AS BIGINT) AS skew_micro, "
+        "CAST((CAST(10000 AS DECIMAL(38,0)) * 10000000000L + "
+        "2000000000000L - 1) div 2000000000000L AS BIGINT) AS salt_factor"
+    ).collect()[0]
+    d = duckdb.sql(
+        # HUGEINT, not DECIMAL: DuckDB's DECIMAL `//` degrades to DOUBLE
+        # (101 // 2 = 50.5) — the oracle twin must floor exactly
+        "SELECT CAST((CAST(10000 AS HUGEINT) * 10000000000 * "
+        "1000000) // 2000000000000 AS BIGINT), "
+        "CAST((CAST(10000 AS HUGEINT) * 10000000000 + "
+        "2000000000000 - 1) // 2000000000000 AS BIGINT)"
+    ).fetchone()
+    assert (s.skew_micro, s.salt_factor) == tuple(d) == (50000000, 50)
+
+
+def test_layout_file_stats_is_lazy_and_handles_empty(spark):
+    # regression: building the report must run NO eager job (the total
+    # now rides the same window pass), and an empty frame yields zero
+    # report rows rather than a div-by-zero
+    df = spark.createDataFrame([], "id long, a long, b long")
+    out = layout_file_stats(
+        df, F.col("a"), F.col("id"),
+        {"a": F.col("a"), "b": F.col("b")},
+        n_files=4, query_box={"a": (2, 3)},
+    )
+    assert out.collect() == []
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    big = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("a"), (F.col("id") % 5).alias("b")
+    )
+    plan = layout_file_stats(
+        big, F.col("a"), F.col("id"), {"a": F.col("a")}, 4, {"a": (0, 1)}
+    )
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before  # no job ran during plan construction
+    assert plan.count() == 4
+
+
 def _plan(df):
     return df._jdf.queryExecution().executedPlan().toString()
 

@@ -3874,6 +3874,35 @@ def test_cdc_arrow_equals_hof(spark, sf_dir):
     assert a == b and len(a) > 200
 
 
+def test_cdc_wide_window_matches_hof(spark, sf_dir):
+    # regression: raw 31^(w-1) weights wrap int64 at window >= 14 and the
+    # un-reduced matvec sum wraps from window ~10 with high codepoints —
+    # the mod-reduced weights (pow(B, e, M)) must keep the Arrow form
+    # congruent with the per-step-mod JVM fold at ANY guarded window
+    from purescript_ifrit_spark.operators.text_analysis import (
+        cdc_chunk_documents,
+        cdc_chunk_documents_hof,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    # astral codepoints push terms to 31^(w-1)*0x10FFFF — the old wrap zone
+    extra = spark.createDataFrame(
+        [(10**9, ("ab\U0001F600cd\U0010FFFF" * 40))],
+        docs.select("doc_id", "text").schema,
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    for w in (13, 16):
+        a = sorted(map(tuple, cdc_chunk_documents(
+            both, window=w, divisor=16).collect()))
+        b = sorted(map(tuple, cdc_chunk_documents_hof(
+            both, window=w, divisor=16).collect()))
+        assert a == b and len(a) > 60
+
+    with pytest.raises(ValueError, match="3800"):
+        cdc_chunk_documents(both, window=4001)
+
+
 def test_assign_expr_sql_twin_is_bit_identical(spark):
     # the parsed single-expression assignment (k > unroll cap) must make
     # the same cluster choice as the Column form on every row, including
