@@ -171,6 +171,56 @@ def term_stats(
     return stats
 
 
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_postings: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """Inverted index over normalized whitespace tokens: (term, df,
+    postings) where postings is the comma-joined ascending head (first
+    `max_postings`) of the doc ids containing the term — the IR-side
+    companion of bm25: retrieval needs term → docs, not doc → terms.
+
+    Scale: the exact two-stage shape of term_stats (map-side explode,
+    per-(term, doc) collapse BEFORE the wide shuffle — one definition,
+    _per_doc_term_counts, so index and stats can never diverge on
+    tokenization). The posting list is truncated BEFORE collection: a
+    stopword's full posting list is corpus-sized, so rows are ranked in
+    the term-keyed window and only rank ≤ max_postings reach
+    collect_list — per-term aggregate state is bounded by max_postings,
+    never by df (collect-then-slice would buffer the full list). The
+    window and the groupBy share the term partitioning, so the whole
+    index costs ONE wide exchange. df carries the true count, the head
+    is a sample; a serving index shards postings by doc range instead
+    of collecting them into one row."""
+    from pyspark.sql import Window
+
+    per_doc = _per_doc_term_counts(df, id_col, text_col)
+    w = Window.partitionBy("term").orderBy("_doc")
+    ranked = per_doc.withColumn("_rk", F.row_number().over(w))
+    postings = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rk") <= max_postings, F.col("_doc"))
+                )
+            ),
+            lambda d: d.cast("string"),
+        ),
+        ",",
+    )
+    out = ranked.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        postings.alias("postings"),
+    )
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    return out
+
+
 def _per_doc_term_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(term, _doc, tf_doc) over normalized whitespace tokens — the shared
     tokenize → explode → pre-aggregate stage of term_stats and tfidf_topk

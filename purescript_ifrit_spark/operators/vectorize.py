@@ -265,3 +265,98 @@ def margin_weights(spark, dim: int = VECTOR_DIM):
         (b, float((b * _W_MULT) % _W_MOD - _W_OFF)) for b in range(dim)
     ]
     return spark.createDataFrame(rows, ["bucket", "w"])
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss-style ±1 random projection (dimensionality
+# reduction for embedding columns: project dim-d integer vectors onto
+# out_dim ±1 pseudo-random directions before LSH banding / ANN probing —
+# JL: pairwise distances are preserved within (1±ε) for
+# out_dim = O(log n / ε²), at 1/d the storage and probe cost)
+# ---------------------------------------------------------------------------
+
+# fixed multiplicative-scramble sign matrix: s(i,j) = +1 iff
+# ((i+1)·(j+2)·_JLP_MULT + seed·_JLP_SEED_MULT) mod _JLP_MOD < _JLP_HALF.
+# Plain int64 arithmetic on BOTH engines (max operand
+# (in_dim+1)·(out_dim+2)·_JLP_MULT ≈ 5.6e15 at 4096×512 — no wrap), so
+# the oracle replays the exact matrix with no engine-specific hash.
+# Balanced ±1 and row-decorrelated enough for JL in practice; swap
+# functions/vectors.random_hyperplane_signature's explicit planes in
+# where cryptographic-strength independence matters.
+_JLP_MULT = 2654435761
+_JLP_SEED_MULT = 40503
+_JLP_MOD = 1000003
+_JLP_HALF = 500002
+
+
+def jl_project_sql(
+    vec_sql: str, in_dim: int, out_dim: int, seed: int = 1
+) -> str:
+    """The projection as ONE parsed SQL expression over an ARRAY<BIGINT>
+    column expression: out[j] = Σᵢ v[i]·s(i,j), j in [0, out_dim).
+    Vectors whose size != in_dim yield NULL (zip_with padding would
+    otherwise silently treat a short vector as a different point).
+
+    One expr string, not Column DSL: the sign matrix is a model-sized
+    constant (out_dim·in_dim terms) — the centroid-matrix/band-key
+    lesson (SCALE.md): Column construction pays a py4j round trip per
+    node on every fresh plan. This JVM form exists as the engine-pinned
+    twin of the Arrow default (jl_project) and for JVM-only deployments;
+    its HOF lambdas run interpreted at out_dim ops per element."""
+    off = seed * _JLP_SEED_MULT
+    proj = (
+        f"transform(sequence(0, {out_dim - 1}), j -> aggregate("
+        f"zip_with({vec_sql}, sequence(0, {in_dim - 1}), (v, i) -> "
+        f"v * (CASE WHEN ((i+1)*(j+2)*{_JLP_MULT}L + {off}L) "
+        f"% {_JLP_MOD} < {_JLP_HALF} THEN 1L ELSE -1L END)), "
+        "0L, (a, x) -> a + x))"
+    )
+    return (
+        f"CASE WHEN size({vec_sql}) = {in_dim} THEN {proj} "
+        "ELSE CAST(NULL AS ARRAY<BIGINT>) END"
+    )
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 1,
+) -> DataFrame:
+    """(id_col, proj ARRAY<BIGINT>) — the Arrow default: one numpy
+    matvec per batch against the sign matrix built once per task.
+    Bit-identical to the JVM twin jl_project_sql (pinned in
+    test_jl_project_arrow_equals_sql); the interpreted-HOF rule from
+    SCALE.md says vectorize above ~10 ops/element, and this is
+    out_dim (16-64) multiply-adds per element. NULL or wrong-length
+    vectors yield NULL, matching the twin.
+
+    100 TB design: scan-stage, no exchange; int64-exact (|out[j]| ≤
+    in_dim·max|v|, no overflow for quantized embeddings)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, proj array<long>"
+    off = seed * _JLP_SEED_MULT
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ii = np.arange(1, in_dim + 1, dtype=np.int64)[:, None]
+        jj = np.arange(2, out_dim + 2, dtype=np.int64)[None, :]
+        signs = np.where(
+            (ii * jj * _JLP_MULT + off) % _JLP_MOD < _JLP_HALF, 1, -1
+        ).astype(np.int64)
+        for pdf in batches:
+            ids, projs = [], []
+            for rid, vec in zip(pdf[id_col], pdf[vec_col]):
+                ids.append(rid)
+                if vec is None or len(vec) != in_dim:
+                    projs.append(None)
+                else:
+                    v = np.asarray(vec, dtype=np.int64)
+                    projs.append((v @ signs).tolist())
+            yield pd.DataFrame({id_col: ids, "proj": projs})
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -362,3 +363,52 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "error") -> None:
     """JSONL sink twin of read_jsonl_corpus (one JSON object per line,
     one file per partition — repartition first to control shard count)."""
     df.write.mode(mode).json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Optional[list] = None,
+    mode: str = "error",
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset as
+    ceil(total_bytes / target_file_bytes) files and return that count —
+    the table-maintenance pass every long-lived 100 TB dataset needs
+    (streaming sinks, partitioned appends and per-task writers all leak
+    kilobyte files; a scan pays per-file open/footer/list cost, so a
+    directory of 100k tiny files reads slower than 100 right-sized ones
+    by orders of magnitude).
+
+    The plan is sized from a metadata-only binaryFile listing (file
+    lengths come from the namenode/object-store listing — no data is
+    read to decide the layout). Without `sort_cols` the rewrite is ONE
+    round-robin exchange into even output files; with `sort_cols` it
+    range-repartitions + sorts within partitions, so compaction
+    establishes clustering and tight per-file footer min/max in the
+    same pass (compose with zorder_key for multi-dimension locality —
+    operators/layout.write_zordered). The data content is unchanged
+    either way: same rows, any row order (parquet carries no order
+    contract across files).
+    """
+    import math
+
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(in_path)
+        .select(F.sum("length").alias("bytes"))
+        .first()
+    )
+    total = listing["bytes"] or 0
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(in_path)
+    if sort_cols:
+        df = df.repartitionByRange(
+            n_files, *[F.col(c) for c in sort_cols]
+        ).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode(mode).parquet(out_path)
+    return n_files

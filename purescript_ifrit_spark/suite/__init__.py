@@ -177,6 +177,10 @@ _R8_QUEUE_HEAD = [
     "x_robots_filter",
     "x_mergeable_stats",
     "x_chat_truncate",
+    # session-4 additions (inverted index, JL projection, compaction)
+    "x_inverted_index",
+    "x_jl_project",
+    "x_compact_roundtrip",
 ]
 
 

@@ -224,6 +224,46 @@ def x_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+@register(
+    "x_compact_roundtrip",
+    # compaction is pure layout maintenance: what goes through the
+    # small-file write → compact_parquet rewrite must equal the source
+    # rows exactly (file counts are pinned in test_sources.py)
+    "SELECT doc_id, lang, n_chars FROM documents",
+)
+def x_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (sources.compact_parquet): the
+    documents projection written as 48 deliberately-tiny files, compacted
+    by the metadata-sized plan (binaryFile listing, no data read to
+    size the rewrite), read back and checkpointed so both temp dirs can
+    be removed before returning. Content identity IS the operator's
+    contract — compaction changes layout, never rows."""
+    import shutil
+    import tempfile
+
+    from purescript_ifrit_spark.sources.tables import compact_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    small_dir = tempfile.mkdtemp(prefix="ifrit_small_")
+    out_dir = tempfile.mkdtemp(prefix="ifrit_compact_")
+    try:
+        docs.repartition(48).write.mode("overwrite").parquet(small_dir)
+        compact_parquet(
+            spark, small_dir, out_dir,
+            target_file_bytes=64 * 1024 * 1024, mode="overwrite",
+        )
+        return (
+            spark.read.parquet(out_dir)
+            .select("doc_id", "lang", "n_chars")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(small_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 register(
     "x_set_ops",
     # users who clicked AND purchased, minus users who errored — the

@@ -1581,3 +1581,35 @@ def x_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ROBOTS_RULES, "domain string, agent string, allow boolean, prefix string"
     )
     return robots_filter(urls, rules, "trainbot")
+
+
+@register(
+    "x_inverted_index",
+    # posting lists: df + the ascending head-10 doc ids per term, top 100
+    # terms by document frequency (term as tiebreak) — the retrieval-side
+    # index twin of x_term_stats, truncation replayed with the same
+    # row_number rule
+    "WITH e AS (SELECT doc_id, unnest(string_split("
+    + _NORM_SQL
+    + ", ' ')) AS term FROM documents), "
+    "f AS (SELECT DISTINCT term, doc_id FROM e WHERE term <> ''), "
+    "r AS (SELECT term, doc_id, row_number() OVER ("
+    "PARTITION BY term ORDER BY doc_id) AS rk FROM f), "
+    "g AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, "
+    "array_to_string(list_sort(list(doc_id) FILTER (rk <= 10)), ',') "
+    "AS postings FROM r GROUP BY term) "
+    "SELECT term, df, postings FROM g ORDER BY df DESC, term LIMIT 100",
+)
+def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (operators/text_analysis.inverted_index): term →
+    (df, truncated ascending posting list) over the shared tokenizer.
+    Posting heads are bounded BEFORE collection (rank-then-collect, one
+    wide exchange for window+agg) — per-term state never exceeds
+    max_postings even for stopwords. Top 100 terms by df."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = inverted_index(docs, "doc_id", "text", max_postings=10)
+    return idx.orderBy(F.col("df").desc(), F.col("term").asc()).limit(100)

@@ -687,3 +687,49 @@ def x_hard_negatives_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(
         pts, "vec_id", "qv", "lbl", seeds, n_iter=_KM_ITER, k=3
     )
+
+
+def _jl_oracle() -> str:
+    from purescript_ifrit_spark.operators.vectorize import (
+        _JLP_HALF,
+        _JLP_MOD,
+        _JLP_MULT,
+        _JLP_SEED_MULT,
+    )
+
+    qv = ("list_transform(embedding, x -> "
+          "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    return (
+        f"WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings), "
+        "j AS (SELECT unnest(range(0, 16)) AS j) "
+        "SELECT vec_id, CAST(j.j AS INT) AS j, "
+        "CAST(list_sum(list_transform(range(0, 64), i -> "
+        "list_extract(qv, i+1) * CASE WHEN "
+        f"((i+1)*(j.j+2)*{_JLP_MULT} + {_JLP_SEED_MULT}) % {_JLP_MOD} "
+        f"< {_JLP_HALF} THEN 1 ELSE -1 END)) AS BIGINT) AS val "
+        "FROM q CROSS JOIN j"
+    )
+
+
+@register("x_jl_project", _jl_oracle())
+def x_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 projection 64 → 16 dims
+    (operators/vectorize.jl_project, the Arrow matvec default) on the
+    floor-quantized embedding table, exploded to (vec_id, j, val) rows.
+    The sign matrix is plain int64 modular arithmetic, so the oracle
+    replays the EXACT projection — and the JVM HOF twin (jl_project_sql)
+    is pinned bit-identical in test_jl_project_arrow_equals_sql."""
+    from purescript_ifrit_spark.operators.vectorize import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    proj = jl_project(q, "vec_id", "qv", in_dim=64, out_dim=16, seed=1)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("j", "val")
+    )

@@ -3986,3 +3986,67 @@ def test_corpus_stats_state_streams_complete_mode(spark, sf_dir, tmp_path):
     ).collect()
     assert len(got) == 1
     assert tuple(got[0]) == tuple(want[0])
+
+
+def test_jl_project_arrow_equals_sql(spark, sf_dir):
+    # the Arrow matvec default and the JVM HOF/SQL twin must be
+    # bit-identical on real quantized embeddings, and both must yield
+    # NULL for wrong-length or NULL vectors (zip_with padding would
+    # otherwise silently project a short vector)
+    from purescript_ifrit_spark.operators.vectorize import (
+        jl_project,
+        jl_project_sql,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    bad = spark.createDataFrame(
+        [(10**9, [1, 2, 3]), (10**9 + 1, None)],
+        "vec_id long, qv array<long>",
+    )
+    both = q.unionByName(bad)
+    a = sorted(map(tuple, jl_project(
+        both, "vec_id", "qv", 64, 16, seed=3).collect()))
+    b = sorted(map(tuple, both.select(
+        "vec_id", F.expr(jl_project_sql("qv", 64, 16, seed=3)).alias("proj")
+    ).collect()))
+    assert a == b and len(a) == 102
+    by_id = dict(a)
+    assert by_id[10**9] is None and by_id[10**9 + 1] is None
+    assert len(by_id[0]) == 16
+
+    # distance sanity: projection of identical vectors is identical, and
+    # the seed actually changes the matrix
+    c = sorted(map(tuple, jl_project(
+        both, "vec_id", "qv", 64, 16, seed=4).collect()))
+    assert c != a
+
+
+def test_inverted_index_bounded_and_one_wide_exchange(spark):
+    from purescript_ifrit_spark.operators.text_analysis import (
+        inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta " + ("alpha " if i % 2 == 0 else "gamma "))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx = {r.term: r for r in inverted_index(
+        df, "doc_id", "text", max_postings=5).collect()}
+    assert idx["alpha"].df == 30          # df counts docs, not occurrences
+    assert idx["alpha"].postings == "0,1,2,3,4"   # ascending head-5 only
+    assert idx["gamma"].df == 15
+    assert idx["gamma"].postings == "1,3,5,7,9"
+    # rank-then-collect: the term-keyed window and the term groupBy must
+    # share ONE wide exchange beyond the per-(term,doc) collapse
+    plan = inverted_index(df, "doc_id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan

@@ -413,3 +413,48 @@ def test_read_text_corpus_oversized_file_raises(spark, tmp_path):
     # under the cap (and with the guard off) both modes still read
     assert read_text_corpus(spark, str(d), max_file_bytes=8192).count() == 2
     assert read_text_corpus(spark, str(d), max_file_bytes=None).count() == 2
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    docs = S.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    small = str(tmp_path / "small")
+    out = str(tmp_path / "compacted")
+    docs.repartition(32).write.parquet(small)
+    import glob
+
+    n_small = len(glob.glob(small + "/*.parquet"))
+    assert n_small == 32
+    n = S.compact_parquet(spark, small, out, target_file_bytes=64 * 1024 * 1024)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n and n < n_small  # sized from the byte listing
+    # layout maintenance only: same rows, any order
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, docs.collect()))
+    assert a == b
+
+
+def test_compact_parquet_with_sort_establishes_clustering(spark, sf_dir, tmp_path):
+    docs = S.load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    small = str(tmp_path / "small2")
+    out = str(tmp_path / "sorted")
+    docs.repartition(16).write.parquet(small)
+    # tiny target to force multiple output files, so the range split shows
+    n = S.compact_parquet(
+        spark, small, out, target_file_bytes=16 * 1024, sort_cols=["doc_id"]
+    )
+    assert n > 1
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        t = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        if t:
+            assert t == sorted(t)  # sorted within each file
+            ranges.append((min(t), max(t)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint per-file ranges: footer min/max tight
