@@ -551,6 +551,31 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
 
         return x_robots_filter(spark, SF_DIR)
 
+    def qx_inverted_index():
+        from purescript_ifrit_spark.operators.text_analysis import (
+            inverted_index,
+        )
+
+        idx = inverted_index(t["documents"], "doc_id", "text")
+        return idx.orderBy(F.col("df").desc(), F.col("term")).limit(100)
+
+    def qx_interval_join():
+        from purescript_ifrit_spark.suite.joins import x_interval_join
+
+        return x_interval_join(spark, SF_DIR)
+
+    def qx_jl_project():
+        from purescript_ifrit_spark.operators.vectorize import jl_project
+
+        q = t["embeddings"].select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+            ).alias("qv"),
+        )
+        return jl_project(q, "vec_id", "qv", 64, 16)
+
     extra_queries = {
         "qx_asof_join": qx_asof_join,
         "qx_c4_lines": qx_c4_lines,
@@ -593,6 +618,9 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_chat_stats": qx_chat_stats,
         "qx_zorder_layout": qx_zorder_layout,
         "qx_robots": qx_robots,
+        "qx_inverted_index": qx_inverted_index,
+        "qx_jl_project": qx_jl_project,
+        "qx_interval_join": qx_interval_join,
     }
 
     # JVM warm-up (parquet footers, codegen)

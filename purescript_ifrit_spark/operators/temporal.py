@@ -229,6 +229,97 @@ def range_join_points(
     return joined.select(*out_cols)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width_us: int = 3_600_000_000,
+    payload: Optional[Sequence[str]] = None,
+    max_span_buckets: int = 1024,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval-OVERLAP join: inner-join each left interval to every
+    right interval with the same `on` key where the half-open ranges
+    intersect (l_start < r_end AND r_start < l_end) — the two-sided
+    sibling of range_join_points (sessions × incident windows, ad slots
+    × impressions, shift × outage overlap).
+
+    Scale: BOTH sides explode onto the fixed-width buckets they cover
+    and equi-join on (key, bucket) — never a cartesian. A pair of
+    overlapping intervals shares every bucket their intersection
+    touches, so matches are attributed EXACTLY ONCE at the bucket of
+    the intersection's start, max(l_start, r_start) (both sides emit
+    that bucket: it is >= each side's start and < each side's end by
+    the overlap predicate) — no dropDuplicates pass. Replication per
+    row = ceil(span/width); spans over `max_span_buckets` buckets drop
+    under the guarded-default policy (raise the cap explicitly for
+    genuinely long intervals). Empty/inverted intervals match nothing.
+    """
+    if bucket_width_us <= 0:
+        raise ValueError(
+            f"bucket_width_us must be positive (got {bucket_width_us})"
+        )
+    if payload is None:
+        payload = [
+            c for c in right.columns if c not in (on, r_start, r_end)
+        ]
+
+    W = F.lit(bucket_width_us)
+
+    def _banded(df, s_col, e_col, key_alias, pay_cols):
+        s_us = _us(F.col(s_col), df.schema[s_col].dataType)
+        e_us = _us(F.col(e_col), df.schema[e_col].dataType)
+        return (
+            df.filter(F.col(s_col).isNotNull() & F.col(e_col).isNotNull())
+            .filter(e_us > s_us)
+            .withColumn("_b0", F.floor(s_us / W))
+            .withColumn("_b1", F.floor((e_us - F.lit(1)) / W))
+            .filter((F.col("_b1") - F.col("_b0")) < F.lit(max_span_buckets))
+            .withColumn("_b", F.explode(F.sequence("_b0", "_b1")))
+            .select(
+                F.col(on).alias(key_alias),
+                "_b",
+                F.struct(
+                    s_us.alias("__s"), e_us.alias("__e"),
+                    *[F.col(c) for c in pay_cols],
+                ).alias(key_alias + "pay"),
+            )
+        )
+
+    l2 = _banded(left, l_start, l_end, "_lk",
+                 [c for c in left.columns if c not in (on, l_start, l_end)])
+    r2 = _banded(right, r_start, r_end, "_rk", list(payload))
+    ls, le = F.col("_lkpay")["__s"], F.col("_lkpay")["__e"]
+    rs, re_ = F.col("_rkpay")["__s"], F.col("_rkpay")["__e"]
+    joined = (
+        l2.join(r2, (l2["_lk"] == r2["_rk"]) & (l2["_b"] == r2["_b"]))
+        .filter((ls < re_) & (rs < le))
+        # exactly-once attribution: only the intersection-start bucket
+        .filter(l2["_b"] == F.floor(F.greatest(ls, rs) / W))
+    )
+
+    left_pay = [c for c in left.columns if c not in (on, l_start, l_end)]
+    left_names = {on, l_start + "_us", l_end + "_us", *left_pay}
+
+    def _out(c: str) -> str:
+        # suffix right-side names that collide with an EMITTED left name
+        # (same start/end col names on both sides collide as <c>_us)
+        return c + suffix if c in left_names else c
+
+    out_cols = [F.col("_lk").alias(on)]
+    out_cols.append(ls.alias(l_start + "_us"))
+    out_cols.append(le.alias(l_end + "_us"))
+    out_cols += [F.col("_lkpay")[c].alias(c) for c in left_pay]
+    out_cols.append(rs.alias(_out(r_start + "_us")))
+    out_cols.append(re_.alias(_out(r_end + "_us")))
+    out_cols += [F.col("_rkpay")[c].alias(_out(c)) for c in payload]
+    return joined.select(*out_cols)
+
+
 # (grain label, bucket width in epoch microseconds); each width must divide
 # the next for the grouping-set buckets to nest (not required by the math,
 # just the convention users expect from hour/day/week)

@@ -181,6 +181,7 @@ _R8_QUEUE_HEAD = [
     "x_inverted_index",
     "x_jl_project",
     "x_compact_roundtrip",
+    "x_interval_join",
 ]
 
 

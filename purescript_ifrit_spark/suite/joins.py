@@ -225,6 +225,53 @@ def x_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_interval_join",
+    # clicks whose activity window overlaps an error window of the SAME
+    # user — the two-sided interval-overlap join (half-open ranges,
+    # duration = floor(value minutes); floor() on both engines because
+    # DuckDB CAST(double AS BIGINT) rounds where Spark truncates)
+    "WITH iv AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS s, "
+    "epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e "
+    "FROM events WHERE value > 0), "
+    "c AS (SELECT user_id, event_id AS click_id, s, e FROM iv "
+    "WHERE event_type = 'click'), "
+    "x AS (SELECT user_id, event_id AS error_id, s, e FROM iv "
+    "WHERE event_type = 'error') "
+    "SELECT c.user_id, click_id, error_id, c.s AS c_s, c.e AS c_e, "
+    "x.s AS x_s, x.e AS x_e FROM c JOIN x ON c.user_id = x.user_id "
+    "AND c.s < x.e AND x.s < c.e",
+)
+def x_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/temporal.interval_join): click
+    activity windows × error windows per user. Both sides band onto
+    hour buckets and equi-join on (user, bucket); pairs attribute
+    exactly once at the intersection-start bucket — no cartesian, no
+    dropDuplicates. The oracle replays the overlap predicate as a plain
+    inequality join."""
+    from purescript_ifrit_spark.operators.temporal import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("value") > 0).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         + F.expr("CAST(floor(value * 60000000) AS BIGINT)")).alias("e"),
+    )
+    c = iv.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "s", "e"
+    )
+    x = iv.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "s", "e"
+    )
+    out = interval_join(c, x, "user_id", "s", "e", "s", "e")
+    return out.select(
+        "user_id", "click_id", "error_id",
+        F.col("s_us").alias("c_s"), F.col("e_us").alias("c_e"),
+        F.col("s_us_r").alias("x_s"), F.col("e_us_r").alias("x_e"),
+    )
+
+
+@register(
     "x_compact_roundtrip",
     # compaction is pure layout maintenance: what goes through the
     # small-file write → compact_parquet rewrite must equal the source

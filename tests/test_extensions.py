@@ -4050,3 +4050,39 @@ def test_inverted_index_bounded_and_one_wide_exchange(spark):
     plan = inverted_index(df, "doc_id", "text")._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_interval_join_exactly_once_and_edges(spark):
+    from purescript_ifrit_spark.operators.temporal import interval_join
+
+    # microsecond-scale intervals, bucket width 10: the (1, 5, 35) x
+    # (1, 8, 28) pair overlaps buckets 0..2 and both sides band onto all
+    # three — the intersection-start attribution must emit it ONCE
+    left = spark.createDataFrame(
+        [(1, 100, 5, 35),    # spans buckets 0-3
+         (1, 101, 38, 40),   # touches nothing on the right
+         (2, 102, 0, 10),    # other key
+         (1, 103, 50, 50),   # empty interval: matches nothing
+         (1, 104, None, 60)],  # null start: dropped
+        "k long, lid long, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [(1, 200, 8, 28),    # overlaps lid=100 across 3 shared buckets
+         (1, 201, 35, 36),   # half-open: l.e=35 == r.s -> NO match
+         (1, 202, 49, 51),   # would match only the empty interval
+         (2, 203, 9, 12)],   # overlaps lid=102 at the boundary bucket
+        "k long, rid long, s long, e long",
+    )
+    out = interval_join(
+        left, right, "k", "s", "e", "s", "e", bucket_width_us=10
+    ).select("k", "lid", "rid").collect()
+    got = sorted((r.k, r.lid, r.rid) for r in out)
+    assert got == [(1, 100, 200), (2, 102, 203)]
+
+    # span cap: a left interval wider than max_span_buckets drops
+    wide = interval_join(
+        spark.createDataFrame([(1, 1, 0, 10_000)], "k long, lid long, s long, e long"),
+        right, "k", "s", "e", "s", "e",
+        bucket_width_us=10, max_span_buckets=16,
+    )
+    assert wide.count() == 0
