@@ -302,3 +302,69 @@ def blocklist_filter_stream(
         "left_anti",
     )
     return clean.unionByName(confirm).drop("_fp", "_maybe")
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    dur_col: str = "dur_us",
+    max_span: str = "10 hours",
+    watermark: str = "2 hours",
+    l_prefix: str = "l_",
+    r_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval-OVERLAP join — the streaming twin of
+    temporal.interval_join for interval sets anchored at event time:
+    each side carries [ts, ts + dur_us) with dur_us < max_span (the
+    CALLER's contract — longer intervals silently lose matches beyond
+    the range bound, exactly like the batch operator's
+    max_span_buckets guard drops over-wide spans).
+
+    This is Spark's native stream-stream join: both sides are
+    watermarked and the join carries an explicit event-time RANGE
+    condition (|l.ts - r.ts| <= max_span, implied by overlap when both
+    durations are <= max_span), which is what lets the state store
+    evict — without the range bound a stream-stream join buffers
+    forever. The exact half-open overlap predicate
+    (l.s < r.e AND r.s < l.e in epoch micros) filters inside the
+    bounded candidate set; an overlapping pair is emitted exactly once
+    (one join, no banding needed — time-range state pruning plays the
+    role buckets play in the batch plan).
+
+    Output columns are prefixed (l_/r_) because stream-stream joins
+    require disjoint names on both sides. Late rows beyond `watermark`
+    may be dropped from state on either side — the standard
+    completeness trade of watermarked joins (batch replay with
+    availableNow sees everything; the equivalence test pins that)."""
+    lc = [c for c in left.columns]
+    rc = [c for c in right.columns]
+    l2 = left.select(
+        F.col(on).alias("_lkey"),
+        *[F.col(c).alias(l_prefix + c) for c in lc if c != on],
+    ).withWatermark(l_prefix + ts_col, watermark)
+    r2 = right.select(
+        F.col(on).alias("_rkey"),
+        *[F.col(c).alias(r_prefix + c) for c in rc if c != on],
+    ).withWatermark(r_prefix + ts_col, watermark)
+    lts, rts = F.col(l_prefix + ts_col), F.col(r_prefix + ts_col)
+    ls, rs = F.unix_micros(lts), F.unix_micros(rts)
+    le = ls + F.col(l_prefix + dur_col)
+    re_ = rs + F.col(r_prefix + dur_col)
+    cond = (
+        (F.col("_lkey") == F.col("_rkey"))
+        # the state-eviction range bound, on the RAW watermarked
+        # timestamps (Spark's unsupported-operation checker requires the
+        # range on the event-time columns themselves)
+        & (rts >= lts - F.expr(f"INTERVAL {max_span}"))
+        & (rts <= lts + F.expr(f"INTERVAL {max_span}"))
+        # the exact half-open overlap
+        & (ls < re_)
+        & (rs < le)
+    )
+    return (
+        l2.join(r2, cond, "inner")
+        .withColumnRenamed("_lkey", on)
+        .drop("_rkey")
+    )

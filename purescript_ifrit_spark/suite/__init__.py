@@ -182,6 +182,7 @@ _R8_QUEUE_HEAD = [
     "x_jl_project",
     "x_compact_roundtrip",
     "x_interval_join",
+    "x_streaming_interval_join",
 ]
 
 

@@ -313,3 +313,78 @@ def x_streaming_dau_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_envelope"),
         )
     )
+
+
+@register(
+    "x_streaming_interval_join",
+    # batch truth for the watermarked stream-stream range join: the plain
+    # inequality overlap join on the SAME bounded-duration interval sets
+    # (dur <= 300 min < the 5h range bound, so no match can exceed the
+    # state-eviction window and the availableNow replay is complete)
+    "WITH iv AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS s, "
+    "epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e "
+    "FROM events WHERE value > 0 AND value <= 300), "
+    "c AS (SELECT user_id, event_id AS click_id, s, e FROM iv "
+    "WHERE event_type = 'click'), "
+    "x AS (SELECT user_id, event_id AS error_id, s, e FROM iv "
+    "WHERE event_type = 'error') "
+    "SELECT c.user_id, click_id, error_id, c.s AS c_s, c.e AS c_e, "
+    "x.s AS x_s, x.e AS x_e FROM c JOIN x ON c.user_id = x.user_id "
+    "AND c.s < x.e AND x.s < c.e",
+)
+def x_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval-overlap join, driver-verified
+    (streaming/pipeline.interval_join_stream): click and error interval
+    streams replay through TWO file sources under an availableNow
+    trigger; the watermarked event-time range condition bounds join
+    state while the exact half-open overlap predicate filters inside
+    it. The append-mode memory sink must equal the batch inequality
+    join exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from purescript_ifrit_spark.streaming.pipeline import (
+        interval_join_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("value") > 0) & (F.col("value") <= 300)
+    )
+    iv = ev.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.expr("CAST(floor(value * 60000000) AS BIGINT)").alias("dur_us"),
+    )
+    c_dir = tempfile.mkdtemp(prefix="ifrit_ivj_c_")
+    e_dir = tempfile.mkdtemp(prefix="ifrit_ivj_e_")
+    try:
+        iv.filter(F.col("event_type") == "click").drop(
+            "event_type"
+        ).coalesce(2).write.mode("overwrite").parquet(c_dir)
+        iv.filter(F.col("event_type") == "error").drop(
+            "event_type"
+        ).coalesce(2).write.mode("overwrite").parquet(e_dir)
+        schema = "user_id long, event_id long, ts timestamp, dur_us long"
+        cs = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(c_dir))
+        es = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(e_dir))
+        joined = interval_join_stream(
+            cs, es, "user_id", max_span="5 hours", watermark="2 hours"
+        )
+        name = f"x_streaming_ivj_{uuid.uuid4().hex[:12]}"
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(c_dir, ignore_errors=True)
+        shutil.rmtree(e_dir, ignore_errors=True)
+    ls = F.unix_micros("l_ts")
+    xs = F.unix_micros("r_ts")
+    return spark.table(name).select(
+        "user_id",
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("error_id"),
+        ls.alias("c_s"), (ls + F.col("l_dur_us")).alias("c_e"),
+        xs.alias("x_s"), (xs + F.col("r_dur_us")).alias("x_e"),
+    )

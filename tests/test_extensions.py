@@ -4086,3 +4086,57 @@ def test_interval_join_exactly_once_and_edges(spark):
         bucket_width_us=10, max_span_buckets=16,
     )
     assert wide.count() == 0
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream range join must emit exactly the
+    batch interval_join pairs on a bounded availableNow replay."""
+    from purescript_ifrit_spark.operators.temporal import interval_join
+    from purescript_ifrit_spark.sources.tables import load_table
+    from purescript_ifrit_spark.streaming import pipeline as SP
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("value") > 0) & (F.col("value") <= 300)  # dur < max_span
+    )
+    iv = ev.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.expr("CAST(floor(value * 60000000) AS BIGINT)").alias("dur_us"),
+    )
+    clicks = iv.filter("event_type = 'click'").drop("event_type")
+    errors = iv.filter("event_type = 'error'").drop("event_type")
+
+    # batch truth via the banded operator
+    def _spans(df):
+        return df.select(
+            "user_id", "event_id",
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.col("dur_us")).alias("e"),
+        )
+
+    want = {
+        (r.user_id, r.event_id, r.event_id_r)
+        for r in interval_join(
+            _spans(clicks), _spans(errors), "user_id", "s", "e", "s", "e"
+        ).select("user_id", "event_id", F.col("event_id_r")).collect()
+    }
+    assert want  # the fixture produces matches
+
+    c_dir, e_dir = str(tmp_path / "c"), str(tmp_path / "e")
+    clicks.coalesce(2).write.parquet(c_dir)
+    errors.coalesce(2).write.parquet(e_dir)
+    schema = "user_id long, event_id long, ts timestamp, dur_us long"
+    cs = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(c_dir))
+    es = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(e_dir))
+    joined = SP.interval_join_stream(
+        cs, es, "user_id", max_span="5 hours", watermark="2 hours"
+    )
+    q = (joined.writeStream.format("memory").queryName("ivj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.table("ivj").collect()
+    }
+    assert got == want
