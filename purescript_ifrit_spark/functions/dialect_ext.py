@@ -249,6 +249,20 @@ def _c4pass_sql(x: str) -> str:
     return c4_pass_sql(x)
 
 
+def _jlproject_column(c: Column) -> Column:
+    from purescript_ifrit_spark.operators.vectorize import jlproject_expr
+
+    return jlproject_expr(c)
+
+
+def _jlproject_sql(x: str) -> str:
+    from purescript_ifrit_spark.operators.vectorize import (
+        jlproject_dialect_sql,
+    )
+
+    return jlproject_dialect_sql(x)
+
+
 def _htmltext_column(c: Column) -> Column:
     from purescript_ifrit_spark.operators.text_cleaning import html_text_expr
 
@@ -505,6 +519,19 @@ EXT_FUNCTIONS: Dict[str, ExtFn] = {
             Schema.boolean(),
             _c4pass_column,
             _c4pass_sql,
+        ),
+        ExtFn(
+            "JL_PROJECT",
+            # 64→16-dim ±1 random projection of a float embedding array
+            # (operators/vectorize.jlproject_expr; quantize + project in
+            # one scan-stage expression whose sign matrix is COMPUTED
+            # from (i, j), not a literal). The only ExtFn taking an
+            # ARRAY argument; array-typed result, so not groupable.
+            Schema.array(Schema.number()),
+            _jlproject_column,
+            _jlproject_sql,
+            groupable=False,
+            arg_kinds=("array",),
         ),
         ExtFn(
             "TUMBLE",

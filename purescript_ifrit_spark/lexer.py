@@ -89,7 +89,7 @@ _FUNCTIONS = [
     "AVG", "COUNT", "MAX", "MIN", "SUM",
     "TOKEN_COUNT", "QUALITY_SCORE", "QUALITY", "LANG_ID", "FINGERPRINT",
     "CHUNK", "SPLIT", "REDACT", "HTMLTEXT", "TUMBLE", "SESSIONIZE",
-    "VECTORIZE", "IMAGE_DHASH", "GOPHER", "C4PASS",
+    "VECTORIZE", "IMAGE_DHASH", "GOPHER", "C4PASS", "JL_PROJECT",
 ]
 
 _WORD_CHARS = r"[a-zA-Z0-9_.]"

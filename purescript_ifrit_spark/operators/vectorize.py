@@ -360,3 +360,56 @@ def jl_project(
             yield pd.DataFrame({id_col: ids, "proj": projs})
 
     return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
+# dialect JL_PROJECT geometry: the corpus embedding width and a
+# log-n-ish target (the VECTORIZE fixed-dim precedent — parameterized
+# projections go through jl_project/jl_project_sql directly)
+JL_IN_DIM = 64
+JL_OUT_DIM = 16
+JL_SEED = 1
+_JL_QUANT_SQL = "CAST(floor(CAST({v} AS DOUBLE) * 1000) AS BIGINT)"
+
+
+def jlproject_expr(c) -> "F.Column":
+    """Column backend of the dialect JL_PROJECT: floor-quantize a float
+    embedding array and project 64 → 16 ±1 pseudo-random directions.
+    The sign s(i,j) is COMPUTED inside the lambda from (i, j) — the
+    expression tree is constant-size regardless of dims (no k×dim
+    literal, no py4j-per-cell chatter), unlike the centroid/band cases
+    where the constants carry information. Wrong-length vectors yield
+    NULL (the jl_project contract)."""
+    off = JL_SEED * _JLP_SEED_MULT
+    q = F.transform(
+        c, lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+
+    def comp(j):
+        return F.aggregate(
+            F.zip_with(
+                q,
+                F.sequence(F.lit(0), F.lit(JL_IN_DIM - 1)),
+                lambda v, i: v
+                * F.when(
+                    ((i + 1) * (j + 2) * F.lit(_JLP_MULT) + F.lit(off))
+                    % F.lit(_JLP_MOD)
+                    < F.lit(_JLP_HALF),
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    return F.when(
+        F.size(c) == JL_IN_DIM,
+        F.transform(F.sequence(F.lit(0), F.lit(JL_OUT_DIM - 1)), comp),
+    )
+
+
+def jlproject_dialect_sql(x: str) -> str:
+    """Spark-SQL twin of jlproject_expr (same quantization, same sign
+    arithmetic, via jl_project_sql — lock-step with the Column backend,
+    pinned in test_dialect_ext)."""
+    qv = f"transform({x}, _q -> {_JL_QUANT_SQL.format(v='_q')})"
+    return jl_project_sql(qv, JL_IN_DIM, JL_OUT_DIM, JL_SEED)

@@ -183,6 +183,7 @@ _R8_QUEUE_HEAD = [
     "x_compact_roundtrip",
     "x_interval_join",
     "x_streaming_interval_join",
+    "xd_jl_project",
 ]
 
 

@@ -369,3 +369,40 @@ def xd_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     aug = docs.select("doc_id", _c4_aug_expr().alias("text"))
     return run_query(spark, aug, "SELECT doc_id, C4PASS(text) AS cpass")
+
+
+def _xd_jl_oracle() -> str:
+    from purescript_ifrit_spark.operators.vectorize import (
+        _JLP_HALF,
+        _JLP_MOD,
+        _JLP_MULT,
+        _JLP_SEED_MULT,
+        JL_SEED,
+    )
+
+    qv = ("list_transform(embedding, x -> "
+          "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    return (
+        f"WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings), "
+        "j AS (SELECT unnest(range(0, 16)) AS j) "
+        "SELECT vec_id, CAST(j.j AS INT) AS pos, "
+        "CAST(list_sum(list_transform(range(0, 64), i -> "
+        "list_extract(qv, i+1) * CASE WHEN "
+        f"((i+1)*(j.j+2)*{_JLP_MULT} + {JL_SEED * _JLP_SEED_MULT}) "
+        f"% {_JLP_MOD} < {_JLP_HALF} THEN 1 ELSE -1 END)) AS BIGINT) "
+        "AS val FROM q CROSS JOIN j"
+    )
+
+
+@register("xd_jl_project", _xd_jl_oracle())
+def xd_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL projection reached through the DIALECT (`JL_PROJECT(embedding)`
+    → operators/vectorize.jlproject_expr — the first array-argument
+    extension function; quantize + 64→16 projection in one scan-stage
+    expression, value-equal to the Arrow operator jl_project, pinned in
+    test_dialect_ext). Flat posexplode rows for the driver comparator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = run_query(spark, emb, "SELECT vec_id, JL_PROJECT(embedding) AS p")
+    return out.select(
+        "vec_id", F.posexplode("p").alias("pos", "_v")
+    ).select("vec_id", "pos", F.col("_v").cast("long").alias("val"))

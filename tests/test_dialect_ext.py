@@ -683,3 +683,51 @@ def test_c4pass_dialect_matches_operator(spark, docs):
 def test_c4pass_typed_boolean():
     plan = compile_query(DOC_SCHEMA, "SELECT C4PASS(text) AS c")
     assert plan.output_schema.fields["c"].kind == "boolean"
+
+
+def test_jl_project_dialect_matches_arrow_operator(spark, sf_dir):
+    # JL_PROJECT(embedding) through the compiler must equal the Arrow
+    # operator jl_project bit-for-bit, on BOTH backends (Column builder
+    # and emitted Spark SQL)
+    from pyspark.sql import functions as F
+
+    from purescript_ifrit_spark.operators.vectorize import jl_project
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    via_dialect = sorted(map(tuple, run_query(
+        spark, emb, "SELECT vec_id, JL_PROJECT(embedding) AS p"
+    ).select("vec_id", F.col("p").cast("array<long>")).collect()))
+    q = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> "
+               "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").alias("qv"),
+    )
+    via_op = sorted(map(tuple, jl_project(
+        q, "vec_id", "qv", 64, 16, seed=1).collect()))
+    assert via_dialect == via_op
+
+    emb.createOrReplaceTempView("jl_emb_view")
+    via_sql = sorted(map(tuple, spark.sql(
+        to_spark_sql(
+            parse_sql("SELECT vec_id, JL_PROJECT(embedding) AS p"),
+            "jl_emb_view",
+        )
+    ).selectExpr("vec_id", "CAST(p AS ARRAY<BIGINT>)").collect()))
+    assert via_sql == via_dialect
+
+
+def test_jl_project_rejects_non_array_and_types_array():
+    import pytest as _pytest
+
+    from purescript_ifrit_spark.api import compile_query
+
+    plan = compile_query(
+        {"vec_id": "number", "embedding": ["number"]},
+        "SELECT JL_PROJECT(embedding) AS p",
+    )
+    assert plan.output_schema.fields["p"].kind == "array"
+    with _pytest.raises(Exception, match="incompatible type"):
+        compile_query(
+            {"text": "string"}, "SELECT JL_PROJECT(text) AS p"
+        )
