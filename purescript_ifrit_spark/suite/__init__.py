@@ -184,6 +184,8 @@ _R8_QUEUE_HEAD = [
     "x_interval_join",
     "x_streaming_interval_join",
     "xd_jl_project",
+    "x_contribution_cap",
+    "x_kanon_suppress",
 ]
 
 

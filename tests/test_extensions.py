@@ -4140,3 +4140,41 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.table("ivj").collect()
     }
     assert got == want
+
+
+def test_privacy_operators_cap_and_suppress(spark):
+    from purescript_ifrit_spark.operators.privacy import (
+        contribution_cap,
+        kanon_suppress,
+    )
+
+    df = spark.createDataFrame(
+        [(u, i, u * 100 + i) for u in range(3) for i in range(u * 4 + 1)],
+        "user long, seq long, val long",
+    )
+    capped = contribution_cap(df, "user", 3, [F.col("seq")])
+    by_user = {}
+    for r in capped.collect():
+        by_user.setdefault(r.user, []).append(r.seq)
+    assert sorted(by_user[0]) == [0]           # fewer than k: all kept
+    assert sorted(by_user[1]) == [0, 1, 2]     # earliest 3 under seq
+    assert sorted(by_user[2]) == [0, 1, 2]
+    # one user-keyed exchange only (count the AQE final plan section —
+    # the toString repeats the exchange in "== Initial Plan ==")
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, plan
+
+    groups = spark.createDataFrame(
+        [("en", i) for i in range(5)] + [("fr", 0), ("de", 0), ("de", 1)],
+        "lang string, doc long",
+    )
+    kept = kanon_suppress(groups, ["lang"], 2).collect()
+    assert {r.lang for r in kept} == {"en", "de"}   # fr cell of 1 suppressed
+    assert all(r.group_n >= 2 for r in kept)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        contribution_cap(df, "user", 0, [F.col("seq")])
+    with _p.raises(ValueError):
+        kanon_suppress(groups, ["lang"], 0)
