@@ -552,12 +552,11 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         return x_robots_filter(spark, SF_DIR)
 
     def qx_inverted_index():
-        from purescript_ifrit_spark.operators.text_analysis import (
-            inverted_index,
-        )
+        # delegate to the attested suite entry so the bench measures
+        # EXACTLY the query the driver verifies (qx_interval_join style)
+        from purescript_ifrit_spark.suite.text import x_inverted_index
 
-        idx = inverted_index(t["documents"], "doc_id", "text")
-        return idx.orderBy(F.col("df").desc(), F.col("term")).limit(100)
+        return x_inverted_index(spark, SF_DIR)
 
     def qx_interval_join():
         from purescript_ifrit_spark.suite.joins import x_interval_join
@@ -565,16 +564,17 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         return x_interval_join(spark, SF_DIR)
 
     def qx_jl_project():
-        from purescript_ifrit_spark.operators.vectorize import jl_project
+        from purescript_ifrit_spark.operators.vectorize import (
+            JL_IN_DIM,
+            JL_OUT_DIM,
+            jl_project,
+            jl_quantize_sql,
+        )
 
         q = t["embeddings"].select(
-            "vec_id",
-            F.expr(
-                "transform(embedding, x -> "
-                "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-            ).alias("qv"),
+            "vec_id", F.expr(jl_quantize_sql("embedding")).alias("qv")
         )
-        return jl_project(q, "vec_id", "qv", 64, 16)
+        return jl_project(q, "vec_id", "qv", JL_IN_DIM, JL_OUT_DIM)
 
     extra_queries = {
         "qx_asof_join": qx_asof_join,

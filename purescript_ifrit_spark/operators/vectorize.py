@@ -302,7 +302,13 @@ def jl_project_sql(
     lesson (SCALE.md): Column construction pays a py4j round trip per
     node on every fresh plan. This JVM form exists as the engine-pinned
     twin of the Arrow default (jl_project) and for JVM-only deployments;
-    its HOF lambdas run interpreted at out_dim ops per element."""
+    its HOF lambdas run interpreted at out_dim ops per element.
+
+    A NULL element anywhere in the vector yields NULL (the whole
+    projection, not a partially-null array: every component sums every
+    element, so one null poisons all 16 — collapsing to NULL keeps the
+    Arrow twin exactly matchable, where numpy would otherwise cast the
+    null's NaN to INT64_MIN and emit garbage)."""
     off = seed * _JLP_SEED_MULT
     proj = (
         f"transform(sequence(0, {out_dim - 1}), j -> aggregate("
@@ -312,7 +318,8 @@ def jl_project_sql(
         "0L, (a, x) -> a + x))"
     )
     return (
-        f"CASE WHEN size({vec_sql}) = {in_dim} THEN {proj} "
+        f"CASE WHEN size({vec_sql}) = {in_dim} "
+        f"AND NOT exists({vec_sql}, _e -> _e IS NULL) THEN {proj} "
         "ELSE CAST(NULL AS ARRAY<BIGINT>) END"
     )
 
@@ -354,9 +361,25 @@ def jl_project(
                 ids.append(rid)
                 if vec is None or len(vec) != in_dim:
                     projs.append(None)
+                    continue
+                # Arrow hands a list with nulls over as float64+NaN;
+                # an unsafe int64 cast would turn NaN into INT64_MIN
+                # garbage — null elements collapse to NULL, matching
+                # the SQL twin's exists(_e IS NULL) guard
+                v = np.asarray(vec)
+                if v.dtype.kind == "f":
+                    if np.isnan(v).any():
+                        projs.append(None)
+                        continue
+                    v = v.astype(np.int64)
+                elif v.dtype.kind == "O":
+                    if any(e is None for e in vec):
+                        projs.append(None)
+                        continue
+                    v = v.astype(np.int64)
                 else:
-                    v = np.asarray(vec, dtype=np.int64)
-                    projs.append((v @ signs).tolist())
+                    v = v.astype(np.int64)
+                projs.append((v @ signs).tolist())
             yield pd.DataFrame({id_col: ids, "proj": projs})
 
     return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
@@ -402,8 +425,26 @@ def jlproject_expr(c) -> "F.Column":
         )
 
     return F.when(
-        F.size(c) == JL_IN_DIM,
+        (F.size(c) == JL_IN_DIM)
+        # null element => NULL projection (see jl_project_sql: one null
+        # poisons every component; collapsing keeps all backends equal)
+        & ~F.exists(c, lambda x: x.isNull()),
         F.transform(F.sequence(F.lit(0), F.lit(JL_OUT_DIM - 1)), comp),
+    )
+
+
+def jl_quantize_sql(x: str) -> str:
+    """The floor-quantization of a float embedding as Spark SQL — THE
+    single definition every call site (dialect, suite, bench, tests)
+    derives from, so a scale change cannot silently diverge them."""
+    return f"transform({x}, _q -> {_JL_QUANT_SQL.format(v='_q')})"
+
+
+def jl_quantize_duckdb(x: str) -> str:
+    """DuckDB twin of jl_quantize_sql (list_transform; same floor/cast)."""
+    return (
+        f"list_transform({x}, _q -> "
+        "CAST(floor(CAST(_q AS DOUBLE) * 1000) AS BIGINT))"
     )
 
 
@@ -411,5 +452,4 @@ def jlproject_dialect_sql(x: str) -> str:
     """Spark-SQL twin of jlproject_expr (same quantization, same sign
     arithmetic, via jl_project_sql — lock-step with the Column backend,
     pinned in test_dialect_ext)."""
-    qv = f"transform({x}, _q -> {_JL_QUANT_SQL.format(v='_q')})"
-    return jl_project_sql(qv, JL_IN_DIM, JL_OUT_DIM, JL_SEED)
+    return jl_project_sql(jl_quantize_sql(x), JL_IN_DIM, JL_OUT_DIM, JL_SEED)

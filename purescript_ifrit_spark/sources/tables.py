@@ -394,14 +394,23 @@ def compact_parquet(
     """
     import math
 
+    # no pathGlobFilter: Hive-style writers name data files without a
+    # .parquet suffix (000000_0) and a '*.parquet' glob would size such
+    # a dataset at 0 bytes → one giant output file. binaryFile already
+    # skips _metadata/_SUCCESS/.hidden via the default file-source
+    # exclusions, which is the right data-file definition here.
     listing = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
         .load(in_path)
         .select(F.sum("length").alias("bytes"))
         .first()
     )
     total = listing["bytes"] or 0
+    if total == 0:
+        raise ValueError(
+            f"compact_parquet: no data files found under {in_path!r} "
+            "(spark.read.parquet would fail on it too) — nothing to compact"
+        )
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(in_path)
     if sort_cols:

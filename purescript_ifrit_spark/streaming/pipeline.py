@@ -336,18 +336,34 @@ def interval_join_stream(
     Output columns are prefixed (l_/r_) because stream-stream joins
     require disjoint names on both sides. Late rows beyond `watermark`
     may be dropped from state on either side — the standard
-    completeness trade of watermarked joins (batch replay with
-    availableNow sees everything; the equivalence test pins that)."""
+    completeness trade of watermarked joins. An availableNow REPLAY is
+    loss-free only when each source's files are time-ordered (a
+    multi-batch replay advances the watermark per batch, so a later
+    file holding much-older rows loses them exactly as live late data
+    would): stage replays with repartitionByRange(ts) +
+    sortWithinPartitions(ts), as the suite entry and the equivalence
+    test do."""
     lc = [c for c in left.columns]
     rc = [c for c in right.columns]
-    l2 = left.select(
-        F.col(on).alias("_lkey"),
-        *[F.col(c).alias(l_prefix + c) for c in lc if c != on],
-    ).withWatermark(l_prefix + ts_col, watermark)
-    r2 = right.select(
-        F.col(on).alias("_rkey"),
-        *[F.col(c).alias(r_prefix + c) for c in rc if c != on],
-    ).withWatermark(r_prefix + ts_col, watermark)
+    # empty/inverted intervals match nothing — the batch twin's
+    # e_us > s_us filter, applied pre-watermark (dur_us <= 0 rows would
+    # otherwise join: the half-open predicates alone admit [t, t))
+    l2 = (
+        left.filter(F.col(dur_col) > 0)
+        .select(
+            F.col(on).alias("_lkey"),
+            *[F.col(c).alias(l_prefix + c) for c in lc if c != on],
+        )
+        .withWatermark(l_prefix + ts_col, watermark)
+    )
+    r2 = (
+        right.filter(F.col(dur_col) > 0)
+        .select(
+            F.col(on).alias("_rkey"),
+            *[F.col(c).alias(r_prefix + c) for c in rc if c != on],
+        )
+        .withWatermark(r_prefix + ts_col, watermark)
+    )
     lts, rts = F.col(l_prefix + ts_col), F.col(r_prefix + ts_col)
     ls, rs = F.unix_micros(lts), F.unix_micros(rts)
     le = ls + F.col(l_prefix + dur_col)

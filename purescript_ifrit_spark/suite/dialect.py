@@ -372,26 +372,11 @@ def xd_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _xd_jl_oracle() -> str:
-    from purescript_ifrit_spark.operators.vectorize import (
-        _JLP_HALF,
-        _JLP_MOD,
-        _JLP_MULT,
-        _JLP_SEED_MULT,
-        JL_SEED,
-    )
+    # ONE oracle builder shared with x_jl_project (suite/vectors.py) —
+    # only the position alias differs
+    from purescript_ifrit_spark.suite.vectors import jl_projection_oracle
 
-    qv = ("list_transform(embedding, x -> "
-          "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-    return (
-        f"WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings), "
-        "j AS (SELECT unnest(range(0, 16)) AS j) "
-        "SELECT vec_id, CAST(j.j AS INT) AS pos, "
-        "CAST(list_sum(list_transform(range(0, 64), i -> "
-        "list_extract(qv, i+1) * CASE WHEN "
-        f"((i+1)*(j.j+2)*{_JLP_MULT} + {JL_SEED * _JLP_SEED_MULT}) "
-        f"% {_JLP_MOD} < {_JLP_HALF} THEN 1 ELSE -1 END)) AS BIGINT) "
-        "AS val FROM q CROSS JOIN j"
-    )
+    return jl_projection_oracle("pos")
 
 
 @register("xd_jl_project", _xd_jl_oracle())

@@ -229,10 +229,13 @@ def x_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clicks whose activity window overlaps an error window of the SAME
     # user — the two-sided interval-overlap join (half-open ranges,
     # duration = floor(value minutes); floor() on both engines because
-    # DuckDB CAST(double AS BIGINT) rounds where Spark truncates)
+    # DuckDB CAST(double AS BIGINT) rounds where Spark truncates).
+    # value <= 10000 min mirrors the operator's max_span_buckets guard
+    # (1024 hour-buckets = 61440 min): an uncapped oracle would keep a
+    # pair whose over-wide interval the Spark side drops by policy
     "WITH iv AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS s, "
     "epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e "
-    "FROM events WHERE value > 0), "
+    "FROM events WHERE value > 0 AND value <= 10000), "
     "c AS (SELECT user_id, event_id AS click_id, s, e FROM iv "
     "WHERE event_type = 'click'), "
     "x AS (SELECT user_id, event_id AS error_id, s, e FROM iv "
@@ -251,7 +254,9 @@ def x_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.temporal import interval_join
 
     ev = load_table(spark, sf_dir, "events")
-    iv = ev.filter(F.col("value") > 0).select(
+    iv = ev.filter(
+        (F.col("value") > 0) & (F.col("value") <= 10000)
+    ).select(
         "user_id", "event_id", "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
         (F.unix_micros(F.col("ts").cast("timestamp"))

@@ -358,12 +358,19 @@ def x_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_dir = tempfile.mkdtemp(prefix="ifrit_ivj_c_")
     e_dir = tempfile.mkdtemp(prefix="ifrit_ivj_e_")
     try:
+        # time-ordered files: a multi-batch replay advances the
+        # watermark per batch, so out-of-order files would lose old rows
+        # exactly as live late data would (interval_join_stream docstring)
         iv.filter(F.col("event_type") == "click").drop(
             "event_type"
-        ).coalesce(2).write.mode("overwrite").parquet(c_dir)
+        ).repartitionByRange(2, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(c_dir)
         iv.filter(F.col("event_type") == "error").drop(
             "event_type"
-        ).coalesce(2).write.mode("overwrite").parquet(e_dir)
+        ).repartitionByRange(2, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(e_dir)
         schema = "user_id long, event_id long, ts timestamp, dur_us long"
         cs = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(c_dir))

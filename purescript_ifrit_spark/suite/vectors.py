@@ -689,29 +689,38 @@ def x_hard_negatives_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jl_oracle() -> str:
+def jl_projection_oracle(pos_alias: str) -> str:
+    """The DuckDB replay of the 64->16 JL projection over quantized
+    embeddings — ONE builder shared by x_jl_project and xd_jl_project
+    (suite/dialect.py) so the two oracles can never drift; every
+    constant (quantization, sign arithmetic, dims, seed) derives from
+    operators/vectorize."""
     from purescript_ifrit_spark.operators.vectorize import (
         _JLP_HALF,
         _JLP_MOD,
         _JLP_MULT,
         _JLP_SEED_MULT,
+        JL_IN_DIM,
+        JL_OUT_DIM,
+        JL_SEED,
+        jl_quantize_duckdb,
     )
 
-    qv = ("list_transform(embedding, x -> "
-          "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    qv = jl_quantize_duckdb("embedding")
     return (
         f"WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings), "
-        "j AS (SELECT unnest(range(0, 16)) AS j) "
-        "SELECT vec_id, CAST(j.j AS INT) AS j, "
-        "CAST(list_sum(list_transform(range(0, 64), i -> "
+        f"j AS (SELECT unnest(range(0, {JL_OUT_DIM})) AS j) "
+        f"SELECT vec_id, CAST(j.j AS INT) AS {pos_alias}, "
+        f"CAST(list_sum(list_transform(range(0, {JL_IN_DIM}), i -> "
         "list_extract(qv, i+1) * CASE WHEN "
-        f"((i+1)*(j.j+2)*{_JLP_MULT} + {_JLP_SEED_MULT}) % {_JLP_MOD} "
+        f"((i+1)*(j.j+2)*{_JLP_MULT} + {JL_SEED * _JLP_SEED_MULT}) "
+        f"% {_JLP_MOD} "
         f"< {_JLP_HALF} THEN 1 ELSE -1 END)) AS BIGINT) AS val "
         "FROM q CROSS JOIN j"
     )
 
 
-@register("x_jl_project", _jl_oracle())
+@register("x_jl_project", jl_projection_oracle("j"))
 def x_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss ±1 projection 64 → 16 dims
     (operators/vectorize.jl_project, the Arrow matvec default) on the
@@ -721,15 +730,20 @@ def x_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned bit-identical in test_jl_project_arrow_equals_sql."""
     from purescript_ifrit_spark.operators.vectorize import jl_project
 
+    from purescript_ifrit_spark.operators.vectorize import (
+        JL_IN_DIM,
+        JL_OUT_DIM,
+        JL_SEED,
+        jl_quantize_sql,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> "
-            "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-        ).alias("qv"),
+        "vec_id", F.expr(jl_quantize_sql("embedding")).alias("qv")
     )
-    proj = jl_project(q, "vec_id", "qv", in_dim=64, out_dim=16, seed=1)
+    proj = jl_project(
+        q, "vec_id", "qv", in_dim=JL_IN_DIM, out_dim=JL_OUT_DIM, seed=JL_SEED
+    )
     return proj.select(
         "vec_id", F.posexplode("proj").alias("j", "val")
     )

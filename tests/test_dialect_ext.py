@@ -698,10 +698,10 @@ def test_jl_project_dialect_matches_arrow_operator(spark, sf_dir):
     via_dialect = sorted(map(tuple, run_query(
         spark, emb, "SELECT vec_id, JL_PROJECT(embedding) AS p"
     ).select("vec_id", F.col("p").cast("array<long>")).collect()))
+    from purescript_ifrit_spark.operators.vectorize import jl_quantize_sql
+
     q = emb.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> "
-               "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").alias("qv"),
+        "vec_id", F.expr(jl_quantize_sql("embedding")).alias("qv")
     )
     via_op = sorted(map(tuple, jl_project(
         q, "vec_id", "qv", 64, 16, seed=1).collect()))

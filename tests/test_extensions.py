@@ -3999,16 +3999,19 @@ def test_jl_project_arrow_equals_sql(spark, sf_dir):
     )
     from purescript_ifrit_spark.sources.tables import load_table
 
+    from purescript_ifrit_spark.operators.vectorize import jl_quantize_sql
+
     emb = load_table(spark, sf_dir, "embeddings").limit(100)
     q = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> "
-            "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-        ).alias("qv"),
+        "vec_id", F.expr(jl_quantize_sql("embedding")).alias("qv")
     )
     bad = spark.createDataFrame(
-        [(10**9, [1, 2, 3]), (10**9 + 1, None)],
+        # wrong length, NULL vector, and a full-length vector with a NULL
+        # ELEMENT (Arrow hands it over as float64+NaN — an unsafe int64
+        # cast would project INT64_MIN garbage where the SQL twin
+        # collapses to NULL)
+        [(10**9, [1, 2, 3]), (10**9 + 1, None),
+         (10**9 + 2, [1] * 30 + [None] + [1] * 33)],
         "vec_id long, qv array<long>",
     )
     both = q.unionByName(bad)
@@ -4017,9 +4020,10 @@ def test_jl_project_arrow_equals_sql(spark, sf_dir):
     b = sorted(map(tuple, both.select(
         "vec_id", F.expr(jl_project_sql("qv", 64, 16, seed=3)).alias("proj")
     ).collect()))
-    assert a == b and len(a) == 102
+    assert a == b and len(a) == 103
     by_id = dict(a)
     assert by_id[10**9] is None and by_id[10**9 + 1] is None
+    assert by_id[10**9 + 2] is None  # null element => NULL, both engines
     assert len(by_id[0]) == 16
 
     # distance sanity: projection of identical vectors is identical, and
@@ -4122,8 +4126,9 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir, tmp_path):
     assert want  # the fixture produces matches
 
     c_dir, e_dir = str(tmp_path / "c"), str(tmp_path / "e")
-    clicks.coalesce(2).write.parquet(c_dir)
-    errors.coalesce(2).write.parquet(e_dir)
+    # time-ordered staged files: see interval_join_stream's replay note
+    clicks.repartitionByRange(2, "ts").sortWithinPartitions("ts").write.parquet(c_dir)
+    errors.repartitionByRange(2, "ts").sortWithinPartitions("ts").write.parquet(e_dir)
     schema = "user_id long, event_id long, ts timestamp, dur_us long"
     cs = (spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(c_dir))
