@@ -320,6 +320,75 @@ def interval_join(
     return joined.select(*out_cols)
 
 
+def fill_gaps_locf(
+    df: DataFrame,
+    keys: Sequence[str],
+    bucket_col: str,
+    value_cols: Sequence[str],
+    bucket_width_us: int,
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Calendar densification + last-observation-carried-forward over a
+    per-key bucketed time series (one row per (keys, bucket), e.g.
+    tumbling_agg output): emit EVERY bucket between each key's first and
+    last observation, `<v>` NULL on the gap rows and `<v>_filled` = the
+    most recent non-null observation — the gap-filling/interpolate
+    surface of a time-series store, as a composition of sequence(),
+    posexplode and one ignoreNulls window.
+
+    Scale: one keys-aggregate (min/max bucket — map-side combinable),
+    the dense grid generated by explode (rows = buckets in span, never
+    a time-dimension join), one left join back on (keys, bucket) — AQE
+    broadcasts the sparse side when small — and ONE keys-partitioned
+    window for the fill. A key whose span exceeds `max_buckets_per_key`
+    fails the TASK via assert_true rather than silently exploding
+    (densification output is span-sized by design — a sensor with one
+    reading in 1970 and one today would dominate the output; the guard
+    makes that a loud error, not an OOM)."""
+    if bucket_width_us <= 0:
+        raise ValueError(
+            f"bucket_width_us must be positive (got {bucket_width_us})"
+        )
+    kcols = list(keys)
+    W = F.lit(bucket_width_us)
+    span = df.groupBy(*kcols).agg(
+        F.min(bucket_col).alias("_b0"), F.max(bucket_col).alias("_b1")
+    )
+    # the guard rides INSIDE the consumed expression (assert_true in a
+    # dropped column would be pruned by Catalyst and never fire):
+    # assert_true returns NULL on pass, so isNull gates _b1 through
+    b1_guarded = F.when(
+        F.assert_true(
+            ((F.col("_b1") - F.col("_b0")) / W)
+            < F.lit(max_buckets_per_key),
+            F.concat(
+                F.lit(
+                    "fill_gaps_locf: key span exceeds "
+                    f"max_buckets_per_key={max_buckets_per_key} buckets: "
+                ),
+                *[F.col(c).cast("string") for c in kcols],
+            ),
+        ).isNull(),
+        F.col("_b1"),
+    )
+    grid = span.select(
+        *kcols,
+        F.explode(F.sequence(F.col("_b0"), b1_guarded, W)).alias(bucket_col),
+    )
+    dense = grid.join(df, [*kcols, bucket_col], "left")
+    w = (
+        Window.partitionBy(*kcols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = [F.col(c) for c in (*kcols, bucket_col, *value_cols)]
+    out_cols += [
+        F.last(v, ignorenulls=True).over(w).alias(f"{v}_filled")
+        for v in value_cols
+    ]
+    return dense.select(*out_cols)
+
+
 # (grain label, bucket width in epoch microseconds); each width must divide
 # the next for the grouping-set buckets to nest (not required by the math,
 # just the convention users expect from hour/day/week)

@@ -186,6 +186,7 @@ _R8_QUEUE_HEAD = [
     "xd_jl_project",
     "x_contribution_cap",
     "x_kanon_suppress",
+    "x_gap_fill_locf",
 ]
 
 

@@ -1234,3 +1234,45 @@ def x_mergeable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = corpus_stats_state(docs.filter(F.col("doc_id") % 2 == 0))
     odd = corpus_stats_state(docs.filter(F.col("doc_id") % 2 == 1))
     return merge_corpus_states(even, odd)
+
+
+@register(
+    "x_gap_fill_locf",
+    # calendar densification + last-observation-carried-forward: every
+    # hour between a type's first and last observation, raw n NULL on
+    # the gap rows, n_filled = most recent non-null — the time-series
+    # interpolate surface, replayed with generate_series + an
+    # IGNORE NULLS window
+    "WITH h AS (SELECT event_type, "
+    "CAST(floor(epoch_us(ts)/3600000000)*3600000000 AS BIGINT) AS bucket_us, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+    "WHERE user_id % 97 = 0 GROUP BY 1, 2), "
+    "s AS (SELECT event_type, min(bucket_us) AS b0, max(bucket_us) AS b1 "
+    "FROM h GROUP BY 1), "
+    "g AS (SELECT event_type, unnest(generate_series(b0, b1, 3600000000)) "
+    "AS bucket_us FROM s), "
+    "d AS (SELECT g.event_type, g.bucket_us, h.n FROM g "
+    "LEFT JOIN h USING (event_type, bucket_us)) "
+    "SELECT event_type, bucket_us, n, "
+    "last_value(n IGNORE NULLS) OVER (PARTITION BY event_type "
+    "ORDER BY bucket_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS n_filled FROM d",
+)
+def x_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling + LOCF (operators/temporal.fill_gaps_locf) over a
+    sparse hourly series (1/97th of users): the dense grid comes from
+    sequence+explode per key — never a time-dimension join — one left
+    join back, ONE keys-partitioned ignoreNulls window for the fill,
+    and a task-failing span guard instead of a silent explosion."""
+    from purescript_ifrit_spark.operators.temporal import fill_gaps_locf
+
+    W = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 97 == 0
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / W) * W)
+        .cast("long").alias("bucket_us"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return fill_gaps_locf(hourly, ["event_type"], "bucket_us", ["n"], W)

@@ -349,3 +349,31 @@ def test_range_join_randomized_vs_bruteforce(spark):
             if pk == ik and s <= t < e
         }
         assert got == want, f"width={width}"
+
+
+def test_fill_gaps_locf_densifies_and_guards(spark):
+    from purescript_ifrit_spark.operators.temporal import fill_gaps_locf
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 30, 40), ("b", 10, 7)],
+        "k string, bucket_us long, n long",
+    )
+    out = {(r.k, r.bucket_us): (r.n, r.n_filled)
+           for r in fill_gaps_locf(df, ["k"], "bucket_us", ["n"], 10).collect()}
+    # a: grid 0,10,20,30 — gaps at 10/20 carry 10 forward
+    assert out[("a", 0)] == (10, 10)
+    assert out[("a", 10)] == (None, 10)
+    assert out[("a", 20)] == (None, 10)
+    assert out[("a", 30)] == (40, 40)
+    assert out[("b", 10)] == (7, 7)       # single-point key: no gaps
+    assert len(out) == 5
+
+    import pytest as _p
+
+    wide = spark.createDataFrame(
+        [("w", 0, 1), ("w", 10_000, 1)], "k string, bucket_us long, n long"
+    )
+    with _p.raises(Exception, match="max_buckets_per_key"):
+        fill_gaps_locf(
+            wide, ["k"], "bucket_us", ["n"], 10, max_buckets_per_key=100
+        ).collect()
