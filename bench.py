@@ -563,6 +563,11 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
 
         return x_interval_join(spark, SF_DIR)
 
+    def qx_gap_fill():
+        from purescript_ifrit_spark.suite.analytics import x_gap_fill_locf
+
+        return x_gap_fill_locf(spark, SF_DIR)
+
     def qx_jl_project():
         from purescript_ifrit_spark.operators.vectorize import (
             JL_IN_DIM,
@@ -621,6 +626,7 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_inverted_index": qx_inverted_index,
         "qx_jl_project": qx_jl_project,
         "qx_interval_join": qx_interval_join,
+        "qx_gap_fill": qx_gap_fill,
     }
 
     # JVM warm-up (parquet footers, codegen)
