@@ -389,6 +389,67 @@ def fill_gaps_locf(
     return dense.select(*out_cols)
 
 
+def fill_gaps_interp(
+    df: DataFrame,
+    keys: Sequence[str],
+    bucket_col: str,
+    value_cols: Sequence[str],
+    bucket_width_us: int,
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Calendar densification + LINEAR interpolation: like
+    fill_gaps_locf, but each gap row's `<v>_interp` is the straight line
+    between the surrounding observations — (pv·(nt−t) + nv·(t−pt)) /
+    (nt−pt), operands cast to DOUBLE before the products so the
+    arithmetic is bit-identical on any IEEE engine (the tf-idf
+    rational-score precedent). Rows before the first / after the last
+    observation fall back to the nearest observation (the grid never
+    extends past them, but a value column can lead/trail with nulls);
+    observed rows pass through exactly.
+
+    Same plan as fill_gaps_locf plus one extra window direction: the
+    backward anchors ride the unboundedPreceding frame, the forward
+    anchors the unboundedFollowing frame — still ONE keys exchange
+    (both windows share the partitioning and sort)."""
+    locf = fill_gaps_locf(
+        df, keys, bucket_col, value_cols, bucket_width_us,
+        max_buckets_per_key,
+    ).drop(*[f"{v}_filled" for v in value_cols])
+    kcols = list(keys)
+    wb = (
+        Window.partitionBy(*kcols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*kcols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.col(bucket_col)
+    out = locf
+    for v in value_cols:
+        obs_t = F.when(F.col(v).isNotNull(), t)
+        pv = F.last(v, ignorenulls=True).over(wb)
+        pt = F.last(obs_t, ignorenulls=True).over(wb)
+        nv = F.first(v, ignorenulls=True).over(wf)
+        nt = F.first(obs_t, ignorenulls=True).over(wf)
+        interp = (
+            F.when(F.col(v).isNotNull(), F.col(v).cast("double"))
+            .when(
+                pv.isNotNull() & nv.isNotNull() & (nt > pt),
+                (
+                    pv.cast("double") * (nt - t)
+                    + nv.cast("double") * (t - pt)
+                )
+                / (nt - pt),
+            )
+            .otherwise(F.coalesce(pv, nv).cast("double"))
+        )
+        out = out.withColumn(f"{v}_interp", interp)
+    return out
+
+
 # (grain label, bucket width in epoch microseconds); each width must divide
 # the next for the grouping-set buckets to nest (not required by the math,
 # just the convention users expect from hour/day/week)

@@ -187,6 +187,7 @@ _R8_QUEUE_HEAD = [
     "x_contribution_cap",
     "x_kanon_suppress",
     "x_gap_fill_locf",
+    "x_gap_fill_interp",
 ]
 
 

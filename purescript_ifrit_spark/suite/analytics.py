@@ -1276,3 +1276,57 @@ def x_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("bucket_us"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     return fill_gaps_locf(hourly, ["event_type"], "bucket_us", ["n"], W)
+
+
+@register(
+    "x_gap_fill_interp",
+    # linear interpolation between surrounding observations on the same
+    # densified grid: DOUBLE casts BEFORE the products so the rational
+    # arithmetic is IEEE-identical on both engines (tf-idf precedent)
+    "WITH h AS (SELECT event_type, "
+    "CAST(floor(epoch_us(ts)/3600000000)*3600000000 AS BIGINT) AS bucket_us, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+    "WHERE user_id % 97 = 0 GROUP BY 1, 2), "
+    "s AS (SELECT event_type, min(bucket_us) AS b0, max(bucket_us) AS b1 "
+    "FROM h GROUP BY 1), "
+    "g AS (SELECT event_type, unnest(generate_series(b0, b1, 3600000000)) "
+    "AS bucket_us FROM s), "
+    "d AS (SELECT g.event_type, g.bucket_us AS t, h.n FROM g "
+    "LEFT JOIN h ON h.event_type = g.event_type "
+    "AND h.bucket_us = g.bucket_us), "
+    "f AS (SELECT event_type, t, n, "
+    "last_value(n IGNORE NULLS) OVER w1 AS pv, "
+    "last_value(CASE WHEN n IS NOT NULL THEN t END IGNORE NULLS) OVER w1 "
+    "AS pt, "
+    "first_value(n IGNORE NULLS) OVER w2 AS nv, "
+    "first_value(CASE WHEN n IS NOT NULL THEN t END IGNORE NULLS) OVER w2 "
+    "AS nt FROM d WINDOW "
+    "w1 AS (PARTITION BY event_type ORDER BY t "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+    "w2 AS (PARTITION BY event_type ORDER BY t "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+    "SELECT event_type, t AS bucket_us, n, CASE "
+    "WHEN n IS NOT NULL THEN CAST(n AS DOUBLE) "
+    "WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt THEN "
+    "(CAST(pv AS DOUBLE) * (nt - t) + CAST(nv AS DOUBLE) * (t - pt)) "
+    "/ (nt - pt) "
+    "ELSE CAST(COALESCE(pv, nv) AS DOUBLE) END AS n_interp FROM f",
+)
+def x_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation (operators/temporal.fill_gaps_interp) on the
+    same sparse hourly grid as x_gap_fill_locf: gap rows take the
+    straight line between the surrounding observations, edge gaps fall
+    back to the nearest one. One keys exchange — the forward and
+    backward anchor windows share partitioning and sort."""
+    from purescript_ifrit_spark.operators.temporal import fill_gaps_interp
+
+    W = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 97 == 0
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / W) * W)
+        .cast("long").alias("bucket_us"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return fill_gaps_interp(hourly, ["event_type"], "bucket_us", ["n"], W)

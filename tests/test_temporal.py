@@ -377,3 +377,21 @@ def test_fill_gaps_locf_densifies_and_guards(spark):
         fill_gaps_locf(
             wide, ["k"], "bucket_us", ["n"], 10, max_buckets_per_key=100
         ).collect()
+
+
+def test_fill_gaps_interp_lines_and_edges(spark):
+    from purescript_ifrit_spark.operators.temporal import fill_gaps_interp
+
+    df = spark.createDataFrame(
+        # 'a' has a 2-bucket interior gap plus a NULL value at the edge
+        # bucket (t=40) — edge falls back to nearest observation
+        [("a", 0, 10), ("a", 30, 40), ("a", 40, None)],
+        "k string, bucket_us long, n long",
+    )
+    out = {(r.k, r.bucket_us): (r.n, r.n_interp)
+           for r in fill_gaps_interp(df, ["k"], "bucket_us", ["n"], 10).collect()}
+    assert out[("a", 0)] == (10, 10.0)
+    assert out[("a", 10)] == (None, 20.0)   # straight line 10 -> 40
+    assert out[("a", 20)] == (None, 30.0)
+    assert out[("a", 30)] == (40, 40.0)
+    assert out[("a", 40)] == (None, 40.0)   # trailing edge: LOCF fallback
