@@ -395,3 +395,51 @@ def test_fill_gaps_interp_lines_and_edges(spark):
     assert out[("a", 20)] == (None, 30.0)
     assert out[("a", 30)] == (40, 40.0)
     assert out[("a", 40)] == (None, 40.0)   # trailing edge: LOCF fallback
+
+
+def test_interval_join_matches_bruteforce_on_random_intervals(spark):
+    """Randomized pin of the banding + exactly-once attribution against
+    a Python brute-force overlap join: boundary-touching intervals,
+    zero/negative durations, bucket-aligned starts, spans crossing many
+    buckets, duplicate keys — per seed and per bucket width."""
+    import random
+
+    from purescript_ifrit_spark.operators.temporal import interval_join
+
+    for seed, width in ((1, 7), (2, 64), (3, 13)):
+        rnd = random.Random(seed)
+
+        def mk(n, tag):
+            rows = []
+            for i in range(n):
+                k = rnd.randrange(4)
+                s = rnd.randrange(0, 400)
+                # durations biased toward edge cases: 0 (empty), 1,
+                # exact multiples of the width, long spans
+                dur = rnd.choice(
+                    [0, 1, width, width * 3, rnd.randrange(0, 90)]
+                )
+                rows.append((k, tag * 10000 + i, s, s + dur))
+            return rows
+
+        lrows, rrows = mk(120, 1), mk(120, 2)
+        want = sorted(
+            (lk, lid, rid)
+            for lk, lid, ls, le in lrows
+            for rk, rid, rs, re_ in rrows
+            if lk == rk and le > ls and re_ > rs and ls < re_ and rs < le
+        )
+        left = spark.createDataFrame(
+            lrows, "k long, lid long, s long, e long"
+        )
+        right = spark.createDataFrame(
+            rrows, "k long, rid long, s long, e long"
+        )
+        got = sorted(
+            (r.k, r.lid, r.rid)
+            for r in interval_join(
+                left, right, "k", "s", "e", "s", "e",
+                bucket_width_us=width,
+            ).select("k", "lid", "rid").collect()
+        )
+        assert got == want, (seed, width, len(got), len(want))
