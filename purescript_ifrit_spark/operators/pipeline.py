@@ -277,9 +277,22 @@ def training_shard_pipeline(
     )
     from purescript_ifrit_spark.operators.text_analysis import pack_bin
 
-    curated = curate(docs, min_quality=min_quality)
+    # persist barrier at the composition boundary: temperature_mix
+    # consumes its input TWICE (the per-source budget aggregate and the
+    # budget-fill join are separate plan branches). Exchange reuse
+    # already dedupes the shuffled stages across the branches, so the
+    # barrier only saves the scan-side work between curate's internal
+    # barrier and the first exchange — measured at sf0.1: steady total
+    # 4.07 → 3.83 s (~6%). Kept because at 100 TB that scan-side slice
+    # (quality expressions over full text) is the expensive part and
+    # exchange reuse does NOT cover it. Same lifecycle as curate's
+    # internal barrier (values unchanged; bench/driver release persisted
+    # RDDs between runs).
+    curated = curate(docs, min_quality=min_quality).select(
+        "doc_id", "source", "text", "n_tokens"
+    ).persist()
     mixed = temperature_mix(
-        curated.select("doc_id", "source", "text", "n_tokens"),
+        curated,
         "doc_id",
         "n_tokens",
         "source",
