@@ -267,3 +267,33 @@ def test_mmr_topk_empty_corpus(spark):
     out = mmr_topk(df, "id", "v", [1, 0], k=3)
     assert out.count() == 0
     assert out.columns == ["rank", "id", "score"]
+
+
+def test_session4_operators_on_empty(spark, empty_docs, empty_events):
+    from purescript_ifrit_spark.operators.privacy import (
+        contribution_cap,
+        kanon_suppress,
+    )
+    from purescript_ifrit_spark.operators.temporal import (
+        fill_gaps_interp,
+        fill_gaps_locf,
+        interval_join,
+    )
+    from purescript_ifrit_spark.operators.text_analysis import inverted_index
+    from purescript_ifrit_spark.operators.vectorize import jl_project
+
+    assert inverted_index(empty_docs, "doc_id", "text").count() == 0
+    assert contribution_cap(
+        empty_events, "user_id", 3, [F.col("event_id")]
+    ).count() == 0
+    assert kanon_suppress(empty_docs, ["lang"], 2).count() == 0
+
+    iv = spark.createDataFrame([], "k long, id long, s long, e long")
+    assert interval_join(iv, iv, "k", "s", "e", "s", "e").count() == 0
+
+    series = spark.createDataFrame([], "k string, bucket_us long, n long")
+    assert fill_gaps_locf(series, ["k"], "bucket_us", ["n"], 10).count() == 0
+    assert fill_gaps_interp(series, ["k"], "bucket_us", ["n"], 10).count() == 0
+
+    vec = spark.createDataFrame([], "vec_id long, qv array<long>")
+    assert jl_project(vec, "vec_id", "qv", 64, 16).count() == 0
