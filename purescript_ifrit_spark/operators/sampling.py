@@ -356,7 +356,12 @@ def temperature_mix(
 
     Scale: one tiny per-group aggregate (broadcast back), then exactly
     the budget_sample window — one hash exchange on the group, per-group
-    state only."""
+    state only. NOTE: `df` is consumed by TWO plan branches (the budget
+    aggregate and the fill join); exchange reuse dedupes shuffled
+    upstream stages across them, but scan-side work before the first
+    exchange runs twice — persist an expensive upstream projection
+    first (training_shard_pipeline's composition barrier is the
+    template)."""
     if total_budget <= 0:
         raise ValueError(f"total_budget must be positive (got {total_budget})")
     if temperature <= 0:
