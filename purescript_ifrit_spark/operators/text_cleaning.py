@@ -753,3 +753,77 @@ def robots_filter(
         "path",
         F.coalesce(F.col("_decision"), F.lit(True)).alias("allowed"),
     )
+
+
+def markdown_sections(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heading-aware document segmentation: split each document at ATX
+    markdown headings (`# ` … `###### ` at line start) into
+    (doc, section) rows — structure-aware chunking for RAG/training
+    prep, where a token-window chunk that straddles a section boundary
+    mixes unrelated content.
+
+    Output per section: section ordinal `sec` (0 = preamble before the
+    first heading; preamble rows exist only when the document has
+    leading non-heading lines), `level` (heading depth 1-6, NULL for
+    the preamble), `title` (heading text without the marker, NULL for
+    the preamble), `body` (the section's non-heading lines joined with
+    newlines, in document order), `n_lines` (body line count). Empty
+    documents yield no rows.
+
+    Plan: posexplode lines → one doc-keyed window (cumulative heading
+    count = section ordinal) → one (doc, sec) aggregate; the window and
+    the groupBy share the doc partitioning, so the whole segmentation
+    is scan + two map-compatible exchanges. Everything is plain line
+    arithmetic — no lookahead regex, so the DuckDB oracle (RE2, no
+    lookahead) replays it operator-for-operator."""
+    from pyspark.sql import Window
+
+    lines = F.split(F.col(text_col), "\n")
+    # split('') is [''] — one phantom line; the contract says empty/NULL
+    # docs yield NO rows (posexplode of NULL already does)
+    exploded = df.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col),
+        F.posexplode(lines).alias("_pos", "_line"),
+    )
+    is_h = F.col("_line").rlike("^#{1,6} ")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    secs = exploded.withColumn(
+        "sec", F.sum(is_h.cast("int")).over(w).cast("int")
+    ).withColumn("_is_h", is_h)
+    body_lines = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ~F.col("_is_h"),
+                    F.struct(F.col("_pos"), F.col("_line")),
+                )
+            )
+        ),
+        lambda s: s["_line"],
+    )
+    return (
+        secs.groupBy(id_col, "sec")
+        .agg(
+            F.max(F.when(F.col("_is_h"), F.col("_line"))).alias("_hline"),
+            F.array_join(body_lines, "\n").alias("body"),
+            F.sum((~F.col("_is_h")).cast("long")).alias("n_lines"),
+        )
+        .select(
+            id_col,
+            "sec",
+            F.when(
+                F.col("_hline").isNotNull(),
+                F.length(F.regexp_extract(F.col("_hline"), r"^(#{1,6}) ", 1)),
+            ).cast("int").alias("level"),
+            F.when(
+                F.col("_hline").isNotNull(),
+                F.regexp_replace(F.col("_hline"), r"^#{1,6} ", ""),
+            ).alias("title"),
+            "body",
+            "n_lines",
+        )
+    )

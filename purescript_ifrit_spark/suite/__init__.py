@@ -188,6 +188,7 @@ _R8_QUEUE_HEAD = [
     "x_kanon_suppress",
     "x_gap_fill_locf",
     "x_gap_fill_interp",
+    "x_markdown_sections",
 ]
 
 

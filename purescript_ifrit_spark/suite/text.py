@@ -1613,3 +1613,66 @@ def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     idx = inverted_index(docs, "doc_id", "text", max_postings=10)
     return idx.orderBy(F.col("df").desc(), F.col("term").asc()).limit(100)
+
+
+_MD_NL = "chr(10)"
+_MD_SYNTH_DUCK = (
+    f"'# T' || doc_id || {_MD_NL} || substr(text, 1, 40) || {_MD_NL} || "
+    f"'## A' || {_MD_NL} || substr(text, 41, 40) || {_MD_NL} || "
+    f"'### B' || {_MD_NL} || substr(text, 81)"
+)
+
+
+@register(
+    "x_markdown_sections",
+    # planted markdown (headings injected at fixed character offsets —
+    # deterministic on both engines) segmented by the same line
+    # machinery: explode with position, ATX detection, cumulative
+    # heading count as the section ordinal, per-section regroup
+    "WITH md AS (SELECT doc_id, "
+    + _MD_SYNTH_DUCK
+    + " AS text FROM documents WHERE length(text) > 0), "
+    "l AS (SELECT doc_id, CAST(generate_subscripts(ls, 1) - 1 AS INT) "
+    "AS pos, unnest(ls) AS line FROM "
+    "(SELECT doc_id, string_split(text, chr(10)) AS ls FROM md)), "
+    "m AS (SELECT doc_id, pos, line, "
+    "regexp_matches(line, '^#{1,6} ') AS is_h FROM l), "
+    "s AS (SELECT *, CAST(SUM(CASE WHEN is_h THEN 1 ELSE 0 END) OVER ("
+    "PARTITION BY doc_id ORDER BY pos) AS INT) AS sec FROM m), "
+    "g AS (SELECT doc_id, sec, "
+    "max(CASE WHEN is_h THEN line END) AS hline, "
+    "coalesce(string_agg(CASE WHEN NOT is_h THEN line END, chr(10) "
+    "ORDER BY pos), '') AS body, "
+    "CAST(COUNT(*) FILTER (NOT is_h) AS BIGINT) AS n_lines "
+    "FROM s GROUP BY doc_id, sec) "
+    "SELECT doc_id, sec, "
+    "CASE WHEN hline IS NOT NULL THEN "
+    "CAST(length(regexp_extract(hline, '^(#{1,6}) ', 1)) AS INT) END "
+    "AS level, "
+    "CASE WHEN hline IS NOT NULL THEN "
+    "regexp_replace(hline, '^#{1,6} ', '') END AS title, "
+    "body, n_lines FROM g",
+)
+def x_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-aware segmentation (operators/text_cleaning.
+    markdown_sections) over planted markdown: '# T<id>' / '## A' /
+    '### B' headings injected at fixed offsets into each document. One
+    doc-keyed window + one (doc, sec) aggregate sharing the exchange;
+    the oracle replays line positions, heading detection and the
+    cumulative section ordinal exactly."""
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        markdown_sections,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    md = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('# T', doc_id, '\\n', substring(text, 1, 40), '\\n', "
+            "'## A', '\\n', substring(text, 41, 40), '\\n', "
+            "'### B', '\\n', substring(text, 81))"
+        ).alias("text"),
+    )
+    return markdown_sections(md, "doc_id", "text")

@@ -663,3 +663,27 @@ def test_robots_filter_single_join_single_agg(spark):
     # never a cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_markdown_sections_structure(spark):
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        markdown_sections,
+    )
+
+    md = ("intro line\n# Title One\nbody a\nbody b\n## Sub\nbody c\n"
+          "####### not a heading\n#nospace")
+    df = spark.createDataFrame(
+        [(1, md), (2, ""), (3, None), (4, "plain only")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        map(tuple, markdown_sections(df).collect()),
+        key=lambda r: (r[0], r[1]),
+    )
+    assert rows == [
+        (1, 0, None, None, "intro line", 1),
+        (1, 1, 1, "Title One", "body a\nbody b", 2),
+        # 7 hashes / missing space are NOT headings (ATX is 1-6 + space)
+        (1, 2, 2, "Sub", "body c\n####### not a heading\n#nospace", 3),
+        (4, 0, None, None, "plain only", 1),
+    ]  # empty and NULL docs yield no rows
