@@ -288,8 +288,13 @@ def training_shard_pipeline(
     # exchange reuse does NOT cover it. Same lifecycle as curate's
     # internal barrier (values unchanged; bench/driver release persisted
     # RDDs between runs).
+    # NO text column past this point: the manifest never reads it, and
+    # persisting it would cache the full curated corpus text for zero
+    # consumers (the exact anti-pattern curate's own barrier avoids) —
+    # Catalyst pruned it before the barrier existed; the explicit
+    # projection keeps it pruned after
     curated = curate(docs, min_quality=min_quality).select(
-        "doc_id", "source", "text", "n_tokens"
+        "doc_id", "source", "n_tokens"
     ).persist()
     mixed = temperature_mix(
         curated,

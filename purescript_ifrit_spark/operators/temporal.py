@@ -352,25 +352,40 @@ def fill_gaps_locf(
     kcols = list(keys)
     W = F.lit(bucket_width_us)
     span = df.groupBy(*kcols).agg(
-        F.min(bucket_col).alias("_b0"), F.max(bucket_col).alias("_b1")
+        F.min(bucket_col).alias("_b0"),
+        F.max(bucket_col).alias("_b1"),
+        # phase check: the grid is the (_b0 + k·W) lattice, so an
+        # observation off that lattice (mixed bucket widths, shifted
+        # phases) would silently vanish in the join-back — the module's
+        # loud-guard policy says that is an ERROR, not data loss
+        F.min(F.col(bucket_col) % W).alias("_ph0"),
+        F.max(F.col(bucket_col) % W).alias("_ph1"),
     )
-    # the guard rides INSIDE the consumed expression (assert_true in a
+    # the guards ride INSIDE the consumed expression (assert_true in a
     # dropped column would be pruned by Catalyst and never fire):
     # assert_true returns NULL on pass, so isNull gates _b1 through
-    b1_guarded = F.when(
-        F.assert_true(
-            ((F.col("_b1") - F.col("_b0")) / W)
-            < F.lit(max_buckets_per_key),
-            F.concat(
-                F.lit(
-                    "fill_gaps_locf: key span exceeds "
-                    f"max_buckets_per_key={max_buckets_per_key} buckets: "
-                ),
-                *[F.col(c).cast("string") for c in kcols],
+    span_ok = F.assert_true(
+        ((F.col("_b1") - F.col("_b0")) / W) < F.lit(max_buckets_per_key),
+        F.concat(
+            F.lit(
+                "fill_gaps_locf: key span exceeds "
+                f"max_buckets_per_key={max_buckets_per_key} buckets: "
             ),
-        ).isNull(),
-        F.col("_b1"),
+            *[F.col(c).cast("string") for c in kcols],
+        ),
     )
+    phase_ok = F.assert_true(
+        F.col("_ph0") == F.col("_ph1"),
+        F.concat(
+            F.lit(
+                "fill_gaps_locf: buckets are not on one "
+                f"width-{bucket_width_us} lattice (mixed phases — an "
+                "off-lattice observation would silently drop): "
+            ),
+            *[F.col(c).cast("string") for c in kcols],
+        ),
+    )
+    b1_guarded = F.when(span_ok.isNull() & phase_ok.isNull(), F.col("_b1"))
     grid = span.select(
         *kcols,
         F.explode(F.sequence(F.col("_b0"), b1_guarded, W)).alias(bucket_col),

@@ -779,10 +779,17 @@ def markdown_sections(
     the groupBy share the doc partitioning, so the whole segmentation
     is scan + two map-compatible exchanges. Everything is plain line
     arithmetic — no lookahead regex, so the DuckDB oracle (RE2, no
-    lookahead) replays it operator-for-operator."""
+    lookahead) replays it operator-for-operator.
+
+    Line terminators are universal — `\\r\\n`, `\\r`, or `\\n`
+    (alternation order makes CRLF one terminator, the
+    read_text_corpus precedent): crawled CRLF corpora would otherwise
+    leak `\\r` into titles/bodies, and CR-only breaks would hide
+    headings entirely. Bodies re-join with `\\n` regardless of the
+    source terminator."""
     from pyspark.sql import Window
 
-    lines = F.split(F.col(text_col), "\n")
+    lines = F.split(F.col(text_col), "\r\n|\r|\n")
     # split('') is [''] — one phantom line; the contract says empty/NULL
     # docs yield NO rows (posexplode of NULL already does)
     exploded = df.filter(F.length(F.col(text_col)) > 0).select(

@@ -1634,7 +1634,7 @@ _MD_SYNTH_DUCK = (
     + " AS text FROM documents WHERE length(text) > 0), "
     "l AS (SELECT doc_id, CAST(generate_subscripts(ls, 1) - 1 AS INT) "
     "AS pos, unnest(ls) AS line FROM "
-    "(SELECT doc_id, string_split(text, chr(10)) AS ls FROM md)), "
+    "(SELECT doc_id, regexp_split_to_array(text, '\r\n|\r|\n') AS ls FROM md)), "
     "m AS (SELECT doc_id, pos, line, "
     "regexp_matches(line, '^#{1,6} ') AS is_h FROM l), "
     "s AS (SELECT *, CAST(SUM(CASE WHEN is_h THEN 1 ELSE 0 END) OVER ("

@@ -443,3 +443,25 @@ def test_interval_join_matches_bruteforce_on_random_intervals(spark):
             ).select("k", "lid", "rid").collect()
         )
         assert got == want, (seed, width, len(got), len(want))
+
+
+def test_fill_gaps_rejects_off_lattice_buckets(spark):
+    # regression: an observation off the (min_bucket + k*W) lattice used
+    # to vanish silently in the grid join-back — it must be a loud error
+    from purescript_ifrit_spark.operators.temporal import fill_gaps_locf
+
+    df = spark.createDataFrame(
+        [("a", 0, 1), ("a", 15, 5), ("a", 30, 9)],
+        "k string, bucket_us long, n long",
+    )
+    import pytest as _p
+
+    with _p.raises(Exception, match="lattice"):
+        fill_gaps_locf(df, ["k"], "bucket_us", ["n"], 10).collect()
+
+    # consistent nonzero phase is fine: lattice from the key's own min
+    ok = spark.createDataFrame(
+        [("a", 5, 1), ("a", 25, 3)], "k string, bucket_us long, n long"
+    )
+    rows = fill_gaps_locf(ok, ["k"], "bucket_us", ["n"], 10).collect()
+    assert sorted(r.bucket_us for r in rows) == [5, 15, 25]

@@ -687,3 +687,19 @@ def test_markdown_sections_structure(spark):
         (1, 2, 2, "Sub", "body c\n####### not a heading\n#nospace", 3),
         (4, 0, None, None, "plain only", 1),
     ]  # empty and NULL docs yield no rows
+
+
+def test_markdown_sections_universal_newlines(spark):
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        markdown_sections,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "intro\r\n# Title\r\nbody\r\n"), (2, "lead\r# CR Only\rtail")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.sec): r for r in markdown_sections(df).collect()}
+    assert rows[(1, 1)].title == "Title"          # no trailing \r
+    assert rows[(1, 1)].body == "body\n"          # CRLF at EOF -> empty tail line
+    assert rows[(2, 1)].title == "CR Only"        # bare-CR heading detected
+    assert rows[(2, 1)].body == "tail"
