@@ -404,6 +404,79 @@ def fill_gaps_locf(
     return dense.select(*out_cols)
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_width_us: int,
+) -> DataFrame:
+    """Time-weighted average per (keys, bucket) over an IRREGULARLY
+    sampled series: each observation holds its value from its timestamp
+    until the next observation of the same key or the bucket end,
+    whichever comes first — the aggregate a plain AVG gets wrong the
+    moment sampling is uneven (a sensor that reports once per hour and
+    once per second must not weight those readings equally).
+
+    Semantics: weight_i = min(next_ts, bucket_end) − ts_i (microseconds;
+    no cross-bucket carry — the stretch before a bucket's first
+    observation is uncovered, reported via covered_us so callers can
+    filter thin buckets). Timestamps MUST be unique per key (pre-
+    aggregate duplicates first): lead() over tied order keys is engine-
+    nondeterministic and would split weights arbitrarily. The weighted
+    sum runs on DECIMAL(18,6)·BIGINT (exact, order-independent — the
+    repo's decimal-sum contract) with ONE double division at the end.
+
+    Plan: one keys exchange (lead window), then the (keys, bucket)
+    aggregate — map-side combinable. Output: keys…, bucket_us, n_obs,
+    covered_us, twap (NULL when covered_us = 0)."""
+    if bucket_width_us <= 0:
+        raise ValueError(
+            f"bucket_width_us must be positive (got {bucket_width_us})"
+        )
+    kcols = list(keys)
+    W = F.lit(bucket_width_us)
+    us = _us(F.col(ts_col), df.schema[ts_col].dataType)
+    w = Window.partitionBy(*kcols).orderBy(F.col("_t").asc())
+    rows = df.select(
+        *kcols,
+        us.alias("_t"),
+        F.col(value_col).alias("_v"),
+    ).withColumn("_nxt", F.lead("_t").over(w))
+    b = F.floor(F.col("_t") / W)
+    bucket_end = (b + 1) * W
+    w_us = F.least(F.coalesce(F.col("_nxt"), bucket_end), bucket_end) - F.col(
+        "_t"
+    )
+    weighted = rows.select(
+        *kcols,
+        (b * W).cast("long").alias("bucket_us"),
+        F.col("_v"),
+        w_us.cast("long").alias("_w"),
+    )
+    dec_sum = F.sum(F.col("_v").cast("decimal(18,6)") * F.col("_w"))
+    return (
+        weighted.groupBy(*kcols, "bucket_us")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum("_w").cast("long").alias("covered_us"),
+            dec_sum.alias("_ws"),
+        )
+        .select(
+            *kcols,
+            "bucket_us",
+            "n_obs",
+            "covered_us",
+            F.when(
+                F.col("covered_us") > 0,
+                F.round(
+                    F.col("_ws").cast("double") / F.col("covered_us"), 6
+                ),
+            ).alias("twap"),
+        )
+    )
+
+
 def fill_gaps_interp(
     df: DataFrame,
     keys: Sequence[str],

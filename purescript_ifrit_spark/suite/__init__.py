@@ -189,6 +189,7 @@ _R8_QUEUE_HEAD = [
     "x_gap_fill_locf",
     "x_gap_fill_interp",
     "x_markdown_sections",
+    "x_time_weighted_avg",
 ]
 
 

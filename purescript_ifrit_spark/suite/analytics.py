@@ -1330,3 +1330,45 @@ def x_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("bucket_us"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     return fill_gaps_interp(hourly, ["event_type"], "bucket_us", ["n"], W)
+
+
+@register(
+    "x_time_weighted_avg",
+    # TWAP per (user, hour) over the deduped irregular series: each
+    # observation holds until the next same-user observation or the
+    # bucket end; decimal weighted sums (exact, order-independent), one
+    # double division, 6dp round — both engines replay the identical
+    # rational arithmetic
+    "WITH u AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS v "
+    "FROM events GROUP BY 1, 2), "
+    "l AS (SELECT user_id, t, v, lead(t) OVER (PARTITION BY user_id "
+    "ORDER BY t) AS nxt FROM u), "
+    "wt AS (SELECT user_id, CAST((t // 3600000000) * 3600000000 AS BIGINT) "
+    "AS bucket_us, v, least(coalesce(nxt, (t // 3600000000 + 1) * "
+    "3600000000), (t // 3600000000 + 1) * 3600000000) - t AS w FROM l) "
+    "SELECT user_id, bucket_us, CAST(COUNT(*) AS BIGINT) AS n_obs, "
+    "CAST(SUM(w) AS BIGINT) AS covered_us, "
+    "CASE WHEN SUM(w) > 0 THEN ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6)) "
+    "* w) AS DOUBLE) / SUM(w), 6) END AS twap "
+    "FROM wt GROUP BY 1, 2",
+)
+def x_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (operators/temporal.time_weighted_avg) —
+    the irregular-sampling aggregate a plain AVG gets wrong. Events are
+    pre-deduped to unique (user, ts) (the operator's uniqueness
+    contract: lead() over tied keys is engine-nondeterministic), then
+    one lead window + one (user, hour) aggregate."""
+    from purescript_ifrit_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+        .agg(F.max("value").alias("v"))
+        .select("user_id", F.timestamp_micros(F.col("t")).alias("ts"), "v")
+    )
+    return time_weighted_avg(u, ["user_id"], "ts", "v", 3_600_000_000)

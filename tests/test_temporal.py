@@ -465,3 +465,22 @@ def test_fill_gaps_rejects_off_lattice_buckets(spark):
     )
     rows = fill_gaps_locf(ok, ["k"], "bucket_us", ["n"], 10).collect()
     assert sorted(r.bucket_us for r in rows) == [5, 15, 25]
+
+
+def test_time_weighted_avg_semantics(spark):
+    from purescript_ifrit_spark.operators.temporal import time_weighted_avg
+
+    # bucket width 100: key 'a' observes v=10 at t=0 and v=30 at t=80 —
+    # TWAP = (10*80 + 30*20) / 100 = 14.0; the t=80 observation holds to
+    # the bucket end because the next one is in a later bucket
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 80, 30.0), ("a", 250, 5.0)],
+        "k string, t long, v double",
+    )
+    out = {r.bucket_us: r for r in time_weighted_avg(
+        df, ["k"], "t", "v", 100).collect()}
+    assert out[0].twap == 14.0 and out[0].covered_us == 100
+    assert out[0].n_obs == 2
+    # lone observation mid-bucket: holds to bucket end only; the stretch
+    # before it is uncovered
+    assert out[200].covered_us == 50 and out[200].twap == 5.0
