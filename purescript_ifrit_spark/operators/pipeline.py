@@ -247,6 +247,7 @@ def training_shard_pipeline(
     n_shards: int = 64,
     min_quality: float = 0.3,
     seq_tokens: int = 512,
+    cache_intermediate: bool = True,
 ) -> DataFrame:
     """The end-to-end make-training-data composition, every stage an
     operator this package verifies individually:
@@ -292,10 +293,18 @@ def training_shard_pipeline(
     # persisting it would cache the full curated corpus text for zero
     # consumers (the exact anti-pattern curate's own barrier avoids) —
     # Catalyst pruned it before the barrier existed; the explicit
-    # projection keeps it pruned after
-    curated = curate(docs, min_quality=min_quality).select(
-        "doc_id", "source", "n_tokens"
-    ).persist()
+    # projection keeps it pruned after. `cache_intermediate` forwards
+    # curate's escape hatch and gates this barrier too (lifecycle:
+    # persisted blocks live until the caller/bench releases them; with
+    # False the only residue is the LSH stage's one localCheckpoint
+    # block — checkpoint storage is itself a persist, the
+    # minhash_candidate_pairs eager contract — measured 3 pinned RDDs
+    # → 1).
+    curated = curate(
+        docs, min_quality=min_quality, cache_intermediate=cache_intermediate
+    ).select("doc_id", "source", "n_tokens")
+    if cache_intermediate:
+        curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
     mixed = temperature_mix(
         curated,
         "doc_id",

@@ -357,9 +357,12 @@ def fill_gaps_locf(
         # phase check: the grid is the (_b0 + k·W) lattice, so an
         # observation off that lattice (mixed bucket widths, shifted
         # phases) would silently vanish in the join-back — the module's
-        # loud-guard policy says that is an ERROR, not data loss
-        F.min(F.col(bucket_col) % W).alias("_ph0"),
-        F.max(F.col(bucket_col) % W).alias("_ph1"),
+        # loud-guard policy says that is an ERROR, not data loss.
+        # pmod, not %: Spark's % follows the dividend sign, so a valid
+        # series straddling epoch 0 ([-5, 5] at width 10) would read
+        # phases {-5, 5} and spuriously fail
+        F.min(F.pmod(F.col(bucket_col), W)).alias("_ph0"),
+        F.max(F.pmod(F.col(bucket_col), W)).alias("_ph1"),
     )
     # the guards ride INSIDE the consumed expression (assert_true in a
     # dropped column would be pruned by Catalyst and never fire):

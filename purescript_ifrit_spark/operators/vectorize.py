@@ -401,13 +401,15 @@ def jlproject_expr(c) -> "F.Column":
     expression tree is constant-size regardless of dims (no k×dim
     literal, no py4j-per-cell chatter), unlike the centroid/band cases
     where the constants carry information. Wrong-length vectors yield
-    NULL (the jl_project contract)."""
-    off = JL_SEED * _JLP_SEED_MULT
-    q = F.transform(
-        c, lambda x: F.floor(x.cast("double") * 1000).cast("long")
-    )
+    NULL (the jl_project contract).
 
-    def comp(j):
+    The quantized array is BOUND ONCE (X.bind_once): HOF lambdas have
+    no subexpression elimination, so an inline quantize expression
+    would re-run the 64-element transform inside every one of the 16
+    component folds (~18× the quantization work per row)."""
+    off = JL_SEED * _JLP_SEED_MULT
+
+    def comp(q, j):
         return F.aggregate(
             F.zip_with(
                 q,
@@ -424,13 +426,24 @@ def jlproject_expr(c) -> "F.Column":
             lambda a, x: a + x,
         )
 
-    return F.when(
-        (F.size(c) == JL_IN_DIM)
-        # null element => NULL projection (see jl_project_sql: one null
-        # poisons every component; collapsing keeps all backends equal)
-        & ~F.exists(c, lambda x: x.isNull()),
-        F.transform(F.sequence(F.lit(0), F.lit(JL_OUT_DIM - 1)), comp),
+    def proj(q):
+        return F.when(
+            (F.size(q) == JL_IN_DIM)
+            # null element => NULL projection (see jl_project_sql: one
+            # null poisons every component; collapsing keeps all
+            # backends equal — quantize maps null elements to null, so
+            # checking the quantized array is equivalent)
+            & ~F.exists(q, lambda x: x.isNull()),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(JL_OUT_DIM - 1)),
+                lambda j: comp(q, j),
+            ),
+        )
+
+    quant = F.transform(
+        c, lambda x: F.floor(x.cast("double") * 1000).cast("long")
     )
+    return X.bind_once(quant, proj)
 
 
 def jl_quantize_sql(x: str) -> str:
@@ -451,5 +464,11 @@ def jl_quantize_duckdb(x: str) -> str:
 def jlproject_dialect_sql(x: str) -> str:
     """Spark-SQL twin of jlproject_expr (same quantization, same sign
     arithmetic, via jl_project_sql — lock-step with the Column backend,
-    pinned in test_dialect_ext)."""
-    return jl_project_sql(jl_quantize_sql(x), JL_IN_DIM, JL_OUT_DIM, JL_SEED)
+    pinned in test_dialect_ext). The quantized array binds once
+    (element_at(transform(array(...)))) for the same no-CSE reason as
+    the Column form."""
+    proj = jl_project_sql("_qa", JL_IN_DIM, JL_OUT_DIM, JL_SEED)
+    return (
+        f"element_at(transform(array({jl_quantize_sql(x)}), "
+        f"_qa -> {proj}), 1)"
+    )

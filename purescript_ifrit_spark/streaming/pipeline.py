@@ -317,10 +317,12 @@ def interval_join_stream(
 ) -> DataFrame:
     """Stream-stream interval-OVERLAP join — the streaming twin of
     temporal.interval_join for interval sets anchored at event time:
-    each side carries [ts, ts + dur_us) with dur_us < max_span (the
-    CALLER's contract — longer intervals silently lose matches beyond
-    the range bound, exactly like the batch operator's
-    max_span_buckets guard drops over-wide spans).
+    each side carries [ts, ts + dur_us) with dur_us <= max_span.
+    Over-span rows are DROPPED whole (filtered below — the batch
+    operator's max_span_buckets policy): an unenforced precondition
+    would instead emit a silently PARTIAL match set for such a row,
+    because the state-eviction range bound discards its far overlaps
+    while keeping the near ones.
 
     This is Spark's native stream-stream join: both sides are
     watermarked and the join carries an explicit event-time RANGE
@@ -345,11 +347,18 @@ def interval_join_stream(
     test do."""
     lc = [c for c in left.columns]
     rc = [c for c in right.columns]
-    # empty/inverted intervals match nothing — the batch twin's
-    # e_us > s_us filter, applied pre-watermark (dur_us <= 0 rows would
-    # otherwise join: the half-open predicates alone admit [t, t))
+    # max_span in epoch micros (the interval literal applied to epoch 0)
+    span_us = F.unix_micros(
+        F.expr(f"timestamp'1970-01-01 00:00:00' + INTERVAL {max_span}")
+    )
+    # empty/inverted intervals match nothing (the batch twin's
+    # e_us > s_us filter), and over-span intervals drop WHOLE rather
+    # than silently losing their far matches to the range bound; both
+    # applied pre-watermark. dur == max_span is safe: overlap implies
+    # |l.ts - r.ts| < max_span strictly, inside the <= range condition
+    keep = (F.col(dur_col) > 0) & (F.col(dur_col) <= span_us)
     l2 = (
-        left.filter(F.col(dur_col) > 0)
+        left.filter(keep)
         .select(
             F.col(on).alias("_lkey"),
             *[F.col(c).alias(l_prefix + c) for c in lc if c != on],
@@ -357,7 +366,7 @@ def interval_join_stream(
         .withWatermark(l_prefix + ts_col, watermark)
     )
     r2 = (
-        right.filter(F.col(dur_col) > 0)
+        right.filter(keep)
         .select(
             F.col(on).alias("_rkey"),
             *[F.col(c).alias(r_prefix + c) for c in rc if c != on],

@@ -1236,6 +1236,41 @@ def x_mergeable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_corpus_states(even, odd)
 
 
+# shared by the two gap-fill entries (ONE definition so the series and
+# the densified-grid oracle prefix cannot drift between the LOCF and
+# interpolation twins — the jl_projection_oracle precedent)
+_GAP_W = 3_600_000_000
+
+
+def _sparse_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 97 == 0
+    )
+    return ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / _GAP_W)
+         * _GAP_W).cast("long").alias("bucket_us"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def _gap_grid_prefix(bucket_alias: str) -> str:
+    """WITH h/s/g/d: the sparse hourly series densified onto the hour
+    grid (generate_series), `d` exposing (event_type, <bucket_alias>, n)."""
+    return (
+        "WITH h AS (SELECT event_type, "
+        f"CAST(floor(epoch_us(ts)/{_GAP_W})*{_GAP_W} AS BIGINT) AS bucket_us, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+        "WHERE user_id % 97 = 0 GROUP BY 1, 2), "
+        "s AS (SELECT event_type, min(bucket_us) AS b0, max(bucket_us) AS b1 "
+        "FROM h GROUP BY 1), "
+        f"g AS (SELECT event_type, unnest(generate_series(b0, b1, {_GAP_W})) "
+        "AS bucket_us FROM s), "
+        f"d AS (SELECT g.event_type, g.bucket_us AS {bucket_alias}, h.n "
+        "FROM g LEFT JOIN h ON h.event_type = g.event_type "
+        "AND h.bucket_us = g.bucket_us) "
+    )
+
+
 @register(
     "x_gap_fill_locf",
     # calendar densification + last-observation-carried-forward: every
@@ -1243,17 +1278,8 @@ def x_mergeable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the gap rows, n_filled = most recent non-null — the time-series
     # interpolate surface, replayed with generate_series + an
     # IGNORE NULLS window
-    "WITH h AS (SELECT event_type, "
-    "CAST(floor(epoch_us(ts)/3600000000)*3600000000 AS BIGINT) AS bucket_us, "
-    "CAST(COUNT(*) AS BIGINT) AS n FROM events "
-    "WHERE user_id % 97 = 0 GROUP BY 1, 2), "
-    "s AS (SELECT event_type, min(bucket_us) AS b0, max(bucket_us) AS b1 "
-    "FROM h GROUP BY 1), "
-    "g AS (SELECT event_type, unnest(generate_series(b0, b1, 3600000000)) "
-    "AS bucket_us FROM s), "
-    "d AS (SELECT g.event_type, g.bucket_us, h.n FROM g "
-    "LEFT JOIN h USING (event_type, bucket_us)) "
-    "SELECT event_type, bucket_us, n, "
+    _gap_grid_prefix("bucket_us")
+    + "SELECT event_type, bucket_us, n, "
     "last_value(n IGNORE NULLS) OVER (PARTITION BY event_type "
     "ORDER BY bucket_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
     "AS n_filled FROM d",
@@ -1266,34 +1292,19 @@ def x_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a task-failing span guard instead of a silent explosion."""
     from purescript_ifrit_spark.operators.temporal import fill_gaps_locf
 
-    W = 3_600_000_000
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id") % 97 == 0
+    return fill_gaps_locf(
+        _sparse_hourly(spark, sf_dir), ["event_type"], "bucket_us",
+        ["n"], _GAP_W,
     )
-    hourly = ev.groupBy(
-        "event_type",
-        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / W) * W)
-        .cast("long").alias("bucket_us"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    return fill_gaps_locf(hourly, ["event_type"], "bucket_us", ["n"], W)
 
 
 @register(
     "x_gap_fill_interp",
     # linear interpolation between surrounding observations on the same
-    # densified grid: DOUBLE casts BEFORE the products so the rational
-    # arithmetic is IEEE-identical on both engines (tf-idf precedent)
-    "WITH h AS (SELECT event_type, "
-    "CAST(floor(epoch_us(ts)/3600000000)*3600000000 AS BIGINT) AS bucket_us, "
-    "CAST(COUNT(*) AS BIGINT) AS n FROM events "
-    "WHERE user_id % 97 = 0 GROUP BY 1, 2), "
-    "s AS (SELECT event_type, min(bucket_us) AS b0, max(bucket_us) AS b1 "
-    "FROM h GROUP BY 1), "
-    "g AS (SELECT event_type, unnest(generate_series(b0, b1, 3600000000)) "
-    "AS bucket_us FROM s), "
-    "d AS (SELECT g.event_type, g.bucket_us AS t, h.n FROM g "
-    "LEFT JOIN h ON h.event_type = g.event_type "
-    "AND h.bucket_us = g.bucket_us), "
+    # densified grid (shared _gap_grid_prefix — the series and the grid
+    # cannot drift from the LOCF twin): DOUBLE casts BEFORE the products
+    # so the rational arithmetic is IEEE-identical on both engines
+    _gap_grid_prefix("t").rstrip() + ", "
     "f AS (SELECT event_type, t, n, "
     "last_value(n IGNORE NULLS) OVER w1 AS pv, "
     "last_value(CASE WHEN n IS NOT NULL THEN t END IGNORE NULLS) OVER w1 "
@@ -1320,16 +1331,10 @@ def x_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     backward anchor windows share partitioning and sort."""
     from purescript_ifrit_spark.operators.temporal import fill_gaps_interp
 
-    W = 3_600_000_000
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id") % 97 == 0
+    return fill_gaps_interp(
+        _sparse_hourly(spark, sf_dir), ["event_type"], "bucket_us",
+        ["n"], _GAP_W,
     )
-    hourly = ev.groupBy(
-        "event_type",
-        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / W) * W)
-        .cast("long").alias("bucket_us"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    return fill_gaps_interp(hourly, ["event_type"], "bucket_us", ["n"], W)
 
 
 @register(

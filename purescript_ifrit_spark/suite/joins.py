@@ -224,25 +224,40 @@ def x_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+# shared by x_interval_join and x_streaming_interval_join (ONE duration
+# formula + ONE overlap oracle so the batch and streaming twins cannot
+# drift — only the duration cap differs): duration = floor(value
+# minutes); floor() on both engines because DuckDB CAST(double AS
+# BIGINT) rounds where Spark truncates
+_IVAL_DUR_SQL = "CAST(floor(value * 60000000) AS BIGINT)"
+
+
+def interval_overlap_oracle(max_value: int) -> str:
+    """Clicks whose activity window overlaps an error window of the
+    SAME user — the plain inequality-join truth, duration-capped at
+    `max_value` minutes (the batch entry mirrors the operator's
+    max_span_buckets guard; the streaming entry mirrors its
+    max_span state bound)."""
+    return (
+        "WITH iv AS (SELECT user_id, event_id, event_type, "
+        f"epoch_us(ts) AS s, epoch_us(ts) + {_IVAL_DUR_SQL} AS e "
+        f"FROM events WHERE value > 0 AND value <= {max_value}), "
+        "c AS (SELECT user_id, event_id AS click_id, s, e FROM iv "
+        "WHERE event_type = 'click'), "
+        "x AS (SELECT user_id, event_id AS error_id, s, e FROM iv "
+        "WHERE event_type = 'error') "
+        "SELECT c.user_id, click_id, error_id, c.s AS c_s, c.e AS c_e, "
+        "x.s AS x_s, x.e AS x_e FROM c JOIN x ON c.user_id = x.user_id "
+        "AND c.s < x.e AND x.s < c.e"
+    )
+
+
 @register(
     "x_interval_join",
-    # clicks whose activity window overlaps an error window of the SAME
-    # user — the two-sided interval-overlap join (half-open ranges,
-    # duration = floor(value minutes); floor() on both engines because
-    # DuckDB CAST(double AS BIGINT) rounds where Spark truncates).
     # value <= 10000 min mirrors the operator's max_span_buckets guard
     # (1024 hour-buckets = 61440 min): an uncapped oracle would keep a
     # pair whose over-wide interval the Spark side drops by policy
-    "WITH iv AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS s, "
-    "epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e "
-    "FROM events WHERE value > 0 AND value <= 10000), "
-    "c AS (SELECT user_id, event_id AS click_id, s, e FROM iv "
-    "WHERE event_type = 'click'), "
-    "x AS (SELECT user_id, event_id AS error_id, s, e FROM iv "
-    "WHERE event_type = 'error') "
-    "SELECT c.user_id, click_id, error_id, c.s AS c_s, c.e AS c_e, "
-    "x.s AS x_s, x.e AS x_e FROM c JOIN x ON c.user_id = x.user_id "
-    "AND c.s < x.e AND x.s < c.e",
+    interval_overlap_oracle(10000),
 )
 def x_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (operators/temporal.interval_join): click
@@ -260,7 +275,7 @@ def x_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
         (F.unix_micros(F.col("ts").cast("timestamp"))
-         + F.expr("CAST(floor(value * 60000000) AS BIGINT)")).alias("e"),
+         + F.expr(_IVAL_DUR_SQL)).alias("e"),
     )
     c = iv.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), "s", "e"

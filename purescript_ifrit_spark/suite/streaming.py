@@ -315,22 +315,20 @@ def x_streaming_dau_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from purescript_ifrit_spark.suite.joins import (  # noqa: E402
+    _IVAL_DUR_SQL,
+    interval_overlap_oracle,
+)
+
+
 @register(
     "x_streaming_interval_join",
-    # batch truth for the watermarked stream-stream range join: the plain
-    # inequality overlap join on the SAME bounded-duration interval sets
-    # (dur <= 300 min < the 5h range bound, so no match can exceed the
-    # state-eviction window and the availableNow replay is complete)
-    "WITH iv AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS s, "
-    "epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e "
-    "FROM events WHERE value > 0 AND value <= 300), "
-    "c AS (SELECT user_id, event_id AS click_id, s, e FROM iv "
-    "WHERE event_type = 'click'), "
-    "x AS (SELECT user_id, event_id AS error_id, s, e FROM iv "
-    "WHERE event_type = 'error') "
-    "SELECT c.user_id, click_id, error_id, c.s AS c_s, c.e AS c_e, "
-    "x.s AS x_s, x.e AS x_e FROM c JOIN x ON c.user_id = x.user_id "
-    "AND c.s < x.e AND x.s < c.e",
+    # batch truth for the watermarked stream-stream range join: the
+    # SHARED inequality overlap oracle (suite/joins.py) on the same
+    # bounded-duration interval sets (dur <= 300 min < the 5h range
+    # bound, so no match can exceed the state-eviction window and the
+    # availableNow replay is complete)
+    interval_overlap_oracle(300),
 )
 def x_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval-overlap join, driver-verified
@@ -353,7 +351,7 @@ def x_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     iv = ev.select(
         "user_id", "event_id", "event_type", "ts",
-        F.expr("CAST(floor(value * 60000000) AS BIGINT)").alias("dur_us"),
+        F.expr(_IVAL_DUR_SQL).alias("dur_us"),
     )
     c_dir = tempfile.mkdtemp(prefix="ifrit_ivj_c_")
     e_dir = tempfile.mkdtemp(prefix="ifrit_ivj_e_")
