@@ -563,6 +563,18 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
 
         return x_interval_join(spark, SF_DIR)
 
+    def qx_twap():
+        from purescript_ifrit_spark.suite.analytics import (
+            x_time_weighted_avg,
+        )
+
+        return x_time_weighted_avg(spark, SF_DIR)
+
+    def qx_markdown():
+        from purescript_ifrit_spark.suite.text import x_markdown_sections
+
+        return x_markdown_sections(spark, SF_DIR)
+
     def qx_gap_fill():
         from purescript_ifrit_spark.suite.analytics import x_gap_fill_locf
 
@@ -627,6 +639,8 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_jl_project": qx_jl_project,
         "qx_interval_join": qx_interval_join,
         "qx_gap_fill": qx_gap_fill,
+        "qx_twap": qx_twap,
+        "qx_markdown": qx_markdown,
     }
 
     # JVM warm-up (parquet footers, codegen)
