@@ -20,9 +20,11 @@ on both sides.
 from __future__ import annotations
 
 from purescript_ifrit_spark.suite._registry import (  # noqa: F401
+    DEMO_REGISTRY,
     REGISTRY,
     SparkFn,
     register,
+    register_demo,
 )
 
 # Import order populates REGISTRY; the driver window below pins the
@@ -54,120 +56,43 @@ from purescript_ifrit_spark.suite.core import flagship  # noqa: E402,F401
 # (dict insertion order). Rotation policy (COVERAGE.md ledger records the
 # per-entry driver history): never-verified ORACLE entries enter first,
 # then the entries with the OLDEST last driver check, so no entry's last
-# hard check ages past two rounds. Rows-only entries yield their slots —
-# a `no_oracle` row can never go hash-green, so it wastes a hard-signal
-# slot (VERDICT r5 item 2: x_dau_approx / x_ann_ivf_topk are dropped
-# this round for exactly that reason); their behavior stays pinned by
-# paired exact twins, planted-oracle conversions, and pytest envelopes.
+# hard check ages past two rounds. Since r8 there are NO rows-only
+# entries in the driver registry at all (VERDICT r7 #4): the 15
+# approximate/composition demos moved to DEMO_REGISTRY, so every
+# `queries()` name has an `oracle_sql()` twin and `no_oracle` driver rows
+# are structurally impossible.
 #
-# Round-7 composition (VERDICT r6 #1/#7 — planned at round start, 50 slots):
-#   1. the 7 r3-stale entries FIRST — `x_anti_join`, `x_semi_join`,
-#      `x_set_ops`, `x_multimodal_framesample` and the three streaming
-#      twins: their last hard check was round 3 and the rotation
-#      invariant ("no entry ages past two rounds") is violated for
-#      exactly these seven (VERDICT r6 item 1);
-#   2. the new round-7 oracle entries as they land (PLANNED:
-#      x_knn_join_planted, x_bpe_encode_planted,
-#      x_training_shards_planted, x_streaming_dau_planted — the four
-#      planted-oracle conversions of VERDICT r6 #3 — plus
-#      x_multimodal_jpeg (#4) and xd_image_dhash (#6); late additions
-#      beyond these displace backfill tail BY THIS POLICY, recorded
-#      here, not by accident);
-#   3. backfill: the r4-last-checked oracle cohort in ledger order
-#      (44 entries; the tail that new r7 entries displace waits for r8
-#      — after r7 every surviving backfill entry's last check is ≥ r4
-#      and every non-window oracle entry's is ≥ r5).
+# Round-8 composition (VERDICT r7 #1 — planned at round start, 50 slots):
+#   1. the 21 never-driver-checked session-3/4 oracle entries FIRST (the
+#      r7 _R8_QUEUE_HEAD, order preserved) — pytest-green since they
+#      landed, but the hard driver signal is still owed;
+#   2. the seven core SURVEY §2 contract entries whose last hard check is
+#      r4 — `p1_projection`, `p2_nested_projection`, `s2_derived_table`,
+#      `o3_limit_before_offset`, `a1_a3_group_avg`, `f1_eq`,
+#      `x_dedup_exact` — position-pinned so late additions cannot push
+#      the core contract past the two-round staleness invariant again
+#      (VERDICT r7 residual: the §2 cohort was the stalest thing in the
+#      registry);
+#   3. new round-8 oracle entries land AFTER the core block as built
+#      (PLANNED: xd_bm25 — VERDICT r7 #8), each displacing the backfill
+#      TAIL by this policy, recorded here, not by accident;
+#   4. backfill: the remaining r4-last-checked oracle cohort in ledger
+#      order (37 entries; 22 fit the initial 50 before new-entry
+#      displacement).
 #
-# Everything else (checked r5/r6 AND duplicated by
-# tests/test_oracle_parity.py every round) follows after the window.
+# Explicit r9 spill (VERDICT r7 #1 asked for this statement): the r4
+# cohort entries that do NOT fit the r8 window and whose last hard check
+# stays r4 until r9 — `x_funnel`, `x_retention`, `x_topk_per_group`,
+# `x_percentiles`, `x_distinct_count`, `x_pivot_events`,
+# `x_robust_outliers`, `x_join_star`, `x_json_extract`, `x_tpch_q1ish`,
+# `x_tpch_q3ish`, `x_tpch_q5ish`, `x_multimodal_features`,
+# `x_multimodal_decode`, `x_multimodal_audio`, plus the backfill tail
+# displaced by new r8 entries (first displaced: `x_sessionize`, then
+# `x_budget_sample`, ...). All spilled entries remain pytest-verified by
+# tests/test_oracle_parity.py every round and MUST head the r9 window.
 
-_DRIVER_WINDOW_R7 = [
-    # -- (1) the 7 r3-stale entries (rotation-invariant repair) ------------
-    "x_anti_join",
-    "x_semi_join",
-    "x_set_ops",
-    "x_multimodal_framesample",
-    "x_streaming_windowed",
-    "x_streaming_session",
-    "x_streaming_state",
-    # -- (2) new round-7 oracle entries land HERE as built ------------------
-    "x_knn_join_planted",
-    "x_ann_lsh_planted",
-    "x_ann_ivf_planted",
-    "x_hll_distinct_planted",
-    "x_dau_bound_planted",
-    "x_bpe_encode_planted",
-    "x_training_shards_planted",
-    "x_streaming_dau_planted",
-    "x_multimodal_jpeg",
-    "xd_image_dhash",
-    "x_bm25_topk",
-    "x_truncate_docs",
-    "x_pack_text",
-    "x_leakage_split",
-    "x_audio_activity",
-    "x_scene_changes",
-    "x_duplicate_spans",
-    "x_span_dup_stats",
-    "x_gopher_quality",
-    "x_mixture_weights",
-    "xd_gopher",
-    "x_multimodal_resize",
-    "x_pagerank_planted",
-    "x_corpus_diff",
-    "x_fuzzy_join",
-    "x_unicode_nfc",
-    "x_url_canonicalize",
-    "x_kmeans_planted",
-    "x_vocab_growth",
-    "x_mojibake_repair",
-    "x_domain_blocklist",
-    "x_pmi_collocations",
-    "x_script_profile",
-    "x_c4_line_filter",
-    "x_line_dedup_global",
-    "x_jaccard_join_prefix",
-    "x_cdc_chunks",
-    "x_semdedup_planted",
-    "xd_c4",
-    "x_vocab_coverage",
-    "x_mmr_planted",
-    "x_extract_links",
-    "x_hard_negatives_planted",
-    # -- (3) r4-cohort backfill, ledger order (fully displaced by the
-    #        session-2 additions; the r4 cohort heads the r8 queue) ---------
-    # (displaced to r8 by the late-r7 additions, per the round-start
-    # policy above: x_embedding_neardup, x_sessionize, x_funnel,
-    # x_retention by the four planted conversions; xd_quality_where,
-    # xd_split, x_budget_sample, x_ann_cosine_topk by the four new
-    # operator entries; xd_quality_filter by xd_gopher; xd_chunk by
-    # x_multimodal_resize; xd_lang_id by x_pagerank_planted;
-    # xd_quality by x_corpus_diff; xd_token_count by x_fuzzy_join;
-    # xd_dedup_exact by x_unicode_nfc; x_contamination by
-    # x_url_canonicalize; x_token_rarity by x_kmeans_planted;
-    # x_fingerprint by x_vocab_growth; x_text_quality by
-    # x_mojibake_repair; x_lang_id by x_domain_blocklist;
-    # x_text_token_count by x_pmi_collocations; x_curate_exact by
-    # x_script_profile; x_dedup_simhash_planted by x_c4_line_filter;
-    # x_dedup_incremental_planted by x_line_dedup_global;
-    # x_dedup_minhash_planted by x_jaccard_join_prefix;
-    # x_dedup_exact by x_cdc_chunks; p2_nested_projection by
-    # x_semdedup_planted; s2_derived_table by xd_c4; a1_a3_group_avg by
-    # x_vocab_coverage; o3_limit_before_offset by x_mmr_planted;
-    # f1_eq by x_extract_links; p1_projection by
-    # x_hard_negatives_planted)
-]
-
-
-# Session-3 additions arrived AFTER the 50-slot window saturated with
-# never-driver-checked r7 entries (7 stale + 43 new) — there is no
-# backfill left to displace, and displacing another never-checked entry
-# would be a zero-sum shuffle. These queue at the HEAD of the r8 window
-# instead; tests/test_coverage_ledger.py enforces that every
-# never-checked oracle entry is either windowed or pinned here, so an
-# entry can saturate out of the window but never silently drop out of
-# the rotation.
-_R8_QUEUE_HEAD = [
+_DRIVER_WINDOW_R8 = [
+    # -- (1) the 21 never-driver-checked entries (r7 queue head) -----------
     "x_chat_stats",
     "x_sft_spans",
     "x_preference_pairs",
@@ -177,7 +102,6 @@ _R8_QUEUE_HEAD = [
     "x_robots_filter",
     "x_mergeable_stats",
     "x_chat_truncate",
-    # session-4 additions (inverted index, JL projection, compaction)
     "x_inverted_index",
     "x_jl_project",
     "x_compact_roundtrip",
@@ -190,7 +114,64 @@ _R8_QUEUE_HEAD = [
     "x_gap_fill_interp",
     "x_markdown_sections",
     "x_time_weighted_avg",
+    # -- (2) the core SURVEY §2 contract cohort (last check r4) ------------
+    "p1_projection",
+    "p2_nested_projection",
+    "s2_derived_table",
+    "o3_limit_before_offset",
+    "a1_a3_group_avg",
+    "f1_eq",
+    "x_dedup_exact",
+    # -- (3) new round-8 oracle entries land HERE as built ------------------
+    # -- (4) r4-cohort backfill, ledger order (tail displaced by (3)) ------
+    "x_dedup_minhash_planted",
+    "x_dedup_incremental_planted",
+    "x_dedup_simhash_planted",
+    "x_curate_exact",
+    "x_text_token_count",
+    "x_text_quality",
+    "x_lang_id",
+    "x_fingerprint",
+    "x_token_rarity",
+    "x_contamination",
+    "xd_dedup_exact",
+    "xd_token_count",
+    "xd_quality",
+    "xd_lang_id",
+    "xd_chunk",
+    "xd_quality_filter",
+    "xd_quality_where",
+    "xd_split",
+    "x_ann_cosine_topk",
+    "x_embedding_neardup",
+    "x_budget_sample",
+    "x_sessionize",
 ]
+
+# The r4-cohort entries that wait for r9 (see the spill note above).
+# tests/test_coverage_ledger.py pins this list against the ledger so the
+# spill is a stated plan, not an accident.
+_R9_SPILL = [
+    "x_funnel",
+    "x_retention",
+    "x_topk_per_group",
+    "x_percentiles",
+    "x_distinct_count",
+    "x_pivot_events",
+    "x_robust_outliers",
+    "x_join_star",
+    "x_json_extract",
+    "x_tpch_q1ish",
+    "x_tpch_q3ish",
+    "x_tpch_q5ish",
+    "x_multimodal_features",
+    "x_multimodal_decode",
+    "x_multimodal_audio",
+]
+
+# Oracle entries that land AFTER the r8 window saturates queue here for
+# the r9 head (the session-3 precedent); empty at round start.
+_R9_QUEUE_HEAD: list = []
 
 
 def _apply_driver_window(window: list) -> None:
@@ -204,4 +185,4 @@ def _apply_driver_window(window: list) -> None:
     REGISTRY.update(ordered)
 
 
-_apply_driver_window(_DRIVER_WINDOW_R7)
+_apply_driver_window(_DRIVER_WINDOW_R8)

@@ -18,10 +18,31 @@ SparkFn = Callable[[SparkSession, str], DataFrame]
 # registry filled at import time: name -> (fn, oracle)
 REGISTRY: Dict[str, Tuple[SparkFn, Optional[str]]] = {}
 
+# Demo registry (VERDICT r7 #4): runnable compositions whose CORRECTNESS
+# is pinned elsewhere — every entry here is an approximate operator or a
+# pipeline composition shadowed by a green planted/bound oracle twin in
+# REGISTRY (x_dedup_minhash → x_dedup_minhash_planted, x_cms_probe →
+# x_cms_probe_planted, ...). They stay importable and pytest-exercised,
+# but are NOT part of the driver contract: a `no_oracle` row can never
+# go hash-green, so letting one into `queries()` wastes a hard-signal
+# window slot. `oracle_sql()` therefore covers 100% of `queries()`.
+DEMO_REGISTRY: Dict[str, SparkFn] = {}
+
 
 def register(name: str, oracle: Optional[str]):
     def deco(fn: SparkFn) -> SparkFn:
         REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def register_demo(name: str):
+    """Register an approximate/composition demo entry (kept out of the
+    driver contract; see DEMO_REGISTRY docstring)."""
+
+    def deco(fn: SparkFn) -> SparkFn:
+        DEMO_REGISTRY[name] = fn
         return fn
 
     return deco

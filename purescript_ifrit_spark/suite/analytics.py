@@ -9,6 +9,7 @@ from purescript_ifrit_spark.api import run_query
 from purescript_ifrit_spark.sources.tables import load_table
 from purescript_ifrit_spark.suite._registry import (
     register,
+    register_demo,
 )
 
 
@@ -191,7 +192,7 @@ def x_dau_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_users_windowed(ev)
 
 
-@register("x_dau_approx", None)  # HLL sketch — engines differ; rows-only
+@register_demo("x_dau_approx")  # HLL sketch — demo (twin: x_dau_bound_planted)
 def x_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily distinct users per event type via HyperLogLog++ — the 100 TB
     path (constant-size mergeable sketches instead of a distinct-triple
@@ -205,7 +206,7 @@ def x_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_users_windowed(ev, approx=True, rsd=0.02)
 
 
-@register("x_approx_distinct", None)  # sketch-based — engines differ; rows-only
+@register_demo("x_approx_distinct")  # sketch-based — demo (twin: x_hll_distinct_planted)
 def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the scale path for cardinality on
     100 TB (exact distinct shuffles all values; HLL is one pass, mergeable
@@ -556,7 +557,7 @@ def x_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "med", "mad", "is_outlier")
 
 
-@register("x_percentiles_approx", None)  # sketch-based — engines differ
+@register_demo("x_percentiles_approx")  # sketch-based — demo (twin: x_percentiles_approx_planted)
 def x_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile twin of x_percentiles — the 100 TB path for
     GLOBAL percentiles, where the exact operator's per-group value
@@ -742,7 +743,7 @@ def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(toks, "tok", 20)
 
 
-@register("x_heavy_hitters_mg", None)  # bounded-state sketch — rows-only;
+@register_demo("x_heavy_hitters_mg")  # bounded-state sketch — demo (twin: x_heavy_hitters_mg_planted);
 # top-k parity with the exact twin is pinned in pytest
 def x_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.functions import text as X
@@ -952,7 +953,7 @@ def x_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_training_shards", None)  # composition incl. LSH dedup —
+@register_demo("x_training_shards")  # composition incl. LSH dedup — demo (twin: x_training_shards_planted);
 # rows-only; determinism and stage invariants are pinned in pytest
 def x_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end make-training-data manifest (operators/pipeline.
@@ -1033,7 +1034,7 @@ def x_training_shards_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_cms_probe", None)  # sketch point-queries — rows-only;
+@register_demo("x_cms_probe")  # sketch point-queries — demo (twin: x_cms_probe_planted);
 # the overcount-only envelope vs the exact twin is pinned in pytest
 def x_cms_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min-sketch frequency point-queries for five probe tokens

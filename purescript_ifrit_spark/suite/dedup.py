@@ -9,6 +9,7 @@ from purescript_ifrit_spark.api import run_query
 from purescript_ifrit_spark.sources.tables import load_table
 from purescript_ifrit_spark.suite._registry import (
     register,
+    register_demo,
 )
 from purescript_ifrit_spark.suite._fixtures import (
     _NORM_SQL,
@@ -31,7 +32,7 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact_text(docs, "text", "doc_id").select("doc_id")
 
 
-@register("x_dedup_minhash", None)  # approximate — rows-only check
+@register_demo("x_dedup_minhash")  # approximate — demo (twin: x_dedup_minhash_planted)
 def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.dedup import dedup_minhash
 
@@ -171,7 +172,7 @@ def x_dedup_ngram_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
-@register("x_dedup_simhash_pairs", None)  # approximate — rows-only check
+@register_demo("x_dedup_simhash_pairs")  # approximate — demo (twin: x_dedup_simhash_planted)
 def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.dedup import simhash_candidate_pairs
 
@@ -278,7 +279,7 @@ def x_cluster_stats_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_dedup_clusters", None)  # approximate candidates — rows-only
+@register_demo("x_dedup_clusters")  # approximate candidates — demo (twin: x_dedup_clusters_planted)
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level dedup: minhash pairs → connected components → keep the
     canonical (min-id) member per component."""
@@ -322,7 +323,7 @@ def x_curate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_curate_pipeline", None)  # composition incl. approximate dedup — rows-only
+@register_demo("x_curate_pipeline")  # composition incl. approximate dedup — demo (exact prefix: x_curate_exact)
 def x_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.pipeline import curate
 

@@ -9,6 +9,7 @@ from purescript_ifrit_spark.api import run_query
 from purescript_ifrit_spark.sources.tables import load_table
 from purescript_ifrit_spark.suite._registry import (
     register,
+    register_demo,
 )
 
 
@@ -191,7 +192,7 @@ def x_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_streaming_dau", None)  # HLL sketch — rows-only by design
+@register_demo("x_streaming_dau")  # HLL sketch — demo (twin: x_streaming_dau_planted)
 def x_streaming_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DAU (distinct users per day per event type) via
     availableNow replay — streaming/pipeline.windowed_distinct_users.

@@ -9,6 +9,7 @@ from purescript_ifrit_spark.api import run_query
 from purescript_ifrit_spark.sources.tables import load_table
 from purescript_ifrit_spark.suite._registry import (
     register,
+    register_demo,
 )
 from purescript_ifrit_spark.suite._fixtures import (
     _DUCK_8GRAMS,
@@ -617,7 +618,7 @@ def x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_bpe_encode", None)  # iterative trainer inside — rows-only;
+@register_demo("x_bpe_encode")  # iterative trainer inside — demo (twin: x_bpe_encode_planted);
 # merges + counts are pinned merge-for-merge vs a pure-Python reference
 def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts under a freshly TRAINED 8-merge BPE

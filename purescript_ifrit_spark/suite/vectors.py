@@ -9,6 +9,7 @@ from purescript_ifrit_spark.api import run_query
 from purescript_ifrit_spark.sources.tables import load_table
 from purescript_ifrit_spark.suite._registry import (
     register,
+    register_demo,
 )
 
 
@@ -32,7 +33,7 @@ def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sim", F.round("sim", 5))
 
 
-@register("x_ann_lsh_topk", None)  # approximate — rows-only check
+@register_demo("x_ann_lsh_topk")  # approximate — demo (twin: x_ann_lsh_planted)
 def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.similarity import (
         lsh_topk,
@@ -46,7 +47,7 @@ def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sim", F.round("sim", 5))
 
 
-@register("x_ann_ivf_topk", None)  # approximate (nprobe cells) — rows-only
+@register_demo("x_ann_ivf_topk")  # approximate (nprobe cells) — demo (twin: x_ann_ivf_planted)
 def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index path end-to-end: seeded centroid build (bounded
     driver-side sample), JVM-side cell assignment, nprobe-cell probe +
@@ -170,7 +171,7 @@ def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_knn_join", None)  # LSH-approximate — rows-only; recall in pytest
+@register_demo("x_knn_join")  # LSH-approximate — demo (twin: x_knn_join_planted); recall in pytest
 def x_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate KNN self-join over the embeddings table
     (operators/similarity.knn_join_lsh): per-vector top-5 cosine

@@ -10,9 +10,16 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
-from purescript_ifrit_spark.suite import _DRIVER_WINDOW_R7, REGISTRY
+from purescript_ifrit_spark.suite import (
+    _DRIVER_WINDOW_R8,
+    _R9_QUEUE_HEAD,
+    _R9_SPILL,
+    DEMO_REGISTRY,
+    REGISTRY,
+)
 from purescript_ifrit_spark.suite._ledger import (
     DRIVER_HISTORY,
+    RETIRED_HISTORY,
     render_ledger_table,
 )
 
@@ -57,11 +64,43 @@ def test_committed_ledger_positions_match_registry_order():
 def test_driver_window_is_exactly_fifty_oracle_entries():
     # the driver checks the FIRST 50 — all 50 slots must be spendable on
     # hash-green outcomes (no rows-only entries per the rotation policy)
-    assert len(_DRIVER_WINDOW_R7) == 50
-    assert len(set(_DRIVER_WINDOW_R7)) == 50
-    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R7
-    rows_only = [n for n in _DRIVER_WINDOW_R7 if REGISTRY[n][1] is None]
+    assert len(_DRIVER_WINDOW_R8) == 50
+    assert len(set(_DRIVER_WINDOW_R8)) == 50
+    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R8
+    rows_only = [n for n in _DRIVER_WINDOW_R8 if REGISTRY[n][1] is None]
     assert rows_only == []
+
+
+def test_registry_is_fully_oracle_backed_and_demos_are_disjoint():
+    """VERDICT r7 #4: since r8 the driver registry carries NO rows-only
+    entries — `oracle_sql()` covers 100% of `queries()` — and every
+    retired demo lives in DEMO_REGISTRY with its history preserved."""
+    no_oracle = [n for n, (_, o) in REGISTRY.items() if o is None]
+    assert no_oracle == []
+    assert set(DEMO_REGISTRY) == set(RETIRED_HISTORY)
+    assert not set(DEMO_REGISTRY) & set(REGISTRY)
+    # each retired name is shadowed by a green planted/bound twin that IS
+    # in the driver registry (documented pairing, spot-pinned here)
+    twins = {
+        "x_dedup_minhash": "x_dedup_minhash_planted",
+        "x_dedup_simhash_pairs": "x_dedup_simhash_planted",
+        "x_dedup_clusters": "x_dedup_clusters_planted",
+        "x_curate_pipeline": "x_curate_exact",
+        "x_streaming_dau": "x_streaming_dau_planted",
+        "x_bpe_encode": "x_bpe_encode_planted",
+        "x_ann_lsh_topk": "x_ann_lsh_planted",
+        "x_ann_ivf_topk": "x_ann_ivf_planted",
+        "x_knn_join": "x_knn_join_planted",
+        "x_dau_approx": "x_dau_bound_planted",
+        "x_approx_distinct": "x_hll_distinct_planted",
+        "x_percentiles_approx": "x_percentiles_approx_planted",
+        "x_heavy_hitters_mg": "x_heavy_hitters_mg_planted",
+        "x_training_shards": "x_training_shards_planted",
+        "x_cms_probe": "x_cms_probe_planted",
+    }
+    assert set(twins) == set(DEMO_REGISTRY)
+    for demo, twin in twins.items():
+        assert twin in REGISTRY and REGISTRY[twin][1] is not None, (demo, twin)
 
 
 def _checked_rounds(hist: str) -> list:
@@ -72,11 +111,9 @@ def _checked_rounds(hist: str) -> list:
 
 def test_window_prioritizes_never_verified_oracle_entries():
     # every oracle-backed entry whose history has no driver round yet
-    # must be IN the window — or, once the window saturated with
-    # never-checked entries (session 3), pinned in the declared r8
-    # queue head. Either way, no entry silently leaves the rotation.
-    from purescript_ifrit_spark.suite import _R8_QUEUE_HEAD
-
+    # must be IN the window — or, if it lands after the window saturates
+    # (the session-3 precedent), pinned in the declared r9 queue head.
+    # Either way, no entry silently leaves the rotation.
     never = [
         name
         for name, (check, hist) in DRIVER_HISTORY.items()
@@ -84,48 +121,59 @@ def test_window_prioritizes_never_verified_oracle_entries():
     ]
     missing = [
         n for n in never
-        if n not in _DRIVER_WINDOW_R7 and n not in _R8_QUEUE_HEAD
+        if n not in _DRIVER_WINDOW_R8 and n not in _R9_QUEUE_HEAD
     ]
     assert missing == [], missing
     # the queue is real: disjoint from the window, oracle-backed,
     # registry-resident, never-checked
-    for n in _R8_QUEUE_HEAD:
+    for n in _R9_QUEUE_HEAD:
         assert n in REGISTRY and REGISTRY[n][1] is not None, n
-        assert n not in _DRIVER_WINDOW_R7, n
+        assert n not in _DRIVER_WINDOW_R8, n
         assert not _checked_rounds(DRIVER_HISTORY[n][1]), n
 
 
-def test_window_repairs_the_r3_stale_cohort_first():
-    # VERDICT r6 #1: the seven entries whose last hard check was round 3
-    # hold the window's FIRST seven slots — the rotation-invariant repair
-    # is position-pinned so late additions cannot displace it
-    stale = [
-        "x_anti_join",
-        "x_semi_join",
-        "x_set_ops",
-        "x_multimodal_framesample",
-        "x_streaming_windowed",
-        "x_streaming_session",
-        "x_streaming_state",
+def test_window_r8_composition_is_the_pinned_plan():
+    # VERDICT r7 #1: (1) the 21 never-driver-checked session-3/4 entries
+    # hold the FIRST 21 slots; (2) the seven core SURVEY §2 contract
+    # entries (last check r4) hold the next seven — position-pinned so
+    # late additions displace only the backfill tail, never the repairs
+    head = _DRIVER_WINDOW_R8[:21]
+    for name in head:
+        hist = DRIVER_HISTORY[name][1]
+        assert not _checked_rounds(hist), (name, hist)
+    core = [
+        "p1_projection",
+        "p2_nested_projection",
+        "s2_derived_table",
+        "o3_limit_before_offset",
+        "a1_a3_group_avg",
+        "f1_eq",
+        "x_dedup_exact",
     ]
-    assert _DRIVER_WINDOW_R7[:7] == stale
-    for name in stale:
-        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 3
+    assert _DRIVER_WINDOW_R8[21:28] == core
+    for name in core:
+        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 4
 
 
-def test_window_backfill_leaves_no_entry_older_than_r4():
-    # after the r7 window lands, every oracle entry NOT in the window
-    # must have a last check of r5 or r6 — the backfill composition
-    # covers the whole r4 cohort except the tail displaced by new
-    # r7 entries (those r4-tail entries must still be windowed or r4)
-    from purescript_ifrit_spark.suite import _R8_QUEUE_HEAD
-
+def test_window_backfill_spill_is_exactly_the_stated_r9_list():
+    # after the r8 window lands, every oracle entry NOT in the window
+    # must have a last check of r5+ — EXCEPT the explicitly declared r9
+    # spill (VERDICT r7 #1 asked for the spill to be stated, not
+    # discovered). An r4 entry outside both lists is a rotation bug.
+    stale = []
     for name, (check, hist) in DRIVER_HISTORY.items():
-        if (check != "oracle" or name in _DRIVER_WINDOW_R7
-                or name in _R8_QUEUE_HEAD):
+        if (check != "oracle" or name in _DRIVER_WINDOW_R8
+                or name in _R9_QUEUE_HEAD):
             continue
         rounds = _checked_rounds(hist)
-        assert rounds and max(rounds) >= 4, (name, hist)
+        assert rounds, (name, hist)
+        if max(rounds) < 5:
+            stale.append(name)
+    assert sorted(stale) == sorted(_R9_SPILL), (
+        sorted(set(stale) ^ set(_R9_SPILL))
+    )
+    for name in _R9_SPILL:
+        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 4, name
 
 
 def test_bench_loads_every_table_it_references():
@@ -139,3 +187,16 @@ def test_bench_loads_every_table_it_references():
     referenced = set(re.findall(r'\bt\["(\w+)"\]', src))
     missing = referenced - loaded
     assert not missing, f"bench references unloaded tables: {sorted(missing)}"
+
+
+def test_bench_stdout_line_excludes_the_extras_map():
+    """Static guard for the r5/r7 defect class (BENCH parsed:null): the
+    single stdout JSON line must stay under the driver's tail budget, so
+    the per-extra map — which grows with every registered operator — may
+    only ever be written to BENCH_DETAIL.json, never into `result`."""
+    src = (COVERAGE.parent / "bench.py").read_text()
+    result_block = src.split("result = {", 1)[1].split("}", 1)[0]
+    assert "queries_extra_steady_state" not in result_block
+    assert "queries_extra_total_steady_state" in result_block
+    # the detail artifact still carries the full map
+    assert 'detail["queries_extra_steady_state"] = extra' in src

@@ -1546,12 +1546,13 @@ def test_approx_percentile_envelope(spark, sf_dir):
     sketch's rank-error bound is 1/accuracy, value error depends on local
     density — 1% is a loose, stable envelope for this distribution)."""
     import __spark_entry__ as entrymod
+    from purescript_ifrit_spark.suite import DEMO_REGISTRY
 
     qs = entrymod.queries()
     exact = {r["_id"]: (r["p50"], r["p90"])
              for r in qs["x_percentiles"](spark, sf_dir).collect()}
     approx = {r["_id"]: (r["p50"], r["p90"])
-              for r in qs["x_percentiles_approx"](spark, sf_dir).collect()}
+              for r in DEMO_REGISTRY["x_percentiles_approx"](spark, sf_dir).collect()}
     assert set(exact) == set(approx)
     for k, (e50, e90) in exact.items():
         a50, a90 = approx[k]
@@ -1565,12 +1566,13 @@ def test_streaming_dau_matches_batch_twin(spark, sf_dir):
     of the exact batch count — the batch↔stream equivalence contract the
     other streaming twins pin."""
     import __spark_entry__ as entrymod
+    from purescript_ifrit_spark.suite import DEMO_REGISTRY
 
     qs = entrymod.queries()
     stream = {(r.window_us, r.event_type): r.n_users
-              for r in qs["x_streaming_dau"](spark, sf_dir).collect()}
+              for r in DEMO_REGISTRY["x_streaming_dau"](spark, sf_dir).collect()}
     batch_approx = {(r.window_us, r.event_type): r.n_users
-                    for r in qs["x_dau_approx"](spark, sf_dir).collect()}
+                    for r in DEMO_REGISTRY["x_dau_approx"](spark, sf_dir).collect()}
     exact = {(r.window_us, r.event_type): r.n_users
              for r in qs["x_dau_exact"](spark, sf_dir).collect()}
     assert stream == batch_approx

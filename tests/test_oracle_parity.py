@@ -162,6 +162,22 @@ def test_no_nested_types_on_oracle_surface(spark, sf_dir):
     )
 
 
+DEMOS = __import__(
+    "purescript_ifrit_spark.suite", fromlist=["DEMO_REGISTRY"]
+).DEMO_REGISTRY
+
+
+@pytest.mark.parametrize("name", sorted(DEMOS.keys()))
+def test_demo_entry_runs(spark, sf_dir, name):
+    """The 15 retired approximate/composition demos (VERDICT r7 #4) left
+    the driver contract but must stay runnable — each one's VALUES are
+    pinned by a planted/bound oracle twin in REGISTRY and by dedicated
+    envelope tests; this keeps the demo surface itself from rotting."""
+    df = DEMOS[name](spark, sf_dir)
+    assert df.columns
+    assert len(df.collect()) >= 0
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
@@ -224,8 +240,8 @@ def test_driver_window_is_exactly_fifty():
     fill the hard-signal budget exactly (a short list would silently
     promote tail entries the COVERAGE ledger doesn't schedule). The
     full window/ledger invariant suite lives in test_coverage_ledger.py."""
-    from purescript_ifrit_spark.suite import REGISTRY, _DRIVER_WINDOW_R7
+    from purescript_ifrit_spark.suite import REGISTRY, _DRIVER_WINDOW_R8
 
-    assert len(_DRIVER_WINDOW_R7) == 50
-    assert len(set(_DRIVER_WINDOW_R7)) == 50
-    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R7
+    assert len(_DRIVER_WINDOW_R8) == 50
+    assert len(set(_DRIVER_WINDOW_R8)) == 50
+    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R8
