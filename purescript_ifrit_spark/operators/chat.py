@@ -155,18 +155,25 @@ def preference_pairs(
 ) -> DataFrame:
     """Assemble chosen/rejected preference pairs from scored candidate
     completions. Winner = highest integer score, ties broken toward the
-    LOWER candidate id (deterministic: the ordering key is
-    score·2^20 − cand_id, exact while |cand_id| < 2^20·score-gap — fine
-    for partition-local candidate ids; callers with wider ids pass their
-    own composite score). Prompts with fewer than two candidates are
-    dropped (no pair to form).
+    LOWER candidate id; loser = lowest score, ties toward the HIGHER id
+    (so a two-way tie still yields a deterministic, distinct pair).
+    Prompts with fewer than two candidates are dropped (no pair to
+    form).
+
+    The ordering key is a STRUCT (score, -cand_id) compared
+    lexicographically — no magnitude precondition (ADVICE r7: the old
+    scalar key score·2^20 − cand_id silently mis-picked when
+    cand_id ≥ 2^20·score-gap, went wrong on negative ids, and could
+    overflow int64 near score ≈ 2^43; a struct needs none of that).
 
     One hash exchange on prompt_col; min_by/max_by aggregation, no join.
     Output: prompt_id, chosen_id, rejected_id, chosen_tokens,
     rejected_tokens, len_gap, score_gap.
     """
-    ord_ = (F.col(score_col).cast("long") * F.lit(1 << 20)
-            - F.col(cand_col).cast("long"))
+    ord_ = F.struct(
+        F.col(score_col).cast("long").alias("s"),
+        (-F.col(cand_col).cast("long")).alias("nid"),
+    )
     toks = F.coalesce(token_count(F.col(content_col)), F.lit(0)).cast("long")
     out = cands.groupBy(F.col(prompt_col).alias("prompt_id")).agg(
         F.count(F.lit(1)).alias("_n"),

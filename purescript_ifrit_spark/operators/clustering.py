@@ -240,7 +240,13 @@ def semdedup(
         .withColumn("_nx2", sq(F.col("_vx")))
         .withColumn("_ny2", sq(F.col("_vy")))
         .filter(
-            (F.col("_dot") >= 0)
+            # zero-norm guard (ADVICE r7): cosine is UNDEFINED for a
+            # zero vector, but dot=0 satisfies dot>=0 and 0 >= 0·t², so
+            # without this every all-zero vector except the min id would
+            # silently drop as a "duplicate" of another zero vector
+            (F.col("_nx2") > 0)
+            & (F.col("_ny2") > 0)
+            & (F.col("_dot") >= 0)
             & (
                 dec(F.col("_dot")) * dec(F.col("_dot"))
                 * F.lit(threshold_den * threshold_den)

@@ -49,12 +49,35 @@ def zorder_key(cols: Sequence[Column], bits: int = 16) -> Column:
     gives every dimension locality under one sort. Values are masked to
     `bits` (callers quantize wider domains first); bits·ndims must fit
     in the 63 usable bits of a signed BIGINT.
+
+    Dimensions must be NON-NEGATIVE and the contract is ENFORCED
+    in-plan (ADVICE r7): arithmetic shiftright keeps a negative value's
+    low bits, which would scatter negatives to the top of the Z-curve
+    and silently break the locality the key exists for — a negative
+    dimension fails the task (quantize/offset first). NULL dimensions
+    pass through to a NULL key, as before.
     """
     n = len(cols)
     if n < 2:
         raise ValueError("zorder_key needs >= 2 dimensions")
     if bits * n > 63:
         raise ValueError(f"bits*ndims = {bits * n} exceeds BIGINT range")
+    nonneg = F.lit(True)
+    for c in cols:
+        # NULL stays NULL-transparent: coalesce keeps the guard quiet so
+        # a NULL dim yields a NULL key (pre-guard behavior), not an error
+        nonneg = nonneg & F.coalesce(c.cast("long") >= 0, F.lit(True))
+    guard = F.assert_true(
+        nonneg,
+        F.concat_ws(
+            " ",
+            F.lit(
+                "zorder_key: negative dimension value (contract: "
+                "non-negative — offset/quantize first):"
+            ),
+            *[c.cast("long").cast("string") for c in cols],
+        ),
+    )
     z = F.lit(0).cast("long")
     for d, c in enumerate(cols):
         v = c.cast("long")
@@ -63,7 +86,9 @@ def zorder_key(cols: Sequence[Column], bits: int = 16) -> Column:
                 F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)),
                             i * n + d)
             )
-    return z
+    # the guard rides the CONSUMED expression (assert_true in a dropped
+    # column would be pruned by Catalyst and never fire); NULL on pass
+    return F.when(guard.isNull(), z)
 
 
 def zorder_sql(names: Sequence[str], bits: int = 16) -> str:

@@ -639,6 +639,10 @@ def _make_jpeg_decoder():
 
     import numpy as np
 
+    # captured by value in the closure (self-containment contract of
+    # _make_png_decoder): 2^26 pixels ≈ 8192×8192, ~201 MB as RGB
+    _JPEG_MAX_PIXELS = 1 << 26
+
     zz = np.array(_JPEG_ZIGZAG, dtype=np.int64)
     # separable IDCT basis: M[u, x] = c_u · cos((2x+1)uπ/16),
     # c_0 = 1/(2√2), c_u = 1/2 → block = Mᵀ · S · M
@@ -743,6 +747,19 @@ def _make_jpeg_decoder():
         if frame is None or scan is None:
             raise ValueError("jpeg scan before frame header")
         h, w, comps = frame
+        # Declared-dims allocation cap (VERDICT r7 #5, the PNG
+        # bounded-inflate treatment): everything below allocates from
+        # the SOF dims — component planes and the h·w·3 output — before
+        # a single entropy byte is read, so a crafted 10-byte header
+        # declaring 65535×65535 would commit ~13 GB on a worker. Cap
+        # the raster at 2^26 pixels (8192×8192, ~201 MB RGB) — far
+        # above any sane training-corpus image; gate a genuinely larger
+        # decode behind the PIL path, which streams.
+        if h * w > _JPEG_MAX_PIXELS:
+            raise ValueError(
+                f"jpeg dims {w}x{h} exceed the {_JPEG_MAX_PIXELS}-pixel "
+                "allocation cap"
+            )
         by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
         hmax = max(hi for _, hi, _, _ in comps)
         vmax = max(vi for _, _, vi, _ in comps)

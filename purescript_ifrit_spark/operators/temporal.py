@@ -241,6 +241,7 @@ def interval_join(
     payload: Optional[Sequence[str]] = None,
     max_span_buckets: int = 1024,
     suffix: str = "_r",
+    on_over_span: str = "error",
 ) -> DataFrame:
     """Interval-OVERLAP join: inner-join each left interval to every
     right interval with the same `on` key where the half-open ranges
@@ -255,13 +256,21 @@ def interval_join(
     the intersection's start, max(l_start, r_start) (both sides emit
     that bucket: it is >= each side's start and < each side's end by
     the overlap predicate) — no dropDuplicates pass. Replication per
-    row = ceil(span/width); spans over `max_span_buckets` buckets drop
-    under the guarded-default policy (raise the cap explicitly for
-    genuinely long intervals). Empty/inverted intervals match nothing.
+    row = ceil(span/width). Spans of `max_span_buckets` or more buckets
+    FAIL THE TASK via an in-plan assert_true (the module's loud-guard
+    policy, ADVICE r7: a silent filter here loses the wide row's
+    matches with no signal — the fill_gaps_locf precedent); pass
+    on_over_span="drop" to opt into dropping such rows whole, or raise
+    max_span_buckets for genuinely long intervals. Empty/inverted
+    intervals match nothing.
     """
     if bucket_width_us <= 0:
         raise ValueError(
             f"bucket_width_us must be positive (got {bucket_width_us})"
+        )
+    if on_over_span not in ("error", "drop"):
+        raise ValueError(
+            f"on_over_span must be 'error' or 'drop' (got {on_over_span!r})"
         )
     if payload is None:
         payload = [
@@ -273,13 +282,37 @@ def interval_join(
     def _banded(df, s_col, e_col, key_alias, pay_cols):
         s_us = _us(F.col(s_col), df.schema[s_col].dataType)
         e_us = _us(F.col(e_col), df.schema[e_col].dataType)
-        return (
+        banded = (
             df.filter(F.col(s_col).isNotNull() & F.col(e_col).isNotNull())
             .filter(e_us > s_us)
             .withColumn("_b0", F.floor(s_us / W))
             .withColumn("_b1", F.floor((e_us - F.lit(1)) / W))
-            .filter((F.col("_b1") - F.col("_b0")) < F.lit(max_span_buckets))
-            .withColumn("_b", F.explode(F.sequence("_b0", "_b1")))
+        )
+        if on_over_span == "drop":
+            banded = banded.filter(
+                (F.col("_b1") - F.col("_b0")) < F.lit(max_span_buckets)
+            )
+            b1 = F.col("_b1")
+        else:
+            # loud guard (fill_gaps_locf pattern): assert_true returns
+            # NULL on pass and must ride the CONSUMED expression — in a
+            # dropped column Catalyst would prune it and it'd never fire
+            span_ok = F.assert_true(
+                (F.col("_b1") - F.col("_b0")) < F.lit(max_span_buckets),
+                F.concat(
+                    F.lit(
+                        "interval_join: interval spans >= "
+                        f"max_span_buckets={max_span_buckets} buckets of "
+                        f"{bucket_width_us}us (its matches would drop "
+                        "silently) — raise max_span_buckets or pass "
+                        "on_over_span='drop'; key "
+                    ),
+                    F.col(on).cast("string"),
+                ),
+            )
+            b1 = F.when(span_ok.isNull(), F.col("_b1"))
+        return (
+            banded.withColumn("_b", F.explode(F.sequence(F.col("_b0"), b1)))
             .select(
                 F.col(on).alias(key_alias),
                 "_b",

@@ -553,8 +553,13 @@ def c4_kept_expr(
     c4_line_filter and the dialect C4PASS function."""
     # NOT `F.transform(..., F.trim)`: transform inspects callable arity and
     # trim's optional second parameter makes it call trim(x, index) — which
-    # strips index DIGITS, not whitespace
-    lines = F.transform(F.split(c, "\n"), lambda x: F.trim(x))
+    # strips index DIGITS, not whitespace.
+    # Universal line terminators (the markdown_sections precedent): a
+    # \n-only split leaves a trailing \r on CRLF corpora that F.trim
+    # (spaces only) keeps — Java's `$` still matches before it while the
+    # RE2/DuckDB twins' `$` does not, so the two backends would disagree
+    # on every \r\n document.
+    lines = F.transform(F.split(c, "\r\n|\r|\n"), lambda x: F.trim(x))
     return F.filter(lines, lambda x: _c4_keep_line(x, min_words))
 
 
@@ -572,7 +577,7 @@ def c4_pass_sql(x: str) -> str:
     """Spark-SQL twin of c4_pass_expr (same rules, same trim-first
     contract) — keeps the dialect's two backends in lock-step."""
     kept = (
-        f"filter(transform(split({x}, '\\n'), l -> trim(l)), "
+        f"filter(transform(split({x}, '\\r\\n|\\r|\\n'), l -> trim(l)), "
         "l -> l rlike '[.!?\"]$' "
         f"AND size(filter(split(l, ' '), w -> w != '')) >= "
         f"{C4_MIN_WORDS_PER_LINE} "
@@ -603,7 +608,7 @@ def c4_line_filter(
     '' so poison rows keep well-typed counts/flags instead of NULLing
     through every rule)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.transform(F.split(c, "\n"), lambda x: F.trim(x))
+    lines = F.transform(F.split(c, "\r\n|\r|\n"), lambda x: F.trim(x))
     kept = c4_kept_expr(c, min_words_per_line)
     low = F.lower(c)
     return (

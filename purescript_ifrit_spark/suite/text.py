@@ -1289,7 +1289,9 @@ _C4_AUG_SQL = (
     "CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'config = {' ELSE '' END"
 )
 _C4_KEEP_SQL = (
-    "list_filter(list_transform(string_split(x, chr(10)), l -> trim(l)), "
+    # regexp split, not string_split(chr(10)): the operator splits on
+    # universal newlines (CRLF fix, ADVICE r7) and the oracle must agree
+    "list_filter(list_transform(regexp_split_to_array(x, '\r\n|\r|\n'), l -> trim(l)), "
     "l -> regexp_matches(l, '[.!?\"]$') "
     "AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3 "
     "AND NOT contains(lower(l), 'javascript'))"
@@ -1327,7 +1329,7 @@ def _c4_aug_expr() -> F.Column:
     f"WITH a AS (SELECT doc_id, {_C4_AUG_SQL} AS x FROM documents), "
     f"k AS (SELECT doc_id, x, {_C4_KEEP_SQL} AS kept FROM a) "
     "SELECT doc_id, "
-    "CAST(len(string_split(x, chr(10))) AS INT) AS n_lines, "
+    "CAST(len(regexp_split_to_array(x, '\r\n|\r|\n')) AS INT) AS n_lines, "
     "CAST(len(kept) AS INT) AS n_kept, "
     "md5(COALESCE(array_to_string(kept, chr(10)), '')) AS fp_c4, "
     "(len(kept) >= 3 AND NOT contains(lower(x), 'lorem ipsum') "

@@ -516,6 +516,9 @@ def _semdedup_oracle() -> str:
         f"NOT EXISTS (SELECT 1 FROM {a_last} b JOIN p pb "
         "ON b.vec_id = pb.vec_id "
         "WHERE b.cid = a.cid AND b.vec_id < a.vec_id "
+        # zero-norm guard mirrors the operator (ADVICE r7): cosine is
+        # undefined for zero vectors, so they can never pair
+        f"AND ({nx2}) > 0 AND ({ny2}) > 0 "
         f"AND ({dot}) >= 0 "
         f"AND ({dot}) * ({dot}) * {_SD_DEN * _SD_DEN} >= "
         f"{_SD_NUM * _SD_NUM} * ({nx2}) * ({ny2})) AS keep "

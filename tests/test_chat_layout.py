@@ -94,6 +94,32 @@ def test_preference_pairs_ties_and_singletons(spark):
     assert out[2]["score_gap"] == 0
 
 
+def test_preference_pairs_wide_and_negative_ids(spark):
+    """ADVICE r7 regression: the old scalar ordering key
+    score·2^20 − cand_id mis-picked whenever cand_id ≥ 2^20·score-gap,
+    on negative ids, and near int64 overflow for huge scores; the
+    struct key must survive all three."""
+    rows = [
+        # cand_id >> 2^20 with score gap 1: old key 2·2^20 − 5e6 < 1·2^20
+        # − 1 picked the LOW-score candidate as chosen
+        (1, 5_000_000, 2, "w w"),
+        (1, 1, 1, "l"),
+        # negative cand_id: tie must still break toward the LOWER id
+        (2, -7, 4, "a"),
+        (2, 3, 4, "b"),
+        # scores near 2^43: the old scalar key overflowed int64
+        (3, 100, 1 << 43, "hi"),
+        (3, 200, (1 << 43) - 1, "lo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, cand_id long, score long, content string"
+    )
+    out = {r["prompt_id"]: r.asDict() for r in preference_pairs(df).collect()}
+    assert (out[1]["chosen_id"], out[1]["rejected_id"]) == (5_000_000, 1)
+    assert (out[2]["chosen_id"], out[2]["rejected_id"]) == (-7, 3)
+    assert (out[3]["chosen_id"], out[3]["rejected_id"]) == (100, 200)
+
+
 def test_zorder_key_known_bits(spark):
     # x = 0b11, y = 0b01 with 2 dims: bit i of dim d -> position 2i+d
     # x contributes bits 0,2 ; y contributes bit 1 -> z = 0b0111 = 7
@@ -103,6 +129,22 @@ def test_zorder_key_known_bits(spark):
     assert df.collect()[0]["z"] == 7
     # SQL twin produces the identical expression semantics
     assert "<< 0" in zorder_sql(["x", "y"], 2)
+
+
+def test_zorder_key_rejects_negative_dims_in_plan(spark):
+    """ADVICE r7: arithmetic shiftright keeps a negative value's low
+    bits, scattering negatives to the top of the Z-curve — the
+    non-negativity contract is now enforced loudly in-plan; NULL dims
+    keep their NULL-key passthrough."""
+    df = spark.createDataFrame([(3, -1)], ["x", "y"])
+    with pytest.raises(Exception, match="zorder_key: negative"):
+        df.select(
+            zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")
+        ).collect()
+    nul = spark.createDataFrame([(3, None)], "x long, y long").select(
+        zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")
+    )
+    assert nul.collect()[0]["z"] is None
 
 
 def test_zorder_key_guards():

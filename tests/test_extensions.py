@@ -2770,6 +2770,44 @@ def test_jpeg_totality_contract():
             decode_jpeg(b)
 
 
+def test_jpeg_declared_dims_allocation_cap():
+    """VERDICT r7 #5 (the PNG bounded-inflate treatment): a crafted
+    header declaring 65535×65535 would commit ~13 GB of plane/output
+    allocations before any entropy byte is read — the decoder must
+    reject SOF dims above the documented 2^26-pixel cap up front."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray_blocks,
+    )
+
+    good = encode_jpeg_gray_blocks(np.array([[10, 200], [60, 140]]))
+    i = good.index(b"\xff\xc0")
+    # SOF0 layout: marker(2) len(2) precision(1) h(2) w(2) ...
+    bomb = (
+        good[: i + 5]
+        + struct.pack(">HH", 0xFFFF, 0xFFFF)
+        + good[i + 9 :]
+    )
+    assert len(bomb) == len(good)  # header-only patch, still tiny
+    with pytest.raises(ValueError, match="allocation cap"):
+        decode_jpeg(bomb)
+    # one pixel under the cap on one side parses past the guard (it
+    # then fails later on entropy exhaustion, NOT on the cap)
+    ok_dims = (
+        good[: i + 5]
+        + struct.pack(">HH", 8192, 8192)
+        + good[i + 9 :]
+    )
+    with pytest.raises(ValueError) as exc:
+        decode_jpeg(ok_dims)
+    assert "allocation cap" not in str(exc.value)
+
+
 def test_jpeg_stats_and_dhash_paths(spark):
     """The Spark-side plumbing: codec='jpeg' in extract_pixel_stats
     (poison → NULL row, batch survives; gray replicates r=g=b) and in
@@ -3640,6 +3678,26 @@ def test_semdedup_keeps_min_id_and_outliers(spark):
                    10: True, 11: False, 12: True}, out
 
 
+def test_semdedup_zero_vectors_never_pair(spark):
+    """ADVICE r7 regression: for two all-zero vectors dot=0 satisfied
+    dot>=0 and 0 >= 0·t², so every zero vector except the min id was
+    dropped as a "duplicate" even though cosine is undefined for them —
+    the zero-norm guard must keep ALL of them (and they must not drag
+    down genuine vectors either)."""
+    from purescript_ifrit_spark.operators.clustering import semdedup
+
+    rows = [
+        (1, [100, 0, 0, 0]),
+        (2, [200, 0, 0, 0]),      # colinear with 1 -> dropped
+        (3, [0, 0, 0, 0]),        # zero vector: must survive
+        (4, [0, 0, 0, 0]),        # second zero vector: must ALSO survive
+    ]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = {r.id: r.keep for r in
+           semdedup(df, "id", "v", [[100, 0, 0, 0]], n_iter=1).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: True}, out
+
+
 def test_semdedup_threshold_boundary_is_exact(spark):
     from purescript_ifrit_spark.operators.clustering import semdedup
 
@@ -4085,11 +4143,22 @@ def test_interval_join_exactly_once_and_edges(spark):
     got = sorted((r.k, r.lid, r.rid) for r in out)
     assert got == [(1, 100, 200), (2, 102, 203)]
 
-    # span cap: a left interval wider than max_span_buckets drops
+    # span cap (ADVICE r7): an over-wide interval FAILS the task loudly
+    # by default (a silent drop loses its matches with no signal) ...
+    import pytest as _pytest
+
+    wide_left = spark.createDataFrame(
+        [(1, 1, 0, 10_000)], "k long, lid long, s long, e long"
+    )
+    with _pytest.raises(Exception, match="max_span_buckets"):
+        interval_join(
+            wide_left, right, "k", "s", "e", "s", "e",
+            bucket_width_us=10, max_span_buckets=16,
+        ).count()
+    # ... and drops whole only under the explicit opt-in
     wide = interval_join(
-        spark.createDataFrame([(1, 1, 0, 10_000)], "k long, lid long, s long, e long"),
-        right, "k", "s", "e", "s", "e",
-        bucket_width_us=10, max_span_buckets=16,
+        wide_left, right, "k", "s", "e", "s", "e",
+        bucket_width_us=10, max_span_buckets=16, on_over_span="drop",
     )
     assert wide.count() == 0
 

@@ -575,6 +575,55 @@ def test_c4_line_filter_rules(spark):
     assert out[6].text_c4 == "Trimmed line survives fine."
 
 
+def test_c4_crlf_corpus_matches_lf_on_all_three_backends(spark):
+    """ADVICE r7: a \\n-only split left the trailing \\r of CRLF corpora
+    on every line — Java's `$` matched before it (line passes) while the
+    RE2/DuckDB twins' `$` did not (line fails), so the operator and its
+    oracles disagreed on any \\r\\n corpus. Universal-newline split fixes
+    it; this pins CRLF ≡ LF ≡ CR across operator, Spark-SQL twin, and
+    the DuckDB oracle kernel."""
+    import duckdb
+
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        c4_line_filter,
+        c4_pass_sql,
+    )
+
+    lf = ("First planted sentence has plenty of words.\n"
+          "short line\n"
+          "Second planted sentence also has plenty of words.\n"
+          "Third planted sentence keeps the page flag alive.")
+    variants = [(1, lf), (2, lf.replace("\n", "\r\n")),
+                (3, lf.replace("\n", "\r"))]
+    df = spark.createDataFrame(variants, ["id", "t"])
+    rows = {r.id: r for r in c4_line_filter(df, "id", "t").collect()}
+    for vid in (2, 3):
+        assert rows[vid].n_lines == rows[1].n_lines, vid
+        assert rows[vid].n_kept == rows[1].n_kept == 3, vid
+        assert rows[vid].text_c4 == rows[1].text_c4, vid
+        assert rows[vid].c4_pass is True, vid
+
+    # Spark-SQL twin (the dialect C4PASS backend) on the same variants
+    sql_pass = {
+        r.id: r.p
+        for r in spark.createDataFrame(variants, ["id", "t"])
+        .selectExpr("id", c4_pass_sql("t") + " AS p")
+        .collect()
+    }
+    assert sql_pass == {1: True, 2: True, 3: True}
+
+    # DuckDB oracle kernel (suite _C4_KEEP_SQL) on the CRLF variant
+    from purescript_ifrit_spark.suite.text import _C4_KEEP_SQL
+
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT len(" + _C4_KEEP_SQL + ") FROM (SELECT ?::VARCHAR AS x)",
+        [variants[1][1]],
+    ).fetchone()[0]
+    con.close()
+    assert n == 3
+
+
 def test_c4_line_filter_scan_stage(spark):
     # zero shuffle: the whole rule set is one codegen'd projection
     from purescript_ifrit_spark.operators.text_cleaning import c4_line_filter
