@@ -51,6 +51,15 @@ uses it (the DataFrame backend needs no registration).
     SELECT doc_id WHERE C4PASS(text) = true -- C4 line+page rules pass/fail
                                            -- (boolean; default thresholds)
 
+    SELECT doc_id, MINHASH(text) AS sig    -- 16-lane MinHash signature as
+                                           -- one ':'-joined hex string
+                                           -- (normalize → 3-word shingles;
+                                           -- blank/NULL text → NULL)
+    SELECT MIN(doc_id) AS keep GROUP BY MINHASH(text)
+                                           -- signature-exact near-dup
+                                           -- collapse (whitespace/case
+                                           -- variants share signatures)
+
 SESSIONIZE is the one ANALYTIC extension (`analytic=True`): it compiles to
 window expressions (lag → gap flag → running sum — the same single-shuffle
 shape as operators/windows.sessionize) rather than a scan-stage scalar, so
@@ -247,6 +256,18 @@ def _c4pass_sql(x: str) -> str:
     from purescript_ifrit_spark.operators.text_cleaning import c4_pass_sql
 
     return c4_pass_sql(x)
+
+
+def _minhash_column(c: Column) -> Column:
+    from purescript_ifrit_spark.functions import hashing as H
+
+    return H.minhash_hexsig(X.word_shingles(c, 3), 16)
+
+
+def _minhash_sql(x: str) -> str:
+    from purescript_ifrit_spark.functions import hashing as H
+
+    return H.minhash_hexsig_sql(x, 16, 3)
 
 
 def _jlproject_column(c: Column) -> Column:
@@ -519,6 +540,22 @@ EXT_FUNCTIONS: Dict[str, ExtFn] = {
             Schema.boolean(),
             _c4pass_column,
             _c4pass_sql,
+        ),
+        ExtFn(
+            "MINHASH",
+            # full 16-lane MinHash signature of the normalized,
+            # 3-word-shingled text as ONE ':'-joined hex string
+            # (functions/hashing.minhash_hexsig — the same lanes the
+            # operators/dedup b=8,r=2 LSH family reads, bit-identical).
+            # A string scalar, so it GROUPS: `SELECT MIN(doc_id) AS keep
+            # GROUP BY MINHASH(text)` is signature-exact near-dup
+            # collapse (whitespace/case variants share signatures via
+            # normalize-first shingling); blank/NULL text → NULL, never
+            # a shared constant. Banded LSH with recall control stays in
+            # operators/dedup.minhash_candidate_pairs.
+            Schema.string(),
+            _minhash_column,
+            _minhash_sql,
         ),
         ExtFn(
             "JL_PROJECT",

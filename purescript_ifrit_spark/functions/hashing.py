@@ -46,6 +46,46 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     return F.when(F.size(shingles) > 0, agg)
 
 
+def minhash_hexsig(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature rendered as ONE ':'-joined hex string — the
+    dialect MINHASH backend (a string scalar can be a GROUP BY key,
+    which is the signature-exact dedup move; an array cannot). Built on
+    minhash_signature, so the lanes stay bit-identical to the
+    operators/dedup family (b=8, r=2 geometry reads the same 16 lanes).
+    Empty shingle sets (blank/NULL text) yield NULL, not a shared
+    constant — content-free docs must never signature-match each other.
+    """
+    sig = minhash_signature(shingles, num_hashes)
+    return F.array_join(F.transform(sig, lambda v: F.hex(v)), ":")
+
+
+def minhash_hexsig_sql(
+    x: str, num_hashes: int = 16, shingle_words: int = 3
+) -> str:
+    """Spark-SQL twin of minhash_hexsig over a raw text operand `x`
+    (normalize → word-shingle → 16-lane fold → hex join, each step the
+    SQL rendering of the Column tree) — keeps the dialect's two
+    backends in lock-step; pinned bit-identical in tests."""
+    n = f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
+    grams = " ".join(["\\\\S+"] * shingle_words)
+    rx = f"'(?=({grams}))(?:\\\\S+ ?)'"
+    sh = (
+        f"CASE WHEN {n} IS NULL OR length({n}) = 0 "
+        "THEN CAST(array() AS ARRAY<STRING>) "
+        f"WHEN size(split({n}, ' ')) >= {shingle_words} "
+        f"THEN array_distinct(regexp_extract_all({n}, {rx}, 1)) "
+        f"ELSE array({n}) END"
+    )
+    lanes = ",".join(f"xxhash64({i}, h)" for i in range(num_hashes))
+    agg = (
+        f"aggregate(transform({sh}, s -> xxhash64(s)), "
+        f"array_repeat(CAST(9223372036854775807 AS BIGINT), {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, array({lanes}), (a, b) -> least(a, b)))"
+    )
+    guarded = f"CASE WHEN size({sh}) > 0 THEN {agg} END"
+    return f"array_join(transform({guarded}, v -> hex(v)), ':')"
+
+
 def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
     """Split a signature into `bands` hashed band keys:
     array<struct<band:int, key:bigint>>. Docs sharing ANY band key are

@@ -90,6 +90,9 @@ _FUNCTIONS = [
     "TOKEN_COUNT", "QUALITY_SCORE", "QUALITY", "LANG_ID", "FINGERPRINT",
     "CHUNK", "SPLIT", "REDACT", "HTMLTEXT", "TUMBLE", "SESSIONIZE",
     "VECTORIZE", "IMAGE_DHASH", "GOPHER", "C4PASS", "JL_PROJECT",
+    # MINHASH is safe next to MIN: the _BOUNDARY lookahead stops MIN from
+    # matching the "MIN" prefix of "MINHASH(" (H is a word char)
+    "MINHASH",
 ]
 
 _WORD_CHARS = r"[a-zA-Z0-9_.]"

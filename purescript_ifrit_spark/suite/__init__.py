@@ -123,6 +123,8 @@ _DRIVER_WINDOW_R8 = [
     "f1_eq",
     "x_dedup_exact",
     # -- (3) new round-8 oracle entries land HERE as built ------------------
+    "xd_minhash",   # MINHASH dialect family (VERDICT r7 #8) — displaces
+                    # x_sessionize (backfill tail) per the stated policy
     # -- (4) r4-cohort backfill, ledger order (tail displaced by (3)) ------
     "x_dedup_minhash_planted",
     "x_dedup_incremental_planted",
@@ -145,13 +147,13 @@ _DRIVER_WINDOW_R8 = [
     "x_ann_cosine_topk",
     "x_embedding_neardup",
     "x_budget_sample",
-    "x_sessionize",
 ]
 
 # The r4-cohort entries that wait for r9 (see the spill note above).
 # tests/test_coverage_ledger.py pins this list against the ledger so the
 # spill is a stated plan, not an accident.
 _R9_SPILL = [
+    "x_sessionize",  # displaced from the r8 backfill tail by xd_minhash
     "x_funnel",
     "x_retention",
     "x_topk_per_group",

@@ -345,6 +345,82 @@ def xd_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_query(spark, docs, "SELECT doc_id, GOPHER(text) AS gpass")
 
 
+def _xd_minhash_oracle() -> str:
+    # The signature VALUE is Spark-xxhash64-specific (DuckDB cannot
+    # recompute it), but the PARTITION it induces on a DISJOINT-token
+    # corpus is deterministic: identical norm text ⇒ identical signature
+    # always; docs with per-doc token namespaces share no shingles, so
+    # distinct docs collide only if 16 independent 64-bit lane minima
+    # all collide (≪ 2^-200 — the planted-oracle convention). The raw
+    # `documents` table is NOT usable here: it carries planted
+    # near-duplicates (word jaccard up to 1.0 after normalization)
+    # whose full-signature collision at probability j^16 is GENUINE
+    # MinHash behavior — 15 of 500 groups merge at sf0.001. The oracle
+    # groups by the norm text itself; the signature string never
+    # reaches the comparator (stripped by the derived-table projection).
+    return (
+        "WITH base AS ("
+        "  SELECT doc_id, array_to_string(list_transform(range(1, 41), "
+        "  k -> 't' || doc_id || 'x' || k), ' ') AS text FROM documents"
+        "), a AS ("
+        "  SELECT doc_id, text FROM base"
+        "  UNION ALL SELECT doc_id + 1000000000000, text FROM base "
+        "  WHERE doc_id % 3 = 0"
+        "  UNION ALL SELECT doc_id + 2000000000000, "
+        "  replace(text, ' ', chr(10)) FROM base WHERE doc_id % 5 = 0"
+        "), n AS ("
+        "  SELECT doc_id, "
+        "  NULLIF(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '') "
+        "  AS nt FROM a) "
+        "SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups "
+        "FROM n GROUP BY nt"
+    )
+
+
+@register("xd_minhash", _xd_minhash_oracle())
+def xd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures reached through the DIALECT (`MINHASH(text)` →
+    functions/hashing.minhash_hexsig, the 16 lanes the operators/dedup
+    LSH family reads, bit-pinned in test_dialect_ext): signature-exact
+    dedup groups over a disjoint-token planted corpus (cross-doc
+    jaccard 0 — see the oracle note on why raw `documents` cannot work)
+    with exact copies (doc_id%3) and whitespace-mangled copies (doc_id%5
+    — every space becomes a newline, proving normalize-before-shingle
+    on both engines). The derived-table projection strips the
+    engine-specific signature, so the driver compares the induced
+    (keep_id, n_dups) partition profile."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda k: F.concat(
+            F.lit("t"), F.col("doc_id").cast("string"), F.lit("x"),
+            k.cast("string"),
+        ),
+    )
+    base = ids.select("doc_id", F.array_join(toks, " ").alias("text"))
+    aug = (
+        base.unionAll(
+            base.filter(F.col("doc_id") % 3 == 0).select(
+                F.col("doc_id") + F.lit(1_000_000_000_000).cast("long"),
+                "text",
+            )
+        )
+        .unionAll(
+            base.filter(F.col("doc_id") % 5 == 0).select(
+                F.col("doc_id") + F.lit(2_000_000_000_000).cast("long"),
+                F.translate(F.col("text"), " ", "\n").alias("text"),
+            )
+        )
+    )
+    return run_query(
+        spark,
+        aug,
+        "SELECT keep_id, n_dups FROM "
+        "(SELECT MIN(doc_id) AS keep_id, COUNT(doc_id) AS n_dups "
+        "GROUP BY MINHASH(text))",
+    )
+
+
 def _xd_c4_oracle() -> str:
     from purescript_ifrit_spark.suite.text import _C4_AUG_SQL, _C4_KEEP_SQL
 

@@ -265,6 +265,8 @@ EXT_QUERIES = [
     "SELECT doc_id, C4PASS(text) AS cpass",
     "SELECT COUNT(doc_id) AS n GROUP BY C4PASS(text)",
     "SELECT doc_id WHERE C4PASS(text) = true",
+    "SELECT doc_id, MINHASH(text) AS sig",
+    "SELECT MIN(doc_id) AS keep, COUNT(doc_id) AS n GROUP BY MINHASH(text)",
 ]
 
 
@@ -683,6 +685,78 @@ def test_c4pass_dialect_matches_operator(spark, docs):
 def test_c4pass_typed_boolean():
     plan = compile_query(DOC_SCHEMA, "SELECT C4PASS(text) AS c")
     assert plan.output_schema.fields["c"].kind == "boolean"
+
+
+def test_minhash_parse_analyze_golden():
+    """Parser/analyzer goldens (VERDICT r7 #8): MINHASH lexes as a
+    function token WITHOUT shadowing MIN (the boundary rule), types as
+    string, rejects non-string args, and serves as a GROUP BY key."""
+    from purescript_ifrit_spark.analyzer import analyze
+    from purescript_ifrit_spark.parser import parse_sql
+    from purescript_ifrit_spark.plans.ast import FnCall
+    from purescript_ifrit_spark.schema import schema_from_json
+
+    # MIN and MINHASH coexist in one statement — the lexer boundary rule
+    stmt = parse_sql("SELECT MIN(doc_id) AS keep GROUP BY MINHASH(text)")
+    assert isinstance(stmt.group_by, FnCall)
+    assert stmt.group_by.fn == "MINHASH" and stmt.group_by.path == "text"
+    schema = schema_from_json({"doc_id": "number", "text": "string"})
+    grouped = analyze(schema, stmt).to_json_obj()
+    assert grouped["_id"] == "string"
+    proj = analyze(
+        schema, parse_sql("SELECT doc_id, MINHASH(text) AS sig")
+    ).to_json_obj()
+    assert proj["sig"] == "string"
+    with pytest.raises(E.IfritError, match="incompatible"):
+        compile_query(DOC_SCHEMA, "SELECT MINHASH(doc_id) AS sig")
+
+
+def test_minhash_dialect_matches_hashing_family(spark, docs):
+    """The dialect scalar must be BIT-IDENTICAL to the operators/dedup
+    signature family: hex-join of hashing.minhash_signature over
+    word_shingles(text, 3) at 16 lanes — the contract that makes
+    GROUP BY MINHASH(text) the same equivalence relation the LSH dedup
+    banding reads. Blank/NULL text must yield NULL, never a shared
+    constant."""
+    from pyspark.sql import functions as F
+
+    from purescript_ifrit_spark.functions import hashing as H
+    from purescript_ifrit_spark.functions import text as X
+
+    out = run_query(
+        spark, docs.limit(200), "SELECT doc_id, MINHASH(text) AS sig"
+    )
+    got = {r.doc_id: r.sig for r in out.collect()}
+    ref_rows = (
+        docs.limit(200)
+        .select(
+            "doc_id",
+            H.minhash_signature(
+                X.word_shingles(F.col("text"), 3), 16
+            ).alias("s"),
+        )
+        .collect()
+    )
+
+    def hx(v: int) -> str:
+        return format(v & ((1 << 64) - 1), "X")
+
+    ref = {
+        r.doc_id: (None if r.s is None else ":".join(hx(v) for v in r.s))
+        for r in ref_rows
+    }
+    assert got == ref
+    # normalization variants share signatures; blank/NULL stay NULL
+    probe = spark.createDataFrame(
+        [(1, "Alpha beta GAMMA delta"), (2, " alpha  beta gamma\tdelta "),
+         (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: r.sig for r in run_query(
+        spark, probe, "SELECT doc_id, MINHASH(text) AS sig"
+    ).collect()}
+    assert sig[1] == sig[2] and sig[1] is not None
+    assert sig[3] is None and sig[4] is None
 
 
 def test_jl_project_dialect_matches_arrow_operator(spark, sf_dir):
