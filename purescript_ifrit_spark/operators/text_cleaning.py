@@ -723,7 +723,7 @@ def robots_filter(
             F.col("allow").alias("_allow"),
             F.col("prefix").alias("_prefix"),
         )
-        .join(scoped_dom, "_rd")
+        .join(F.broadcast(scoped_dom), "_rd")
         .filter(
             F.when(F.col("_has_spec") == 1, F.col("_agent") == tgt)
             .otherwise(F.col("_agent") == "*")
@@ -734,8 +734,16 @@ def robots_filter(
         F.col(domain_col).alias("domain"),
         F.col(path_col).alias("path"),
     )
+    # EXPLICIT broadcast, not "AQE will pick it" (r8 100x audit): a
+    # createDataFrame/RDD-backed rules relation has unknown stats, so
+    # Spark planned a SortMergeJoin that shuffled the FULL url table on
+    # `domain` — a column with a handful of distinct values, i.e. a
+    # worst-case skewed exchange at corpus scale. Rules are
+    # metadata-sized by contract, so the probe join must broadcast; the
+    # only exchange left is the final url-keyed (well-distributed)
+    # max_by aggregate.
     joined = base.join(
-        r, base["domain"] == r["_rd"], "left"
+        F.broadcast(r), base["domain"] == r["_rd"], "left"
     ).withColumn(
         "_matched",
         F.col("_prefix").isNotNull()

@@ -712,6 +712,13 @@ def test_robots_filter_single_join_single_agg(spark):
     # never a cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r8 100x audit: an RDD-backed rules relation has no stats, so
+    # without the explicit broadcast hint Spark SortMergeJoin'd — i.e.
+    # shuffled the FULL url table on `domain`, a handful-of-values key
+    # (worst-case skew at corpus scale). The probe join must broadcast
+    # and the url side must reach it without any Exchange.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_markdown_sections_structure(spark):
