@@ -297,3 +297,18 @@ def test_session4_operators_on_empty(spark, empty_docs, empty_events):
 
     vec = spark.createDataFrame([], "vec_id long, qv array<long>")
     assert jl_project(vec, "vec_id", "qv", 64, 16).count() == 0
+
+
+def test_minhash_dialect_on_empty(spark, empty_docs):
+    """The r8 MINHASH dialect fn on an empty frame: projection yields an
+    empty frame with the right schema; the grouped dedup shape yields
+    zero groups (no phantom NULL-signature group from zero rows)."""
+    from purescript_ifrit_spark.api import run_query
+
+    out = run_query(spark, empty_docs, "SELECT doc_id, MINHASH(text) AS sig")
+    assert out.columns == ["doc_id", "sig"]
+    assert out.count() == 0
+    g = run_query(
+        spark, empty_docs, "SELECT MIN(doc_id) AS keep GROUP BY MINHASH(text)"
+    )
+    assert g.count() == 0
