@@ -160,19 +160,31 @@ def preference_pairs(
     Prompts with fewer than two candidates are dropped (no pair to
     form).
 
-    The ordering key is a STRUCT (score, -cand_id) compared
+    The ordering key is a STRUCT (score, ~cand_id) compared
     lexicographically — no magnitude precondition (ADVICE r7: the old
     scalar key score·2^20 − cand_id silently mis-picked when
     cand_id ≥ 2^20·score-gap, went wrong on negative ids, and could
-    overflow int64 near score ≈ 2^43; a struct needs none of that).
+    overflow int64 near score ≈ 2^43). The id leg is bitwise NOT, not
+    arithmetic negation: ~x = −x−1 reverses the total order of every
+    long INCLUDING Long.MIN_VALUE, where −x overflows (r8 review).
+
+    Candidates with a NULL score or NULL id are EXCLUDED up front (r8
+    review: the old scalar key went NULL on them so min_by/max_by
+    skipped them implicitly; a struct key is non-NULL when any field
+    is, which would have let unscored candidates leak in as
+    always-losing rejected examples). A prompt needs >= 2 SCORED
+    candidates to emit a pair.
 
     One hash exchange on prompt_col; min_by/max_by aggregation, no join.
     Output: prompt_id, chosen_id, rejected_id, chosen_tokens,
     rejected_tokens, len_gap, score_gap.
     """
+    cands = cands.filter(
+        F.col(score_col).isNotNull() & F.col(cand_col).isNotNull()
+    )
     ord_ = F.struct(
         F.col(score_col).cast("long").alias("s"),
-        (-F.col(cand_col).cast("long")).alias("nid"),
+        F.bitwise_not(F.col(cand_col).cast("long")).alias("nid"),
     )
     toks = F.coalesce(token_count(F.col(content_col)), F.lit(0)).cast("long")
     out = cands.groupBy(F.col(prompt_col).alias("prompt_id")).agg(

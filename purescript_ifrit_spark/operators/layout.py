@@ -94,14 +94,26 @@ def zorder_key(cols: Sequence[Column], bits: int = 16) -> Column:
 def zorder_sql(names: Sequence[str], bits: int = 16) -> str:
     """The identical interleave as ANSI SQL (DuckDB oracle twin of
     zorder_key — generated from the same loop so the two can never
-    drift)."""
+    drift). The non-negativity guard is mirrored too (r8 review: the
+    Spark side failing loudly while the SQL twin silently scattered
+    negatives was a backend parity break on exactly the input class the
+    guard exists for): a negative dimension takes the CASE branch whose
+    constant string-to-BIGINT cast raises on BOTH engines — the
+    portable in-SQL assert (both DuckDB and ANSI Spark evaluate CASE
+    branches lazily, verified, so non-negative rows never touch it)."""
     n = len(names)
     terms = [
         f"((({name} >> {i}) & 1) << {i * n + d})"
         for d, name in enumerate(names)
         for i in range(bits)
     ]
-    return "(" + " | ".join(terms) + ")"
+    neg = " OR ".join(f"({name}) < 0" for name in names)
+    return (
+        f"(CASE WHEN {neg} THEN "
+        "CAST('zorder_key: negative dimension value (contract: "
+        "non-negative)' AS BIGINT) "
+        "ELSE (" + " | ".join(terms) + ") END)"
+    )
 
 
 def layout_file_stats(

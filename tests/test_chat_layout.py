@@ -120,6 +120,33 @@ def test_preference_pairs_wide_and_negative_ids(spark):
     assert (out[3]["chosen_id"], out[3]["rejected_id"]) == (100, 200)
 
 
+def test_preference_pairs_null_scores_and_long_min(spark):
+    """r8 review regressions: (a) NULL-scored candidates are excluded up
+    front — a struct ordering key is non-NULL when any field is, which
+    would otherwise let unscored candidates leak in as always-losing
+    rejected examples (the old scalar key skipped them via NULL-key
+    min_by/max_by); (b) the id tie-break leg is bitwise NOT, which
+    reverses order for EVERY long including Long.MIN_VALUE, where
+    arithmetic negation overflows."""
+    LMIN = -(1 << 63)
+    rows = [
+        (1, 10, None, "unscored"),   # excluded: never chosen OR rejected
+        (1, 11, 7, "b b"),
+        (1, 12, 3, "c"),
+        (2, 20, 9, "only scored"),   # 1 scored + 1 unscored -> no pair
+        (2, 21, None, "unscored"),
+        (3, LMIN, 4, "a"),           # score tie at Long.MIN id: lower id
+        (3, 5, 4, "b"),              # wins chosen, higher id rejected
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, cand_id long, score long, content string"
+    )
+    out = {r["prompt_id"]: r.asDict() for r in preference_pairs(df).collect()}
+    assert set(out) == {1, 3}
+    assert (out[1]["chosen_id"], out[1]["rejected_id"]) == (11, 12)
+    assert (out[3]["chosen_id"], out[3]["rejected_id"]) == (LMIN, 5)
+
+
 def test_zorder_key_known_bits(spark):
     # x = 0b11, y = 0b01 with 2 dims: bit i of dim d -> position 2i+d
     # x contributes bits 0,2 ; y contributes bit 1 -> z = 0b0111 = 7
@@ -145,6 +172,26 @@ def test_zorder_key_rejects_negative_dims_in_plan(spark):
         zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")
     )
     assert nul.collect()[0]["z"] is None
+
+
+def test_zorder_sql_twin_mirrors_negative_guard():
+    """r8 review: the Spark side failing loudly on negative dims while
+    the SQL twin silently scattered them was a backend parity break —
+    the twin's CASE-guarded constant cast must raise in DuckDB on a
+    negative dim and stay silent on the non-negative path."""
+    import duckdb
+
+    con = duckdb.connect()
+    sql = zorder_sql(["x", "y"], 2)
+    ok = con.execute(
+        f"SELECT {sql} FROM (VALUES (3::BIGINT, 1::BIGINT)) t(x, y)"
+    ).fetchone()[0]
+    assert ok == 7  # the known-bits golden above
+    with pytest.raises(Exception, match="negative dimension"):
+        con.execute(
+            f"SELECT {sql} FROM (VALUES (3::BIGINT, -1::BIGINT)) t(x, y)"
+        ).fetchall()
+    con.close()
 
 
 def test_zorder_key_guards():

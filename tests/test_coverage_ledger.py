@@ -195,8 +195,15 @@ def test_bench_stdout_line_excludes_the_extras_map():
     the per-extra map — which grows with every registered operator — may
     only ever be written to BENCH_DETAIL.json, never into `result`."""
     src = (COVERAGE.parent / "bench.py").read_text()
-    result_block = src.split("result = {", 1)[1].split("}", 1)[0]
-    assert "queries_extra_steady_state" not in result_block
-    assert "queries_extra_total_steady_state" in result_block
+    # slice to the END of the result-dict assignment (the detail-copy
+    # line that follows it), NOT the first '}' — that brace closes the
+    # nested variance sub-dict and would leave later keys uninspected
+    # (r8 review: re-adding the extras map at the bottom of the dict
+    # would have passed the truncated guard)
+    result_block = src.split("result = {", 1)[1].split(
+        "detail = dict(result)", 1
+    )[0]
+    assert '"queries_extra_steady_state"' not in result_block
+    assert '"queries_extra_total_steady_state"' in result_block
     # the detail artifact still carries the full map
     assert 'detail["queries_extra_steady_state"] = extra' in src
