@@ -80,6 +80,16 @@ def power_iteration_ranks(
         )
     if scale < 10**6:
         raise ValueError(f"scale too small for meaningful floors ({scale})")
+    if scale > 9 * 10**16:
+        # r8 review: the headroom argument below assumes scale ≈ 10^12 —
+        # a node holding most of the mass makes score·damping_pct
+        # approach scale·100, which overflows int64 past ~9.2e16·100
+        # (ANSI mode: mid-iteration ARITHMETIC_OVERFLOW; non-ANSI:
+        # silent wraparound garbage "exact" ranks)
+        raise ValueError(
+            f"scale too large for int64 headroom ({scale}): "
+            "score*damping_pct must stay under 2^63 — use scale <= 9e16"
+        )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionAll(edges.select(F.col(dst).alias("node")))

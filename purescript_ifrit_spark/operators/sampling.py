@@ -51,6 +51,14 @@ def split_expr(
     and the dialect SPLIT function in functions/dialect_ext.py)."""
     if not weights:
         raise ValueError("weights must name at least one split")
+    for name, w in weights:
+        # r8 review: a negative weight passes the total check but makes
+        # the cumulative cutpoints non-monotone — the following split
+        # becomes unreachable and its neighbor silently absorbs its share
+        if w <= 0:
+            raise ValueError(
+                f"split weight for {name!r} must be positive (got {w})"
+            )
     total = sum(w for _, w in weights)
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1 (got {total})")
@@ -89,12 +97,32 @@ def hash_split_sql(
 ) -> str:
     """The ANSI-SQL twin of `hash_split` (same cutpoints, same md5 draw) —
     runnable by DuckDB/Spark SQL alike; used by the driver oracle."""
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    for name, w in weights:
+        if w <= 0:
+            raise ValueError(
+                f"split weight for {name!r} must be positive (got {w})"
+            )
+    total = sum(w for _, w in weights)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1 (got {total})")
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")  # SQL string-literal escaping
+
+    tail = f"'{q(weights[-1][0])}'"
+    if len(weights) == 1:
+        # r8 review: zero WHEN clauses ("CASE ELSE ... END") is a parse
+        # error on both engines; the Python twin's single-split answer
+        # is the bare tail literal
+        return tail
     draw = f"substr(md5({id_expr} || ':{salt}'), 1, 8)"
     cum, whens = 0.0, []
     for name, w in weights[:-1]:
         cum += w
-        whens.append(f"WHEN {draw} < '{_hex_cut(cum)}' THEN '{name}'")
-    return "CASE " + " ".join(whens) + f" ELSE '{weights[-1][0]}' END"
+        whens.append(f"WHEN {draw} < '{_hex_cut(cum)}' THEN '{q(name)}'")
+    return "CASE " + " ".join(whens) + f" ELSE {tail} END"
 
 
 def hash_sample(
@@ -161,11 +189,18 @@ def stratified_sample_sql(
     same cutpoints) — used by the driver oracle so engine and oracle can
     never drift."""
     draw = f"substr(md5({id_expr} || ':{salt}'), 1, 8)"
+    tail = f"'{_cut_or_all(default_fraction)}'"
+    if not fractions:
+        # r8 review: zero WHEN clauses is a parse error on both engines;
+        # the Python twin supports the default-fraction-only form
+        return f"{draw} < {tail}"
     whens = " ".join(
-        f"WHEN {stratum_expr} = '{s}' THEN '{_cut_or_all(f)}'"
+        # strata are DATA values — escape quotes (o'reilly.com is real)
+        f"WHEN {stratum_expr} = '{str(s).replace(chr(39), chr(39) * 2)}' "
+        f"THEN '{_cut_or_all(f)}'"
         for s, f in fractions.items()
     )
-    return f"{draw} < (CASE {whens} ELSE '{_cut_or_all(default_fraction)}' END)"
+    return f"{draw} < (CASE {whens} ELSE {tail} END)"
 
 
 def stratified_fixed_k(
@@ -258,7 +293,13 @@ def budget_sample(
         )
 
     if num_shards is None:
-        num_shards = df.sparkSession.sparkContext.defaultParallelism
+        # conf read, not sparkContext.defaultParallelism: the latter
+        # raises on Spark Connect, and the shuffle-partition count is
+        # the right default anyway (the sharded prefix-sum's exchange
+        # width is what the shard count should match — r8 review)
+        num_shards = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     d = df.withColumn("_bdraw", draw)
     if num_shards <= 1:
         w = Window.orderBy(*order).rowsBetween(
@@ -317,7 +358,12 @@ def shuffle_shards(
     from pyspark.sql import Window
 
     draw = _draw(F.col(id_col), salt)
-    shard = (F.conv(draw, 16, 10).cast("long") % n_shards).cast("int")
+    # NULL ids pin to shard 0 (the budget_sample convention, r8 review):
+    # conv(NULL)%n is NULL, which would mint an undocumented shard=NULL
+    # directory a "read shards 0..n-1" trainer loop never opens
+    shard = F.coalesce(
+        (F.conv(draw, 16, 10).cast("long") % n_shards).cast("int"), F.lit(0)
+    )
     w = Window.partitionBy("_shard").orderBy(
         F.col("_draw").asc(), F.col(id_col).asc()
     )

@@ -32,12 +32,19 @@ from pyspark.sql import functions as F
 def heavy_hitters_exact(df: DataFrame, col: str, k: int = 10) -> DataFrame:
     """Top-k most frequent values of `col` (count desc, value asc ties).
 
+    NULLs are excluded — the SAME universe the Misra-Gries twin
+    summarizes (r8 review: the exact side used to count the NULL group
+    as a top-k item while the sketch filtered it, so on NULL-heavy
+    columns every rank between the twins shifted by one and the
+    accuracy envelope compared different universes).
+
     One shuffle with map-side partial counts, then TakeOrdered — the right
     form whenever the distinct-value domain is shuffle-sized."""
     if k <= 0:
         raise ValueError(f"k must be positive (got {k})")
     return (
-        df.groupBy(F.col(col).alias("item"))
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("item"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("item").asc())
         .limit(k)
@@ -98,13 +105,22 @@ def group_overlap_exact(
     every group pair (group_a < group_b) — the corpus-diff report: how much
     does source X's content overlap source Y's?
 
+    NULL conventions (r8 review — the exact/sketch twin pair must
+    summarize ONE universe): NULL keys are excluded up front (they can
+    never match in the intersection join, so counting them in sizes
+    deflated Jaccard vs the minhash twin, which skips them inherently
+    via NULL md5 lanes); a group whose keys are all NULL therefore does
+    not participate. And EVERY surviving group pair is emitted —
+    zero-intersection pairs at jaccard 0.0 — matching both the
+    docstring contract and the sketch twin's all-pairs lane join.
+
     One distinct pass, one self-equi-join ON KEY (the join output is one
-    row per shared key per pair, never |A|×|B|), plus broadcast group
-    sizes. Quadratic only in the number of GROUPS (sources — tens), never
-    in rows."""
+    row per shared key per pair, never |A|×|B|), plus a broadcast
+    non-equi pair grid over the group-size table. Quadratic only in the
+    number of GROUPS (sources — tens), never in rows."""
     keys = df.select(
         F.col(group_col).alias("g"), F.col(key_col).alias("_k")
-    ).distinct()
+    ).filter(F.col(key_col).isNotNull()).distinct()
     sizes = keys.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         keys.select(F.col("g").alias("group_a"), "_k")
@@ -115,17 +131,21 @@ def group_overlap_exact(
     )
     sa = sizes.select(F.col("g").alias("group_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("g").alias("group_b"), F.col("sz").alias("sz_b"))
+    # group-sized pair grid: a broadcast non-equi join over the SIZE
+    # table (tens of rows), never over keys — the one sanctioned
+    # nested-loop shape, same bound as the sketch twin's lane join
+    pairs = sa.join(F.broadcast(sb), F.col("group_a") < F.col("group_b"))
     return (
-        inter.join(F.broadcast(sa), "group_a")
-        .join(F.broadcast(sb), "group_b")
+        pairs.join(F.broadcast(inter), ["group_a", "group_b"], "left")
         .select(
             "group_a",
             "group_b",
             (
-                F.col("n_inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast(
-                    "double"
-                )
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (
+                    F.col("sz_a") + F.col("sz_b")
+                    - F.coalesce(F.col("n_inter"), F.lit(0))
+                ).cast("double")
             ).alias("jaccard"),
         )
     )

@@ -758,14 +758,19 @@ def x_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_source_overlap_exact",
+    # full pair grid since r8 (zero-intersection pairs at 0.0 — the
+    # operator's all-pairs contract, matching the sketch twin)
     _TOK_CTE + ", k AS (SELECT DISTINCT source, t FROM tok WHERE t <> ''), "
     "sz AS (SELECT source, COUNT(*) AS n FROM k GROUP BY source), "
     "i AS (SELECT a.source AS group_a, b.source AS group_b, COUNT(*) AS ni "
-    "FROM k a JOIN k b ON a.t = b.t AND a.source < b.source GROUP BY 1, 2) "
-    "SELECT group_a, group_b, "
-    "ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard "
-    "FROM i JOIN sz sa ON sa.source = i.group_a "
-    "JOIN sz sb ON sb.source = i.group_b",
+    "FROM k a JOIN k b ON a.t = b.t AND a.source < b.source GROUP BY 1, 2), "
+    "p AS (SELECT sa.source AS group_a, sa.n AS na, "
+    "sb.source AS group_b, sb.n AS nb "
+    "FROM sz sa JOIN sz sb ON sa.source < sb.source) "
+    "SELECT p.group_a, p.group_b, "
+    "ROUND(COALESCE(ni, 0) * 1.0 / (na + nb - COALESCE(ni, 0)), 6) "
+    "AS jaccard FROM p LEFT JOIN i "
+    "ON i.group_a = p.group_a AND i.group_b = p.group_b",
 )
 def x_source_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise token-set Jaccard between sources (operators/

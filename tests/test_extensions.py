@@ -2092,10 +2092,117 @@ def test_group_overlap_sketch_tracks_exact(spark):
         for r in group_minhash_overlap(df, "g", "key", 64).collect()
     }
     assert exact[("A", "B")] == pytest.approx(50 / 150)
-    assert ("A", "C") not in exact  # zero intersection -> no row
+    # r8: all pairs emitted — zero intersection reads 0.0, matching the
+    # sketch twin's all-pairs lane join (it was silently absent before)
+    assert exact[("A", "C")] == 0.0
+    assert exact[("B", "C")] == 0.0
+    assert set(exact) == {("A", "B"), ("A", "C"), ("B", "C")}
     # 64 lanes: se ≈ 0.06; allow 3 se
     assert est[("A", "B")] == pytest.approx(exact[("A", "B")], abs=0.2)
     assert est.get(("A", "C"), 0.0) == pytest.approx(0.0, abs=0.1)
+
+
+def test_group_overlap_exact_null_keys_match_sketch_universe(spark):
+    """r8 review: NULL keys counted in sizes but never matched in the
+    intersection join, deflating Jaccard 3x vs the sketch twin on
+    identical sets — both twins must summarize the NULL-free universe."""
+    from purescript_ifrit_spark.operators.sketches import (
+        group_minhash_overlap,
+        group_overlap_exact,
+    )
+
+    rows = [("A", None), ("A", "x"), ("B", None), ("B", "x")]
+    df = spark.createDataFrame(rows, "g string, key string")
+    exact = {(r["group_a"], r["group_b"]): r["jaccard"]
+             for r in group_overlap_exact(df, "g", "key").collect()}
+    est = {(r["group_a"], r["group_b"]): r["est_jaccard"]
+           for r in group_minhash_overlap(df, "g", "key", 16).collect()}
+    assert exact[("A", "B")] == 1.0
+    assert est[("A", "B")] == 1.0
+
+
+def test_heavy_hitters_exact_excludes_nulls_like_mg(spark):
+    """r8 review: the exact twin counted the NULL group as a top-k item
+    while Misra-Gries filtered it — same universe now."""
+    from purescript_ifrit_spark.operators.sketches import (
+        heavy_hitters_exact,
+        heavy_hitters_mg,
+    )
+
+    rows = [(None,)] * 40 + [("a",)] * 30 + [("b",)] * 20 + [("c",)] * 10
+    df = spark.createDataFrame(rows, "v string")
+    ex = [(r["item"], r["n"]) for r in heavy_hitters_exact(df, "v", 3).collect()]
+    assert ex == [("a", 30), ("b", 20), ("c", 10)]
+    mg = [r["item"] for r in heavy_hitters_mg(df, "v", 3, capacity=16).collect()]
+    assert mg == ["a", "b", "c"]
+
+
+def test_sampling_sql_twins_edge_cases(spark):
+    """r8 review: the SQL twins emitted CASE with zero WHEN clauses on
+    single-split / empty-fractions inputs (a parse error on both
+    engines) while the Python twins handled those shapes; plus missing
+    weight validation and unescaped quotes in data-derived literals."""
+    import duckdb
+    import pytest
+
+    from purescript_ifrit_spark.operators.sampling import (
+        hash_split,
+        hash_split_sql,
+        split_expr,
+        stratified_sample_sql,
+    )
+
+    con = duckdb.connect()
+    # single split: bare literal, parseable, matches the Python twin
+    sql = hash_split_sql("x", (("all", 1.0),))
+    assert con.execute(f"SELECT {sql}").fetchone()[0] == "all"
+    # empty fractions: plain default-cut predicate, parseable
+    pred = stratified_sample_sql("7", "s", {}, default_fraction=0.5)
+    assert con.execute(
+        f"SELECT {pred} FROM (SELECT 'en' AS s)"
+    ).fetchone()[0] in (True, False)
+    # quote-bearing stratum and split names stay parseable
+    pred = stratified_sample_sql("7", "s", {"o'reilly": 1.0})
+    assert con.execute(
+        f"SELECT {pred} FROM (SELECT 'o''reilly' AS s)"
+    ).fetchone()[0] is True
+    sql = hash_split_sql("x", (("tr'ain", 0.5), ("te'st", 0.5)))
+    assert con.execute(f"SELECT {sql} FROM (SELECT 1 AS x)").fetchone()[0] in (
+        "tr'ain", "te'st"
+    )
+    con.close()
+    # validation parity: empty + negative weights rejected on BOTH twins
+    with pytest.raises(ValueError, match="at least one"):
+        hash_split_sql("x", ())
+    with pytest.raises(ValueError, match="positive"):
+        hash_split_sql("x", (("a", 0.5), ("b", -0.2), ("c", 0.7)))
+    with pytest.raises(ValueError, match="positive"):
+        split_expr(F.lit(1), (("a", 0.5), ("b", -0.2), ("c", 0.7)), "v1")
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        hash_split(df, "doc_id", weights=(("a", 1.5), ("b", -0.5)))
+
+
+def test_shuffle_shards_null_ids_pin_to_shard_zero(spark):
+    """r8 review: conv(NULL)%n is NULL, minting an undocumented
+    shard=NULL directory a 'read shards 0..n-1' loop never opens —
+    NULL ids pin to shard 0, the budget_sample convention."""
+    from purescript_ifrit_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "doc_id long")
+    out = {r["doc_id"]: r["shard"] for r in
+           shuffle_shards(df, "doc_id", n_shards=4).collect()}
+    assert out[None] == 0
+    assert all(v is not None for v in out.values())
+
+
+def test_power_iteration_scale_upper_bound():
+    import pytest
+
+    from purescript_ifrit_spark.operators.graph import power_iteration_ranks
+
+    with pytest.raises(ValueError, match="too large"):
+        power_iteration_ranks(None, scale=10**18)
 
 
 def test_sketches_on_empty(spark):
