@@ -29,12 +29,40 @@ from purescript_ifrit_spark.functions import text as X
 def _bucket_and_sign(tok_col, dim: int):
     """(bucket, sign) of a token under the hashing trick: bucket = the
     first 8 md5 hex digits mod dim; sign = ±1 from the 9th hex digit's
-    low bit. Engine-neutral (md5 + integer ops only)."""
+    low bit. Engine-neutral (md5 + integer ops only).
+
+    For the codegen'd explode+agg operators only — whole-stage codegen's
+    subexpression elimination dedupes the two md5 references. The
+    interpreted HOF paths (vectorize_expr / hash_margin_expr) must NOT
+    call this per fold step: HOF lambdas re-evaluate every subtree per
+    invocation, so they go through _bs_structs, which binds the 9-char
+    md5 prefix once per token (r8 review: 2·dim·n_tokens md5 calls per
+    row down to n_tokens)."""
     h8 = F.conv(F.substring(F.md5(tok_col), 1, 8), 16, 10).cast("long")
     bucket = (h8 % dim).cast("int")
     sign9 = F.conv(F.substring(F.md5(tok_col), 9, 1), 16, 10).cast("long")
     sign = F.when(sign9 % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
     return bucket, sign
+
+
+def _bs_structs(toks, dim: int):
+    """array<struct<b:int, s:long>> of (bucket, sign) per token, with the
+    md5 evaluated ONCE per token: the inner transform materializes the
+    9-hex-char prefix, the outer derives bucket and sign from that short
+    string — nested transforms evaluate the inner array once, so the
+    md5 count is n_tokens regardless of dim or fold width."""
+    pre = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 9))
+    return F.transform(
+        pre,
+        lambda h: F.struct(
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+             % dim).cast("int").alias("b"),
+            F.when(
+                F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)).cast("long").alias("s"),
+        ),
+    )
 
 
 def feature_hash_sparse(
@@ -74,14 +102,22 @@ def feature_hash_embed(
 
     Built FROM the sparse form: map_from_entries + a sequence transform
     densify per doc (vocabulary work is already done; this is one
-    scan-stage projection over the aggregated rows). `normalize` L2-scales
-    so cosine is an inner product downstream. Sparse↔dense equivalence is
+    scan-stage projection over the aggregated rows), then one id-keyed
+    left join back to the input so token-less docs get the ZERO vector
+    instead of no row at all (r8 review: the sparse form rightly holds
+    only non-zeros, but an embedding TABLE consumer expects one row per
+    document). `normalize` L2-scales so cosine is an inner product
+    downstream; the zero vector stays zero. Sparse↔dense equivalence is
     pinned in tests; use the sparse form for driver-comparable output."""
     sparse = feature_hash_sparse(df, id_col, text_col, dim)
-    entries = sparse.groupBy(id_col).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("bucket", "value"))
-        ).alias("_m")
+    entries = df.select(id_col).join(
+        sparse.groupBy(id_col).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "value"))
+            ).alias("_m")
+        ),
+        id_col,
+        "left",
     )
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -133,7 +169,11 @@ def linear_hash_score(
     `weights` is any (bucket:int, w:double) table — learned offline or a
     heuristic. It is vocabulary-free and at most `dim` rows, so it
     BROADCASTS; the corpus-side cost is one token explode + one broadcast
-    join + one doc-keyed aggregation with map-side partials. Output:
+    join + one doc-keyed aggregation with map-side partials, plus one
+    id-keyed left join back to the input so EVERY document gets a
+    decision (r8 review: token-less — empty/blank/NULL-text — docs used
+    to vanish from the output entirely, silently escaping the quality
+    gate; they now score margin = bias, keep ≡ bias ≥ 0). Output:
     (id, margin, score, keep)."""
     if dim <= 0:
         raise ValueError(f"dim must be positive (got {dim})")
@@ -149,7 +189,10 @@ def linear_hash_score(
     agg = joined.groupBy(F.col("_id").alias(id_col)).agg(
         (F.lit(float(bias)) + F.sum("_contrib")).alias("margin")
     )
-    return agg.select(
+    full = df.select(id_col).join(agg, id_col, "left").withColumn(
+        "margin", F.coalesce(F.col("margin"), F.lit(float(bias)))
+    )
+    return full.select(
         id_col,
         "margin",
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))).alias("score"),
@@ -187,14 +230,18 @@ def _toks_sql(x: str) -> str:
     return f"filter(split({norm}, ' '), t -> t <> '')"
 
 
-def _bucket_sql_frag(dim: int) -> str:
-    return f"(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {dim})"
-
-
-_SIGN_SQL_FRAG = (
-    "(CASE WHEN CAST(conv(substring(md5(t), 9, 1), 16, 10) AS BIGINT) "
-    "% 2 = 0 THEN 1L ELSE -1L END)"
-)
+def _bs_sql(x: str, dim: int) -> str:
+    """SQL twin of _bs_structs: array<struct<b, s>> with the md5 bound
+    once per token via the nested transform."""
+    return (
+        f"transform(transform({_toks_sql(x)}, "
+        "t -> substring(md5(t), 1, 9)), "
+        "h -> named_struct("
+        f"'b', CAST(CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT) "
+        f"% {dim} AS INT), "
+        "'s', CASE WHEN CAST(conv(substring(h, 9, 1), 16, 10) AS BIGINT) "
+        "% 2 = 0 THEN 1L ELSE -1L END))"
+    )
 
 
 def vectorize_expr(c, dim: int = VECTOR_DIM):
@@ -205,30 +252,34 @@ def vectorize_expr(c, dim: int = VECTOR_DIM):
     the explode+aggregate operator feature_hash_sparse/embed (equality of
     the two pinned in tests)."""
     toks = F.filter(X.tokens(c), lambda t: t != F.lit(""))
-
-    def coord(i):
-        def step(acc, t):
-            # the ONE hashing-trick recipe (shared with the explode+agg
-            # operators) — a drifting duplicate here would silently break
-            # the pinned VECTORIZE == feature_hash_sparse equality
-            b, s = _bucket_and_sign(t, dim)
-            return acc + F.when(b == i.cast("int"), s).otherwise(0)
-
-        return F.aggregate(
-            toks, F.lit(0).cast("long"), step
-        ).cast("double")
-
-    return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), coord)
+    # one md5 per token (_bs_structs), then ONE fold building the whole
+    # dim-array via the index-aware transform lambda — the old
+    # per-coordinate aggregates re-evaluated the token hashes dim times
+    # (r8 review). Same (bucket, sign) recipe as the explode+agg
+    # operators; the pinned VECTORIZE == feature_hash_sparse equality
+    # holds bit-for-bit.
+    bs = _bs_structs(toks, dim)
+    vec = F.aggregate(
+        bs,
+        F.array_repeat(F.lit(0).cast("long"), dim),
+        lambda acc, p: F.transform(
+            acc,
+            lambda x, i: x + F.when(
+                p["b"] == i.cast("int"), p["s"]
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    return F.transform(vec, lambda v: v.cast("double"))
 
 
 def vectorize_sql(x: str, dim: int = VECTOR_DIM) -> str:
     """Spark-SQL twin of vectorize_expr (for the SQL emitter backend)."""
     return (
-        f"transform(sequence(0, {dim - 1}), i -> "
-        f"CAST(aggregate({_toks_sql(x)}, 0L, "
-        f"(acc, t) -> acc + (CASE WHEN {_bucket_sql_frag(dim)} = "
-        f"CAST(i AS BIGINT) THEN {_SIGN_SQL_FRAG} "
-        f"ELSE 0L END)) AS DOUBLE))"
+        f"transform(aggregate({_bs_sql(x, dim)}, "
+        f"array_repeat(0L, {dim}), "
+        "(acc, p) -> transform(acc, (v, i) -> v + "
+        "(CASE WHEN p.b = CAST(i AS INT) THEN p.s ELSE 0L END))), "
+        "v -> CAST(v AS DOUBLE))"
     )
 
 
@@ -239,21 +290,21 @@ def hash_margin_expr(c, dim: int = VECTOR_DIM):
     QUALITY_SCORE form of linear_hash_score (equality with the operator
     under the same weights table pinned in tests)."""
     toks = F.filter(X.tokens(c), lambda t: t != F.lit(""))
+    bs = _bs_structs(toks, dim)  # md5 once per token (r8 review)
 
-    def step(acc, t):
-        b, s = _bucket_and_sign(t, dim)
-        w = (b.cast("long") * _W_MULT) % _W_MOD - _W_OFF
-        return acc + s.cast("long") * w
+    def step(acc, p):
+        w = (p["b"].cast("long") * _W_MULT) % _W_MOD - _W_OFF
+        return acc + p["s"] * w
 
-    return F.aggregate(toks, F.lit(0).cast("long"), step)
+    return F.aggregate(bs, F.lit(0).cast("long"), step)
 
 
 def hash_margin_sql(x: str, dim: int = VECTOR_DIM) -> str:
     """Spark-SQL twin of hash_margin_expr."""
-    w = f"(({_bucket_sql_frag(dim)} * {_W_MULT}L) % {_W_MOD} - {_W_OFF})"
+    w = f"((CAST(p.b AS BIGINT) * {_W_MULT}L) % {_W_MOD} - {_W_OFF})"
     return (
-        f"aggregate({_toks_sql(x)}, 0L, "
-        f"(acc, t) -> acc + {_SIGN_SQL_FRAG} * {w})"
+        f"aggregate({_bs_sql(x, dim)}, 0L, "
+        f"(acc, p) -> acc + p.s * {w})"
     )
 
 

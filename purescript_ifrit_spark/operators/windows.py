@@ -10,6 +10,8 @@ both hold at 1000 executors as long as no single user/window dominates
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -247,9 +249,12 @@ def moving_avg(
         .rowsBetween(-n_preceding, Window.currentRow)
     )
     dec = F.col(value_col).cast("decimal(18,6)")
+    # denominator counts VALUES, not rows (r8 review): sum() skips NULL
+    # values, so dividing by the row count biased the average low on any
+    # frame containing NULLs; an all-NULL frame yields NULL (NULL sum)
     return df.withColumn(
         "mavg",
-        (F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w)),
+        (F.sum(dec).over(w).cast("double") / F.count(dec).over(w)),
     )
 
 
@@ -322,7 +327,9 @@ def value_histogram(
         (b * F.lit(float(bin_width))).alias("bin_lo"),
     ]
     return (
-        df.filter(v.isNotNull())
+        # NaN passes isNotNull but floor(NaN)::long is 0 — it would be
+        # silently filed into bin 0 (r8 review); like NULL, it has no bin
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
         .drop("bin")
@@ -349,8 +356,11 @@ def winsorize(
     documents."""
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError(f"need 0 <= lower < upper <= 1 (got {lower}, {upper})")
-    pcts = F.expr(
-        f"percentile({value_col}, array({lower}D, {upper}D))"
+    # Column reference, not raw-name interpolation into F.expr (r8
+    # review: a space/reserved-word column name broke the parse, and a
+    # crafted name could inject into the aggregate)
+    pcts = F.percentile(
+        F.col(value_col), F.array(F.lit(float(lower)), F.lit(float(upper)))
     )
     if group_col is None:
         bounds = df.agg(
@@ -358,13 +368,26 @@ def winsorize(
         )
         joined = df.crossJoin(F.broadcast(bounds))
     else:
-        bounds = df.groupBy(group_col).agg(
-            pcts[0].alias("_lo"), pcts[1].alias("_hi")
-        )
-        joined = df.join(F.broadcast(bounds), group_col)
-    return joined.withColumn(
-        f"{value_col}_clipped",
+        # eqNullSafe join (r8 review): a plain equi-join dropped every
+        # NULL-group row from the OUTPUT — "without dropping rows" is
+        # the operator's contract, and groupBy had computed NULL-group
+        # bounds anyway
+        bounds = df.groupBy(
+            F.col(group_col).alias("_wg")
+        ).agg(pcts[0].alias("_lo"), pcts[1].alias("_hi"))
+        joined = df.join(
+            F.broadcast(bounds),
+            F.col(group_col).eqNullSafe(F.col("_wg")),
+        ).drop("_wg")
+    # NULL values stay NULL (r8 review): greatest/least SKIP null
+    # arguments, so a missing value was silently fabricated into the
+    # lower bound
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
         F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+    )
+    return joined.withColumn(
+        f"{value_col}_clipped", clipped
     ).drop("_lo", "_hi")
 
 
@@ -394,4 +417,15 @@ def quantile_normalize(
         Window.partitionBy(group_col) if group_col is not None
         else Window.partitionBy()
     ).orderBy(F.col(value_col).asc())
-    return df.withColumn(out_col, F.percent_rank().over(w))
+    # NULL values propagate as NULL and are EXCLUDED from the ranked
+    # frame (r8 review: NULLs sorted first used to take percent_rank
+    # 0.0 — indistinguishable from the group minimum — while shifting
+    # every real value's rank). Split-rank-union: the window runs on
+    # the non-NULL branch only, same single exchange.
+    nn = df.filter(F.col(value_col).isNotNull()).withColumn(
+        out_col, F.percent_rank().over(w)
+    )
+    nulls = df.filter(F.col(value_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return nn.unionByName(nulls)

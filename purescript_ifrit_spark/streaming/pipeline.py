@@ -100,16 +100,59 @@ def enrich_with_static_dim(stream: DataFrame, dim: DataFrame, on) -> DataFrame:
     return stream.join(F.broadcast(dim), on, "left")
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def _make_totals_update(idle_ttl_ms):
+    """The applyInPandasWithState update fn for running_user_totals,
+    factored out so the timeout-eviction branch is unit-testable with a
+    fake GroupState (a live ProcessingTimeTimeout cannot run under an
+    availableNow replay — see running_user_totals)."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            # idle past the TTL: evict — this is the state bound
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if idle_ttl_ms is not None:
+            state.setTimeoutDuration(int(idle_ttl_ms))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return update
+
+
+def running_user_totals(
+    events: DataFrame, *, idle_ttl_ms=None
+) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     event count and value total, emitted as an update on every micro-batch.
 
     This is the template for operators Spark's built-ins can't express
     (counters, custom decay, online sketches): state is one row per key,
-    Arrow-batched per group, bounded by processing-time timeout. At scale
-    state lives in the state store partitioned by user_id — no driver
-    involvement."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    Arrow-batched per group. At scale state lives in the state store
+    partitioned by user_id — no driver involvement.
+
+    State bound (r8 review follow-through, with a measured caveat): pass
+    `idle_ttl_ms` to configure a processing-time timeout — a key idle
+    that long has its state REMOVED (totals restart if it reappears;
+    the standard bounded-state trade). LIVE deployments with churning
+    key domains (anonymous/session ids) should always set it — without
+    a TTL the state store grows monotonically with every key ever seen.
+    The default is None (NoTimeout) because of a measured Spark
+    behavior, not preference: under an availableNow REPLAY a configured
+    ProcessingTimeTimeout keeps the query scheduling timeout-check
+    batches forever — the replay NEVER terminates (reproduced on a
+    50-row stream; >90 s of empty batches before being killed). Bounded
+    replays — every suite entry and batch-equivalence test — therefore
+    run un-timed-out, and the eviction branch is pinned by a unit test
+    on the factored-out update fn (_make_totals_update)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = T.StructType(
         [
@@ -125,26 +168,18 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         ]
     )
 
-    def update(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        n, total = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
-        )
-
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            update,
+            _make_totals_update(idle_ttl_ms),
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

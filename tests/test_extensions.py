@@ -2333,8 +2333,12 @@ def test_feature_hash_sparse_dense_equivalence(spark):
     for r in sparse.collect():
         sp.setdefault(r["doc_id"], {})[r["bucket"]] = r["value"]
     dn = {r["doc_id"]: r["embedding"] for r in dense.collect()}
-    assert set(sp) == set(dn)  # blank doc appears in neither
+    # r8: the sparse form rightly holds only non-zeros (blank doc has
+    # none), but the dense TABLE has one row per document — the blank
+    # doc gets the zero vector instead of silently vanishing
     assert 3 not in sp
+    assert set(dn) == {1, 2, 3}
+    assert dn[3] == [0.0] * 16
     for doc, coords in sp.items():
         nrm = math.sqrt(sum(v * v for v in coords.values()))
         for b in range(16):
@@ -2480,6 +2484,84 @@ def test_ngram_novelty_known_values_and_short_docs(spark):
     assert out[2]["novelty"] == pytest.approx(0.75)
     with pytest.raises(ValueError):
         ngram_novelty(df, n=0)
+
+
+def test_windows_null_nan_conventions(spark):
+    """r8 review regressions (all empirically confirmed against the old
+    code): (a) winsorize fabricated NULL values into the lower bound
+    (greatest/least skip NULLs) and dropped NULL-group rows whole (plain
+    equi-join); (b) moving_avg divided the NULL-skipping sum by the row
+    count; (c) value_histogram filed NaN into bin 0
+    (floor(NaN)::long = 0); (d) quantile_normalize gave NULLs percent
+    rank 0.0 while shifting every real value's rank."""
+    from purescript_ifrit_spark.operators.windows import (
+        moving_avg,
+        quantile_normalize,
+        value_histogram,
+        winsorize,
+    )
+
+    # (a) NULL value stays NULL; NULL-group row survives with its bounds
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", None),
+         (None, 5.0), (None, 6.0)],
+        "grp string, v double",
+    )
+    out = winsorize(df, "v", "grp", 0.0, 1.0)
+    rows = out.collect()
+    assert len(rows) == 6  # the NULL-group rows are NOT dropped
+    by = [(r["grp"], r["v"], r["v_clipped"]) for r in rows]
+    assert ("g", None, None) in by
+    assert ("g", 1.0, 1.0) in by and (None, 5.0, 5.0) in by
+
+    # (b) the trailing average divides by the VALUE count
+    ev = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (1, 3, 20.0)],
+        "user_id long, event_id long, v double",
+    )
+    ev = ev.withColumn("ts", F.timestamp_seconds(F.col("event_id")))
+    m = {r["event_id"]: r["mavg"] for r in
+         moving_avg(ev, "user_id", "ts", "v").collect()}
+    assert m[1] == 10.0 and m[2] == 10.0 and m[3] == 15.0
+
+    # (c) NaN has no bin
+    h = spark.createDataFrame(
+        [(float("nan"),), (5.0,), (None,)], "v double"
+    )
+    bins = {r["bin_lo"]: r["n"] for r in
+            value_histogram(h, "v", bin_width=10.0).collect()}
+    assert bins == {0.0: 1}
+
+    # (d) NULL values keep NULL ranks and real ranks are undistorted
+    q = spark.createDataFrame(
+        [("a", None), ("a", 5.0), ("a", 9.0)], "grp string, v double"
+    )
+    got = {r["v"]: r["v_qn"] for r in
+           quantile_normalize(q, "v", "grp").collect()}
+    assert got[None] is None
+    assert got[5.0] == 0.0 and got[9.0] == 1.0
+
+
+def test_linear_hash_score_scores_tokenless_docs(spark):
+    """r8 review: empty/blank/NULL-text docs emitted no decision row at
+    all — a quality gate must judge EVERY document (margin = bias)."""
+    from purescript_ifrit_spark.operators.vectorize import (
+        linear_hash_score,
+        margin_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    w = margin_weights(spark, 16)
+    for bias, want_keep in ((1.5, True), (-1.5, False)):
+        out = {r["doc_id"]: r for r in
+               linear_hash_score(df, w, dim=16, bias=bias).collect()}
+        assert set(out) == {1, 2, 3}
+        for d in (2, 3):
+            assert out[d]["margin"] == bias
+            assert out[d]["keep"] is want_keep
 
 
 def test_winsorize_bounds_and_groups(spark):
@@ -4469,3 +4551,51 @@ def test_privacy_operators_cap_and_suppress(spark):
         contribution_cap(df, "user", 0, [F.col("seq")])
     with _p.raises(ValueError):
         kanon_suppress(groups, ["lang"], 0)
+
+
+def test_running_user_totals_timeout_eviction_branch():
+    """r8 review: the stateful-totals docstring promised timeout-bounded
+    state while the code passed NoTimeout. The TTL is now opt-in
+    (a configured ProcessingTimeTimeout makes availableNow replays loop
+    forever on timeout-check batches — measured; see the operator
+    docstring), so the eviction branch is pinned HERE with a fake
+    GroupState: timed-out keys remove their state and emit nothing;
+    live keys re-arm the timeout."""
+    from purescript_ifrit_spark.streaming.pipeline import _make_totals_update
+
+    class FakeState:
+        def __init__(self, timed_out, existing=None):
+            self.hasTimedOut = timed_out
+            self.exists = existing is not None
+            self.get = existing
+            self.removed = False
+            self.updated = None
+            self.timeout_ms = None
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    import pandas as pd
+
+    # timed-out key: state removed, nothing emitted
+    st = FakeState(timed_out=True, existing=(5, 10.0))
+    out = list(_make_totals_update(1000)((7,), iter(()), st))
+    assert out == [] and st.removed and st.updated is None
+
+    # live key with TTL: totals accumulate, timeout re-armed
+    st = FakeState(timed_out=False, existing=(2, 3.0))
+    pdf = pd.DataFrame({"value": [1.0, 2.0]})
+    out = list(_make_totals_update(60_000)((7,), iter((pdf,)), st))
+    assert st.updated == (4, 6.0) and st.timeout_ms == 60_000
+    assert out[0]["n_events"][0] == 4
+
+    # no TTL (the bounded-replay mode): no timeout configured
+    st = FakeState(timed_out=False)
+    list(_make_totals_update(None)((7,), iter((pdf,)), st))
+    assert st.timeout_ms is None and st.updated == (2, 3.0)
