@@ -103,7 +103,14 @@ def asof_join(
         right.schema[right_tiebreak].dataType if right_tiebreak else T.StringType()
     )
     r2 = (
-        right.filter(F.col(right_ts).isNotNull())
+        # NULL join keys never match (r8 review): the window encoding
+        # PARTITIONS by key, and partitionBy groups NULLs together —
+        # without this filter a NULL-key left row would take a NULL-key
+        # right row's payload, diverging from equi-join semantics and
+        # from the sibling range/interval joins. Filtering the RIGHT
+        # side only keeps `how="left"` intact: NULL-key left rows
+        # simply find no payload in their partition.
+        right.filter(F.col(right_ts).isNotNull() & F.col(on).isNotNull())
         .select(
             F.col(on).alias("_k"),
             _us(F.col(right_ts), r_ts_type).alias("_t"),
@@ -167,6 +174,7 @@ def range_join_points(
     payload: Optional[Sequence[str]] = None,
     max_span_buckets: int = 1024,
     suffix: str = "_r",
+    on_over_span: str = "error",
 ) -> DataFrame:
     """Inner-join each point row to every interval row with the same `on`
     key satisfying start <= ts < end (end-exclusive).
@@ -177,12 +185,19 @@ def range_join_points(
     BroadcastNestedLoop/cartesian ever. Each match is produced exactly once
     (the point's bucket is unique). Pick `bucket_width_us` near the typical
     interval span: replication per interval is ceil(span/width) (+1 for
-    alignment). Intervals longer than `max_span_buckets` buckets are
-    dropped (guarded default against unbounded fan-out) — raise the cap
-    explicitly for genuinely long-lived intervals.
+    alignment). Intervals of `max_span_buckets` or more buckets FAIL THE
+    TASK via an in-plan assert_true (r8 review: the module's loud-guard
+    policy — interval_join's docstring names this exact silent filter as
+    data loss, and the sibling kept it); pass on_over_span="drop" to opt
+    into dropping such intervals whole, or raise max_span_buckets for
+    genuinely long-lived intervals.
     """
     if bucket_width_us <= 0:
         raise ValueError(f"bucket_width_us must be positive (got {bucket_width_us})")
+    if on_over_span not in ("error", "drop"):
+        raise ValueError(
+            f"on_over_span must be 'error' or 'drop' (got {on_over_span!r})"
+        )
     if payload is None:
         payload = [
             c for c in intervals.columns if c not in (on, start_col, end_col)
@@ -201,8 +216,31 @@ def range_join_points(
         .filter(e_us > s_us)  # empty/inverted intervals match nothing
         .withColumn("_b0", F.floor(s_us / W))
         .withColumn("_b1", F.floor((e_us - F.lit(1)) / W))
-        .filter((F.col("_b1") - F.col("_b0")) < F.lit(max_span_buckets))
-        .withColumn("_b", F.explode(F.sequence(F.col("_b0"), F.col("_b1"))))
+    )
+    if on_over_span == "drop":
+        i2 = i2.filter(
+            (F.col("_b1") - F.col("_b0")) < F.lit(max_span_buckets)
+        )
+        b1 = F.col("_b1")
+    else:
+        # loud guard riding the CONSUMED expression (the interval_join /
+        # fill_gaps_locf pattern): assert_true returns NULL on pass
+        span_ok = F.assert_true(
+            (F.col("_b1") - F.col("_b0")) < F.lit(max_span_buckets),
+            F.concat(
+                F.lit(
+                    "range_join_points: interval spans >= "
+                    f"max_span_buckets={max_span_buckets} buckets of "
+                    f"{bucket_width_us}us (its point matches would drop "
+                    "silently) — raise max_span_buckets or pass "
+                    "on_over_span='drop'; key "
+                ),
+                F.col(on).cast("string"),
+            ),
+        )
+        b1 = F.when(span_ok.isNull(), F.col("_b1"))
+    i2 = (
+        i2.withColumn("_b", F.explode(F.sequence(F.col("_b0"), b1)))
         .select(
             F.col(on).alias("_ik"),
             F.col("_b"),

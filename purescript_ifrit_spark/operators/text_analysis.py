@@ -295,10 +295,16 @@ def pack_bin(cum, tokens_col: str, pack_size: int):
     inclusive cumulative token sum `cum` over the packing order, the bin
     is floor((cum - row_tokens) / pack_size) — i.e. the bin the row's
     FIRST token lands in. Kept as one kernel so the per-shard pipeline
-    packing can never drift from the individually-verified operator."""
-    return F.floor(
-        (cum - F.col(tokens_col)) / F.lit(pack_size)
-    ).cast("long")
+    packing can never drift from the individually-verified operator.
+
+    Exact integer division (functions/text._idiv, r8 review): the start
+    offset and pack_size are exact longs, and floor(double_div) can be
+    off by one once the cumulative sum passes ~2^52 — precisely the
+    off-by-one _idiv's docstring names; at corpus scale cumulative
+    token counts DO pass 2^52."""
+    from purescript_ifrit_spark.functions.text import _idiv
+
+    return _idiv(cum - F.col(tokens_col), F.lit(pack_size)).cast("long")
 
 
 def pack_sequences(
@@ -340,6 +346,18 @@ def pack_sequences(
         lo, hi = bounds["lo"], bounds["hi"]
         if lo is None:
             num_shards = 1  # empty input (or all-NULL lead): nothing to shard
+        elif isinstance(hi, float) and (hi != hi or lo != lo):
+            # NaN lead values (r8 review): max() returns NaN, the span
+            # fallback would silently send every row through an
+            # unnormalized fraction while the global window sorts NaN
+            # LAST — contiguity (and therefore the bit-identical global
+            # cumsum) breaks. Loud, like the non-numeric guard below.
+            raise ValueError(
+                f"pack_sequences leading order column {lead!r} contains "
+                "NaN — shard contiguity (and the global-window "
+                "equivalence) is undefined; clean the column or pass "
+                "num_shards=1"
+            )
         elif not isinstance(lo, (int, float)) or isinstance(lo, bool):
             # explicit guard for str/timestamp/date/decimal leads — without
             # it a timestamp column dies later in interval arithmetic with
@@ -399,7 +417,16 @@ def chunk_documents(
     return df.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
-    ).withColumn("chunk_tokens", F.size(F.split(F.col("chunk_text"), " ")))
+    ).withColumn(
+        # the module's token-count identity, NOT size(split(...)): that
+        # form reports 1 for the empty chunk of a blank document and
+        # NULL for a NULL one (r8 review) — content-free chunks would
+        # consume packing budget / poison pack ids downstream; the
+        # coalesce covers the NULL-text chunk (token_count propagates
+        # NULL input)
+        "chunk_tokens",
+        F.coalesce(X.token_count(F.col("chunk_text")), F.lit(0)),
+    )
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -588,16 +615,21 @@ def unigram_logprob(
     token. Spark does NOT stage-share the two uses of the token stream
     (measured: no ReusedExchange), so everything self-referential here is
     either pre-aggregated or computed scan-stage instead of re-exploded."""
-    toks = df.select(
-        F.col(id_col).alias("_doc"),
-        F.explode(X.tokens(F.col(text_col))).alias("term"),
-    ).filter(F.col("term") != "")
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_ctok"))
+    # pre-aggregated per-(term, doc) counts (r8 review): the scoring
+    # join and the doc-keyed aggregate carry one row per DISTINCT
+    # (term, doc) instead of one per token occurrence — typically
+    # several-fold fewer rows through the term join — and the shared
+    # _per_doc_term_counts kernel keeps tokenization identical to
+    # term_stats/tfidf_topk. xent = Σ tf·(−ln p) / Σ tf is the same
+    # mean over occurrences, re-associated (drift bounded by summation
+    # order, the operator's stated tolerance).
+    per_doc = _per_doc_term_counts(df, id_col, text_col)
+    vocab = per_doc.groupBy("term").agg(F.sum("tf_doc").alias("_ctok"))
     total = df.agg(
         F.sum(X.token_count(F.col(text_col))).alias("_ntok")
     )
     scored = (
-        toks.join(vocab, "term")
+        per_doc.join(vocab, "term")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "_nll",
@@ -607,8 +639,11 @@ def unigram_logprob(
         )
     )
     return scored.groupBy(F.col("_doc").alias(id_col)).agg(
-        (F.sum("_nll") / F.count(F.lit(1)).cast("double")).alias("xent"),
-        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.sum(F.col("tf_doc").cast("double") * F.col("_nll"))
+            / F.sum("tf_doc").cast("double")
+        ).alias("xent"),
+        F.sum("tf_doc").alias("n_tokens"),
     )
 
 
@@ -644,10 +679,16 @@ def bigram_logprob(
             )
         ).alias("_p"),
     ).select("_doc", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
-    vocab2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    # per-(doc, pair) pre-aggregation (r8 review, the unigram_logprob
+    # move): the pair join carries distinct (doc, w1, w2) rows, not one
+    # row per bigram occurrence
+    pd2 = pairs.groupBy("_doc", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("_tf2")
+    )
+    vocab2 = pd2.groupBy("w1", "w2").agg(F.sum("_tf2").alias("_c12"))
     ctx = vocab2.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     scored = (
-        pairs.join(vocab2, ["w1", "w2"])
+        pd2.join(vocab2, ["w1", "w2"])
         .join(ctx, "w1")
         .withColumn(
             "_nll",
@@ -655,8 +696,11 @@ def bigram_logprob(
         )
     )
     return scored.groupBy(F.col("_doc").alias(id_col)).agg(
-        (F.sum("_nll") / F.count(F.lit(1)).cast("double")).alias("xent2"),
-        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(F.col("_tf2").cast("double") * F.col("_nll"))
+            / F.sum("_tf2").cast("double")
+        ).alias("xent2"),
+        F.sum("_tf2").alias("n_bigrams"),
     )
 
 
@@ -1123,7 +1167,11 @@ def vocab_growth(
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1 (got {checkpoint_every})")
     cp = (
-        F.expr(f"(({id_col} div {checkpoint_every}) + 1) * {checkpoint_every}")
+        # backquoted reference (r8 review): a raw f-string name parses
+        # `doc-id` as subtraction and breaks on spaces/reserved words
+        F.expr(
+            f"((`{id_col}` div {checkpoint_every}) + 1) * {checkpoint_every}"
+        )
         .cast("long")
         .alias("checkpoint")
     )

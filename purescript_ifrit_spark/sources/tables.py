@@ -67,9 +67,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
-            # integer `div`, NOT `/`: float division of ~1.7e18 ns loses
-            # precision beyond 2^53 and lands ±1 µs off
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # integer FLOOR division, NOT `/` and not bare `div`: float
+            # division of ~1.7e18 ns loses precision beyond 2^53, and
+            # `div` truncates toward zero — which shifts PRE-epoch
+            # timestamps +1µs relative to floor semantics (r8 review:
+            # -1500ns must be -2µs, not -1µs, or every flooring bucket
+            # disagrees on pre-1970 rows). pmod is sign-safe.
+            df = df.withColumn(
+                "ts",
+                F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"),
+            )
         elif isinstance(ts_type, T.TimestampNTZType):
             _require_utc_session(spark)
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -321,14 +328,19 @@ def read_jsonl_corpus(
     A source field literally named `doc_id` (common in shipped corpora)
     is preserved as `doc_id_raw` so the engine's id column never
     collides with it — pass id_field="doc_id" to derive ids from it.
-    Malformed lines surface under the json source's PERMISSIVE default:
-    a `_corrupt_record` column when inference is on, nulls when a schema
-    is passed — filter or count them explicitly; at corpus scale a
-    poison line must not kill the job."""
+    Malformed lines surface under the json source's PERMISSIVE default
+    as a `_corrupt_record` column holding the raw line — in BOTH modes
+    since r8: the explicit-schema path appends the column to the
+    declared schema (Spark only populates it when it is declared), so
+    schema-first reads no longer reduce a poison line to an
+    indistinguishable all-null row. Filter or count corrupt rows
+    explicitly; at corpus scale a poison line must not kill the job."""
     from pyspark.sql import functions as F
 
     reader = spark.read
     if schema is not None:
+        if "_corrupt_record" not in schema:
+            schema = schema + ", _corrupt_record string"
         reader = reader.schema(schema)
     df = reader.json(path)
     if "doc_id" in df.columns:
@@ -355,7 +367,16 @@ def read_jsonl_corpus(
         )
     else:
         payload = [c for c in df.columns if c != "_corrupt_record"]
-        doc_id = F.xxhash64(F.to_json(F.struct(*sorted(payload))))
+        content = F.to_json(F.struct(*sorted(payload)))
+        # malformed lines parse to ALL-NULL payload rows, and to_json
+        # drops null fields — every corrupt line would share
+        # xxhash64('{}'), the exact collapse the id_field branch above
+        # guards against (r8 review). Hash the RAW line for corrupt
+        # rows instead: distinct garbage stays distinct, identical
+        # garbage collapses (consistent with content-derived ids).
+        if "_corrupt_record" in df.columns:
+            content = F.coalesce(F.col("_corrupt_record"), content)
+        doc_id = F.xxhash64(content)
     return df.select(doc_id.alias("doc_id"), "*")
 
 

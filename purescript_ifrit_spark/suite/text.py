@@ -94,7 +94,7 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c AS (SELECT doc_id, toks, UNNEST(range(1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS BIGINT))) AS i FROM t) "
     "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
     "array_to_string(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], ' ') AS chunk_text, "
-    "CAST(len(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)]) AS BIGINT) AS chunk_tokens "
+    "CAST(len(list_filter(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], t -> t <> '')) AS BIGINT) AS chunk_tokens "
     "FROM c",
 )
 def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +117,7 @@ def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"string_split({_NORM_SQL}, ' ') AS toks FROM documents), "
     "c AS (SELECT doc_id, toks, UNNEST(range(1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS BIGINT))) AS i FROM t), "
     "ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
-    "CAST(len(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)]) AS BIGINT) AS chunk_tokens FROM c) "
+    "CAST(len(list_filter(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], t -> t <> '')) AS BIGINT) AS chunk_tokens FROM c) "
     "SELECT doc_id, chunk_idx, chunk_tokens, "
     "CAST(floor((SUM(chunk_tokens) OVER (ORDER BY doc_id, chunk_idx "
     "ROWS UNBOUNDED PRECEDING) - chunk_tokens) / 512.0) AS BIGINT) AS pack_id "
@@ -785,7 +785,7 @@ def x_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"string_split({_NORM_SQL}, ' ') AS toks FROM documents), "
     "c AS (SELECT doc_id, toks, UNNEST(range(1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS BIGINT))) AS i FROM t), "
     "ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
-    "CAST(len(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)]) AS BIGINT) AS chunk_tokens FROM c), "
+    "CAST(len(list_filter(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], t -> t <> '')) AS BIGINT) AS chunk_tokens FROM c), "
     "p AS (SELECT chunk_tokens, "
     "CAST(floor((SUM(chunk_tokens) OVER (ORDER BY doc_id, chunk_idx "
     "ROWS UNBOUNDED PRECEDING) - chunk_tokens) / 512.0) AS BIGINT) AS pack_id "
@@ -883,7 +883,7 @@ def x_truncate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c AS (SELECT doc_id, toks, UNNEST(range(1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS BIGINT))) AS i FROM t), "
     "ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
     "array_to_string(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], ' ') AS chunk_text, "
-    "CAST(len(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)]) AS BIGINT) AS chunk_tokens FROM c), "
+    "CAST(len(list_filter(toks[CAST(i*56+1 AS INT):CAST(i*56+64 AS INT)], t -> t <> '')) AS BIGINT) AS chunk_tokens FROM c), "
     "p AS (SELECT doc_id, chunk_idx, chunk_text, "
     "CAST(floor((SUM(chunk_tokens) OVER (ORDER BY doc_id, chunk_idx "
     "ROWS UNBOUNDED PRECEDING) - chunk_tokens) / 512.0) AS BIGINT) AS pack_id "

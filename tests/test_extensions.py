@@ -4599,3 +4599,35 @@ def test_running_user_totals_timeout_eviction_branch():
     st = FakeState(timed_out=False)
     list(_make_totals_update(None)((7,), iter((pdf,)), st))
     assert st.timeout_ms is None and st.updated == (2, 3.0)
+
+
+def test_chunk_documents_blank_chunk_counts_zero_tokens(spark):
+    """r8 review: size(split('', ' ')) is 1, so a blank document's single
+    empty chunk consumed one token of packing budget (and a NULL text
+    made chunk_tokens NULL, poisoning downstream pack ids)."""
+    from purescript_ifrit_spark.operators.text_analysis import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "three tokens here"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["chunk_idx"]): r["chunk_tokens"]
+           for r in chunk_documents(df, chunk_tokens=8, overlap=2).collect()}
+    assert out[(1, 0)] == 3
+    assert out[(2, 0)] == 0
+    assert out.get((3, 0), 0) == 0  # NULL text: zero-token chunk or none
+
+
+def test_pack_sequences_rejects_nan_lead(spark):
+    """r8 review: a NaN in a float leading order column defeated the
+    span>0 fallback (nan > 0 is False) while the global window sorts
+    NaN last — shard contiguity broke silently. Loud now."""
+    import pytest
+
+    from purescript_ifrit_spark.operators.text_analysis import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1.0, 5), (float("nan"), 5), (2.0, 5)], "lead double, tok long"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        pack_sequences(df, "tok", ("lead",), 16, num_shards=4)

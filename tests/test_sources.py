@@ -458,3 +458,27 @@ def test_compact_parquet_with_sort_establishes_clustering(spark, sf_dir, tmp_pat
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # disjoint per-file ranges: footer min/max tight
+
+
+def test_jsonl_corrupt_lines_keep_distinct_content_ids(spark, tmp_path):
+    """r8 review: malformed lines parse to all-null payload rows and
+    to_json drops null fields, so every corrupt line shared
+    xxhash64('{}') — the exact collapse the id_field branch guards
+    against. Corrupt rows now hash their RAW line: distinct garbage
+    stays distinct; identical garbage collapses (content-derived)."""
+    from purescript_ifrit_spark.sources.tables import read_jsonl_corpus
+
+    p = tmp_path / "c.jsonl"
+    p.write_text(
+        '{"a": 1, "b": "x"}\n'
+        "this is not json at all\n"
+        "neither { is this\n"
+        "this is not json at all\n"
+    )
+    out = read_jsonl_corpus(
+        spark, str(p), schema="a int, b string"
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == 4 and None not in ids
+    # the two distinct garbage lines differ; the repeated one collapses
+    assert len(set(ids)) == 3

@@ -163,13 +163,21 @@ class TestRangeJoin:
             )
             assert len(_rows(out, "pid", "tag")) == 6, f"width={w}"
 
-    def test_span_cap_drops_pathological_interval(self, points, intervals):
-        # the "wide" interval spans 100 buckets at width 1 — over a cap of
-        # 50 it is dropped, everything else survives
+    def test_span_cap_fails_loud_and_drops_on_opt_in(self, points, intervals):
+        # r8 review (the interval_join policy, now applied to the
+        # sibling): an interval over the cap FAILS the task by default —
+        # a silent filter loses every point match inside it with no
+        # signal; the old drop behavior is an explicit opt-in
+        with pytest.raises(Exception, match="max_span_buckets"):
+            range_join_points(
+                points, intervals, on="k", ts_col="t",
+                start_col="s", end_col="e", bucket_width_us=1,
+                max_span_buckets=50,
+            ).collect()
         out = range_join_points(
             points, intervals, on="k", ts_col="t",
             start_col="s", end_col="e", bucket_width_us=1,
-            max_span_buckets=50,
+            max_span_buckets=50, on_over_span="drop",
         )
         tags = {r["tag"] for r in out.collect()}
         assert "wide" not in tags and {"w1", "w2"} <= tags
@@ -484,3 +492,24 @@ def test_time_weighted_avg_semantics(spark):
     # lone observation mid-bucket: holds to bucket end only; the stretch
     # before it is uncovered
     assert out[200].covered_us == 50 and out[200].twap == 5.0
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """r8 review: the window encoding partitions by key and partitionBy
+    groups NULLs together — a NULL-key left row took a NULL-key right
+    row's payload, diverging from equi-join semantics (and from the
+    sibling range/interval joins, where NULL keys never match)."""
+    from purescript_ifrit_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10), (1, 10)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "null-key"), (1, 5, "real")], "k long, t long, tag string"
+    )
+    out = {r["k"]: r["tag"] for r in
+           asof_join(left, right, "k", "t").collect()}
+    assert out[1] == "real"
+    assert out[None] is None  # left row kept (how='left'), no match
+    inner = asof_join(left, right, "k", "t", how="inner").collect()
+    assert [r["k"] for r in inner] == [1]
