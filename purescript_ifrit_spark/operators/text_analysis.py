@@ -615,21 +615,26 @@ def unigram_logprob(
     token. Spark does NOT stage-share the two uses of the token stream
     (measured: no ReusedExchange), so everything self-referential here is
     either pre-aggregated or computed scan-stage instead of re-exploded."""
-    # pre-aggregated per-(term, doc) counts (r8 review): the scoring
-    # join and the doc-keyed aggregate carry one row per DISTINCT
-    # (term, doc) instead of one per token occurrence — typically
-    # several-fold fewer rows through the term join — and the shared
-    # _per_doc_term_counts kernel keeps tokenization identical to
-    # term_stats/tfidf_topk. xent = Σ tf·(−ln p) / Σ tf is the same
-    # mean over occurrences, re-associated (drift bounded by summation
-    # order, the operator's stated tolerance).
-    per_doc = _per_doc_term_counts(df, id_col, text_col)
-    vocab = per_doc.groupBy("term").agg(F.sum("tf_doc").alias("_ctok"))
+    # A per-(term, doc) pre-aggregation was TRIED here (r8 review
+    # suggestion) and REVERTED: it shrinks the rows flowing through the
+    # term join, but only by ADDING a (term, doc)-keyed exchange of the
+    # token stream — a corpus-fraction shuffle this plan otherwise does
+    # not have (the pinned plan test caught it). The shape below moves
+    # ZERO corpus-sized bytes: the vocab exchange is vocabulary-sized
+    # after map-side partials, the join is an AQE broadcast probe
+    # evaluated map-side, and the doc-keyed exchange carries one partial
+    # row per (doc, partition). Join CPU over per-occurrence rows is the
+    # deliberate trade — CPU scales out, exchanges do not.
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(X.tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_ctok"))
     total = df.agg(
         F.sum(X.token_count(F.col(text_col))).alias("_ntok")
     )
     scored = (
-        per_doc.join(vocab, "term")
+        toks.join(vocab, "term")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "_nll",
@@ -639,11 +644,8 @@ def unigram_logprob(
         )
     )
     return scored.groupBy(F.col("_doc").alias(id_col)).agg(
-        (
-            F.sum(F.col("tf_doc").cast("double") * F.col("_nll"))
-            / F.sum("tf_doc").cast("double")
-        ).alias("xent"),
-        F.sum("tf_doc").alias("n_tokens"),
+        (F.sum("_nll") / F.count(F.lit(1)).cast("double")).alias("xent"),
+        F.count(F.lit(1)).alias("n_tokens"),
     )
 
 
@@ -679,16 +681,12 @@ def bigram_logprob(
             )
         ).alias("_p"),
     ).select("_doc", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
-    # per-(doc, pair) pre-aggregation (r8 review, the unigram_logprob
-    # move): the pair join carries distinct (doc, w1, w2) rows, not one
-    # row per bigram occurrence
-    pd2 = pairs.groupBy("_doc", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("_tf2")
-    )
-    vocab2 = pd2.groupBy("w1", "w2").agg(F.sum("_tf2").alias("_c12"))
+    # (same reverted pre-aggregation note as unigram_logprob: a
+    # per-(doc, pair) pre-agg only adds a corpus-fraction exchange)
+    vocab2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
     ctx = vocab2.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     scored = (
-        pd2.join(vocab2, ["w1", "w2"])
+        pairs.join(vocab2, ["w1", "w2"])
         .join(ctx, "w1")
         .withColumn(
             "_nll",
@@ -696,11 +694,8 @@ def bigram_logprob(
         )
     )
     return scored.groupBy(F.col("_doc").alias(id_col)).agg(
-        (
-            F.sum(F.col("_tf2").cast("double") * F.col("_nll"))
-            / F.sum("_tf2").cast("double")
-        ).alias("xent2"),
-        F.sum("_tf2").alias("n_bigrams"),
+        (F.sum("_nll") / F.count(F.lit(1)).cast("double")).alias("xent2"),
+        F.count(F.lit(1)).alias("n_bigrams"),
     )
 
 
