@@ -75,6 +75,14 @@ def dedup_exact_text(
         F.md5(F.col(norm_col)) if norm_col is not None
         else X.fingerprint(F.col(text_col))
     )
+    # NULL-text rows are NOT duplicates of each other (r8 review:
+    # groupBy treats NULL fingerprints as equal, so a corpus with 10k
+    # NULL-text rows would keep exactly one) — give each a per-row
+    # unique surrogate so every poison row survives, the
+    # dedup_lines_global convention
+    fp = F.coalesce(
+        fp, F.concat(F.lit("\0null:"), F.col(order_col).cast("string"))
+    )
     with_fp = df.withColumn("_fp", fp)
     kept = with_fp.groupBy("_fp").agg(
         F.min_by(F.struct(*df.columns), F.col(order_col)).alias("_row")
@@ -518,11 +526,21 @@ def simhash_signatures(
 
     Cost model at scale: one doc-keyed exchange carrying a 33-long partial
     row per (doc, partition) — the CPU saved on the token stream dominates
-    at any corpus size."""
+    at any corpus size.
+
+    Content-free documents (blank or NULL text) are EXCLUDED from the
+    output (r8 review): the explode pipeline silently dropped NULL text
+    while giving every blank doc one shared constant signature — feeding
+    that to signature_candidate_pairs (documented to accept any
+    (_id, _sig) relation) would pair every blank doc with every other.
+    The module invariant is that content-free docs never match; callers
+    needing per-row signatures including NULLs use the Column form
+    `hashing.simhash_signature` (values bit-identical for non-empty
+    docs, pinned in tests)."""
     normed = df.select(
         F.col(id_col).alias("_id"),
         X.normalize_text(F.col(text_col)).alias("_nt"),
-    )
+    ).filter(F.length("_nt") > 0)
     return _simhash_signatures_normed(normed)
 
 
@@ -572,7 +590,10 @@ def signature_candidate_pairs(
     _sig) 64-bit-signature relation — the slicing/blocking/expansion
     kernel shared by simhash_candidate_pairs (text) and
     image_neardup_pairs (dHash): two signatures within hamming < chunks
-    share at least one bit-slice (pigeonhole).
+    share at least one bit-slice (pigeonhole). `max_hamming` past that
+    pigeonhole bound raises (r8 review: hamming >= chunks pairs can
+    share NO slice, so the result would silently omit them — the same
+    loud-geometry policy as minhash's num_hashes % bands check).
 
     Capped-recall contract (ADVICE r6): pairs are emitted from their
     FIRST shared bit-slice only (the shuffle-free single-emission plan),
@@ -581,6 +602,13 @@ def signature_candidate_pairs(
     Uncapped (max_bucket=None) recall is exact for hamming < chunks.
     Capped buckets hold degenerate near-identical mass duplicates that
     share (nearly) all slices, so the loss is confined to them."""
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= chunks={chunks}: the pigeonhole "
+            "blocking guarantee only covers hamming < chunks — pairs past "
+            "it can share no bit-slice and would be silently lost; raise "
+            "chunks (finer slices) or lower max_hamming"
+        )
     sliced = sigs.select(
         "_id", "_sig", F.explode(H.simhash_chunks(F.col("_sig"), chunks)).alias("_c")
     ).select("_id", "_sig", F.col("_c.chunk").alias("_chunk"), F.col("_c.key").alias("_key"))
@@ -1475,8 +1503,16 @@ def jaccard_text_join(
 ) -> DataFrame:
     """`jaccard_join_prefix` over normalized-token SETS of a text column
     (the tokenizer contract of functions/text.tokens)."""
+    # drop the empty token (X.tokens('') is ['']): without this, every
+    # blank/whitespace doc shares the single-token set [''] and emits
+    # B(B-1)/2 jaccard-1.0 pairs through one degenerate prefix bucket
+    # (r8 review) — the module invariant is that content-free docs never
+    # match, enforced at every other entry point
     sets = df.select(
-        F.col(id_col), X.tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col),
+        F.filter(
+            X.tokens(F.col(text_col)), lambda t: t != F.lit("")
+        ).alias("_toks"),
     )
     return jaccard_join_prefix(
         sets, id_col, "_toks", threshold_num, threshold_den,

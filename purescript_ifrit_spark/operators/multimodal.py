@@ -136,10 +136,24 @@ def extract_features(df: DataFrame, *, real_decode: bool = False) -> DataFrame:
             ]
             if real_decode:
                 # the real integration point: _decode raises
-                # NotImplementedError when no imaging library is installed
-                dims = [
-                    _decode(p).size if p else (0, 0) for p in payloads
-                ]
+                # NotImplementedError when no imaging library is
+                # installed (propagates — a missing dependency is a
+                # setup error, not a data error), while a payload the
+                # library cannot parse is POISON and yields (0, 0) like
+                # the empty-payload branch (r8 review: only ImportError
+                # was handled, so one garbage image killed the batch —
+                # every sibling decode operator survives poison rows)
+                def _dims(p):
+                    if not p:
+                        return (0, 0)
+                    try:
+                        return _decode(p).size
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        return (0, 0)
+
+                dims = [_dims(p) for p in payloads]
                 widths = [d[0] for d in dims]
                 heights = [d[1] for d in dims]
             else:
@@ -208,7 +222,14 @@ def _parse_ppm_frame(payload: bytes, pos: int):
                 tokens.append(int(payload[start:pos]))
             except ValueError:
                 raise ValueError("malformed netpbm header token") from None
-    pos += 1  # exactly one whitespace byte after maxval, then raster
+    # exactly ONE whitespace byte after maxval, then raster. The byte
+    # must actually BE whitespace (r8 review: a '#' straight after the
+    # maxval token previously got skipped as if it were the separator,
+    # so the raster was read from inside the comment text — garbage
+    # decoded as a valid array, violating the totality contract)
+    if pos >= len(payload) or payload[pos] not in b" \t\r\n":
+        raise ValueError("malformed netpbm header: no raster separator")
+    pos += 1
     width, height, maxval = tokens
     if width <= 0 or height <= 0:
         # explicit: numpy would treat a NEGATIVE frombuffer count as
@@ -288,6 +309,10 @@ def _make_ppm_decoder():
                     tokens.append(int(payload[start:pos]))
                 except ValueError:
                     raise ValueError("malformed netpbm header token") from None
+        # the raster separator must BE whitespace (r8 review — same
+        # '#'-after-maxval hole as the module-level parser)
+        if pos >= len(payload) or payload[pos] not in b" \t\r\n":
+            raise ValueError("malformed netpbm header: no raster separator")
         pos += 1
         width, height, maxval = tokens
         if width <= 0 or height <= 0:
@@ -640,8 +665,14 @@ def _make_jpeg_decoder():
     import numpy as np
 
     # captured by value in the closure (self-containment contract of
-    # _make_png_decoder): 2^26 pixels ≈ 8192×8192, ~201 MB as RGB
-    _JPEG_MAX_PIXELS = 1 << 26
+    # _make_png_decoder): 2^24 pixels = 4096×4096. The binding budget is
+    # the FLOAT64 component planes, not the uint8 output (r8 review —
+    # the first cap reasoned from "~200 MB as RGB" while a 4:4:4 decode
+    # commits 8 bytes/sample/component): at the cap, 3 planes × 2^24 ×
+    # 8 B ≈ 400 MB + 50 MB output per in-flight row — the envelope the
+    # cap was meant to enforce. Larger legitimate decodes go through
+    # the PIL gate.
+    _JPEG_MAX_PIXELS = 1 << 24
 
     zz = np.array(_JPEG_ZIGZAG, dtype=np.int64)
     # separable IDCT basis: M[u, x] = c_u · cos((2x+1)uπ/16),
@@ -749,12 +780,13 @@ def _make_jpeg_decoder():
         h, w, comps = frame
         # Declared-dims allocation cap (VERDICT r7 #5, the PNG
         # bounded-inflate treatment): everything below allocates from
-        # the SOF dims — component planes and the h·w·3 output — before
-        # a single entropy byte is read, so a crafted 10-byte header
-        # declaring 65535×65535 would commit ~13 GB on a worker. Cap
-        # the raster at 2^26 pixels (8192×8192, ~201 MB RGB) — far
-        # above any sane training-corpus image; gate a genuinely larger
-        # decode behind the PIL path, which streams.
+        # the SOF dims — float64 component planes and the h·w·3 output —
+        # before a single entropy byte is read, so a crafted 10-byte
+        # header declaring 65535×65535 would commit tens of GB on a
+        # worker. Cap the raster at 2^24 pixels (4096×4096; ~450 MB of
+        # planes+output at 4:4:4) — above any sane training-corpus
+        # image; gate a genuinely larger decode behind the PIL path,
+        # which streams.
         if h * w > _JPEG_MAX_PIXELS:
             raise ValueError(
                 f"jpeg dims {w}x{h} exceed the {_JPEG_MAX_PIXELS}-pixel "
@@ -1327,6 +1359,12 @@ def decode_wav(payload: bytes):
                 raise ValueError(f"unsupported wav encoding fmt={fmt} bits={bits}")
             if rate == 0:
                 raise ValueError("wav sample rate 0")
+            if channels == 0:
+                # r8 review: a zero-channel fmt decoded "successfully",
+                # then samples[::channels] OUTSIDE a consumer's poison
+                # guard raised 'slice step cannot be zero' and killed
+                # the whole Arrow batch — malformed means ValueError HERE
+                raise ValueError("wav channel count 0")
         elif cid == b"data":
             if rate is None:
                 raise ValueError("wav data chunk before fmt chunk")
@@ -1555,6 +1593,12 @@ def extract_video_stats(df: DataFrame, *, every_n: int = 2) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        # KNOWN RESIDUAL (r8 review): this package import runs on the
+        # WORKER, so unlike the _make_*_decoder by-value factories this
+        # operator requires the package installed executor-side (true
+        # on local[n] and any uniform cluster image; not on a
+        # driver-only install). Factoring the stream/WAV parsers into
+        # by-value factories is queued for r9.
         from purescript_ifrit_spark.operators.multimodal import (
             decode_ppm_stream,
         )
@@ -1886,6 +1930,12 @@ def scene_changes(df: DataFrame, *, threshold: float = 30.0) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        # KNOWN RESIDUAL (r8 review): this package import runs on the
+        # WORKER, so unlike the _make_*_decoder by-value factories this
+        # operator requires the package installed executor-side (true
+        # on local[n] and any uniform cluster image; not on a
+        # driver-only install). Factoring the stream/WAV parsers into
+        # by-value factories is queued for r9.
         from purescript_ifrit_spark.operators.multimodal import (
             decode_ppm_stream,
         )
@@ -1901,6 +1951,14 @@ def scene_changes(df: DataFrame, *, threshold: float = 30.0) -> DataFrame:
                         raise ValueError("empty stream")
                 except Exception:
                     rows.append((int(mid), None, None, None))
+                    continue
+                if len(frames) == 1:
+                    # valid single-frame clip: zero transitions, but the
+                    # media row must stay accounted for (r8 review —
+                    # frame_idx 0 + is_cut false distinguishes it from
+                    # the poison row's all-NULL shape; every other
+                    # decode operator keeps the one-row-per-media rule)
+                    rows.append((int(mid), 0, None, False))
                     continue
                 for f in range(1, len(frames)):
                     a, b = frames[f - 1], frames[f]

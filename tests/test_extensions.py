@@ -136,9 +136,10 @@ def test_null_text_docs_never_pair(spark):
     assert dedup.minhash_candidate_pairs(
         df, "doc_id", "text", jaccard_threshold=0.1
     ).count() == 0
-    # simhash path applies the same content-free guard
+    # simhash path applies the same content-free guard (max_hamming must
+    # stay under chunks since the r8 pigeonhole guard)
     assert dedup.simhash_candidate_pairs(
-        df, "doc_id", "text", max_hamming=64
+        df, "doc_id", "text", max_hamming=3
     ).count() == 0
 
 
@@ -147,8 +148,16 @@ def test_simhash_blank_docs_never_pair(spark):
     # doc shares one constant signature and pairs at hamming 0
     rows = [(0, ""), (1, "   "), (2, "\t"), (3, "alpha beta gamma")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    pairs = dedup.simhash_candidate_pairs(df, "doc_id", "text", max_hamming=64)
+    pairs = dedup.simhash_candidate_pairs(df, "doc_id", "text", max_hamming=3)
     assert pairs.count() == 0
+    # r8 review: max_hamming >= chunks breaks the pigeonhole blocking
+    # guarantee — pairs past it share no slice and would silently drop,
+    # so the geometry now raises loudly
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_candidate_pairs(df, "doc_id", "text", max_hamming=64)
+    # the public signature surface excludes content-free docs entirely
+    sigs = dedup.simhash_signatures(df, "doc_id", "text")
+    assert [r["_id"] for r in sigs.collect()] == [3]
 
 
 def test_session_stats_subsecond_duration(spark):
@@ -2948,8 +2957,12 @@ def test_dhash_determinism_noise_envelope_and_poison(spark):
     assert dh[4] is None                       # poison -> NULL, batch lives
     assert bin((dh[1] ^ dh[3]) & ((1 << 64) - 1)).count("1") <= 4  # 1px edit
 
+    # chunks=16 (4-bit slices): the pigeonhole guarantee must COVER
+    # max_hamming=8 — the old chunks=4 call relied on best-effort recall
+    # past the bound, which the shared kernel now rejects loudly (r8)
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
-             for r in image_neardup_pairs(rows, max_hamming=8).collect()}
+             for r in image_neardup_pairs(
+                 rows, max_hamming=8, chunks=16).collect()}
     assert pairs[(1, 2)] == 0 and (1, 3) in pairs and (2, 3) in pairs
 
     # the png codec path hashes identical pixels to the identical value
@@ -3093,11 +3106,12 @@ def test_jpeg_declared_dims_allocation_cap():
     assert len(bomb) == len(good)  # header-only patch, still tiny
     with pytest.raises(ValueError, match="allocation cap"):
         decode_jpeg(bomb)
-    # one pixel under the cap on one side parses past the guard (it
-    # then fails later on entropy exhaustion, NOT on the cap)
+    # dims exactly AT the cap parse past the guard (then fail later on
+    # entropy exhaustion, NOT on the cap); 2^24 = 4096x4096 since the
+    # float64-plane accounting tightened the cap
     ok_dims = (
         good[: i + 5]
-        + struct.pack(">HH", 8192, 8192)
+        + struct.pack(">HH", 4096, 4096)
         + good[i + 9 :]
     )
     with pytest.raises(ValueError) as exc:
@@ -4631,3 +4645,51 @@ def test_pack_sequences_rejects_nan_lead(spark):
     )
     with pytest.raises(ValueError, match="NaN"):
         pack_sequences(df, "tok", ("lead",), 16, num_shards=4)
+
+
+def test_r8_multimodal_poison_hardening(spark):
+    """r8 review cluster: (a) a WAV declaring channels=0 must raise
+    ValueError at decode (it previously crashed the consumer's
+    samples[::0] slice OUTSIDE the poison guard, killing the batch);
+    (b) a netpbm '#' straight after the maxval token must raise, not
+    silently read the raster from inside the comment; (c) a valid
+    single-frame video emits one accounting row, not zero rows."""
+    import struct
+
+    import pytest
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        audio_activity_stats,
+        decode_ppm,
+        decode_wav,
+        scene_changes,
+    )
+    import numpy as np
+
+    # (a) channels=0 WAV
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 4) + b"\x00\x01\x00\x02")
+    with pytest.raises(ValueError, match="channel"):
+        decode_wav(wav)
+    media = spark.createDataFrame([(1, bytearray(wav))],
+                                  "media_id long, payload binary")
+    row = audio_activity_stats(media).collect()[0]
+    assert row["n_samples"] is None  # poison row, batch survived
+
+    # (b) '#' as the raster separator
+    good = b"P6\n2 2\n255\n" + bytes(12)
+    assert decode_ppm(good).shape == (2, 2, 3)
+    bad = good.replace(b"255\n", b"255#c\n", 1)
+    with pytest.raises(ValueError, match="separator|malformed"):
+        decode_ppm(bad)
+
+    # (c) single-frame stream: one accounting row
+    one = spark.createDataFrame(
+        [(7, bytearray(good))], "media_id long, payload binary"
+    )
+    rows = scene_changes(one).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["frame_idx"], r["is_cut"]) == (0, False) and r["mad"] is None
