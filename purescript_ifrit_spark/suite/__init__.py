@@ -62,98 +62,30 @@ from purescript_ifrit_spark.suite.core import flagship  # noqa: E402,F401
 # `queries()` name has an `oracle_sql()` twin and `no_oracle` driver rows
 # are structurally impossible.
 #
-# Round-8 composition (VERDICT r7 #1 — planned at round start, 50 slots):
-#   1. the 21 never-driver-checked session-3/4 oracle entries FIRST (the
-#      r7 _R8_QUEUE_HEAD, order preserved) — pytest-green since they
-#      landed, but the hard driver signal is still owed;
-#   2. the seven core SURVEY §2 contract entries whose last hard check is
-#      r4 — `p1_projection`, `p2_nested_projection`, `s2_derived_table`,
-#      `o3_limit_before_offset`, `a1_a3_group_avg`, `f1_eq`,
-#      `x_dedup_exact` — position-pinned so late additions cannot push
-#      the core contract past the two-round staleness invariant again
-#      (VERDICT r7 residual: the §2 cohort was the stalest thing in the
-#      registry);
-#   3. new round-8 oracle entries land AFTER the core block as built
-#      (PLANNED: xd_bm25 — VERDICT r7 #8), each displacing the backfill
+# Round-9 composition (VERDICT r8 #2 — planned at round start, 50 slots):
+#   1. the 16-entry r9 spill FIRST (_R9_SPILL as stated at r8 round
+#      start, order preserved — last hard check r4, the oldest thing in
+#      the registry);
+#   2. the 24-entry core SURVEY §2 contract cohort at ledger positions
+#      50-73 (`p3_alias` … `b5_max_nested_array`, last check r5 — 4
+#      rounds stale by r9) — position-pinned so late additions displace
+#      only the backfill tail, never the contract table;
+#   3. new round-9 oracle entries land AFTER the core block as built
+#      (PLANNED: xd_bm25 — VERDICT r8 #6), each displacing the backfill
 #      TAIL by this policy, recorded here, not by accident;
-#   4. backfill: the remaining r4-last-checked oracle cohort in ledger
-#      order (37 entries; 22 fit the initial 50 before new-entry
-#      displacement).
+#   4. backfill: the r5-last-checked oracle cohort in ledger order (24
+#      entries; 10 fit the initial 50 before new-entry displacement).
 #
-# Explicit r9 spill (VERDICT r7 #1 asked for this statement): the r4
-# cohort entries that do NOT fit the r8 window and whose last hard check
-# stays r4 until r9 — `x_funnel`, `x_retention`, `x_topk_per_group`,
-# `x_percentiles`, `x_distinct_count`, `x_pivot_events`,
-# `x_robust_outliers`, `x_join_star`, `x_json_extract`, `x_tpch_q1ish`,
-# `x_tpch_q3ish`, `x_tpch_q5ish`, `x_multimodal_features`,
-# `x_multimodal_decode`, `x_multimodal_audio`, plus the backfill tail
-# displaced by new r8 entries (first displaced: `x_sessionize`, then
-# `x_budget_sample`, ...). All spilled entries remain pytest-verified by
-# tests/test_oracle_parity.py every round and MUST head the r9 window.
+# Explicit r10 spill (the same stated-plan discipline as r8): the
+# r5-cohort entries that do NOT fit the r9 window — see _R10_SPILL
+# below — plus any backfill tail displaced by new r9 entries (first
+# displaced: `x_feature_hash`, then `x_embedding_quantize`, ...). All
+# spilled entries remain pytest-verified by tests/test_oracle_parity.py
+# every round and MUST head the r10 window.
 
-_DRIVER_WINDOW_R8 = [
-    # -- (1) the 21 never-driver-checked entries (r7 queue head) -----------
-    "x_chat_stats",
-    "x_sft_spans",
-    "x_preference_pairs",
-    "x_zorder_key",
-    "x_layout_pruning",
-    "x_skew_profile",
-    "x_robots_filter",
-    "x_mergeable_stats",
-    "x_chat_truncate",
-    "x_inverted_index",
-    "x_jl_project",
-    "x_compact_roundtrip",
-    "x_interval_join",
-    "x_streaming_interval_join",
-    "xd_jl_project",
-    "x_contribution_cap",
-    "x_kanon_suppress",
-    "x_gap_fill_locf",
-    "x_gap_fill_interp",
-    "x_markdown_sections",
-    "x_time_weighted_avg",
-    # -- (2) the core SURVEY §2 contract cohort (last check r4) ------------
-    "p1_projection",
-    "p2_nested_projection",
-    "s2_derived_table",
-    "o3_limit_before_offset",
-    "a1_a3_group_avg",
-    "f1_eq",
-    "x_dedup_exact",
-    # -- (3) new round-8 oracle entries land HERE as built ------------------
-    "xd_minhash",   # MINHASH dialect family (VERDICT r7 #8) — displaces
-                    # x_sessionize (backfill tail) per the stated policy
-    # -- (4) r4-cohort backfill, ledger order (tail displaced by (3)) ------
-    "x_dedup_minhash_planted",
-    "x_dedup_incremental_planted",
-    "x_dedup_simhash_planted",
-    "x_curate_exact",
-    "x_text_token_count",
-    "x_text_quality",
-    "x_lang_id",
-    "x_fingerprint",
-    "x_token_rarity",
-    "x_contamination",
-    "xd_dedup_exact",
-    "xd_token_count",
-    "xd_quality",
-    "xd_lang_id",
-    "xd_chunk",
-    "xd_quality_filter",
-    "xd_quality_where",
-    "xd_split",
-    "x_ann_cosine_topk",
-    "x_embedding_neardup",
-    "x_budget_sample",
-]
-
-# The r4-cohort entries that wait for r9 (see the spill note above).
-# tests/test_coverage_ledger.py pins this list against the ledger so the
-# spill is a stated plan, not an accident.
-_R9_SPILL = [
-    "x_sessionize",  # displaced from the r8 backfill tail by xd_minhash
+_DRIVER_WINDOW_R9 = [
+    # -- (1) the declared r9 spill (last hard check r4) ---------------------
+    "x_sessionize",
     "x_funnel",
     "x_retention",
     "x_topk_per_group",
@@ -169,11 +101,68 @@ _R9_SPILL = [
     "x_multimodal_features",
     "x_multimodal_decode",
     "x_multimodal_audio",
+    # -- (2) the core SURVEY §2 contract cohort (last check r5) ------------
+    "p3_alias",
+    "f1_neq",
+    "f2_lt_gt",
+    "f3_lte_via_not",
+    "f3_gte_direct",
+    "f4_and",
+    "f5_or",
+    "f6_not_demorgan",
+    "f7_bare_boolean",
+    "f8_null_compare",
+    "f9_reversed_literal",
+    "o1_o2_topk",
+    "o4_pregroup_sort_limit",
+    "a2_group_by_null",
+    "a4_group_sum",
+    "a5_group_min_max",
+    "a6_group_count",
+    "a7_push_collect",
+    "b1_avg_array",
+    "b3_sum_array",
+    "b4_min_max_array",
+    "b6_count_array",
+    "b2_avg_nested_array",
+    "b5_max_nested_array",
+    # -- (3) new round-9 oracle entries land HERE as built ------------------
+    # -- (4) r5-cohort backfill, ledger order (tail displaced by (3)) ------
+    "x_dedup_ngram_planted",
+    "x_dedup_subdoc",
+    "x_blocklist_dedup",
+    "x_quality_topfrac",
+    "x_unigram_xent",
+    "x_html_extract",
+    "x_bigram_xent",
+    "x_embedding_normalize",
+    "x_embedding_quantize",
+    "x_feature_hash",
 ]
 
-# Oracle entries that land AFTER the r8 window saturates queue here for
-# the r9 head (the session-3 precedent); empty at round start.
-_R9_QUEUE_HEAD: list = []
+# The r5-cohort entries that wait for r10 (see the spill note above).
+# tests/test_coverage_ledger.py pins this list against the ledger so the
+# spill is a stated plan, not an accident.
+_R10_SPILL = [
+    "x_linear_filter",
+    "x_temperature_mix",
+    "x_dau_exact",
+    "x_ohlc_bars",
+    "x_moving_avg",
+    "x_hopping_agg",
+    "x_value_histogram",
+    "x_corr_stats",
+    "x_cube_counts",
+    "x_heavy_hitters",
+    "x_source_overlap_exact",
+    "x_source_overlap_sketch",
+    "x_corpus_report",
+    "x_salted_join",
+]
+
+# Oracle entries that land AFTER the r9 window saturates queue here for
+# the r10 head (the session-3 precedent); empty at round start.
+_R10_QUEUE_HEAD: list = []
 
 
 def _apply_driver_window(window: list) -> None:
@@ -187,4 +176,4 @@ def _apply_driver_window(window: list) -> None:
     REGISTRY.update(ordered)
 
 
-_apply_driver_window(_DRIVER_WINDOW_R8)
+_apply_driver_window(_DRIVER_WINDOW_R9)

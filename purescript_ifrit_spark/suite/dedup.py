@@ -177,7 +177,13 @@ def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.dedup import simhash_candidate_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=10)
+    # chunks=16 keeps the pigeonhole guarantee for hamming <= 10 (the old
+    # default chunks=4 silently lost every pair with hamming >= 4 — the
+    # r8 loud-geometry guard in operators/dedup.py now rejects that, and
+    # the demo's historical output was recall-capped; see COVERAGE.md)
+    return simhash_candidate_pairs(
+        docs, "doc_id", "text", max_hamming=10, chunks=16
+    )
 
 
 def _planted_chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
