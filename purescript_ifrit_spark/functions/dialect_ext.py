@@ -60,6 +60,11 @@ uses it (the DataFrame backend needs no registration).
                                            -- collapse (whitespace/case
                                            -- variants share signatures)
 
+    SELECT doc_id, BM25(text) AS score    -- Okapi BM25 vs the frozen
+                                           -- query/index stats (number;
+                                           -- blank → 0.0, NULL → NULL)
+    SELECT doc_id WHERE BM25(text) > 2.0   -- relevance screen
+
 SESSIONIZE is the one ANALYTIC extension (`analytic=True`): it compiles to
 window expressions (lag → gap flag → running sum — the same single-shuffle
 shape as operators/windows.sessionize) rather than a scan-stage scalar, so
@@ -268,6 +273,74 @@ def _minhash_sql(x: str) -> str:
     from purescript_ifrit_spark.functions import hashing as H
 
     return H.minhash_hexsig_sql(x, 16, 3)
+
+
+# Frozen BM25 model (VERDICT r8 #6). The one-argument fn grammar has no
+# room for a query or corpus statistics, so — exactly like QUALITY_SCORE's
+# frozen linear model — the dialect BM25 scores against a PINNED query
+# with PINNED index statistics (the deployed-ranker convention: a serving
+# index's idf/avgdl are frozen snapshots, not live corpus aggregates).
+# Corpus-RELATIVE BM25 (df/avgdl computed from the queried corpus, top-k)
+# stays in operators/text_analysis.bm25_topk. Every constant is an
+# exactly-representable double and both backends evaluate the identical
+# association order, so the scores are bit-equal cross-backend.
+BM25_K1 = 1.25
+BM25_B = 0.75
+BM25_AVGDL = 128.0
+BM25_QUERY = (("spark", 2.5), ("join", 1.5), ("merge", 0.75))
+
+
+def _bm25_column(c: Column) -> Column:
+    # Term frequency WITHOUT a higher-order function: HOF lambdas run
+    # interpreted and break the projection out of whole-stage codegen,
+    # so tf is counted with pure string ops instead — double every
+    # separator space and pad the ends, and ' term ' occurrences can
+    # never overlap, making replace-then-length-diff an exact
+    # non-overlapping token count. Blank text counts 0 (pad of '' is
+    # '  '), NULL text propagates NULL.
+    from pyspark.sql import functions as F
+
+    n = X.normalize_text(c)
+    pad = F.concat(F.lit(" "), F.replace(n, F.lit(" "), F.lit("  ")), F.lit(" "))
+    dl = X.token_count(c).cast("double")
+    # length-normalization load: (1-b) + b * (dl / avgdl), division first
+    load = F.lit(1.0 - BM25_B) + (F.lit(BM25_B) * (dl / F.lit(BM25_AVGDL)))
+    score = None
+    for term, idf in BM25_QUERY:
+        m = float(len(term) + 2)
+        tf = (
+            F.length(pad)
+            - F.length(F.replace(pad, F.lit(f" {term} "), F.lit("")))
+        ).cast("double") / F.lit(m)
+        contrib = F.lit(idf) * (
+            (tf * F.lit(BM25_K1 + 1.0)) / (tf + (F.lit(BM25_K1) * load))
+        )
+        # left-associated sum in query order — the SQL twin renders the
+        # same tree, so the float result is bit-identical
+        score = contrib if score is None else score + contrib
+    return F.round(score, 6)
+
+
+def _bm25_sql(x: str) -> str:
+    n = _norm_sql(x)
+    pad = f"(' ' || replace({n}, ' ', '  ') || ' ')"
+    dl = f"CAST(({_token_count_sql(x)}) AS DOUBLE)"
+    load = f"({1.0 - BM25_B!r} + ({BM25_B!r} * ({dl} / {BM25_AVGDL!r})))"
+    parts = []
+    for term, idf in BM25_QUERY:
+        m = float(len(term) + 2)
+        tf = (
+            f"(CAST((length({pad}) - length(replace({pad}, ' {term} ', ''))) "
+            f"AS DOUBLE) / {m!r})"
+        )
+        parts.append(
+            f"({idf!r} * (({tf} * {BM25_K1 + 1.0!r}) "
+            f"/ ({tf} + ({BM25_K1!r} * {load}))))"
+        )
+    total = parts[0]
+    for p in parts[1:]:
+        total = f"({total} + {p})"
+    return f"round({total}, 6)"
 
 
 def _jlproject_column(c: Column) -> Column:
@@ -556,6 +629,23 @@ EXT_FUNCTIONS: Dict[str, ExtFn] = {
             Schema.string(),
             _minhash_column,
             _minhash_sql,
+        ),
+        ExtFn(
+            "BM25",
+            # Okapi BM25 score of the document against the FROZEN query
+            # BM25_QUERY with frozen index statistics (idf per term,
+            # avgdl) — see the constants' comment for the deployed-
+            # ranker rationale; corpus-relative scoring with live
+            # df/avgdl is operators/text_analysis.bm25_topk. A number
+            # scalar: `SELECT doc_id WHERE BM25(text) > 2.0` is the
+            # relevance screen, GROUP BY BM25(text) the score-profile
+            # rollup. tf is the exact normalized-token count, so blank
+            # text scores 0.0 and NULL text stays NULL. Rounded to 6
+            # decimals (the suite's float convention); both backends
+            # evaluate one pinned association order.
+            Schema.number(),
+            _bm25_column,
+            _bm25_sql,
         ),
         ExtFn(
             "JL_PROJECT",

@@ -93,6 +93,7 @@ _FUNCTIONS = [
     # MINHASH is safe next to MIN: the _BOUNDARY lookahead stops MIN from
     # matching the "MIN" prefix of "MINHASH(" (H is a word char)
     "MINHASH",
+    "BM25",
 ]
 
 _WORD_CHARS = r"[a-zA-Z0-9_.]"

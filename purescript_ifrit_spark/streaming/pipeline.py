@@ -374,12 +374,11 @@ def interval_join_stream(
     require disjoint names on both sides. Late rows beyond `watermark`
     may be dropped from state on either side — the standard
     completeness trade of watermarked joins. An availableNow REPLAY is
-    loss-free only when each source's files are time-ordered (a
-    multi-batch replay advances the watermark per batch, so a later
-    file holding much-older rows loses them exactly as live late data
-    would): stage replays with repartitionByRange(ts) +
-    sortWithinPartitions(ts), as the suite entry and the equivalence
-    test do."""
+    loss-free only when each source's files replay time-ordered, and
+    FileStreamSource orders by file MTIME — stage replays with
+    stage_time_ordered_replay below (range-partitioned, sorted, mtimes
+    re-stamped strictly increasing in range order), as the suite entry
+    and the equivalence test do."""
     lc = [c for c in left.columns]
     rc = [c for c in right.columns]
     # max_span in epoch micros (the interval literal applied to epoch 0)
@@ -428,3 +427,51 @@ def interval_join_stream(
         .withColumnRenamed("_lkey", on)
         .drop("_rkey")
     )
+
+
+def stage_time_ordered_replay(
+    df: DataFrame, ts_col: str, path: str, *, num_files: int = 2
+) -> list:
+    """Stage `df` as parquet files safe for loss-free availableNow
+    replay: range-partition + sort by `ts_col`, write, then touch the
+    part files into STRICTLY INCREASING mtimes in range order. Returns
+    the staged file paths, range-ordered.
+
+    Why the touch step is not optional (VERDICT r8 #5): FileStreamSource
+    orders its backlog by file MTIME, not name, and parquet part writes
+    land in parallel — the 100x attestation (SCALE.md) observed two
+    same-mtime files replaying out of time order, advancing the
+    watermark past the older file's rows and silently dropping 77% of
+    matches. repartitionByRange guarantees part-00000 holds the lowest
+    ts range, so re-stamping mtimes in part-name order makes the
+    source's replay order equal the event-time order, which is exactly
+    the "files are time-ordered" precondition interval_join_stream and
+    every watermarked replay documents.
+
+    Local-filesystem paths only (os.utime) — on an object store, stage
+    sequentially or one file per time range instead."""
+    if num_files <= 0:
+        raise ValueError(f"num_files must be positive (got {num_files})")
+    (
+        df.repartitionByRange(num_files, ts_col)
+        .sortWithinPartitions(ts_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    import os
+    import time
+
+    parts = sorted(
+        f
+        for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    # all stamps strictly increasing AND in the past, so a subsequent
+    # real append still sorts after the staged backlog
+    base = time.time() - len(parts) - 1
+    out = []
+    for i, f in enumerate(parts):
+        fp = os.path.join(path, f)
+        os.utime(fp, (base + i, base + i))
+        out.append(fp)
+    return out

@@ -127,6 +127,8 @@ _DRIVER_WINDOW_R9 = [
     "b2_avg_nested_array",
     "b5_max_nested_array",
     # -- (3) new round-9 oracle entries land HERE as built ------------------
+    "xd_bm25",      # BM25 dialect family (VERDICT r8 #6) — displaces
+                    # x_feature_hash (backfill tail) per the stated policy
     # -- (4) r5-cohort backfill, ledger order (tail displaced by (3)) ------
     "x_dedup_ngram_planted",
     "x_dedup_subdoc",
@@ -137,13 +139,13 @@ _DRIVER_WINDOW_R9 = [
     "x_bigram_xent",
     "x_embedding_normalize",
     "x_embedding_quantize",
-    "x_feature_hash",
 ]
 
 # The r5-cohort entries that wait for r10 (see the spill note above).
 # tests/test_coverage_ledger.py pins this list against the ledger so the
 # spill is a stated plan, not an accident.
 _R10_SPILL = [
+    "x_feature_hash",  # displaced from the r9 backfill tail by xd_bm25
     "x_linear_filter",
     "x_temperature_mix",
     "x_dau_exact",

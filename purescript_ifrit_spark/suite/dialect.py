@@ -421,6 +421,62 @@ def xd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _xd_bm25_oracle() -> str:
+    # generated FROM the frozen model constants (dialect_ext.BM25_*), so
+    # a constant tweak cannot leave the oracle behind — the same
+    # one-definition discipline as the GOPHER thresholds. The DuckDB
+    # expression mirrors the backends' association order exactly; all
+    # constants are exact binary fractions and tf/dl are integers, so
+    # the only inexact steps (the divisions, the idf products) are
+    # IEEE-correctly-rounded identically on both engines.
+    from purescript_ifrit_spark.functions.dialect_ext import (
+        BM25_AVGDL,
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+    )
+
+    nt = _NORM_SQL
+    pad = f"(' ' || replace({nt}, ' ', '  ') || ' ')"
+    dl = (
+        f"CAST(CASE WHEN length({nt}) = 0 THEN 0 "
+        f"ELSE length({nt}) - length(replace({nt}, ' ', '')) + 1 END "
+        "AS DOUBLE)"
+    )
+    load = f"({1.0 - BM25_B!r} + ({BM25_B!r} * ({dl} / {BM25_AVGDL!r})))"
+    parts = []
+    for term, idf in BM25_QUERY:
+        m = float(len(term) + 2)
+        tf = (
+            f"(CAST((length({pad}) - length(replace({pad}, ' {term} ', ''))) "
+            f"AS DOUBLE) / {m!r})"
+        )
+        parts.append(
+            f"({idf!r} * (({tf} * {BM25_K1 + 1.0!r}) "
+            f"/ ({tf} + ({BM25_K1!r} * {load}))))"
+        )
+    total = parts[0]
+    for p in parts[1:]:
+        total = f"({total} + {p})"
+    return f"SELECT doc_id, round({total}, 6) AS score FROM documents"
+
+
+register(
+    "xd_bm25",
+    _xd_bm25_oracle(),
+)(
+    _dialect(
+        "documents",
+        # corpus-frozen Okapi BM25 reached through the DIALECT
+        # (`BM25(text)` → functions/dialect_ext._bm25_column): scores
+        # every document against the pinned query with pinned index
+        # statistics; the oracle recomputes the full saturation +
+        # length-normalization arithmetic from scratch in DuckDB
+        "SELECT doc_id, BM25(text) AS score",
+    )
+)
+
+
 def _xd_c4_oracle() -> str:
     from purescript_ifrit_spark.suite.text import _C4_AUG_SQL, _C4_KEEP_SQL
 

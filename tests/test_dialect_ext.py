@@ -267,6 +267,9 @@ EXT_QUERIES = [
     "SELECT doc_id WHERE C4PASS(text) = true",
     "SELECT doc_id, MINHASH(text) AS sig",
     "SELECT MIN(doc_id) AS keep, COUNT(doc_id) AS n GROUP BY MINHASH(text)",
+    "SELECT doc_id, BM25(text) AS score",
+    "SELECT COUNT(doc_id) AS n GROUP BY BM25(text)",
+    "SELECT doc_id WHERE BM25(text) > 2.0",
 ]
 
 
@@ -305,6 +308,23 @@ def test_ext_fns_stay_jvm_side(spark, docs):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_projection_stays_in_codegen(spark, docs):
+    """BM25's tf counting is pure string ops ON PURPOSE: a filter() HOF
+    lambda would run interpreted and break the projection out of
+    whole-stage codegen. Pin the property: the scan-stage Project
+    carries a codegen id, and no exchange or Python eval appears."""
+    df = run_query(spark, docs, "SELECT doc_id, BM25(text) AS score")
+    formatted = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Project [codegen id" in formatted, formatted[:800]
+    assert "Exchange" not in formatted
+    assert "Python" not in formatted
+    assert "lambdafunction" not in formatted  # no interpreted HOF
 
 
 def test_group_by_fn_is_partial_final_agg(spark, docs):
@@ -757,6 +777,81 @@ def test_minhash_dialect_matches_hashing_family(spark, docs):
     ).collect()}
     assert sig[1] == sig[2] and sig[1] is not None
     assert sig[3] is None and sig[4] is None
+
+
+def test_bm25_parse_analyze_golden():
+    """Parser/analyzer goldens (VERDICT r8 #6): BM25 lexes as a function
+    token (digits inside a function name exercise the word-char boundary
+    rule), types as number, rejects non-string args, and serves as a
+    GROUP BY key and a WHERE operand."""
+    from purescript_ifrit_spark.analyzer import analyze
+    from purescript_ifrit_spark.parser import parse_sql
+    from purescript_ifrit_spark.plans.ast import FnCall
+    from purescript_ifrit_spark.schema import schema_from_json
+
+    stmt = parse_sql("SELECT COUNT(doc_id) AS n GROUP BY BM25(text)")
+    assert isinstance(stmt.group_by, FnCall)
+    assert stmt.group_by.fn == "BM25" and stmt.group_by.path == "text"
+    schema = schema_from_json({"doc_id": "number", "text": "string"})
+    grouped = analyze(schema, stmt).to_json_obj()
+    assert grouped["_id"] == "number"
+    proj = analyze(
+        schema, parse_sql("SELECT doc_id, BM25(text) AS score")
+    ).to_json_obj()
+    assert proj["score"] == "number"
+    # WHERE operand parses and types
+    analyze(schema, parse_sql("SELECT doc_id WHERE BM25(text) > 2.0"))
+    with pytest.raises(E.IfritError, match="incompatible"):
+        compile_query(DOC_SCHEMA, "SELECT BM25(doc_id) AS score")
+
+
+def test_bm25_dialect_matches_hand_reference(spark):
+    """The dialect scalar must equal a from-scratch Python recomputation
+    of the frozen-model Okapi formula (idf, k1, b, avgdl pinned in
+    dialect_ext.BM25_*): tf saturation, length normalization, blank → 0,
+    NULL → NULL, round-6 convention."""
+    from purescript_ifrit_spark.functions.dialect_ext import (
+        BM25_AVGDL,
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+    )
+
+    fixtures = [
+        (1, "spark join merge spark"),
+        (2, "the quick brown fox"),
+        (3, "Spark   SPARK\tspark"),  # normalization: case + whitespace
+        (4, ""),
+        (5, None),
+        (6, "join " * 200),  # long doc: length normalization bites
+    ]
+
+    def ref(text):
+        if text is None:
+            return None
+        toks = " ".join(text.lower().split()).split(" ") if text.strip() else []
+        dl = float(len(toks))
+        load = (1.0 - BM25_B) + (BM25_B * (dl / BM25_AVGDL))
+        s = 0.0
+        for term, idf in BM25_QUERY:
+            tf = float(toks.count(term))
+            s = s + idf * ((tf * (BM25_K1 + 1.0)) / (tf + (BM25_K1 * load)))
+        return round(s, 6)
+
+    probe = spark.createDataFrame(fixtures, "doc_id long, text string")
+    got = {
+        r.doc_id: r.score
+        for r in run_query(
+            spark, probe, "SELECT doc_id, BM25(text) AS score"
+        ).collect()
+    }
+    want = {i: ref(t) for i, t in fixtures}
+    assert got == want
+    assert got[4] == 0.0 and got[5] is None
+    # a matching doc outscores a non-matching one; saturation keeps the
+    # 200-term doc finite and below idf-sum * (k1+1)/1-ish ceiling
+    assert got[1] > got[2] == 0.0
+    assert 0.0 < got[6] < sum(i for _, i in BM25_QUERY) * (BM25_K1 + 1.0)
 
 
 def test_jl_project_dialect_matches_arrow_operator(spark, sf_dir):

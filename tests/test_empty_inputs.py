@@ -312,3 +312,15 @@ def test_minhash_dialect_on_empty(spark, empty_docs):
         spark, empty_docs, "SELECT MIN(doc_id) AS keep GROUP BY MINHASH(text)"
     )
     assert g.count() == 0
+
+
+def test_bm25_dialect_on_empty(spark, empty_docs):
+    """The r9 BM25 dialect fn on an empty frame: projection and WHERE
+    screen both yield empty frames with the right schema."""
+    from purescript_ifrit_spark.api import run_query
+
+    out = run_query(spark, empty_docs, "SELECT doc_id, BM25(text) AS score")
+    assert out.columns == ["doc_id", "score"]
+    assert out.count() == 0
+    w = run_query(spark, empty_docs, "SELECT doc_id WHERE BM25(text) > 2.0")
+    assert w.count() == 0

@@ -4508,9 +4508,26 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir, tmp_path):
     assert want  # the fixture produces matches
 
     c_dir, e_dir = str(tmp_path / "c"), str(tmp_path / "e")
-    # time-ordered staged files: see interval_join_stream's replay note
-    clicks.repartitionByRange(2, "ts").sortWithinPartitions("ts").write.parquet(c_dir)
-    errors.repartitionByRange(2, "ts").sortWithinPartitions("ts").write.parquet(e_dir)
+    # time-ordered staged files with strictly increasing mtimes: the
+    # helper owns the FileStreamSource mtime-replay-order hazard
+    # (VERDICT r8 #5 — parallel part writes landed same-mtime files and
+    # the watermark silently dropped 77% of matches at 100x)
+    c_parts = SP.stage_time_ordered_replay(clicks, "ts", c_dir, num_files=2)
+    e_parts = SP.stage_time_ordered_replay(errors, "ts", e_dir, num_files=2)
+    import os
+
+    for parts in (c_parts, e_parts):
+        assert len(parts) == 2
+        mtimes = [os.stat(p).st_mtime for p in parts]
+        assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+        # range order: every ts in part i precedes every ts in part i+1
+        his = [
+            spark.read.parquet(p).agg(F.max("ts")).first()[0] for p in parts
+        ]
+        los = [
+            spark.read.parquet(p).agg(F.min("ts")).first()[0] for p in parts
+        ]
+        assert his[0] <= los[1]
     schema = "user_id long, event_id long, ts timestamp, dur_us long"
     cs = (spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(c_dir))
