@@ -150,6 +150,42 @@ def _fanout_narrow_scan(df: DataFrame, key_col: str) -> DataFrame:
     return df
 
 
+def _cap_collected_buckets(
+    agg: DataFrame, arr_col: str, max_bucket: int, on_capped: str, what: str
+) -> DataFrame:
+    """Apply the LSH bucket cap with the observability policy (VERDICT
+    r8 #8): on_capped='allow' keeps the documented capped-recall
+    contract — oversize (degenerate mass-duplicate) buckets drop whole,
+    silently; on_capped='error' makes any cap hit FAIL THE TASK via an
+    in-plan assert_true riding the consumed bucket array (the temporal
+    loud-guard pattern), so a caller can PROVE no candidates were lost
+    to the cap at their scale instead of trusting the contract."""
+    if on_capped not in ("allow", "error"):
+        raise ValueError(
+            f"on_capped must be 'allow' or 'error' (got {on_capped!r})"
+        )
+    if on_capped == "error":
+        ok = F.assert_true(
+            F.size(F.col(arr_col)) <= max_bucket,
+            F.concat(
+                F.lit(f"{what}: LSH bucket of size "),
+                F.size(F.col(arr_col)).cast("string"),
+                F.lit(
+                    f" exceeds max_bucket={max_bucket} — its candidate "
+                    "pairs would be dropped by the recall cap; raise "
+                    "max_bucket (or pass None), run exact dedup first so "
+                    "mass duplicates collapse, or accept the cap with "
+                    "on_capped='allow'"
+                ),
+            ),
+        )
+        # the guard must ride the CONSUMED column or Catalyst prunes it
+        agg = agg.withColumn(arr_col, F.when(ok.isNull(), F.col(arr_col)))
+    return agg.filter(
+        (F.size(F.col(arr_col)) >= 2) & (F.size(F.col(arr_col)) <= max_bucket)
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -162,6 +198,7 @@ def minhash_candidate_pairs(
     max_bucket: int = 1000,
     eager: bool = False,
     norm_col: Optional[str] = None,
+    on_capped: str = "allow",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -183,6 +220,12 @@ def minhash_candidate_pairs(
     boilerplate buckets remain capped by `max_bucket`. Corpora with heavy
     mid-similarity mass can pass num_hashes=32, bands=8 to get the old
     r=4 curve.
+
+    `on_capped` controls cap observability (VERDICT r8 #8): 'allow'
+    (default) keeps the documented capped-recall contract — a bucket
+    past `max_bucket` drops whole, silently; 'error' fails the task via
+    an in-plan assert the moment any bucket exceeds the cap, turning
+    "trust the contract" into "proved no candidates were lost".
 
     `eager=True` materializes the (small) pair list immediately
     (localCheckpoint) and releases the cached shingle sets — use it when
@@ -256,10 +299,14 @@ def minhash_candidate_pairs(
     # duplicates collapse to one row and cannot form such buckets).
     if max_bucket is None:
         max_bucket = 1 << 31
-    grouped = (
-        banded.groupBy("_band", "_key")
-        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
-        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+    grouped = _cap_collected_buckets(
+        banded.groupBy("_band", "_key").agg(
+            F.sort_array(F.collect_list("_id")).alias("_ids")
+        ),
+        "_ids",
+        max_bucket,
+        on_capped,
+        "minhash_candidate_pairs",
     )
     n = F.size(F.col("_ids"))
     pair_array = F.flatten(
@@ -552,6 +599,7 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket: int = 1000,
+    on_capped: str = "allow",
 ) -> DataFrame:
     """Near-dup pairs by simhash: two docs within hamming distance
     < `chunks` share at least one bit-slice (pigeonhole), so blocking on
@@ -562,7 +610,8 @@ def simhash_candidate_pairs(
     surviving (un-capped) bucket — see signature_candidate_pairs for the
     full statement. Pass max_bucket=None for the uncapped exact-recall
     guarantee (at the cost of unbounded bucket expansion on degenerate
-    mass-duplicate slices)."""
+    mass-duplicate slices), or on_capped='error' to fail loudly on any
+    cap hit (VERDICT r8 #8)."""
     # blank/NULL docs never pair: tokens('') is [''] and every content-free
     # doc would otherwise share one constant signature and collide in every
     # bit-slice bucket (same guard contract as the minhash path). The
@@ -575,7 +624,8 @@ def simhash_candidate_pairs(
     ).filter(F.length("_nt") > 0)
     base = _simhash_signatures_normed(normed)
     return signature_candidate_pairs(
-        base, max_hamming=max_hamming, chunks=chunks, max_bucket=max_bucket
+        base, max_hamming=max_hamming, chunks=chunks, max_bucket=max_bucket,
+        on_capped=on_capped,
     )
 
 
@@ -585,6 +635,7 @@ def signature_candidate_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket: int = 1000,
+    on_capped: str = "allow",
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs within `max_hamming` over ANY (_id,
     _sig) 64-bit-signature relation — the slicing/blocking/expansion
@@ -601,7 +652,9 @@ def signature_candidate_pairs(
     a capped bucket is lost even when a later shared slice survives.
     Uncapped (max_bucket=None) recall is exact for hamming < chunks.
     Capped buckets hold degenerate near-identical mass duplicates that
-    share (nearly) all slices, so the loss is confined to them."""
+    share (nearly) all slices, so the loss is confined to them.
+    on_capped='error' makes any cap hit fail the task in-plan
+    (VERDICT r8 #8) instead of silently dropping the bucket."""
     if max_hamming >= chunks:
         raise ValueError(
             f"max_hamming={max_hamming} >= chunks={chunks}: the pigeonhole "
@@ -641,12 +694,14 @@ def signature_candidate_pairs(
     # (nearly) all slices, so the practical loss is confined to them.
     if max_bucket is None:
         max_bucket = 1 << 31
-    grouped = (
-        sliced.groupBy("_chunk", "_key")
-        .agg(
+    grouped = _cap_collected_buckets(
+        sliced.groupBy("_chunk", "_key").agg(
             F.sort_array(F.collect_list(F.struct("_id", "_sig"))).alias("_xs")
-        )
-        .filter((F.size("_xs") >= 2) & (F.size("_xs") <= max_bucket))
+        ),
+        "_xs",
+        max_bucket,
+        on_capped,
+        "signature_candidate_pairs",
     )
     width = 64 // chunks
     mask = (1 << width) - 1

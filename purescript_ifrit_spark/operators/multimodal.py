@@ -1860,6 +1860,7 @@ def image_neardup_pairs(
     chunks: int = 4,
     max_bucket: int = 1000,
     exact_confirm: bool = False,
+    on_capped: str = "allow",
 ) -> DataFrame:
     """Image near-dup pairs (id_a < id_b, hamming) by dHash — the
     multimodal twin of simhash_candidate_pairs, reusing its bit-slice
@@ -1893,7 +1894,8 @@ def image_neardup_pairs(
         .select(F.col("media_id").alias("_id"), F.col("dhash").alias("_sig"))
     )
     pairs = signature_candidate_pairs(
-        sigs, max_hamming=max_hamming, chunks=chunks, max_bucket=max_bucket
+        sigs, max_hamming=max_hamming, chunks=chunks, max_bucket=max_bucket,
+        on_capped=on_capped,
     )
     if not exact_confirm:
         return pairs

@@ -37,9 +37,12 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.dedup import dedup_minhash
 
     docs = load_table(spark, sf_dir, "documents")
-    # default geometry (16 lanes, b=8 r=2 since r4) — tracks the operator
+    # default geometry (16 lanes, b=8 r=2 since r4) — tracks the operator.
+    # on_capped='error' (VERDICT r8 #8): the demo PROVES no candidate was
+    # lost to the max_bucket recall cap at this scale — a cap hit fails
+    # the job loudly instead of silently under-reporting duplicates
     return dedup_minhash(
-        docs, "doc_id", "text", jaccard_threshold=0.8
+        docs, "doc_id", "text", jaccard_threshold=0.8, on_capped="error"
     ).select("doc_id")
 
 

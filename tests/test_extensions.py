@@ -55,6 +55,49 @@ def test_dedup_minhash_removes_dups(spark, docs):
     assert 3 not in kept  # exact dup dropped
 
 
+def test_minhash_bucket_cap_observability(spark):
+    """VERDICT r8 #8: the max_bucket recall cap must be observable.
+    Five identical docs share every band bucket (size 5); with
+    max_bucket=4, on_capped='allow' silently drops the bucket (the
+    documented capped-recall contract → zero pairs), while
+    on_capped='error' fails the job in-plan with a message naming the
+    cap. Same contract on the simhash/signature kernel."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    clones = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    silent = dedup.minhash_candidate_pairs(
+        clones, "doc_id", "text", max_bucket=4
+    )
+    assert silent.count() == 0  # capped-recall: pairs silently lost
+    loud = dedup.minhash_candidate_pairs(
+        clones, "doc_id", "text", max_bucket=4, on_capped="error"
+    )
+    with pytest.raises(SparkRuntimeException, match="max_bucket=4"):
+        loud.count()
+    # uncapped recall is exact: all 10 clone pairs
+    full = dedup.minhash_candidate_pairs(
+        clones, "doc_id", "text", max_bucket=None, on_capped="error"
+    )
+    assert full.count() == 10
+    # simhash kernel shares the policy
+    s_loud = dedup.simhash_candidate_pairs(
+        clones, "doc_id", "text", max_hamming=0, max_bucket=4,
+        on_capped="error",
+    )
+    with pytest.raises(SparkRuntimeException, match="max_bucket=4"):
+        s_loud.count()
+    assert dedup.simhash_candidate_pairs(
+        clones, "doc_id", "text", max_hamming=0, max_bucket=4
+    ).count() == 0
+    with pytest.raises(ValueError, match="on_capped"):
+        dedup.minhash_candidate_pairs(
+            clones, "doc_id", "text", on_capped="nope"
+        )
+
+
 def test_simhash_pairs(spark, docs):
     pairs = dedup.simhash_candidate_pairs(
         docs, "doc_id", "text", max_hamming=3
