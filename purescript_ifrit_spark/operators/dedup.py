@@ -364,7 +364,9 @@ def dedup_minhash(
 # ---------------------------------------------------------------------------
 
 
-def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20, stats: Optional[dict] = None
+) -> DataFrame:
     """Label every node in an undirected edge list (id_a, id_b) with the
     minimum id of its connected component → (id, component).
 
@@ -377,6 +379,12 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
 
     - large-star: every neighbor v > u links to min(N(u) ∪ {u})
     - small-star: every neighbor v ≤ u (and u) links to that minimum
+
+    Pass a dict as `stats` to receive {'iterations': rounds run,
+    'converged': fixpoint reached before max_iterations, 'final_edges':
+    star-edge count at the fixpoint} — the observability hook the 100×
+    attestations read (an unconverged run is a correctness hazard:
+    labels may not be component minima yet).
     """
     edges = (
         pairs.select(
@@ -407,9 +415,12 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
         )
 
     prev_fingerprint = None
+    converged = False
+    rounds = 0
     for _ in range(max_iterations):
         edges = star(edges, large=True)
         edges = star(edges, large=False).localCheckpoint(eager=True)
+        rounds += 1
         fp = (
             # bit_xor, not sum: a long sum overflows (throws under ANSI mode)
             edges.select(
@@ -419,8 +430,13 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
         )
         fingerprint = (fp.h, fp.n)
         if fingerprint == prev_fingerprint:
+            converged = True
             break
         prev_fingerprint = fingerprint
+    if stats is not None:
+        stats["iterations"] = rounds
+        stats["converged"] = converged
+        stats["final_edges"] = prev_fingerprint[1] if prev_fingerprint else 0
 
     # after convergence every edge points a node at its component minimum
     members = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))

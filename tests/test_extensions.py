@@ -225,8 +225,16 @@ def test_connected_components_clusters(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (4, 1)], ["id_a", "id_b"]
     )
-    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    stats = {}
+    comp = {
+        r.id: r.component
+        for r in dedup.connected_components(pairs, stats=stats).collect()
+    }
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # observability hook (r9): iterations counted, fixpoint reached
+    assert stats["converged"] and 1 <= stats["iterations"] <= 20
+    # every non-root points at its component min: 6 nodes - 2 roots
+    assert stats["final_edges"] == 4
 
 
 def test_dedup_clusters_transitive(spark, docs):
