@@ -355,6 +355,42 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
             ["spark", "window", "merge"], k=20,
         )
 
+    def qx_bm25_batch():
+        from purescript_ifrit_spark.operators.text_analysis import (
+            bm25_topk_queries,
+        )
+
+        qs = spark.createDataFrame(
+            [(1, "spark join"), (2, "merge sort"), (3, "customer data"),
+             (4, "window filter"), (5, "table scan")],
+            "qid long, qtext string",
+        )
+        return bm25_topk_queries(
+            t["documents"], "doc_id", "text", qs, "qid", "qtext", k=10
+        )
+
+    def qx_rrf_fusion():
+        from purescript_ifrit_spark.functions import text as X
+        from purescript_ifrit_spark.operators.text_analysis import rrf_fuse
+
+        docs = t["documents"]
+        ra = (
+            docs.select(
+                "doc_id",
+                X.token_count(F.col("text")).cast("long").alias("s"),
+            )
+            .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+            .limit(200)
+        )
+        rb = (
+            docs.select(
+                "doc_id", ((F.col("doc_id") * 31 + 7) % 1000).alias("s")
+            )
+            .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+            .limit(200)
+        )
+        return rrf_fuse([(ra, "s"), (rb, "s")], "doc_id", k=50)
+
     def qx_jpeg_decode():
         from purescript_ifrit_spark.operators.multimodal import (
             extract_pixel_stats,
@@ -628,6 +664,8 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_cms_probe": qx_cms_probe,
         "qx_image_dedup": qx_image_dedup,
         "qx_bm25": qx_bm25,
+        "qx_bm25_batch": qx_bm25_batch,
+        "qx_rrf_fusion": qx_rrf_fusion,
         "qx_jpeg_decode": qx_jpeg_decode,
         "qx_leakage_split": qx_leakage_split,
         "qx_fuzzy_join": qx_fuzzy_join,

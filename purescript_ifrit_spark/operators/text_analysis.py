@@ -901,6 +901,156 @@ def bm25_topk(
     )
 
 
+def bm25_topk_queries(
+    docs: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch Okapi BM25: top-k documents PER QUERY for a whole table of
+    queries — the scaled retrieval shape (contamination screens, RAG
+    eval sweeps, query-log replays) where bm25_topk's one-query loop
+    would rescan the corpus per query. Output (query_id, doc_id, score),
+    score rounded to 6 decimals BEFORE ranking with doc-id tiebreak
+    (bm25_topk's determinism contract).
+
+    Scale: query terms are a metadata-sized relation — broadcast to the
+    (term, doc) postings at the token explode, so the shuffled candidate
+    stream is match-sized, not corpus-sized × queries. Document
+    frequency is computed ONCE per distinct term (not per query), corpus
+    stats are a broadcast single row, and the per-query top-k is one
+    window over the query-keyed exchange. Same idf/tf composition as
+    bm25_topk, so a 1-query batch returns exactly its ranking."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    from pyspark.sql import Window
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.explode(
+                F.split(X.normalize_text(F.col(query_text_col)), " ")
+            ).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    vocab = qterms.select("term").distinct()
+    per_doc = _per_doc_term_counts(docs, doc_id_col, text_col).join(
+        F.broadcast(vocab), "term"
+    )
+    lens = docs.select(
+        F.col(doc_id_col).alias("_doc"),
+        X.token_count(F.col(text_col)).cast("long").alias("_len"),
+    )
+    corpus = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_len").alias("_avg")
+    )
+    dfreq = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    contrib = idf * (
+        (F.col("tf_doc") * (k1 + 1.0))
+        / (
+            F.col("tf_doc")
+            + k1 * (1.0 - b + b * F.col("_len") / F.col("_avg"))
+        )
+    )
+    scored = (
+        per_doc.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(lens, "_doc")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("_qid", "_doc")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("score").desc(), F.col("_doc").asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_doc").alias(doc_id_col),
+            "score",
+        )
+    )
+
+
+def rrf_fuse(
+    rankings,
+    id_col: str = "doc_id",
+    *,
+    k: int = 10,
+    k0: int = 60,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion over candidate lists from heterogeneous
+    retrievers (BM25 + ANN cosine is the classic pair): each system's
+    list is ranked by its own score, a document earns
+    floor(scale / (k0 + rank)) from every list it appears in, and the
+    fused top-k is returned as (id, rrf_score, n_systems).
+
+    `rankings` is a sequence of (DataFrame, score_col) pairs; each frame
+    carries (id_col, score_col). Ranks break ties by id, so fusion is
+    fully deterministic. The reciprocal is INTEGER fixed-point
+    (nano-units by default) — summing integers is exact and
+    order-independent, so the fused scores are engine-reproducible
+    without float-summation caveats (the quality-score micro-unit
+    convention applied to RRF; Cormack et al. 2009's 1/(k0+r) with
+    k0=60).
+
+    Scale contract: inputs are CANDIDATE LISTS (each system's top-N,
+    thousands of rows), not corpora — ranking a list uses one
+    unpartitioned window, which is exactly right for a driver-bounded
+    candidate set and exactly wrong for a corpus; feed corpus-sized
+    relations through bm25_topk / ann_topk first. The fuse itself is
+    one id-keyed aggregation."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    if k0 < 0:
+        raise ValueError(f"k0 must be >= 0 (got {k0})")
+    if not rankings:
+        raise ValueError("rankings must name at least one (df, score_col)")
+    from pyspark.sql import Window
+
+    parts = []
+    for rdf, score_col in rankings:
+        w = Window.orderBy(F.col("_s").desc(), F.col(id_col).asc())
+        parts.append(
+            rdf.select(id_col, F.col(score_col).alias("_s"))
+            .withColumn("_r", F.row_number().over(w))
+            .select(
+                F.col(id_col),
+                # `div` = exact integer division (a double divide + cast
+                # could round up across the floor boundary at the ulp)
+                F.expr(
+                    f"CAST({scale} AS BIGINT) div "
+                    f"(CAST({k0} AS BIGINT) + _r)"
+                ).alias("_rrf"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    fused = allp.groupBy(id_col).agg(
+        F.sum("_rrf").alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "rrf_score", "n_systems")
+    )
+
+
 def truncate_documents(
     df: DataFrame, id_col: str, text_col: str, max_tokens: int
 ) -> DataFrame:

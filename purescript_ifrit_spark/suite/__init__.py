@@ -129,6 +129,10 @@ _DRIVER_WINDOW_R9 = [
     # -- (3) new round-9 oracle entries land HERE as built ------------------
     "xd_bm25",      # BM25 dialect family (VERDICT r8 #6) — displaces
                     # x_feature_hash (backfill tail) per the stated policy
+    "x_bm25_batch", # batch BM25 retrieval (new r9) — displaces
+                    # x_embedding_quantize
+    "x_rrf_fusion", # reciprocal-rank fusion (new r9) — displaces
+                    # x_embedding_normalize
     # -- (4) r5-cohort backfill, ledger order (tail displaced by (3)) ------
     "x_dedup_ngram_planted",
     "x_dedup_subdoc",
@@ -137,8 +141,6 @@ _DRIVER_WINDOW_R9 = [
     "x_unigram_xent",
     "x_html_extract",
     "x_bigram_xent",
-    "x_embedding_normalize",
-    "x_embedding_quantize",
 ]
 
 # The r5-cohort entries that wait for r10 (see the spill note above).
@@ -146,6 +148,8 @@ _DRIVER_WINDOW_R9 = [
 # spill is a stated plan, not an accident.
 _R10_SPILL = [
     "x_feature_hash",  # displaced from the r9 backfill tail by xd_bm25
+    "x_embedding_quantize",   # displaced by x_bm25_batch
+    "x_embedding_normalize",  # displaced by x_rrf_fusion
     "x_linear_filter",
     "x_temperature_mix",
     "x_dau_exact",

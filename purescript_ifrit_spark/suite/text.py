@@ -851,6 +851,93 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_bm25_batch",
+    # batch BM25: the x_bm25_topk arithmetic extended per-query — the
+    # query table is a VALUES literal on both sides, document frequency
+    # is per distinct term (not per query), and the per-query top-5 uses
+    # the same round-6-before-rank + doc-id tiebreak contract
+    "WITH q AS (SELECT * FROM (VALUES (1, 'spark join'), "
+    "(2, 'merge sort'), (3, 'customer data')) t(qid, qtext)), "
+    "qt AS (SELECT DISTINCT qid, term FROM "
+    "  (SELECT qid, UNNEST(string_split(qtext, ' ')) AS term FROM q)), "
+    "tok AS (SELECT doc_id, "
+    f"UNNEST(string_split({_NORM_SQL}, ' ')) AS t FROM documents), "
+    "pd AS (SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf "
+    "FROM tok WHERE t IN (SELECT term FROM qt) GROUP BY doc_id, t), "
+    f"l AS (SELECT doc_id, {_TOKN_SQL} AS len FROM documents), "
+    "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(len) AS avg FROM l), "
+    "d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfq FROM pd GROUP BY term), "
+    "s AS (SELECT qt.qid, pd.doc_id, "
+    "SUM(ln((c.n - d.dfq + 0.5) / (d.dfq + 0.5) + 1.0) * "
+    "((pd.tf * 2.2) / (pd.tf + 1.2 * (0.25 + 0.75 * (l.len / c.avg))))) AS sc "
+    "FROM pd JOIN qt USING (term) JOIN d USING (term) "
+    "JOIN l USING (doc_id), c GROUP BY qt.qid, pd.doc_id), "
+    "r AS (SELECT qid, doc_id, ROUND(sc, 6) AS score, ROW_NUMBER() OVER "
+    "(PARTITION BY qid ORDER BY ROUND(sc, 6) DESC, doc_id) AS rn FROM s) "
+    "SELECT CAST(qid AS BIGINT) AS qid, doc_id, score FROM r WHERE rn <= 5",
+)
+def x_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sparse retrieval (operators/text_analysis.bm25_topk_queries):
+    top-5 documents PER QUERY for a 3-query table by Okapi BM25 — the
+    query-log-replay / contamination-screen shape where the per-query
+    loop would rescan the corpus."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_topk_queries,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, "spark join"), (2, "merge sort"), (3, "customer data")],
+        "qid long, qtext string",
+    )
+    return bm25_topk_queries(docs, "doc_id", "text", qs, "qid", "qtext", k=5)
+
+
+@register(
+    "x_rrf_fusion",
+    # reciprocal-rank fusion over two deterministic candidate lists
+    # (token-count ranking × hash-score ranking): the reciprocal is
+    # INTEGER fixed-point (1e9 div (60 + rank)), so fused scores are
+    # exact integers — no float-summation caveat anywhere
+    f"WITH ra AS (SELECT doc_id, {_TOKN_SQL} AS s FROM documents "
+    "ORDER BY s DESC, doc_id LIMIT 50), "
+    "rb AS (SELECT doc_id, (doc_id * 31 + 7) % 1000 AS s FROM documents "
+    "ORDER BY s DESC, doc_id LIMIT 50), "
+    "p AS (SELECT doc_id, 1000000000 // "
+    "(60 + ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)) AS rrf FROM ra "
+    "UNION ALL SELECT doc_id, 1000000000 // "
+    "(60 + ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)) AS rrf FROM rb) "
+    "SELECT doc_id, CAST(SUM(rrf) AS BIGINT) AS rrf_score, "
+    "CAST(COUNT(*) AS BIGINT) AS n_systems FROM p GROUP BY doc_id "
+    "ORDER BY rrf_score DESC, doc_id LIMIT 20",
+)
+def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (operators/text_analysis.rrf_fuse): fuse
+    two deterministic top-50 candidate lists into an exact-integer RRF
+    top-20 — the standard way to combine BM25 and ANN retrievers."""
+    from purescript_ifrit_spark.operators.text_analysis import rrf_fuse
+
+    from purescript_ifrit_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    ra = (
+        docs.select(
+            "doc_id", X.token_count(F.col("text")).cast("long").alias("s")
+        )
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    rb = (
+        docs.select(
+            "doc_id", ((F.col("doc_id") * 31 + 7) % 1000).alias("s")
+        )
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    return rrf_fuse([(ra, "s"), (rb, "s")], "doc_id", k=20)
+
+
+@register(
     "x_truncate_docs",
     # token-budget truncation: pure list arithmetic both engines
     # recompute — slice bounds are 1-based inclusive in DuckDB, matching

@@ -3261,6 +3261,89 @@ def test_bm25_ranking_sanity(spark):
         bm25_topk(docs, "doc_id", "text", ["needle"], k=0)
 
 
+def test_bm25_batch_matches_single_query_operator(spark, sf_dir):
+    """A 1-query batch through bm25_topk_queries returns EXACTLY
+    bm25_topk's ranking (same idf/tf composition, same round-6 +
+    id-tiebreak determinism); a multi-query batch returns k rows per
+    matching query."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_topk,
+        bm25_topk_queries,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    one = spark.createDataFrame([(9, "spark join")], "qid long, qtext string")
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_queries(
+            docs, "doc_id", "text", one, "qid", "qtext", k=20
+        ).orderBy(F.desc("score"), "doc_id").collect()
+    ]
+    want = [
+        (r.doc_id, r.score)
+        for r in bm25_topk(
+            docs, "doc_id", "text", ["spark", "join"], k=20
+        ).collect()
+    ]
+    assert got == want and len(got) == 20
+    multi = spark.createDataFrame(
+        [(1, "spark"), (2, "merge sort"), (3, "zzz_absent_term")],
+        "qid long, qtext string",
+    )
+    out = bm25_topk_queries(
+        docs, "doc_id", "text", multi, "qid", "qtext", k=5
+    )
+    per_q = {r.qid: 0 for r in out.collect()}
+    for r in out.collect():
+        per_q[r.qid] += 1
+    assert per_q.get(1) == 5 and per_q.get(2) == 5
+    assert 3 not in per_q  # no phantom rows for a no-match query
+    with pytest.raises(ValueError):
+        bm25_topk_queries(docs, "doc_id", "text", multi, "qid", "qtext", k=0)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on a planted pair of rankings equals the by-hand fixed-point
+    arithmetic: doc ranked r_a in A and r_b in B scores
+    (1e9 div (60+r_a)) + (1e9 div (60+r_b)) exactly; integer sums are
+    order-free so the values are engine-reproducible."""
+    from purescript_ifrit_spark.operators.text_analysis import rrf_fuse
+
+    ra = spark.createDataFrame(
+        [(10, 100), (20, 90), (30, 80)], "doc_id long, s long"
+    )
+    rb = spark.createDataFrame(
+        [(20, 7.0), (40, 6.0), (10, 5.0)], "doc_id long, s double"
+    )
+    out = {
+        r.doc_id: (r.rrf_score, r.n_systems)
+        for r in rrf_fuse([(ra, "s"), (rb, "s")], "doc_id", k=10).collect()
+    }
+
+    def c(r):
+        return 1_000_000_000 // (60 + r)
+
+    assert out == {
+        10: (c(1) + c(3), 2),
+        20: (c(2) + c(1), 2),
+        30: (c(3), 1),
+        40: (c(2), 1),
+    }
+    # ties in a ranking break by id: two docs at score 50
+    tie = spark.createDataFrame(
+        [(5, 50), (3, 50)], "doc_id long, s long"
+    )
+    t = {r.doc_id: r.rrf_score for r in rrf_fuse([(tie, "s")], "doc_id").collect()}
+    assert t == {3: c(1), 5: c(2)}
+    with pytest.raises(ValueError):
+        rrf_fuse([], "doc_id")
+    with pytest.raises(ValueError):
+        rrf_fuse([(ra, "s")], "doc_id", k=0)
+    with pytest.raises(ValueError):
+        rrf_fuse([(ra, "s")], "doc_id", k0=-1)
+
+
 def test_leakage_safe_split_keeps_components_together(spark):
     """Every member of a connected component lands in the SAME split,
     including transitive chains; documents outside the graph fall back
