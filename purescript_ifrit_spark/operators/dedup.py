@@ -852,17 +852,43 @@ def build_minhash_index(
     )
 
 
-def _cap_buckets(df: DataFrame, keys: list, max_bucket: int) -> DataFrame:
+def _cap_buckets(
+    df: DataFrame,
+    keys: list,
+    max_bucket: int,
+    on_capped: str = "allow",
+    what: str = "dedup index",
+) -> DataFrame:
     """Drop every row of a bucket whose size exceeds `max_bucket` — the
     shared probe/index capping step of both incremental dedup paths (a
     capped-out bucket is boilerplate, not a near-dup signal, on either
-    join side)."""
+    join side). on_capped='error' applies the same observability policy
+    as _cap_collected_buckets (VERDICT r8 #8): any cap hit fails the
+    task in-plan instead of silently losing the bucket's matches."""
+    if on_capped not in ("allow", "error"):
+        raise ValueError(
+            f"on_capped must be 'allow' or 'error' (got {on_capped!r})"
+        )
     w = Window.partitionBy(*keys)
-    return (
-        df.withColumn("_n", F.count("*").over(w))
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
-    )
+    df = df.withColumn("_n", F.count("*").over(w))
+    if on_capped == "error":
+        ok = F.assert_true(
+            F.col("_n") <= max_bucket,
+            F.concat(
+                F.lit(f"{what}: bucket of size "),
+                F.col("_n").cast("string"),
+                F.lit(
+                    f" exceeds max_bucket={max_bucket} — its matches "
+                    "would be dropped by the recall cap; raise "
+                    "max_bucket (or pass None), collapse mass "
+                    "duplicates with exact dedup first, or accept the "
+                    "cap with on_capped='allow'"
+                ),
+            ),
+        )
+        # ride the CONSUMED filter column or Catalyst prunes the guard
+        df = df.withColumn("_n", F.when(ok.isNull(), F.col("_n")))
+    return df.filter(F.col("_n") <= max_bucket).drop("_n")
 
 
 def dedup_against_index(
@@ -876,6 +902,7 @@ def dedup_against_index(
     bands: int = 8,
     est_threshold: float = 0.5,
     max_bucket: int = 1000,
+    on_capped: str = "allow",
 ) -> DataFrame:
     """Drop rows of `new_docs` that near-duplicate a document in the
     indexed corpus (same signature geometry as `build_minhash_index`).
@@ -910,8 +937,14 @@ def dedup_against_index(
         F.col("_sig").alias("_new_sig"),
     )
     if max_bucket is not None:
-        probe = _cap_buckets(probe, ["_band", "_key"], max_bucket)
-        index = _cap_buckets(index, ["_band", "_key"], max_bucket)
+        probe = _cap_buckets(
+            probe, ["_band", "_key"], max_bucket, on_capped,
+            "dedup_against_index (probe)",
+        )
+        index = _cap_buckets(
+            index, ["_band", "_key"], max_bucket, on_capped,
+            "dedup_against_index (index)",
+        )
     matches = probe.join(index, ["_band", "_key"]).withColumn(
         "_est",
         F.size(
@@ -971,6 +1004,7 @@ def dedup_against_simhash_index(
     chunks: int = 4,
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    on_capped: str = "allow",
 ) -> DataFrame:
     """Drop rows of `new_docs` whose simhash is within `max_hamming` bits
     of an indexed corpus document (same slice geometry as
@@ -994,8 +1028,14 @@ def dedup_against_simhash_index(
         F.col("_sig").alias("_new_sig"),
     )
     if max_bucket is not None:
-        probe = _cap_buckets(probe, ["_chunk", "_key"], max_bucket)
-        index = _cap_buckets(index, ["_chunk", "_key"], max_bucket)
+        probe = _cap_buckets(
+            probe, ["_chunk", "_key"], max_bucket, on_capped,
+            "dedup_against_simhash_index (probe)",
+        )
+        index = _cap_buckets(
+            index, ["_chunk", "_key"], max_bucket, on_capped,
+            "dedup_against_simhash_index (index)",
+        )
     losers = (
         probe.join(index, ["_chunk", "_key"])
         .filter(
@@ -1473,6 +1513,7 @@ def jaccard_join_prefix(
     threshold_den: int,
     *,
     max_bucket: Optional[int] = None,
+    on_capped: str = "allow",
 ) -> DataFrame:
     """EXACT Jaccard >= num/den self-join over a set-valued column —
     prefix filtering (Bayardo et al. 2007 AllPairs; Xiao et al. 2008
@@ -1534,7 +1575,9 @@ def jaccard_join_prefix(
         .select("_id", "_t")
     )
     if max_bucket is not None:
-        pre = _cap_buckets(pre, ["_t"], max_bucket)
+        pre = _cap_buckets(
+            pre, ["_t"], max_bucket, on_capped, "jaccard_join_prefix"
+        )
     a, b = pre.alias("a"), pre.alias("b")
     cand = (
         a.join(b, (F.col("a._t") == F.col("b._t"))
@@ -1571,6 +1614,7 @@ def jaccard_text_join(
     threshold_den: int,
     *,
     max_bucket: Optional[int] = None,
+    on_capped: str = "allow",
 ) -> DataFrame:
     """`jaccard_join_prefix` over normalized-token SETS of a text column
     (the tokenizer contract of functions/text.tokens)."""

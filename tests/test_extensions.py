@@ -96,6 +96,21 @@ def test_minhash_bucket_cap_observability(spark):
         dedup.minhash_candidate_pairs(
             clones, "doc_id", "text", on_capped="nope"
         )
+    # the incremental index probe shares the policy (window-based cap)
+    index = dedup.build_minhash_index(clones, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    inc_loud = dedup.dedup_against_index(
+        batch, index, "doc_id", "text", max_bucket=4, on_capped="error"
+    )
+    with pytest.raises(SparkRuntimeException, match="max_bucket=4"):
+        inc_loud.count()
+    # allow mode: the capped index bucket silently hides the duplicate
+    assert dedup.dedup_against_index(
+        batch, index, "doc_id", "text", max_bucket=4
+    ).count() == 1
 
 
 def test_simhash_pairs(spark, docs):
