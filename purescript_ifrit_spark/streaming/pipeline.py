@@ -429,6 +429,59 @@ def interval_join_stream(
     )
 
 
+def dedup_stream_against_index(
+    stream_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    est_threshold: float = 0.5,
+    **kwargs,
+):
+    """Streaming ingestion dedup against a STATIC corpus index: every
+    arriving micro-batch is near-dup-screened with the batch kernel
+    (operators/dedup.dedup_against_index — same signature geometry, same
+    lane-match estimate, same max_bucket/on_capped contract) and the
+    survivors append to `out_dir` as parquet. Returns the started
+    StreamingQuery; await it, then read `out_dir`.
+
+    foreachBatch is the RIGHT shape here, not a stream-static join:
+    the dedup decision is "drop if ANY band bucket matches above the
+    estimate threshold", which at the row level needs a post-join
+    per-doc aggregate — stateful on a raw stream-static join, stateless
+    inside a micro-batch. The per-batch screen touches the index via
+    the same (_band, _key) equi-join as the batch path (bucket the
+    stored index on those keys and the probe needs no corpus-side
+    shuffle), and state never grows: the index is static, each batch is
+    screened independently.
+
+    Delivery: parquet-append under a checkpoint gives at-least-once on
+    batch REPLAY after a crash (the standard foreachBatch contract) —
+    dedup downstream consumers by `id_col` or write to an idempotent
+    sink for exactly-once. Note batches are screened against the INDEX
+    only, not against each other: duplicates WITHIN the stream window
+    that are absent from the corpus pass through (run build_minhash_index
+    over the accumulated output periodically to fold the stream back
+    into the corpus)."""
+    from purescript_ifrit_spark.operators.dedup import dedup_against_index
+
+    def _screen(batch_df: DataFrame, epoch_id: int) -> None:
+        kept = dedup_against_index(
+            batch_df, index, id_col, text_col,
+            est_threshold=est_threshold, **kwargs,
+        )
+        kept.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stage_time_ordered_replay(
     df: DataFrame, ts_col: str, path: str, *, num_files: int = 2
 ) -> list:

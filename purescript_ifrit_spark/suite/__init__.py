@@ -133,6 +133,8 @@ _DRIVER_WINDOW_R9 = [
                     # x_embedding_quantize
     "x_rrf_fusion", # reciprocal-rank fusion (new r9) — displaces
                     # x_embedding_normalize
+    "x_streaming_index_dedup",  # foreachBatch index dedup (new r9) —
+                                # displaces x_bigram_xent
     # -- (4) r5-cohort backfill, ledger order (tail displaced by (3)) ------
     "x_dedup_ngram_planted",
     "x_dedup_subdoc",
@@ -140,7 +142,6 @@ _DRIVER_WINDOW_R9 = [
     "x_quality_topfrac",
     "x_unigram_xent",
     "x_html_extract",
-    "x_bigram_xent",
 ]
 
 # The r5-cohort entries that wait for r10 (see the spill note above).
@@ -150,6 +151,7 @@ _R10_SPILL = [
     "x_feature_hash",  # displaced from the r9 backfill tail by xd_bm25
     "x_embedding_quantize",   # displaced by x_bm25_batch
     "x_embedding_normalize",  # displaced by x_rrf_fusion
+    "x_bigram_xent",          # displaced by x_streaming_index_dedup
     "x_linear_filter",
     "x_temperature_mix",
     "x_dau_exact",

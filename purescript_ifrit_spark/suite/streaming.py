@@ -396,3 +396,80 @@ def x_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ls.alias("c_s"), (ls + F.col("l_dur_us")).alias("c_e"),
         xs.alias("x_s"), (xs + F.col("r_dur_us")).alias("x_e"),
     )
+
+
+@register(
+    "x_streaming_index_dedup",
+    # streaming ingestion dedup against a static corpus index, planted
+    # truth (the x_dedup_incremental_planted fixture, streamed): the
+    # incoming files hold exact variants (est jaccard 1 — identical
+    # signatures), 36/38-near variants (lane-match est ≈ 0.947 ≥ 0.5)
+    # and FRESH docs in a disjoint namespace; only the fresh docs land
+    # in the survivor sink, regardless of micro-batch boundaries
+    "SELECT doc_id + 3000000000000 AS doc_id FROM documents "
+    "WHERE doc_id % 10 = 3",
+)
+def x_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup, driver-verified
+    (streaming/pipeline.dedup_stream_against_index): the planted batch
+    replays through a file-source stream (several files → several
+    micro-batches under availableNow) and every micro-batch is screened
+    against the STATIC minhash index of the base corpus via foreachBatch
+    + the batch kernel; survivors append to a parquet sink. The sink
+    must hold exactly the fresh docs — batch boundaries cannot change
+    the decision because each batch screens independently against the
+    same static index."""
+    import shutil
+    import tempfile
+
+    from purescript_ifrit_spark.operators.dedup import build_minhash_index
+    from purescript_ifrit_spark.streaming.pipeline import (
+        dedup_stream_against_index,
+    )
+    from purescript_ifrit_spark.suite._fixtures import _planted_pieces
+
+    base, exact_var, near_var = _planted_pieces(spark, sf_dir)
+    fresh_toks = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda k: F.concat(
+            F.lit("f"), F.col("doc_id").cast("string"), F.lit("x"),
+            k.cast("string"),
+        ),
+    )
+    fresh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 3)
+        .select(
+            (F.col("doc_id") + 3_000_000_000_000).alias("doc_id"),
+            F.array_join(fresh_toks, " ").alias("text"),
+        )
+    )
+    index = build_minhash_index(base, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    staged = tempfile.mkdtemp(prefix="ifrit_sid_in_")
+    out_dir = tempfile.mkdtemp(prefix="ifrit_sid_out_")
+    ckpt = tempfile.mkdtemp(prefix="ifrit_sid_ck_")
+    try:
+        batch = exact_var.unionAll(near_var).unionAll(fresh)
+        # several files → several micro-batches (order irrelevant: every
+        # batch screens against the same static index)
+        batch.repartition(4).write.mode("overwrite").parquet(staged)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        q = dedup_stream_against_index(
+            stream, index, "doc_id", "text", out_dir,
+            checkpoint_dir=ckpt, est_threshold=0.5,
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).select("doc_id").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
