@@ -474,3 +474,58 @@ def test_temperature_mix_single_window_exchange(spark, sf_dir):
     )
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_bm25_batch_broadcasts_queries_and_pushes_topk_mapside(spark, sf_dir):
+    """Batch BM25 plan shape (r9): the query-term relations ride
+    broadcasts (no SortMergeJoin for the metadata-sized sides), the
+    per-query top-k limit is pushed map-side (WindowGroupLimit Partial
+    BEFORE the query-keyed exchange), and no cartesian appears beyond
+    the single-row corpus-stats broadcast."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_topk_queries,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, "spark join"), (2, "merge sort")], "qid long, qtext string"
+    )
+    plan = physical(
+        bm25_topk_queries(docs, "doc_id", "text", qs, "qid", "qtext", k=5)
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    assert "WindowGroupLimit" in final, final
+    assert final.index("WindowGroupLimit") > final.index("Window"), final
+    # partial group-limit precedes the final one (map-side pushdown);
+    # toString prints top-down, so Final appears before Partial
+    assert "Partial" in final.split("WindowGroupLimit", 2)[-1].split("\n")[0] \
+        or final.count("WindowGroupLimit") == 2, final
+
+
+def test_rrf_fuse_takeordered_not_global_sort(spark, sf_dir):
+    """RRF plan shape (r9): the fused top-k is a TakeOrdered, never a
+    global Sort, and the whole fuse is JVM-side (no Python eval)."""
+    from pyspark.sql import functions as F
+
+    from purescript_ifrit_spark.functions import text as X
+    from purescript_ifrit_spark.operators.text_analysis import rrf_fuse
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ra = (
+        docs.select(
+            "doc_id", X.token_count(F.col("text")).cast("long").alias("s")
+        )
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(50)
+    )
+    rb = (
+        docs.select("doc_id", ((F.col("doc_id") * 31 + 7) % 1000).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(50)
+    )
+    plan = physical(rrf_fuse([(ra, "s"), (rb, "s")], "doc_id", k=20))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan, plan
