@@ -649,6 +649,153 @@ def unigram_logprob(
     )
 
 
+def unigram_logprob_against(
+    target: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-target-document mean negative log-probability under the
+    REFERENCE corpus's add-one-smoothed unigram LM — the classic
+    quality filter recipe (score web documents against a trusted corpus;
+    keep the low-perplexity tail). Unlike `unigram_logprob`, the model
+    corpus and the scored corpus are different relations.
+
+    Model: p(t) = (c_ref(t) + 1) / (N_ref + V_ref + 1) — Laplace
+    smoothing where every unseen token shares the one +1 OOV mass, so
+    OOV-heavy documents score high instead of crashing on ln(0). All
+    counts are exact integers; cross-engine drift is one libm ln ulp +
+    summation order (round downstream, the unigram_logprob convention).
+
+    Output: (id, xent_ref, n_tokens, n_oov) for target docs with ≥1
+    token.
+
+    100 TB design (the unigram_logprob shape, split across corpora):
+    the ref vocabulary aggregates once with map-side partials
+    (vocabulary-sized exchange); N_ref is a scan-stage token_count sum
+    and V_ref a vocab-sized count — one broadcast row together; target
+    tokens LEFT join the vocab on term (AQE broadcasts when it fits)
+    so OOV tokens keep their row with c=0; the final exchange carries
+    one partial row per (doc, partition)."""
+    ref_toks = ref.select(
+        F.explode(X.tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = ref_toks.groupBy("term").agg(F.count(F.lit(1)).alias("_c"))
+    stats = vocab.agg(
+        F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    tgt = target.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(X.tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    scored = (
+        tgt.join(vocab, "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_nll",
+            -F.log(
+                (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("_n") + F.col("_v") + F.lit(1)).cast("double")
+            ),
+        )
+    )
+    return scored.groupBy(F.col("_doc").alias(id_col)).agg(
+        (F.sum("_nll") / F.count(F.lit(1)).cast("double")).alias("xent_ref"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("_c").isNull().cast("long")).alias("n_oov"),
+    )
+
+
+def dsir_weights(
+    target: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    dim: int = 1024,
+) -> DataFrame:
+    """Hashed-n-gram importance log-weights for Data Selection via
+    Importance Resampling (Xie et al. 2023, DSIR): per target document,
+    log w(x) = Σ_grams [ln p_ref(b(g)) − ln p_tgt(b(g))] over unigrams
+    and bigrams feature-hashed into `dim` buckets, with add-one
+    smoothing per side — the importance weight that reshapes a raw
+    corpus toward a reference distribution. Feed the output to
+    budget_sample / stratified sampling (Gumbel-top-k resampling in the
+    paper) to draw the selected subset.
+
+    The bucket hash is the engine-neutral md5 scheme shared with
+    operators/vectorize (conv(md5[:8], 16, 10) % dim), so an oracle
+    recomputes the weights exactly; bucket counts are exact integers
+    and p_side(b) = (c_side(b) + 1) / (N_side + dim).
+
+    Output: (id, log_weight, n_grams) for target docs with ≥1 gram.
+
+    100 TB design: each side's bucket table aggregates straight off its
+    scan-stage gram explode with map-side partials to a `dim`-sized
+    relation (dim ~ 2^10..2^16 — metadata-sized); the two tables and
+    their totals broadcast; the target gram stream joins buckets
+    map-side and the final exchange carries one partial row per
+    (doc, partition). Nothing corpus-sized shuffles."""
+    if dim <= 0:
+        raise ValueError(f"dim must be positive (got {dim})")
+
+    def grams(df: DataFrame, with_id: bool):
+        toks = X.tokens(F.col(text_col))
+        n = F.size(toks)
+        ids = [F.col(id_col).alias("_doc")] if with_id else []
+        uni = df.select(*ids, F.explode(toks).alias("_g")).filter(
+            F.col("_g") != ""
+        )
+        bi = df.filter(n >= 2).select(
+            *ids,
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, n - 1),
+                    F.slice(toks, 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("_g"),
+        )
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10)
+            .cast("long") % dim
+        ).cast("int")
+        keep = ["_doc"] if with_id else []
+        return uni.unionAll(bi).select(*keep, bucket.alias("_b"))
+
+    def bucket_table(df: DataFrame, cname: str):
+        return grams(df, False).groupBy("_b").agg(
+            F.count(F.lit(1)).alias(cname)
+        )
+
+    rb = bucket_table(ref, "_cr")
+    tb = bucket_table(target, "_ct")
+    rtot = rb.agg(F.sum("_cr").alias("_nr"))
+    ttot = tb.agg(F.sum("_ct").alias("_nt"))
+    tgt_grams = grams(target, True)
+    scored = (
+        tgt_grams.join(F.broadcast(rb), "_b", "left")
+        .join(F.broadcast(tb), "_b", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .withColumn(
+            "_lw",
+            F.log(
+                (F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("_nr") + F.lit(dim)).cast("double")
+            )
+            - F.log(
+                (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("_nt") + F.lit(dim)).cast("double")
+            ),
+        )
+    )
+    return scored.groupBy(F.col("_doc").alias(id_col)).agg(
+        F.sum("_lw").alias("log_weight"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+
+
 def bigram_logprob(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

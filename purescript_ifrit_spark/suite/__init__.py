@@ -135,13 +135,15 @@ _DRIVER_WINDOW_R9 = [
                     # x_embedding_normalize
     "x_streaming_index_dedup",  # foreachBatch index dedup (new r9) —
                                 # displaces x_bigram_xent
+    "x_xent_against",   # cross-corpus LM scoring (new r9) — displaces
+                        # x_html_extract
+    "x_dsir_weights",   # DSIR importance weights (new r9) — displaces
+                        # x_unigram_xent
     # -- (4) r5-cohort backfill, ledger order (tail displaced by (3)) ------
     "x_dedup_ngram_planted",
     "x_dedup_subdoc",
     "x_blocklist_dedup",
     "x_quality_topfrac",
-    "x_unigram_xent",
-    "x_html_extract",
 ]
 
 # The r5-cohort entries that wait for r10 (see the spill note above).
@@ -152,6 +154,8 @@ _R10_SPILL = [
     "x_embedding_quantize",   # displaced by x_bm25_batch
     "x_embedding_normalize",  # displaced by x_rrf_fusion
     "x_bigram_xent",          # displaced by x_streaming_index_dedup
+    "x_html_extract",         # displaced by x_xent_against
+    "x_unigram_xent",         # displaced by x_dsir_weights
     "x_linear_filter",
     "x_temperature_mix",
     "x_dau_exact",

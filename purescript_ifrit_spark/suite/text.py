@@ -1768,3 +1768,100 @@ def x_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return markdown_sections(md, "doc_id", "text")
+
+
+@register(
+    "x_xent_against",
+    # cross-corpus unigram cross-entropy: the reference LM is the even
+    # half of documents (add-one smoothed over its vocab; unseen target
+    # tokens share the one +1 OOV mass), the scored corpus is the odd
+    # half — every count is an exact integer, both sides round the mean
+    # to 6 decimals (libm ln + sum-order noise, the x_unigram_xent
+    # convention)
+    "WITH rtok AS (SELECT "
+    f"UNNEST(string_split({_NORM_SQL}, ' ')) AS term FROM documents "
+    "WHERE doc_id % 2 = 0), "
+    "v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM rtok "
+    "WHERE term <> '' GROUP BY term), "
+    "st AS (SELECT CAST(SUM(c) AS BIGINT) AS n, "
+    "CAST(COUNT(*) AS BIGINT) AS vc FROM v), "
+    "ttok AS (SELECT doc_id, "
+    f"UNNEST(string_split({_NORM_SQL}, ' ')) AS term FROM documents "
+    "WHERE doc_id % 2 = 1), "
+    "t2 AS (SELECT doc_id, term FROM ttok WHERE term <> '') "
+    "SELECT doc_id, "
+    "ROUND(SUM(-ln((COALESCE(v.c, 0) + 1) * 1.0 / (st.n + st.vc + 1))) "
+    "/ CAST(COUNT(*) AS DOUBLE), 6) AS xent_ref, "
+    "CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov "
+    "FROM t2 LEFT JOIN v USING (term) CROSS JOIN st GROUP BY doc_id",
+)
+def x_xent_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring against a TRUSTED reference corpus
+    (operators/text_analysis.unigram_logprob_against): the odd-id half
+    of documents scored under the even-id half's smoothed unigram LM —
+    the cross-corpus perplexity filter."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        unigram_logprob_against,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    tgt = docs.filter(F.col("doc_id") % 2 == 1)
+    out = unigram_logprob_against(tgt, ref, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.round(F.col("xent_ref"), 6).alias("xent_ref"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+    )
+
+
+@register(
+    "x_dsir_weights",
+    # DSIR hashed-ngram importance log-weights (Xie et al. 2023): the
+    # reference is the even half, the raw target the odd half; unigrams
+    # and bigrams hash with the engine-neutral md5 bucket scheme
+    # (conv(md5[:8]) % 64 — the x_feature_hash convention), add-one
+    # smoothing per side, exact-integer bucket counts, round-6 sums
+    "WITH uni AS (SELECT doc_id, "
+    f"UNNEST(string_split({_NORM_SQL}, ' ')) AS g FROM documents), "
+    "tk AS (SELECT doc_id, "
+    f"string_split({_NORM_SQL}, ' ') AS ts FROM documents), "
+    "bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g "
+    "FROM tk, UNNEST(range(1, len(ts))) AS r(i) WHERE len(ts) >= 2), "
+    "grams AS (SELECT doc_id, g FROM uni WHERE g <> '' "
+    "UNION ALL SELECT doc_id, g FROM bi), "
+    "bkt AS (SELECT doc_id, "
+    "CAST(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 64 AS INT) AS b "
+    "FROM grams), "
+    "rb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bkt "
+    "WHERE doc_id % 2 = 0 GROUP BY b), "
+    "tb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bkt "
+    "WHERE doc_id % 2 = 1 GROUP BY b), "
+    "rt AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM rb), "
+    "tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt FROM tb) "
+    "SELECT doc_id, "
+    "ROUND(SUM(ln((COALESCE(rb.cr, 0) + 1) * 1.0 / (rt.nr + 64)) "
+    "- ln((COALESCE(tb.ct, 0) + 1) * 1.0 / (tt.nt + 64))), 6) AS log_weight, "
+    "CAST(COUNT(*) AS BIGINT) AS n_grams "
+    "FROM bkt LEFT JOIN rb USING (b) LEFT JOIN tb USING (b) "
+    "CROSS JOIN rt CROSS JOIN tt WHERE doc_id % 2 = 1 GROUP BY doc_id",
+)
+def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling weights
+    (operators/text_analysis.dsir_weights): hashed unigram+bigram
+    importance log-weights of the odd-id half against the even-id
+    reference half — the data-selection score a targeted pretraining
+    mix is drawn from."""
+    from purescript_ifrit_spark.operators.text_analysis import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    tgt = docs.filter(F.col("doc_id") % 2 == 1)
+    out = dsir_weights(tgt, ref, "doc_id", "text", dim=64)
+    return out.select(
+        "doc_id",
+        F.round(F.col("log_weight"), 6).alias("log_weight"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    )

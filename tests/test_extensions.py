@@ -3359,6 +3359,63 @@ def test_rrf_fuse_hand_computed(spark):
         rrf_fuse([(ra, "s")], "doc_id", k0=-1)
 
 
+def test_unigram_logprob_against_hand_computed(spark):
+    """Cross-corpus xent on a tiny fixture equals the by-hand add-one
+    arithmetic: ref = 'a a a b' (N=4, V=2); p(a)=(3+1)/7, p(b)=(1+1)/7,
+    p(OOV)=1/7. A doc of ref-typical tokens scores lower than an
+    OOV-heavy one, and n_oov counts exactly."""
+    import math
+
+    from purescript_ifrit_spark.operators.text_analysis import (
+        unigram_logprob_against,
+    )
+
+    ref = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(10, "a a b"), (11, "z z q"), (12, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.xent_ref, r.n_tokens, r.n_oov)
+        for r in unigram_logprob_against(tgt, ref).collect()
+    }
+    pa, pb, poov = 4 / 7, 2 / 7, 1 / 7
+    want10 = -(math.log(pa) + math.log(pa) + math.log(pb)) / 3
+    want11 = -3 * math.log(poov) / 3
+    assert abs(out[10][0] - want10) < 1e-12 and out[10][1:] == (3, 0)
+    assert abs(out[11][0] - want11) < 1e-12 and out[11][1:] == (3, 3)
+    assert out[10][0] < out[11][0]
+    assert 12 not in out  # zero-token docs are not scored
+
+
+def test_dsir_weights_prefer_reference_like_docs(spark):
+    """DSIR log-weights rank a reference-like document above a
+    target-typical one (the resampling signal), and a doc made of grams
+    absent from BOTH corpora sits between (the smoothed masses cancel
+    toward the corpus-size ratio)."""
+    from purescript_ifrit_spark.operators.text_analysis import dsir_weights
+
+    ref = spark.createDataFrame(
+        [(i, "quality prose flows here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    tgt_corpus = [(100 + i, "spam spam buy now") for i in range(20)]
+    probes = [
+        (1, "quality prose flows here"),   # ref-like
+        (2, "spam spam buy now"),          # target-typical
+    ]
+    tgt = spark.createDataFrame(
+        tgt_corpus + probes, "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.log_weight for r in dsir_weights(tgt, ref).collect()
+    }
+    assert out[1] > out[2]
+    assert len(out) == 22  # every target doc weighted
+    with pytest.raises(ValueError):
+        dsir_weights(tgt, ref, dim=0)
+
+
 def test_leakage_safe_split_keeps_components_together(spark):
     """Every member of a connected component lands in the SAME split,
     including transitive chains; documents outside the graph fall back
