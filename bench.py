@@ -355,6 +355,18 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
             ["spark", "window", "merge"], k=20,
         )
 
+    def qx_dsir():
+        from purescript_ifrit_spark.operators.text_analysis import (
+            dsir_weights,
+        )
+
+        docs = t["documents"]
+        return dsir_weights(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+            dim=1024,
+        )
+
     def qx_bm25_batch():
         from purescript_ifrit_spark.operators.text_analysis import (
             bm25_topk_queries,
@@ -665,6 +677,7 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_image_dedup": qx_image_dedup,
         "qx_bm25": qx_bm25,
         "qx_bm25_batch": qx_bm25_batch,
+        "qx_dsir": qx_dsir,
         "qx_rrf_fusion": qx_rrf_fusion,
         "qx_jpeg_decode": qx_jpeg_decode,
         "qx_leakage_split": qx_leakage_split,
