@@ -1071,8 +1071,16 @@ def bm25_topk_queries(
     stream is match-sized, not corpus-sized × queries. Document
     frequency is computed ONCE per distinct term (not per query), corpus
     stats are a broadcast single row, and the per-query top-k is one
-    window over the query-keyed exchange. Same idf/tf composition as
-    bm25_topk, so a 1-query batch returns exactly its ranking."""
+    window over the query-keyed exchange with the limit pushed map-side.
+    Same idf/tf composition as bm25_topk, so a 1-query batch returns
+    exactly its ranking.
+
+    Cost contract (measured at 100×, SCALE.md): the one large exchange
+    is the (query, doc) score aggregation — volume = MATCHED (query,
+    doc) pairs. A query term matching a large corpus fraction
+    contributes ~zero idf but full shuffle cost; filter stop-terms from
+    the query table upstream (the operator scores exactly what it is
+    given)."""
     if k <= 0:
         raise ValueError(f"k must be positive (got {k})")
     from pyspark.sql import Window
