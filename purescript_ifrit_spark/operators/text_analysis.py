@@ -688,6 +688,10 @@ def unigram_logprob_against(
         F.col(id_col).alias("_doc"),
         F.explode(X.tokens(F.col(text_col))).alias("term"),
     ).filter(F.col("term") != "")
+    # coalesce the totals: an EMPTY reference aggregates to (NULL, 0)
+    # and would NULL-poison every score — the degenerate-but-defined LM
+    # is p(anything) = 1/(0+0+1) = 1, xent 0 (r9 review)
+    n0 = F.coalesce(F.col("_n"), F.lit(0))
     scored = (
         tgt.join(vocab, "term", "left")
         .crossJoin(F.broadcast(stats))
@@ -695,7 +699,7 @@ def unigram_logprob_against(
             "_nll",
             -F.log(
                 (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1)).cast("double")
-                / (F.col("_n") + F.col("_v") + F.lit(1)).cast("double")
+                / (n0 + F.col("_v") + F.lit(1)).cast("double")
             ),
         )
     )
@@ -770,8 +774,12 @@ def dsir_weights(
 
     rb = bucket_table(ref, "_cr")
     tb = bucket_table(target, "_ct")
-    rtot = rb.agg(F.sum("_cr").alias("_nr"))
-    ttot = tb.agg(F.sum("_ct").alias("_nt"))
+    # coalesce the totals: an empty side aggregates SUM to NULL and
+    # would NULL-poison every weight (r9 review — same fix as
+    # unigram_logprob_against); the smoothed degenerate LM is uniform
+    # 1/dim per bucket
+    rtot = rb.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("_nr"))
+    ttot = tb.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_nt"))
     tgt_grams = grams(target, True)
     scored = (
         tgt_grams.join(F.broadcast(rb), "_b", "left")
@@ -1167,7 +1175,14 @@ def rrf_fuse(
     unpartitioned window, which is exactly right for a driver-bounded
     candidate set and exactly wrong for a corpus; feed corpus-sized
     relations through bm25_topk / ann_topk first. The fuse itself is
-    one id-keyed aggregation."""
+    one id-keyed aggregation.
+
+    Each ranking must be UNIQUE by id: a duplicated id inside one list
+    would earn two reciprocal contributions from the same system —
+    silent double counting. The fuse counts distinct systems per id and
+    FAILS THE TASK in-plan when any id carries more rows than systems
+    (the module's loud-guard policy); dedup the candidate list first if
+    a retriever can emit repeats."""
     if k <= 0:
         raise ValueError(f"k must be positive (got {k})")
     if k0 < 0:
@@ -1177,13 +1192,14 @@ def rrf_fuse(
     from pyspark.sql import Window
 
     parts = []
-    for rdf, score_col in rankings:
+    for i, (rdf, score_col) in enumerate(rankings):
         w = Window.orderBy(F.col("_s").desc(), F.col(id_col).asc())
         parts.append(
             rdf.select(id_col, F.col(score_col).alias("_s"))
             .withColumn("_r", F.row_number().over(w))
             .select(
                 F.col(id_col),
+                F.lit(i).alias("_sys"),
                 # `div` = exact integer division (a double divide + cast
                 # could round up across the floor boundary at the ulp)
                 F.expr(
@@ -1197,7 +1213,23 @@ def rrf_fuse(
         allp = allp.unionAll(p)
     fused = allp.groupBy(id_col).agg(
         F.sum("_rrf").alias("rrf_score"),
-        F.count(F.lit(1)).alias("n_systems"),
+        F.count_distinct(F.col("_sys")).alias("n_systems"),
+        F.count(F.lit(1)).alias("_rows"),
+    )
+    dup_ok = F.assert_true(
+        F.col("_rows") == F.col("n_systems"),
+        F.concat(
+            F.lit(
+                "rrf_fuse: an id appears more than once within one "
+                "ranking (silent double counting) — dedup the candidate "
+                "list by id first; id "
+            ),
+            F.col(id_col).cast("string"),
+        ),
+    )
+    # the guard rides the CONSUMED score column or Catalyst prunes it
+    fused = fused.withColumn(
+        "rrf_score", F.when(dup_ok.isNull(), F.col("rrf_score"))
     )
     return (
         fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())

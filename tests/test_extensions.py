@@ -3414,6 +3414,34 @@ def test_dsir_weights_prefer_reference_like_docs(spark):
     assert len(out) == 22  # every target doc weighted
     with pytest.raises(ValueError):
         dsir_weights(tgt, ref, dim=0)
+    # empty reference: the degenerate smoothed LM is uniform, not a
+    # NULL-poisoned frame (r9 review)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    w0 = dsir_weights(tgt, empty).collect()
+    assert len(w0) == 22 and all(r.log_weight is not None for r in w0)
+    from purescript_ifrit_spark.operators.text_analysis import (
+        unigram_logprob_against,
+    )
+
+    x0 = unigram_logprob_against(tgt, empty).collect()
+    assert len(x0) == 22
+    # p(anything) = 1/(0+0+1) = 1 under the empty-ref LM: xent exactly 0
+    assert all(r.xent_ref == 0.0 and r.n_oov == r.n_tokens for r in x0)
+
+
+def test_rrf_fuse_rejects_duplicate_ids_within_a_ranking(spark):
+    """An id repeated inside ONE candidate list would silently earn two
+    contributions from the same system; the in-plan guard fails the
+    task instead (r9 review)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from purescript_ifrit_spark.operators.text_analysis import rrf_fuse
+
+    dup = spark.createDataFrame(
+        [(1, 9), (1, 5), (2, 7)], "doc_id long, s long"
+    )
+    with pytest.raises(SparkRuntimeException, match="more than once"):
+        rrf_fuse([(dup, "s")], "doc_id").collect()
 
 
 def test_leakage_safe_split_keeps_components_together(spark):
