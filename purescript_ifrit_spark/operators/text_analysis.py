@@ -1088,7 +1088,9 @@ def bm25_topk_queries(
     doc) pairs. A query term matching a large corpus fraction
     contributes ~zero idf but full shuffle cost; filter stop-terms from
     the query table upstream (the operator scores exactly what it is
-    given)."""
+    given). The query table rides explicit broadcasts, so it must be
+    metadata-sized (up to ~millions of (query, term) rows); chunk a
+    larger query log into several calls."""
     if k <= 0:
         raise ValueError(f"k must be positive (got {k})")
     from pyspark.sql import Window
