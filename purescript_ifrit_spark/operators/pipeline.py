@@ -151,6 +151,65 @@ def curate(
     return CurationReport(n_input, n_quality, n_exact, n_fuzzy, out)
 
 
+def profile_table(
+    df: DataFrame, columns=None, *, approx: bool = False
+) -> DataFrame:
+    """Per-column data-quality profile of ANY table — the ANALYZE-style
+    pre-flight every pipeline runs before training on a new snapshot:
+    one row per column with (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value). The generic sibling of corpus_report (which
+    is document-corpus specific).
+
+    min/max aggregate in the column's OWN type (numeric order for
+    numbers, lexicographic for strings — never cast-then-compare) and
+    only the RESULT casts to string for the uniform tall schema.
+    n_distinct excludes NULLs (the SQL COUNT(DISTINCT) convention);
+    n_nulls accounts for them separately.
+
+    Scale: ONE column-pruned scan and ONE aggregate. With exact
+    distinct counts Spark plans a multi-distinct Expand — k columns
+    replicate the scan's rows k-fold through the partial aggregate, the
+    documented price of exactness; pass approx=True to profile with
+    approx_count_distinct (HLL, one pass, no Expand) when ±2% on
+    n_distinct is acceptable at corpus scale. The result is k rows
+    regardless of table size (the tall unpivot happens on a single
+    aggregated row, driver-tiny)."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    cnt = (
+        F.approx_count_distinct if approx else F.count_distinct
+    )
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"),
+            cnt(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    wide = df.select(*cols).agg(*aggs)
+    entries = []
+    for c in cols:
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_rows").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_value"),
+                F.col(f"_mx_{c}").alias("max_value"),
+            )
+        )
+    return wide.select(F.explode(F.array(*entries)).alias("_p")).select(
+        "_p.column", "_p.n_rows", "_p.n_nulls", "_p.n_distinct",
+        "_p.min_value", "_p.max_value",
+    )
+
+
 def corpus_report(
     docs: DataFrame,
     id_col: str = "doc_id",

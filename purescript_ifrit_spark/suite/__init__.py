@@ -139,11 +139,12 @@ _DRIVER_WINDOW_R9 = [
                         # x_html_extract
     "x_dsir_weights",   # DSIR importance weights (new r9) — displaces
                         # x_unigram_xent
+    "x_profile_table",  # generic table profiler (new r9) — displaces
+                        # x_quality_topfrac
     # -- (4) r5-cohort backfill, ledger order (tail displaced by (3)) ------
     "x_dedup_ngram_planted",
     "x_dedup_subdoc",
     "x_blocklist_dedup",
-    "x_quality_topfrac",
 ]
 
 # The r5-cohort entries that wait for r10 (see the spill note above).
@@ -156,6 +157,7 @@ _R10_SPILL = [
     "x_bigram_xent",          # displaced by x_streaming_index_dedup
     "x_html_extract",         # displaced by x_xent_against
     "x_unigram_xent",         # displaced by x_dsir_weights
+    "x_quality_topfrac",      # displaced by x_profile_table
     "x_linear_filter",
     "x_temperature_mix",
     "x_dau_exact",

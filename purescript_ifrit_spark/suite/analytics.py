@@ -1383,3 +1383,46 @@ def x_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.timestamp_micros(F.col("t")).alias("ts"), "v")
     )
     return time_weighted_avg(u, ["user_id"], "ts", "v", 3_600_000_000)
+
+
+@register(
+    "x_profile_table",
+    # generic per-column data-quality profile over a relation with a
+    # PLANTED nullable column (doc_id % 7 → NULL), so the null
+    # accounting is exercised, not just asserted zero; min/max compare
+    # in-type and only the result casts to string (BIGINT and VARCHAR
+    # columns only — float/timestamp string forms are engine-specific)
+    "WITH t AS (SELECT doc_id, "
+    "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang7, source "
+    "FROM documents) "
+    "SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls, "
+    "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct, "
+    "CAST(MIN(doc_id) AS VARCHAR) AS min_value, "
+    "CAST(MAX(doc_id) AS VARCHAR) AS max_value FROM t "
+    "UNION ALL SELECT 'lang7', CAST(COUNT(*) AS BIGINT), "
+    "CAST(COUNT(*) - COUNT(lang7) AS BIGINT), "
+    "CAST(COUNT(DISTINCT lang7) AS BIGINT), MIN(lang7), MAX(lang7) FROM t "
+    "UNION ALL SELECT 'source', CAST(COUNT(*) AS BIGINT), "
+    "CAST(COUNT(*) - COUNT(source) AS BIGINT), "
+    "CAST(COUNT(DISTINCT source) AS BIGINT), MIN(source), MAX(source) FROM t",
+)
+def x_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic ANALYZE-style table profile
+    (operators/pipeline.profile_table): per-column rows/nulls/exact
+    distinct/min/max over a relation with a planted nullable column."""
+    from purescript_ifrit_spark.operators.pipeline import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ).alias("lang7"),
+        "source",
+    )
+    out = profile_table(t)
+    return out.select(
+        F.col("column").alias("col_name"), "n_rows", "n_nulls",
+        "n_distinct", "min_value", "max_value",
+    )

@@ -3429,6 +3429,34 @@ def test_dsir_weights_prefer_reference_like_docs(spark):
     assert all(r.xent_ref == 0.0 and r.n_oov == r.n_tokens for r in x0)
 
 
+def test_profile_table_exact_and_approx(spark):
+    """The profiler's exact counts on a hand-built frame; approx mode
+    keeps the same schema with HLL distinct estimates; bad column names
+    and empty column lists raise."""
+    from purescript_ifrit_spark.operators.pipeline import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "a")],
+        "k long, v string",
+    )
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 0
+    assert out["k"].n_distinct == 4
+    assert (out["k"].min_value, out["k"].max_value) == ("1", "4")
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+    assert (out["v"].min_value, out["v"].max_value) == ("a", "b")
+    # approx mode: same shape, estimates within HLL tolerance at n=4
+    ax = {r.column: r for r in profile_table(df, approx=True).collect()}
+    assert ax["k"].n_distinct == 4 and ax["v"].n_distinct == 2
+    # column subset honored; errors loud
+    sub = profile_table(df, ["v"]).collect()
+    assert len(sub) == 1 and sub[0].column == "v"
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, ["nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        profile_table(df, [])
+
+
 def test_rrf_fuse_rejects_duplicate_ids_within_a_ranking(spark):
     """An id repeated inside ONE candidate list would silently earn two
     contributions from the same system; the in-plan guard fails the
