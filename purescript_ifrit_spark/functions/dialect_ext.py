@@ -28,7 +28,8 @@ Extension functions are projection-mode scalars (per row, scan-stage Column
 expressions — never Python UDFs, with ONE documented exception: IMAGE_DHASH
 is an Arrow-vectorized pandas_udf, because a binary image decode is not
 expressible as a Column tree; it is still scan-stage and batch-transferred,
-never row-at-a-time). They are rejected inside grouped SELECT lists, and
+never row-at-a-time; NFC shares the exception for codepoint
+recomposition). They are rejected inside grouped SELECT lists, and
 every one except CHUNK (whose result is an array) can serve as a GROUP BY
 key. Both backends stay in lock-step: `column` builds the planner's Column,
 `sql` renders the identical expression for the Spark-SQL emitter, and
@@ -59,6 +60,13 @@ uses it (the DataFrame backend needs no registration).
                                            -- signature-exact near-dup
                                            -- collapse (whitespace/case
                                            -- variants share signatures)
+
+    SELECT doc_id, NFC(text) AS t          -- Unicode NFC canonicalization
+                                           -- (string; pandas_udf
+                                           -- exception #2 — SQL backend
+                                           -- needs register_sql_functions)
+    SELECT MIN(doc_id) AS keep GROUP BY NFC(text)
+                                           -- canonicalization-aware key
 
     SELECT doc_id, BM25(text) AS score    -- Okapi BM25 vs the frozen
                                            -- query/index stats (number;
@@ -494,12 +502,48 @@ def _image_dhash_sql(x: str) -> str:
     return f"ifrit_image_dhash({x})"
 
 
+def _nfc_udf():
+    """Arrow-batched NFC normalizer as a pandas_udf — the second
+    documented pandas_udf dialect exception (after IMAGE_DHASH): Spark
+    has no builtin Unicode normalizer and codepoint recomposition is
+    not expressible as a Column tree. Self-contained closure (stdlib
+    unicodedata only, imported inside); `str.isascii()` short-circuits
+    so mostly-ASCII corpora pay Arrow transfer only — the
+    operators/text_cleaning.normalize_unicode kernel, value-identical
+    (test-pinned)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: x
+            if x is None or x.isascii()
+            else unicodedata.normalize("NFC", x)
+        )
+
+    _kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_kernel, "string")
+
+
+def _nfc_column(c: Column) -> Column:
+    return _nfc_udf()(c)
+
+
+def _nfc_sql(x: str) -> str:
+    # names the session UDF register_sql_functions() installs (the
+    # IMAGE_DHASH convention)
+    return f"ifrit_nfc({x})"
+
+
 def register_sql_functions(spark) -> None:
     """Install the session UDFs the Spark-SQL backend's emitted text can
-    reference (currently: `ifrit_image_dhash` for IMAGE_DHASH). Required
-    only before spark.sql() on emitted queries that use them; the
-    DataFrame backend resolves everything in-process."""
+    reference (`ifrit_image_dhash` for IMAGE_DHASH, `ifrit_nfc` for
+    NFC). Required only before spark.sql() on emitted queries that use
+    them; the DataFrame backend resolves everything in-process."""
     spark.udf.register("ifrit_image_dhash", _image_dhash_udf())
+    spark.udf.register("ifrit_nfc", _nfc_udf())
 
 
 @dataclass(frozen=True)
@@ -629,6 +673,17 @@ EXT_FUNCTIONS: Dict[str, ExtFn] = {
             Schema.string(),
             _minhash_column,
             _minhash_sql,
+        ),
+        ExtFn(
+            "NFC",
+            # Unicode NFC canonicalization (the dedup-key prerequisite:
+            # composed vs decomposed sequences must share fingerprints).
+            # A string scalar, so `GROUP BY NFC(text)` and WHERE
+            # composition work; pandas_udf exception #2 (see _nfc_udf).
+            # NFKC/NFD/NFKD stay in operators/text_cleaning.
+            Schema.string(),
+            _nfc_column,
+            _nfc_sql,
         ),
         ExtFn(
             "BM25",

@@ -94,6 +94,7 @@ _FUNCTIONS = [
     # matching the "MIN" prefix of "MINHASH(" (H is a word char)
     "MINHASH",
     "BM25",
+    "NFC",
 ]
 
 _WORD_CHARS = r"[a-zA-Z0-9_.]"

@@ -141,10 +141,11 @@ _DRIVER_WINDOW_R9 = [
                         # x_unigram_xent
     "x_profile_table",  # generic table profiler (new r9) — displaces
                         # x_quality_topfrac
+    "xd_nfc",           # NFC dialect function (new r9) — displaces
+                        # x_blocklist_dedup
     # -- (4) r5-cohort backfill, ledger order (tail displaced by (3)) ------
     "x_dedup_ngram_planted",
     "x_dedup_subdoc",
-    "x_blocklist_dedup",
 ]
 
 # The r5-cohort entries that wait for r10 (see the spill note above).
@@ -158,6 +159,7 @@ _R10_SPILL = [
     "x_html_extract",         # displaced by x_xent_against
     "x_unigram_xent",         # displaced by x_dsir_weights
     "x_quality_topfrac",      # displaced by x_profile_table
+    "x_blocklist_dedup",      # displaced by xd_nfc
     "x_linear_filter",
     "x_temperature_mix",
     "x_dau_exact",

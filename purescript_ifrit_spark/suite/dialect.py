@@ -523,3 +523,59 @@ def xd_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.posexplode("p").alias("pos", "_v")
     ).select("vec_id", "pos", F.col("_v").cast("long").alias("val"))
+
+
+def _xd_nfc_oracle() -> str:
+    # composed (é, ñ) vs decomposed (e+U+0301, n+U+0303) twins must share
+    # one NFC group; the ASCII base corpus is NFC-invariant on any
+    # Unicode version (the x_unicode_nfc stability argument)
+    return (
+        "WITH a AS ("
+        "  SELECT doc_id, text FROM documents"
+        "  UNION ALL SELECT doc_id + 1000000000000, "
+        "  text || ' cafe' || chr(769) || ' jalapen' || chr(771) || 'o' "
+        "  FROM documents WHERE doc_id % 4 = 0"
+        "  UNION ALL SELECT doc_id + 2000000000000, "
+        "  text || ' caf' || chr(233) || ' jalape' || chr(241) || 'o' "
+        "  FROM documents WHERE doc_id % 4 = 0) "
+        "SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups "
+        "FROM a GROUP BY nfc_normalize(text)"
+    )
+
+
+@register("xd_nfc", _xd_nfc_oracle())
+def xd_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization reached through the DIALECT (`GROUP BY
+    NFC(text)` → the Arrow pandas_udf normalizer): decomposed and
+    precomposed twins of each doc_id % 4 == 0 document must collapse to
+    ONE group — the canonicalization-aware dedup key — while the ASCII
+    base corpus stays untouched. DuckDB recomputes the groups with
+    utf8proc's nfc_normalize."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000_000_000).cast("long")).alias(
+            "doc_id"
+        ),
+        # explicit escapes so an editor cannot silently NFC-normalize
+        # the fixture source (combining acute/tilde = the DECOMPOSED form)
+        F.concat(
+            F.col("text"),
+            F.lit(" cafe\u0301 jalapen\u0303o"),
+        ).alias("text"),
+    )
+    com = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000_000_000).cast("long")).alias(
+            "doc_id"
+        ),
+        F.concat(
+            F.col("text"), F.lit(" caf\u00e9 jalape\u00f1o")
+        ).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionAll(dec).unionAll(com)
+    return run_query(
+        spark,
+        aug,
+        "SELECT keep_id, n_dups FROM "
+        "(SELECT MIN(doc_id) AS keep_id, COUNT(doc_id) AS n_dups "
+        "GROUP BY NFC(text))",
+    )

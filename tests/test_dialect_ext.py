@@ -779,6 +779,70 @@ def test_minhash_dialect_matches_hashing_family(spark, docs):
     assert sig[3] is None and sig[4] is None
 
 
+def test_nfc_parse_analyze_and_matches_operator(spark):
+    """NFC goldens (r9): lexes as a function token, types string→string,
+    rejects non-string args, groups; values are identical to the
+    operators/text_cleaning.normalize_unicode kernel AND to the SQL
+    backend via the registered session UDF."""
+    from purescript_ifrit_spark.analyzer import analyze
+    from purescript_ifrit_spark.functions.dialect_ext import (
+        register_sql_functions,
+    )
+    from purescript_ifrit_spark.operators.text_cleaning import (
+        normalize_unicode,
+    )
+    from purescript_ifrit_spark.parser import parse_sql
+    from purescript_ifrit_spark.plans.spark_sql import to_spark_sql as tss
+    from purescript_ifrit_spark.schema import schema_from_json
+
+    schema = schema_from_json({"doc_id": "number", "text": "string"})
+    proj = analyze(
+        schema, parse_sql("SELECT doc_id, NFC(text) AS t")
+    ).to_json_obj()
+    assert proj["t"] == "string"
+    grouped = analyze(
+        schema, parse_sql("SELECT MIN(doc_id) AS keep GROUP BY NFC(text)")
+    ).to_json_obj()
+    assert grouped["_id"] == "string"
+    with pytest.raises(E.IfritError, match="incompatible"):
+        compile_query(DOC_SCHEMA, "SELECT NFC(doc_id) AS t")
+
+    probe = spark.createDataFrame(
+        [(1, "café jalapeño"), (2, "café jalapeño"),
+         (3, "plain ascii"), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.t
+        for r in run_query(
+            spark, probe, "SELECT doc_id, NFC(text) AS t"
+        ).collect()
+    }
+    want = {
+        r.doc_id: r.t_nfc
+        for r in normalize_unicode(probe, "text").select(
+            "doc_id", "text_nfc"
+        ).withColumnRenamed("text_nfc", "t_nfc").collect()
+    }
+    assert got == want and got[1] == got[2] == "café jalapeño"
+    assert got[4] is None and got[5] == ""
+    # composed/decomposed collapse under the grouped dedup shape
+    keep = run_query(
+        spark, probe, "SELECT MIN(doc_id) AS keep GROUP BY NFC(text)"
+    )
+    assert keep.count() == 4  # {1,2} share a group
+    # SQL backend parity through the registered session UDF
+    register_sql_functions(spark)
+    probe.createOrReplaceTempView("nfc_probe_v")
+    via_sql = {
+        r.doc_id: r.t
+        for r in spark.sql(
+            tss(parse_sql("SELECT doc_id, NFC(text) AS t"), "nfc_probe_v")
+        ).collect()
+    }
+    assert via_sql == got
+
+
 def test_bm25_parse_analyze_golden():
     """Parser/analyzer goldens (VERDICT r8 #6): BM25 lexes as a function
     token (digits inside a function name exercise the word-char boundary
