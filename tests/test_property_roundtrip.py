@@ -255,3 +255,64 @@ def test_decode_ppm_stream_total_on_garbage(payload):
             assert all(f.ndim == 3 for f in frames)
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# BM25 dialect scalar vs a from-scratch Python reference (r9)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("absparkjoinmerge \t\n.!XYZ09")
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bm25_dialect_matches_python_reference(spark, texts):
+    """Property pin: for arbitrary whitespace/case/punctuation noise the
+    BM25 dialect scalar equals a from-scratch Python recomputation of
+    the frozen model — exercising the double-space tf trick against the
+    token-count reference across generated inputs."""
+    from purescript_ifrit_spark.api import run_query
+    from purescript_ifrit_spark.functions.dialect_ext import (
+        BM25_AVGDL,
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+    )
+
+    def ref(text):
+        if text is None:
+            return None
+        toks = (
+            " ".join(text.lower().split()).split(" ")
+            if text.strip()
+            else []
+        )
+        dl = float(len(toks))
+        load = (1.0 - BM25_B) + (BM25_B * (dl / BM25_AVGDL))
+        s = 0.0
+        for term, idf in BM25_QUERY:
+            tf = float(toks.count(term))
+            s = s + idf * (
+                (tf * (BM25_K1 + 1.0)) / (tf + (BM25_K1 * load))
+            )
+        return round(s, 6)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.score
+        for r in run_query(
+            spark, df, "SELECT doc_id, BM25(text) AS score"
+        ).collect()
+    }
+    want = {i: ref(t) for i, t in rows}
+    assert got == want
