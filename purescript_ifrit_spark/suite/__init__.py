@@ -143,9 +143,10 @@ _DRIVER_WINDOW_R9 = [
                         # x_quality_topfrac
     "xd_nfc",           # NFC dialect function (new r9) — displaces
                         # x_blocklist_dedup
+    "x_tpch_q12ish",    # Q12-style conditional agg (new r9) — displaces
+                        # x_dedup_subdoc
     # -- (4) r5-cohort backfill, ledger order (tail displaced by (3)) ------
     "x_dedup_ngram_planted",
-    "x_dedup_subdoc",
 ]
 
 # The r5-cohort entries that wait for r10 (see the spill note above).
@@ -160,6 +161,7 @@ _R10_SPILL = [
     "x_unigram_xent",         # displaced by x_dsir_weights
     "x_quality_topfrac",      # displaced by x_profile_table
     "x_blocklist_dedup",      # displaced by xd_nfc
+    "x_dedup_subdoc",         # displaced by x_tpch_q12ish
     "x_linear_filter",
     "x_temperature_mix",
     "x_dau_exact",

@@ -470,3 +470,48 @@ def x_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_key_join(o, e, "o_name", "e_name", max_dist=1).select(
         "o_partkey", "e_partkey", "edit_dist"
     )
+
+
+@register(
+    "x_tpch_q12ish",
+    # TPC-H Q12-flavored conditional aggregation (the synthetic lineitem
+    # carries no l_shipmode, so the group key is l_returnflag): per
+    # returnflag over a one-year shipdate window, how many lines belong
+    # to high-priority orders vs the rest — exact integer counts, the
+    # CASE-sum shape both engines compute identically
+    "SELECT l_returnflag, "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY l_returnflag",
+)
+def x_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-style shipping-priority audit: lineitem filters to the
+    shipdate window AT THE SCAN (pushed predicate), joins orders on the
+    order key, and the per-flag high/low priority counts are one
+    conditional aggregation — partial CASE-sums collapse map-side, so
+    the exchange carries three rows per partition."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
