@@ -62,27 +62,26 @@ from purescript_ifrit_spark.suite.core import flagship  # noqa: E402,F401
 # `queries()` name has an `oracle_sql()` twin and `no_oracle` driver rows
 # are structurally impossible.
 #
-# Round-9 composition (VERDICT r8 #2 — planned at round start, 50 slots):
-#   1. the 16-entry r9 spill FIRST (_R9_SPILL as stated at r8 round
-#      start, order preserved — last hard check r4, the oldest thing in
-#      the registry);
-#   2. the 24-entry core SURVEY §2 contract cohort at ledger positions
-#      50-73 (`p3_alias` … `b5_max_nested_array`, last check r5 — 4
-#      rounds stale by r9) — position-pinned so late additions displace
-#      only the backfill tail, never the contract table;
-#   3. new round-9 oracle entries land AFTER the core block as built
-#      (PLANNED: xd_bm25 — VERDICT r8 #6), each displacing the backfill
-#      TAIL by this policy, recorded here, not by accident;
-#   4. backfill: the r5-last-checked oracle cohort in ledger order (24
-#      entries; 10 fit the initial 50 before new-entry displacement).
+# Round-10 composition (VERDICT r9 #1 — planned at round start, 50 slots):
+#   1. the 23-entry declared r10 spill FIRST (_R10_SPILL exactly as
+#      stated at r9 round start, order preserved — last hard check r5,
+#      the oldest thing in the registry; test-pinned since r9);
+#   2. backfill: the r6-last-checked oracle cohort in ledger order (50
+#      such entries exist; 27 fit the round-start window);
+#   3. new round-10 oracle entries land at the END of the window as
+#      built, each displacing the backfill TAIL by the stated policy and
+#      recorded inline here (PLANNED: x_rrf_batch — VERDICT r9 #3,
+#      x_profile_table_types — VERDICT r9 #7, x_streaming_index_fold —
+#      VERDICT r9 #4).
 #
-# Explicit r10 spill (the same stated-plan discipline as r8): the
-# r5-cohort entries that do NOT fit the r9 window — see _R10_SPILL
-# below — plus any backfill tail displaced by new r9 entries (first
-# displaced: `x_feature_hash`, then `x_embedding_quantize`, ...). All
+# Explicit r11 spill (the same stated-plan discipline as r8/r9): the
+# r6-cohort entries that do NOT fit the r10 window — see _R11_SPILL
+# below — plus any backfill tail displaced by new r10 entries. All
 # spilled entries remain pytest-verified by tests/test_oracle_parity.py
-# every round and MUST head the r10 window.
+# every round and MUST head the r11 window.
 
+# The r9 window is kept as the historical record the ledger narrative
+# cites; _R10_SPILL (below) is the stated r10 head it promised.
 _DRIVER_WINDOW_R9 = [
     # -- (1) the declared r9 spill (last hard check r4) ---------------------
     "x_sessionize",
@@ -126,32 +125,21 @@ _DRIVER_WINDOW_R9 = [
     "b6_count_array",
     "b2_avg_nested_array",
     "b5_max_nested_array",
-    # -- (3) new round-9 oracle entries land HERE as built ------------------
-    "xd_bm25",      # BM25 dialect family (VERDICT r8 #6) — displaces
-                    # x_feature_hash (backfill tail) per the stated policy
-    "x_bm25_batch", # batch BM25 retrieval (new r9) — displaces
-                    # x_embedding_quantize
-    "x_rrf_fusion", # reciprocal-rank fusion (new r9) — displaces
-                    # x_embedding_normalize
-    "x_streaming_index_dedup",  # foreachBatch index dedup (new r9) —
-                                # displaces x_bigram_xent
-    "x_xent_against",   # cross-corpus LM scoring (new r9) — displaces
-                        # x_html_extract
-    "x_dsir_weights",   # DSIR importance weights (new r9) — displaces
-                        # x_unigram_xent
-    "x_profile_table",  # generic table profiler (new r9) — displaces
-                        # x_quality_topfrac
-    "xd_nfc",           # NFC dialect function (new r9) — displaces
-                        # x_blocklist_dedup
-    "x_tpch_q12ish",    # Q12-style conditional agg (new r9) — displaces
-                        # x_dedup_subdoc
-    # -- (4) r5-cohort backfill, ledger order (tail displaced by (3)) ------
+    # -- (3) new round-9 oracle entries -------------------------------------
+    "xd_bm25",
+    "x_bm25_batch",
+    "x_rrf_fusion",
+    "x_streaming_index_dedup",
+    "x_xent_against",
+    "x_dsir_weights",
+    "x_profile_table",
+    "xd_nfc",
+    "x_tpch_q12ish",
+    # -- (4) r5-cohort backfill --------------------------------------------
     "x_dedup_ngram_planted",
 ]
 
-# The r5-cohort entries that wait for r10 (see the spill note above).
-# tests/test_coverage_ledger.py pins this list against the ledger so the
-# spill is a stated plan, not an accident.
+# The stated r10 head (pinned at r9 round start; all last hard check r5).
 _R10_SPILL = [
     "x_feature_hash",  # displaced from the r9 backfill tail by xd_bm25
     "x_embedding_quantize",   # displaced by x_bm25_batch
@@ -178,9 +166,76 @@ _R10_SPILL = [
     "x_salted_join",
 ]
 
-# Oracle entries that land AFTER the r9 window saturates queue here for
-# the r10 head (the session-3 precedent); empty at round start.
-_R10_QUEUE_HEAD: list = []
+_DRIVER_WINDOW_R10 = [
+    # -- (1) the declared r10 spill, exactly as stated at r9 round start ----
+    *_R10_SPILL,
+    # -- (2) r6-cohort backfill, ledger order (27 fit at round start; the
+    #        tail is displaced by new r10 entries as recorded in (3)) ------
+    "x_dedup_clusters_planted",
+    "x_cluster_stats_planted",
+    "x_dedup_keep_best_planted",
+    "x_dedup_incremental_simhash_planted",
+    "x_chunk_documents",
+    "x_pack_sequences",
+    "x_rolling_fingerprint",
+    "x_explode_chunks",
+    "x_pii_redact",
+    "x_term_stats",
+    "x_tfidf_topk",
+    "x_repetition_stats",
+    "x_term_spectrum",
+    "x_vocab_divergence",
+    "x_ngram_novelty",
+    "x_bpe_pairs",
+    "x_url_domains",
+    "x_encoding_quality",
+    "x_packing_stats",
+    "xd_redact",
+    "xd_tumble_hourly",
+    "xd_sessionize",
+    "xd_htmltext",
+    "xd_vectorize",
+    "xd_quality_score",
+    "x_embedding_centroids",
+    "x_split_train_val",
+    # -- (3) new round-10 oracle entries land HERE as built, each
+    #        displacing the backfill tail above (first to go:
+    #        x_split_train_val, then x_embedding_centroids, ...) ------------
+]
+
+# The r6-cohort entries that wait for r11 (ledger order; grows as new
+# r10 entries displace the backfill tail above).
+# tests/test_coverage_ledger.py pins this list against the ledger so the
+# spill is a stated plan, not an accident.
+_R11_SPILL = [
+    "x_hash_sample",
+    "x_stratified_fixed_k",
+    "x_stratified_sample",
+    "x_shuffle_shards",
+    "x_events_hourly",
+    "x_running_total",
+    "x_equidepth_buckets",
+    "x_asof_join",
+    "x_asof_forward",
+    "x_range_join",
+    "x_rollup_multi",
+    "x_winsorize",
+    "x_quantile_normalize",
+    "x_label_entropy",
+    "x_label_dispersion",
+    "x_cms_probe_planted",
+    "x_heavy_hitters_mg_planted",
+    "x_percentiles_approx_planted",
+    "x_tpch_q18ish",
+    "x_partitioned_sink",
+    "x_multimodal_png",
+    "x_multimodal_video",
+    "x_image_dedup_planted",
+]
+
+# Oracle entries that land AFTER the r10 window saturates queue here for
+# the r11 head (the session-3 precedent); empty at round start.
+_R11_QUEUE_HEAD: list = []
 
 
 def _apply_driver_window(window: list) -> None:
@@ -194,4 +249,4 @@ def _apply_driver_window(window: list) -> None:
     REGISTRY.update(ordered)
 
 
-_apply_driver_window(_DRIVER_WINDOW_R9)
+_apply_driver_window(_DRIVER_WINDOW_R10)

@@ -11,9 +11,10 @@ import re
 from pathlib import Path
 
 from purescript_ifrit_spark.suite import (
-    _DRIVER_WINDOW_R9,
-    _R10_QUEUE_HEAD,
+    _DRIVER_WINDOW_R10,
     _R10_SPILL,
+    _R11_QUEUE_HEAD,
+    _R11_SPILL,
     DEMO_REGISTRY,
     REGISTRY,
 )
@@ -64,10 +65,10 @@ def test_committed_ledger_positions_match_registry_order():
 def test_driver_window_is_exactly_fifty_oracle_entries():
     # the driver checks the FIRST 50 — all 50 slots must be spendable on
     # hash-green outcomes (no rows-only entries per the rotation policy)
-    assert len(_DRIVER_WINDOW_R9) == 50
-    assert len(set(_DRIVER_WINDOW_R9)) == 50
-    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R9
-    rows_only = [n for n in _DRIVER_WINDOW_R9 if REGISTRY[n][1] is None]
+    assert len(_DRIVER_WINDOW_R10) == 50
+    assert len(set(_DRIVER_WINDOW_R10)) == 50
+    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R10
+    rows_only = [n for n in _DRIVER_WINDOW_R10 if REGISTRY[n][1] is None]
     assert rows_only == []
 
 
@@ -112,7 +113,7 @@ def _checked_rounds(hist: str) -> list:
 def test_window_prioritizes_never_verified_oracle_entries():
     # every oracle-backed entry whose history has no driver round yet
     # must be IN the window — or, if it lands after the window saturates
-    # (the session-3 precedent), pinned in the declared r9 queue head.
+    # (the session-3 precedent), pinned in the declared r11 queue head.
     # Either way, no entry silently leaves the rotation.
     never = [
         name
@@ -121,94 +122,53 @@ def test_window_prioritizes_never_verified_oracle_entries():
     ]
     missing = [
         n for n in never
-        if n not in _DRIVER_WINDOW_R9 and n not in _R10_QUEUE_HEAD
+        if n not in _DRIVER_WINDOW_R10 and n not in _R11_QUEUE_HEAD
     ]
     assert missing == [], missing
     # the queue is real: disjoint from the window, oracle-backed,
     # registry-resident, never-checked
-    for n in _R10_QUEUE_HEAD:
+    for n in _R11_QUEUE_HEAD:
         assert n in REGISTRY and REGISTRY[n][1] is not None, n
-        assert n not in _DRIVER_WINDOW_R9, n
+        assert n not in _DRIVER_WINDOW_R10, n
         assert not _checked_rounds(DRIVER_HISTORY[n][1]), n
 
 
-def test_window_r9_composition_is_the_pinned_plan():
-    # VERDICT r8 #2: (1) the 16-entry declared r9 spill (last hard check
-    # r4) holds the FIRST 16 slots; (2) the 24-entry core SURVEY §2
-    # contract cohort (last check r5) holds the next 24 — position-pinned
-    # so late additions displace only the backfill tail, never the
-    # contract table
-    spill_head = [
-        "x_sessionize",
-        "x_funnel",
-        "x_retention",
-        "x_topk_per_group",
-        "x_percentiles",
-        "x_distinct_count",
-        "x_pivot_events",
-        "x_robust_outliers",
-        "x_join_star",
-        "x_json_extract",
-        "x_tpch_q1ish",
-        "x_tpch_q3ish",
-        "x_tpch_q5ish",
-        "x_multimodal_features",
-        "x_multimodal_decode",
-        "x_multimodal_audio",
-    ]
-    assert _DRIVER_WINDOW_R9[:16] == spill_head
-    for name in spill_head:
-        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 4, name
-    core = [
-        "p3_alias",
-        "f1_neq",
-        "f2_lt_gt",
-        "f3_lte_via_not",
-        "f3_gte_direct",
-        "f4_and",
-        "f5_or",
-        "f6_not_demorgan",
-        "f7_bare_boolean",
-        "f8_null_compare",
-        "f9_reversed_literal",
-        "o1_o2_topk",
-        "o4_pregroup_sort_limit",
-        "a2_group_by_null",
-        "a4_group_sum",
-        "a5_group_min_max",
-        "a6_group_count",
-        "a7_push_collect",
-        "b1_avg_array",
-        "b3_sum_array",
-        "b4_min_max_array",
-        "b6_count_array",
-        "b2_avg_nested_array",
-        "b5_max_nested_array",
-    ]
-    assert _DRIVER_WINDOW_R9[16:40] == core
-    for name in core:
+def test_window_r10_composition_is_the_pinned_plan():
+    # VERDICT r9 #1: the 23-entry declared r10 spill (_R10_SPILL exactly
+    # as stated and test-pinned at r9 round start; last hard check r5)
+    # holds the FIRST 23 slots, order preserved; the rest of the window
+    # is r6-cohort backfill in ledger order plus new r10 entries at the
+    # tail — so late additions displace only the backfill tail, never
+    # the stated spill.
+    assert _DRIVER_WINDOW_R10[:23] == _R10_SPILL
+    for name in _R10_SPILL:
         assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 5, name
+    # every backfill slot carries an r6-last-checked entry; new r10
+    # entries (no driver round yet) are allowed only after the spill
+    for name in _DRIVER_WINDOW_R10[23:]:
+        rounds = _checked_rounds(DRIVER_HISTORY[name][1])
+        assert not rounds or max(rounds) == 6, (name, rounds)
 
 
-def test_window_backfill_spill_is_exactly_the_stated_r10_list():
-    # after the r9 window lands, every oracle entry NOT in the window
-    # must have a last check of r6+ — EXCEPT the explicitly declared r10
-    # spill (the stated-plan discipline from VERDICT r7 #1). An r4/r5
-    # entry outside both lists is a rotation bug.
+def test_window_backfill_spill_is_exactly_the_stated_r11_list():
+    # after the r10 window lands, every oracle entry NOT in the window
+    # must have a last check of r7+ — EXCEPT the explicitly declared r11
+    # spill (the stated-plan discipline from VERDICT r7 #1). An r6-or-
+    # older entry outside both lists is a rotation bug.
     stale = []
     for name, (check, hist) in DRIVER_HISTORY.items():
-        if (check != "oracle" or name in _DRIVER_WINDOW_R9
-                or name in _R10_QUEUE_HEAD):
+        if (check != "oracle" or name in _DRIVER_WINDOW_R10
+                or name in _R11_QUEUE_HEAD):
             continue
         rounds = _checked_rounds(hist)
         assert rounds, (name, hist)
-        if max(rounds) < 6:
+        if max(rounds) < 7:
             stale.append(name)
-    assert sorted(stale) == sorted(_R10_SPILL), (
-        sorted(set(stale) ^ set(_R10_SPILL))
+    assert sorted(stale) == sorted(_R11_SPILL), (
+        sorted(set(stale) ^ set(_R11_SPILL))
     )
-    for name in _R10_SPILL:
-        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 5, name
+    for name in _R11_SPILL:
+        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 6, name
 
 
 def test_bench_loads_every_table_it_references():
