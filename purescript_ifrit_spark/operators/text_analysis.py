@@ -1066,6 +1066,7 @@ def bm25_topk_queries(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Batch Okapi BM25: top-k documents PER QUERY for a whole table of
     queries — the scaled retrieval shape (contamination screens, RAG
@@ -1074,25 +1075,39 @@ def bm25_topk_queries(
     score rounded to 6 decimals BEFORE ranking with doc-id tiebreak
     (bm25_topk's determinism contract).
 
-    Scale: query terms are a metadata-sized relation — broadcast to the
-    (term, doc) postings at the token explode, so the shuffled candidate
-    stream is match-sized, not corpus-sized × queries. Document
-    frequency is computed ONCE per distinct term (not per query), corpus
-    stats are a broadcast single row, and the per-query top-k is one
-    window over the query-keyed exchange with the limit pushed map-side.
-    Same idf/tf composition as bm25_topk, so a 1-query batch returns
-    exactly its ranking.
+    Scale: the distinct query vocabulary rides a broadcast LEFT-SEMI
+    join against the tokenized corpus — Catalyst's
+    PushDownLeftSemiAntiJoin places it BELOW the (term, doc) partial
+    aggregate, at the token explode (an inner join would sit above the
+    aggregate and let the pre-aggregation exchange carry every distinct
+    (term, doc) pair of the corpus; the semi-join is semantically
+    identical because the vocab side is distinct and contributes no
+    columns). The shuffled candidate stream is therefore match-sized,
+    not corpus-sized × queries. Document frequency is computed ONCE per
+    distinct term (not per query), corpus stats are a broadcast single
+    row, and the per-query top-k is one window over the query-keyed
+    exchange with the limit pushed map-side. Same idf/tf composition as
+    bm25_topk, so a 1-query batch returns exactly its ranking.
 
     Cost contract (measured at 100×, SCALE.md): the one large exchange
     is the (query, doc) score aggregation — volume = MATCHED (query,
     doc) pairs. A query term matching a large corpus fraction
-    contributes ~zero idf but full shuffle cost; filter stop-terms from
-    the query table upstream (the operator scores exactly what it is
-    given). The query table rides explicit broadcasts, so it must be
-    metadata-sized (up to ~millions of (query, term) rows); chunk a
-    larger query log into several calls."""
+    contributes ~zero idf but full shuffle cost. `max_df_frac` turns
+    that documented hazard into a mechanism: when set, query terms whose
+    document frequency exceeds `max_df_frac · N` are dropped from
+    scoring IN-PLAN (both from the score-side candidate stream and the
+    contribution sum) — the stop-term screen computed from the corpus's
+    own df table, so a degenerate query log cannot shuffle ~docs×queries
+    pairs. Default None scores exactly what it is given. The query
+    table rides explicit broadcasts, so it must be metadata-sized (up
+    to ~millions of (query, term) rows); chunk a larger query log into
+    several calls."""
     if k <= 0:
         raise ValueError(f"k must be positive (got {k})")
+    if max_df_frac is not None and not (0.0 < max_df_frac <= 1.0):
+        raise ValueError(
+            f"max_df_frac must be in (0, 1] or None (got {max_df_frac})"
+        )
     from pyspark.sql import Window
 
     qterms = (
@@ -1106,9 +1121,6 @@ def bm25_topk_queries(
         .distinct()
     )
     vocab = qterms.select("term").distinct()
-    per_doc = _per_doc_term_counts(docs, doc_id_col, text_col).join(
-        F.broadcast(vocab), "term"
-    )
     lens = docs.select(
         F.col(doc_id_col).alias("_doc"),
         X.token_count(F.col(text_col)).cast("long").alias("_len"),
@@ -1116,7 +1128,23 @@ def bm25_topk_queries(
     corpus = lens.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_len").alias("_avg")
     )
+    per_doc = _per_doc_term_counts(docs, doc_id_col, text_col).join(
+        F.broadcast(vocab), "term", "left_semi"
+    )
     dfreq = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df_frac is not None:
+        # df is per-term, so filtering AFTER the full-vocab df pass
+        # leaves the kept terms' _df values untouched; the filtered
+        # term list then re-scopes the score-side semi-join, so the
+        # stop terms never reach the scoring exchanges at all
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(corpus.select("_n")))
+            .filter(F.col("_df") <= F.lit(max_df_frac) * F.col("_n"))
+            .select("term", "_df")
+        )
+        per_doc = _per_doc_term_counts(docs, doc_id_col, text_col).join(
+            F.broadcast(dfreq.select("term")), "term", "left_semi"
+        )
     idf = F.log(
         (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
     )

@@ -3318,6 +3318,64 @@ def test_bm25_batch_matches_single_query_operator(spark, sf_dir):
         bm25_topk_queries(docs, "doc_id", "text", multi, "qid", "qtext", k=0)
 
 
+def test_bm25_batch_max_df_frac_drops_stop_terms_in_plan(spark):
+    """VERDICT r9 #5: `max_df_frac` turns the documented stop-term
+    contract into a mechanism — a query term whose df/N exceeds the
+    fraction contributes NOTHING (neither candidate rows nor score
+    mass), so the result equals querying with that term removed; docs
+    matching only the stop term vanish entirely. Default None scores
+    exactly what it is given."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_topk_queries,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the dog ran"),
+            (3, "the bird flew"),
+            (4, "the cat ran fast"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "the cat")], "qid long, qtext string")
+    q_no_stop = spark.createDataFrame(
+        [(1, "cat")], "qid long, qtext string"
+    )
+    full = bm25_topk_queries(
+        corpus, "doc_id", "text", q, "qid", "qtext", k=10
+    ).collect()
+    # 'the' has df/N = 1.0 > 0.9 → dropped; 'cat' (df/N = 0.5) kept
+    capped = bm25_topk_queries(
+        corpus, "doc_id", "text", q, "qid", "qtext", k=10, max_df_frac=0.9
+    ).collect()
+    want = bm25_topk_queries(
+        corpus, "doc_id", "text", q_no_stop, "qid", "qtext", k=10
+    ).collect()
+    assert sorted((r.doc_id, r.score) for r in full) != sorted(
+        (r.doc_id, r.score) for r in capped
+    )
+    assert {r.doc_id for r in full} == {1, 2, 3, 4}
+    assert sorted((r.doc_id, r.score) for r in capped) == sorted(
+        (r.doc_id, r.score) for r in want
+    ) and {r.doc_id for r in capped} == {1, 4}
+    # boundary is <=: at exactly df/N the term survives
+    kept = bm25_topk_queries(
+        corpus, "doc_id", "text", q, "qid", "qtext", k=10, max_df_frac=1.0
+    ).collect()
+    assert sorted((r.doc_id, r.score) for r in kept) == sorted(
+        (r.doc_id, r.score) for r in full
+    )
+    with pytest.raises(ValueError):
+        bm25_topk_queries(
+            corpus, "doc_id", "text", q, "qid", "qtext", max_df_frac=0.0
+        )
+    with pytest.raises(ValueError):
+        bm25_topk_queries(
+            corpus, "doc_id", "text", q, "qid", "qtext", max_df_frac=1.5
+        )
+
+
 def test_rrf_fuse_hand_computed(spark):
     """RRF on a planted pair of rankings equals the by-hand fixed-point
     arithmetic: doc ranked r_a in A and r_b in B scores

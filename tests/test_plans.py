@@ -477,11 +477,15 @@ def test_temperature_mix_single_window_exchange(spark, sf_dir):
 
 
 def test_bm25_batch_broadcasts_queries_and_pushes_topk_mapside(spark, sf_dir):
-    """Batch BM25 plan shape (r9): the query-term relations ride
-    broadcasts (no SortMergeJoin for the metadata-sized sides), the
-    per-query top-k limit is pushed map-side (WindowGroupLimit Partial
-    BEFORE the query-keyed exchange), and no cartesian appears beyond
-    the single-row corpus-stats broadcast."""
+    """Batch BM25 plan shape (r9; tightened r10 per the round-9 advice):
+    the query-term relations ride broadcasts (no SortMergeJoin for the
+    metadata-sized sides), the query-vocabulary screen is a LEFT-SEMI
+    join that Catalyst pushes BELOW the (term, _doc) partial aggregate
+    onto the token explode — so the pre-aggregation exchange is
+    match-sized, never corpus-sized — the per-query top-k limit is
+    pushed map-side (WindowGroupLimit Partial BEFORE the query-keyed
+    exchange), and no cartesian appears beyond the single-row
+    corpus-stats broadcast."""
     from purescript_ifrit_spark.operators.text_analysis import (
         bm25_topk_queries,
     )
@@ -496,6 +500,13 @@ def test_bm25_batch_broadcasts_queries_and_pushes_topk_mapside(spark, sf_dir):
     )
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final, final
+    # the r9 advice finding: an INNER vocab join sat ABOVE the (term,
+    # _doc) aggregate, so the pre-aggregation exchange carried every
+    # distinct (term, doc) pair of the corpus. The semi-join must print
+    # BELOW (after, in top-down toString order) that exchange.
+    assert "LeftSemi" in final, final
+    i_exchange = final.index("Exchange hashpartitioning(term")
+    assert i_exchange < final.index("LeftSemi"), final
     assert "WindowGroupLimit" in final, final
     assert final.index("WindowGroupLimit") > final.index("Window"), final
     # partial group-limit precedes the final one (map-side pushdown);
