@@ -1268,6 +1268,115 @@ def rrf_fuse(
     )
 
 
+def rrf_fuse_queries(
+    rankings,
+    query_id_col: str = "qid",
+    id_col: str = "doc_id",
+    *,
+    k: int = 10,
+    k0: int = 60,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Grouped reciprocal-rank fusion: rrf_fuse for a whole table of
+    queries at once — the missing link between the per-query batch
+    retrievers (bm25_topk_queries, ann sweeps) and a fused ranking, so
+    a 10k-query retrieval-eval log fuses in ONE plan instead of a
+    driver loop. Each element of `rankings` is a (DataFrame, score_col)
+    pair carrying (query_id_col, id_col, score_col) — one system's
+    candidate lists for every query. Output (query_id, id, rrf_score,
+    n_systems): per query, per document, the exact integer fixed-point
+    sum of floor(scale / (k0 + rank-within-that-query's-list)) over the
+    systems that retrieved it, top-k per query.
+
+    Same math as rrf_fuse — integer `div`, id tie-breaks, Cormack et
+    al. 2009 k0=60 default — and a 1-query batch returns exactly
+    rrf_fuse's fusion (test-pinned), modulo rrf_fuse's global-top-k
+    frame being this operator's per-query frame.
+
+    Scale: inputs are per-query CANDIDATE LISTS (queries × top-N rows,
+    metadata-sized), and the whole fuse is ONE qid-keyed exchange — the
+    explicit repartition up front co-locates each query's lists, after
+    which the per-(query, system) ranking window, the (query, doc)
+    fusion aggregate, and the per-query top-k window all reuse that
+    partitioning (hashpartitioning(qid) satisfies every downstream
+    clustering, so Catalyst inserts no further exchange; plan-pinned).
+    The top-k filter is a row_number window, so WindowGroupLimit pushes
+    the limit map-side.
+
+    Duplicate-id contract (rrf_fuse's loud guard, per query): each
+    system's list must be unique by (query, id) — a repeat would earn
+    two contributions from one system, silent double counting — and the
+    fuse FAILS THE TASK in-plan when any (query, id) carries more rows
+    than distinct systems."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    if k0 < 0:
+        raise ValueError(f"k0 must be >= 0 (got {k0})")
+    if not rankings:
+        raise ValueError("rankings must name at least one (df, score_col)")
+    from pyspark.sql import Window
+
+    parts = []
+    for i, (rdf, score_col) in enumerate(rankings):
+        parts.append(
+            rdf.select(
+                F.col(query_id_col).alias("_qid"),
+                F.col(id_col).alias("_fid"),
+                F.lit(i).alias("_sys"),
+                F.col(score_col).alias("_s"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    # the ONE exchange: everything below clusters on _qid already
+    allp = allp.repartition(F.col("_qid"))
+    w = Window.partitionBy("_qid", "_sys").orderBy(
+        F.col("_s").desc(), F.col("_fid").asc()
+    )
+    ranked = allp.withColumn("_r", F.row_number().over(w)).select(
+        "_qid",
+        "_fid",
+        "_sys",
+        F.expr(
+            f"CAST({scale} AS BIGINT) div (CAST({k0} AS BIGINT) + _r)"
+        ).alias("_rrf"),
+    )
+    fused = ranked.groupBy("_qid", "_fid").agg(
+        F.sum("_rrf").alias("rrf_score"),
+        F.count_distinct(F.col("_sys")).alias("n_systems"),
+        F.count(F.lit(1)).alias("_rows"),
+    )
+    dup_ok = F.assert_true(
+        F.col("_rows") == F.col("n_systems"),
+        F.concat(
+            F.lit(
+                "rrf_fuse_queries: an id appears more than once within "
+                "one ranking for one query (silent double counting) — "
+                "dedup the candidate lists by (query, id) first; id "
+            ),
+            F.col("_fid").cast("string"),
+        ),
+    )
+    # the guard rides the CONSUMED score column or Catalyst prunes it
+    fused = fused.withColumn(
+        "rrf_score", F.when(dup_ok.isNull(), F.col("rrf_score"))
+    )
+    wk = Window.partitionBy("_qid").orderBy(
+        F.col("rrf_score").desc(), F.col("_fid").asc()
+    )
+    return (
+        fused.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_fid").alias(id_col),
+            "rrf_score",
+            "n_systems",
+        )
+    )
+
+
 def truncate_documents(
     df: DataFrame, id_col: str, text_col: str, max_tokens: int
 ) -> DataFrame:

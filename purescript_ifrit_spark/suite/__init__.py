@@ -197,10 +197,11 @@ _DRIVER_WINDOW_R10 = [
     "xd_vectorize",
     "xd_quality_score",
     "x_embedding_centroids",
-    "x_split_train_val",
     # -- (3) new round-10 oracle entries land HERE as built, each
-    #        displacing the backfill tail above (first to go:
+    #        displacing the backfill tail above (first displaced:
     #        x_split_train_val, then x_embedding_centroids, ...) ------------
+    "x_rrf_batch",      # grouped RRF (VERDICT r9 #3) — displaces
+                        # x_split_train_val
 ]
 
 # The r6-cohort entries that wait for r11 (ledger order; grows as new
@@ -208,6 +209,8 @@ _DRIVER_WINDOW_R10 = [
 # tests/test_coverage_ledger.py pins this list against the ledger so the
 # spill is a stated plan, not an accident.
 _R11_SPILL = [
+    "x_split_train_val",  # displaced from the r10 backfill tail by
+                          # x_rrf_batch
     "x_hash_sample",
     "x_stratified_fixed_k",
     "x_stratified_sample",

@@ -938,6 +938,72 @@ def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_rrf_batch",
+    # grouped reciprocal-rank fusion: two deterministic per-query
+    # candidate lists (top-25 per query by qid-salted hash scores), one
+    # integer fixed-point fusion per query, top-10 per query — ranks and
+    # the 1e9 // (60 + r) reciprocal replayed exactly in SQL
+    "WITH sa AS (SELECT qid, doc_id, s FROM ("
+    "  SELECT q.qid, d.doc_id, (d.doc_id * 17 + q.qid) % 1000 AS s, "
+    "  ROW_NUMBER() OVER (PARTITION BY q.qid "
+    "    ORDER BY (d.doc_id * 17 + q.qid) % 1000 DESC, d.doc_id) AS rn "
+    "  FROM documents d, (SELECT CAST(UNNEST([1, 2]) AS BIGINT) AS qid) q"
+    ") WHERE rn <= 25), "
+    "sb AS (SELECT qid, doc_id, s FROM ("
+    "  SELECT q.qid, d.doc_id, (d.doc_id * 31 + 7 * q.qid) % 1000 AS s, "
+    "  ROW_NUMBER() OVER (PARTITION BY q.qid "
+    "    ORDER BY (d.doc_id * 31 + 7 * q.qid) % 1000 DESC, d.doc_id) AS rn "
+    "  FROM documents d, (SELECT CAST(UNNEST([1, 2]) AS BIGINT) AS qid) q"
+    ") WHERE rn <= 25), "
+    "p AS (SELECT qid, doc_id, 1000000000 // "
+    "(60 + ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, doc_id)) "
+    "AS rrf FROM sa "
+    "UNION ALL SELECT qid, doc_id, 1000000000 // "
+    "(60 + ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, doc_id)) "
+    "AS rrf FROM sb), "
+    "f AS (SELECT qid, doc_id, CAST(SUM(rrf) AS BIGINT) AS rrf_score, "
+    "CAST(COUNT(*) AS BIGINT) AS n_systems FROM p GROUP BY qid, doc_id), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
+    "ORDER BY rrf_score DESC, doc_id) AS rk FROM f) "
+    "SELECT qid, doc_id, rrf_score, n_systems FROM r WHERE rk <= 10",
+)
+def x_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped reciprocal-rank fusion (operators/text_analysis.
+    rrf_fuse_queries, VERDICT r9 #3): fuse two retrievers' per-query
+    candidate lists for a 2-query batch in ONE plan (one qid-keyed
+    exchange) — the retrieval-eval shape where per-query rrf_fuse would
+    loop the driver."""
+    from pyspark.sql import Window
+
+    from purescript_ifrit_spark.operators.text_analysis import (
+        rrf_fuse_queries,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def system(mult: int, off: int):
+        parts = []
+        for qid in (1, 2):
+            s = (F.col("doc_id") * mult + off * qid) % 1000
+            w = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+            parts.append(
+                docs.select(
+                    F.lit(qid).cast("long").alias("qid"),
+                    "doc_id",
+                    s.alias("s"),
+                )
+                .withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= 25)
+                .drop("_r")
+            )
+        return parts[0].unionAll(parts[1])
+
+    sa = system(17, 1)
+    sb = system(31, 7)
+    return rrf_fuse_queries([(sa, "s"), (sb, "s")], "qid", "doc_id", k=10)
+
+
+@register(
     "x_truncate_docs",
     # token-budget truncation: pure list arithmetic both engines
     # recompute — slice bounds are 1-based inclusive in DuckDB, matching

@@ -3530,6 +3530,93 @@ def test_rrf_fuse_rejects_duplicate_ids_within_a_ranking(spark):
         rrf_fuse([(dup, "s")], "doc_id").collect()
 
 
+def test_rrf_fuse_queries_hand_computed_and_matches_single(spark):
+    """Grouped RRF (VERDICT r9 #3): per-query fusion equals the by-hand
+    fixed-point arithmetic with ranks computed WITHIN each query's list,
+    and a 1-query batch returns exactly rrf_fuse's fusion."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        rrf_fuse,
+        rrf_fuse_queries,
+    )
+
+    ra = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 90), (1, 30, 80), (2, 20, 50), (2, 40, 40)],
+        "qid long, doc_id long, s long",
+    )
+    rb = spark.createDataFrame(
+        [(1, 20, 5), (1, 40, 4), (2, 40, 9), (2, 10, 1)],
+        "qid long, doc_id long, s long",
+    )
+    out = rrf_fuse_queries([(ra, "s"), (rb, "s")], "qid", "doc_id", k=10)
+    rows = sorted(
+        (r.qid, r.doc_id, r.rrf_score, r.n_systems) for r in out.collect()
+    )
+    S = 1_000_000_000
+    assert rows == sorted(
+        [
+            (1, 10, S // 61, 1),
+            (1, 20, S // 62 + S // 61, 2),
+            (1, 30, S // 63, 1),
+            (1, 40, S // 62, 1),
+            (2, 20, S // 61, 1),
+            (2, 40, S // 62 + S // 61, 2),
+            (2, 10, S // 62, 1),
+        ]
+    )
+    # 1-query batch == rrf_fuse (per-query frame vs global frame aside)
+    single = sorted(
+        (r.doc_id, r.rrf_score, r.n_systems)
+        for r in rrf_fuse(
+            [
+                (ra.filter("qid = 1").select("doc_id", "s"), "s"),
+                (rb.filter("qid = 1").select("doc_id", "s"), "s"),
+            ],
+            "doc_id",
+            k=10,
+        ).collect()
+    )
+    batch1 = sorted(
+        (r.doc_id, r.rrf_score, r.n_systems)
+        for r in out.filter("qid = 1").drop("qid").collect()
+    )
+    assert single == batch1
+    # per-query top-k honored: k=1 keeps exactly the per-query winner
+    top1 = {
+        r.qid: r.doc_id
+        for r in rrf_fuse_queries(
+            [(ra, "s"), (rb, "s")], "qid", "doc_id", k=1
+        ).collect()
+    }
+    assert top1 == {1: 20, 2: 40}
+    with pytest.raises(ValueError):
+        rrf_fuse_queries([(ra, "s")], "qid", "doc_id", k=0)
+    with pytest.raises(ValueError):
+        rrf_fuse_queries([], "qid", "doc_id")
+
+
+def test_rrf_fuse_queries_rejects_per_query_duplicates(spark):
+    """The duplicate-id guard is PER QUERY: the same id in two different
+    queries' lists is fine; repeated within one (query, system) list
+    fails the task in-plan."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from purescript_ifrit_spark.operators.text_analysis import (
+        rrf_fuse_queries,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, 10, 9), (2, 10, 5)], "qid long, doc_id long, s long"
+    )
+    assert (
+        rrf_fuse_queries([(ok, "s")], "qid", "doc_id").count() == 2
+    )
+    dup = spark.createDataFrame(
+        [(1, 10, 9), (1, 10, 5)], "qid long, doc_id long, s long"
+    )
+    with pytest.raises(SparkRuntimeException, match="more than once"):
+        rrf_fuse_queries([(dup, "s")], "qid", "doc_id").collect()
+
+
 def test_leakage_safe_split_keeps_components_together(spark):
     """Every member of a connected component lands in the SAME split,
     including transitive chains; documents outside the graph fall back

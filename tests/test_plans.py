@@ -540,3 +540,30 @@ def test_rrf_fuse_takeordered_not_global_sort(spark, sf_dir):
     plan = physical(rrf_fuse([(ra, "s"), (rb, "s")], "doc_id", k=20))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_rrf_fuse_queries_single_qid_exchange(spark):
+    """Grouped RRF plan shape (r10): ONE qid-keyed exchange total — the
+    up-front repartition co-locates each query's candidate lists and
+    hashpartitioning(qid) satisfies the (qid, sys) ranking window, the
+    (qid, id) fusion aggregate, and the per-query top-k window, so
+    Catalyst inserts no further exchange; the top-k limit is pushed
+    map-side (WindowGroupLimit); JVM-side throughout."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        rrf_fuse_queries,
+    )
+
+    ra = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 90), (2, 20, 50)],
+        "qid long, doc_id long, s long",
+    )
+    rb = spark.createDataFrame(
+        [(1, 20, 5), (2, 40, 9)], "qid long, doc_id long, s long"
+    )
+    plan = physical(
+        rrf_fuse_queries([(ra, "s"), (rb, "s")], "qid", "doc_id", k=5)
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "WindowGroupLimit" in final, final
+    assert "Python" not in final, final
