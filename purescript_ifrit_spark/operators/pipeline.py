@@ -186,7 +186,13 @@ def profile_table(
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"),
+            # SUM over zero rows is NULL — an empty snapshot must
+            # profile as n_nulls=0, not NULL (the empty-input
+            # NULL-poisoning class from the r9 review, r9 advice #3)
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")),
+                F.lit(0).cast("long"),
+            ).alias(f"_nn_{c}"),
             cnt(F.col(c)).alias(f"_nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),

@@ -196,12 +196,13 @@ _DRIVER_WINDOW_R10 = [
     "xd_htmltext",
     "xd_vectorize",
     "xd_quality_score",
-    "x_embedding_centroids",
     # -- (3) new round-10 oracle entries land HERE as built, each
     #        displacing the backfill tail above (first displaced:
     #        x_split_train_val, then x_embedding_centroids, ...) ------------
     "x_rrf_batch",      # grouped RRF (VERDICT r9 #3) — displaces
                         # x_split_train_val
+    "x_profile_table_types",  # 5-type profiler oracle (VERDICT r9 #7) —
+                              # displaces x_embedding_centroids
 ]
 
 # The r6-cohort entries that wait for r11 (ledger order; grows as new
@@ -211,6 +212,7 @@ _DRIVER_WINDOW_R10 = [
 _R11_SPILL = [
     "x_split_train_val",  # displaced from the r10 backfill tail by
                           # x_rrf_batch
+    "x_embedding_centroids",  # displaced by x_profile_table_types
     "x_hash_sample",
     "x_stratified_fixed_k",
     "x_stratified_sample",

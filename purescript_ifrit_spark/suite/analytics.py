@@ -1391,7 +1391,8 @@ def x_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PLANTED nullable column (doc_id % 7 → NULL), so the null
     # accounting is exercised, not just asserted zero; min/max compare
     # in-type and only the result casts to string (BIGINT and VARCHAR
-    # columns only — float/timestamp string forms are engine-specific)
+    # columns here; x_profile_table_types below extends the driver
+    # check to DOUBLE/TIMESTAMP/DATE via engine-neutral value choices)
     "WITH t AS (SELECT doc_id, "
     "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang7, source "
     "FROM documents) "
@@ -1420,6 +1421,68 @@ def x_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang")
         ).alias("lang7"),
         "source",
+    )
+    out = profile_table(t)
+    return out.select(
+        F.col("column").alias("col_name"), "n_rows", "n_nulls",
+        "n_distinct", "min_value", "max_value",
+    )
+
+
+@register(
+    "x_profile_table_types",
+    # VERDICT r9 #7: the profiler's in-type min/max path driver-verified
+    # on the five types a real pre-flight meets — BIGINT, VARCHAR,
+    # DOUBLE, TIMESTAMP (with planted NULLs), DATE. String forms are
+    # engine-neutral by construction: the DOUBLE column is quarter-exact
+    # (round(tp)/4 — short dyadic decimals render identically under
+    # shortest-roundtrip formatting on both engines, no magnitude
+    # reaches Java's 1e7 scientific-notation switch), and timestamps/
+    # dates are whole-second UTC values ('YYYY-MM-DD HH:MM:SS' /
+    # 'YYYY-MM-DD' on both engines; bench/driver sessions run UTC)
+    "WITH t AS (SELECT o_orderkey, o_orderstatus, "
+    "CAST(round(o_totalprice) AS BIGINT) / 4.0 AS price4, "
+    "CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderdate END AS ts13, "
+    "CAST(o_orderdate AS DATE) AS odate FROM orders) "
+    "SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls, "
+    "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct, "
+    "CAST(MIN(o_orderkey) AS VARCHAR) AS min_value, "
+    "CAST(MAX(o_orderkey) AS VARCHAR) AS max_value FROM t "
+    "UNION ALL SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT), "
+    "CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT), "
+    "CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT), "
+    "MIN(o_orderstatus), MAX(o_orderstatus) FROM t "
+    "UNION ALL SELECT 'price4', CAST(COUNT(*) AS BIGINT), "
+    "CAST(COUNT(*) - COUNT(price4) AS BIGINT), "
+    "CAST(COUNT(DISTINCT price4) AS BIGINT), "
+    "CAST(MIN(price4) AS VARCHAR), CAST(MAX(price4) AS VARCHAR) FROM t "
+    "UNION ALL SELECT 'ts13', CAST(COUNT(*) AS BIGINT), "
+    "CAST(COUNT(*) - COUNT(ts13) AS BIGINT), "
+    "CAST(COUNT(DISTINCT ts13) AS BIGINT), "
+    "CAST(MIN(ts13) AS VARCHAR), CAST(MAX(ts13) AS VARCHAR) FROM t "
+    "UNION ALL SELECT 'odate', CAST(COUNT(*) AS BIGINT), "
+    "CAST(COUNT(*) - COUNT(odate) AS BIGINT), "
+    "CAST(COUNT(DISTINCT odate) AS BIGINT), "
+    "CAST(MIN(odate) AS VARCHAR), CAST(MAX(odate) AS VARCHAR) FROM t",
+)
+def x_profile_table_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed ANALYZE-style profile (operators/pipeline.profile_table,
+    VERDICT r9 #7): the same one-scan profiler over a five-type relation
+    — BIGINT, VARCHAR, quarter-exact DOUBLE, TIMESTAMP with planted
+    NULLs, DATE — so the in-type min/max and null accounting are
+    driver-verified on the types a real snapshot pre-flight meets."""
+    from purescript_ifrit_spark.operators.pipeline import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice")).cast("long") / 4.0).alias("price4"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None)).otherwise(
+            F.col("o_orderdate")
+        ).alias("ts13"),
+        F.col("o_orderdate").cast("date").alias("odate"),
     )
     out = profile_table(t)
     return out.select(

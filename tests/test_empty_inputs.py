@@ -324,3 +324,23 @@ def test_bm25_dialect_on_empty(spark, empty_docs):
     assert out.count() == 0
     w = run_query(spark, empty_docs, "SELECT doc_id WHERE BM25(text) > 2.0")
     assert w.count() == 0
+
+
+def test_profile_table_on_empty(spark):
+    """r9 advice #3: profile_table on an empty snapshot must report
+    n_rows=0 and n_nulls=0 (SUM over zero rows is NULL without the
+    coalesce — the same empty-input NULL-poisoning class fixed in
+    unigram_logprob_against/dsir_weights in r9), with NULL min/max and
+    zero distincts; the approx path agrees."""
+    from purescript_ifrit_spark.operators.pipeline import profile_table
+
+    empty = spark.createDataFrame([], "k long, v string")
+    for approx in (False, True):
+        rows = {r.column: r for r in profile_table(empty, approx=approx).collect()}
+        assert set(rows) == {"k", "v"}
+        for c in ("k", "v"):
+            r = rows[c]
+            assert r.n_rows == 0
+            assert r.n_nulls == 0, (c, approx, r)
+            assert r.n_distinct == 0
+            assert r.min_value is None and r.max_value is None
