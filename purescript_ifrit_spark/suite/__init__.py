@@ -195,7 +195,6 @@ _DRIVER_WINDOW_R10 = [
     "xd_sessionize",
     "xd_htmltext",
     "xd_vectorize",
-    "xd_quality_score",
     # -- (3) new round-10 oracle entries land HERE as built, each
     #        displacing the backfill tail above (first displaced:
     #        x_split_train_val, then x_embedding_centroids, ...) ------------
@@ -203,6 +202,8 @@ _DRIVER_WINDOW_R10 = [
                         # x_split_train_val
     "x_profile_table_types",  # 5-type profiler oracle (VERDICT r9 #7) —
                               # displaces x_embedding_centroids
+    "x_streaming_index_fold",  # survivor-sink index fold (VERDICT r9
+                               # #4) — displaces xd_quality_score
 ]
 
 # The r6-cohort entries that wait for r11 (ledger order; grows as new
@@ -213,6 +214,7 @@ _R11_SPILL = [
     "x_split_train_val",  # displaced from the r10 backfill tail by
                           # x_rrf_batch
     "x_embedding_centroids",  # displaced by x_profile_table_types
+    "xd_quality_score",       # displaced by x_streaming_index_fold
     "x_hash_sample",
     "x_stratified_fixed_k",
     "x_stratified_sample",

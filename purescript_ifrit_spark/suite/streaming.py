@@ -473,3 +473,96 @@ def x_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
+    "x_streaming_index_fold",
+    # the fold closes the within-stream-duplicates gap, planted truth:
+    # phase 1 streams a FRESH family (ids +3e12, doc_id%10=3) past the
+    # base-corpus index — all survive — and the survivor sink is folded
+    # back into the index; phase 2 streams EXACT COPIES of that family
+    # under new ids (+35e11; identical text → identical signature →
+    # estimate 1.0, always ≥ the threshold) plus a genuinely new family
+    # (ids +4e12, doc_id%10=7). Only the new family survives phase 2 —
+    # without the fold the copies would all leak (pinned by
+    # test_fold_stream_into_index_catches_within_stream_duplicates)
+    "SELECT doc_id + 4000000000000 AS doc_id FROM documents "
+    "WHERE doc_id % 10 = 7",
+)
+def x_streaming_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup index maintenance, driver-verified
+    (streaming/pipeline.fold_stream_into_index, VERDICT r9 #4): fold a
+    survivor sink back into the static minhash index between two
+    availableNow stream runs, so phase 2's exact copies of phase 1's
+    survivors are caught while a genuinely new family still passes."""
+    import shutil
+    import tempfile
+
+    from purescript_ifrit_spark.operators.dedup import build_minhash_index
+    from purescript_ifrit_spark.streaming.pipeline import (
+        dedup_stream_against_index,
+        fold_stream_into_index,
+    )
+    from purescript_ifrit_spark.suite._fixtures import _planted_pieces
+
+    base, _, _ = _planted_pieces(spark, sf_dir)
+
+    def family(prefix: str, offset: int, residue: int) -> DataFrame:
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda k: F.concat(
+                F.lit(prefix), F.col("doc_id").cast("string"), F.lit("x"),
+                k.cast("string"),
+            ),
+        )
+        return (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % 10 == residue)
+            .select(
+                (F.col("doc_id") + offset).alias("doc_id"),
+                F.array_join(toks, " ").alias("text"),
+            )
+        )
+
+    fresh_a = family("f", 3_000_000_000_000, 3)
+    # exact copies of fresh_a's TEXT under new ids (same token stems —
+    # built from the same underlying doc_id, re-offset)
+    copies = fresh_a.select(
+        (F.col("doc_id") + 500_000_000_000).alias("doc_id"), "text"
+    )
+    fresh_b = family("g", 4_000_000_000_000, 7)
+
+    index = build_minhash_index(base, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    dirs = [tempfile.mkdtemp(prefix=f"ifrit_fold_{n}_")
+            for n in ("in1", "out1", "ck1", "in2", "out2", "ck2")]
+    src1, out1, ck1, src2, out2, ck2 = dirs
+    try:
+        fresh_a.coalesce(1).write.mode("overwrite").parquet(src1)
+        copies.unionAll(fresh_b).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(src2)
+
+        def run(src: str, idx: DataFrame, out: str, ck: str) -> None:
+            q = dedup_stream_against_index(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                idx, "doc_id", "text", out,
+                checkpoint_dir=ck, est_threshold=0.5,
+            )
+            q.awaitTermination()
+
+        run(src1, index, out1, ck1)
+        folded = fold_stream_into_index(
+            spark, out1, index, "doc_id", "text"
+        ).localCheckpoint(eager=True)
+        run(src2, folded, out2, ck2)
+        return spark.read.parquet(out2).select("doc_id").localCheckpoint(
+            eager=True
+        )
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

@@ -975,6 +975,85 @@ def test_streaming_dedup_exact_matches_batch(spark, sf_dir, tmp_path):
     assert out.select("event_id").distinct().count() == ev.count()
 
 
+def test_fold_stream_into_index_catches_within_stream_duplicates(
+    spark, tmp_path
+):
+    """VERDICT r9 #4: a duplicate family absent from the corpus passes
+    the stream screen forever — UNTIL the survivor sink is folded back
+    into the index. Prove the miss without the fold and the catch with
+    it, on the same batches; double-folding must not duplicate index
+    rows (the anti-join path)."""
+    from purescript_ifrit_spark.operators.dedup import build_minhash_index
+    from purescript_ifrit_spark.streaming.pipeline import (
+        dedup_stream_against_index,
+        fold_stream_into_index,
+    )
+
+    def doc(i: int, stem: str):
+        return (i, " ".join(f"{stem}{i}w{k}" for k in range(20)))
+
+    corpus = spark.createDataFrame(
+        [doc(i, "c") for i in range(10)], "doc_id long, text string"
+    )
+    index = build_minhash_index(corpus, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+
+    # batch 1: fresh family A (not in the corpus) — all survive
+    batch1 = spark.createDataFrame(
+        [doc(100 + i, "a") for i in range(5)], "doc_id long, text string"
+    )
+    # batch 2: exact copies of family A under NEW ids + a fresh family B
+    copies = [(200 + i, " ".join(f"a{100 + i}w{k}" for k in range(20)))
+              for i in range(5)]
+    fresh_b = [doc(300 + i, "b") for i in range(3)]
+    batch2 = spark.createDataFrame(
+        copies + fresh_b, "doc_id long, text string"
+    )
+
+    def run(stream_df, idx, out, ckpt):
+        q = dedup_stream_against_index(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(stream_df),
+            idx, "doc_id", "text", out,
+            checkpoint_dir=ckpt, est_threshold=0.5,
+        )
+        q.awaitTermination()
+        return {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    batch1.coalesce(1).write.parquet(src1)
+    batch2.coalesce(1).write.parquet(src2)
+
+    out1 = str(tmp_path / "o1")
+    got1 = run(src1, index, out1, str(tmp_path / "ck1"))
+    assert got1 == {100, 101, 102, 103, 104}
+
+    # WITHOUT the fold: the exact copies leak through (the documented gap)
+    got_miss = run(src2, index, str(tmp_path / "o_miss"),
+                   str(tmp_path / "ck_miss"))
+    assert got_miss == {200, 201, 202, 203, 204, 300, 301, 302}
+
+    # WITH the fold: copies of the folded survivors are caught; the
+    # genuinely new family still passes
+    folded = fold_stream_into_index(
+        spark, out1, index, "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    assert folded.count() == index.count() + batch1.count() * 8  # bands=8
+    got_fold = run(src2, folded, str(tmp_path / "o_fold"),
+                   str(tmp_path / "ck_fold"))
+    assert got_fold == {300, 301, 302}
+
+    # double fold is id-idempotent (anti-join); assume_fresh_ids skips
+    # the guard and duplicates — the documented rotated-sink contract
+    again = fold_stream_into_index(spark, out1, folded, "doc_id", "text")
+    assert again.count() == folded.count()
+    raw = fold_stream_into_index(
+        spark, out1, folded, "doc_id", "text", assume_fresh_ids=True
+    )
+    assert raw.count() == folded.count() + batch1.count() * 8
+
+
 def test_budget_sample_semantics(spark):
     # exact semantics on a hand-computable fixture: one group, known order
     from purescript_ifrit_spark.operators.sampling import _draw, budget_sample
