@@ -753,6 +753,22 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
             max(list(spreads.values()) + list(extra_spreads.values())), 3
         ),
     }
+    # Co-tenancy self-flag (VERDICT r9 #2): the r9 driver artifact
+    # regressed 16.6% with max_rel_spread 4.282 and a 0.63 spread on the
+    # 0.126 s q2 — contamination markers that rounds 8-9 adjudicated by
+    # narrative. Make them machine-readable instead: max_rel_spread > 1.0
+    # (an extra query spiked >2x its min) or the q2/q5 canary — the two
+    # shortest headline queries, pure scan+topk / scan+agg shapes whose
+    # quiet-host spread is near zero — inflating past 0.30 marks the
+    # window noisy IN the artifact.
+    flags = []
+    if variance["max_rel_spread"] > 1.0:
+        flags.append(f"max_rel_spread {variance['max_rel_spread']} > 1.0")
+    for canary in ("q2_filter_topk", "q5_events_hourly"):
+        s = spreads.get(canary)
+        if s is not None and s > 0.30:
+            flags.append(f"{canary} rel_spread {s} > 0.30")
+    variance["cotenancy"] = {"noisy": bool(flags), "flags": flags}
     return times, cold, extra, variance
 
 
@@ -825,6 +841,7 @@ def main() -> None:
                 "median": variance["median"],
                 "rel_spread": variance["rel_spread"],
                 "max_rel_spread": variance["max_rel_spread"],
+                "cotenancy": variance["cotenancy"],
             },
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "compile_ops_per_sec": bench_compile(),
@@ -850,6 +867,7 @@ def main() -> None:
             result["variance"] = {
                 "steady_runs": variance["steady_runs"],
                 "max_rel_spread": variance["max_rel_spread"],
+                "cotenancy": variance["cotenancy"],
                 "detail": "BENCH_DETAIL.json",
             }
             line = json.dumps(result, separators=(",", ":"))
