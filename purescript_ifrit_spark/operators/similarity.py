@@ -62,45 +62,74 @@ def cosine_topk_batch(
     query_ids: Sequence[int],
     k: int = 10,
 ) -> DataFrame:
-    """Top-k rows per query for a BATCH of query vectors.
+    """Exact top-k rows per query for a BATCH of query vectors — brute
+    force, every (row, query) similarity computed once.
 
-    The query matrix is broadcast (numpy, via closure) and each Arrow batch
-    does one matmul — the Pandas-UDF fast path. The per-query top-k is a
-    window over (query_id, sim): one shuffle by query_id.
-    """
+    The query matrix is broadcast (numpy, via closure) and each Arrow
+    batch does ONE matmul, then reduces to its LOCAL per-query top-k
+    INSIDE the worker before anything leaves Python (r10, measured at
+    100x: the previous shape posexploded the full rows x queries sim
+    matrix — 200M rows for 200k vectors x 1k queries — through
+    Arrow/serde just to discard all but k per query in the window; the
+    partial top-k emits batches x queries x k rows instead, ~1000x
+    fewer). top-k of a union is the top-k of per-part top-ks, so the
+    global window over the partials returns exactly the brute-force
+    answer; ties are handled exactly — each batch ranks by the same
+    (sim desc, id asc) total order the final window uses, including
+    every row tied with the k-th similarity, so duplicate embeddings
+    cannot flip the returned set. The one exchange carries the partials
+    only (k rows per query per batch) and the final per-query top-k is
+    a WindowGroupLimit window."""
     from pyspark.sql import Window
-    from pyspark.sql.types import ArrayType, DoubleType
 
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
     qm = np.asarray(queries, dtype=np.float64)  # (Q, dim)
     qnorm = np.linalg.norm(qm, axis=1)
     qnorm[qnorm == 0] = 1.0
-    qids = list(query_ids)
+    qids = np.asarray(list(query_ids), dtype=np.int64)
+    kk = int(k)
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"query_id long, {id_col} {id_type}, sim double"
 
-    @F.pandas_udf(ArrayType(DoubleType()))
-    def sims(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (B, dim)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        s = (m @ qm.T) / norms[:, None] / qnorm[None, :]  # (B, Q)
-        return pd.Series(list(s))
+    def partial_topk(batches):
+        import numpy as np
+        import pandas as pd
 
-    exploded = (
-        df.select(F.col(id_col), sims(F.col(vec_col)).alias("_sims"))
-        .select(
-            F.col(id_col),
-            F.posexplode(F.col("_sims")).alias("_qpos", "sim"),
-        )
-        .withColumn(
-            "query_id",
-            F.element_at(F.array(*[F.lit(q) for q in qids]), F.col("_qpos") + 1),
-        )
-    )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy())  # (B, dim)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            neg = -((m @ qm.T) / norms[:, None] / qnorm[None, :])  # (B, Q)
+            ids = pdf[id_col].to_numpy()
+            n = min(kk, len(pdf))
+            # k-th best similarity per query in one vectorized pass;
+            # candidates = everything at or above it (ties included)
+            kth = np.partition(neg, n - 1, axis=0)[n - 1]  # (Q,)
+            out_q, out_i, out_s = [], [], []
+            for j in range(neg.shape[1]):
+                cand = np.nonzero(neg[:, j] <= kth[j])[0]
+                order = cand[np.lexsort((ids[cand], neg[cand, j]))][:n]
+                out_q.append(np.full(n, qids[j]))
+                out_i.append(ids[order])
+                out_s.append(-neg[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    partial = df.select(id_col, vec_col).mapInPandas(partial_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )
     return (
-        exploded.withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") <= k)
+        partial.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= kk)
         .select("query_id", F.col(id_col), "sim")
     )
 

@@ -347,6 +347,49 @@ def test_ann_batch_matches_single(spark, sf_dir):
         ).collect()
     ]
     assert {(0, v) for v in single0} <= got
+    # r10 partial-top-k rewrite: the batch result must equal the
+    # single-query brute force per query — ids and order exactly, sims
+    # to 6 decimals (numpy matmul vs JVM fold differ in summation order)
+    for qi, qrow in zip([0, 7], qrows):
+        want = [
+            (r.vec_id, round(r.sim, 6))
+            for r in similarity.cosine_topk(
+                emb, "vec_id", "embedding", qrow.embedding, 5
+            ).collect()
+        ]
+        have = [
+            (r.vec_id, round(r.sim, 6))
+            for r in sorted(
+                batch.filter(F.col("query_id") == qi).collect(),
+                key=lambda r: (-r.sim, r.vec_id),
+            )
+        ]
+        assert have == want, (qi, have, want)
+
+
+def test_ann_batch_partial_topk_exact_on_ties(spark):
+    """The r10 partial-top-k rewrite must keep EXACT tie semantics:
+    duplicate embeddings tie on sim, and the returned set must be the
+    smallest ids among the tied rows — per batch and globally — exactly
+    as the (sim desc, id asc) brute-force order dictates."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators import similarity
+
+    # 40 rows: ids 0..39, all the SAME unit vector -> every sim ties;
+    # split across 4 partitions so partial top-ks must merge correctly
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(4)
+    out = similarity.cosine_topk_batch(
+        emb, "vec_id", "embedding", np.array([[1.0, 0.0, 0.0, 0.0]]), [5], k=7
+    ).collect()
+    assert [(r.query_id, r.vec_id) for r in
+            sorted(out, key=lambda r: r.vec_id)] == [
+        (5, i) for i in range(7)
+    ]
+    assert all(abs(r.sim - 1.0) < 1e-12 for r in out)
 
 
 def test_salted_join_matches_plain(spark, sf_dir):
