@@ -194,7 +194,6 @@ _DRIVER_WINDOW_R10 = [
     "xd_tumble_hourly",
     "xd_sessionize",
     "xd_htmltext",
-    "xd_vectorize",
     # -- (3) new round-10 oracle entries land HERE as built, each
     #        displacing the backfill tail above (first displaced:
     #        x_split_train_val, then x_embedding_centroids, ...) ------------
@@ -204,6 +203,8 @@ _DRIVER_WINDOW_R10 = [
                               # displaces x_embedding_centroids
     "x_streaming_index_fold",  # survivor-sink index fold (VERDICT r9
                                # #4) — displaces xd_quality_score
+    "x_ann_batch",      # batch brute ANN, r10 partial-top-k reshape —
+                        # displaces xd_vectorize
 ]
 
 # The r6-cohort entries that wait for r11 (ledger order; grows as new
@@ -215,6 +216,7 @@ _R11_SPILL = [
                           # x_rrf_batch
     "x_embedding_centroids",  # displaced by x_profile_table_types
     "xd_quality_score",       # displaced by x_streaming_index_fold
+    "xd_vectorize",           # displaced by x_ann_batch
     "x_hash_sample",
     "x_stratified_fixed_k",
     "x_stratified_sample",

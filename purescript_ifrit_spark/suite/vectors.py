@@ -33,6 +33,46 @@ def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sim", F.round("sim", 5))
 
 
+@register(
+    "x_ann_batch",
+    # batch brute-force ANN (r10 partial-top-k shape): top-10 per query
+    # for two query vectors in one plan; ordering by the UNROUNDED
+    # similarity with vec_id tie-break on both engines, round-5 on the
+    # projected value only (the x_ann_cosine_topk convention)
+    "WITH q AS (SELECT 0 AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+    "FROM embeddings WHERE vec_id = 0 "
+    "UNION ALL SELECT 7, CAST(embedding AS DOUBLE[]) "
+    "FROM embeddings WHERE vec_id = 7), "
+    "s AS (SELECT q.qid, e.vec_id, "
+    "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s "
+    "FROM embeddings e, q), "
+    "r AS (SELECT qid, vec_id, s, ROW_NUMBER() OVER "
+    "(PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn FROM s) "
+    "SELECT CAST(qid AS BIGINT) AS query_id, vec_id, ROUND(s, 5) AS sim "
+    "FROM r WHERE rn <= 10",
+)
+def x_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch brute-force ANN (operators/similarity.cosine_topk_batch,
+    reshaped r10): exact top-10 per query for a 2-query batch — one
+    Arrow matmul + worker-local partial top-k per batch, one query-keyed
+    exchange of the partials (the full rows x queries sim matrix never
+    crosses Arrow; plan-pinned, 16.4x measured at 100x in SCALE.md)."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        cosine_topk_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id").isin([0, 7])).orderBy("vec_id").collect()
+    )
+    queries = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                        for r in qrows])
+    out = cosine_topk_batch(emb, "vec_id", "embedding", queries, [0, 7], k=10)
+    return out.withColumn("sim", F.round("sim", 5))
+
+
 @register_demo("x_ann_lsh_topk")  # approximate — demo (twin: x_ann_lsh_planted)
 def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purescript_ifrit_spark.operators.similarity import (

@@ -542,6 +542,32 @@ def test_rrf_fuse_takeordered_not_global_sort(spark, sf_dir):
     assert "Python" not in plan, plan
 
 
+def test_ann_batch_partial_topk_plan(spark, sf_dir):
+    """Batch brute ANN plan shape (r10 rewrite): ONE Arrow mapInPandas
+    (matmul + local per-query top-k inside the worker — the full
+    rows x queries sim matrix never crosses Arrow), ONE query-keyed
+    exchange of the partials, and the global per-query top-k as a
+    WindowGroupLimit window. No posexplode of the sim matrix."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        cosine_topk_batch,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = physical(
+        cosine_topk_batch(
+            emb, "vec_id", "embedding", np.ones((3, 64)), [0, 1, 2], k=5
+        )
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1, final
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "WindowGroupLimit" in final, final
+    assert "Generate" not in final, final  # no explode anywhere
+
+
 def test_rrf_fuse_queries_single_qid_exchange(spark):
     """Grouped RRF plan shape (r10): ONE qid-keyed exchange total — the
     up-front repartition co-locates each query's candidate lists and
