@@ -347,6 +347,118 @@ def ivf_topk(
     return cosine_topk(cand, id_col, vec_col, query, k)
 
 
+def ivf_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: "np.ndarray",
+    query_ids: Sequence[int],
+    centroids: "np.ndarray",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k per query for a BATCH of query vectors through
+    the IVF index — the million-query retrieval-eval path where
+    cosine_topk_batch's brute force pays rows × queries even though each
+    query only needs its `nprobe` cells.
+
+    Driver-side (metadata-sized): each query's nprobe nearest centroids
+    (the same argsort-of-L2 rule as ivf_topk, so a 1-query batch probes
+    the same cells and returns its exact ranking, test-pinned) become a
+    cell → probing-queries map shipped in the closure. Spark-side: one
+    JVM cell assignment + a probed-cells filter prunes the corpus to the
+    union of probed cells, then ONE Arrow mapInPandas groups each batch
+    by cell and matmuls every cell block against only ITS probing
+    queries' submatrix, reducing to the worker-local per-query top-k
+    with the same tie-exact (sim desc, id asc) reduction as
+    cosine_topk_batch — each (row, query) pair with the row in a probed
+    cell of that query is scored exactly once, so the union of partials
+    contains the exact top-k OVER THE PROBED CELLS (the IVF
+    approximation is the cell choice, never the reduction). One
+    query-keyed exchange of k·batches rows per query, WindowGroupLimit
+    window, no explode.
+
+    At rest, persist the cell assignment and partition/bucket the corpus
+    by cell — the probed-cells filter then becomes partition pruning and
+    a selective query batch touches only its cells' files."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    if nprobe <= 0:
+        raise ValueError(f"nprobe must be positive (got {nprobe})")
+    from pyspark.sql import Window
+
+    qm = np.asarray(queries, dtype=np.float64)  # (Q, dim)
+    qids = np.asarray(list(query_ids), dtype=np.int64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    d2 = ((cents[None, :, :] - qm[:, None, :]) ** 2).sum(-1)  # (Q, nlist)
+    probe = np.argsort(d2, axis=1)[:, : min(nprobe, len(cents))]
+    cell_to_q: dict = {}
+    for qi in range(len(qm)):
+        for c in probe[qi]:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    cell_to_q = {c: np.asarray(v) for c, v in cell_to_q.items()}
+    qnorm = np.linalg.norm(qm, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    kk = int(k)
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"query_id long, {id_col} {id_type}, sim double"
+
+    assigned = with_ivf_assignment(df, vec_col, cents).filter(
+        F.col("ivf_cell").isin([int(c) for c in cell_to_q])
+    )
+
+    def partial_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = pdf["ivf_cell"].to_numpy()
+            m_all = np.stack(pdf[vec_col].to_numpy())
+            ids_all = pdf[id_col].to_numpy()
+            norms = np.linalg.norm(m_all, axis=1)
+            norms[norms == 0] = 1.0
+            out_q, out_i, out_s = [], [], []
+            for c in np.unique(cells):
+                qs = cell_to_q.get(int(c))
+                if qs is None:
+                    continue
+                sel = cells == c
+                m, ids = m_all[sel], ids_all[sel]
+                neg = -(
+                    (m @ qm[qs].T) / norms[sel][:, None] / qnorm[qs][None, :]
+                )
+                n = min(kk, len(ids))
+                kth = np.partition(neg, n - 1, axis=0)[n - 1]
+                for jj, qi in enumerate(qs):
+                    cand = np.nonzero(neg[:, jj] <= kth[jj])[0]
+                    order = cand[np.lexsort((ids[cand], neg[cand, jj]))][:n]
+                    out_q.append(np.full(n, qids[qi]))
+                    out_i.append(ids[order])
+                    out_s.append(-neg[order, jj])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        id_col: np.concatenate(out_i),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    partial = assigned.select(id_col, vec_col, "ivf_cell").mapInPandas(
+        partial_topk, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        partial.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= kk)
+        .select("query_id", F.col(id_col), "sim")
+    )
+
+
 def knn_join_lsh(
     df: DataFrame,
     id_col: str,

@@ -193,7 +193,6 @@ _DRIVER_WINDOW_R10 = [
     "xd_redact",
     "xd_tumble_hourly",
     "xd_sessionize",
-    "xd_htmltext",
     # -- (3) new round-10 oracle entries land HERE as built, each
     #        displacing the backfill tail above (first displaced:
     #        x_split_train_val, then x_embedding_centroids, ...) ------------
@@ -205,6 +204,8 @@ _DRIVER_WINDOW_R10 = [
                                # #4) — displaces xd_quality_score
     "x_ann_batch",      # batch brute ANN, r10 partial-top-k reshape —
                         # displaces xd_vectorize
+    "x_ann_ivf_batch_planted",  # batch IVF ANN (new r10) — displaces
+                                # xd_htmltext
 ]
 
 # The r6-cohort entries that wait for r11 (ledger order; grows as new
@@ -217,6 +218,7 @@ _R11_SPILL = [
     "x_embedding_centroids",  # displaced by x_profile_table_types
     "xd_quality_score",       # displaced by x_streaming_index_fold
     "xd_vectorize",           # displaced by x_ann_batch
+    "xd_htmltext",            # displaced by x_ann_ivf_batch_planted
     "x_hash_sample",
     "x_stratified_fixed_k",
     "x_stratified_sample",

@@ -342,6 +342,45 @@ def x_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "sim")
 
 
+@register(
+    "x_ann_ivf_batch_planted",
+    # planted-truth batch IVF (r10): with the 16 identical-basis-vector
+    # clusters and nlist=16 the centroid build lands every centroid
+    # exactly on its basis vector (the x_ann_ivf_planted argument), so
+    # an e_0/e_1 two-query batch at nprobe=1 probes cluster 0 / cluster
+    # 1 respectively and each returns exactly its own 6 members at
+    # cosine exactly 1.0
+    "SELECT CAST(q.qid AS BIGINT) AS query_id, e.vec_id, "
+    "CAST(1.0 AS DOUBLE) AS sim "
+    "FROM (SELECT 0 AS qid UNION ALL SELECT 1) q "
+    "JOIN embeddings e ON e.vec_id >= q.qid * 6 "
+    "AND e.vec_id < q.qid * 6 + 6",
+)
+def x_ann_ivf_batch_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF top-k under planted basis clusters (operators/
+    similarity.ivf_topk_batch, r10): the full batch index path — seeded
+    centroid build, driver-side per-query cell probe, JVM cell
+    assignment + probed-cells pruning, worker-local partial top-k — with
+    a closed-form two-query answer set."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk_batch,
+    )
+
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    cents = ivf_centroids(planted, "embedding", nlist=16, seed=42, sample=4096)
+    e0 = np.array(_E0_QUERY, dtype=np.float64)
+    e1 = np.zeros(32)
+    e1[1] = 1.0
+    out = ivf_topk_batch(
+        planted, "vec_id", "embedding", np.stack([e0, e1]), [0, 1], cents,
+        k=6, nprobe=1,
+    )
+    return out.select("query_id", "vec_id", "sim")
+
+
 _FH_TOK = (
     "WITH tok AS (SELECT doc_id, "
     "UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t "

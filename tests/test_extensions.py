@@ -367,6 +367,50 @@ def test_ann_batch_matches_single(spark, sf_dir):
         assert have == want, (qi, have, want)
 
 
+def test_ivf_batch_matches_single_query_operator(spark, sf_dir):
+    """A 1-query ivf_topk_batch probes the same cells (same argsort-of-
+    L2 rule) and returns exactly ivf_topk's ranking — ids and order
+    exact, sims to 6 decimals (numpy vs JVM summation order); a
+    multi-query batch equals running ivf_topk per query."""
+    import numpy as np
+
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, "embedding", nlist=8, seed=42)
+    qrows = emb.filter(F.col("vec_id").isin([0, 7])).orderBy("vec_id").collect()
+    queries = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in qrows]
+    )
+    batch = similarity.ivf_topk_batch(
+        emb, "vec_id", "embedding", queries, [0, 7], cents, k=5, nprobe=3
+    ).collect()
+    for qi, qrow in zip([0, 7], qrows):
+        want = [
+            (r.vec_id, round(r.sim, 6))
+            for r in similarity.ivf_topk(
+                emb, "vec_id", "embedding", qrow.embedding, cents,
+                k=5, nprobe=3,
+            ).collect()
+        ]
+        have = [
+            (r.vec_id, round(r.sim, 6))
+            for r in sorted(
+                (r for r in batch if r.query_id == qi),
+                key=lambda r: (-r.sim, r.vec_id),
+            )
+        ]
+        assert have == want, (qi, have, want)
+    with pytest.raises(ValueError):
+        similarity.ivf_topk_batch(
+            emb, "vec_id", "embedding", queries, [0, 7], cents, k=0
+        )
+    with pytest.raises(ValueError):
+        similarity.ivf_topk_batch(
+            emb, "vec_id", "embedding", queries, [0, 7], cents, nprobe=0
+        )
+
+
 def test_ann_batch_partial_topk_exact_on_ties(spark):
     """The r10 partial-top-k rewrite must keep EXACT tie semantics:
     duplicate embeddings tie on sim, and the returned set must be the

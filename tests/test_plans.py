@@ -568,6 +568,39 @@ def test_ann_batch_partial_topk_plan(spark, sf_dir):
     assert "Generate" not in final, final  # no explode anywhere
 
 
+def test_ivf_batch_partial_topk_plan(spark, sf_dir):
+    """Batch IVF plan shape (r10): the JVM cell assignment + probed-
+    cells filter prune the corpus BEFORE the one Arrow mapInPandas, one
+    query-keyed exchange of the partials, WindowGroupLimit window, no
+    explode."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk_batch,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, "embedding", nlist=8, seed=42)
+    plan = physical(
+        ivf_topk_batch(
+            emb, "vec_id", "embedding", np.ones((2, 64)), [0, 1], cents,
+            k=5, nprobe=2,
+        )
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1, final
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "WindowGroupLimit" in final, final
+    assert "Generate" not in final, final
+    # the probed-cells filter (the inlined argmin-cell expression) sits
+    # below the Arrow stage, pruning the corpus before Python sees it
+    assert final.index("MapInPandas") < final.index(
+        "Filter (cast(array_position"
+    ), final
+
+
 def test_rrf_fuse_queries_single_qid_exchange(spark):
     """Grouped RRF plan shape (r10): ONE qid-keyed exchange total — the
     up-front repartition co-locates each query's candidate lists and
