@@ -356,6 +356,8 @@ def ivf_topk_batch(
     centroids: "np.ndarray",
     k: int = 10,
     nprobe: int = 4,
+    *,
+    cell_col: "str | None" = None,
 ) -> DataFrame:
     """Approximate top-k per query for a BATCH of query vectors through
     the IVF index — the million-query retrieval-eval path where
@@ -365,22 +367,28 @@ def ivf_topk_batch(
     Driver-side (metadata-sized): each query's nprobe nearest centroids
     (the same argsort-of-L2 rule as ivf_topk, so a 1-query batch probes
     the same cells and returns its exact ranking, test-pinned) become a
-    cell → probing-queries map shipped in the closure. Spark-side: one
-    JVM cell assignment + a probed-cells filter prunes the corpus to the
-    union of probed cells, then ONE Arrow mapInPandas groups each batch
-    by cell and matmuls every cell block against only ITS probing
-    queries' submatrix, reducing to the worker-local per-query top-k
-    with the same tie-exact (sim desc, id asc) reduction as
-    cosine_topk_batch — each (row, query) pair with the row in a probed
-    cell of that query is scored exactly once, so the union of partials
-    contains the exact top-k OVER THE PROBED CELLS (the IVF
-    approximation is the cell choice, never the reduction). One
-    query-keyed exchange of k·batches rows per query, WindowGroupLimit
-    window, no explode.
+    cell → probing-queries map shipped in the closure. Spark-side: ONE
+    Arrow mapInPandas assigns each batch's rows to cells with a
+    vectorized numpy argmin (NOT the unrolled JVM expression — at
+    nlist·dim interpreted lambda ops per row that assignment dominated
+    the whole query at 100×: 101 s vs 24 s measured, SCALE.md; the
+    memory rule that >10 ops/element belongs in Arrow), drops rows in
+    unprobed cells, then matmuls every remaining cell block against
+    only ITS probing queries' submatrix, reducing to the worker-local
+    per-query top-k with the same tie-exact (sim desc, id asc)
+    reduction as cosine_topk_batch — each (row, query) pair with the
+    row in a probed cell of that query is scored exactly once, so the
+    union of partials contains the exact top-k OVER THE PROBED CELLS
+    (the IVF approximation is the cell choice, never the reduction).
+    One query-keyed exchange of k·batches rows per query,
+    WindowGroupLimit window, no explode.
 
-    At rest, persist the cell assignment and partition/bucket the corpus
-    by cell — the probed-cells filter then becomes partition pruning and
-    a selective query batch touches only its cells' files."""
+    `cell_col` is the at-rest fast path: persist the assignment once
+    (`with_ivf_assignment` at write time) and partition/bucket the
+    corpus by cell, then pass the column name — the probed-cells filter
+    becomes a JVM scan filter (partition pruning on a cell-partitioned
+    layout), rows outside the probed cells never reach Python, and the
+    Arrow stage trusts the stored cell instead of recomputing it."""
     if k <= 0:
         raise ValueError(f"k must be positive (got {k})")
     if nprobe <= 0:
@@ -402,10 +410,18 @@ def ivf_topk_batch(
     kk = int(k)
     id_type = dict(df.dtypes)[id_col]
     out_schema = f"query_id long, {id_col} {id_type}, sim double"
+    probed_cells = [int(c) for c in cell_to_q]
+    # centroid geometry for the in-Arrow assignment: argmin of
+    # |x - c|^2 = argmin of |c|^2 - 2 x.c (|x|^2 is constant per row)
+    cents_t = cents.T  # (dim, nlist)
+    cents_sq = (cents**2).sum(1)  # (nlist,)
 
-    assigned = with_ivf_assignment(df, vec_col, cents).filter(
-        F.col("ivf_cell").isin([int(c) for c in cell_to_q])
-    )
+    if cell_col is not None:
+        src = df.filter(F.col(cell_col).isin(probed_cells)).select(
+            id_col, vec_col, F.col(cell_col).cast("int").alias("_cell")
+        )
+    else:
+        src = df.select(id_col, vec_col)
 
     def partial_topk(batches):
         import numpy as np
@@ -414,9 +430,14 @@ def ivf_topk_batch(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            cells = pdf["ivf_cell"].to_numpy()
             m_all = np.stack(pdf[vec_col].to_numpy())
             ids_all = pdf[id_col].to_numpy()
+            if "_cell" in pdf.columns:
+                cells = pdf["_cell"].to_numpy()
+            else:
+                cells = np.argmin(
+                    cents_sq[None, :] - 2.0 * (m_all @ cents_t), axis=1
+                )
             norms = np.linalg.norm(m_all, axis=1)
             norms[norms == 0] = 1.0
             out_q, out_i, out_s = [], [], []
@@ -446,9 +467,7 @@ def ivf_topk_batch(
                     }
                 )
 
-    partial = assigned.select(id_col, vec_col, "ivf_cell").mapInPandas(
-        partial_topk, out_schema
-    )
+    partial = src.mapInPandas(partial_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )

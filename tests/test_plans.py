@@ -569,15 +569,18 @@ def test_ann_batch_partial_topk_plan(spark, sf_dir):
 
 
 def test_ivf_batch_partial_topk_plan(spark, sf_dir):
-    """Batch IVF plan shape (r10): the JVM cell assignment + probed-
-    cells filter prune the corpus BEFORE the one Arrow mapInPandas, one
-    query-keyed exchange of the partials, WindowGroupLimit window, no
-    explode."""
+    """Batch IVF plan shape (r10): ONE Arrow mapInPandas (in-Arrow numpy
+    cell assignment — never the nlist·dim interpreted JVM argmin, the
+    100x-measured bottleneck), one query-keyed exchange of the partials,
+    WindowGroupLimit window, no explode. With a precomputed cell_col,
+    the probed-cells filter is a JVM scan filter BELOW the Arrow stage
+    (partition pruning on a cell-partitioned layout)."""
     import numpy as np
 
     from purescript_ifrit_spark.operators.similarity import (
         ivf_centroids,
         ivf_topk_batch,
+        with_ivf_assignment,
     )
     from purescript_ifrit_spark.sources.tables import load_table
 
@@ -594,11 +597,22 @@ def test_ivf_batch_partial_topk_plan(spark, sf_dir):
     assert final.count("Exchange hashpartitioning") == 1, final
     assert "WindowGroupLimit" in final, final
     assert "Generate" not in final, final
-    # the probed-cells filter (the inlined argmin-cell expression) sits
-    # below the Arrow stage, pruning the corpus before Python sees it
-    assert final.index("MapInPandas") < final.index(
-        "Filter (cast(array_position"
-    ), final
+    # the interpreted JVM argmin must NOT be in the default path
+    assert "array_position" not in final, final
+    # at-rest fast path: a stored cell column turns the probed-cells
+    # screen into a plain JVM filter below the Arrow stage
+    stored = with_ivf_assignment(emb, "embedding", cents)
+    plan2 = physical(
+        ivf_topk_batch(
+            stored, "vec_id", "embedding", np.ones((2, 64)), [0, 1], cents,
+            k=5, nprobe=2, cell_col="ivf_cell",
+        )
+    )
+    final2 = plan2.split("== Initial Plan ==")[0]
+    assert final2.count("MapInPandas") == 1, final2
+    # a Filter node exists BELOW the Arrow stage (the probed-cells
+    # screen; on a cell-partitioned layout it becomes partition pruning)
+    assert final2.index("Filter", final2.index("MapInPandas")) > 0, final2
 
 
 def test_rrf_fuse_queries_single_qid_exchange(spark):
