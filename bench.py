@@ -403,6 +403,66 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         )
         return rrf_fuse([(ra, "s"), (rb, "s")], "doc_id", k=50)
 
+    def qx_rrf_batch():
+        # the r10 batch-fusion stack: per-query candidates from two
+        # deterministic scorers, fused on ONE qid-keyed exchange
+        from pyspark.sql import Window
+
+        from purescript_ifrit_spark.operators.text_analysis import (
+            rrf_fuse_queries,
+        )
+
+        docs = t["documents"]
+
+        def system(mult, off):
+            parts = []
+            for qid in (1, 2, 3, 4):
+                s = (F.col("doc_id") * mult + off * qid) % 1000
+                w = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+                parts.append(
+                    docs.select(
+                        F.lit(qid).cast("long").alias("qid"), "doc_id",
+                        s.alias("s"),
+                    )
+                    .withColumn("_r", F.row_number().over(w))
+                    .filter(F.col("_r") <= 100)
+                    .drop("_r")
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionAll(p)
+            return out
+
+        return rrf_fuse_queries(
+            [(system(17, 1), "s"), (system(31, 7), "s")],
+            "qid", "doc_id", k=20,
+        )
+
+    def qx_ann_batch():
+        # batch brute ANN (r10 partial-top-k shape): 64 query vectors
+        # against the whole embeddings table in one plan
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        return similarity.cosine_topk_batch(
+            t["embeddings"], "vec_id", "embedding",
+            rng.standard_normal((64, 64)), list(range(64)), k=10,
+        )
+
+    def qx_ivf_batch():
+        # batch IVF ANN: same 64 queries through the cell-pruned path
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        cents = similarity.ivf_centroids(
+            t["embeddings"], "embedding", nlist=16, seed=42
+        )
+        return similarity.ivf_topk_batch(
+            t["embeddings"], "vec_id", "embedding",
+            rng.standard_normal((64, 64)), list(range(64)), cents,
+            k=10, nprobe=4,
+        )
+
     def qx_jpeg_decode():
         from purescript_ifrit_spark.operators.multimodal import (
             extract_pixel_stats,
@@ -679,6 +739,9 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_bm25_batch": qx_bm25_batch,
         "qx_dsir": qx_dsir,
         "qx_rrf_fusion": qx_rrf_fusion,
+        "qx_rrf_batch": qx_rrf_batch,
+        "qx_ann_batch": qx_ann_batch,
+        "qx_ivf_batch": qx_ivf_batch,
         "qx_jpeg_decode": qx_jpeg_decode,
         "qx_leakage_split": qx_leakage_split,
         "qx_fuzzy_join": qx_fuzzy_join,
