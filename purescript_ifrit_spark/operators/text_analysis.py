@@ -1104,6 +1104,95 @@ def bm25_topk_queries(
     several calls."""
     if k <= 0:
         raise ValueError(f"k must be positive (got {k})")
+    postings = _per_doc_term_counts(docs, doc_id_col, text_col)
+    lens = docs.select(
+        F.col(doc_id_col).alias("_doc"),
+        X.token_count(F.col(text_col)).cast("long").alias("_len"),
+    )
+    return _bm25_score_query_terms(
+        postings, lens, queries, query_id_col, query_text_col,
+        doc_id_col, k, k1, b, max_df_frac,
+    )
+
+
+def build_bm25_index(
+    docs: DataFrame, doc_id_col: str, text_col: str
+) -> "tuple[DataFrame, DataFrame]":
+    """Persistable BM25 index of a corpus: the tokenize-once production
+    shape — at 100 TB, bm25_topk_queries re-exploding the raw text per
+    query batch is the wrong plan; build (term, doc_id, tf) postings
+    and (doc_id, n_tokens) doc lengths ONCE, persist them, and score
+    every future query batch from the (much smaller, numeric) index.
+
+    Returns (postings, doclens) with exactly the tokenization the
+    direct path uses (_per_doc_term_counts — shared definition, so the
+    indexed and direct scores can never diverge; equality test-pinned).
+    Persist postings partitioned/bucketed by `term`
+    (sources.write_bucketed) — the query-vocab semi-join then prunes
+    the postings scan to the matched terms' buckets, the minhash-index
+    precedent applied to sparse retrieval."""
+    postings = _per_doc_term_counts(docs, doc_id_col, text_col).select(
+        "term", F.col("_doc").alias(doc_id_col), F.col("tf_doc").alias("tf")
+    )
+    doclens = docs.select(
+        F.col(doc_id_col),
+        X.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    return postings, doclens
+
+
+def bm25_topk_queries_indexed(
+    postings: DataFrame,
+    doclens: DataFrame,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    doc_id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Batch BM25 over a PREBUILT index (build_bm25_index): identical
+    output to bm25_topk_queries on the source corpus (same scoring
+    core, test-pinned equal), but the corpus text is never touched —
+    the one corpus-sized input is the numeric postings table, and with
+    term-bucketed postings at rest the query-vocab semi-join becomes a
+    scan prune. All bm25_topk_queries contracts (match-sized candidate
+    stream, df once per distinct term, map-side top-k, `max_df_frac`
+    stop-term screen) carry over unchanged."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    p = postings.select(
+        "term",
+        F.col(doc_id_col).alias("_doc"),
+        F.col("tf").alias("tf_doc"),
+    )
+    lens = doclens.select(
+        F.col(doc_id_col).alias("_doc"),
+        F.col("n_tokens").cast("long").alias("_len"),
+    )
+    return _bm25_score_query_terms(
+        p, lens, queries, query_id_col, query_text_col,
+        doc_id_col, k, k1, b, max_df_frac,
+    )
+
+
+def _bm25_score_query_terms(
+    postings: DataFrame,
+    lens: DataFrame,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    doc_id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+    max_df_frac: "float | None",
+) -> DataFrame:
+    """Shared batch-BM25 scoring core over (term, _doc, tf_doc) postings
+    and (_doc, _len) lengths — one definition for the direct and indexed
+    paths, so their scores are equal by construction."""
     if max_df_frac is not None and not (0.0 < max_df_frac <= 1.0):
         raise ValueError(
             f"max_df_frac must be in (0, 1] or None (got {max_df_frac})"
@@ -1121,16 +1210,10 @@ def bm25_topk_queries(
         .distinct()
     )
     vocab = qterms.select("term").distinct()
-    lens = docs.select(
-        F.col(doc_id_col).alias("_doc"),
-        X.token_count(F.col(text_col)).cast("long").alias("_len"),
-    )
     corpus = lens.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_len").alias("_avg")
     )
-    per_doc = _per_doc_term_counts(docs, doc_id_col, text_col).join(
-        F.broadcast(vocab), "term", "left_semi"
-    )
+    per_doc = postings.join(F.broadcast(vocab), "term", "left_semi")
     dfreq = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     if max_df_frac is not None:
         # df is per-term, so filtering AFTER the full-vocab df pass
@@ -1142,7 +1225,7 @@ def bm25_topk_queries(
             .filter(F.col("_df") <= F.lit(max_df_frac) * F.col("_n"))
             .select("term", "_df")
         )
-        per_doc = _per_doc_term_counts(docs, doc_id_col, text_col).join(
+        per_doc = postings.join(
             F.broadcast(dfreq.select("term")), "term", "left_semi"
         )
     idf = F.log(

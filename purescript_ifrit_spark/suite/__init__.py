@@ -192,7 +192,6 @@ _DRIVER_WINDOW_R10 = [
     "x_packing_stats",
     "xd_redact",
     "xd_tumble_hourly",
-    "xd_sessionize",
     # -- (3) new round-10 oracle entries land HERE as built, each
     #        displacing the backfill tail above (first displaced:
     #        x_split_train_val, then x_embedding_centroids, ...) ------------
@@ -206,6 +205,8 @@ _DRIVER_WINDOW_R10 = [
                         # displaces xd_vectorize
     "x_ann_ivf_batch_planted",  # batch IVF ANN (new r10) — displaces
                                 # xd_htmltext
+    "x_bm25_indexed",   # prebuilt-index batch BM25 (new r10) —
+                        # displaces xd_sessionize
 ]
 
 # The r6-cohort entries that wait for r11 (ledger order; grows as new
@@ -219,6 +220,7 @@ _R11_SPILL = [
     "xd_quality_score",       # displaced by x_streaming_index_fold
     "xd_vectorize",           # displaced by x_ann_batch
     "xd_htmltext",            # displaced by x_ann_ivf_batch_planted
+    "xd_sessionize",          # displaced by x_bm25_indexed
     "x_hash_sample",
     "x_stratified_fixed_k",
     "x_stratified_sample",

@@ -850,12 +850,13 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x_bm25_batch",
-    # batch BM25: the x_bm25_topk arithmetic extended per-query — the
-    # query table is a VALUES literal on both sides, document frequency
-    # is per distinct term (not per query), and the per-query top-5 uses
-    # the same round-6-before-rank + doc-id tiebreak contract
+# batch BM25: the x_bm25_topk arithmetic extended per-query — the
+# query table is a VALUES literal on both sides, document frequency is
+# per distinct term (not per query), and the per-query top-5 uses the
+# same round-6-before-rank + doc-id tiebreak contract. Shared verbatim
+# by x_bm25_batch (direct path) and x_bm25_indexed (the prebuilt-index
+# path, which must produce the identical result through parquet).
+_BM25_BATCH_SQL = (
     "WITH q AS (SELECT * FROM (VALUES (1, 'spark join'), "
     "(2, 'merge sort'), (3, 'customer data')) t(qid, qtext)), "
     "qt AS (SELECT DISTINCT qid, term FROM "
@@ -874,8 +875,11 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "JOIN l USING (doc_id), c GROUP BY qt.qid, pd.doc_id), "
     "r AS (SELECT qid, doc_id, ROUND(sc, 6) AS score, ROW_NUMBER() OVER "
     "(PARTITION BY qid ORDER BY ROUND(sc, 6) DESC, doc_id) AS rn FROM s) "
-    "SELECT CAST(qid AS BIGINT) AS qid, doc_id, score FROM r WHERE rn <= 5",
+    "SELECT CAST(qid AS BIGINT) AS qid, doc_id, score FROM r WHERE rn <= 5"
 )
+
+
+@register("x_bm25_batch", _BM25_BATCH_SQL)
 def x_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sparse retrieval (operators/text_analysis.bm25_topk_queries):
     top-5 documents PER QUERY for a 3-query table by Okapi BM25 — the
@@ -891,6 +895,43 @@ def x_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid long, qtext string",
     )
     return bm25_topk_queries(docs, "doc_id", "text", qs, "qid", "qtext", k=5)
+
+
+@register("x_bm25_indexed", _BM25_BATCH_SQL)
+def x_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed batch retrieval (operators/text_analysis.
+    build_bm25_index + bm25_topk_queries_indexed, r10): the tokenize-
+    once production shape — postings and doc lengths built once, round-
+    tripped through REAL parquet, then the same 3-query batch scored
+    from the index alone (the corpus text is never read at query time).
+    The oracle is x_bm25_batch's SQL verbatim: the index path must be
+    value-identical to the direct path."""
+    import shutil
+    import tempfile
+
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_topk_queries_indexed,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, "spark join"), (2, "merge sort"), (3, "customer data")],
+        "qid long, qtext string",
+    )
+    postings, doclens = build_bm25_index(docs, "doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="ifrit_bm25_idx_")
+    try:
+        postings.write.mode("overwrite").parquet(f"{tmp}/postings")
+        doclens.write.mode("overwrite").parquet(f"{tmp}/doclens")
+        out = bm25_topk_queries_indexed(
+            spark.read.parquet(f"{tmp}/postings"),
+            spark.read.parquet(f"{tmp}/doclens"),
+            qs, "qid", "qtext", "doc_id", k=5,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(

@@ -3484,6 +3484,47 @@ def test_bm25_batch_matches_single_query_operator(spark, sf_dir):
         bm25_topk_queries(docs, "doc_id", "text", multi, "qid", "qtext", k=0)
 
 
+def test_bm25_indexed_equals_direct_through_parquet(spark, sf_dir, tmp_path):
+    """build_bm25_index + bm25_topk_queries_indexed through a real
+    parquet round-trip returns EXACTLY bm25_topk_queries on the source
+    corpus — same scoring core by construction, pinned here end-to-end,
+    including the max_df_frac screen."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_topk_queries,
+        bm25_topk_queries_indexed,
+        build_bm25_index,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, "spark join"), (2, "merge sort"), (3, "zzz_absent_term")],
+        "qid long, qtext string",
+    )
+    postings, doclens = build_bm25_index(docs, "doc_id", "text")
+    postings.write.mode("overwrite").parquet(str(tmp_path / "p"))
+    doclens.write.mode("overwrite").parquet(str(tmp_path / "l"))
+    p2 = spark.read.parquet(str(tmp_path / "p"))
+    l2 = spark.read.parquet(str(tmp_path / "l"))
+    for frac in (None, 0.9):
+        direct = sorted(
+            (r.qid, r.doc_id, r.score)
+            for r in bm25_topk_queries(
+                docs, "doc_id", "text", qs, "qid", "qtext", k=7,
+                max_df_frac=frac,
+            ).collect()
+        )
+        indexed = sorted(
+            (r.qid, r.doc_id, r.score)
+            for r in bm25_topk_queries_indexed(
+                p2, l2, qs, "qid", "qtext", "doc_id", k=7, max_df_frac=frac,
+            ).collect()
+        )
+        assert indexed == direct and len(direct) > 0, frac
+    with pytest.raises(ValueError):
+        bm25_topk_queries_indexed(p2, l2, qs, "qid", "qtext", k=0)
+
+
 def test_bm25_batch_max_df_frac_drops_stop_terms_in_plan(spark):
     """VERDICT r9 #5: `max_df_frac` turns the documented stop-term
     contract into a mechanism — a query term whose df/N exceeds the
