@@ -1152,6 +1152,7 @@ def bm25_topk_queries_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     max_df_frac: float | None = None,
+    scoring_partitions: int | None = None,
 ) -> DataFrame:
     """Batch BM25 over a PREBUILT index (build_bm25_index): identical
     output to bm25_topk_queries on the source corpus (same scoring
@@ -1160,7 +1161,20 @@ def bm25_topk_queries_indexed(
     term-bucketed postings at rest the query-vocab semi-join becomes a
     scan prune. All bm25_topk_queries contracts (match-sized candidate
     stream, df once per distinct term, map-side top-k, `max_df_frac`
-    stop-term screen) carry over unchanged."""
+    stop-term screen) carry over unchanged.
+
+    `scoring_partitions` respreads the postings before the query-term
+    expansion — load-bearing, measured at 100× (SCALE.md): a compact
+    numeric index compresses so well that a 500k-doc postings table is
+    ONE 53 MB parquet split, and the ×queries expansion then runs in
+    one task (539 s → 394 s with the respread on the degenerate
+    attestation corpus, where every term matches and the matched-pair
+    exchange dominates both paths — the index's structural wins, text
+    never read at query time and term-bucket scan pruning, need a real
+    corpus/selective queries to show up in wall clock). None (default)
+    uses the session's shuffle-partitions setting; pass 0 to skip when
+    the stored layout already provides scan parallelism (term-bucketed
+    postings with many buckets)."""
     if k <= 0:
         raise ValueError(f"k must be positive (got {k})")
     p = postings.select(
@@ -1168,6 +1182,16 @@ def bm25_topk_queries_indexed(
         F.col(doc_id_col).alias("_doc"),
         F.col("tf").alias("tf_doc"),
     )
+    if scoring_partitions is None:
+        scoring_partitions = int(
+            postings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    if scoring_partitions < 0:
+        raise ValueError(
+            f"scoring_partitions must be >= 0 (got {scoring_partitions})"
+        )
+    if scoring_partitions:
+        p = p.repartition(scoring_partitions)
     lens = doclens.select(
         F.col(doc_id_col).alias("_doc"),
         F.col("n_tokens").cast("long").alias("_len"),
