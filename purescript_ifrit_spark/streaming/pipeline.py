@@ -537,6 +537,56 @@ def fold_stream_into_index(
     return index.unionByName(fresh.select(*index.columns))
 
 
+def score_query_stream(
+    stream_queries: "DataFrame",
+    postings: "DataFrame",
+    doclens: "DataFrame",
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    query_id_col: str = "qid",
+    query_text_col: str = "qtext",
+    doc_id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: "float | None" = None,
+):
+    """Streaming batch retrieval against a STATIC BM25 index: every
+    arriving micro-batch of queries is scored with the batch kernel
+    (operators/text_analysis.bm25_topk_queries_indexed - same scoring
+    core as the direct path, so results are value-identical to batch)
+    and the per-query top-k appends to `out_dir` as parquet. Returns
+    the started StreamingQuery; await it, then read `out_dir`.
+
+    The dedup_stream_against_index shape applied to retrieval:
+    foreachBatch is right because per-query top-k needs a post-join
+    aggregate + ranking window (stateful on a raw stream-static join,
+    stateless inside a micro-batch); the index is static so state never
+    grows, and each batch is a metadata-sized query table - exactly the
+    broadcast-sized precondition the batch kernel documents. Same
+    at-least-once parquet-append delivery contract: dedup downstream by
+    (query id) or use an idempotent sink. The corpus text is never
+    touched - queries score from the numeric index alone, and a
+    term-bucketed stored index keeps every micro-batch probe pruned."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_topk_queries_indexed,
+    )
+
+    def _score(batch_df: "DataFrame", epoch_id: int) -> None:
+        out = bm25_topk_queries_indexed(
+            postings, doclens, batch_df, query_id_col, query_text_col,
+            doc_id_col, k=k, k1=k1, b=b, max_df_frac=max_df_frac,
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_queries.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
 def stage_time_ordered_replay(
     df: DataFrame, ts_col: str, path: str, *, num_files: int = 2
 ) -> list:

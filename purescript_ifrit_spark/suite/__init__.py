@@ -247,8 +247,12 @@ _R11_SPILL = [
 ]
 
 # Oracle entries that land AFTER the r10 window saturates queue here for
-# the r11 head (the session-3 precedent); empty at round start.
-_R11_QUEUE_HEAD: list = []
+# the r11 head (the session-3 precedent). Six new r10 entries displaced
+# backfill tail before the window-composition balance point (21 r6
+# backfill slots kept); later additions queue instead of displacing.
+_R11_QUEUE_HEAD: list = [
+    "x_streaming_bm25",  # streaming retrieval vs the static BM25 index
+]
 
 
 def _apply_driver_window(window: list) -> None:

@@ -566,3 +566,62 @@ def x_streaming_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+
+# the shared batch-BM25 oracle SQL lives beside the direct-path entry in
+# suite/text.py (imported on demand here; text imports before streaming
+# in suite/__init__, and text never imports streaming, so no cycle)
+from purescript_ifrit_spark.suite.text import _BM25_BATCH_SQL  # noqa: E402
+
+
+@register(
+    "x_streaming_bm25",
+    # streaming retrieval against the static BM25 index: the same
+    # 3-query fixture as x_bm25_batch, replayed as a file-source stream
+    # (3 files → 3 micro-batches) and scored per batch with the indexed
+    # kernel — the oracle is x_bm25_batch's SQL verbatim, because batch
+    # boundaries cannot change any query's top-k against a static index
+    _BM25_BATCH_SQL,
+)
+def x_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming batch retrieval, driver-verified
+    (streaming/pipeline.score_query_stream, r10): a query stream
+    replayed through several micro-batches, each scored against the
+    STATIC prebuilt BM25 index with the shared batch kernel; the
+    accumulated sink must equal the batch path's per-query top-5
+    exactly."""
+    import shutil
+    import tempfile
+
+    from purescript_ifrit_spark.operators.text_analysis import (
+        build_bm25_index,
+    )
+    from purescript_ifrit_spark.streaming.pipeline import score_query_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, "spark join"), (2, "merge sort"), (3, "customer data")],
+        "qid long, qtext string",
+    )
+    dirs = [tempfile.mkdtemp(prefix=f"ifrit_sbm25_{n}_")
+            for n in ("idx", "src", "out", "ck")]
+    idx, src, out, ck = dirs
+    try:
+        postings, doclens = build_bm25_index(docs, "doc_id", "text")
+        postings.write.mode("overwrite").parquet(f"{idx}/p")
+        doclens.write.mode("overwrite").parquet(f"{idx}/l")
+        qs.repartition(3).write.mode("overwrite").parquet(src)
+        q = score_query_stream(
+            spark.readStream.schema("qid long, qtext string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            spark.read.parquet(f"{idx}/p"),
+            spark.read.parquet(f"{idx}/l"),
+            out, checkpoint_dir=ck, k=5,
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

@@ -3525,6 +3525,54 @@ def test_bm25_indexed_equals_direct_through_parquet(spark, sf_dir, tmp_path):
         bm25_topk_queries_indexed(p2, l2, qs, "qid", "qtext", k=0)
 
 
+def test_score_query_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming retrieval (streaming/pipeline.score_query_stream): a
+    query stream replayed through several micro-batches against the
+    static BM25 index yields exactly the batch kernel's per-query top-k
+    — batch boundaries cannot change a query's result because each
+    query's scoring is self-contained against the same static index."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_topk_queries,
+        build_bm25_index,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+    from purescript_ifrit_spark.streaming.pipeline import score_query_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, "spark join"), (2, "merge sort"), (3, "customer data"),
+         (4, "zzz_absent_term")],
+        "qid long, qtext string",
+    )
+    postings, doclens = build_bm25_index(docs, "doc_id", "text")
+    postings.write.mode("overwrite").parquet(str(tmp_path / "p"))
+    doclens.write.mode("overwrite").parquet(str(tmp_path / "l"))
+    p2 = spark.read.parquet(str(tmp_path / "p"))
+    l2 = spark.read.parquet(str(tmp_path / "l"))
+    src = str(tmp_path / "qstream")
+    qs.repartition(3).write.parquet(src)
+    q = score_query_stream(
+        spark.readStream.schema("qid long, qtext string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        p2, l2, str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"), k=5,
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.qid, r.doc_id, r.score)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    want = sorted(
+        (r.qid, r.doc_id, r.score)
+        for r in bm25_topk_queries(
+            docs, "doc_id", "text", qs, "qid", "qtext", k=5
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    assert not any(qid == 4 for qid, _, _ in got)  # no phantom rows
+
+
 def test_bm25_batch_max_df_frac_drops_stop_terms_in_plan(spark):
     """VERDICT r9 #5: `max_df_frac` turns the documented stop-term
     contract into a mechanism — a query term whose df/N exceeds the
