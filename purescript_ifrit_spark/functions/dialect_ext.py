@@ -283,6 +283,18 @@ def _minhash_sql(x: str) -> str:
     return H.minhash_hexsig_sql(x, 16, 3)
 
 
+def _simhash_column(c: Column) -> Column:
+    from purescript_ifrit_spark.functions import hashing as H
+
+    return H.simhash_hex(c, 64)
+
+
+def _simhash_sql(x: str) -> str:
+    from purescript_ifrit_spark.functions import hashing as H
+
+    return H.simhash_hex_sql(x, 64)
+
+
 # Frozen BM25 model (VERDICT r8 #6). The one-argument fn grammar has no
 # room for a query or corpus statistics, so — exactly like QUALITY_SCORE's
 # frozen linear model — the dialect BM25 scores against a PINNED query
@@ -673,6 +685,23 @@ EXT_FUNCTIONS: Dict[str, ExtFn] = {
             Schema.string(),
             _minhash_column,
             _minhash_sql,
+        ),
+        ExtFn(
+            "SIMHASH",
+            # 64-bit SimHash of the normalized word tokens as ONE
+            # 16-hex-digit string (functions/hashing.simhash_hex — the
+            # same xxhash64-per-token sign rule the operators/dedup
+            # simhash family computes, bit-identical). A string scalar,
+            # so it GROUPS: `GROUP BY SIMHASH(text)` is the hamming-0
+            # tier of simhash near-dup collapse (MINHASH's recipe under
+            # simhash semantics — robust to word REORDERING, which
+            # changes every MinHash shingle but no SimHash token).
+            # Blank/NULL text → NULL, never a shared constant. Banded
+            # hamming>0 blocking stays in
+            # operators/dedup.simhash_candidate_pairs.
+            Schema.string(),
+            _simhash_column,
+            _simhash_sql,
         ),
         ExtFn(
             "NFC",

@@ -176,6 +176,59 @@ def simhash_signature(toks: Column, bits: int = 64) -> Column:
     return sig
 
 
+def simhash_hex(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash of the normalized whitespace tokens rendered as ONE
+    16-hex-digit string — the dialect SIMHASH backend (a string scalar
+    can be a GROUP BY key; the MINHASH precedent applied to simhash
+    semantics). Built on simhash_signature over the SAME
+    tokens-of-normalized-text the operators/dedup simhash family hashes
+    (xxhash64 per word token, sign rule 2·count_set(k) > n_tokens —
+    bit-identical, pinned in tests), so `GROUP BY SIMHASH(text)` is
+    exactly the hamming-0 tier of that family's blocking. Blank/NULL
+    text → NULL, never a shared constant (content-free docs must not
+    signature-match each other)."""
+    from purescript_ifrit_spark.functions import text as X
+
+    n = X.normalize_text(text)
+    sig = simhash_signature(F.split(n, " "), bits)
+    return F.when(
+        F.length(n) > 0, F.format_string(f"%0{bits // 4}X", sig)
+    )
+
+
+def simhash_hex_sql(x: str, bits: int = 64) -> str:
+    """Spark-SQL twin of simhash_hex over a raw text operand `x`
+    (normalize → tokenize → 64-lane sign fold → %016X format, each step
+    the SQL rendering of the Column tree) — keeps the dialect's two
+    backends in lock-step; pinned bit-identical in tests. The fold and
+    the collapse use generic HOFs over sequence(0, bits-1) instead of
+    the Column form's static unroll: value-identical (the pinned
+    contract is values, not plan text) and the whole expression parses
+    JVM-side in one call (the fresh-plan py4j rule)."""
+    n = f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
+    last = bits - 1
+    counters = (
+        f"aggregate(split({n}, ' '), "
+        f"array_repeat(0L, {bits}), "
+        f"(acc, t) -> zip_with(acc, "
+        f"transform(sequence(0, {last}), k -> shiftright(xxhash64(t), k) & 1L), "
+        f"(c, b) -> c + IF(b = 1, 1L, -1L)))"
+    )
+    # transform-as-let: bind the counters array ONCE (embedding it in
+    # the per-bit lambda would textually replicate — and re-evaluate —
+    # the whole fold `bits` times)
+    sig = (
+        f"element_at(transform(array({counters}), "
+        f"cnt -> aggregate(sequence(0, {last}), 0L, "
+        f"(s, k) -> s + IF(element_at(cnt, k + 1) > 0, "
+        f"shiftleft(1L, k), 0L))), 1)"
+    )
+    return (
+        f"CASE WHEN {n} IS NOT NULL AND length({n}) > 0 "
+        f"THEN format_string('%0{bits // 4}X', {sig}) END"
+    )
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))

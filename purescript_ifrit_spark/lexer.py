@@ -95,6 +95,9 @@ _FUNCTIONS = [
     "MINHASH",
     "BM25",
     "NFC",
+    # SIMHASH is prefix-safe: no other name starts with "SIM" and SUM
+    # diverges at the second character
+    "SIMHASH",
 ]
 
 _WORD_CHARS = r"[a-zA-Z0-9_.]"

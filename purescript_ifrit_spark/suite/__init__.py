@@ -252,6 +252,7 @@ _R11_SPILL = [
 # backfill slots kept); later additions queue instead of displacing.
 _R11_QUEUE_HEAD: list = [
     "x_streaming_bm25",  # streaming retrieval vs the static BM25 index
+    "xd_simhash",        # SIMHASH dialect function (r10)
 ]
 
 

@@ -421,6 +421,92 @@ def xd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _xd_simhash_oracle() -> str:
+    # The xd_minhash partition-profile recipe under SIMHASH semantics,
+    # with one addition the MinHash entry cannot make: a REORDERED-copy
+    # family (doc_id%7 — token order reversed). SimHash is a pure
+    # function of the token MULTISET, so reordered copies MUST share the
+    # original's signature (every shingle-based MinHash signature
+    # changes instead); the oracle therefore groups by the SORTED-token
+    # canon of the normalized text — multiset-canonical, engine-neutral.
+    # Disjoint per-doc token namespaces keep cross-doc collisions at the
+    # planted-oracle convention's negligible-probability tier, and the
+    # signature string itself never reaches the comparator (stripped by
+    # the derived-table projection).
+    return (
+        "WITH base AS ("
+        "  SELECT doc_id, array_to_string(list_transform(range(1, 41), "
+        "  k -> 't' || doc_id || 'x' || k), ' ') AS text FROM documents"
+        "), a AS ("
+        "  SELECT doc_id, text FROM base"
+        "  UNION ALL SELECT doc_id + 1000000000000, text FROM base "
+        "  WHERE doc_id % 3 = 0"
+        "  UNION ALL SELECT doc_id + 2000000000000, "
+        "  replace(text, ' ', chr(10)) FROM base WHERE doc_id % 5 = 0"
+        "  UNION ALL SELECT doc_id + 3000000000000, "
+        "  array_to_string(list_reverse(string_split(text, ' ')), ' ') "
+        "  FROM base WHERE doc_id % 7 = 0"
+        "), n AS ("
+        "  SELECT doc_id, "
+        "  NULLIF(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '') "
+        "  AS nt FROM a) "
+        "SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups "
+        "FROM n GROUP BY array_to_string(list_sort(string_split(nt, ' ')), ' ')"
+    )
+
+
+@register("xd_simhash", _xd_simhash_oracle())
+def xd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures reached through the DIALECT (`SIMHASH(text)` →
+    functions/hashing.simhash_hex, bit-identical to the operators/dedup
+    simhash family, pinned in test_dialect_ext): signature-exact dedup
+    groups over the disjoint-token planted corpus with exact copies
+    (doc_id%3), whitespace-mangled copies (doc_id%5 — normalize-first on
+    both engines) and REVERSED-token copies (doc_id%7 — the
+    reorder-invariance MinHash shingles cannot have, which is why this
+    entry exists beside xd_minhash). The derived-table projection strips
+    the engine-specific signature; the driver compares the induced
+    (keep_id, n_dups) partition profile."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda k: F.concat(
+            F.lit("t"), F.col("doc_id").cast("string"), F.lit("x"),
+            k.cast("string"),
+        ),
+    )
+    base = ids.select("doc_id", F.array_join(toks, " ").alias("text"))
+    aug = (
+        base.unionAll(
+            base.filter(F.col("doc_id") % 3 == 0).select(
+                F.col("doc_id") + F.lit(1_000_000_000_000).cast("long"),
+                "text",
+            )
+        )
+        .unionAll(
+            base.filter(F.col("doc_id") % 5 == 0).select(
+                F.col("doc_id") + F.lit(2_000_000_000_000).cast("long"),
+                F.translate(F.col("text"), " ", "\n").alias("text"),
+            )
+        )
+        .unionAll(
+            base.filter(F.col("doc_id") % 7 == 0).select(
+                F.col("doc_id") + F.lit(3_000_000_000_000).cast("long"),
+                F.array_join(
+                    F.reverse(F.split(F.col("text"), " ")), " "
+                ).alias("text"),
+            )
+        )
+    )
+    return run_query(
+        spark,
+        aug,
+        "SELECT keep_id, n_dups FROM "
+        "(SELECT MIN(doc_id) AS keep_id, COUNT(doc_id) AS n_dups "
+        "GROUP BY SIMHASH(text))",
+    )
+
+
 def _xd_bm25_oracle() -> str:
     # generated FROM the frozen model constants (dialect_ext.BM25_*), so
     # a constant tweak cannot leave the oracle behind — the same

@@ -267,6 +267,8 @@ EXT_QUERIES = [
     "SELECT doc_id WHERE C4PASS(text) = true",
     "SELECT doc_id, MINHASH(text) AS sig",
     "SELECT MIN(doc_id) AS keep, COUNT(doc_id) AS n GROUP BY MINHASH(text)",
+    "SELECT doc_id, SIMHASH(text) AS sig",
+    "SELECT MIN(doc_id) AS keep, COUNT(doc_id) AS n GROUP BY SIMHASH(text)",
     "SELECT doc_id, BM25(text) AS score",
     "SELECT COUNT(doc_id) AS n GROUP BY BM25(text)",
     "SELECT doc_id WHERE BM25(text) > 2.0",
@@ -777,6 +779,61 @@ def test_minhash_dialect_matches_hashing_family(spark, docs):
     ).collect()}
     assert sig[1] == sig[2] and sig[1] is not None
     assert sig[3] is None and sig[4] is None
+
+
+def test_simhash_parse_analyze_golden():
+    """SIMHASH goldens (r10): lexes as a function token (prefix-safe
+    beside SUM), types string→string, rejects non-string args, and
+    serves as a GROUP BY key."""
+    from purescript_ifrit_spark.analyzer import analyze
+    from purescript_ifrit_spark.parser import parse_sql
+    from purescript_ifrit_spark.plans.ast import FnCall
+    from purescript_ifrit_spark.schema import schema_from_json
+
+    stmt = parse_sql("SELECT SUM(doc_id) AS s GROUP BY SIMHASH(text)")
+    assert isinstance(stmt.group_by, FnCall)
+    assert stmt.group_by.fn == "SIMHASH" and stmt.group_by.path == "text"
+    schema = schema_from_json({"doc_id": "number", "text": "string"})
+    assert analyze(schema, stmt).to_json_obj()["_id"] == "string"
+    proj = analyze(
+        schema, parse_sql("SELECT doc_id, SIMHASH(text) AS sig")
+    ).to_json_obj()
+    assert proj["sig"] == "string"
+    with pytest.raises(E.IfritError, match="incompatible"):
+        compile_query(DOC_SCHEMA, "SELECT SIMHASH(doc_id) AS sig")
+
+
+def test_simhash_dialect_matches_dedup_family(spark, docs):
+    """The dialect scalar must be BIT-IDENTICAL to the operators/dedup
+    simhash family (xxhash64 per normalized word token, sign rule
+    2·count_set(k) > n_tokens) — the contract that makes
+    GROUP BY SIMHASH(text) exactly that family's hamming-0 tier. Word
+    REORDERING shares signatures (token multiset unchanged — the
+    property MinHash shingles do NOT have); blank/NULL stay NULL."""
+    from purescript_ifrit_spark.operators.dedup import simhash_signatures
+
+    out = run_query(
+        spark, docs.limit(200), "SELECT doc_id, SIMHASH(text) AS sig"
+    )
+    got = {r.doc_id: r.sig for r in out.collect()}
+    # the dedup relation filters blank docs; the dialect keeps NULL rows
+    ref = {
+        r._id: format(r._sig & ((1 << 64) - 1), "016X")
+        for r in simhash_signatures(docs.limit(200), "doc_id", "text").collect()
+    }
+    for doc_id, sig in got.items():
+        if sig is not None:
+            assert sig == ref[doc_id], doc_id
+    probe = spark.createDataFrame(
+        [(1, "Alpha beta GAMMA delta"), (2, " alpha  beta gamma\tdelta "),
+         (3, "delta gamma beta alpha"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    s = {r.doc_id: r.sig for r in run_query(
+        spark, probe, "SELECT doc_id, SIMHASH(text) AS sig"
+    ).collect()}
+    assert s[1] == s[2] == s[3] and s[1] is not None
+    assert s[4] is None and s[5] is None
 
 
 def test_nfc_parse_analyze_and_matches_operator(spark):
