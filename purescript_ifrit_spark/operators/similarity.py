@@ -371,7 +371,7 @@ def ivf_topk_batch(
     Arrow mapInPandas assigns each batch's rows to cells with a
     vectorized numpy argmin (NOT the unrolled JVM expression — at
     nlist·dim interpreted lambda ops per row that assignment dominated
-    the whole query at 100×: 101 s vs 24 s measured, SCALE.md; the
+    the whole query at 100×: 101 s vs 6 s measured, SCALE.md; the
     memory rule that >10 ops/element belongs in Arrow), drops rows in
     unprobed cells, then matmuls every remaining cell block against
     only ITS probing queries' submatrix, reducing to the worker-local
