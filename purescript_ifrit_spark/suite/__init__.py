@@ -62,94 +62,41 @@ from purescript_ifrit_spark.suite.core import flagship  # noqa: E402,F401
 # `queries()` name has an `oracle_sql()` twin and `no_oracle` driver rows
 # are structurally impossible.
 #
-# Round-10 composition (VERDICT r9 #1 — planned at round start, 50 slots):
-#   1. the 23-entry declared r10 spill FIRST (_R10_SPILL exactly as
-#      stated at r9 round start, order preserved — last hard check r5,
-#      the oldest thing in the registry; test-pinned since r9);
-#   2. backfill: the r6-last-checked oracle cohort in ledger order (50
-#      such entries exist; 27 fit the round-start window);
-#   3. new round-10 oracle entries land at the END of the window as
+# Round-11 composition (VERDICT r10 #1 — planned at round start, 50 slots):
+#   1. the declared r11 queue head FIRST (_R11_QUEUE_HEAD, pinned at r10
+#      close — the two never-driver-checked entries; policy says
+#      never-verified enter first);
+#   2. the 28-entry declared r11 spill (_R11_SPILL exactly as stated and
+#      test-pinned at r10 round start — last hard check r6, the oldest
+#      thing in the registry), order preserved;
+#   3. backfill: the r7-last-checked oracle cohort in ledger order (50
+#      such entries exist; 19 fit the round-start window);
+#   4. new round-11 oracle entries land at the END of the window as
 #      built, each displacing the backfill TAIL by the stated policy and
-#      recorded inline here (PLANNED: x_rrf_batch — VERDICT r9 #3,
-#      x_profile_table_types — VERDICT r9 #7, x_streaming_index_fold —
-#      VERDICT r9 #4).
+#      recorded inline below.
 #
-# Explicit r11 spill (the same stated-plan discipline as r8/r9): the
-# r6-cohort entries that do NOT fit the r10 window — see _R11_SPILL
-# below — plus any backfill tail displaced by new r10 entries. All
-# spilled entries remain pytest-verified by tests/test_oracle_parity.py
-# every round and MUST head the r11 window.
+# Explicit r12 plan (VERDICT r10 #5 — stated NOW, at round start):
+# _R12_SPILL (the 31 r7-cohort entries that do not fit this window, plus
+# any backfill tail displaced by new r11 entries) heads the r12 window,
+# followed by _R12_CORE_SEXTET — the six r8-checked core SURVEY §2
+# contract entries, the oldest core-contract driver evidence in the
+# ledger. Both lists are test-pinned (tests/test_coverage_ledger.py), so
+# the §2 contract's driver evidence cannot age past the policy silently.
 
-# The r9 window is kept as the historical record the ledger narrative
-# cites; _R10_SPILL (below) is the stated r10 head it promised.
-_DRIVER_WINDOW_R9 = [
-    # -- (1) the declared r9 spill (last hard check r4) ---------------------
-    "x_sessionize",
-    "x_funnel",
-    "x_retention",
-    "x_topk_per_group",
-    "x_percentiles",
-    "x_distinct_count",
-    "x_pivot_events",
-    "x_robust_outliers",
-    "x_join_star",
-    "x_json_extract",
-    "x_tpch_q1ish",
-    "x_tpch_q3ish",
-    "x_tpch_q5ish",
-    "x_multimodal_features",
-    "x_multimodal_decode",
-    "x_multimodal_audio",
-    # -- (2) the core SURVEY §2 contract cohort (last check r5) ------------
-    "p3_alias",
-    "f1_neq",
-    "f2_lt_gt",
-    "f3_lte_via_not",
-    "f3_gte_direct",
-    "f4_and",
-    "f5_or",
-    "f6_not_demorgan",
-    "f7_bare_boolean",
-    "f8_null_compare",
-    "f9_reversed_literal",
-    "o1_o2_topk",
-    "o4_pregroup_sort_limit",
-    "a2_group_by_null",
-    "a4_group_sum",
-    "a5_group_min_max",
-    "a6_group_count",
-    "a7_push_collect",
-    "b1_avg_array",
-    "b3_sum_array",
-    "b4_min_max_array",
-    "b6_count_array",
-    "b2_avg_nested_array",
-    "b5_max_nested_array",
-    # -- (3) new round-9 oracle entries -------------------------------------
-    "xd_bm25",
-    "x_bm25_batch",
-    "x_rrf_fusion",
-    "x_streaming_index_dedup",
-    "x_xent_against",
-    "x_dsir_weights",
-    "x_profile_table",
-    "xd_nfc",
-    "x_tpch_q12ish",
-    # -- (4) r5-cohort backfill --------------------------------------------
-    "x_dedup_ngram_planted",
-]
-
-# The stated r10 head (pinned at r9 round start; all last hard check r5).
-_R10_SPILL = [
-    "x_feature_hash",  # displaced from the r9 backfill tail by xd_bm25
-    "x_embedding_quantize",   # displaced by x_bm25_batch
-    "x_embedding_normalize",  # displaced by x_rrf_fusion
-    "x_bigram_xent",          # displaced by x_streaming_index_dedup
-    "x_html_extract",         # displaced by x_xent_against
-    "x_unigram_xent",         # displaced by x_dsir_weights
-    "x_quality_topfrac",      # displaced by x_profile_table
-    "x_blocklist_dedup",      # displaced by xd_nfc
-    "x_dedup_subdoc",         # displaced by x_tpch_q12ish
+# The r10 window is kept (flattened) as the historical record the ledger
+# narrative cites: 50/50 hash-green in CORRECTNESS_r10.json, composition
+# was queue-head-free — 23-entry _R10_SPILL, r6 backfill, six new r10
+# entries displacing the backfill tail (recorded in _R11_SPILL comments).
+_DRIVER_WINDOW_R10 = [
+    "x_feature_hash",
+    "x_embedding_quantize",
+    "x_embedding_normalize",
+    "x_bigram_xent",
+    "x_html_extract",
+    "x_unigram_xent",
+    "x_quality_topfrac",
+    "x_blocklist_dedup",
+    "x_dedup_subdoc",
     "x_linear_filter",
     "x_temperature_mix",
     "x_dau_exact",
@@ -164,13 +111,6 @@ _R10_SPILL = [
     "x_source_overlap_sketch",
     "x_corpus_report",
     "x_salted_join",
-]
-
-_DRIVER_WINDOW_R10 = [
-    # -- (1) the declared r10 spill, exactly as stated at r9 round start ----
-    *_R10_SPILL,
-    # -- (2) r6-cohort backfill, ledger order (27 fit at round start; the
-    #        tail is displaced by new r10 entries as recorded in (3)) ------
     "x_dedup_clusters_planted",
     "x_cluster_stats_planted",
     "x_dedup_keep_best_planted",
@@ -192,27 +132,16 @@ _DRIVER_WINDOW_R10 = [
     "x_packing_stats",
     "xd_redact",
     "xd_tumble_hourly",
-    # -- (3) new round-10 oracle entries land HERE as built, each
-    #        displacing the backfill tail above (first displaced:
-    #        x_split_train_val, then x_embedding_centroids, ...) ------------
-    "x_rrf_batch",      # grouped RRF (VERDICT r9 #3) — displaces
-                        # x_split_train_val
-    "x_profile_table_types",  # 5-type profiler oracle (VERDICT r9 #7) —
-                              # displaces x_embedding_centroids
-    "x_streaming_index_fold",  # survivor-sink index fold (VERDICT r9
-                               # #4) — displaces xd_quality_score
-    "x_ann_batch",      # batch brute ANN, r10 partial-top-k reshape —
-                        # displaces xd_vectorize
-    "x_ann_ivf_batch_planted",  # batch IVF ANN (new r10) — displaces
-                                # xd_htmltext
-    "x_bm25_indexed",   # prebuilt-index batch BM25 (new r10) —
-                        # displaces xd_sessionize
+    "x_rrf_batch",
+    "x_profile_table_types",
+    "x_streaming_index_fold",
+    "x_ann_batch",
+    "x_ann_ivf_batch_planted",
+    "x_bm25_indexed",
 ]
 
-# The r6-cohort entries that wait for r11 (ledger order; grows as new
-# r10 entries displace the backfill tail above).
-# tests/test_coverage_ledger.py pins this list against the ledger so the
-# spill is a stated plan, not an accident.
+# The 29 r6-checked entries that did not fit the r10 window (stated at
+# r10 round start; comments record which new r10 entry displaced each).
 _R11_SPILL = [
     "x_split_train_val",  # displaced from the r10 backfill tail by
                           # x_rrf_batch
@@ -246,14 +175,99 @@ _R11_SPILL = [
     "x_image_dedup_planted",
 ]
 
-# Oracle entries that land AFTER the r10 window saturates queue here for
-# the r11 head (the session-3 precedent). Six new r10 entries displaced
-# backfill tail before the window-composition balance point (21 r6
-# backfill slots kept); later additions queue instead of displacing.
-_R11_QUEUE_HEAD: list = [
+# Never-driver-checked entries enter FIRST (rotation policy): these two
+# landed after the r10 window saturated and were queued at r10 close.
+_R11_QUEUE_HEAD = [
     "x_streaming_bm25",  # streaming retrieval vs the static BM25 index
     "xd_simhash",        # SIMHASH dialect function (r10)
 ]
+
+# r7-cohort backfill, ledger order (50 such entries; 20 fit this window).
+_R11_BACKFILL_R7 = [
+    "x_set_ops",
+    "x_anti_join",
+    "x_semi_join",
+    "x_multimodal_framesample",
+    "x_streaming_windowed",
+    "x_streaming_session",
+    "x_streaming_state",
+    "x_bm25_topk",
+    "x_truncate_docs",
+    "x_pack_text",
+    "x_leakage_split",
+    "x_audio_activity",
+    "x_scene_changes",
+    "xd_image_dhash",
+    "x_multimodal_jpeg",
+    "x_knn_join_planted",
+    "x_ann_lsh_planted",
+    "x_ann_ivf_planted",
+    "x_hll_distinct_planted",
+]
+
+_DRIVER_WINDOW_R11 = [
+    # -- (1) never-driver-checked queue head, as pinned at r10 close -------
+    *_R11_QUEUE_HEAD,
+    # -- (2) the declared r11 spill, exactly as stated at r10 round start --
+    *_R11_SPILL,
+    # -- (3) r7-cohort backfill, ledger order ------------------------------
+    *_R11_BACKFILL_R7,
+    # -- (4) new round-11 oracle entries land HERE as built, each
+    #        displacing the backfill tail above (first to displace:
+    #        x_dau_bound_planted, then x_hll_distinct_planted, ...) --------
+]
+
+# The r7-cohort entries that wait for r12 (ledger order; grows as new
+# r11 entries displace the backfill tail above).
+_R12_SPILL = [
+    "x_dau_bound_planted",
+    "x_duplicate_spans",
+    "x_span_dup_stats",
+    "x_gopher_quality",
+    "x_mixture_weights",
+    "xd_gopher",
+    "x_multimodal_resize",
+    "x_pagerank_planted",
+    "x_corpus_diff",
+    "x_fuzzy_join",
+    "x_unicode_nfc",
+    "x_url_canonicalize",
+    "x_kmeans_planted",
+    "x_vocab_growth",
+    "x_mojibake_repair",
+    "x_domain_blocklist",
+    "x_pmi_collocations",
+    "x_script_profile",
+    "x_c4_line_filter",
+    "x_line_dedup_global",
+    "x_jaccard_join_prefix",
+    "x_cdc_chunks",
+    "x_semdedup_planted",
+    "xd_c4",
+    "x_vocab_coverage",
+    "x_mmr_planted",
+    "x_extract_links",
+    "x_hard_negatives_planted",
+    "x_bpe_encode_planted",
+    "x_training_shards_planted",
+    "x_streaming_dau_planted",
+]
+
+# VERDICT r10 #5: the r8-checked core SURVEY §2 sextet — the oldest
+# core-contract driver evidence — is pinned to follow _R12_SPILL at the
+# r12 window head.
+_R12_CORE_SEXTET = [
+    "p1_projection",
+    "p2_nested_projection",
+    "f1_eq",
+    "o3_limit_before_offset",
+    "a1_a3_group_avg",
+    "s2_derived_table",
+]
+
+# Oracle entries that land AFTER the r11 window saturates queue here for
+# the r12 head (the session-3 precedent).
+_R12_QUEUE_HEAD: list = []
 
 
 def _apply_driver_window(window: list) -> None:
@@ -267,4 +281,4 @@ def _apply_driver_window(window: list) -> None:
     REGISTRY.update(ordered)
 
 
-_apply_driver_window(_DRIVER_WINDOW_R10)
+_apply_driver_window(_DRIVER_WINDOW_R11)

@@ -12,9 +12,13 @@ from pathlib import Path
 
 from purescript_ifrit_spark.suite import (
     _DRIVER_WINDOW_R10,
-    _R10_SPILL,
+    _DRIVER_WINDOW_R11,
+    _R11_BACKFILL_R7,
     _R11_QUEUE_HEAD,
     _R11_SPILL,
+    _R12_CORE_SEXTET,
+    _R12_QUEUE_HEAD,
+    _R12_SPILL,
     DEMO_REGISTRY,
     REGISTRY,
 )
@@ -65,10 +69,10 @@ def test_committed_ledger_positions_match_registry_order():
 def test_driver_window_is_exactly_fifty_oracle_entries():
     # the driver checks the FIRST 50 — all 50 slots must be spendable on
     # hash-green outcomes (no rows-only entries per the rotation policy)
-    assert len(_DRIVER_WINDOW_R10) == 50
-    assert len(set(_DRIVER_WINDOW_R10)) == 50
-    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R10
-    rows_only = [n for n in _DRIVER_WINDOW_R10 if REGISTRY[n][1] is None]
+    assert len(_DRIVER_WINDOW_R11) == 50
+    assert len(set(_DRIVER_WINDOW_R11)) == 50
+    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R11
+    rows_only = [n for n in _DRIVER_WINDOW_R11 if REGISTRY[n][1] is None]
     assert rows_only == []
 
 
@@ -113,7 +117,7 @@ def _checked_rounds(hist: str) -> list:
 def test_window_prioritizes_never_verified_oracle_entries():
     # every oracle-backed entry whose history has no driver round yet
     # must be IN the window — or, if it lands after the window saturates
-    # (the session-3 precedent), pinned in the declared r11 queue head.
+    # (the session-3 precedent), pinned in the declared r12 queue head.
     # Either way, no entry silently leaves the rotation.
     never = [
         name
@@ -122,53 +126,86 @@ def test_window_prioritizes_never_verified_oracle_entries():
     ]
     missing = [
         n for n in never
-        if n not in _DRIVER_WINDOW_R10 and n not in _R11_QUEUE_HEAD
+        if n not in _DRIVER_WINDOW_R11 and n not in _R12_QUEUE_HEAD
     ]
     assert missing == [], missing
     # the queue is real: disjoint from the window, oracle-backed,
     # registry-resident, never-checked
-    for n in _R11_QUEUE_HEAD:
+    for n in _R12_QUEUE_HEAD:
         assert n in REGISTRY and REGISTRY[n][1] is not None, n
-        assert n not in _DRIVER_WINDOW_R10, n
+        assert n not in _DRIVER_WINDOW_R11, n
         assert not _checked_rounds(DRIVER_HISTORY[n][1]), n
 
 
-def test_window_r10_composition_is_the_pinned_plan():
-    # VERDICT r9 #1: the 23-entry declared r10 spill (_R10_SPILL exactly
-    # as stated and test-pinned at r9 round start; last hard check r5)
-    # holds the FIRST 23 slots, order preserved; the rest of the window
-    # is r6-cohort backfill in ledger order plus new r10 entries at the
-    # tail — so late additions displace only the backfill tail, never
-    # the stated spill.
-    assert _DRIVER_WINDOW_R10[:23] == _R10_SPILL
-    for name in _R10_SPILL:
-        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 5, name
-    # every backfill slot carries an r6-last-checked entry; new r10
-    # entries (no driver round yet) are allowed only after the spill
-    for name in _DRIVER_WINDOW_R10[23:]:
+def test_window_r11_composition_is_the_pinned_plan():
+    # VERDICT r10 #1: the never-driver-checked queue head (pinned at r10
+    # close) holds the FIRST 2 slots; the 29-entry declared r11 spill
+    # (_R11_SPILL exactly as stated and test-pinned at r10 round start;
+    # last hard check r6) follows, order preserved; the rest is r7-cohort
+    # backfill in ledger order plus new r11 entries at the tail — so late
+    # additions displace only the backfill tail, never the stated plan.
+    assert _DRIVER_WINDOW_R11[:2] == _R11_QUEUE_HEAD
+    assert _DRIVER_WINDOW_R11[2:2 + len(_R11_SPILL)] == _R11_SPILL
+    for name in _R11_SPILL:
+        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 6, name
+    # every backfill slot carries an r7-last-checked entry; new r11
+    # entries (history marked but no driver round yet) are allowed only
+    # at the tail
+    tail = _DRIVER_WINDOW_R11[2 + len(_R11_SPILL):]
+    assert tail[:len(_R11_BACKFILL_R7)] == _R11_BACKFILL_R7
+    for name in tail:
         rounds = _checked_rounds(DRIVER_HISTORY[name][1])
-        assert not rounds or max(rounds) == 6, (name, rounds)
+        assert not rounds or max(rounds) == 7, (name, rounds)
 
 
-def test_window_backfill_spill_is_exactly_the_stated_r11_list():
-    # after the r10 window lands, every oracle entry NOT in the window
-    # must have a last check of r7+ — EXCEPT the explicitly declared r11
-    # spill (the stated-plan discipline from VERDICT r7 #1). An r6-or-
+def test_window_r10_history_marks_are_recorded():
+    # post-round bookkeeping (VERDICT r10 "what's wrong" #2): every entry
+    # the r10 driver checked (CORRECTNESS_r10.json = the 50-slot window,
+    # 50/50 hash-green) carries the confirming r10 round mark
+    assert len(_DRIVER_WINDOW_R10) == 50
+    for name in _DRIVER_WINDOW_R10:
+        assert 10 in _checked_rounds(DRIVER_HISTORY[name][1]), name
+
+
+def test_window_backfill_spill_is_exactly_the_stated_r12_list():
+    # after the r11 window lands, every oracle entry NOT in the window
+    # must have a last check of r8+ — EXCEPT the explicitly declared r12
+    # spill (the stated-plan discipline from VERDICT r7 #1). An r7-or-
     # older entry outside both lists is a rotation bug.
     stale = []
     for name, (check, hist) in DRIVER_HISTORY.items():
-        if (check != "oracle" or name in _DRIVER_WINDOW_R10
-                or name in _R11_QUEUE_HEAD):
+        if (check != "oracle" or name in _DRIVER_WINDOW_R11
+                or name in _R12_QUEUE_HEAD):
             continue
         rounds = _checked_rounds(hist)
         assert rounds, (name, hist)
-        if max(rounds) < 7:
+        if max(rounds) < 8:
             stale.append(name)
-    assert sorted(stale) == sorted(_R11_SPILL), (
-        sorted(set(stale) ^ set(_R11_SPILL))
+    assert sorted(stale) == sorted(_R12_SPILL), (
+        sorted(set(stale) ^ set(_R12_SPILL))
     )
-    for name in _R11_SPILL:
-        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 6, name
+    for name in _R12_SPILL:
+        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 7, name
+
+
+def test_r12_core_sextet_plan_is_pinned():
+    # VERDICT r10 #5: the six r8-checked core SURVEY §2 contract entries
+    # (the oldest core-contract driver evidence) are pinned to follow
+    # _R12_SPILL at the r12 window head. The pin is derived, not typed:
+    # the sextet must be EXACTLY the core-grammar entries (no x_/xd_
+    # extension prefix) whose last driver check is r8.
+    core_r8 = [
+        name
+        for name, (check, hist) in DRIVER_HISTORY.items()
+        if check == "oracle"
+        and not name.startswith(("x_", "xd_"))
+        and _checked_rounds(hist)
+        and max(_checked_rounds(hist)) == 8
+    ]
+    assert sorted(core_r8) == sorted(_R12_CORE_SEXTET)
+    assert len(_R12_CORE_SEXTET) == 6
+    # they wait for r12 — not silently double-booked into this window
+    assert not set(_R12_CORE_SEXTET) & set(_DRIVER_WINDOW_R11)
 
 
 def test_bench_loads_every_table_it_references():
