@@ -369,7 +369,9 @@ def ivf_topk_batch(
     the same cells and returns its exact ranking, test-pinned) become a
     cell → probing-queries map shipped in the closure. Spark-side: ONE
     Arrow mapInPandas assigns each batch's rows to cells with a
-    vectorized numpy argmin (NOT the unrolled JVM expression — at
+    vectorized numpy argmin over exact (x-c)^2 sums — the same formula
+    as with_ivf_assignment, so near-equidistant rows land in the same
+    cell as the JVM path (NOT the unrolled JVM expression — at
     nlist·dim interpreted lambda ops per row that assignment dominated
     the whole query at 100×: 101 s vs 6 s measured, SCALE.md; the
     memory rule that >10 ops/element belongs in Arrow), drops rows in
@@ -411,10 +413,6 @@ def ivf_topk_batch(
     id_type = dict(df.dtypes)[id_col]
     out_schema = f"query_id long, {id_col} {id_type}, sim double"
     probed_cells = [int(c) for c in cell_to_q]
-    # centroid geometry for the in-Arrow assignment: argmin of
-    # |x - c|^2 = argmin of |c|^2 - 2 x.c (|x|^2 is constant per row)
-    cents_t = cents.T  # (dim, nlist)
-    cents_sq = (cents**2).sum(1)  # (nlist,)
 
     if cell_col is not None:
         src = df.filter(F.col(cell_col).isin(probed_cells)).select(
@@ -435,9 +433,19 @@ def ivf_topk_batch(
             if "_cell" in pdf.columns:
                 cells = pdf["_cell"].to_numpy()
             else:
-                cells = np.argmin(
-                    cents_sq[None, :] - 2.0 * (m_all @ cents_t), axis=1
-                )
+                # full (x - c)^2 sums, NOT the |c|^2 - 2 x.c expansion:
+                # algebraically equal but numerically different, and the
+                # expansion can flip near-equidistant rows into a
+                # different cell than with_ivf_assignment's JVM formula
+                # (r10 ADVICE) — breaking the docstring's 1-query-batch
+                # ≡ ivf_topk claim. One vectorized pass per centroid
+                # (nlist is small by construction) keeps memory at
+                # rows × dim; first-occurrence argmin matches
+                # array_position's tie rule.
+                d2 = np.empty((len(m_all), len(cents)), dtype=np.float64)
+                for j in range(len(cents)):
+                    d2[:, j] = ((m_all - cents[j]) ** 2).sum(1)
+                cells = np.argmin(d2, axis=1)
             norms = np.linalg.norm(m_all, axis=1)
             norms[norms == 0] = 1.0
             out_q, out_i, out_s = [], [], []

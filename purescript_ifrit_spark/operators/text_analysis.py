@@ -1141,6 +1141,17 @@ def build_bm25_index(
     return postings, doclens
 
 
+def _default_scoring_partitions(spark) -> int:
+    """The session's shuffle-partition count, falling back to the
+    cluster's default parallelism when the conf is non-numeric (some
+    platforms report e.g. 'auto' there — r10 ADVICE: the default path
+    must degrade to a same-order value, not raise ValueError)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def bm25_topk_queries_indexed(
     postings: DataFrame,
     doclens: DataFrame,
@@ -1183,8 +1194,8 @@ def bm25_topk_queries_indexed(
         F.col("tf").alias("tf_doc"),
     )
     if scoring_partitions is None:
-        scoring_partitions = int(
-            postings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        scoring_partitions = _default_scoring_partitions(
+            postings.sparkSession
         )
     if scoring_partitions < 0:
         raise ValueError(

@@ -510,7 +510,9 @@ def fold_stream_into_index(
     keys. Survivors are deduplicated by `id_col` first (at-least-once
     parquet append can replay a batch), and ids already present in the
     index are anti-joined away so a double fold cannot duplicate index
-    rows. That anti-join prunes the index to its id column but is still
+    rows. A survivor sink that does not exist yet (a fold scheduled
+    before the stream's first commit) folds nothing: the index is
+    returned unchanged. That anti-join prunes the index to its id column but is still
     one index-sized exchange; for the rotated-sink discipline (archive
     the survivor directory after every fold, so each fold reads only
     new docs whose screened-survivor status guarantees a fresh id) pass
@@ -521,9 +523,20 @@ def fold_stream_into_index(
     like the original index (the probe-join-without-corpus-shuffle
     contract); the return value is the unioned DataFrame, lazily —
     callers decide where it lands."""
+    from pyspark.errors import AnalysisException
+
     from purescript_ifrit_spark.operators.dedup import build_minhash_index
 
-    survivors = spark.read.parquet(survivors_dir).dropDuplicates([id_col])
+    try:
+        survivors = spark.read.parquet(survivors_dir)
+    except AnalysisException:
+        # a fold scheduled before the stream has committed any survivor
+        # files would otherwise die on an opaque path-not-found /
+        # unable-to-infer-schema error (r10 ADVICE); nothing to fold is
+        # a legitimate state of the rotated-sink discipline, so return
+        # the index unchanged
+        return index
+    survivors = survivors.dropDuplicates([id_col])
     fresh = build_minhash_index(
         survivors,
         id_col,
@@ -586,6 +599,7 @@ def score_query_stream(
         .trigger(availableNow=True)
         .start()
     )
+
 
 def stage_time_ordered_replay(
     df: DataFrame, ts_col: str, path: str, *, num_files: int = 2

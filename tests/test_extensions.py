@@ -1141,6 +1141,55 @@ def test_fold_stream_into_index_catches_within_stream_duplicates(
     assert raw.count() == folded.count() + batch1.count() * 8
 
 
+def test_fold_before_first_commit_returns_index_unchanged(spark, tmp_path):
+    """r10 ADVICE: a fold scheduled before the stream has committed any
+    survivor files must return the index unchanged, not die on an opaque
+    path-not-found / unable-to-infer-schema error."""
+    from purescript_ifrit_spark.operators.dedup import build_minhash_index
+    from purescript_ifrit_spark.streaming.pipeline import (
+        fold_stream_into_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{k}" for k in range(20))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    index = build_minhash_index(corpus, "doc_id", "text")
+    folded = fold_stream_into_index(
+        spark, str(tmp_path / "never_written"), index, "doc_id", "text"
+    )
+    assert folded is index
+
+
+def test_default_scoring_partitions_non_numeric_conf_falls_back():
+    """r10 ADVICE: bm25_topk_queries_indexed's default scoring-partition
+    read must degrade to defaultParallelism when the session reports a
+    non-numeric shuffle-partitions value (e.g. 'auto'), not raise."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        _default_scoring_partitions,
+    )
+
+    class _Conf:
+        def __init__(self, value):
+            self._value = value
+
+        def get(self, key):
+            return self._value
+
+    class _Sc:
+        defaultParallelism = 7
+
+    class _Spark:
+        sparkContext = _Sc()
+
+        def __init__(self, value):
+            self.conf = _Conf(value)
+
+    assert _default_scoring_partitions(_Spark("16")) == 16
+    assert _default_scoring_partitions(_Spark("auto")) == 7
+    assert _default_scoring_partitions(_Spark(None)) == 7
+
+
 def test_budget_sample_semantics(spark):
     # exact semantics on a hand-computable fixture: one group, known order
     from purescript_ifrit_spark.operators.sampling import _draw, budget_sample
