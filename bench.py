@@ -835,6 +835,56 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
     return times, cold, extra, variance
 
 
+def flag_sustained_load(times: dict, variance: dict, sf, cpus: int) -> None:
+    """Canary v2 (VERDICT r10 #4): SUSTAINED co-tenant load inflates
+    every run about equally, so (max-min)/min stays tight and the spread
+    canary is blind — r10's q8 read 1.011 s vs the 0.577 s reference
+    with rel_spread 0.073 and sailed past it. Compare each headline
+    query's window MIN against the committed per-query reference mins
+    and flag `sustained_load` when >=3 headline queries exceed 1.5x
+    reference: a real plan regression lands on the specific queries
+    whose plan changed, a co-tenant inflates broadly.
+
+    The reference is BENCH_REFERENCE.json — builder-maintained, updated
+    only from a window whose own cotenancy block is quiet — NOT
+    BENCH_DETAIL.json, which each driver round overwrites with its own
+    (possibly noisy) window and would poison the baseline. The check
+    only adjudicates runs at the reference's (sf, cpus); elsewhere it
+    reports available: false. Mutates variance['cotenancy'] in place so
+    the flag rides the existing machine-readable block in BOTH
+    artifacts."""
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_REFERENCE.json"
+    )
+    sustained: dict = {"available": False, "sustained_load": False}
+    try:
+        with open(ref_path) as fh:
+            ref = json.load(fh)
+        ref_q = ref.get("queries", {})
+        if ref.get("sf") == sf and ref.get("cpus") == cpus and ref_q:
+            inflated = sorted(
+                name
+                for name, got in times.items()
+                if name in ref_q and got > 1.5 * ref_q[name]
+            )
+            sustained = {
+                "available": True,
+                "sustained_load": len(inflated) >= 3,
+            }
+            if inflated:
+                sustained["inflated"] = inflated
+    except (OSError, ValueError):
+        pass
+    cot = variance["cotenancy"]
+    cot["sustained"] = sustained
+    if sustained["sustained_load"]:
+        cot["noisy"] = True
+        cot["flags"].append(
+            f"sustained_load: {len(sustained['inflated'])} headline "
+            "queries > 1.5x BENCH_REFERENCE.json mins"
+        )
+
+
 def bench_compile() -> dict:
     """Plan-construction throughput for the reference's five benchmark
     shapes (BASELINE.md; schema mirrors test/benchmark.js:8-16)."""
@@ -878,6 +928,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         times, cold, extra, variance = bench_queries(spark)
+        flag_sustained_load(
+            times, variance,
+            float(sf) if sf.replace(".", "").isdigit() else sf, int(CPUS),
+        )
         total = round(sum(times.values()), 3)
         # The driver keeps only a bounded TAIL of stdout and parses the
         # final JSON line; round 5's line outgrew that window and the

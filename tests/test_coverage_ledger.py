@@ -239,3 +239,64 @@ def test_bench_stdout_line_excludes_the_extras_map():
     assert '"queries_extra_total_steady_state"' in result_block
     # the detail artifact still carries the full map
     assert 'detail["queries_extra_steady_state"] = extra' in src
+
+
+def _load_bench():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", str(COVERAGE.parent / "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_sustained_load_canary_adjudicates_itself():
+    """VERDICT r10 #4: the spread canary is blind to SUSTAINED co-tenant
+    load (r10's q8: +75% vs reference at rel_spread 0.073). The v2 canary
+    compares headline mins against the committed BENCH_REFERENCE.json and
+    flags sustained_load at >=3 queries over 1.5x — machine-readable, in
+    the same cotenancy block both artifacts carry."""
+    import json
+
+    bench = _load_bench()
+    ref = json.loads((COVERAGE.parent / "BENCH_REFERENCE.json").read_text())
+    ref_q, sf, cpus = ref["queries"], ref["sf"], ref["cpus"]
+    assert len(ref_q) >= 10 and sf == 0.1
+
+    def run(times):
+        variance = {"cotenancy": {"noisy": False, "flags": []}}
+        bench.flag_sustained_load(dict(times), variance, sf, cpus)
+        return variance["cotenancy"]
+
+    # quiet window at the reference mins: available, not flagged
+    cot = run(ref_q)
+    assert cot["sustained"] == {"available": True, "sustained_load": False}
+    assert cot["noisy"] is False
+
+    # two inflated queries: recorded but below the flag threshold
+    names = sorted(ref_q)
+    two = dict(ref_q)
+    for n in names[:2]:
+        two[n] = ref_q[n] * 1.6
+    cot = run(two)
+    assert cot["sustained"]["sustained_load"] is False
+    assert cot["sustained"]["inflated"] == sorted(names[:2])
+    assert cot["noisy"] is False
+
+    # three inflated queries: sustained_load flips, noisy rides the flag
+    three = dict(two)
+    three[names[2]] = ref_q[names[2]] * 1.6
+    cot = run(three)
+    assert cot["sustained"]["sustained_load"] is True
+    assert cot["noisy"] is True
+    assert any("sustained_load" in f for f in cot["flags"])
+
+    # off-reference scale (local sf0.01 iteration): canary stands down
+    cot = run(ref_q)  # reset
+    variance = {"cotenancy": {"noisy": False, "flags": []}}
+    bench.flag_sustained_load(dict(ref_q), variance, 0.01, cpus)
+    assert variance["cotenancy"]["sustained"] == {
+        "available": False, "sustained_load": False,
+    }
