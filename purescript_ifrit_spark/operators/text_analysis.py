@@ -1295,6 +1295,93 @@ def _bm25_score_query_terms(
     )
 
 
+def bm25_query_screen_report(
+    postings: DataFrame,
+    doclens: DataFrame,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    *,
+    max_df_frac: "float | None" = None,
+) -> DataFrame:
+    """Per-query observability for the `max_df_frac` stop-term screen
+    (VERDICT r10 #6): the scoring paths silently return ZERO rows for a
+    query whose every corpus-matching term is screened, and an eval
+    pipeline cannot distinguish that from "no match" without re-deriving
+    the df census. This sibling helper runs the same normalization,
+    vocabulary semi-join, and df pass as `_bm25_score_query_terms` and
+    returns one row per query:
+
+      (query_id, n_terms, n_matched_terms, n_screened_terms,
+       screened_all_terms)
+
+    where n_terms counts distinct normalized query terms,
+    n_matched_terms those present in the corpus, n_screened_terms the
+    matched terms the screen drops (df > max_df_frac * N), and
+    screened_all_terms is true iff the query HAD corpus matches but the
+    screen dropped every one — exactly the zero-rows-despite-matches
+    case. With max_df_frac=None nothing screens and the report is an
+    OOV census.
+
+    Takes the index form (postings, doclens) — `build_bm25_index` for
+    the direct path's documents. Scale shape: the df pass is the same
+    vocab-semi-joined aggregate the scorer runs (term-bucketed postings
+    prune it identically), everything after is metadata-sized (terms x
+    queries)."""
+    if max_df_frac is not None and not (0.0 < max_df_frac <= 1.0):
+        raise ValueError(
+            f"max_df_frac must be in (0, 1] or None (got {max_df_frac})"
+        )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.explode(
+                F.split(X.normalize_text(F.col(query_text_col)), " ")
+            ).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    vocab = qterms.select("term").distinct()
+    dfreq = (
+        postings.join(F.broadcast(vocab), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    corpus = doclens.agg(F.count(F.lit(1)).alias("_n"))
+    screened = (
+        F.col("_df").isNotNull()
+        & (F.col("_df") > F.lit(max_df_frac) * F.col("_n"))
+        if max_df_frac is not None
+        else F.lit(False)
+    )
+    per_term = (
+        qterms.join(F.broadcast(dfreq), "term", "left")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("_matched", F.col("_df").isNotNull())
+        .withColumn("_screened", screened)
+    )
+    n_matched = F.sum(F.col("_matched").cast("long")).alias(
+        "n_matched_terms"
+    )
+    n_screened = F.sum(F.col("_screened").cast("long")).alias(
+        "n_screened_terms"
+    )
+    return (
+        per_term.groupBy(F.col("_qid").alias(query_id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            n_matched,
+            n_screened,
+        )
+        .withColumn(
+            "screened_all_terms",
+            (F.col("n_matched_terms") > 0)
+            & (F.col("n_screened_terms") == F.col("n_matched_terms")),
+        )
+    )
+
+
 def rrf_fuse(
     rankings,
     id_col: str = "doc_id",

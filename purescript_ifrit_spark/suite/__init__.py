@@ -202,7 +202,6 @@ _R11_BACKFILL_R7 = [
     "x_knn_join_planted",
     "x_ann_lsh_planted",
     "x_ann_ivf_planted",
-    "x_hll_distinct_planted",
 ]
 
 _DRIVER_WINDOW_R11 = [
@@ -213,13 +212,15 @@ _DRIVER_WINDOW_R11 = [
     # -- (3) r7-cohort backfill, ledger order ------------------------------
     *_R11_BACKFILL_R7,
     # -- (4) new round-11 oracle entries land HERE as built, each
-    #        displacing the backfill tail above (first to displace:
-    #        x_dau_bound_planted, then x_hll_distinct_planted, ...) --------
+    #        displacing the backfill tail above into _R12_SPILL ------------
+    "x_bm25_screen_report",   # displaced x_hll_distinct_planted
 ]
 
 # The r7-cohort entries that wait for r12 (ledger order; grows as new
 # r11 entries displace the backfill tail above).
 _R12_SPILL = [
+    "x_hll_distinct_planted",  # displaced from the r11 backfill tail by
+                               # x_bm25_screen_report
     "x_dau_bound_planted",
     "x_duplicate_spans",
     "x_span_dup_stats",

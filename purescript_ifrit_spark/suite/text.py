@@ -935,6 +935,68 @@ def x_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_bm25_screen_report",
+    # the max_df_frac observability sibling (VERDICT r10 #6): one row
+    # per query with the term/match/screen census — df is the postings
+    # row count per term (distinct (term, doc) pairs), screened means
+    # df > 0.5 * N, and screened_all_terms marks the query that HAD
+    # corpus matches but the screen dropped every one (the case the
+    # scoring paths report as zero rows, indistinguishable from OOV
+    # without this report). qid 1 mixes a screened and a kept term,
+    # qid 2 is all-screened, qid 3 is OOV, qid 4 is all-kept.
+    "WITH q AS (SELECT * FROM (VALUES (1, 'spark dup'), "
+    "(2, 'merge sort'), (3, 'zzz_absent_term'), (4, 'dup')) "
+    "t(qid, qtext)), "
+    "qt AS (SELECT DISTINCT qid, term FROM "
+    "  (SELECT qid, UNNEST(string_split(qtext, ' ')) AS term FROM q)), "
+    "tok AS (SELECT doc_id, "
+    f"UNNEST(string_split({_NORM_SQL}, ' ')) AS t FROM documents), "
+    "pd AS (SELECT doc_id, t AS term FROM tok "
+    "WHERE t IN (SELECT term FROM qt) GROUP BY doc_id, t), "
+    "d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfq "
+    "FROM pd GROUP BY term), "
+    "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), "
+    "per AS (SELECT qt.qid, qt.term, d.dfq IS NOT NULL AS m, "
+    "COALESCE(d.dfq > 0.5 * c.n, FALSE) AS s "
+    "FROM qt LEFT JOIN d USING (term), c) "
+    "SELECT CAST(qid AS BIGINT) AS qid, "
+    "CAST(COUNT(*) AS BIGINT) AS n_terms, "
+    "CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_matched_terms, "
+    "CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_screened_terms, "
+    "(SUM(CASE WHEN m THEN 1 ELSE 0 END) > 0 AND "
+    "SUM(CASE WHEN m THEN 1 ELSE 0 END) = "
+    "SUM(CASE WHEN s THEN 1 ELSE 0 END)) AS screened_all_terms "
+    "FROM per GROUP BY qid",
+)
+def x_bm25_screen_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`max_df_frac` observability (operators/text_analysis.
+    bm25_query_screen_report, VERDICT r10 #6): per-query census of how
+    the stop-term screen treats each query — distinguishing "zero rows
+    because nothing matched" from "zero rows because every matching
+    term was screened" without re-deriving the df census. At the sf
+    corpus (31-term vocab, df/N 0.75–0.80 except 'dup' at 0.05) a 0.5
+    screen drops everything but 'dup', so the four planted queries
+    exercise all report shapes."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_query_screen_report,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, "spark dup"), (2, "merge sort"), (3, "zzz_absent_term"),
+         (4, "dup")],
+        "qid long, qtext string",
+    )
+    postings, doclens = build_bm25_index(docs, "doc_id", "text")
+    return bm25_query_screen_report(
+        postings, doclens, qs, "qid", "qtext", max_df_frac=0.5
+    )
+
+
+@register(
     "x_rrf_fusion",
     # reciprocal-rank fusion over two deterministic candidate lists
     # (token-count ranking × hash-score ranking): the reciprocal is

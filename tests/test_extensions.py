@@ -3680,6 +3680,86 @@ def test_bm25_batch_max_df_frac_drops_stop_terms_in_plan(spark):
         )
 
 
+def test_bm25_query_screen_report_distinguishes_oov_from_screened(spark):
+    """VERDICT r10 #6: `bm25_query_screen_report` is the observability
+    sibling of the max_df_frac screen — on a planted corpus with known
+    dfs it returns the hand-computed (n_terms, n_matched_terms,
+    n_screened_terms) census per query, and `screened_all_terms` is
+    True exactly for the query that HAS corpus matches but whose every
+    match the screen drops — the case the scoring paths report as zero
+    rows, indistinguishable from OOV without this report."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_query_screen_report,
+        bm25_topk_queries,
+        build_bm25_index,
+    )
+
+    # dfs: the=4 (df/N 1.0), cat=ran=2 (0.5), rest 1 (0.25)
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the dog ran"),
+            (3, "the bird flew"),
+            (4, "the cat ran fast"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [
+            (1, "the cat"),        # mixed: 'the' screened, 'cat' kept
+            (2, "the"),            # all matches screened → the marker
+            (3, "zzz yyy"),        # pure OOV → NOT marked
+            (4, "The   CAT"),      # normalization: same terms as qid 1
+        ],
+        "qid long, qtext string",
+    )
+    postings, doclens = build_bm25_index(corpus, "doc_id", "text")
+    rep = {
+        r.qid: (r.n_terms, r.n_matched_terms, r.n_screened_terms,
+                r.screened_all_terms)
+        for r in bm25_query_screen_report(
+            postings, doclens, qs, "qid", "qtext", max_df_frac=0.9
+        ).collect()
+    }
+    assert rep == {
+        1: (2, 2, 1, False),
+        2: (1, 1, 1, True),
+        3: (2, 0, 0, False),
+        4: (2, 2, 1, False),
+    }
+    # the marker resolves exactly the scorer's zero-row ambiguity: qids
+    # 2 and 3 both score zero rows, only qid 2 is screened_all_terms
+    scored = bm25_topk_queries(
+        corpus, "doc_id", "text", qs, "qid", "qtext", k=10,
+        max_df_frac=0.9,
+    )
+    scored_qids = {r.qid for r in scored.collect()}
+    assert 2 not in scored_qids and 3 not in scored_qids
+    assert 1 in scored_qids and 4 in scored_qids
+    # max_df_frac=None screens nothing — the report is an OOV census
+    rep_none = {
+        r.qid: (r.n_terms, r.n_matched_terms, r.n_screened_terms,
+                r.screened_all_terms)
+        for r in bm25_query_screen_report(
+            postings, doclens, qs, "qid", "qtext"
+        ).collect()
+    }
+    assert rep_none == {
+        1: (2, 2, 0, False),
+        2: (1, 1, 0, False),
+        3: (2, 0, 0, False),
+        4: (2, 2, 0, False),
+    }
+    with pytest.raises(ValueError):
+        bm25_query_screen_report(
+            postings, doclens, qs, "qid", "qtext", max_df_frac=0.0
+        )
+    with pytest.raises(ValueError):
+        bm25_query_screen_report(
+            postings, doclens, qs, "qid", "qtext", max_df_frac=1.5
+        )
+
+
 def test_rrf_fuse_hand_computed(spark):
     """RRF on a planted pair of rankings equals the by-hand fixed-point
     arithmetic: doc ranked r_a in A and r_b in B scores
