@@ -486,6 +486,82 @@ def ivf_topk_batch(
     )
 
 
+def ann_recall_estimate(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: "np.ndarray",
+    query_ids: Sequence[int],
+    approx: DataFrame,
+    k: int = 10,
+    n_sample: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Measured recall@k of an approximate ANN answer (`approx`: the
+    output of ivf_topk_batch / lsh_topk-shaped frames — (query_id,
+    id_col, sim)) against sampled brute-force ground truth — the
+    VERDICT r10 #3 helper that makes nprobe/nlist pickable empirically:
+    recall on isotropic vs clustered corpora differs by >2x (SCALE.md
+    r11 curve), so shipped guidance is "measure on YOUR corpus with
+    this one extra pass", not a constant.
+
+    Cost model, by construction: ONE extra corpus pass — a determinis-
+    tic `n_sample`-query sub-batch (seeded choice over the query ids,
+    not the corpus) through cosine_topk_batch, whose worker-local
+    partial top-k makes the pass rows x n_sample matmul work with a
+    k·n_sample-row exchange; everything after is metadata-sized
+    (n_sample·k rows joined against the approx answer). Output: one row
+    per sampled query — (query_id, n_truth, n_hit, recall_micro) with
+    recall in exact integer micro-units (n_hit·1e6 div n_truth; the
+    suite's cross-engine convention), n_truth = |truth top-k| (< k only
+    when the corpus itself is smaller). Ground truth is the
+    deterministic (sim desc, id asc) tie-broken top-k — an approx
+    answer returning a different-but-equal-sim document counts as a
+    miss, the standard strict-set recall@k definition; mean recall =
+    avg(recall_micro)/1e6 over the returned rows."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    if n_sample <= 0:
+        raise ValueError(f"n_sample must be positive (got {n_sample})")
+    qm = np.asarray(queries, dtype=np.float64)
+    qids = np.asarray(list(query_ids), dtype=np.int64)
+    rng = np.random.RandomState(seed)
+    take = min(int(n_sample), len(qids))
+    idx = np.sort(rng.choice(len(qids), size=take, replace=False))
+    sample_ids = [int(q) for q in qids[idx]]
+    truth = cosine_topk_batch(
+        df, id_col, vec_col, qm[idx], sample_ids, k=k
+    )
+    approx_ids = approx.filter(
+        F.col("query_id").isin(sample_ids)
+    ).select("query_id", id_col)
+    hit = F.sum(
+        F.when(F.col("_hit").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        truth.join(
+            approx_ids.withColumn("_hit", F.lit(1)).dropDuplicates(
+                ["query_id", id_col]
+            ),
+            ["query_id", id_col],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            hit.alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "n_hit",
+            F.expr("CAST((n_hit * 1000000) div n_truth AS BIGINT)").alias(
+                "recall_micro"
+            ),
+        )
+    )
+
+
 def knn_join_lsh(
     df: DataFrame,
     id_col: str,

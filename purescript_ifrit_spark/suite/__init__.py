@@ -201,7 +201,6 @@ _R11_BACKFILL_R7 = [
     "x_multimodal_jpeg",
     "x_knn_join_planted",
     "x_ann_lsh_planted",
-    "x_ann_ivf_planted",
 ]
 
 _DRIVER_WINDOW_R11 = [
@@ -214,6 +213,7 @@ _DRIVER_WINDOW_R11 = [
     # -- (4) new round-11 oracle entries land HERE as built, each
     #        displacing the backfill tail above into _R12_SPILL ------------
     "x_bm25_screen_report",   # displaced x_hll_distinct_planted
+    "x_ann_recall_planted",   # displaced x_ann_ivf_planted
 ]
 
 # The r7-cohort entries that wait for r12 (ledger order; grows as new
@@ -221,6 +221,8 @@ _DRIVER_WINDOW_R11 = [
 _R12_SPILL = [
     "x_hll_distinct_planted",  # displaced from the r11 backfill tail by
                                # x_bm25_screen_report
+    "x_ann_ivf_planted",       # displaced from the r11 backfill tail by
+                               # x_ann_recall_planted
     "x_dau_bound_planted",
     "x_duplicate_spans",
     "x_span_dup_stats",

@@ -381,6 +381,64 @@ def x_ann_ivf_batch_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "sim")
 
 
+@register(
+    "x_ann_recall_planted",
+    # closed-form recall arithmetic under the planted basis geometry
+    # (centroids land EXACTLY on the basis vectors — the
+    # x_ann_ivf_planted argument). Query 0 probes e_0 at nprobe=1 with
+    # k=12: ground truth is cluster 0 (sim 1.0) plus the six LOWEST-id
+    # orthogonal rows (sim 0.0, id tie-break) = vec_id < 12, while the
+    # probed cell holds only cluster 0 — recall 6/12. Query 1
+    # (0.9·e0 + 0.45·e1) probes cells {0,1} at nprobe=2: truth is
+    # clusters 0∪1 (sims .894/.447) = vec_id < 12 again, all returned —
+    # recall 1. The oracle derives both rows from the same vec_id<12
+    # truth set and the closed-form cell membership vec_id<6.
+    "WITH t AS (SELECT vec_id FROM embeddings WHERE vec_id < 12) "
+    "SELECT CAST(0 AS BIGINT) AS query_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_truth, "
+    "CAST(SUM(CASE WHEN vec_id < 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, "
+    "CAST((SUM(CASE WHEN vec_id < 6 THEN 1 ELSE 0 END) * 1000000) "
+    "// COUNT(*) AS BIGINT) AS recall_micro FROM t "
+    "UNION ALL SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT), "
+    "CAST(COUNT(*) AS BIGINT), CAST(1000000 AS BIGINT) FROM t",
+)
+def x_ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN recall (operators/similarity.ann_recall_estimate,
+    r11 — VERDICT r10 #3): the full helper path — seeded query sample,
+    one brute-force truth pass through cosine_topk_batch, metadata-sized
+    hit join, integer micro-unit recall — against an IVF answer whose
+    per-query recall is closed-form under the planted basis clusters
+    (query 0 deliberately under-probes at nprobe=1 and must read
+    recall_micro 500000; query 1 probes both straddled cells and must
+    read 1000000)."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        ann_recall_estimate,
+        ivf_centroids,
+        ivf_topk_batch,
+    )
+
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    cents = ivf_centroids(planted, "embedding", nlist=16, seed=42, sample=4096)
+    qa = np.array(_E0_QUERY, dtype=np.float64)
+    qb = np.zeros(32)
+    qb[0], qb[1] = 0.9, 0.45
+    approx = ivf_topk_batch(
+        planted, "vec_id", "embedding", qa[None, :], [0], cents,
+        k=12, nprobe=1,
+    ).unionByName(
+        ivf_topk_batch(
+            planted, "vec_id", "embedding", qb[None, :], [1], cents,
+            k=12, nprobe=2,
+        )
+    )
+    return ann_recall_estimate(
+        planted, "vec_id", "embedding", np.stack([qa, qb]), [0, 1],
+        approx, k=12, n_sample=2,
+    )
+
+
 _FH_TOK = (
     "WITH tok AS (SELECT doc_id, "
     "UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t "

@@ -411,6 +411,70 @@ def test_ivf_batch_matches_single_query_operator(spark, sf_dir):
         )
 
 
+def test_ann_recall_estimate_hand_computed(spark):
+    """ann_recall_estimate (VERDICT r10 #3): per-query recall@k in exact
+    integer micro-units against a deterministic (sim desc, id asc)
+    brute-force truth — hand-computed case: a 4-row corpus on two
+    orthogonal axes, k=3, one approx answer missing a truth row (recall
+    2/3) and one complete (recall 1), plus an unsampled query that must
+    NOT appear, duplicate approx rows that must not double-count, and
+    the error paths."""
+    import numpy as np
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+         (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    qids = [10, 20, 30]
+    # truth@3 for q10 = [0, 1] (sim 1.0) + [2] (sim 0.0, id tie-break);
+    # approx misses id 2 and repeats id 0 (the dup must count once)
+    approx = spark.createDataFrame(
+        [(10, 0, 1.0), (10, 0, 1.0), (10, 1, 1.0),
+         (20, 2, 1.0), (20, 3, 1.0), (20, 0, 0.0),
+         (30, 99, 0.7)],
+        "query_id long, vec_id long, sim double",
+    )
+    # n_sample >= len(queries): every query sampled, seed irrelevant
+    out = {
+        r.query_id: (r.n_truth, r.n_hit, r.recall_micro)
+        for r in similarity.ann_recall_estimate(
+            corpus, "vec_id", "embedding", queries, qids, approx,
+            k=3, n_sample=3,
+        ).collect()
+    }
+    assert out[10] == (3, 2, 666666)
+    assert out[20] == (3, 3, 1000000)
+    assert out[30] == (3, 0, 0)  # approx id 99 not in corpus: all misses
+    # sampling is seeded and sized: n_sample=2 returns exactly 2 of the
+    # 3 queries, the same 2 on every call with the same seed
+    s1 = sorted(
+        r.query_id
+        for r in similarity.ann_recall_estimate(
+            corpus, "vec_id", "embedding", queries, qids, approx,
+            k=3, n_sample=2, seed=7,
+        ).collect()
+    )
+    s2 = sorted(
+        r.query_id
+        for r in similarity.ann_recall_estimate(
+            corpus, "vec_id", "embedding", queries, qids, approx,
+            k=3, n_sample=2, seed=7,
+        ).collect()
+    )
+    assert s1 == s2 and len(s1) == 2 and set(s1) <= {10, 20, 30}
+    with pytest.raises(ValueError):
+        similarity.ann_recall_estimate(
+            corpus, "vec_id", "embedding", queries, qids, approx, k=0
+        )
+    with pytest.raises(ValueError):
+        similarity.ann_recall_estimate(
+            corpus, "vec_id", "embedding", queries, qids, approx,
+            n_sample=0,
+        )
+
+
 def test_ann_batch_partial_topk_exact_on_ties(spark):
     """The r10 partial-top-k rewrite must keep EXACT tie semantics:
     duplicate embeddings tie on sim, and the returned set must be the
@@ -3620,6 +3684,88 @@ def test_score_query_stream_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got == want and len(got) > 0
     assert not any(qid == 4 for qid, _, _ in got)  # no phantom rows
+
+
+def test_score_query_stream_epoch_keyed_replay_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r10 #7: the epoch-keyed sink makes streaming retrieval
+    output exactly-once — a REPLAYED micro-batch (foreachBatch redelivers
+    under the same checkpointed epoch id after a crash) overwrites its
+    own previous output instead of appending a second copy, so no
+    query's top-k can double. The append sink, by contrast, doubles
+    under the same replay (the at-least-once contract this option
+    exists to close)."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_topk_queries,
+        bm25_topk_queries_indexed,
+        build_bm25_index,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+    from purescript_ifrit_spark.streaming.pipeline import (
+        read_epoch_keyed,
+        score_query_stream,
+        write_epoch_keyed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, "spark join"), (2, "merge sort"), (3, "customer data")],
+        "qid long, qtext string",
+    )
+    postings, doclens = build_bm25_index(docs, "doc_id", "text")
+    postings.write.mode("overwrite").parquet(str(tmp_path / "p"))
+    doclens.write.mode("overwrite").parquet(str(tmp_path / "l"))
+    p2 = spark.read.parquet(str(tmp_path / "p"))
+    l2 = spark.read.parquet(str(tmp_path / "l"))
+    src = str(tmp_path / "qstream")
+    out = str(tmp_path / "out")
+    qs.repartition(3).write.parquet(src)
+    q = score_query_stream(
+        spark.readStream.schema("qid long, qtext string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        p2, l2, out,
+        checkpoint_dir=str(tmp_path / "ck"), k=5, epoch_keyed=True,
+    )
+    q.awaitTermination()
+    want = sorted(
+        (r.qid, r.doc_id, r.score)
+        for r in bm25_topk_queries(
+            docs, "doc_id", "text", qs, "qid", "qtext", k=5
+        ).collect()
+    )
+    first = read_epoch_keyed(spark, out)
+    assert "epoch" not in first.columns  # append-identical schema
+    got = sorted((r.qid, r.doc_id, r.score) for r in first.collect())
+    assert got == want and len(got) > 0
+
+    # simulate the at-least-once redelivery: rescore the queries that
+    # landed in epoch 0 and write them under the SAME epoch id again
+    raw = spark.read.parquet(out)  # partition-discovered `epoch` column
+    epoch0_qids = [
+        r.qid for r in raw.filter(F.col("epoch") == 0)
+        .select("qid").distinct().collect()
+    ]
+    assert epoch0_qids  # the stream committed at least one micro-batch
+    replayed = bm25_topk_queries_indexed(
+        p2, l2, qs.filter(F.col("qid").isin(epoch0_qids)),
+        "qid", "qtext", "doc_id", k=5,
+    )
+    write_epoch_keyed(replayed, out, 0)
+    again = sorted(
+        (r.qid, r.doc_id, r.score)
+        for r in read_epoch_keyed(spark, out).collect()
+    )
+    assert again == want  # replay overwrote itself: nothing doubled
+
+    # the append layout under the same replay DOES double — the gap the
+    # epoch-keyed option closes
+    append_dir = str(tmp_path / "append_out")
+    replayed.write.mode("append").parquet(append_dir)
+    replayed.write.mode("append").parquet(append_dir)
+    n_appended = spark.read.parquet(append_dir).count()
+    assert n_appended == 2 * replayed.count()
 
 
 def test_bm25_batch_max_df_frac_drops_stop_terms_in_plan(spark):
