@@ -390,7 +390,19 @@ def ivf_topk_batch(
     corpus by cell, then pass the column name — the probed-cells filter
     becomes a JVM scan filter (partition pruning on a cell-partitioned
     layout), rows outside the probed cells never reach Python, and the
-    Arrow stage trusts the stored cell instead of recomputing it."""
+    Arrow stage trusts the stored cell instead of recomputing it.
+
+    Measured recall regime (r11 attestation, 200k x 64, full curve in
+    SCALE.md): recall is a property of the CORPUS GEOMETRY, not the
+    operator. On clustered data with nlist ~ the true cluster count,
+    recall@10 = 0.975 at nprobe=1 and 1.0 at nprobe >= 2; over-
+    segmenting (nlist 4x the cluster count) shifts the curve right
+    (0.544 at nprobe=1, 1.0 at nprobe=8). On near-isotropic vectors
+    recall stays low at any affordable nprobe (0.13-0.73 across
+    nprobe 1-16 at nlist=64) — IVF's documented weak case; use
+    cosine_topk_batch there until the corpus outgrows brute force.
+    Don't guess which regime you are in: `ann_recall_estimate` measures
+    it on YOUR corpus with one extra sampled brute-force pass."""
     if k <= 0:
         raise ValueError(f"k must be positive (got {k})")
     if nprobe <= 0:
