@@ -411,6 +411,57 @@ def test_ivf_batch_matches_single_query_operator(spark, sf_dir):
         )
 
 
+def test_ivf_centroids_incremental_seeding_matches_naive(spark):
+    """The r11 O(nlist·sample·dim) incremental-D² k-means++ seeding must
+    stay BIT-IDENTICAL to the naive recompute-all-centers form (min is
+    exact in IEEE and the rng draw sequence is unchanged) — the planted
+    IVF oracles' centroid-determinism argument rests on it."""
+    import numpy as np
+
+    def naive(m, nlist, seed):
+        rng = np.random.RandomState(seed)
+        cents = [m[rng.randint(len(m))]]
+        for _ in range(nlist - 1):
+            d2 = np.min(
+                [np.sum((m - c) ** 2, axis=1) for c in cents], axis=0
+            )
+            probs = d2 / d2.sum() if d2.sum() > 0 else None
+            cents.append(m[rng.choice(len(m), p=probs)])
+        c = np.stack(cents)
+        for _ in range(5):
+            assign = np.argmin(
+                ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1
+            )
+            for j in range(nlist):
+                if (assign == j).any():
+                    c[j] = m[assign == j].mean(0)
+        return c
+
+    rng = np.random.RandomState(3)
+    m = rng.standard_normal((512, 16))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(m)],
+        "vec_id long, embedding array<double>",
+    )
+    got = similarity.ivf_centroids(
+        df, "embedding", nlist=24, seed=42, sample=512
+    )
+    # the operator's sample ordering (xxhash64) permutes rows, so feed
+    # the naive twin the SAME sampled matrix the operator saw
+    from pyspark.sql import functions as F
+
+    sampled = np.stack(
+        df.select("embedding")
+        .orderBy(F.xxhash64(F.col("embedding")).asc(),
+                 F.col("embedding").asc())
+        .limit(512)
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    want = naive(sampled, 24, 42)
+    assert np.array_equal(got, want)
+
+
 def test_ann_recall_estimate_hand_computed(spark):
     """ann_recall_estimate (VERDICT r10 #3): per-query recall@k in exact
     integer micro-units against a deterministic (sim desc, id asc)
