@@ -340,6 +340,34 @@ def with_ivf_assignment(
     )
 
 
+def write_ivf_partitioned(
+    df: DataFrame,
+    vec_col: str,
+    centroids: "np.ndarray",
+    path: str,
+    cell_col: str = "ivf_cell",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus hive-partitioned by its IVF cell — the at-rest
+    half of `ivf_topk_batch`'s `cell_col` fast path as a shipped
+    operation (r11): assignment computed ONCE at write time
+    (`with_ivf_assignment`), one directory per cell. A reader that
+    filters on the cell column (which `cell_col=` mode does with a
+    literal IN over the probed cells) then gets PARTITION PRUNING — the
+    unprobed cells' files are never listed into the scan, so at 100 TB a
+    query batch reads only its probed cells' data, not the corpus
+    (plan-pinned: PartitionFilters on the scan,
+    tests/test_plans.py). Keep the centroids with the layout (they are
+    the index metadata — nlist x dim floats); assignments are only valid
+    for the centroids they were computed from."""
+    (
+        with_ivf_assignment(df, vec_col, centroids, out_col=cell_col)
+        .write.partitionBy(cell_col)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,

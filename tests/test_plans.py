@@ -662,6 +662,57 @@ def test_ivf_batch_partial_topk_plan(spark, sf_dir):
     assert final2.index("Filter", final2.index("MapInPandas")) > 0, final2
 
 
+def test_ivf_cell_partitioned_layout_prunes_partitions(
+    spark, sf_dir, tmp_path
+):
+    """The at-rest IVF layout (write_ivf_partitioned, r11): with the
+    corpus hive-partitioned by cell, the probed-cells screen becomes
+    PartitionFilters on the scan — unprobed cells' files never enter
+    the scan at all (the 100 TB contract: a query batch reads its
+    probed cells, not the corpus). Results must equal the
+    compute-assignment-per-query path on the same centroids."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk_batch,
+        write_ivf_partitioned,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, "embedding", nlist=8, seed=42)
+    write_ivf_partitioned(emb, "embedding", cents, str(tmp_path / "ivf"))
+    stored = spark.read.parquet(str(tmp_path / "ivf"))
+    queries = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in
+         emb.filter(F.col("vec_id").isin([0, 7])).orderBy("vec_id")
+         .collect()]
+    )
+    pruned = ivf_topk_batch(
+        stored, "vec_id", "embedding", queries, [0, 7], cents,
+        k=5, nprobe=2, cell_col="ivf_cell",
+    )
+    plan = physical(pruned)
+    # the probed-cells IN literal lands in PartitionFilters (pruning),
+    # not in a post-scan Filter over data rows
+    i = plan.index("PartitionFilters: [")
+    seg = plan[i:i + 200]
+    assert "ivf_cell" in seg and " IN (" in seg, seg
+    assert seg.index("ivf_cell") < seg.index(" IN ("), seg
+    want = sorted(
+        (r.query_id, r.vec_id, round(r.sim, 6))
+        for r in ivf_topk_batch(
+            emb, "vec_id", "embedding", queries, [0, 7], cents,
+            k=5, nprobe=2,
+        ).collect()
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, round(r.sim, 6)) for r in pruned.collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_rrf_fuse_queries_single_qid_exchange(spark):
     """Grouped RRF plan shape (r10): ONE qid-keyed exchange total — the
     up-front repartition co-locates each query's candidate lists and
