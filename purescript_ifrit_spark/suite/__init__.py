@@ -200,7 +200,6 @@ _R11_BACKFILL_R7 = [
     "xd_image_dhash",
     "x_multimodal_jpeg",
     "x_knn_join_planted",
-    "x_ann_lsh_planted",
 ]
 
 _DRIVER_WINDOW_R11 = [
@@ -214,6 +213,7 @@ _DRIVER_WINDOW_R11 = [
     #        displacing the backfill tail above into _R12_SPILL ------------
     "x_bm25_screen_report",   # displaced x_hll_distinct_planted
     "x_ann_recall_planted",   # displaced x_ann_ivf_planted
+    "x_bm25_indexed_pruned",  # displaced x_ann_lsh_planted
 ]
 
 # The r7-cohort entries that wait for r12 (ledger order; grows as new
@@ -223,6 +223,8 @@ _R12_SPILL = [
                                # x_bm25_screen_report
     "x_ann_ivf_planted",       # displaced from the r11 backfill tail by
                                # x_ann_recall_planted
+    "x_ann_lsh_planted",       # displaced from the r11 backfill tail by
+                               # x_bm25_indexed_pruned
     "x_dau_bound_planted",
     "x_duplicate_spans",
     "x_span_dup_stats",

@@ -934,6 +934,50 @@ def x_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@register("x_bm25_indexed_pruned", _BM25_BATCH_SQL)
+def x_bm25_indexed_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-pruned index retrieval (bm25_topk_queries_indexed with
+    prune_scan_terms=True, r11 — VERDICT r10 #2): the same 3-query
+    batch scored from a TERM-RANGE-SORTED stored index with the query
+    vocab pushed into the parquet source as a literal In filter
+    (PushedFilters on the postings scan; 60x physical-read collapse and
+    SelectedBucketsCount 9/64 measured at 100x, SCALE.md r11). The
+    oracle is x_bm25_batch's SQL verbatim: moving the vocab screen
+    below the scan must not change a single value."""
+    import shutil
+    import tempfile
+
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_topk_queries_indexed,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, "spark join"), (2, "merge sort"), (3, "customer data")],
+        "qid long, qtext string",
+    )
+    postings, doclens = build_bm25_index(docs, "doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="ifrit_bm25_idxp_")
+    try:
+        (
+            postings.repartitionByRange(4, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/postings")
+        )
+        doclens.write.mode("overwrite").parquet(f"{tmp}/doclens")
+        out = bm25_topk_queries_indexed(
+            spark.read.parquet(f"{tmp}/postings"),
+            spark.read.parquet(f"{tmp}/doclens"),
+            qs, "qid", "qtext", "doc_id", k=5,
+            prune_scan_terms=True, scoring_partitions=0,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "x_bm25_screen_report",
     # the max_df_frac observability sibling (VERDICT r10 #6): one row
