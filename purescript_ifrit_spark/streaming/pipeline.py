@@ -598,6 +598,8 @@ def score_query_stream(
     b: float = 0.75,
     max_df_frac: "float | None" = None,
     epoch_keyed: bool = False,
+    prune_scan_terms: bool = False,
+    scoring_partitions: "int | None" = None,
 ):
     """Streaming batch retrieval against a STATIC BM25 index: every
     arriving micro-batch of queries is scored with the batch kernel
@@ -621,7 +623,12 @@ def score_query_stream(
     with `read_epoch_keyed` for an append-identical schema. The corpus
     text is never touched - queries score from the numeric index alone,
     and a term-bucketed stored index keeps every micro-batch probe
-    pruned."""
+    pruned. `prune_scan_terms` / `scoring_partitions` pass through to
+    the batch kernel per micro-batch — a micro-batch's vocab is exactly
+    the small In-list the scan-level screen was measured on (60x
+    physical-read collapse on a term-sorted layout, SCALE.md r11), so
+    prune_scan_terms=True with scoring_partitions=0 is the right
+    setting for a sorted/bucketed stored index."""
     from purescript_ifrit_spark.operators.text_analysis import (
         bm25_topk_queries_indexed,
     )
@@ -630,6 +637,8 @@ def score_query_stream(
         out = bm25_topk_queries_indexed(
             postings, doclens, batch_df, query_id_col, query_text_col,
             doc_id_col, k=k, k1=k1, b=b, max_df_frac=max_df_frac,
+            prune_scan_terms=prune_scan_terms,
+            scoring_partitions=scoring_partitions,
         )
         if epoch_keyed:
             write_epoch_keyed(out, out_dir, epoch_id)

@@ -3778,6 +3778,10 @@ def test_score_query_stream_epoch_keyed_replay_idempotent(
         .parquet(src),
         p2, l2, out,
         checkpoint_dir=str(tmp_path / "ck"), k=5, epoch_keyed=True,
+        # the r11 scan-level vocab screen rides along per micro-batch
+        # (a micro-batch's vocab is the small-In-list regime); values
+        # must stay identical to the unpruned batch kernel
+        prune_scan_terms=True, scoring_partitions=0,
     )
     q.awaitTermination()
     want = sorted(
