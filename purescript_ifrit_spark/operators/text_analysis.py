@@ -1141,6 +1141,44 @@ def build_bm25_index(
     return postings, doclens
 
 
+def fold_into_bm25_index(
+    postings: DataFrame,
+    doclens: DataFrame,
+    new_docs: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    *,
+    assume_fresh_ids: bool = False,
+) -> "tuple[DataFrame, DataFrame]":
+    """Fold newly arrived documents into a prebuilt BM25 index — the
+    fold_stream_into_index maintenance pattern applied to retrieval
+    (r11): index rows for `new_docs` are built with the SAME shared
+    tokenization (`build_bm25_index`), so scoring the folded index is
+    value-identical to rebuilding over the full corpus (test-pinned;
+    corpus stats — N, avg doclen, df — are computed at query time from
+    the folded tables, so idf shifts from the new docs are exact, not
+    stale). Returns (postings', doclens'), lazily — persist with the
+    same term-sorted/bucketed layout as the original
+    (build_bm25_index's docstring contract).
+
+    Ids already present in the index are anti-joined away, so a
+    replayed fold (at-least-once ingestion) cannot double a document's
+    postings. The anti-join prunes doclens to its id column but is
+    still one index-sized exchange; under the rotated-sink discipline
+    (each fold reads only screened-fresh docs) pass
+    `assume_fresh_ids=True` and the fold touches nothing
+    corpus-sized."""
+    new_p, new_l = build_bm25_index(new_docs, doc_id_col, text_col)
+    if not assume_fresh_ids:
+        existing = doclens.select(doc_id_col)
+        new_p = new_p.join(existing, doc_id_col, "left_anti")
+        new_l = new_l.join(existing, doc_id_col, "left_anti")
+    return (
+        postings.unionByName(new_p.select(*postings.columns)),
+        doclens.unionByName(new_l.select(*doclens.columns)),
+    )
+
+
 def _default_scoring_partitions(spark) -> int:
     """The session's shuffle-partition count, falling back to the
     cluster's default parallelism when the conf is non-numeric (some

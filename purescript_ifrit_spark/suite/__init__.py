@@ -199,7 +199,6 @@ _R11_BACKFILL_R7 = [
     "x_scene_changes",
     "xd_image_dhash",
     "x_multimodal_jpeg",
-    "x_knn_join_planted",
 ]
 
 _DRIVER_WINDOW_R11 = [
@@ -214,6 +213,7 @@ _DRIVER_WINDOW_R11 = [
     "x_bm25_screen_report",   # displaced x_hll_distinct_planted
     "x_ann_recall_planted",   # displaced x_ann_ivf_planted
     "x_bm25_indexed_pruned",  # displaced x_ann_lsh_planted
+    "x_bm25_index_fold",      # displaced x_knn_join_planted
 ]
 
 # The r7-cohort entries that wait for r12 (ledger order; grows as new
@@ -225,6 +225,8 @@ _R12_SPILL = [
                                # x_ann_recall_planted
     "x_ann_lsh_planted",       # displaced from the r11 backfill tail by
                                # x_bm25_indexed_pruned
+    "x_knn_join_planted",      # displaced from the r11 backfill tail by
+                               # x_bm25_index_fold
     "x_dau_bound_planted",
     "x_duplicate_spans",
     "x_span_dup_stats",

@@ -978,6 +978,53 @@ def x_bm25_indexed_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@register("x_bm25_index_fold", _BM25_BATCH_SQL)
+def x_bm25_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 index maintenance (operators/text_analysis.
+    fold_into_bm25_index, r11): the index is built over HALF the corpus,
+    the other half (plus a replayed overlap that the anti-join must
+    drop) is folded in, and the folded index round-trips through real
+    parquet before scoring. The oracle is x_bm25_batch's SQL verbatim:
+    corpus stats are computed at query time from the folded tables, so
+    fold(build(A), B) must score exactly like build(A ∪ B)."""
+    import shutil
+    import tempfile
+
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_topk_queries_indexed,
+        build_bm25_index,
+        fold_into_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    # the fold batch replays part of half A — at-least-once ingestion;
+    # the anti-join must drop the replayed ids or scores double
+    fold_batch = docs.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    )
+    qs = spark.createDataFrame(
+        [(1, "spark join"), (2, "merge sort"), (3, "customer data")],
+        "qid long, qtext string",
+    )
+    postings, doclens = build_bm25_index(half_a, "doc_id", "text")
+    fp, fl = fold_into_bm25_index(
+        postings, doclens, fold_batch, "doc_id", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="ifrit_bm25_fold_")
+    try:
+        fp.write.mode("overwrite").parquet(f"{tmp}/postings")
+        fl.write.mode("overwrite").parquet(f"{tmp}/doclens")
+        out = bm25_topk_queries_indexed(
+            spark.read.parquet(f"{tmp}/postings"),
+            spark.read.parquet(f"{tmp}/doclens"),
+            qs, "qid", "qtext", "doc_id", k=5,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "x_bm25_screen_report",
     # the max_df_frac observability sibling (VERDICT r10 #6): one row

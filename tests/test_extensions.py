@@ -3737,6 +3737,53 @@ def test_score_query_stream_matches_batch(spark, sf_dir, tmp_path):
     assert not any(qid == 4 for qid, _, _ in got)  # no phantom rows
 
 
+def test_fold_into_bm25_index_matches_full_rebuild(spark, sf_dir):
+    """fold_into_bm25_index (r11): fold(build(A), B) must score exactly
+    like build(A ∪ B) — corpus stats (N, avg len, df) are derived at
+    query time from the folded tables, so idf shifts from the new docs
+    are exact. A replayed fold batch (ids already indexed) must be
+    anti-joined away — folding the SAME batch twice changes nothing —
+    and assume_fresh_ids skips the guard for pre-screened batches."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_topk_queries,
+        bm25_topk_queries_indexed,
+        build_bm25_index,
+        fold_into_bm25_index,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    qs = spark.createDataFrame(
+        [(1, "spark join"), (2, "merge sort")], "qid long, qtext string"
+    )
+    p, l = build_bm25_index(half_a, "doc_id", "text")
+    fp, fl = fold_into_bm25_index(p, l, half_b, "doc_id", "text")
+    want = sorted(
+        (r.qid, r.doc_id, r.score)
+        for r in bm25_topk_queries(
+            docs, "doc_id", "text", qs, "qid", "qtext", k=5
+        ).collect()
+    )
+    got = sorted(
+        (r.qid, r.doc_id, r.score)
+        for r in bm25_topk_queries_indexed(
+            fp, fl, qs, "qid", "qtext", "doc_id", k=5
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # replay: folding half_b AGAIN is a no-op (anti-join drops every id)
+    fp2, fl2 = fold_into_bm25_index(fp, fl, half_b, "doc_id", "text")
+    assert fp2.count() == fp.count() and fl2.count() == fl.count()
+    # assume_fresh_ids skips the guard — the same double-fold DOES
+    # duplicate (the contract the flag trades for the saved exchange)
+    fp3, _ = fold_into_bm25_index(
+        fp, fl, half_b, "doc_id", "text", assume_fresh_ids=True
+    )
+    assert fp3.count() > fp.count()
+
+
 def test_score_query_stream_epoch_keyed_replay_idempotent(
     spark, sf_dir, tmp_path
 ):
