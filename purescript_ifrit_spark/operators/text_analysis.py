@@ -1166,8 +1166,17 @@ def fold_into_bm25_index(
     postings. The anti-join prunes doclens to its id column but is
     still one index-sized exchange; under the rotated-sink discipline
     (each fold reads only screened-fresh docs) pass
-    `assume_fresh_ids=True` and the fold touches nothing
-    corpus-sized."""
+    `assume_fresh_ids=True` and the fold touches nothing corpus-sized.
+    Measured at the 100× Zipf corpus (42.5M-row postings + 5k docs,
+    SCALE.md r11): 12.1 s with the guard, 4.0 s fresh, replayed fold
+    bit-for-bit a no-op.
+
+    At-rest contract: the returned union is for immediate in-session
+    use — do NOT rewrite a 100 TB postings layout with it. The fresh
+    rows are exactly the new batch's index rows minus already-indexed
+    ids, so persist incrementally: write THAT frame with mode('append')
+    into the stored layout (sorted-file or bucketed-table alike) and
+    leave the existing files untouched."""
     new_p, new_l = build_bm25_index(new_docs, doc_id_col, text_col)
     if not assume_fresh_ids:
         existing = doclens.select(doc_id_col)
