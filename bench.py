@@ -701,6 +701,74 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         )
         return jl_project(q, "vec_id", "qv", JL_IN_DIM, JL_OUT_DIM)
 
+    # r11 stored-layout extras: the one-time index/layout writes happen
+    # HERE (extras-dict construction, outside the per-run timing), so
+    # the timed plans measure what production pays per query batch —
+    # scoring/probing the AT-REST layout, never the build
+    import tempfile as _tf
+
+    _r11_dir = _tf.mkdtemp(prefix="bench_r11_layouts_")
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_topk_queries_indexed as _bm25_idx,
+        build_bm25_index as _build_idx,
+    )
+
+    _p, _l = _build_idx(t["documents"], "doc_id", "text")
+    (
+        _p.repartitionByRange(8, "term").sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(f"{_r11_dir}/postings")
+    )
+    _l.write.mode("overwrite").parquet(f"{_r11_dir}/doclens")
+    _cents16 = similarity.ivf_centroids(
+        t["embeddings"], "embedding", nlist=16, seed=42
+    )
+    similarity.write_ivf_partitioned(
+        t["embeddings"], "embedding", _cents16, f"{_r11_dir}/ivf"
+    )
+
+    def qx_bm25_indexed_pruned():
+        # stored term-sorted index + scan-level vocab screen (r11)
+        qs = spark.createDataFrame(
+            [(1, "spark join"), (2, "merge sort"), (3, "customer data"),
+             (4, "window frame")],
+            "qid long, qtext string",
+        )
+        return _bm25_idx(
+            spark.read.parquet(f"{_r11_dir}/postings"),
+            spark.read.parquet(f"{_r11_dir}/doclens"),
+            qs, "qid", "qtext", "doc_id", k=10,
+            prune_scan_terms=True, scoring_partitions=0,
+        )
+
+    def qx_ivf_partitioned():
+        # batch IVF over the hive-partitioned at-rest layout: probed
+        # cells arrive via PartitionFilters, unprobed files unread
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        return similarity.ivf_topk_batch(
+            spark.read.parquet(f"{_r11_dir}/ivf"),
+            "vec_id", "embedding",
+            rng.standard_normal((64, 64)), list(range(64)), _cents16,
+            k=10, nprobe=4, cell_col="ivf_cell",
+        )
+
+    def qx_ann_recall():
+        # measured recall of the qx_ivf_batch answer (r11 helper): one
+        # extra sampled brute pass + metadata-sized hit join
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        queries = rng.standard_normal((64, 64))
+        approx = similarity.ivf_topk_batch(
+            t["embeddings"], "vec_id", "embedding", queries,
+            list(range(64)), _cents16, k=10, nprobe=4,
+        )
+        return similarity.ann_recall_estimate(
+            t["embeddings"], "vec_id", "embedding", queries,
+            list(range(64)), approx, k=10, n_sample=16,
+        )
+
     extra_queries = {
         "qx_asof_join": qx_asof_join,
         "qx_c4_lines": qx_c4_lines,
@@ -755,6 +823,9 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_gap_fill": qx_gap_fill,
         "qx_twap": qx_twap,
         "qx_markdown": qx_markdown,
+        "qx_bm25_indexed_pruned": qx_bm25_indexed_pruned,
+        "qx_ivf_partitioned": qx_ivf_partitioned,
+        "qx_ann_recall": qx_ann_recall,
     }
 
     # JVM warm-up (parquet footers, codegen)
