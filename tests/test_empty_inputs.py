@@ -344,3 +344,51 @@ def test_profile_table_on_empty(spark):
             assert r.n_nulls == 0, (c, approx, r)
             assert r.n_distinct == 0
             assert r.min_value is None and r.max_value is None
+
+
+def test_r11_retrieval_helpers_on_empty(spark, empty_docs):
+    """r11 surfaces on empty inputs: a fold of zero new docs changes
+    nothing; an empty query batch (with or without the scan-level
+    screen, whose isin([]) must not raise) scores zero rows; a recall
+    estimate against an empty approximate answer reads 0 recall, never
+    crashing."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        ann_recall_estimate,
+    )
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_topk_queries_indexed,
+        build_bm25_index,
+        fold_into_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "cat sat mat"), (2, "dog ran far")], "doc_id long, text string"
+    )
+    p, l = build_bm25_index(docs, "doc_id", "text")
+    fp, fl = fold_into_bm25_index(
+        p, l, empty_docs.select("doc_id", "text"), "doc_id", "text"
+    )
+    assert fp.count() == p.count() and fl.count() == l.count()
+
+    empty_qs = spark.createDataFrame([], "qid long, qtext string")
+    for prune in (False, True):
+        out = bm25_topk_queries_indexed(
+            p, l, empty_qs, "qid", "qtext", "doc_id", k=5,
+            prune_scan_terms=prune, scoring_partitions=0,
+        )
+        assert out.count() == 0 and out.columns == ["qid", "doc_id", "score"]
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    empty_approx = spark.createDataFrame(
+        [], "query_id long, vec_id long, sim double"
+    )
+    rows = ann_recall_estimate(
+        vecs, "vec_id", "embedding", np.eye(2), [0, 1], empty_approx,
+        k=2, n_sample=2,
+    ).collect()
+    assert len(rows) == 2
+    assert all(r.n_hit == 0 and r.recall_micro == 0 for r in rows)
