@@ -938,9 +938,28 @@ def flag_sustained_load(times: dict, variance: dict, sf, cpus: int) -> None:
                 for name, got in times.items()
                 if name in ref_q and got > 1.5 * ref_q[name]
             )
+            ratios = sorted(
+                got / ref_q[name]
+                for name, got in times.items()
+                if name in ref_q and ref_q[name] > 0
+            )
+            med = (
+                round(ratios[len(ratios) // 2], 3) if ratios else None
+            )
             sustained = {
                 "available": True,
                 "sustained_load": len(inflated) >= 3,
+                # canary v3 (r11): UNIFORM sub-1.5x inflation — every
+                # query ~1.3-1.5x with tight spreads — trips neither
+                # the spread canary nor the >=3-queries-over-1.5x count
+                # (observed: a quiet-canary window at median ratio 1.42
+                # on byte-identical headline code). The median min/ref
+                # ratio across ALL headline queries is the signature a
+                # broad co-tenant cannot hide from: a real plan
+                # regression moves the specific queries whose plan
+                # changed, not the median of ten.
+                "median_min_ratio": med,
+                "uniform_inflation": bool(med and med > 1.25),
             }
             if inflated:
                 sustained["inflated"] = inflated
@@ -953,6 +972,12 @@ def flag_sustained_load(times: dict, variance: dict, sf, cpus: int) -> None:
         cot["flags"].append(
             f"sustained_load: {len(sustained['inflated'])} headline "
             "queries > 1.5x BENCH_REFERENCE.json mins"
+        )
+    if sustained.get("uniform_inflation"):
+        cot["noisy"] = True
+        cot["flags"].append(
+            f"uniform_inflation: median headline min/ref ratio "
+            f"{sustained['median_min_ratio']} > 1.25"
         )
 
 

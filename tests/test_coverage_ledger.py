@@ -271,8 +271,11 @@ def test_sustained_load_canary_adjudicates_itself():
         return variance["cotenancy"]
 
     # quiet window at the reference mins: available, not flagged
+    # (subset check — canary v3 adds median_min_ratio/uniform_inflation
+    # fields to the same block)
     cot = run(ref_q)
-    assert cot["sustained"] == {"available": True, "sustained_load": False}
+    assert cot["sustained"]["available"] is True
+    assert cot["sustained"]["sustained_load"] is False
     assert cot["noisy"] is False
 
     # two inflated queries: recorded but below the flag threshold
@@ -298,5 +301,47 @@ def test_sustained_load_canary_adjudicates_itself():
     variance = {"cotenancy": {"noisy": False, "flags": []}}
     bench.flag_sustained_load(dict(ref_q), variance, 0.01, cpus)
     assert variance["cotenancy"]["sustained"] == {
+        "available": False, "sustained_load": False,
+    }
+
+
+def test_bench_uniform_inflation_canary_v3():
+    """Canary v3 (r11): uniform sub-1.5x inflation — every headline
+    query ~1.4x with tight spreads — trips neither the spread canary
+    nor the >=3-over-1.5x count (observed in-round on byte-identical
+    headline code). The median min/ref ratio must flag it; a clean
+    window and a 3-query spike must keep their existing adjudications."""
+    import json
+
+    bench = _load_bench()
+    ref = json.loads((COVERAGE.parent / "BENCH_REFERENCE.json").read_text())
+    rq, sf, cpus = ref["queries"], ref["sf"], ref["cpus"]
+
+    def run(times):
+        v = {"cotenancy": {"noisy": False, "flags": []}}
+        bench.flag_sustained_load(times, v, sf, cpus)
+        return v["cotenancy"]
+
+    clean = run(dict(rq))
+    assert not clean["noisy"] and clean["sustained"]["available"]
+    assert clean["sustained"]["median_min_ratio"] == 1.0
+
+    uniform = run({k: v * 1.4 for k, v in rq.items()})
+    assert uniform["sustained"]["uniform_inflation"]
+    assert not uniform["sustained"]["sustained_load"]
+    assert uniform["noisy"]
+    assert any("uniform_inflation" in f for f in uniform["flags"])
+
+    spiky = dict(rq)
+    for k in list(rq)[:3]:
+        spiky[k] = rq[k] * 1.6
+    spike = run(spiky)
+    assert spike["sustained"]["sustained_load"]
+    assert not spike["sustained"]["uniform_inflation"]
+
+    # off-reference scale: v3 stands down with the rest of the canary
+    v = {"cotenancy": {"noisy": False, "flags": []}}
+    bench.flag_sustained_load(dict(rq), v, 0.001, cpus)
+    assert v["cotenancy"]["sustained"] == {
         "available": False, "sustained_load": False,
     }
