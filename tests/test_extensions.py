@@ -3737,6 +3737,50 @@ def test_score_query_stream_matches_batch(spark, sf_dir, tmp_path):
     assert not any(qid == 4 for qid, _, _ in got)  # no phantom rows
 
 
+def test_screen_report_agrees_with_scoring_zero_rows(spark):
+    """Cross-operator consistency (r11 glue for VERDICT r10 #6): for
+    every query and every max_df_frac, the scorer returns ZERO rows iff
+    the screen report says so — screened_all_terms OR no corpus match
+    (n_matched_terms == 0). The report exists precisely to adjudicate
+    the scorer's silent empties, so the two must never disagree."""
+    from purescript_ifrit_spark.operators.text_analysis import (
+        bm25_query_screen_report,
+        bm25_topk_queries_indexed,
+        build_bm25_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran"), (3, "the bird flew"),
+         (4, "the cat ran"), (5, "rare gem here")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "the"), (2, "the cat"), (3, "zzz_oov"), (4, "rare gem"),
+         (5, "the zzz_oov")],
+        "qid long, qtext string",
+    )
+    p, l = build_bm25_index(corpus, "doc_id", "text")
+    for frac in (None, 0.9, 0.5, 0.2):
+        scored_qids = {
+            r.qid
+            for r in bm25_topk_queries_indexed(
+                p, l, qs, "qid", "qtext", "doc_id", k=5, max_df_frac=frac
+            ).collect()
+        }
+        report = {
+            r.qid: r
+            for r in bm25_query_screen_report(
+                p, l, qs, "qid", "qtext", max_df_frac=frac
+            ).collect()
+        }
+        assert set(report) == {1, 2, 3, 4, 5}
+        for qid, r in report.items():
+            expect_empty = r.screened_all_terms or r.n_matched_terms == 0
+            assert (qid not in scored_qids) == expect_empty, (
+                frac, qid, r, scored_qids,
+            )
+
+
 def test_fold_into_bm25_index_matches_full_rebuild(spark, sf_dir):
     """fold_into_bm25_index (r11): fold(build(A), B) must score exactly
     like build(A ∪ B) — corpus stats (N, avg len, df) are derived at
