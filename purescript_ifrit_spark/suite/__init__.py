@@ -198,7 +198,6 @@ _R11_BACKFILL_R7 = [
     "x_audio_activity",
     "x_scene_changes",
     "xd_image_dhash",
-    "x_multimodal_jpeg",
 ]
 
 _DRIVER_WINDOW_R11 = [
@@ -214,6 +213,7 @@ _DRIVER_WINDOW_R11 = [
     "x_ann_recall_planted",   # displaced x_ann_ivf_planted
     "x_bm25_indexed_pruned",  # displaced x_ann_lsh_planted
     "x_bm25_index_fold",      # displaced x_knn_join_planted
+    "x_ann_lsh_batch_planted",  # displaced x_multimodal_jpeg
 ]
 
 # The r7-cohort entries that wait for r12 (ledger order; grows as new
@@ -227,6 +227,8 @@ _R12_SPILL = [
                                # x_bm25_indexed_pruned
     "x_knn_join_planted",      # displaced from the r11 backfill tail by
                                # x_bm25_index_fold
+    "x_multimodal_jpeg",       # displaced from the r11 backfill tail by
+                               # x_ann_lsh_batch_planted
     "x_dau_bound_planted",
     "x_duplicate_spans",
     "x_span_dup_stats",

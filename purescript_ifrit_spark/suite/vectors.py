@@ -382,6 +382,46 @@ def x_ann_ivf_batch_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_ann_lsh_batch_planted",
+    # planted-truth batch LSH (r11): identical basis vectors share every
+    # hyperplane sign with their own cluster's query, so each query's
+    # probe set always contains its whole cluster and the exact rerank
+    # returns it at cosine exactly 1.0; colliding orthogonal clusters
+    # (sign-pattern coincidences) only add sim-0.0 rows that can never
+    # enter a top-6 the home cluster fills — the same closed form as
+    # x_ann_ivf_batch_planted, same oracle SQL verbatim
+    "SELECT CAST(q.qid AS BIGINT) AS query_id, e.vec_id, "
+    "CAST(1.0 AS DOUBLE) AS sim "
+    "FROM (SELECT 0 AS qid UNION ALL SELECT 1) q "
+    "JOIN embeddings e ON e.vec_id >= q.qid * 6 "
+    "AND e.vec_id < q.qid * 6 + 6",
+)
+def x_ann_lsh_batch_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-probe LSH top-k under planted basis clusters
+    (operators/similarity.lsh_topk_batch, r11): the full batch path —
+    driver-side signature + hamming-ball probe map, in-Arrow sign-pack
+    assignment, per-bucket matmul, tie-exact worker-local top-k — with
+    a closed-form two-query answer set."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        lsh_topk_batch,
+        make_hyperplanes,
+    )
+
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    planes = make_hyperplanes(dim=32, n_planes=8, seed=42)
+    e0 = np.array(_E0_QUERY, dtype=np.float64)
+    e1 = np.zeros(32)
+    e1[1] = 1.0
+    out = lsh_topk_batch(
+        planted, "vec_id", "embedding", np.stack([e0, e1]), [0, 1],
+        planes, k=6, probe_hamming=1,
+    )
+    return out.select("query_id", "vec_id", "sim")
+
+
+@register(
     "x_ann_recall_planted",
     # closed-form recall arithmetic under the planted basis geometry
     # (centroids land EXACTLY on the basis vectors — the

@@ -411,6 +411,66 @@ def test_ivf_batch_matches_single_query_operator(spark, sf_dir):
         )
 
 
+def test_lsh_batch_matches_single_query_operator(spark, sf_dir):
+    """A 1-query lsh_topk_batch probes the same hamming-ball buckets
+    (same flip rule) and returns exactly lsh_topk's ranking — ids and
+    order exact, sims to 5 decimals (numpy vs JVM summation order); the
+    stored bucket_col path returns the same rows with the screen as a
+    JVM filter; error paths raise."""
+    import numpy as np
+
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = similarity.make_hyperplanes(dim=64, n_planes=6, seed=42)
+    qrows = emb.filter(F.col("vec_id").isin([0, 7])).orderBy("vec_id").collect()
+    queries = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in qrows]
+    )
+    batch = similarity.lsh_topk_batch(
+        emb, "vec_id", "embedding", queries, [0, 7], planes,
+        k=5, probe_hamming=1,
+    ).collect()
+    for qi, qrow in zip([0, 7], qrows):
+        want = [
+            (r.vec_id, round(r.sim, 5))
+            for r in similarity.lsh_topk(
+                emb, "vec_id", "embedding", qrow.embedding, planes,
+                k=5, probe_hamming=1,
+            ).collect()
+        ]
+        have = [
+            (r.vec_id, round(r.sim, 5))
+            for r in sorted(
+                (r for r in batch if r.query_id == qi),
+                key=lambda r: (-r.sim, r.vec_id),
+            )
+        ]
+        assert have == want, (qi, have, want)
+    # stored-bucket path: identical rows, screen below the Arrow stage
+    stored = similarity.with_lsh_bucket(emb, "embedding", planes)
+    got2 = sorted(
+        (r.query_id, r.vec_id, round(r.sim, 5))
+        for r in similarity.lsh_topk_batch(
+            stored, "vec_id", "embedding", queries, [0, 7], planes,
+            k=5, probe_hamming=1, bucket_col="bucket",
+        ).collect()
+    )
+    got1 = sorted(
+        (r.query_id, r.vec_id, round(r.sim, 5)) for r in batch
+    )
+    assert got2 == got1
+    with pytest.raises(ValueError):
+        similarity.lsh_topk_batch(
+            emb, "vec_id", "embedding", queries, [0, 7], planes, k=0
+        )
+    with pytest.raises(ValueError):
+        similarity.lsh_topk_batch(
+            emb, "vec_id", "embedding", queries, [0, 7], planes,
+            probe_hamming=-1,
+        )
+
+
 def test_ivf_centroids_incremental_seeding_matches_naive(spark):
     """The r11 O(nlist·sample·dim) incremental-D² k-means++ seeding must
     stay BIT-IDENTICAL to the naive recompute-all-centers form (min is

@@ -662,6 +662,47 @@ def test_ivf_batch_partial_topk_plan(spark, sf_dir):
     assert final2.index("Filter", final2.index("MapInPandas")) > 0, final2
 
 
+def test_lsh_batch_partial_topk_plan(spark, sf_dir):
+    """Batch LSH plan shape (r11, the ivf_topk_batch contract): ONE
+    Arrow mapInPandas (in-Arrow sign-pack assignment — never the
+    n_planes·dim interpreted JVM fold), one query-keyed exchange of the
+    partials, WindowGroupLimit window, no explode; with a stored
+    bucket_col the probed-buckets screen is a JVM Filter below the
+    Arrow stage."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        lsh_topk_batch,
+        make_hyperplanes,
+        with_lsh_bucket,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = make_hyperplanes(dim=64, n_planes=6, seed=42)
+    plan = physical(
+        lsh_topk_batch(
+            emb, "vec_id", "embedding", np.ones((2, 64)), [0, 1], planes,
+            k=5, probe_hamming=1,
+        )
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1, final
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "WindowGroupLimit" in final, final
+    assert "Generate" not in final, final
+    stored = with_lsh_bucket(emb, "embedding", planes)
+    plan2 = physical(
+        lsh_topk_batch(
+            stored, "vec_id", "embedding", np.ones((2, 64)), [0, 1],
+            planes, k=5, probe_hamming=1, bucket_col="bucket",
+        )
+    )
+    final2 = plan2.split("== Initial Plan ==")[0]
+    assert final2.count("MapInPandas") == 1, final2
+    assert final2.index("Filter", final2.index("MapInPandas")) > 0, final2
+
+
 def test_ivf_cell_partitioned_layout_prunes_partitions(
     spark, sf_dir, tmp_path
 ):
