@@ -195,6 +195,34 @@ def with_lsh_bucket(
     return df.withColumn(out_col, V.random_hyperplane_signature(F.col(vec_col), planes))
 
 
+def write_lsh_partitioned(
+    df: DataFrame,
+    vec_col: str,
+    planes: Sequence[Sequence[float]],
+    path: str,
+    bucket_col: str = "bucket",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus hive-partitioned by its LSH bucket — the
+    at-rest half of `lsh_topk_batch`'s `bucket_col` mode, mirroring
+    `write_ivf_partitioned` (r11): signature computed ONCE at write
+    time (`with_lsh_bucket`, the JVM form — authoritative thereafter,
+    closing the numpy-vs-JVM boundary-dot caveat), one directory per
+    bucket (2^n_planes of them — keep n_planes modest for a
+    partitioned layout; bucketed tables suit wider signatures). A
+    reader filtering on the bucket column (which `bucket_col=` mode
+    does with a literal IN over the probed buckets) gets PARTITION
+    PRUNING: a query batch reads its hamming-ball's files, not the
+    corpus. Keep the planes with the layout — assignments are only
+    valid for the planes they were computed from."""
+    (
+        with_lsh_bucket(df, vec_col, planes, out_col=bucket_col)
+        .write.partitionBy(bucket_col)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,

