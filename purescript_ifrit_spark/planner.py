@@ -386,4 +386,22 @@ def _field_side(o) -> Column:
 
 
 def _lit(o: LitOperand) -> Column:
-    return F.lit(o.value)
+    """Literal for a comparison side.
+
+    The lexer stores every NUMBER as a Python float (reference parity:
+    Lexer.purs has one number token; the reference's JSON data model has
+    one number type). Emitting that float directly makes Spark cast the
+    FIELD side to double (`cast(o_orderkey as double) > 100.0`), which
+    blocks parquet predicate pushdown — at scale, a full scan instead of
+    a row-group skip. An integral literal is therefore emitted as int64:
+    Catalyst then widens the LITERAL (or compares natively on integral
+    columns), `PushedFilters` reaches the scan, and the comparison
+    matches both the SQL backend (plans/spark_sql.py `_lit` already
+    renders integral floats as ints) and the DuckDB oracle's integer
+    comparison. Value semantics are unchanged for every double-
+    representable input — the only divergence (int64 values >= 2^53) is
+    unrepresentable in the reference's own data model."""
+    v = o.value
+    if isinstance(v, float) and v.is_integer() and abs(v) < 2**63:
+        return F.lit(int(v))
+    return F.lit(v)

@@ -278,6 +278,156 @@ _R12_CORE_SEXTET = [
 # the r12 head (the session-3 precedent).
 _R12_QUEUE_HEAD: list = []
 
+# ---------------------------------------------------------------------------
+# Round-12 window (VERDICT r11 #1 — spent exactly as pinned at r11 close):
+#   1. _R12_QUEUE_HEAD (empty — nothing landed after the r11 window
+#      saturated);
+#   2. _R12_SPILL — the 36 r7-last-checked entries, order preserved;
+#   3. _R12_CORE_SEXTET — the six r8-checked core SURVEY §2 contract
+#      entries, the oldest core-contract driver evidence in the ledger;
+#   4. backfill: the r8-last-checked oracle cohort in ledger order (44
+#      such entries exist; 8 fit the round-start window);
+#   5. new round-12 oracle entries land at the END of the window as
+#      built, each displacing the backfill TAIL into _R13_SPILL and
+#      recorded inline below.
+
+# r8-cohort backfill, ledger order (44 such entries; 8 fit this window).
+_R12_BACKFILL_R8 = [
+    "x_dedup_exact",
+    "x_dedup_minhash_planted",
+    "x_dedup_incremental_planted",
+    "x_dedup_simhash_planted",
+    "x_curate_exact",
+    "x_text_token_count",
+    "x_text_quality",
+    "x_lang_id",
+]
+
+_DRIVER_WINDOW_R12 = [
+    # -- (1) declared r12 queue head (empty at r11 close) ------------------
+    *_R12_QUEUE_HEAD,
+    # -- (2) the declared r12 spill, exactly as stated at r11 round start --
+    *_R12_SPILL,
+    # -- (3) the pinned core sextet (VERDICT r10 #5 / r11 #1) --------------
+    *_R12_CORE_SEXTET,
+    # -- (4) r8-cohort backfill, ledger order ------------------------------
+    *_R12_BACKFILL_R8,
+    # -- (5) new round-12 oracle entries land HERE as built, each
+    #        displacing the backfill tail above into _R13_SPILL ------------
+]
+
+# Explicit r13 plan (stated NOW, at r12 round start): the r8-cohort
+# entries that do not fit this window (ledger order, 36 + any backfill
+# tail displaced by new r12 entries). NOTE the r13 composition crunch
+# recorded here so it cannot surprise anyone: at r13 the 24 core §2
+# entries last checked r9 (p3_alias .. b5_max_nested_array) hit the core
+# staleness SLA (age 4 > 3) and MUST head the r13 window; the r13 window
+# is therefore core-r9-cohort (24) + the oldest 26 of _R13_SPILL, and the
+# ~10-entry _R13_SPILL tail rides to r14 at age 6 (within the extension
+# SLA, which requires presence in the r14 window — see
+# window_staleness_violations below, which enforces exactly this).
+_R13_SPILL = [
+    "x_fingerprint",
+    "x_token_rarity",
+    "x_contamination",
+    "xd_dedup_exact",
+    "xd_token_count",
+    "xd_quality",
+    "xd_lang_id",
+    "xd_chunk",
+    "xd_quality_filter",
+    "xd_quality_where",
+    "xd_split",
+    "x_budget_sample",
+    "x_ann_cosine_topk",
+    "x_embedding_neardup",
+    "x_chat_stats",
+    "x_sft_spans",
+    "x_preference_pairs",
+    "x_zorder_key",
+    "x_layout_pruning",
+    "x_skew_profile",
+    "x_robots_filter",
+    "x_mergeable_stats",
+    "x_chat_truncate",
+    "x_inverted_index",
+    "x_jl_project",
+    "x_compact_roundtrip",
+    "x_interval_join",
+    "x_streaming_interval_join",
+    "xd_jl_project",
+    "x_contribution_cap",
+    "x_kanon_suppress",
+    "x_gap_fill_locf",
+    "x_gap_fill_interp",
+    "x_markdown_sections",
+    "x_time_weighted_avg",
+    "xd_minhash",
+]
+
+# Oracle entries that land AFTER the r12 window saturates queue here for
+# the r13 head.
+_R13_QUEUE_HEAD: list = []
+
+# ---------------------------------------------------------------------------
+# Registry staleness SLA (VERDICT r11 #6). 236+ entries x 50 slots/round
+# is a ~5-round revisit cycle; this is the policy, written down once, that
+# the per-round "oldest evidence" debates kept re-deriving:
+#
+#   * core SURVEY §2 contract entries (no x_/xd_ prefix): driver evidence
+#     may age at most 3 rounds — an entry last checked rN must be in the
+#     window of every round R with R - N > 3;
+#   * extension entries (x_/xd_): at most 5 rounds;
+#   * never-driver-checked oracle entries: must be in the next window (or
+#     its declared queue head) — the existing rotation rule, restated.
+#
+# Capacity check (so the SLA is known feasible, not aspirational): ~30
+# core entries revisited every <=4 rounds is ~7.5 slots/round; ~206
+# extension entries every <=6 rounds is ~34.3 slots/round; total ~42 of
+# the 50 slots, leaving ~8/round of headroom for new entries. Enforced by
+# tests/test_coverage_ledger.py::test_window_meets_staleness_sla, which
+# fails at composition time if the NEXT window, as composed, would let
+# any entry breach its tier's bound.
+STALENESS_SLA = {"core": 3, "extension": 5}
+
+
+def entry_tier(name: str) -> str:
+    """SLA tier for a registry entry: core SURVEY §2 contract entries
+    carry no extension prefix."""
+    return "extension" if name.startswith(("x_", "xd_")) else "core"
+
+
+def window_staleness_violations(window, current_round: int) -> list:
+    """Entries whose driver evidence breaches STALENESS_SLA if `window`
+    is spent at `current_round` without them.
+
+    Returns [] when the window satisfies the SLA. Each violation is
+    (name, reason). `current_round` is the round the window will be spent
+    in (latest recorded CORRECTNESS round + 1)."""
+    import re as _re
+
+    from purescript_ifrit_spark.suite._ledger import DRIVER_HISTORY
+
+    in_window = set(window)
+    bad = []
+    for name, (check, hist) in DRIVER_HISTORY.items():
+        if check != "oracle" or name in in_window:
+            continue
+        rounds = [
+            int(x)
+            for x in _re.findall(r"\br(\d+)\b", _re.sub(r"new r\d+", "", hist))
+        ]
+        if not rounds:
+            bad.append((name, "never driver-checked and not in window"))
+            continue
+        age = current_round - max(rounds)
+        bound = STALENESS_SLA[entry_tier(name)]
+        if age > bound:
+            bad.append(
+                (name, f"age {age} rounds > {entry_tier(name)} SLA {bound}")
+            )
+    return bad
+
 
 def _apply_driver_window(window: list) -> None:
     ordered: Dict[str, Tuple[SparkFn, Optional[str]]] = {}
@@ -290,4 +440,4 @@ def _apply_driver_window(window: list) -> None:
     REGISTRY.update(ordered)
 
 
-_apply_driver_window(_DRIVER_WINDOW_R11)
+_apply_driver_window(_DRIVER_WINDOW_R12)

@@ -13,14 +13,21 @@ from pathlib import Path
 from purescript_ifrit_spark.suite import (
     _DRIVER_WINDOW_R10,
     _DRIVER_WINDOW_R11,
+    _DRIVER_WINDOW_R12,
     _R11_BACKFILL_R7,
     _R11_QUEUE_HEAD,
     _R11_SPILL,
+    _R12_BACKFILL_R8,
     _R12_CORE_SEXTET,
     _R12_QUEUE_HEAD,
     _R12_SPILL,
+    _R13_QUEUE_HEAD,
+    _R13_SPILL,
     DEMO_REGISTRY,
     REGISTRY,
+    STALENESS_SLA,
+    entry_tier,
+    window_staleness_violations,
 )
 from purescript_ifrit_spark.suite._ledger import (
     DRIVER_HISTORY,
@@ -69,10 +76,10 @@ def test_committed_ledger_positions_match_registry_order():
 def test_driver_window_is_exactly_fifty_oracle_entries():
     # the driver checks the FIRST 50 — all 50 slots must be spendable on
     # hash-green outcomes (no rows-only entries per the rotation policy)
-    assert len(_DRIVER_WINDOW_R11) == 50
-    assert len(set(_DRIVER_WINDOW_R11)) == 50
-    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R11
-    rows_only = [n for n in _DRIVER_WINDOW_R11 if REGISTRY[n][1] is None]
+    assert len(_DRIVER_WINDOW_R12) == 50
+    assert len(set(_DRIVER_WINDOW_R12)) == 50
+    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R12
+    rows_only = [n for n in _DRIVER_WINDOW_R12 if REGISTRY[n][1] is None]
     assert rows_only == []
 
 
@@ -126,36 +133,97 @@ def test_window_prioritizes_never_verified_oracle_entries():
     ]
     missing = [
         n for n in never
-        if n not in _DRIVER_WINDOW_R11 and n not in _R12_QUEUE_HEAD
+        if n not in _DRIVER_WINDOW_R12 and n not in _R13_QUEUE_HEAD
     ]
     assert missing == [], missing
     # the queue is real: disjoint from the window, oracle-backed,
     # registry-resident, never-checked
-    for n in _R12_QUEUE_HEAD:
+    for n in _R13_QUEUE_HEAD:
         assert n in REGISTRY and REGISTRY[n][1] is not None, n
-        assert n not in _DRIVER_WINDOW_R11, n
+        assert n not in _DRIVER_WINDOW_R12, n
         assert not _checked_rounds(DRIVER_HISTORY[n][1]), n
 
 
 def test_window_r11_composition_is_the_pinned_plan():
-    # VERDICT r10 #1: the never-driver-checked queue head (pinned at r10
-    # close) holds the FIRST 2 slots; the 29-entry declared r11 spill
-    # (_R11_SPILL exactly as stated and test-pinned at r10 round start;
-    # last hard check r6) follows, order preserved; the rest is r7-cohort
-    # backfill in ledger order plus new r11 entries at the tail — so late
-    # additions displace only the backfill tail, never the stated plan.
+    # VERDICT r10 #1 (historical, kept as the audit record): the
+    # never-driver-checked queue head held the FIRST 2 slots; the
+    # declared r11 spill (last hard check r6 at the time — histories now
+    # also carry the r11 mark the window earned) followed, order
+    # preserved; the rest was r7-cohort backfill plus new r11 entries at
+    # the tail.
     assert _DRIVER_WINDOW_R11[:2] == _R11_QUEUE_HEAD
     assert _DRIVER_WINDOW_R11[2:2 + len(_R11_SPILL)] == _R11_SPILL
     for name in _R11_SPILL:
-        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 6, name
-    # every backfill slot carries an r7-last-checked entry; new r11
-    # entries (history marked but no driver round yet) are allowed only
-    # at the tail
+        assert 6 in _checked_rounds(DRIVER_HISTORY[name][1]), name
     tail = _DRIVER_WINDOW_R11[2 + len(_R11_SPILL):]
     assert tail[:len(_R11_BACKFILL_R7)] == _R11_BACKFILL_R7
     for name in tail:
         rounds = _checked_rounds(DRIVER_HISTORY[name][1])
-        assert not rounds or max(rounds) == 7, (name, rounds)
+        # r7-last-checked backfill, or a new r11 entry whose first-ever
+        # driver check IS the r11 mark
+        assert 7 in rounds or rounds == [11], (name, rounds)
+
+
+def test_window_r12_composition_is_the_pinned_plan():
+    # VERDICT r11 #1: the r12 window is spent exactly as pinned at r11
+    # close — _R12_QUEUE_HEAD (empty), then the 36-entry declared spill
+    # order-preserved, then the core sextet, then r8-cohort backfill in
+    # ledger order; new r12 entries land only at the tail, displacing
+    # backfill into _R13_SPILL.
+    head = len(_R12_QUEUE_HEAD)
+    assert _DRIVER_WINDOW_R12[:head] == _R12_QUEUE_HEAD
+    assert _DRIVER_WINDOW_R12[head:head + len(_R12_SPILL)] == _R12_SPILL
+    for name in _R12_SPILL:
+        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 7, name
+    mid = head + len(_R12_SPILL)
+    sextet = _DRIVER_WINDOW_R12[mid:mid + len(_R12_CORE_SEXTET)]
+    assert sextet == _R12_CORE_SEXTET
+    tail = _DRIVER_WINDOW_R12[mid + len(_R12_CORE_SEXTET):]
+    assert tail[:len(_R12_BACKFILL_R8)] == _R12_BACKFILL_R8
+    for name in tail:
+        rounds = _checked_rounds(DRIVER_HISTORY[name][1])
+        # r8-last-checked backfill, or a new r12 entry not yet checked
+        assert not rounds or max(rounds) == 8, (name, rounds)
+
+
+def test_window_meets_staleness_sla():
+    # VERDICT r11 #6: the written-down SLA (core contract evidence <= 3
+    # rounds old, extensions <= 5, never-checked -> next window) is
+    # enforced at composition time: compute every entry's age from the
+    # ledger against the round about to be spent (latest recorded
+    # CORRECTNESS round + 1) and fail if the window, as composed, lets
+    # any entry breach its tier's bound.
+    assert STALENESS_SLA == {"core": 3, "extension": 5}
+    assert entry_tier("p1_projection") == "core"
+    assert entry_tier("x_dedup_exact") == "extension"
+    assert entry_tier("xd_simhash") == "extension"
+    recorded = [
+        int(m.group(1))
+        for p in COVERAGE.parent.glob("CORRECTNESS_r*.json")
+        if (m := re.match(r"CORRECTNESS_r(\d+)", p.name))
+    ]
+    current_round = max(recorded) + 1
+    assert current_round >= 12
+    violations = window_staleness_violations(
+        _DRIVER_WINDOW_R12, current_round
+    )
+    assert violations == [], violations
+    # the checker is not vacuous: an empty window at the same round must
+    # report the stale cohorts this window exists to clear
+    assert window_staleness_violations([], current_round)
+
+
+def test_coverage_cites_only_live_entry_names():
+    # VERDICT r11 #5: COVERAGE.md rows cited pre-rename entry names
+    # (x_dedup_minhash, x_dedup_simhash_pairs, x_curate_pipeline as live
+    # entries). Guard: every x_/xd_ name cited anywhere in COVERAGE.md
+    # must exist in the driver registry or (for the documented retired
+    # demos) in DEMO_REGISTRY — so a rename can never leave a dangling
+    # citation again.
+    cited = set(re.findall(r"`(xd?_[a-z0-9_]+)`", COVERAGE.read_text()))
+    known = set(REGISTRY) | set(DEMO_REGISTRY)
+    dangling = sorted(n for n in cited if n not in known)
+    assert dangling == [], dangling
 
 
 def test_window_r10_history_marks_are_recorded():
@@ -167,32 +235,41 @@ def test_window_r10_history_marks_are_recorded():
         assert 10 in _checked_rounds(DRIVER_HISTORY[name][1]), name
 
 
-def test_window_backfill_spill_is_exactly_the_stated_r12_list():
-    # after the r11 window lands, every oracle entry NOT in the window
-    # must have a last check of r8+ — EXCEPT the explicitly declared r12
-    # spill (the stated-plan discipline from VERDICT r7 #1). An r7-or-
+def test_window_r11_history_marks_are_recorded():
+    # post-round bookkeeping: every entry the r11 driver checked
+    # (CORRECTNESS_r11.json = the 50-slot window, 50/50 hash-green)
+    # carries the confirming r11 round mark
+    assert len(_DRIVER_WINDOW_R11) == 50
+    for name in _DRIVER_WINDOW_R11:
+        assert 11 in _checked_rounds(DRIVER_HISTORY[name][1]), name
+
+
+def test_window_backfill_spill_is_exactly_the_stated_r13_list():
+    # after the r12 window lands, every oracle entry NOT in the window
+    # must have a last check of r9+ — EXCEPT the explicitly declared r13
+    # spill (the stated-plan discipline from VERDICT r7 #1). An r8-or-
     # older entry outside both lists is a rotation bug.
     stale = []
     for name, (check, hist) in DRIVER_HISTORY.items():
-        if (check != "oracle" or name in _DRIVER_WINDOW_R11
-                or name in _R12_QUEUE_HEAD):
+        if (check != "oracle" or name in _DRIVER_WINDOW_R12
+                or name in _R13_QUEUE_HEAD):
             continue
         rounds = _checked_rounds(hist)
         assert rounds, (name, hist)
-        if max(rounds) < 8:
+        if max(rounds) < 9:
             stale.append(name)
-    assert sorted(stale) == sorted(_R12_SPILL), (
-        sorted(set(stale) ^ set(_R12_SPILL))
+    assert sorted(stale) == sorted(_R13_SPILL), (
+        sorted(set(stale) ^ set(_R13_SPILL))
     )
-    for name in _R12_SPILL:
-        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 7, name
+    for name in _R13_SPILL:
+        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 8, name
 
 
 def test_r12_core_sextet_plan_is_pinned():
     # VERDICT r10 #5: the six r8-checked core SURVEY §2 contract entries
     # (the oldest core-contract driver evidence) are pinned to follow
-    # _R12_SPILL at the r12 window head. The pin is derived, not typed:
-    # the sextet must be EXACTLY the core-grammar entries (no x_/xd_
+    # _R12_SPILL in the r12 window. The pin is derived, not typed: the
+    # sextet must be EXACTLY the core-grammar entries (no x_/xd_
     # extension prefix) whose last driver check is r8.
     core_r8 = [
         name
@@ -204,8 +281,8 @@ def test_r12_core_sextet_plan_is_pinned():
     ]
     assert sorted(core_r8) == sorted(_R12_CORE_SEXTET)
     assert len(_R12_CORE_SEXTET) == 6
-    # they wait for r12 — not silently double-booked into this window
-    assert not set(_R12_CORE_SEXTET) & set(_DRIVER_WINDOW_R11)
+    # spent THIS round: every sextet entry sits inside the r12 window
+    assert set(_R12_CORE_SEXTET) <= set(_DRIVER_WINDOW_R12)
 
 
 def test_bench_loads_every_table_it_references():

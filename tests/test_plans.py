@@ -33,6 +33,25 @@ def test_filter_pushdown_reaches_scan(spark, orders):
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,1000.0)" in plan
 
 
+def test_integral_filter_pushdown_on_bigint_column(spark, orders):
+    """r12: the lexer's float-typed NUMBER used to compile `o_orderkey >
+    100` as `cast(o_orderkey as double) > 100.0`, which kept every
+    integral-column predicate OUT of PushedFilters (only IsNotNull
+    reached the scan) — a full scan instead of a row-group skip at 100
+    TB. planner._lit now emits integral literals as int64, so the
+    comparison is native and the predicate lands in the parquet source."""
+    df = run_query(spark, orders, "SELECT o_orderkey WHERE o_orderkey > 100")
+    plan = physical(df)
+    pushed = plan.split("PushedFilters")[1]
+    assert "GreaterThan(o_orderkey,100)" in pushed, plan
+    # and the field side is NOT cast to double anywhere in the plan
+    assert "cast(o_orderkey" not in plan, plan
+    # non-integral literals keep double comparison semantics (cast is
+    # unavoidable; value parity with the reference's one number type)
+    frac = run_query(spark, orders, "SELECT o_orderkey WHERE o_orderkey > 100.5")
+    assert frac.count() == orders.filter(F.col("o_orderkey") > 100.5).count()
+
+
 def test_column_pruning_reaches_scan(spark, orders):
     df = run_query(spark, orders, "SELECT o_orderkey WHERE o_totalprice > 1000")
     plan = physical(df)
