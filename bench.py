@@ -705,9 +705,14 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
     # HERE (extras-dict construction, outside the per-run timing), so
     # the timed plans measure what production pays per query batch —
     # scoring/probing the AT-REST layout, never the build
+    import atexit as _atexit
+    import shutil as _shutil
     import tempfile as _tf
 
     _r11_dir = _tf.mkdtemp(prefix="bench_r11_layouts_")
+    # scratch layouts are per-process: without this, repeated bench runs
+    # accumulate multi-MB parquet trees in /tmp (r12, ADVICE r11)
+    _atexit.register(_shutil.rmtree, _r11_dir, ignore_errors=True)
     from purescript_ifrit_spark.operators.text_analysis import (
         bm25_topk_queries_indexed as _bm25_idx,
         build_bm25_index as _build_idx,
@@ -958,6 +963,17 @@ def flag_sustained_load(times: dict, variance: dict, sf, cpus: int) -> None:
                 # broad co-tenant cannot hide from: a real plan
                 # regression moves the specific queries whose plan
                 # changed, not the median of ten.
+                # SAME-HOST ASSUMPTION (r12, ADVICE r11): the 1.25
+                # threshold reads "this machine is slower than the
+                # BENCH_REFERENCE machine right now" as co-tenancy. On a
+                # legitimately ~30% slower host with the same core count
+                # it fires too — by design: the flag means "do not
+                # compare these numbers against BENCH_REFERENCE.json",
+                # which is equally true there. BENCH_REFERENCE.json may
+                # only be refreshed from a window where this block is
+                # quiet ON the machine the reference was recorded on
+                # (its own contract); a permanently slower host must
+                # re-record the reference, not argue with the canary.
                 "median_min_ratio": med,
                 "uniform_inflation": bool(med and med > 1.25),
             }

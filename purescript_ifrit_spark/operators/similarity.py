@@ -54,6 +54,17 @@ def cosine_topk(
     )
 
 
+def _check_batch_ids(qm: "np.ndarray", qids: "np.ndarray") -> None:
+    """Every batch ANN entry point takes parallel (queries, query_ids);
+    a shorter id list used to raise IndexError inside executors at
+    qids[qi], and a longer one silently ignored the extra ids (r12,
+    ADVICE r11). Fail fast on the driver instead."""
+    if len(qids) != len(qm):
+        raise ValueError(
+            f"query_ids length {len(qids)} != queries length {len(qm)}"
+        )
+
+
 def cosine_topk_batch(
     df: DataFrame,
     id_col: str,
@@ -88,6 +99,7 @@ def cosine_topk_batch(
     qnorm = np.linalg.norm(qm, axis=1)
     qnorm[qnorm == 0] = 1.0
     qids = np.asarray(list(query_ids), dtype=np.int64)
+    _check_batch_ids(qm, qids)
     kk = int(k)
     id_type = dict(df.dtypes)[id_col]
     out_schema = f"query_id long, {id_col} {id_type}, sim double"
@@ -314,6 +326,7 @@ def lsh_topk_batch(
     n_planes = len(pm)
     qm = np.asarray(queries, dtype=np.float64)  # (Q, dim)
     qids = np.asarray(list(query_ids), dtype=np.int64)
+    _check_batch_ids(qm, qids)
     qdots = qm @ pm.T  # (Q, P)
     weights = 1 << np.arange(n_planes, dtype=np.int64)
     qsig = ((qdots >= 0).astype(np.int64) @ weights)  # (Q,)
@@ -616,6 +629,7 @@ def ivf_topk_batch(
 
     qm = np.asarray(queries, dtype=np.float64)  # (Q, dim)
     qids = np.asarray(list(query_ids), dtype=np.int64)
+    _check_batch_ids(qm, qids)
     cents = np.asarray(centroids, dtype=np.float64)
     d2 = ((cents[None, :, :] - qm[:, None, :]) ** 2).sum(-1)  # (Q, nlist)
     probe = np.argsort(d2, axis=1)[:, : min(nprobe, len(cents))]
@@ -742,6 +756,7 @@ def ann_recall_estimate(
         raise ValueError(f"n_sample must be positive (got {n_sample})")
     qm = np.asarray(queries, dtype=np.float64)
     qids = np.asarray(list(query_ids), dtype=np.int64)
+    _check_batch_ids(qm, qids)
     rng = np.random.RandomState(seed)
     take = min(int(n_sample), len(qids))
     idx = np.sort(rng.choice(len(qids), size=take, replace=False))
@@ -749,9 +764,22 @@ def ann_recall_estimate(
     truth = cosine_topk_batch(
         df, id_col, vec_col, qm[idx], sample_ids, k=k
     )
-    approx_ids = approx.filter(
-        F.col("query_id").isin(sample_ids)
-    ).select("query_id", id_col)
+    # rank-limit the approx answer to k rows per query by the suite's
+    # deterministic (sim desc, id asc) order before the hit join: an
+    # approx frame produced with a larger k — or a union of several
+    # answers — would otherwise silently inflate recall@k (r12, ADVICE
+    # r11). Frames already at k pass through unchanged.
+    from pyspark.sql import Window
+
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    approx_ids = (
+        approx.filter(F.col("query_id").isin(sample_ids))
+        .withColumn("_arank", F.row_number().over(aw))
+        .filter(F.col("_arank") <= k)
+        .select("query_id", id_col)
+    )
     hit = F.sum(
         F.when(F.col("_hit").isNotNull(), F.lit(1)).otherwise(F.lit(0))
     ).cast("long")

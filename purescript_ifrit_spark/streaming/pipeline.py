@@ -611,10 +611,17 @@ def rotate_survivor_sink(
     if not os.path.isdir(survivors_dir):
         return 0, archive_dir
     os.makedirs(archive_dir, exist_ok=True)
-    n_rot = sum(
-        1 for e in os.listdir(archive_dir) if e.startswith("rot_")
-    )
-    dest = os.path.join(archive_dir, f"rot_{n_rot}")
+    # next slot = max existing rot_N index + 1, NOT a count of rot_*
+    # entries: a deleted rot_N (or a foreign rot_* name) would make the
+    # count target an existing slot, and shutil.move would then merge
+    # part files into an old archive or raise on a colliding epoch=N
+    # subdirectory (r12, ADVICE r11)
+    taken = [
+        int(e[4:])
+        for e in os.listdir(archive_dir)
+        if e.startswith("rot_") and e[4:].isdigit()
+    ]
+    dest = os.path.join(archive_dir, f"rot_{max(taken) + 1 if taken else 0}")
     moved = 0
     for name in sorted(os.listdir(survivors_dir)):
         if name.startswith(("_", ".")):

@@ -318,6 +318,14 @@ def test_bench_stdout_line_excludes_the_extras_map():
     assert 'detail["queries_extra_steady_state"] = extra' in src
 
 
+def test_bench_registers_scratch_layout_cleanup():
+    """ADVICE r11 (r12 fix): the r11 stored-layout extras write parquet
+    trees into a mkdtemp dir; without an atexit rmtree, repeated bench
+    runs accumulate multi-MB trees in /tmp."""
+    src = (COVERAGE.parent / "bench.py").read_text()
+    assert "_atexit.register(_shutil.rmtree, _r11_dir" in src
+
+
 def _load_bench():
     import importlib.util
 

@@ -5906,3 +5906,107 @@ def test_r8_multimodal_poison_hardening(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["frame_idx"], r["is_cut"]) == (0, False) and r["mad"] is None
+
+
+def test_ann_recall_estimate_rank_limits_overfull_approx(spark):
+    """ADVICE r11 (r12 fix): an approx frame carrying MORE than k rows
+    per query — a larger-k answer or a union of several answers — used
+    to count hits over every row, silently inflating recall@k. The
+    estimator now rank-limits approx to k rows per query by the suite's
+    (sim desc, id asc) order before the hit join."""
+    import numpy as np
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.995, 0.0999]), (2, [0.9, 0.436]),
+         (3, [0.5, 0.866])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = np.array([[1.0, 0.0]])
+    # truth@2 = [0 (sim 1.0), 1 (sim ~0.995)]. The approx frame is a
+    # 4-row answer whose reported rank order puts two non-corpus ids
+    # (9, 8) above truth id 1: its honest @2 prefix is [0, 9].
+    approx = spark.createDataFrame(
+        [(10, 0, 1.0), (10, 9, 0.999), (10, 8, 0.998), (10, 1, 0.995)],
+        "query_id long, vec_id long, sim double",
+    )
+    out = similarity.ann_recall_estimate(
+        corpus, "vec_id", "embedding", queries, [10], approx,
+        k=2, n_sample=1,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # untruncated counting would report 2/2 = 1000000 here
+    assert (r.n_truth, r.n_hit, r.recall_micro) == (2, 1, 500000)
+
+
+def test_batch_ann_entry_points_validate_id_length(spark):
+    """ADVICE r11 (r12 fix): every batch ANN entry point takes parallel
+    (queries, query_ids); a shorter id list raised IndexError inside
+    executors, a longer one silently dropped ids. All four now fail
+    fast on the driver with ValueError."""
+    import numpy as np
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q2 = np.eye(2)
+    planes = similarity.make_hyperplanes(2, n_planes=4, seed=1)
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    for call in [
+        lambda ids: similarity.cosine_topk_batch(
+            corpus, "vec_id", "embedding", q2, ids, k=1
+        ),
+        lambda ids: similarity.lsh_topk_batch(
+            corpus, "vec_id", "embedding", q2, ids, planes, k=1
+        ),
+        lambda ids: similarity.ivf_topk_batch(
+            corpus, "vec_id", "embedding", q2, ids, cents, k=1
+        ),
+        lambda ids: similarity.ann_recall_estimate(
+            corpus, "vec_id", "embedding", q2, ids,
+            spark.createDataFrame(
+                [(10, 0, 1.0)], "query_id long, vec_id long, sim double"
+            ),
+            k=1,
+        ),
+    ]:
+        with pytest.raises(ValueError, match="query_ids length"):
+            call([10])  # one id, two queries
+        with pytest.raises(ValueError, match="query_ids length"):
+            call([10, 20, 30])  # three ids, two queries
+
+
+def test_rotate_survivor_sink_skips_gaps_and_foreign_entries(tmp_path):
+    """ADVICE r11 (r12 fix): the next archive slot used to be a COUNT of
+    rot_* entries, so a deleted rot_N (or a foreign rot_* name) made the
+    next rotation target an existing slot and merge/collide. The slot is
+    now max(existing rot_N) + 1."""
+    import os
+
+    from purescript_ifrit_spark.streaming.pipeline import (
+        rotate_survivor_sink,
+    )
+
+    survivors = tmp_path / "survivors"
+    archive = tmp_path / "archive"
+    survivors.mkdir()
+    archive.mkdir()
+    # simulate: rot_1 deleted after rot_0..rot_2 existed, plus a foreign
+    # non-numeric rot_* entry that must not be counted as a slot
+    (archive / "rot_0").mkdir()
+    (archive / "rot_2").mkdir()
+    (archive / "rot_2" / "part-0001.parquet").write_text("old")
+    (archive / "rot_junk").mkdir()
+    (survivors / "part-0001.parquet").write_text("new")
+    moved, dest = rotate_survivor_sink(str(survivors), str(archive))
+    # counting entries would have picked rot_3 here by luck of the
+    # foreign entry — the decisive check is that rot_2 is untouched and
+    # the new slot is PAST every existing index
+    assert moved == 1 and dest.endswith("rot_3")
+    assert (archive / "rot_2" / "part-0001.parquet").read_text() == "old"
+    assert (archive / "rot_3" / "part-0001.parquet").read_text() == "new"
+    # and again with only a high-numbered slot present
+    (survivors / "part-0002.parquet").write_text("newer")
+    moved2, dest2 = rotate_survivor_sink(str(survivors), str(archive))
+    assert moved2 == 1 and dest2.endswith("rot_4")
