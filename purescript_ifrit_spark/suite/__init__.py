@@ -291,7 +291,9 @@ _R12_QUEUE_HEAD: list = []
 #      built, each displacing the backfill TAIL into _R13_SPILL and
 #      recorded inline below.
 
-# r8-cohort backfill, ledger order (44 such entries; 8 fit this window).
+# r8-cohort backfill, ledger order (44 such entries; 8 fit the
+# round-start window — new r12 entries displace from the TAIL, each
+# displacement recorded in _R13_SPILL).
 _R12_BACKFILL_R8 = [
     "x_dedup_exact",
     "x_dedup_minhash_planted",
@@ -300,7 +302,6 @@ _R12_BACKFILL_R8 = [
     "x_curate_exact",
     "x_text_token_count",
     "x_text_quality",
-    "x_lang_id",
 ]
 
 _DRIVER_WINDOW_R12 = [
@@ -314,6 +315,7 @@ _DRIVER_WINDOW_R12 = [
     *_R12_BACKFILL_R8,
     # -- (5) new round-12 oracle entries land HERE as built, each
     #        displacing the backfill tail above into _R13_SPILL ------------
+    "x_neardup_multiprobe_planted",  # displaced x_lang_id
 ]
 
 # Explicit r13 plan (stated NOW, at r12 round start): the r8-cohort
@@ -327,6 +329,8 @@ _DRIVER_WINDOW_R12 = [
 # SLA, which requires presence in the r14 window — see
 # window_staleness_violations below, which enforces exactly this).
 _R13_SPILL = [
+    "x_lang_id",  # displaced from the r12 backfill tail by
+                  # x_neardup_multiprobe_planted
     "x_fingerprint",
     "x_token_rarity",
     "x_contamination",

@@ -928,3 +928,36 @@ def x_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "vec_id", F.posexplode("proj").alias("j", "val")
     )
+
+
+@register(
+    "x_neardup_multiprobe_planted",
+    # planted-truth multi-table near-dup mining (r12, VERDICT r11 #4):
+    # members of a 6-block carry IDENTICAL basis vectors, so they share
+    # every table's bucket under ANY plane set — OR-construction recall
+    # is 1 BY CONSTRUCTION and within-block cosine is exactly 1.0.
+    # Cross-block candidates (sign-pattern coincidences between
+    # orthogonal vectors) score 0.0 < 0.95 and die in the exact
+    # verification, so the answer is the closed-form block-pair set:
+    # C(6,2) = 15 pairs per full block, id_a < id_b.
+    "WITH ids AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < 96) "
+    "SELECT a.id AS id_a, b.id AS id_b, CAST(1.0 AS DOUBLE) AS sim "
+    "FROM ids a JOIN ids b ON a.id // 6 = b.id // 6 AND a.id < b.id",
+)
+def x_neardup_multiprobe_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs through the full multi-table
+    OR-construction path (operators/similarity.embedding_neardup_pairs
+    `tables=` mode, r12): 4 independent 8-plane tables, narrow band
+    rows, first-shared-table single emission, id join-back
+    verification — under inputs whose true pair set is closed-form."""
+    from purescript_ifrit_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        make_hyperplanes,
+    )
+
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    tables = [make_hyperplanes(32, 8, seed=s) for s in range(4)]
+    out = embedding_neardup_pairs(
+        planted, "vec_id", "embedding", threshold=0.95, tables=tables
+    )
+    return out.withColumn("sim", F.round("sim", 5))
