@@ -581,7 +581,17 @@ def ivf_centroids(
     `sample` rows: reproducible (pure function of the data, unlike a bare
     limit() partition prefix, which biases centroids toward whatever file
     happens to be scanned first), uniform under the hash, and executed as a
-    distributed TakeOrdered — no global sort materialized."""
+    distributed TakeOrdered — no global sort materialized.
+
+    REGIME BOUND (r12, VERDICT r11 #7): the sample is the quality limit.
+    Lloyd over `sample` points supports nlist only up to sample/~32 —
+    below ~32 sample points per centroid the per-cell means are noise,
+    and at nlist >= sample the construction degenerates (every point a
+    centroid). Keep sample >= 32*nlist (raise `sample` — the driver cost
+    is sample*dim doubles — or lower nlist), and for production indexes
+    refine the sample-built centroids against the FULL corpus with
+    `ivf_centroids_refine` (distributed Lloyd passes; one corpus scan +
+    one nlist*dim-sized aggregate each)."""
     rows = (
         df.select(vec_col)
         .orderBy(F.xxhash64(F.col(vec_col)).asc(), F.col(vec_col).asc())
@@ -618,6 +628,63 @@ def ivf_centroids(
         for j in range(nlist):
             if (assign == j).any():
                 c[j] = m[assign == j].mean(0)
+    return c
+
+
+def ivf_centroids_refine(
+    df: DataFrame,
+    vec_col: str,
+    centroids: "np.ndarray",
+    iterations: int = 1,
+) -> "np.ndarray":
+    """Distributed Lloyd refinement of IVF centroids over the FULL
+    corpus (r12, VERDICT r11 #7) — the opt-in step past `ivf_centroids`'
+    sample regime bound: when nlist approaches sample/32, per-cell means
+    estimated from the sample are noise, but one full-corpus pass per
+    iteration computes them exactly.
+
+    Each iteration: (1) assign every row to its nearest centroid with
+    `with_ivf_assignment` — JVM-side unrolled `l2_distance` argmin in
+    the scan stage; (2) per-cell per-dimension means via posexplode →
+    groupBy(cell, dim) — the `label_centroids` shape: the explode is
+    rows×dim but hash-aggregate partials collapse it map-side, so the
+    one exchange carries ~(partitions × nlist × dim) partial rows, never
+    the corpus; (3) the driver collects exactly nlist×dim (sum, count)
+    rows — index metadata, not data. Cells that receive no rows keep
+    their previous centroid (the standard empty-cell rule, matching the
+    sample-Lloyd loop above).
+
+    A converged refinement is a FIXED POINT of assignment: once every
+    centroid equals its cell's mean, further iterations return the same
+    array (pinned in tests on planted clusters). Refined assignments are
+    only meaningful against the refined centroids — rewrite any
+    persisted `write_ivf_partitioned` layout after refining."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1 (got {iterations})")
+    c = np.asarray(centroids, dtype=np.float64).copy()
+    nlist, dim = c.shape
+    for _ in range(int(iterations)):
+        assigned = with_ivf_assignment(
+            df.select(vec_col), vec_col, c, out_col="_cell"
+        )
+        rows = (
+            assigned.select(
+                "_cell", F.posexplode(F.col(vec_col)).alias("_d", "_x")
+            )
+            .groupBy("_cell", "_d")
+            .agg(
+                F.sum(F.col("_x").cast("double")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        sums = np.zeros((nlist, dim), dtype=np.float64)
+        counts = np.zeros(nlist, dtype=np.int64)
+        for r in rows:
+            sums[r["_cell"], r["_d"]] = r["_s"]
+            counts[r["_cell"]] = r["_n"]
+        mask = counts > 0
+        c[mask] = sums[mask] / counts[mask, None]
     return c
 
 

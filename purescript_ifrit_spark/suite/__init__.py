@@ -301,7 +301,6 @@ _R12_BACKFILL_R8 = [
     "x_dedup_simhash_planted",
     "x_curate_exact",
     "x_text_token_count",
-    "x_text_quality",
 ]
 
 _DRIVER_WINDOW_R12 = [
@@ -316,6 +315,7 @@ _DRIVER_WINDOW_R12 = [
     # -- (5) new round-12 oracle entries land HERE as built, each
     #        displacing the backfill tail above into _R13_SPILL ------------
     "x_neardup_multiprobe_planted",  # displaced x_lang_id
+    "x_ivf_refined_planted",         # displaced x_text_quality
 ]
 
 # Explicit r13 plan (stated NOW, at r12 round start): the r8-cohort
@@ -331,6 +331,7 @@ _DRIVER_WINDOW_R12 = [
 _R13_SPILL = [
     "x_lang_id",  # displaced from the r12 backfill tail by
                   # x_neardup_multiprobe_planted
+    "x_text_quality",  # displaced by x_ivf_refined_planted
     "x_fingerprint",
     "x_token_rarity",
     "x_contamination",

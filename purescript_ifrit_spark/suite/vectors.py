@@ -961,3 +961,39 @@ def x_neardup_multiprobe_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         planted, "vec_id", "embedding", threshold=0.95, tables=tables
     )
     return out.withColumn("sim", F.round("sim", 5))
+
+
+@register(
+    "x_ivf_refined_planted",
+    # planted-truth distributed Lloyd refinement (r12, VERDICT r11 #7):
+    # starting centroids 0.5*e_c sit within L2 0.5 of their own identical
+    # basis cluster and >= sqrt(1.25) from every other, so assignment is
+    # closed-form; the refined centroid of cell c is the mean of 6
+    # IDENTICAL e_c vectors = e_c EXACTLY (no float accumulation), and a
+    # second iteration is a fixed point — iterations=2 pins both facts
+    # in one oracle: val = 1.0 where dim == cell, else 0.0.
+    "SELECT CAST(c.range AS INT) AS cell, CAST(d.range AS INT) AS dim, "
+    "CASE WHEN c.range = d.range THEN CAST(1.0 AS DOUBLE) "
+    "ELSE CAST(0.0 AS DOUBLE) END AS val "
+    "FROM range(16) c, range(32) d",
+)
+def x_ivf_refined_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus Lloyd refinement (operators/similarity.
+    ivf_centroids_refine) under planted basis clusters: JVM-side
+    assignment + posexplode/groupBy per-cell means, driver collects only
+    nlist*dim index metadata; flat (cell, dim, val) output."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        ivf_centroids_refine,
+    )
+
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    start = np.eye(16, 32) * 0.5
+    refined = ivf_centroids_refine(planted, "embedding", start, iterations=2)
+    flat = [
+        (int(c), int(d), float(refined[c, d]))
+        for c in range(16)
+        for d in range(32)
+    ]
+    return spark.createDataFrame(flat, "cell int, dim int, val double")

@@ -6109,3 +6109,45 @@ def test_embedding_neardup_multitable_bucket_cap(spark):
             df, "vec_id", "embedding", 0.95, tables=tables, max_bucket=10,
             on_capped="error",
         ).collect()
+
+
+def test_ivf_centroids_refine_distributed_lloyd(spark):
+    """VERDICT r11 #7: ivf_centroids_refine runs Lloyd over the FULL
+    corpus (JVM assignment + one nlist*dim aggregate per pass) — exact
+    per-cell means on planted clusters, empty cells keep their previous
+    centroid, and a converged refinement is a FIXED POINT of the
+    assignment (a second pass returns the identical array)."""
+    import numpy as np
+
+    rows = []
+    for j in range(3):
+        v = [0.0] * 4
+        v[j] = 2.0
+        rows += [(j * 10 + i, list(v)) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    start = np.zeros((4, 4))
+    for j in range(3):
+        start[j, j] = 1.0  # within distance 1 of its own cluster
+    start[3] = [9.0, 9.0, 9.0, 9.0]  # attracts nothing: stays empty
+
+    refined = similarity.ivf_centroids_refine(df, "embedding", start)
+    want = np.zeros((4, 4))
+    for j in range(3):
+        want[j, j] = 2.0  # exact mean of 5 identical vectors
+    want[3] = [9.0, 9.0, 9.0, 9.0]  # empty-cell rule
+    assert np.array_equal(refined, want)
+
+    # fixed point: refining the converged centroids changes nothing,
+    # and multi-iteration from the start reaches the same point
+    again = similarity.ivf_centroids_refine(df, "embedding", refined)
+    assert np.array_equal(again, refined)
+    multi = similarity.ivf_centroids_refine(
+        df, "embedding", start, iterations=3
+    )
+    assert np.array_equal(multi, refined)
+
+    # the input array is not mutated, and the guard fires
+    assert start[0, 0] == 1.0
+    with pytest.raises(ValueError, match="iterations"):
+        similarity.ivf_centroids_refine(df, "embedding", start, iterations=0)
