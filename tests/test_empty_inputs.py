@@ -392,3 +392,36 @@ def test_r11_retrieval_helpers_on_empty(spark, empty_docs):
     ).collect()
     assert len(rows) == 2
     assert all(r.n_hit == 0 and r.recall_micro == 0 for r in rows)
+
+
+def test_r12_similarity_helpers_on_empty(spark):
+    """r12 surfaces on an empty corpus: the multi-table near-dup path
+    returns an empty pair frame; full-corpus Lloyd refinement leaves
+    every centroid unchanged (all cells empty)."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        ivf_centroids_refine,
+        make_hyperplanes,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    tables = [make_hyperplanes(4, 4, seed=s) for s in range(2)]
+    assert (
+        embedding_neardup_pairs(
+            empty, "vec_id", "embedding", 0.9, tables=tables
+        ).count()
+        == 0
+    )
+    assert (
+        embedding_neardup_pairs(
+            empty, "vec_id", "embedding", 0.9, tables=tables, max_bucket=5
+        ).count()
+        == 0
+    )
+    start = np.eye(3, 4)
+    refined = ivf_centroids_refine(empty, "embedding", start)
+    assert np.array_equal(refined, start)
