@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Three tiers (SURVEY.md §2.7 extension; no reference counterpart):
+Four tiers (SURVEY.md §2.7 extension; no reference counterpart):
 
 1. brute-force cosine top-k — the exactness baseline. One narrow pass:
    cosine is a codegen'd zip_with/aggregate, top-k is TakeOrdered. Scales
@@ -10,8 +10,14 @@ Three tiers (SURVEY.md §2.7 extension; no reference counterpart):
    recall). Turns full scans into partition-pruned scans when the table is
    written partitioned by bucket.
 3. IVF (inverted file) — coarse k-means-style centroids (deterministically
-   seeded sample), each row assigned to nearest centroid; queries probe the
-   `nprobe` nearest centroids. Candidate set shrinks ~nlist/nprobe-fold.
+   seeded sample, optionally refined over the full corpus with
+   `ivf_centroids_refine`), each row assigned to nearest centroid; queries
+   probe the `nprobe` nearest centroids. Candidates shrink ~nlist/nprobe-fold.
+4. PQ (product quantization, r12) — per-subspace codebooks compress each
+   vector to m small codes (32× at 64-dim float32 → 8 codes); queries rank
+   codes by asymmetric distance (ADC) from a driver-built lookup table, so
+   the rerank working set is bytes, not vectors. Compose with IVF: prune
+   cells, ADC-rank the survivors, exact-check only the final handful.
 
 The pairwise/batched kernel uses an Arrow-vectorized Pandas UDF (numpy
 matmul per batch) — the documented fast path when built-ins can't express
@@ -1204,4 +1210,155 @@ def mmr_topk(
     return spark.createDataFrame(
         [(i, sid, int(sc)) for i, (sid, _, sc) in enumerate(selected)],
         schema,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) — compressed-domain ANN (r12)
+# ---------------------------------------------------------------------------
+
+
+def _sq_dist(a: Column, center: "np.ndarray") -> Column:
+    """Squared L2 distance from an array column to a fixed center —
+    codegen zip_with/aggregate, no sqrt (argmin/ADC only need the
+    monotone squared form, and skipping sqrt keeps ADC sums exact
+    sums-of-squares)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            V.lit_vector([float(x) for x in center]),
+            lambda x, y: (x.cast("double") - y) ** 2,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 42,
+    sample: int = 4096,
+    lloyd: int = 5,
+) -> "np.ndarray":
+    """Product-quantization codebooks, (m, k, dim/m): split each vector
+    into `m` equal subspaces and k-means each subspace independently
+    (Jégou et al. 2011) — the compression tier of the ANN family. A
+    vector then stores as m small codes (m bytes at k<=256) instead of
+    dim floats: 64-dim float32 → 8 codes is a 32× memory collapse, the
+    difference between a rerank working set that fits executor memory
+    at 100 TB and one that does not.
+
+    Same index-build discipline as `ivf_centroids`: deterministic
+    xxhash64 sample (distributed TakeOrdered, reproducible), driver-side
+    incremental-D² k-means++ seeding + `lloyd` Lloyd passes per
+    subspace, and the same regime bound — keep sample >= 32*k. dim must
+    divide evenly by m."""
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)).asc(), F.col(vec_col).asc())
+        .limit(sample)
+        .toPandas()[vec_col]
+        .to_numpy()
+    )
+    mtx = np.stack(rows).astype(np.float64)
+    dim = mtx.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    if k < 1 or len(mtx) < k:
+        raise ValueError(f"need sample >= k centers (k={k}, sample={len(mtx)})")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for s in range(m):
+        ms = mtx[:, s * sub:(s + 1) * sub]
+        cents = [ms[rng.randint(len(ms))]]
+        d2 = ((ms - cents[0]) ** 2).sum(1)
+        for _ in range(k - 1):
+            probs = d2 / d2.sum() if d2.sum() > 0 else None
+            nxt = ms[rng.choice(len(ms), p=probs)]
+            cents.append(nxt)
+            d2 = np.minimum(d2, ((ms - nxt) ** 2).sum(1))
+        c = np.stack(cents)
+        for _ in range(lloyd):
+            dists = np.empty((len(ms), k), dtype=np.float64)
+            for j in range(k):
+                dists[:, j] = ((ms - c[j]) ** 2).sum(1)
+            assign = dists.argmin(1)
+            for j in range(k):
+                if (assign == j).any():
+                    c[j] = ms[assign == j].mean(0)
+        books[s] = c
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: "np.ndarray",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the PQ code array (array<int>, one nearest-center index
+    per subspace) — JVM-side in the scan stage: per subspace an
+    unrolled squared-distance argmin over the k centers (the
+    with_ivf_assignment pattern per slice; ties break to the LOWEST
+    center index via array_position-of-min, deterministic). Persist the
+    coded table (ideally alongside an IVF cell column) and the rerank
+    working set is m ints per row instead of the vector."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = books.shape
+    codes = []
+    for s in range(m):
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        dists = F.array(*[_sq_dist(sl, books[s][j]) for j in range(k)])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    code_col: str,
+    query: Sequence[float],
+    codebooks: "np.ndarray",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k by ASYMMETRIC DISTANCE (ADC, Jégou et al.
+    2011): the query stays exact, every corpus vector is represented by
+    its PQ code, and distance = Σ_s lut[s][code_s] where the m×k lookup
+    table ||q_s − c_sj||² is computed ONCE on the driver (index
+    metadata) and unrolled into the plan as literal arrays. The scan
+    touches only (id, code) — never the vectors — each row costs m
+    element_at lookups + a sum, and the top-k is TakeOrdered (dist asc,
+    id asc). Returns (id, dist) with dist = the ADC squared distance.
+
+    This is the 100 TB rerank shape: IVF prunes cells, PQ codes rank
+    the surviving millions from bytes, and only the final k (or a
+    small multiple, for an exact re-check against the stored vectors)
+    ever touches full-width data."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kk, sub = books.shape
+    q = np.asarray(list(query), dtype=np.float64)
+    if len(q) != m * sub:
+        raise ValueError(
+            f"query dim {len(q)} != codebook dim {m * sub} (m={m}, sub={sub})"
+        )
+    lut = ((books - q.reshape(m, 1, sub)) ** 2).sum(-1)  # (m, k)
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            V.lit_vector([float(x) for x in lut[s]]),
+            F.element_at(F.col(code_col), s + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        df.select(F.col(id_col), dist.alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
     )

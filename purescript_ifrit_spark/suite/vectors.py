@@ -997,3 +997,40 @@ def x_ivf_refined_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in range(32)
     ]
     return spark.createDataFrame(flat, "cell int, dim int, val double")
+
+
+@register(
+    "x_pq_adc_planted",
+    # planted-truth product quantization (r12): explicit codebooks —
+    # per 8-dim subspace, center 0 = the zero vector and center 1+i =
+    # e_i — make encoding closed-form for the identical basis clusters
+    # (code 1 + j%8 in subspace j//8, 0 elsewhere; every argmin unique)
+    # and vectors sit ON the codebook grid, so ADC distance equals the
+    # TRUE squared distance: 0.0 for cluster 0 (the e_0 query's own
+    # block), 2.0 for every other cluster. k=12 exercises the id
+    # tie-break across the 2.0 tier: ids 0-5 at 0.0 + ids 6-11 at 2.0.
+    "SELECT vec_id, CASE WHEN vec_id < 6 THEN CAST(0.0 AS DOUBLE) "
+    "ELSE CAST(2.0 AS DOUBLE) END AS dist "
+    "FROM embeddings WHERE vec_id < 12",
+)
+def x_pq_adc_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.pq_encode +
+    pq_topk, r12): JVM scan-stage code assignment, driver-side m×k
+    lookup table unrolled as literals, TakeOrdered(dist asc, id asc) —
+    under planted inputs whose codes and distances are closed-form."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+    )
+
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    books = np.zeros((4, 9, 8))
+    for s in range(4):
+        for i in range(8):
+            books[s, 1 + i, i] = 1.0
+    coded = pq_encode(planted, "embedding", books)
+    return pq_topk(
+        coded, "vec_id", "pq_code", [1.0] + [0.0] * 31, books, k=12
+    )

@@ -6151,3 +6151,83 @@ def test_ivf_centroids_refine_distributed_lloyd(spark):
     assert start[0, 0] == 1.0
     with pytest.raises(ValueError, match="iterations"):
         similarity.ivf_centroids_refine(df, "embedding", start, iterations=0)
+
+
+def test_pq_encode_and_adc_closed_form(spark):
+    """PQ family (r12): with explicit codebooks whose centers are the
+    zero vector + unit bases per subspace, planted basis vectors encode
+    EXACTLY (code = 1 + in-subspace index in their own subspace, 0
+    elsewhere) and ADC distances equal the true squared distances (a
+    vector ON the codebook grid reconstructs losslessly)."""
+    import numpy as np
+
+    # dim 8, m=2 subspaces of 4; vectors e_0..e_7
+    rows = []
+    for j in range(8):
+        v = [0.0] * 8
+        v[j] = 1.0
+        rows.append((j, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = np.zeros((2, 5, 4))
+    for s in range(2):
+        for i in range(4):
+            books[s, 1 + i, i] = 1.0
+
+    coded = similarity.pq_encode(df, "embedding", books)
+    got = {r.vec_id: list(r.pq_code) for r in coded.collect()}
+    for j in range(8):
+        want = [0, 0]
+        want[j // 4] = 1 + j % 4
+        assert got[j] == want, (j, got[j])
+
+    q = [1.0] + [0.0] * 7  # e_0
+    out = similarity.pq_topk(coded, "vec_id", "pq_code", q, books, k=8).collect()
+    # true squared distances: ||e0-e0||=0, ||e0-ej||^2=2 for j>0; grid
+    # vectors reconstruct exactly so ADC == truth
+    assert [(r.vec_id, r.dist) for r in out] == [(0, 0.0)] + [
+        (j, 2.0) for j in range(1, 8)
+    ]
+
+
+def test_pq_trained_codebooks_match_numpy_adc(spark):
+    """Trained path: pq_codebooks is deterministic (same sample, same
+    seed -> identical arrays); pq_encode's JVM argmin and pq_topk's ADC
+    sum replay the numpy computation EXACTLY on every row."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    data = rng.standard_normal((120, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    b1 = similarity.pq_codebooks(df, "embedding", m=2, k=4, seed=5, sample=120)
+    b2 = similarity.pq_codebooks(df, "embedding", m=2, k=4, seed=5, sample=120)
+    assert b1.shape == (2, 4, 4) and np.array_equal(b1, b2)
+
+    coded = similarity.pq_encode(df, "embedding", b1)
+    got = {r.vec_id: list(r.pq_code) for r in coded.collect()}
+    # numpy replay of the argmin (first-min tie rule matches
+    # array_position of array_min)
+    for i in range(120):
+        for s in range(2):
+            d = ((b1[s] - data[i, s * 4:(s + 1) * 4]) ** 2).sum(1)
+            assert got[i][s] == int(np.argmin(d)), (i, s)
+
+    q = data[7]
+    out = similarity.pq_topk(coded, "vec_id", "pq_code", q, b1, k=120).collect()
+    lut = ((b1 - q.reshape(2, 1, 4)) ** 2).sum(-1)
+    want = {i: float(lut[0][got[i][0]] + lut[1][got[i][1]]) for i in range(120)}
+    for r in out:
+        assert abs(r.dist - want[r.vec_id]) < 1e-12
+    # ordering: (dist asc, id asc)
+    key = [(r.dist, r.vec_id) for r in out]
+    assert key == sorted(key)
+
+    # guards
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_codebooks(df, "embedding", m=3, k=4, sample=120)
+    with pytest.raises(ValueError, match="k must be positive"):
+        similarity.pq_topk(coded, "vec_id", "pq_code", q, b1, k=0)
+    with pytest.raises(ValueError, match="query dim"):
+        similarity.pq_topk(coded, "vec_id", "pq_code", [1.0, 2.0], b1, k=3)
