@@ -1362,3 +1362,39 @@ def pq_topk(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    code_col: str,
+    query: Sequence[float],
+    codebooks: "np.ndarray",
+    centroids: "np.ndarray",
+    k: int = 10,
+    nprobe: int = 4,
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011, the composed form): prune to the
+    `nprobe` nearest cells' rows by the STORED cell column, then
+    ADC-rank the survivors from their PQ codes — the standard
+    billion-scale ANN index expressed as two existing pieces.
+
+    `df` is the coded table carrying `cell_col` (from
+    `with_ivf_assignment`, ideally persisted via `write_ivf_partitioned`
+    so the cell filter compiles to PartitionFilters and the scan reads
+    only the probed cells' files) and `code_col` (from `pq_encode`).
+    The probe set is a driver-side argsort over nlist centroid
+    distances (stable — equal distances probe the lowest cell index
+    first); the ADC scan then touches (id, code) for the probed cells
+    only. At 100 TB: partition-pruned file reads × 32-fold-compressed
+    rerank rows, with `pq_topk`'s exact-recheck guidance on the final
+    k·c candidates."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(query), dtype=np.float64)
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be positive (got {nprobe})")
+    d2 = ((cents - q) ** 2).sum(1)
+    probe = np.argsort(d2, kind="stable")[: min(nprobe, len(cents))]
+    pruned = df.filter(F.col(cell_col).isin([int(c) for c in probe]))
+    return pq_topk(pruned, id_col, code_col, query, codebooks, k)

@@ -6231,3 +6231,50 @@ def test_pq_trained_codebooks_match_numpy_adc(spark):
         similarity.pq_topk(coded, "vec_id", "pq_code", q, b1, k=0)
     with pytest.raises(ValueError, match="query dim"):
         similarity.pq_topk(coded, "vec_id", "pq_code", [1.0, 2.0], b1, k=3)
+
+
+def test_ivf_pq_topk_composes_cell_pruning_with_adc(spark):
+    """IVF-PQ (r12): the stored-cell filter prunes to nprobe cells, the
+    ADC ranks the survivors — closed-form on the grid geometry, and a
+    cluster outside the probe set cannot appear even when its ADC
+    distance would qualify."""
+    import numpy as np
+
+    # two clusters of 3 on e_0 / e_1 (dim 8), plus one odd row on e_7
+    rows = []
+    for j, n in [(0, 3), (1, 3), (7, 1)]:
+        for i in range(n):
+            v = [0.0] * 8
+            v[j] = 1.0
+            rows.append((j * 10 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.zeros((3, 8))
+    cents[0, 0] = 1.0
+    cents[1, 1] = 1.0
+    cents[2, 7] = 1.0
+    books = np.zeros((2, 5, 4))
+    for s in range(2):
+        for i in range(4):
+            books[s, 1 + i, i] = 1.0
+    # note: e_7's second-subspace slice is e_3 of that subspace... dim 7
+    # lives in subspace 1 at offset 3, representable exactly
+    coded = similarity.pq_encode(
+        similarity.with_ivf_assignment(df, "embedding", cents), "embedding", books
+    )
+    q = [1.0] + [0.0] * 7
+    one = similarity.ivf_pq_topk(
+        coded, "vec_id", "pq_code", q, books, cents, k=10, nprobe=1
+    ).collect()
+    assert [(r.vec_id, r.dist) for r in one] == [(0, 0.0), (1, 0.0), (2, 0.0)]
+    two = similarity.ivf_pq_topk(
+        coded, "vec_id", "pq_code", q, books, cents, k=10, nprobe=2
+    ).collect()
+    # stable probe order: tied cells 1 and 2 (both dist 2 from e_0) ->
+    # cell 1 probes first; its rows rank at ADC 2.0 behind cluster 0
+    assert [(r.vec_id, r.dist) for r in two] == [
+        (0, 0.0), (1, 0.0), (2, 0.0), (10, 2.0), (11, 2.0), (12, 2.0),
+    ]
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivf_pq_topk(
+            coded, "vec_id", "pq_code", q, books, cents, nprobe=0
+        )
