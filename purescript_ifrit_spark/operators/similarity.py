@@ -1398,3 +1398,86 @@ def ivf_pq_topk(
     probe = np.argsort(d2, kind="stable")[: min(nprobe, len(cents))]
     pruned = df.filter(F.col(cell_col).isin([int(c) for c in probe]))
     return pq_topk(pruned, id_col, code_col, query, codebooks, k)
+
+
+def pq_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    code_col: str,
+    queries: "np.ndarray",
+    query_ids: Sequence[int],
+    codebooks: "np.ndarray",
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k per query for a BATCH of query vectors — completing the
+    batch ANN family (cosine_topk_batch = brute, lsh/ivf_topk_batch =
+    pruned, this = compressed-domain; r12). Returns (query_id, id,
+    dist) with dist ascending per query.
+
+    Driver-side: the (Q, m, k) lookup-table tensor — query metadata,
+    not data. Each Arrow batch gathers its (B, m) code matrix against
+    the LUT (m numpy gathers, no matmul) and reduces to its LOCAL
+    per-query top-k inside the worker — the cosine_topk_batch partial
+    top-k contract, ascending: every row tied with the k-th distance is
+    kept, ranked by the same (dist asc, id asc) total order the final
+    WindowGroupLimit uses, so duplicate codes cannot flip the returned
+    set. The one exchange carries k rows per query per batch."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, nk, sub = books.shape
+    qm = np.asarray(queries, dtype=np.float64)  # (Q, dim)
+    qids = np.asarray(list(query_ids), dtype=np.int64)
+    _check_batch_ids(qm, qids)
+    if qm.shape[1] != m * sub:
+        raise ValueError(
+            f"query dim {qm.shape[1]} != codebook dim {m * sub} "
+            f"(m={m}, sub={sub})"
+        )
+    luts = np.stack(
+        [((books - q.reshape(m, 1, sub)) ** 2).sum(-1) for q in qm]
+    )  # (Q, m, k)
+    kk = int(k)
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"query_id long, {id_col} {id_type}, dist double"
+
+    def partial_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf[code_col].to_numpy()).astype(np.int64)
+            d = np.zeros((len(pdf), luts.shape[0]), dtype=np.float64)
+            for s in range(m):
+                d += luts[:, s, codes[:, s]].T  # (B, Q)
+            ids = pdf[id_col].to_numpy()
+            n = min(kk, len(pdf))
+            kth = np.partition(d, n - 1, axis=0)[n - 1]  # (Q,)
+            out_q, out_i, out_d = [], [], []
+            for j in range(d.shape[1]):
+                cand = np.nonzero(d[:, j] <= kth[j])[0]
+                order = cand[np.lexsort((ids[cand], d[cand, j]))][:n]
+                out_q.append(np.full(n, qids[j]))
+                out_i.append(ids[order])
+                out_d.append(d[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "dist": np.concatenate(out_d),
+                }
+            )
+
+    partial = df.select(id_col, code_col).mapInPandas(partial_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        partial.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= kk)
+        .select("query_id", F.col(id_col), "dist")
+    )

@@ -6278,3 +6278,63 @@ def test_ivf_pq_topk_composes_cell_pruning_with_adc(spark):
         similarity.ivf_pq_topk(
             coded, "vec_id", "pq_code", q, books, cents, nprobe=0
         )
+
+
+def test_pq_topk_batch_matches_single_and_numpy(spark):
+    """pq_topk_batch (r12): a 1-query batch equals pq_topk exactly
+    (values and set), multi-query results replay the numpy ADC
+    computation, and the parallel-ids guard covers the new entry
+    point."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    data = rng.standard_normal((80, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    books = similarity.pq_codebooks(df, "embedding", m=2, k=4, seed=1, sample=80)
+    coded = similarity.pq_encode(df, "embedding", books).cache()
+
+    q = data[11]
+    single = [
+        (r.vec_id, r.dist)
+        for r in similarity.pq_topk(
+            coded, "vec_id", "pq_code", q, books, k=7
+        ).collect()
+    ]
+    batch1 = [
+        (r.vec_id, r.dist)
+        for r in similarity.pq_topk_batch(
+            coded, "vec_id", "pq_code", np.array([q]), [42], books, k=7
+        ).collect()
+    ]
+    assert batch1 == single
+
+    queries = np.stack([data[11], data[50]])
+    out = similarity.pq_topk_batch(
+        coded, "vec_id", "pq_code", queries, [0, 1], books, k=5
+    ).collect()
+    codes = {r.vec_id: list(r.pq_code) for r in coded.collect()}
+    for qi in (0, 1):
+        lut = ((books - queries[qi].reshape(2, 1, 4)) ** 2).sum(-1)
+        want = sorted(
+            (float(lut[0][c[0]] + lut[1][c[1]]), i)
+            for i, c in codes.items()
+        )[:5]
+        got = sorted(
+            (r.dist, r.vec_id) for r in out if r.query_id == qi
+        )
+        assert len(got) == 5
+        for (wd, wi), (gd, gi) in zip(want, got):
+            assert wi == gi and abs(wd - gd) < 1e-12
+
+    with pytest.raises(ValueError, match="query_ids length"):
+        similarity.pq_topk_batch(
+            coded, "vec_id", "pq_code", queries, [0], books, k=5
+        )
+    with pytest.raises(ValueError, match="query dim"):
+        similarity.pq_topk_batch(
+            coded, "vec_id", "pq_code", np.zeros((1, 3)), [0], books, k=5
+        )
+    coded.unpersist()
