@@ -730,6 +730,16 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
     similarity.write_ivf_partitioned(
         t["embeddings"], "embedding", _cents16, f"{_r11_dir}/ivf"
     )
+    # r12 at-rest PQ codes: codebooks + encode are the one-time index
+    # build; the timed extra ranks the STORED codes (ADC), never vectors
+    _pq_books = similarity.pq_codebooks(
+        t["embeddings"], "embedding", m=8, k=16, seed=42
+    )
+    similarity.pq_encode(
+        t["embeddings"].select("vec_id", "embedding"), "embedding", _pq_books
+    ).select("vec_id", "pq_code").write.mode("overwrite").parquet(
+        f"{_r11_dir}/pq_codes"
+    )
 
     def qx_bm25_indexed_pruned():
         # stored term-sorted index + scan-level vocab screen (r11)
@@ -772,6 +782,30 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         return similarity.ann_recall_estimate(
             t["embeddings"], "vec_id", "embedding", queries,
             list(range(64)), approx, k=10, n_sample=16,
+        )
+
+    def qx_pq_batch():
+        # r12 compressed-domain batch ANN: 64 queries ADC-ranked against
+        # the stored (id, code) table — the scan never touches vectors
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        return similarity.pq_topk_batch(
+            spark.read.parquet(f"{_r11_dir}/pq_codes"),
+            "vec_id", "pq_code",
+            rng.standard_normal((64, 64)), list(range(64)), _pq_books,
+            k=10,
+        )
+
+    def qx_neardup_tables():
+        # r12 multi-table OR-construction near-dup mining (T=4 x 12
+        # planes): narrow band exchange + candidate-sized verification
+        tabs = [
+            similarity.make_hyperplanes(64, 12, seed=100 + s)
+            for s in range(4)
+        ]
+        return similarity.embedding_neardup_pairs(
+            t["embeddings"], "vec_id", "embedding", 0.9, tables=tabs
         )
 
     extra_queries = {
@@ -831,6 +865,8 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
         "qx_bm25_indexed_pruned": qx_bm25_indexed_pruned,
         "qx_ivf_partitioned": qx_ivf_partitioned,
         "qx_ann_recall": qx_ann_recall,
+        "qx_pq_batch": qx_pq_batch,
+        "qx_neardup_tables": qx_neardup_tables,
     }
 
     # JVM warm-up (parquet footers, codegen)
