@@ -33,6 +33,27 @@ def lit_vector(values: Sequence[float]) -> Column:
     return F.array(*[F.lit(v) for v in vals])
 
 
+def lit_matrix(rows: Sequence[Sequence[float]]) -> Column:
+    """Literal array<array<double>> for a constant matrix (a centroid
+    list, a PQ codebook, an LSH plane set) — ONE parsed expression, the
+    lit_vector treatment one level up (r12): unrolling N vector
+    constants through per-element F.lit paid N·dim py4j round trips of
+    driver time per plan. Finite values only (same bit-exactness
+    argument as lit_vector); non-finite or empty fall back to nested
+    per-element construction."""
+    mat = [[float(v) for v in r] for r in rows]
+    if mat and all(math.isfinite(v) for r in mat for v in r):
+        return F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(v) + "D" for v in r) + ")"
+                for r in mat
+            )
+            + ")"
+        )
+    return F.array(*[lit_vector(r) for r in mat])
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

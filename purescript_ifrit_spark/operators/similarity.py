@@ -698,9 +698,13 @@ def with_ivf_assignment(
     df: DataFrame, vec_col: str, centroids: "np.ndarray", out_col: str = "ivf_cell"
 ) -> DataFrame:
     """Assign each row to its nearest centroid (JVM-side: argmin over an
-    unrolled centroid list — nlist is small by construction)."""
-    dists = F.array(
-        *[V.l2_distance(F.col(vec_col), V.lit_vector(c)) for c in centroids]
+    unrolled centroid list — nlist is small by construction; r12: the
+    centroids ride one lit_matrix + transform instead of nlist
+    lambda-pair constructions, ~66 ms of driver time each — same
+    per-element arithmetic, identical assignments)."""
+    dists = F.transform(
+        V.lit_matrix(np.asarray(centroids, dtype=np.float64)),
+        lambda c: V.l2_distance(F.col(vec_col), c),
     )
     return df.withColumn(
         out_col, F.array_position(dists, F.array_min(dists)).cast("int") - 1
@@ -1218,22 +1222,6 @@ def mmr_topk(
 # ---------------------------------------------------------------------------
 
 
-def _sq_dist(a: Column, center: "np.ndarray") -> Column:
-    """Squared L2 distance from an array column to a fixed center —
-    codegen zip_with/aggregate, no sqrt (argmin/ADC only need the
-    monotone squared form, and skipping sqrt keeps ADC sums exact
-    sums-of-squares)."""
-    return F.aggregate(
-        F.zip_with(
-            a,
-            V.lit_vector([float(x) for x in center]),
-            lambda x, y: (x.cast("double") - y) ** 2,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def pq_codebooks(
     df: DataFrame,
     vec_col: str,
@@ -1312,7 +1300,19 @@ def pq_encode(
     codes = []
     for s in range(m):
         sl = F.slice(F.col(vec_col), s * sub + 1, sub)
-        dists = F.array(*[_sq_dist(sl, books[s][j]) for j in range(k)])
+        # r12: the k centers ride one lit_matrix + transform per
+        # subspace (not k lambda-pair constructions) — same arithmetic,
+        # identical codes, m+constant py4j calls instead of m*k
+        dists = F.transform(
+            V.lit_matrix(books[s]),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    sl, c, lambda x, y: (x.cast("double") - y) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
