@@ -750,3 +750,87 @@ def stage_time_ordered_replay(
         os.utime(fp, (base + i, base + i))
         out.append(fp)
     return out
+
+
+def score_ann_query_stream(
+    stream_queries: "DataFrame",
+    corpus: "DataFrame",
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: "str | None" = None,
+    code_col: "str | None" = None,
+    codebooks=None,
+    k: int = 10,
+    epoch_keyed: bool = False,
+):
+    """Streaming ANN retrieval against a STATIC corpus (r12) — the
+    score_query_stream shape with embedding queries: every arriving
+    micro-batch of query VECTORS is scored with a shared batch ANN
+    kernel and the per-query top-k lands in `out_dir`. Returns the
+    started StreamingQuery; await it, then read `out_dir`.
+
+    Exactly one mode:
+      * `vec_col=` — exact: cosine_topk_batch against the corpus
+        vectors (per-Arrow-batch matmul + tie-exact partial top-k);
+      * `code_col=` + `codebooks=` — compressed: pq_topk_batch against
+        the stored PQ codes (ADC; the scan never touches vectors).
+
+    Each micro-batch's (qid, vector) rows are collected to the driver —
+    micro-batches are metadata-sized, the exact precondition the batch
+    kernels document for their query side; the corpus side stays
+    distributed and static, so state never grows and batch boundaries
+    cannot change any query's top-k (per-query answers are
+    self-contained — the same argument score_query_stream pins with a
+    stream≡batch test; one float caveat: the exact kernel's per-batch
+    matmul can differ from an all-queries-at-once batch by 1 ulp of
+    BLAS summation order, so cross-path comparisons round to ~6dp —
+    integer/planted geometries are bit-equal). Delivery matches score_query_stream: default
+    append is at-least-once on replay; `epoch_keyed=True` writes
+    `out_dir/epoch=<id>` with OVERWRITE via write_epoch_keyed for
+    exactly-once, read back with read_epoch_keyed."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        cosine_topk_batch,
+        pq_topk_batch,
+    )
+
+    exact = vec_col is not None
+    compressed = code_col is not None or codebooks is not None
+    if exact == compressed:
+        raise ValueError(
+            "pass exactly one of vec_col= (exact) or code_col=+codebooks= "
+            "(compressed ADC)"
+        )
+    if compressed and (code_col is None or codebooks is None):
+        raise ValueError(
+            "compressed mode needs BOTH code_col= and codebooks="
+        )
+
+    def _score(batch_df: "DataFrame", epoch_id: int) -> None:
+        rows = batch_df.select(query_id_col, query_vec_col).collect()
+        if not rows:
+            return
+        qids = [r[0] for r in rows]
+        qm = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+        if exact:
+            out = cosine_topk_batch(corpus, id_col, vec_col, qm, qids, k=k)
+        else:
+            out = pq_topk_batch(
+                corpus, id_col, code_col, qm, qids, codebooks, k=k
+            )
+        if epoch_keyed:
+            write_epoch_keyed(out, out_dir, epoch_id)
+        else:
+            out.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_queries.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -625,3 +625,62 @@ def x_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "x_streaming_ann_planted",
+    # streaming ANN retrieval against the static planted basis corpus
+    # (r12): two query vectors (e_0, e_1) replayed as 2 micro-batches
+    # through score_ann_query_stream's exact kernel — the oracle is the
+    # x_ann_lsh_batch_planted closed form verbatim, because per-query
+    # answers are self-contained against a static corpus, so batch
+    # boundaries cannot change any query's top-k: each query returns
+    # its whole identical-vector cluster at cosine exactly 1.0
+    "SELECT CAST(q.qid AS BIGINT) AS query_id, e.vec_id, "
+    "CAST(1.0 AS DOUBLE) AS sim "
+    "FROM (SELECT 0 AS qid UNION ALL SELECT 1) q "
+    "JOIN embeddings e ON e.vec_id >= q.qid * 6 "
+    "AND e.vec_id < q.qid * 6 + 6",
+)
+def x_streaming_ann_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN scoring, driver-verified
+    (streaming/pipeline.score_ann_query_stream, r12): a vector-query
+    stream replayed through two micro-batches, each scored against the
+    STATIC planted corpus with the shared exact batch kernel
+    (cosine_topk_batch); the accumulated sink must equal the closed-form
+    per-query clusters."""
+    import shutil
+    import tempfile
+
+    from purescript_ifrit_spark.streaming.pipeline import (
+        score_ann_query_stream,
+    )
+    from purescript_ifrit_spark.suite.vectors import (
+        _planted_basis_embeddings,
+    )
+
+    corpus = _planted_basis_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    ).localCheckpoint(eager=True)
+    e0 = [1.0] + [0.0] * 31
+    e1 = [0.0, 1.0] + [0.0] * 30
+    qs = spark.createDataFrame(
+        [(0, e0), (1, e1)], "qid long, qvec array<double>"
+    )
+    dirs = [tempfile.mkdtemp(prefix=f"ifrit_sann_{n}_")
+            for n in ("src", "out", "ck")]
+    src, out, ck = dirs
+    try:
+        qs.repartition(2).write.mode("overwrite").parquet(src)
+        q = score_ann_query_stream(
+            spark.readStream.schema("qid long, qvec array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            corpus, out, checkpoint_dir=ck,
+            vec_col="embedding", k=6,
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

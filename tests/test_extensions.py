@@ -6338,3 +6338,86 @@ def test_pq_topk_batch_matches_single_and_numpy(spark):
             coded, "vec_id", "pq_code", np.zeros((1, 3)), [0], books, k=5
         )
     coded.unpersist()
+
+
+def test_score_ann_query_stream_matches_batch(spark, tmp_path):
+    """score_ann_query_stream (r12): a vector-query stream replayed in
+    micro-batches equals the batch kernel run on all queries at once —
+    both modes (exact cosine, compressed ADC) — and the mode guards
+    fire."""
+    import shutil
+
+    import numpy as np
+
+    from purescript_ifrit_spark.streaming.pipeline import (
+        score_ann_query_stream,
+    )
+
+    rng = np.random.RandomState(4)
+    data = rng.standard_normal((60, 8))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint(eager=True)
+    books = similarity.pq_codebooks(corpus, "embedding", m=2, k=4, seed=2, sample=60)
+    coded = similarity.pq_encode(corpus, "embedding", books).localCheckpoint(
+        eager=True
+    )
+    queries = data[[3, 17, 41]]
+    qs = spark.createDataFrame(
+        [(i, [float(x) for x in queries[i]]) for i in range(3)],
+        "qid long, qvec array<double>",
+    )
+    src = str(tmp_path / "src")
+    qs.repartition(3).write.mode("overwrite").parquet(src)
+
+    def run(**mode):
+        out = str(tmp_path / ("out_" + next(iter(mode))))
+        ck = str(tmp_path / ("ck_" + next(iter(mode))))
+        q = score_ann_query_stream(
+            spark.readStream.schema("qid long, qvec array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            mode.pop("_corpus"), out, checkpoint_dir=ck, k=5, **mode,
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(out)
+        shutil.rmtree(ck, ignore_errors=True)
+        return got
+
+    exact = run(vec_col="embedding", _corpus=corpus)
+    want = similarity.cosine_topk_batch(
+        corpus, "vec_id", "embedding", queries, [0, 1, 2], k=5
+    )
+    # 6dp: a 1-query micro-batch matmul (1x8) and the 3-query batch
+    # (3x8) differ by 1 ulp in BLAS summation order — the documented
+    # float caveat; exact equality is pinned on integer geometry by the
+    # x_streaming_ann_planted oracle
+    assert sorted(
+        (r.query_id, r.vec_id, round(r.sim, 6)) for r in exact.collect()
+    ) == sorted(
+        (r.query_id, r.vec_id, round(r.sim, 6)) for r in want.collect()
+    )
+
+    adc = run(code_col="pq_code", codebooks=books, _corpus=coded)
+    want_adc = similarity.pq_topk_batch(
+        coded, "vec_id", "pq_code", queries, [0, 1, 2], books, k=5
+    )
+    assert sorted(map(tuple, adc.collect())) == sorted(
+        map(tuple, want_adc.collect())
+    )
+
+    with pytest.raises(ValueError, match="exactly one"):
+        score_ann_query_stream(
+            qs, corpus, str(tmp_path / "o"), checkpoint_dir=str(tmp_path / "c")
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        score_ann_query_stream(
+            qs, corpus, str(tmp_path / "o"), checkpoint_dir=str(tmp_path / "c"),
+            vec_col="embedding", code_col="pq_code", codebooks=books,
+        )
+    with pytest.raises(ValueError, match="BOTH"):
+        score_ann_query_stream(
+            qs, corpus, str(tmp_path / "o"), checkpoint_dir=str(tmp_path / "c"),
+            code_col="pq_code",
+        )
