@@ -1481,3 +1481,93 @@ def pq_topk_batch(
         .filter(F.col("_rank") <= kk)
         .select("query_id", F.col(id_col), "dist")
     )
+
+
+def pq_topk_rerank(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    code_col: str,
+    query: Sequence[float],
+    codebooks: "np.ndarray",
+    k: int = 10,
+    overfetch: int = 4,
+) -> DataFrame:
+    """ADC shortlist → exact re-check, as one operation (r12): `pq_topk`
+    over the codes fetches k·overfetch candidates, then ONLY those rows'
+    full vectors are read back (a broadcast-joinable k·overfetch-row id
+    list against the corpus) and re-ranked by the EXACT squared L2
+    distance — the metric ADC approximates, so the rerank corrects
+    quantization error in place. Returns (id, dist) with dist the exact
+    squared distance, (dist asc, id asc) top-k.
+
+    Recall contract: exact within the shortlist — a true neighbor whose
+    ADC rank fell past k·overfetch stays lost; raise `overfetch` (the
+    cost is the shortlist join width, not a corpus pass) or measure
+    with ann_recall_estimate. At 100 TB the corpus pass reads (id,
+    code); full vectors are touched for k·overfetch rows only."""
+    if overfetch < 1:
+        raise ValueError(f"overfetch must be >= 1 (got {overfetch})")
+    cand = pq_topk(
+        df.select(id_col, code_col), id_col, code_col, query, codebooks,
+        k=int(k) * int(overfetch),
+    ).select(id_col)
+    q = np.asarray(list(query), dtype=np.float64)
+    exact = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            V.lit_vector(q),
+            lambda x, y: (x.cast("double") - y) ** 2,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), exact.alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_distortion_stats(
+    df: DataFrame,
+    vec_col: str,
+    code_col: str,
+    codebooks: "np.ndarray",
+) -> DataFrame:
+    """Codebook quality in one corpus pass (r12): per-row reconstruction
+    error ||v − decode(code)||² aggregated to (n_rows, mean_sq_error,
+    max_sq_error, mean_norm_sq) — the measurement that decides m/k
+    BEFORE committing a 100 TB encode (the ann_recall_estimate role for
+    PQ). Reconstruction is JVM-side: each subspace's center rides the
+    lit_matrix literal and element_at picks it by the stored code; the
+    aggregate is map-side-partial, nothing shuffles but one state row
+    per partition. mean_sq_error / mean_norm_sq is the relative
+    distortion; on a codebook-grid corpus it is exactly 0."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = books.shape
+    err = None
+    for s in range(m):
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        center = F.element_at(
+            V.lit_matrix(books[s]),
+            F.element_at(F.col(code_col), s + 1) + 1,
+        )
+        term = F.aggregate(
+            F.zip_with(sl, center, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        err = term if err is None else err + term
+    norm_sq = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    return df.select(err.alias("_e"), norm_sq.alias("_n")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg("_e").alias("mean_sq_error"),
+        F.max("_e").alias("max_sq_error"),
+        F.avg("_n").alias("mean_norm_sq"),
+    )

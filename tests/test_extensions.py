@@ -6421,3 +6421,79 @@ def test_score_ann_query_stream_matches_batch(spark, tmp_path):
             qs, corpus, str(tmp_path / "o"), checkpoint_dir=str(tmp_path / "c"),
             code_col="pq_code",
         )
+
+
+def test_pq_rerank_and_distortion(spark):
+    """pq_topk_rerank returns EXACT squared distances (matches a numpy
+    brute-force rerank over the ADC shortlist, and with overfetch
+    covering the corpus equals the exact L2 top-k outright);
+    pq_distortion_stats reads 0 on a codebook-grid corpus and the exact
+    numpy MSE on an off-grid one."""
+    import numpy as np
+
+    rng = np.random.RandomState(6)
+    data = rng.standard_normal((60, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    books = similarity.pq_codebooks(df, "embedding", m=2, k=4, seed=8, sample=60)
+    coded = similarity.pq_encode(df, "embedding", books).localCheckpoint(True)
+
+    q = data[21]
+    # overfetch covering the whole corpus -> exact L2 top-k
+    out = similarity.pq_topk_rerank(
+        coded, "vec_id", "embedding", "pq_code", q, books, k=5, overfetch=12
+    ).collect()
+    true_d = ((data - q) ** 2).sum(1)
+    want = sorted(zip(true_d, range(60)))[:5]
+    assert [(r.vec_id, round(r.dist, 10)) for r in out] == [
+        (i, round(float(d), 10)) for d, i in want
+    ]
+    # small overfetch: dists still exact, ids within the ADC shortlist
+    short = similarity.pq_topk_rerank(
+        coded, "vec_id", "embedding", "pq_code", q, books, k=3, overfetch=2
+    ).collect()
+    shortlist = {
+        r.vec_id
+        for r in similarity.pq_topk(
+            coded, "vec_id", "pq_code", q, books, k=6
+        ).collect()
+    }
+    for r in short:
+        assert r.vec_id in shortlist
+        assert abs(r.dist - true_d[r.vec_id]) < 1e-12
+    with pytest.raises(ValueError, match="overfetch"):
+        similarity.pq_topk_rerank(
+            coded, "vec_id", "embedding", "pq_code", q, books, overfetch=0
+        )
+
+    # distortion: exact numpy replay; zero on a grid corpus
+    codes = {r.vec_id: list(r.pq_code) for r in coded.collect()}
+    recon = np.stack(
+        [np.concatenate([books[s][codes[i][s]] for s in range(2)]) for i in range(60)]
+    )
+    errs = ((data - recon) ** 2).sum(1)
+    row = similarity.pq_distortion_stats(
+        coded, "embedding", "pq_code", books
+    ).collect()[0]
+    assert row.n_rows == 60
+    assert abs(row.mean_sq_error - errs.mean()) < 1e-9
+    assert abs(row.max_sq_error - errs.max()) < 1e-9
+    assert abs(row.mean_norm_sq - (data ** 2).sum(1).mean()) < 1e-9
+
+    grid_rows = []
+    for j in range(8):
+        v = [0.0] * 8
+        v[j] = 1.0
+        grid_rows.append((j, v))
+    grid = spark.createDataFrame(grid_rows, "vec_id long, embedding array<double>")
+    gbooks = np.zeros((2, 5, 4))
+    for s in range(2):
+        for i in range(4):
+            gbooks[s, 1 + i, i] = 1.0
+    gcoded = similarity.pq_encode(grid, "embedding", gbooks)
+    grow = similarity.pq_distortion_stats(
+        gcoded, "embedding", "pq_code", gbooks
+    ).collect()[0]
+    assert grow.mean_sq_error == 0.0 and grow.max_sq_error == 0.0
