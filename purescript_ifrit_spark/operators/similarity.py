@@ -1451,9 +1451,13 @@ def pq_topk_batch(
             if len(pdf) == 0:
                 continue
             codes = np.stack(pdf[code_col].to_numpy()).astype(np.int64)
-            d = np.zeros((len(pdf), luts.shape[0]), dtype=np.float64)
+            # accumulate in (Q, B) layout — luts[:, s, codes[:, s]] is a
+            # contiguous row gather; one transpose at the end instead of
+            # m transposed copies
+            dq = np.zeros((luts.shape[0], len(pdf)), dtype=np.float64)
             for s in range(m):
-                d += luts[:, s, codes[:, s]].T  # (B, Q)
+                dq += luts[:, s, codes[:, s]]
+            d = dq.T  # (B, Q)
             ids = pdf[id_col].to_numpy()
             n = min(kk, len(pdf))
             kth = np.partition(d, n - 1, axis=0)[n - 1]  # (Q,)
