@@ -131,5 +131,83 @@ def main():
     spark.stop()
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and os.environ.get("PQ_RESIDUAL_ONLY") != "1":
     main()
+
+
+def residual_section():
+    """Measured separately (same corpus/truth): residual IVF-PQ —
+    encode v - centroid[cell], rank with per-cell LUTs."""
+    from pyspark.sql import SparkSession
+
+    from purescript_ifrit_spark.operators import similarity as S
+
+    spark = SparkSession.getActiveSession()
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((64, DIM)) * 4.0
+    assign = rng.randint(0, 64, size=N_ROWS)
+    rows = centers[assign] + rng.standard_normal((N_ROWS, DIM)) * 0.5
+    q_assign = rng.randint(0, 64, size=N_QUERIES)
+    queries = centers[q_assign] + rng.standard_normal((N_QUERIES, DIM)) * 0.5
+
+    xn = (rows ** 2).sum(1)
+    df = spark.createDataFrame(
+        [(i, rows[i].tolist()) for i in range(N_ROWS)],
+        "vec_id long, embedding array<double>",
+    ).repartition(CPUS).cache()
+    df.count()
+
+    t0 = time.time()
+    cents = S.ivf_centroids(df, "embedding", nlist=64, seed=7, sample=8192)
+    cents = S.ivf_centroids_refine(df, "embedding", cents)
+    assigned = S.with_ivf_assignment(df, "embedding", cents)
+    resid = S.with_ivf_residual(assigned, "embedding", cents)
+    books = S.pq_codebooks(resid, "residual", m=8, k=256, seed=42, sample=8192)
+    coded = S.pq_encode(resid, "residual", books).select(
+        "vec_id", "ivf_cell", "pq_code"
+    ).cache()
+    coded.count()
+    build_s = time.time() - t0
+    rel = None
+    d = S.pq_distortion_stats(
+        S.pq_encode(resid, "residual", books), "residual", "pq_code", books
+    ).collect()[0]
+    rel = d.mean_sq_error / max(d.mean_norm_sq, 1e-12)
+
+    hits, t = 0, time.time()
+    n_eval = 16
+    for qi in range(n_eval):
+        truth = set(
+            np.argsort(xn - 2.0 * (rows @ queries[qi]), kind="stable")[:K].tolist()
+        )
+        got = {
+            r.vec_id
+            for r in S.ivf_pq_topk_residual(
+                coded, "vec_id", "pq_code", queries[qi], books, cents,
+                k=K, nprobe=4,
+            ).collect()
+        }
+        hits += len(got & truth)
+    print(json.dumps({
+        "path": "ivf_pq_residual(m=8,k=256,nprobe=4)",
+        "recall_at_10_vs_exact_l2": round(hits / (n_eval * K), 4),
+        "relative_residual_distortion": round(float(rel), 5),
+        "build_s": round(build_s, 1),
+        "sec_per_query": round((time.time() - t) / n_eval, 2),
+    }))
+
+
+if os.environ.get("PQ_RESIDUAL_ONLY") == "1":
+    # run just the residual section against a fresh session
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    residual_section()
+    spark.stop()

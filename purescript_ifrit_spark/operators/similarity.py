@@ -1575,3 +1575,89 @@ def pq_distortion_stats(
         F.max("_e").alias("max_sq_error"),
         F.avg("_n").alias("mean_norm_sq"),
     )
+
+
+def with_ivf_residual(
+    df: DataFrame,
+    vec_col: str,
+    centroids: "np.ndarray",
+    cell_col: str = "ivf_cell",
+    out_col: str = "residual",
+) -> DataFrame:
+    """Attach the IVF residual (vector − its cell's centroid), JVM-side:
+    the centroid rides the lit_matrix literal, element_at picks it by
+    the stored cell, zip_with subtracts in the scan stage. Train PQ
+    codebooks ON residuals (`pq_codebooks(..., 'residual')`) and encode
+    the residual column: residual magnitudes are the within-cell spread
+    — typically far smaller than raw vectors — so the same code budget
+    buys proportionally finer quantization (the IVF-PQ construction;
+    measured recovery on the r12 attestation geometry in SCALE.md)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    center = F.element_at(V.lit_matrix(cents), F.col(cell_col) + 1)
+    return df.withColumn(
+        out_col,
+        F.zip_with(
+            F.col(vec_col), center, lambda x, y: x.cast("double") - y
+        ),
+    )
+
+
+def ivf_pq_topk_residual(
+    df: DataFrame,
+    id_col: str,
+    code_col: str,
+    query: Sequence[float],
+    codebooks: "np.ndarray",
+    centroids: "np.ndarray",
+    k: int = 10,
+    nprobe: int = 4,
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF-PQ over RESIDUAL codes (r12): prune to the nprobe nearest
+    cells, then ADC-rank with a PER-CELL lookup table — for a row in
+    cell c, dist ≈ ||(q − centroid_c) − decode(code)||², so the table
+    is built from the query's residual against that cell. All tables
+    (nprobe × m × k doubles) are driver-built index metadata unrolled
+    as one 2-D literal; the row's table is picked by array_position of
+    its stored cell, and the scan still touches only (id, cell, code).
+
+    `df` carries `cell_col` (with_ivf_assignment / the
+    write_ivf_partitioned layout — the cell IN filter compiles to
+    PartitionFilters there) and `code_col` = pq_encode over the
+    `with_ivf_residual` column with residual-trained codebooks."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be positive (got {nprobe})")
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, nk, sub = books.shape
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(query), dtype=np.float64)
+    if len(q) != m * sub:
+        raise ValueError(
+            f"query dim {len(q)} != codebook dim {m * sub} (m={m}, sub={sub})"
+        )
+    d2 = ((cents - q) ** 2).sum(1)
+    probe = [int(c) for c in np.argsort(d2, kind="stable")[: min(nprobe, len(cents))]]
+    # per-cell flattened LUT rows: lut[c][s*nk + j] = ||(q - cent_c)_s - books[s][j]||^2
+    luts = []
+    for c in probe:
+        qr = (q - cents[c]).reshape(m, 1, sub)
+        luts.append(((books - qr) ** 2).sum(-1).reshape(m * nk))
+    pos = F.array_position(
+        F.expr("array(" + ",".join(str(c) for c in probe) + ")"),
+        F.col(cell_col),
+    )
+    row_lut = F.element_at(V.lit_matrix(np.stack(luts)), pos.cast("int"))
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            row_lut, F.lit(s * nk) + F.element_at(F.col(code_col), s + 1) + 1
+        )
+        dist = term if dist is None else dist + term
+    return (
+        df.filter(F.col(cell_col).isin(probe))
+        .select(F.col(id_col), dist.alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -6497,3 +6497,91 @@ def test_pq_rerank_and_distortion(spark):
         gcoded, "embedding", "pq_code", gbooks
     ).collect()[0]
     assert grow.mean_sq_error == 0.0 and grow.max_sq_error == 0.0
+
+
+def test_ivf_pq_residual_closed_form_and_numpy_replay(spark):
+    """Residual IVF-PQ (r12): with_ivf_residual subtracts the stored
+    cell's centroid exactly; on grid residuals the per-cell ADC
+    distances are the TRUE squared distances; on random data the whole
+    path (assign -> residual -> encode -> per-cell LUT rank) replays a
+    numpy computation exactly."""
+    import numpy as np
+
+    # closed form: 2 cells at +/-10*e_0 (dim 8), members = center + e_j
+    cents = np.zeros((2, 8))
+    cents[0, 0] = 10.0
+    cents[1, 0] = -10.0
+    rows = []
+    vid = 0
+    for c in range(2):
+        for j in range(4):
+            v = cents[c].copy()
+            v[4 + j] += 1.0  # residual = e_{4+j}, on the codebook grid
+            rows.append((vid, v.tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    gbooks = np.zeros((2, 5, 4))
+    for s in range(2):
+        for i in range(4):
+            gbooks[s, 1 + i, i] = 1.0
+    assigned = similarity.with_ivf_assignment(df, "embedding", cents)
+    resid = similarity.with_ivf_residual(assigned, "embedding", cents)
+    # residuals are exactly e_{4+j}
+    for r in resid.collect():
+        want = [0.0] * 8
+        want[4 + r.vec_id % 4] = 1.0
+        assert list(r.residual) == want, (r.vec_id, list(r.residual))
+    coded = similarity.pq_encode(resid, "residual", gbooks)
+
+    # query = center 0 + e_4: true sq dists within cell 0 are 0,2,2,2
+    qv = cents[0].copy()
+    qv[4] += 1.0
+    out = similarity.ivf_pq_topk_residual(
+        coded, "vec_id", "pq_code", qv.tolist(), gbooks, cents,
+        k=4, nprobe=1,
+    ).collect()
+    assert [(r.vec_id, r.dist) for r in out] == [
+        (0, 0.0), (1, 2.0), (2, 2.0), (3, 2.0),
+    ]
+    # nprobe=1 isolation: cell-1 rows can never appear
+    assert all(r.vec_id < 4 for r in out)
+
+    # numpy replay on random data
+    rng = np.random.RandomState(13)
+    data = rng.standard_normal((90, 8)) + np.repeat(
+        rng.standard_normal((3, 8)) * 6.0, 30, axis=0
+    )
+    rdf = spark.createDataFrame(
+        [(i, data[i].tolist()) for i in range(90)],
+        "vec_id long, embedding array<double>",
+    )
+    rcents = np.stack([data[:30].mean(0), data[30:60].mean(0), data[60:].mean(0)])
+    ra = similarity.with_ivf_assignment(rdf, "embedding", rcents)
+    rr = similarity.with_ivf_residual(ra, "embedding", rcents)
+    rbooks = similarity.pq_codebooks(rr, "residual", m=2, k=4, seed=3, sample=90)
+    rc = similarity.pq_encode(rr, "residual", rbooks).localCheckpoint(True)
+    q = data[45]
+    got = similarity.ivf_pq_topk_residual(
+        rc, "vec_id", "pq_code", q, rbooks, rcents, k=6, nprobe=2
+    ).collect()
+    # numpy: same assignment, residual, encode, per-cell LUT
+    cells = {r.vec_id: r.ivf_cell for r in ra.collect()}
+    codes = {r.vec_id: list(r.pq_code) for r in rc.collect()}
+    d2c = ((rcents - q) ** 2).sum(1)
+    probe = list(np.argsort(d2c, kind="stable")[:2])
+    want = []
+    for i in range(90):
+        c = cells[i]
+        if c not in probe:
+            continue
+        qr = (q - rcents[c]).reshape(2, 1, 4)
+        lut = ((rbooks - qr) ** 2).sum(-1)
+        want.append((float(lut[0][codes[i][0]] + lut[1][codes[i][1]]), i))
+    want = sorted(want)[:6]
+    assert [(r.vec_id, round(r.dist, 10)) for r in got] == [
+        (i, round(d, 10)) for d, i in want
+    ]
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivf_pq_topk_residual(
+            rc, "vec_id", "pq_code", q, rbooks, rcents, nprobe=0
+        )
