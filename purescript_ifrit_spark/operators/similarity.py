@@ -1661,3 +1661,121 @@ def ivf_pq_topk_residual(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_pq_topk_residual_batch(
+    df: DataFrame,
+    id_col: str,
+    code_col: str,
+    queries: "np.ndarray",
+    query_ids: Sequence[int],
+    codebooks: "np.ndarray",
+    centroids: "np.ndarray",
+    k: int = 10,
+    nprobe: int = 4,
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Residual IVF-PQ for a BATCH of queries (r12) — the production
+    shape the single-query form's plan-size note points to: per-query
+    LUT literals grow nprobe·m·k, but here every lookup table lives in
+    the closure as ONE numpy tensor and the plan stays constant-sized.
+
+    Driver-side: each query's nprobe nearest cells (stable argsort — a
+    1-query batch probes the same cells as ivf_pq_topk_residual and
+    returns its exact ranking, test-pinned) become a cell →
+    (probing-query indices, per-query LUT tensor) map; LUT[s][j] =
+    ||(q − centroid_cell)_s − books[s][j]||². Spark-side: one Arrow
+    mapInPandas over (id, cell, code) — rows in unprobed cells drop,
+    each cell block gathers its codes against only ITS probing
+    queries' LUTs (m numpy gathers, no matmul), then reduces to the
+    tie-exact worker-local per-query top-k (dist asc, id asc — the
+    pq_topk_batch contract). One exchange of k rows per query per
+    batch, WindowGroupLimit window. Over a cell-partitioned layout,
+    pre-filter with `.filter(col(cell_col).isin(all probed cells))`
+    to get partition pruning before the Arrow stage."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be positive (got {nprobe})")
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, nk, sub = books.shape
+    cents = np.asarray(centroids, dtype=np.float64)
+    qm = np.asarray(queries, dtype=np.float64)
+    qids = np.asarray(list(query_ids), dtype=np.int64)
+    _check_batch_ids(qm, qids)
+    if qm.shape[1] != m * sub:
+        raise ValueError(
+            f"query dim {qm.shape[1]} != codebook dim {m * sub} "
+            f"(m={m}, sub={sub})"
+        )
+    d2 = ((cents[None, :, :] - qm[:, None, :]) ** 2).sum(-1)  # (Q, nlist)
+    probe = np.argsort(d2, axis=1, kind="stable")[:, : min(nprobe, len(cents))]
+    cell_map: dict = {}
+    for qi in range(len(qm)):
+        for c in probe[qi]:
+            cell_map.setdefault(int(c), []).append(qi)
+    cell_luts = {}
+    for c, qidx in cell_map.items():
+        qr = qm[qidx] - cents[c]  # (nq_c, dim)
+        # (nq_c, m, k): per probing query, per subspace, per center
+        cell_luts[c] = (
+            np.asarray(qidx, dtype=np.int64),
+            ((books[None, :, :, :]
+              - qr.reshape(len(qidx), m, 1, sub)) ** 2).sum(-1),
+        )
+    kk = int(k)
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"query_id long, {id_col} {id_type}, dist double"
+
+    def partial_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = pdf[cell_col].to_numpy()
+            codes = np.stack(pdf[code_col].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_i, out_d = [], [], []
+            for c in np.unique(cells):
+                got = cell_luts.get(int(c))
+                if got is None:
+                    continue  # unprobed cell
+                qidx, luts = got  # luts: (nq, m, k)
+                sel = np.nonzero(cells == c)[0]
+                cc = codes[sel]  # (B_c, m)
+                dq = np.zeros((len(qidx), len(sel)), dtype=np.float64)
+                for s in range(m):
+                    dq += luts[:, s, cc[:, s]]
+                cids = ids[sel]
+                n = min(kk, len(sel))
+                kth = np.partition(dq, n - 1, axis=1)[:, n - 1]  # (nq,)
+                for j in range(len(qidx)):
+                    cand = np.nonzero(dq[j] <= kth[j])[0]
+                    order = cand[np.lexsort((cids[cand], dq[j, cand]))][:n]
+                    out_q.append(np.full(n, qids[qidx[j]]))
+                    out_i.append(cids[order])
+                    out_d.append(dq[j, order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        id_col: np.concatenate(out_i),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
+
+    partial = df.select(id_col, cell_col, code_col).mapInPandas(
+        partial_topk, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        partial.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= kk)
+        .select("query_id", F.col(id_col), "dist")
+    )

@@ -6585,3 +6585,70 @@ def test_ivf_pq_residual_closed_form_and_numpy_replay(spark):
         similarity.ivf_pq_topk_residual(
             rc, "vec_id", "pq_code", q, rbooks, rcents, nprobe=0
         )
+
+
+def test_ivf_pq_residual_batch_matches_single(spark):
+    """ivf_pq_topk_residual_batch (r12): a 1-query batch equals the
+    single-query JVM-LUT path exactly, a multi-query batch replays the
+    numpy computation, and unprobed-cell rows never appear."""
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    data = rng.standard_normal((90, 8)) + np.repeat(
+        rng.standard_normal((3, 8)) * 6.0, 30, axis=0
+    )
+    df = spark.createDataFrame(
+        [(i, data[i].tolist()) for i in range(90)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.stack([data[:30].mean(0), data[30:60].mean(0), data[60:].mean(0)])
+    ra = similarity.with_ivf_assignment(df, "embedding", cents)
+    rr = similarity.with_ivf_residual(ra, "embedding", cents)
+    books = similarity.pq_codebooks(rr, "residual", m=2, k=4, seed=5, sample=90)
+    coded = similarity.pq_encode(rr, "residual", books).localCheckpoint(True)
+
+    q = data[10]
+    single = [
+        (r.vec_id, r.dist)
+        for r in similarity.ivf_pq_topk_residual(
+            coded, "vec_id", "pq_code", q, books, cents, k=6, nprobe=2
+        ).collect()
+    ]
+    batch1 = [
+        (r.vec_id, r.dist)
+        for r in similarity.ivf_pq_topk_residual_batch(
+            coded, "vec_id", "pq_code", np.array([q]), [77], books, cents,
+            k=6, nprobe=2,
+        ).collect()
+    ]
+    assert batch1 == single
+
+    queries = np.stack([data[10], data[40], data[70]])
+    out = similarity.ivf_pq_topk_residual_batch(
+        coded, "vec_id", "pq_code", queries, [0, 1, 2], books, cents,
+        k=5, nprobe=1,
+    ).collect()
+    cells = {r.vec_id: r.ivf_cell for r in coded.collect()}
+    codes = {r.vec_id: list(r.pq_code) for r in coded.collect()}
+    for qi in range(3):
+        d2c = ((cents - queries[qi]) ** 2).sum(1)
+        c = int(np.argsort(d2c, kind="stable")[0])
+        qr = (queries[qi] - cents[c]).reshape(2, 1, 4)
+        lut = ((books - qr) ** 2).sum(-1)
+        want = sorted(
+            (float(lut[0][codes[i][0]] + lut[1][codes[i][1]]), i)
+            for i in range(90)
+            if cells[i] == c
+        )[:5]
+        got = [(r.dist, r.vec_id) for r in out if r.query_id == qi]
+        got = sorted(got)
+        assert [(i, round(d, 10)) for d, i in want] == [
+            (i, round(d, 10)) for d, i in got
+        ]
+        # nprobe=1: every returned row lives in the probed cell
+        for _, i in got:
+            assert cells[i] == c
+    with pytest.raises(ValueError, match="query_ids length"):
+        similarity.ivf_pq_topk_residual_batch(
+            coded, "vec_id", "pq_code", queries, [0], books, cents
+        )
