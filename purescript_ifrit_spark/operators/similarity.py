@@ -1779,3 +1779,45 @@ def ivf_pq_topk_residual_batch(
         .filter(F.col("_rank") <= kk)
         .select("query_id", F.col(id_col), "dist")
     )
+
+
+def write_ivf_pq_partitioned(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: "np.ndarray",
+    codebooks: "np.ndarray",
+    path: str,
+    *,
+    residual: bool = True,
+    keep_vector: bool = False,
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the composed at-rest ANN index (r12): assign cells,
+    (residual-)PQ-encode, write hive-partitioned by cell — so an
+    `ivf_pq_topk_residual[_batch]` reader gets BOTH prunings at once:
+    the probed-cells IN filter compiles to PartitionFilters (unprobed
+    cells' files never listed) and each surviving row is m code bytes,
+    not dim floats. `keep_vector=True` additionally stores the vector
+    column for `pq_topk_rerank`-style exact re-checks — the layout
+    then trades scan width for shortlist locality. Keep centroids AND
+    codebooks with the layout (index metadata); codes are only valid
+    for the codebooks (and, in residual mode, centroids) they were
+    computed from. `residual=False` writes raw-vector codes for plain
+    `pq_topk`/`pq_topk_batch` over a cell-pruned scan (`ivf_pq_topk`)."""
+    assigned = with_ivf_assignment(df, vec_col, centroids, out_col=cell_col)
+    if residual:
+        src = with_ivf_residual(
+            assigned, vec_col, centroids, cell_col, out_col="_res"
+        )
+        enc_col = "_res"
+    else:
+        src, enc_col = assigned, vec_col
+    coded = pq_encode(src, enc_col, codebooks, out_col=code_col)
+    if residual:
+        coded = coded.drop("_res")
+    if not keep_vector:
+        coded = coded.drop(vec_col)
+    coded.write.partitionBy(cell_col).mode(mode).parquet(path)

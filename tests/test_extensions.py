@@ -6652,3 +6652,56 @@ def test_ivf_pq_residual_batch_matches_single(spark):
         similarity.ivf_pq_topk_residual_batch(
             coded, "vec_id", "pq_code", queries, [0], books, cents
         )
+
+
+def test_write_ivf_pq_partitioned_layout(spark, tmp_path):
+    """write_ivf_pq_partitioned (r12): the stored layout round-trips —
+    a probe over the read-back equals the in-memory path exactly, the
+    probed-cells filter compiles to PartitionFilters on the scan, and
+    keep_vector=False drops the wide column."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    data = rng.standard_normal((90, 8)) + np.repeat(
+        rng.standard_normal((3, 8)) * 6.0, 30, axis=0
+    )
+    df = spark.createDataFrame(
+        [(i, data[i].tolist()) for i in range(90)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.stack([data[:30].mean(0), data[30:60].mean(0), data[60:].mean(0)])
+    ra = similarity.with_ivf_assignment(df, "embedding", cents)
+    rr = similarity.with_ivf_residual(ra, "embedding", cents)
+    books = similarity.pq_codebooks(rr, "residual", m=2, k=4, seed=5, sample=90)
+
+    path = str(tmp_path / "ivfpq")
+    similarity.write_ivf_pq_partitioned(
+        df, "vec_id", "embedding", cents, books, path
+    )
+    stored = spark.read.parquet(path)
+    assert "embedding" not in stored.columns
+    assert set(stored.columns) == {"vec_id", "pq_code", "ivf_cell"}
+
+    q = data[40]
+    mem = similarity.pq_encode(rr, "residual", books)
+    want = [
+        (r.vec_id, r.dist)
+        for r in similarity.ivf_pq_topk_residual(
+            mem, "vec_id", "pq_code", q, books, cents, k=6, nprobe=2
+        ).collect()
+    ]
+    got_df = similarity.ivf_pq_topk_residual(
+        stored, "vec_id", "pq_code", q, books, cents, k=6, nprobe=2
+    )
+    assert [(r.vec_id, r.dist) for r in got_df.collect()] == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [ivf_cell" in plan.replace(
+        "PartitionFilters: [isnotnull(ivf_cell", "PartitionFilters: [ivf_cell"
+    ), plan[-900:]
+
+    # keep_vector=True stores the wide column for rerank layouts
+    path2 = str(tmp_path / "ivfpq_v")
+    similarity.write_ivf_pq_partitioned(
+        df, "vec_id", "embedding", cents, books, path2, keep_vector=True
+    )
+    assert "embedding" in spark.read.parquet(path2).columns
