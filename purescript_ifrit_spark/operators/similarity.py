@@ -1821,3 +1821,78 @@ def write_ivf_pq_partitioned(
     if not keep_vector:
         coded = coded.drop(vec_col)
     coded.write.partitionBy(cell_col).mode(mode).parquet(path)
+
+
+def embedding_contamination(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bench: DataFrame,
+    bench_id_col: str,
+    bench_vec_col: str,
+    threshold: float = 0.95,
+    max_bench: int = 100_000,
+) -> DataFrame:
+    """Benchmark decontamination at the EMBEDDING level (r12) — the
+    cosine complement to contamination.ngram_contamination: for every
+    corpus row, its max cosine against the benchmark embedding set and
+    the benchmark item achieving it. Returns (id, nearest_bench_id,
+    max_sim, contaminated) with contaminated = max_sim >= threshold;
+    ties on max_sim resolve to the LOWEST bench id (deterministic).
+
+    Scale shape: benchmark sets are SMALL by definition, so the bench
+    matrix is driver-collected (guarded by `max_bench` — past it this
+    is no longer a contamination screen; use knn_join_lsh) and ships in
+    the Arrow closure; ONE corpus pass does a per-batch matmul and
+    keeps only the row-wise max — nothing corpus-sized shuffles, the
+    output is one narrow row per input row. Zero-norm vectors (either
+    side) contribute cosine 0, the suite-wide convention."""
+    rows = (
+        bench.select(bench_id_col, bench_vec_col)
+        .orderBy(F.col(bench_id_col).asc())
+        .limit(int(max_bench) + 1)
+        .collect()
+    )
+    if len(rows) > max_bench:
+        raise ValueError(
+            f"bench has more than max_bench={max_bench} rows — an "
+            "embedding contamination screen expects a benchmark-sized "
+            "right side; for corpus-sized pairs use knn_join_lsh or "
+            "embedding_neardup_pairs(tables=...)"
+        )
+    if not rows:
+        raise ValueError("bench is empty")
+    bids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    bm = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    bnorm = np.linalg.norm(bm, axis=1)
+    bnorm[bnorm == 0] = 1.0
+    thr = float(threshold)
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, nearest_bench_id long, max_sim double, "
+        "contaminated boolean"
+    )
+
+    def screen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy())
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (m @ bm.T) / norms[:, None] / bnorm[None, :]  # (B, nb)
+            best = sims.argmax(axis=1)  # first max = lowest bench id
+            mx = sims[np.arange(len(pdf)), best]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "nearest_bench_id": bids[best],
+                    "max_sim": mx,
+                    "contaminated": mx >= thr,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(screen, out_schema)

@@ -298,7 +298,6 @@ _R12_BACKFILL_R8 = [
     "x_dedup_exact",
     "x_dedup_minhash_planted",
     "x_dedup_incremental_planted",
-    "x_dedup_simhash_planted",
 ]
 
 _DRIVER_WINDOW_R12 = [
@@ -316,6 +315,7 @@ _DRIVER_WINDOW_R12 = [
     "x_ivf_refined_planted",         # displaced x_text_quality
     "x_pq_adc_planted",              # displaced x_text_token_count
     "x_streaming_ann_planted",       # displaced x_curate_exact
+    "x_embedding_contamination_planted",  # displaced x_dedup_simhash_planted
 ]
 
 # Explicit r13 plan (stated NOW, at r12 round start): the r8-cohort
@@ -334,6 +334,8 @@ _R13_SPILL = [
     "x_text_quality",  # displaced by x_ivf_refined_planted
     "x_text_token_count",  # displaced by x_pq_adc_planted
     "x_curate_exact",  # displaced by x_streaming_ann_planted
+    "x_dedup_simhash_planted",  # displaced by
+                                # x_embedding_contamination_planted
     "x_fingerprint",
     "x_token_rarity",
     "x_contamination",

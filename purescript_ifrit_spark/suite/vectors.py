@@ -1034,3 +1034,45 @@ def x_pq_adc_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         coded, "vec_id", "pq_code", [1.0] + [0.0] * 31, books, k=12
     )
+
+
+@register(
+    "x_embedding_contamination_planted",
+    # embedding-level benchmark decontamination (r12) under the planted
+    # basis geometry: bench = e_0..e_3 (bids 0-3), corpus clusters
+    # 0-3 hit their own bench vector at cosine exactly 1.0 (identical
+    # vectors, no float accumulation), clusters 4-15 are orthogonal to
+    # every bench vector (all sims exactly 0.0) and resolve to the
+    # LOWEST bench id by the first-max tie rule — every output value
+    # closed-form
+    "SELECT vec_id, "
+    "CAST(CASE WHEN vec_id // 6 < 4 THEN vec_id // 6 ELSE 0 END AS BIGINT) "
+    "AS nearest_bench_id, "
+    "CASE WHEN vec_id // 6 < 4 THEN CAST(1.0 AS DOUBLE) "
+    "ELSE CAST(0.0 AS DOUBLE) END AS max_sim, "
+    "vec_id // 6 < 4 AS contaminated "
+    "FROM embeddings WHERE vec_id < 96",
+)
+def x_embedding_contamination_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine benchmark decontamination
+    (operators/similarity.embedding_contamination, r12): one Arrow
+    corpus pass against the driver-collected bench matrix — under
+    planted inputs whose max-sims, nearest ids and flags are
+    closed-form."""
+    corpus = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    bench_rows = []
+    for j in range(4):
+        v = [0.0] * 32
+        v[j] = 1.0
+        bench_rows.append((j, v))
+    bench = spark.createDataFrame(
+        bench_rows, "bid long, embedding array<double>"
+    )
+    from purescript_ifrit_spark.operators.similarity import (
+        embedding_contamination,
+    )
+
+    return embedding_contamination(
+        corpus, "vec_id", "embedding", bench, "bid", "embedding",
+        threshold=0.95,
+    )

@@ -6705,3 +6705,63 @@ def test_write_ivf_pq_partitioned_layout(spark, tmp_path):
         df, "vec_id", "embedding", cents, books, path2, keep_vector=True
     )
     assert "embedding" in spark.read.parquet(path2).columns
+
+
+def test_embedding_contamination_screen(spark):
+    """embedding_contamination (r12): exact numpy replay on random
+    data (max sim + first-max/lowest-id tie rule), closed form on the
+    basis geometry, and the bench-size/empty guards."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    data = rng.standard_normal((50, 8))
+    corpus = spark.createDataFrame(
+        [(i, data[i].tolist()) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    bdata = np.vstack([data[3], data[20], rng.standard_normal(8)])
+    bench = spark.createDataFrame(
+        [(10 + i, bdata[i].tolist()) for i in range(3)],
+        "bid long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: (r.nearest_bench_id, r.max_sim, r.contaminated)
+        for r in similarity.embedding_contamination(
+            corpus, "vec_id", "embedding", bench, "bid", "embedding", 0.99
+        ).collect()
+    }
+    bn = bdata / np.linalg.norm(bdata, axis=1, keepdims=True)
+    dn = data / np.linalg.norm(data, axis=1, keepdims=True)
+    sims = dn @ bn.T
+    for i in range(50):
+        j = int(sims[i].argmax())
+        want = (10 + j, float(sims[i, j]), bool(sims[i, j] >= 0.99))
+        got = out[i]
+        assert got[0] == want[0] and abs(got[1] - want[1]) < 1e-12
+        assert got[2] == want[2]
+    # rows 3 and 20 are exact bench members: contaminated at sim 1.0
+    assert out[3][2] and out[20][2]
+    assert abs(out[3][1] - 1.0) < 1e-12
+
+    # tie rule: orthogonal corpus row vs two identical bench rows ->
+    # lowest bench id
+    tie_bench = spark.createDataFrame(
+        [(7, [1.0] + [0.0] * 7), (5, [1.0] + [0.0] * 7)],
+        "bid long, embedding array<double>",
+    )
+    t = similarity.embedding_contamination(
+        corpus.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+        tie_bench, "bid", "embedding",
+    ).collect()[0]
+    assert t.nearest_bench_id == 5
+
+    with pytest.raises(ValueError, match="max_bench"):
+        similarity.embedding_contamination(
+            corpus, "vec_id", "embedding", bench, "bid", "embedding",
+            max_bench=2,
+        )
+    with pytest.raises(ValueError, match="empty"):
+        similarity.embedding_contamination(
+            corpus, "vec_id", "embedding",
+            bench.filter(F.lit(False)), "bid", "embedding",
+        )
