@@ -196,6 +196,10 @@ def embedding_neardup_pairs(
       all-zero vectors): bucket sizes are a (T·bucket)-sized aggregate
       joined back to the band; `on_capped='error'` fails the task
       in-plan instead of silently dropping recall (dedup.py contract).
+      The single-emission predicate is CAP-AWARE (ADVICE r12): a table
+      whose bucket was dropped by the cap counts as "did not match", so
+      a pair capped in one table is still emitted from its first
+      surviving shared table instead of being suppressed everywhere.
 
     The exact all-pairs mode (no blocking) is an O(n²) cross join — an
     evaluation tool, never a scale path — so it must be opted into with
@@ -250,6 +254,37 @@ def embedding_neardup_pairs(
             else:
                 sizes = sizes.filter(F.col("_bn") <= max_bucket)
             band = band.join(sizes.select("_t", "_bkt"), ["_t", "_bkt"])
+            if on_capped == "allow":
+                # ADVICE r12: the single-emission predicate below must
+                # treat a table whose bucket the cap DROPPED as "did not
+                # match" — on raw signatures, a pair capped in table 0
+                # but co-bucketed in an uncapped table-1 bucket was
+                # suppressed in every later table too, silently breaking
+                # the 1-(1-p^P)^T recall model. Rebuild _sigs with
+                # capped entries nulled (null == null is null, so the
+                # zip_with agreement check skips them): one narrow
+                # (id -> surviving-table map) aggregate over the
+                # already-capped band, joined back by id — band rows
+                # stay (id, T longs)-sized, vectors still never enter.
+                surv = band.groupBy("_nid").agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("_t", "_bkt"))
+                    ).alias("_surv")
+                )
+                band = (
+                    band.join(surv, "_nid")
+                    .withColumn(
+                        "_sigs",
+                        F.transform(
+                            "_sigs",
+                            lambda x, i: F.when(
+                                F.element_at(F.col("_surv"), i).isNotNull(),
+                                x,
+                            ),
+                        ),
+                    )
+                    .drop("_surv")
+                )
         a = band.select(
             F.col("_nid").alias("id_a"), F.col("_sigs").alias("_sa"),
             "_t", "_bkt",
@@ -960,7 +995,11 @@ def ann_recall_estimate(
     # deterministic (sim desc, id asc) order before the hit join: an
     # approx frame produced with a larger k — or a union of several
     # answers — would otherwise silently inflate recall@k (r12, ADVICE
-    # r11). Frames already at k pass through unchanged.
+    # r11). Duplicate (query_id, id) rows collapse to their best sim
+    # BEFORE the rank-limit (ADVICE r12): ranking first let duplicates
+    # occupy top-k slots, silently UNDERestimating recall for exactly
+    # the union-of-answers input the limit exists for. Frames already
+    # at k distinct ids pass through unchanged.
     from pyspark.sql import Window
 
     aw = Window.partitionBy("query_id").orderBy(
@@ -968,6 +1007,8 @@ def ann_recall_estimate(
     )
     approx_ids = (
         approx.filter(F.col("query_id").isin(sample_ids))
+        .groupBy("query_id", id_col)
+        .agg(F.max("sim").alias("sim"))
         .withColumn("_arank", F.row_number().over(aw))
         .filter(F.col("_arank") <= k)
         .select("query_id", id_col)
@@ -977,9 +1018,9 @@ def ann_recall_estimate(
     ).cast("long")
     return (
         truth.join(
-            approx_ids.withColumn("_hit", F.lit(1)).dropDuplicates(
-                ["query_id", id_col]
-            ),
+            # approx_ids is already distinct per (query_id, id): the
+            # pre-rank groupBy above collapsed duplicates
+            approx_ids.withColumn("_hit", F.lit(1)),
             ["query_id", id_col],
             "left",
         )

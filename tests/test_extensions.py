@@ -6765,3 +6765,78 @@ def test_embedding_contamination_screen(spark):
             corpus, "vec_id", "embedding",
             bench.filter(F.lit(False)), "bid", "embedding",
         )
+
+
+def test_embedding_neardup_cap_is_table_local_for_single_emission(spark):
+    """ADVICE r12 (r13 fix): with `tables=` + `max_bucket` +
+    on_capped='allow', the first-shared-table single-emission predicate
+    used to check RAW signature agreement — a pair whose table-0 bucket
+    was dropped by the cap was suppressed in every later table too, so a
+    true near-dup sharing an uncapped small bucket in table 1 was
+    silently lost. The predicate is now cap-aware: "no earlier table
+    matched" means "no earlier UNCAPPED table matched"."""
+    import math
+
+    # table 0: one plane every vector is on the positive side of -> ONE
+    # bucket of 12 rows, capped at max_bucket=10. table 1: separates the
+    # planted pair (positive y) from the 10 fillers (negative y) -> the
+    # pair's table-1 bucket holds 2 rows and survives the cap.
+    tables = [[[1.0, 0.0]], [[0.0, 1.0]]]
+    pair = [(100, [1.0, 1.0]), (101, [1.0, 1.002])]
+    fillers = [
+        (i, [math.cos(-0.05 - 0.1 * i), math.sin(-0.05 - 0.1 * i)])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(pair + fillers, ["vec_id", "embedding"])
+
+    got = similarity.embedding_neardup_pairs(
+        df, "vec_id", "embedding", 0.9999, tables=tables, max_bucket=10
+    ).collect()
+    # pre-fix this returned [] — table-0 raw agreement suppressed the
+    # pair even though table 0 never generated the candidate
+    assert [(r.id_a, r.id_b) for r in got] == [(100, 101)]
+
+    # single emission still holds when the surviving tables overlap:
+    # without any cap the pair shares BOTH buckets and appears once
+    uncapped = similarity.embedding_neardup_pairs(
+        df, "vec_id", "embedding", 0.9999, tables=tables
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in uncapped] == [(100, 101)]
+    # and on_capped='error' still fails loudly on the capped bucket
+    with pytest.raises(Exception, match="max_bucket"):
+        similarity.embedding_neardup_pairs(
+            df, "vec_id", "embedding", 0.9999, tables=tables,
+            max_bucket=10, on_capped="error",
+        ).collect()
+
+
+def test_ann_recall_estimate_dedups_before_rank_limit(spark):
+    """ADVICE r12 (r13 fix): ann_recall_estimate rank-limited the approx
+    frame to k rows per query BEFORE deduplicating (query_id, id) — for
+    the motivating union-of-several-answers input, duplicate ids
+    occupied top-k ranks and distinct hits < k, silently
+    UNDERestimating recall. Duplicates now collapse to their best sim
+    before the rank-limit."""
+    import numpy as np
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.995, 0.0999]), (2, [0.9, 0.436]),
+         (3, [0.5, 0.866])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = np.array([[1.0, 0.0]])
+    # union of two answers: id 0 appears twice (slightly different
+    # reported sims). truth@2 = [0, 1]; the distinct @2 prefix is
+    # [0, 1] -> recall 2/2. Pre-fix the duplicate id-0 rows filled both
+    # top-2 ranks and recall read 1/2.
+    approx = spark.createDataFrame(
+        [(10, 0, 1.0), (10, 0, 0.9999), (10, 1, 0.995), (10, 2, 0.9)],
+        "query_id long, vec_id long, sim double",
+    )
+    out = similarity.ann_recall_estimate(
+        corpus, "vec_id", "embedding", queries, [10], approx,
+        k=2, n_sample=1,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_truth, r.n_hit, r.recall_micro) == (2, 2, 1000000)
