@@ -49,7 +49,7 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark) -> "tuple[dict, dict, dict]":
+def bench_queries(spark, headline_only: bool = False) -> "tuple[dict, dict, dict]":
     from pyspark.sql import functions as F
 
     from purescript_ifrit_spark.api import run_query
@@ -704,42 +704,47 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
     # r11 stored-layout extras: the one-time index/layout writes happen
     # HERE (extras-dict construction, outside the per-run timing), so
     # the timed plans measure what production pays per query batch —
-    # scoring/probing the AT-REST layout, never the build
+    # scoring/probing the AT-REST layout, never the build. Skipped
+    # entirely in headline_only (rebaseline) mode, which never runs the
+    # extras that read these layouts.
     import atexit as _atexit
     import shutil as _shutil
     import tempfile as _tf
 
-    _r11_dir = _tf.mkdtemp(prefix="bench_r11_layouts_")
-    # scratch layouts are per-process: without this, repeated bench runs
-    # accumulate multi-MB parquet trees in /tmp (r12, ADVICE r11)
-    _atexit.register(_shutil.rmtree, _r11_dir, ignore_errors=True)
-    from purescript_ifrit_spark.operators.text_analysis import (
-        bm25_topk_queries_indexed as _bm25_idx,
-        build_bm25_index as _build_idx,
-    )
+    if not headline_only:
+        _r11_dir = _tf.mkdtemp(prefix="bench_r11_layouts_")
+        # scratch layouts are per-process: without this, repeated bench
+        # runs accumulate multi-MB parquet trees in /tmp (r12, ADVICE r11)
+        _atexit.register(_shutil.rmtree, _r11_dir, ignore_errors=True)
+        from purescript_ifrit_spark.operators.text_analysis import (
+            bm25_topk_queries_indexed as _bm25_idx,
+            build_bm25_index as _build_idx,
+        )
 
-    _p, _l = _build_idx(t["documents"], "doc_id", "text")
-    (
-        _p.repartitionByRange(8, "term").sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(f"{_r11_dir}/postings")
-    )
-    _l.write.mode("overwrite").parquet(f"{_r11_dir}/doclens")
-    _cents16 = similarity.ivf_centroids(
-        t["embeddings"], "embedding", nlist=16, seed=42
-    )
-    similarity.write_ivf_partitioned(
-        t["embeddings"], "embedding", _cents16, f"{_r11_dir}/ivf"
-    )
-    # r12 at-rest PQ codes: codebooks + encode are the one-time index
-    # build; the timed extra ranks the STORED codes (ADC), never vectors
-    _pq_books = similarity.pq_codebooks(
-        t["embeddings"], "embedding", m=8, k=16, seed=42
-    )
-    similarity.pq_encode(
-        t["embeddings"].select("vec_id", "embedding"), "embedding", _pq_books
-    ).select("vec_id", "pq_code").write.mode("overwrite").parquet(
-        f"{_r11_dir}/pq_codes"
-    )
+        _p, _l = _build_idx(t["documents"], "doc_id", "text")
+        (
+            _p.repartitionByRange(8, "term").sortWithinPartitions("term")
+            .write.mode("overwrite").parquet(f"{_r11_dir}/postings")
+        )
+        _l.write.mode("overwrite").parquet(f"{_r11_dir}/doclens")
+        _cents16 = similarity.ivf_centroids(
+            t["embeddings"], "embedding", nlist=16, seed=42
+        )
+        similarity.write_ivf_partitioned(
+            t["embeddings"], "embedding", _cents16, f"{_r11_dir}/ivf"
+        )
+        # r12 at-rest PQ codes: codebooks + encode are the one-time index
+        # build; the timed extra ranks the STORED codes (ADC), never
+        # vectors
+        _pq_books = similarity.pq_codebooks(
+            t["embeddings"], "embedding", m=8, k=16, seed=42
+        )
+        similarity.pq_encode(
+            t["embeddings"].select("vec_id", "embedding"), "embedding",
+            _pq_books,
+        ).select("vec_id", "pq_code").write.mode("overwrite").parquet(
+            f"{_r11_dir}/pq_codes"
+        )
 
     def qx_bm25_indexed_pruned():
         # stored term-sorted index + scan-level vocab screen (r11)
@@ -916,6 +921,31 @@ def bench_queries(spark) -> "tuple[dict, dict, dict]":
             _release_all(spark)
         return times, cold, medians, spreads
 
+    if headline_only:
+        # rebaseline windows measure ONLY the ten headline queries —
+        # the extras and compile throughput are not part of
+        # BENCH_REFERENCE.json's contract
+        times, cold, medians, spreads = _run(queries)
+        variance = {
+            "steady_runs": 4,
+            "median": medians,
+            "rel_spread": spreads,
+            "extra_median": {},
+            "extra_rel_spread": {},
+            "max_rel_spread": round(max(spreads.values()), 3),
+        }
+        flags = []
+        if variance["max_rel_spread"] > 1.0:
+            flags.append(
+                f"max_rel_spread {variance['max_rel_spread']} > 1.0"
+            )
+        for canary in ("q2_filter_topk", "q5_events_hourly"):
+            s = spreads.get(canary)
+            if s is not None and s > 0.30:
+                flags.append(f"{canary} rel_spread {s} > 0.30")
+        variance["cotenancy"] = {"noisy": bool(flags), "flags": flags}
+        return times, cold, {}, variance
+
     times, cold, medians, spreads = _run(queries)
     extra, _, extra_medians, extra_spreads = _run(extra_queries)
     variance = {
@@ -1033,6 +1063,88 @@ def flag_sustained_load(times: dict, variance: dict, sf, cpus: int) -> None:
         )
 
 
+def rebaseline(n_windows: int = 8) -> dict:
+    """Robust BENCH_REFERENCE re-baseline protocol (VERDICT r12 #2 —
+    retires the "wait for a perfectly quiet window" rule, which had been
+    unsatisfiable for three rounds of permanent co-tenancy).
+
+    Protocol: run the ten headline queries for `n_windows` (>= 8)
+    consecutive measurement windows in one session — each window is the
+    standard per-query min-of-4-steady — and take the PER-QUERY MIN
+    ACROSS WINDOWS as the machine's achievable floor. Ambient co-tenant
+    load varies across a multi-window span, so the per-query min over
+    N >= 8 windows approaches the quiet-host number without requiring
+    any single window to be globally quiet; the per-window mins and
+    each window's canary verdict are recorded as provenance so the
+    spread of conditions the floor survived is auditable. The canary
+    thresholds themselves are unchanged — per-round driver windows are
+    still adjudicated against the committed reference.
+
+    Writes BENCH_REBASELINE.json (full provenance) and prints one JSON
+    line with the floors. Updating BENCH_REFERENCE.json from the floors
+    is an explicit, reviewed builder step — this function never touches
+    the reference file itself."""
+    if n_windows < 8:
+        raise ValueError(
+            f"the protocol requires n_windows >= 8 (got {n_windows}): "
+            "fewer windows cannot average over ambient-load variation"
+        )
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        windows = []
+        for i in range(n_windows):
+            times, _, _, variance = bench_queries(spark, headline_only=True)
+            flag_sustained_load(
+                times, variance,
+                float(sf) if sf.replace(".", "").isdigit() else sf,
+                int(CPUS),
+            )
+            windows.append(
+                {
+                    "times": times,
+                    "total": round(sum(times.values()), 3),
+                    "cotenancy": variance["cotenancy"],
+                }
+            )
+            print(
+                f"window {i + 1}/{n_windows}: total "
+                f"{windows[-1]['total']} s, noisy="
+                f"{variance['cotenancy']['noisy']}",
+                file=sys.stderr,
+            )
+        floors = {
+            name: min(w["times"][name] for w in windows)
+            for name in windows[0]["times"]
+        }
+        out = {
+            "protocol": (
+                f"per-query min over {n_windows} consecutive "
+                "min-of-4-steady windows (VERDICT r12 #2)"
+            ),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "cpus": int(CPUS),
+            "queries": floors,
+            "total_of_floors": round(sum(floors.values()), 3),
+            "windows": windows,
+        }
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_REBASELINE.json",
+        )
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+        print(json.dumps(
+            {k: out[k] for k in
+             ("protocol", "sf", "cpus", "queries", "total_of_floors")},
+            separators=(",", ":"),
+        ))
+        return out
+    finally:
+        spark.stop()
+
+
 def bench_compile() -> dict:
     """Plan-construction throughput for the reference's five benchmark
     shapes (BASELINE.md; schema mirrors test/benchmark.js:8-16)."""
@@ -1142,4 +1254,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--rebaseline":
+        rebaseline(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+    else:
+        main()
