@@ -426,7 +426,9 @@ _R13_CORE_R9_COHORT = [
 # r13-window spill tail into _R14_SPILL MECHANICALLY (the slice
 # arithmetic below), so the window stays exactly 50 and the displaced
 # names cannot be mis-transcribed the way a hand-edit could.
-_R13_NEW: list = []
+_R13_NEW: list = [
+    "x_ivf_pq_at_rest_planted",  # displaced x_robots_filter
+]
 
 # 26 spill slots at round start; each _R13_NEW entry consumes one.
 _R13_SPILL_SLOTS = 26

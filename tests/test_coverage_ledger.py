@@ -438,7 +438,11 @@ def test_window_backfill_spill_is_exactly_the_stated_r13_list():
                 or name in _R13_QUEUE_HEAD):
             continue
         rounds = _checked_rounds(hist)
-        assert rounds, (name, hist)
+        if not rounds:
+            # entries born after r12 close: never-checked rotation is
+            # covered by test_window_prioritizes_never_verified_*
+            assert "r13" in DRIVER_HISTORY[name][1], (name, hist)
+            continue
         if max(rounds) < 9:
             stale.append(name)
     assert sorted(stale) == sorted(_R13_SPILL), (
