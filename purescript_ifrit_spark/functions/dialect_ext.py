@@ -377,6 +377,20 @@ def _jlproject_sql(x: str) -> str:
     return jlproject_dialect_sql(x)
 
 
+def _pq_encode_column(c: Column) -> Column:
+    from purescript_ifrit_spark.operators.vectorize import pq_code_expr
+
+    return pq_code_expr(c)
+
+
+def _pq_encode_sql(x: str) -> str:
+    from purescript_ifrit_spark.operators.vectorize import (
+        pq_code_dialect_sql,
+    )
+
+    return pq_code_dialect_sql(x)
+
+
 def _htmltext_column(c: Column) -> Column:
     from purescript_ifrit_spark.operators.text_cleaning import html_text_expr
 
@@ -742,6 +756,25 @@ EXT_FUNCTIONS: Dict[str, ExtFn] = {
             _jlproject_column,
             _jlproject_sql,
             groupable=False,
+            arg_kinds=("array",),
+        ),
+        ExtFn(
+            "PQ_ENCODE",
+            # product-quantization code of a float embedding against the
+            # FROZEN one-hot codebook (operators/vectorize.pq_code_expr;
+            # m=4 subspaces x k=16 centers over the 64-dim input) as ONE
+            # ':'-joined string — the compressed-retrieval tier's SQL
+            # surface (r13, VERDICT r12 #6). A string scalar, so it
+            # GROUPS: `SELECT MIN(vec_id) AS keep GROUP BY
+            # PQ_ENCODE(embedding)` collapses a quantization cell —
+            # compressed-domain dedup, the MINHASH recipe over vectors.
+            # Wrong-length / null-element vectors -> NULL, never a
+            # shared constant. Trained codebooks, ADC ranking and the
+            # at-rest layout stay in operators/similarity (pq_codebooks,
+            # pq_topk[_batch], write_ivf_pq_partitioned).
+            Schema.string(),
+            _pq_encode_column,
+            _pq_encode_sql,
             arg_kinds=("array",),
         ),
         ExtFn(

@@ -98,6 +98,8 @@ _FUNCTIONS = [
     # SIMHASH is prefix-safe: no other name starts with "SIM" and SUM
     # diverges at the second character
     "SIMHASH",
+    # PQ_ENCODE (r13): prefix-safe — no other name starts with "PQ"
+    "PQ_ENCODE",
 ]
 
 _WORD_CHARS = r"[a-zA-Z0-9_.]"

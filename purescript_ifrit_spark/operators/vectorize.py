@@ -523,3 +523,92 @@ def jlproject_dialect_sql(x: str) -> str:
         f"element_at(transform(array({jl_quantize_sql(x)}), "
         f"_qa -> {proj}), 1)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dialect PQ_ENCODE (r13, VERDICT r12 #6): the compressed-retrieval tier
+# reached from SQL. The one-argument fn grammar has no room for trained
+# codebooks, so — exactly like BM25's frozen query model and
+# QUALITY_SCORE's frozen linear model — the dialect quantizes against a
+# FROZEN codebook: PQ_DIA_M subspaces of PQ_DIA_SUB dims over the
+# JL_IN_DIM embedding, PQ_DIA_K one-hot unit centers e_j per subspace
+# (closed-form: the nearest center is the subspace's dominant
+# coordinate; ||x - e_j||^2 = ||x||^2 - 2*x_j + 1, unique argmin unless
+# tied, ties -> lowest j via array_position-of-min — the pq_encode
+# contract). Parameterized, data-trained codebooks stay in
+# operators/similarity.pq_codebooks / pq_encode.
+# ---------------------------------------------------------------------------
+
+PQ_DIA_M = 4  # subspaces
+PQ_DIA_SUB = 16  # dims per subspace (PQ_DIA_M * PQ_DIA_SUB = JL_IN_DIM)
+PQ_DIA_K = 16  # one-hot centers per subspace
+
+
+def pq_code_expr(c) -> "F.Column":
+    """Column backend of the dialect PQ_ENCODE: the 4 nearest-center
+    indices as ONE ':'-joined string (a groupable scalar — `GROUP BY
+    PQ_ENCODE(embedding)` collapses a quantization cell, the
+    compressed-domain dedup move). Wrong-length vectors and vectors
+    with null elements yield NULL (the JL_PROJECT contract). The input
+    array is BOUND ONCE (X.bind_once): each of the m*k distance folds
+    references it, and an unbound computed argument would re-evaluate
+    per fold."""
+
+    def code(q, s):
+        sl = F.slice(q, s * PQ_DIA_SUB + 1, PQ_DIA_SUB)
+        dists = F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_DIA_K - 1)),
+            lambda j: F.aggregate(
+                F.zip_with(
+                    sl,
+                    F.sequence(F.lit(0), F.lit(PQ_DIA_SUB - 1)),
+                    lambda x, d: (
+                        x.cast("double")
+                        - F.when(d == j, F.lit(1.0)).otherwise(F.lit(0.0))
+                    )
+                    ** 2,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda a, v: a + v,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    def enc(q):
+        return F.when(
+            (F.size(q) == JL_IN_DIM) & ~F.exists(q, lambda x: x.isNull()),
+            F.concat_ws(
+                ":", *[code(q, s).cast("string") for s in range(PQ_DIA_M)]
+            ),
+        )
+
+    return X.bind_once(c, enc)
+
+
+def pq_code_dialect_sql(x: str) -> str:
+    """Spark-SQL twin of pq_code_expr — the same frozen one-hot
+    codebook, the same distance tree, the same bind-once shape
+    (element_at(transform(array(x), ...), 1)), so the two backends are
+    lock-step (pinned in test_dialect_ext)."""
+    codes = []
+    for s in range(PQ_DIA_M):
+        sl = f"slice(_pa, {s * PQ_DIA_SUB + 1}, {PQ_DIA_SUB})"
+        dists = (
+            f"transform(sequence(0, {PQ_DIA_K - 1}), j -> "
+            f"aggregate(zip_with({sl}, sequence(0, {PQ_DIA_SUB - 1}), "
+            "(x, d) -> power(CAST(x AS DOUBLE) - "
+            "(CASE WHEN d = j THEN 1.0D ELSE 0.0D END), 2)), "
+            "CAST(0.0D AS DOUBLE), (a, v) -> a + v))"
+        )
+        codes.append(
+            f"CAST((array_position({dists}, array_min({dists})) - 1) "
+            "AS INT)"
+        )
+    joined = "concat_ws(':', " + ", ".join(
+        f"CAST({c} AS STRING)" for c in codes
+    ) + ")"
+    guard = (
+        f"CASE WHEN size(_pa) = {JL_IN_DIM} "
+        f"AND NOT exists(_pa, x -> x IS NULL) THEN {joined} END"
+    )
+    return f"element_at(transform(array({x}), _pa -> {guard}), 1)"

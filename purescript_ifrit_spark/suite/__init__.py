@@ -428,6 +428,7 @@ _R13_CORE_R9_COHORT = [
 # names cannot be mis-transcribed the way a hand-edit could.
 _R13_NEW: list = [
     "x_ivf_pq_at_rest_planted",  # displaced x_robots_filter
+    "xd_pq",                     # displaced x_skew_profile
 ]
 
 # 26 spill slots at round start; each _R13_NEW entry consumes one.

@@ -665,3 +665,54 @@ def xd_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SELECT MIN(doc_id) AS keep_id, COUNT(doc_id) AS n_dups "
         "GROUP BY NFC(text))",
     )
+
+
+@register(
+    "xd_pq",
+    # compressed-domain dedup reached through the DIALECT (r13, VERDICT
+    # r12 #6): GROUP BY PQ_ENCODE(embedding) collapses a quantization
+    # cell of the frozen one-hot codebook. The CODE string is
+    # engine-specific arithmetic (DuckDB never recomputes it — the
+    # xd_minhash induced-profile convention); the PARTITION it induces
+    # on the planted corpus is closed-form: cluster c (vec_ids 6c..6c+5)
+    # carries the IDENTICAL one-hot vector with hot dim
+    # 16*(c // 4) + (c % 4) + 1, whose unique nearest center in
+    # subspace c // 4 is (c % 4) + 1 — NONZERO on purpose: an all-zero
+    # subspace slice ties to center 0, so a hot dim of 0 within its
+    # subspace would collide with the zero clusters of other subspaces
+    # (found by this oracle's first run: 16 -> 13 groups). Other
+    # subspaces tie to center 0, giving an injective cluster -> code
+    # map: the induced (keep_id, n_dups) profile is exactly the 16
+    # planted clusters. The derived-table projection strips the code
+    # string before the comparator.
+    "SELECT MIN(vec_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups "
+    "FROM embeddings WHERE vec_id < 96 GROUP BY vec_id // 6",
+)
+def xd_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes reached through the DIALECT
+    (`PQ_ENCODE(embedding)` → operators/vectorize.pq_code_expr, the
+    frozen m=4 x k=16 one-hot codebook; lock-step with the SQL backend,
+    pinned in test_dialect_ext): signature-exact quantization-cell
+    dedup groups over planted one-hot clusters spanning ALL FOUR
+    subspaces (cluster c's hot dim is 16*(c // 4) + (c % 4) + 1:
+    c // 4 picks the subspace, (c % 4) + 1 the within-subspace
+    center — never 0, see the oracle note)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 96)
+    cluster = (F.col("vec_id") / 6).cast("int")
+    hot = (cluster / 4).cast("int") * 16 + (cluster % 4) + 1
+    planted = emb.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: F.when(d == hot, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .cast("float"),
+        ).alias("embedding"),
+    )
+    return run_query(
+        spark,
+        planted,
+        "SELECT keep_id, n_dups FROM "
+        "(SELECT MIN(vec_id) AS keep_id, COUNT(vec_id) AS n_dups "
+        "GROUP BY PQ_ENCODE(embedding))",
+    )

@@ -1021,3 +1021,73 @@ def test_jl_project_rejects_non_array_and_types_array():
         compile_query(
             {"text": "string"}, "SELECT JL_PROJECT(text) AS p"
         )
+
+
+def test_pq_encode_dialect_lockstep_and_codes(spark):
+    """PQ_ENCODE (r13, VERDICT r12 #6): the two backends (Column expr /
+    Spark-SQL renderer) must be value-equal on arbitrary vectors; the
+    codes must replay the numpy argmin against the frozen one-hot
+    codebook exactly (ties -> lowest center, the pq_encode contract);
+    wrong-length and null-element vectors yield NULL, never a shared
+    constant."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from purescript_ifrit_spark.operators.vectorize import (
+        JL_IN_DIM,
+        PQ_DIA_K,
+        PQ_DIA_M,
+        PQ_DIA_SUB,
+        pq_code_dialect_sql,
+        pq_code_expr,
+    )
+
+    rng = np.random.RandomState(17)
+    vecs = rng.standard_normal((40, JL_IN_DIM))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    rows.append((100, [1.0] * 8))            # wrong length -> NULL
+    rows.append((101, [None] + [0.0] * 63))  # null element -> NULL
+    rows.append((102, [0.0] * JL_IN_DIM))    # all-tied -> lowest centers
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    both = df.select(
+        "vec_id",
+        pq_code_expr(F.col("embedding")).alias("c_col"),
+        F.expr(pq_code_dialect_sql("embedding")).alias("c_sql"),
+    ).collect()
+    got = {}
+    for r in both:
+        assert r.c_col == r.c_sql, (r.vec_id, r.c_col, r.c_sql)
+        got[r.vec_id] = r.c_col
+    assert got[100] is None and got[101] is None
+    assert got[102] == "0:0:0:0"
+
+    # numpy replay of the frozen codebook
+    books = np.zeros((PQ_DIA_M, PQ_DIA_K, PQ_DIA_SUB))
+    for s in range(PQ_DIA_M):
+        for j in range(PQ_DIA_K):
+            books[s, j, j] = 1.0
+    for i in range(40):
+        want = []
+        for s in range(PQ_DIA_M):
+            sl = vecs[i, s * PQ_DIA_SUB:(s + 1) * PQ_DIA_SUB]
+            d = ((sl[None, :] - books[s]) ** 2).sum(1)
+            want.append(int(np.argmin(d)))  # first min = lowest center
+        assert got[i] == ":".join(str(c) for c in want), (i, got[i], want)
+
+    # dialect surface: lexes as a function, groups, and the planner
+    # rejects non-array args
+    from purescript_ifrit_spark.api import run_query
+
+    grouped = run_query(
+        spark,
+        df.filter(F.col("vec_id").isin(0, 102)),
+        "SELECT COUNT(vec_id) AS n GROUP BY PQ_ENCODE(embedding)",
+    )
+    assert grouped.count() == 2
+    with pytest.raises(Exception):
+        run_query(
+            spark,
+            spark.createDataFrame([(1, "x")], "vec_id long, text string"),
+            "SELECT PQ_ENCODE(text) AS c",
+        )
