@@ -425,3 +425,85 @@ def test_r12_similarity_helpers_on_empty(spark):
     start = np.eye(3, 4)
     refined = ivf_centroids_refine(empty, "embedding", start)
     assert np.array_equal(refined, start)
+
+
+def test_r13_residual_ivf_pq_adversarial_inputs(spark):
+    """VERDICT r12 #7: the residual IVF-PQ probes under adversarial
+    shapes — empty corpus, probed-cells-empty, all-rows-one-cell skew,
+    and k > corpus size — for BOTH the single-query literal-LUT path
+    and the batch mapInPandas path (they must stay value-equal)."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        ivf_pq_topk_residual,
+        ivf_pq_topk_residual_batch,
+        pq_encode,
+        with_ivf_assignment,
+        with_ivf_residual,
+    )
+
+    cents = np.array([[4.0, 0.0, 0.0, 0.0], [-4.0, 0.0, 0.0, 0.0]])
+    # m=2 subspaces of 2 dims, 2 centers each: center 0 = zero, center 1
+    # = 0.5 on the subspace's first dim
+    books = np.zeros((2, 2, 2))
+    books[0, 1, 0] = 0.5
+    books[1, 1, 0] = 0.5
+
+    def coded(rows):
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        a = with_ivf_assignment(df, "embedding", cents)
+        r = with_ivf_residual(a, "embedding", cents)
+        return pq_encode(r, "residual", books).select(
+            "vec_id", "ivf_cell", "pq_code"
+        )
+
+    q = [4.0, 0.0, 0.0, 0.0]
+    qb = np.array([q])
+
+    # (a) empty corpus: both paths return an empty frame with the
+    # contract schema
+    empty = coded([])
+    single = ivf_pq_topk_residual(
+        empty, "vec_id", "pq_code", q, books, cents, k=3, nprobe=2
+    )
+    assert single.count() == 0
+    assert single.columns == ["vec_id", "dist"]
+    batch = ivf_pq_topk_residual_batch(
+        empty, "vec_id", "pq_code", qb, [7], books, cents, k=3, nprobe=2
+    )
+    assert batch.count() == 0
+    assert batch.columns == ["query_id", "vec_id", "dist"]
+
+    # (b) probed cell empty: every row lives in cell 1, the query's
+    # nprobe=1 probe is cell 0 -> zero rows, no error
+    far = coded([(i, [-4.0, 0.0, 0.0, float(i)]) for i in range(4)])
+    assert (
+        ivf_pq_topk_residual(
+            far, "vec_id", "pq_code", q, books, cents, k=3, nprobe=1
+        ).count()
+        == 0
+    )
+    assert (
+        ivf_pq_topk_residual_batch(
+            far, "vec_id", "pq_code", qb, [7], books, cents, k=3, nprobe=1
+        ).count()
+        == 0
+    )
+
+    # (c) all-rows-one-cell skew + k > corpus size: nprobe=2 reaches the
+    # skewed cell; k=50 over 4 rows returns all 4, (dist asc, id asc),
+    # and the two paths agree exactly
+    s = ivf_pq_topk_residual(
+        far, "vec_id", "pq_code", q, books, cents, k=50, nprobe=2
+    ).collect()
+    b = ivf_pq_topk_residual_batch(
+        far, "vec_id", "pq_code", qb, [7], books, cents, k=50, nprobe=2
+    ).collect()
+    assert len(s) == 4 and len(b) == 4
+    assert [r.vec_id for r in s] == [0, 1, 2, 3]
+    assert all(r.query_id == 7 for r in b)
+    assert [(r.vec_id, r.dist) for r in b] == [(r.vec_id, r.dist) for r in s]
+    # identical residual codes -> identical ADC distances for all rows
+    assert len({round(r.dist, 9) for r in s}) == 1

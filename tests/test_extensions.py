@@ -6840,3 +6840,68 @@ def test_ann_recall_estimate_dedups_before_rank_limit(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_truth, r.n_hit, r.recall_micro) == (2, 2, 1000000)
+
+
+def test_ann_advisor_picks_cheapest_passing_nprobe(spark):
+    """ann_advise / ivf_advise_nprobe (r13, VERDICT r12 #4): on the
+    attested planted geometry — 96 ids carrying e_{id//6}, centroids at
+    the 16 basis directions, one cluster-straddling query whose
+    measured recall@12 is exactly 0.5 at nprobe=1 and 1.0 at nprobe=2 —
+    the advisor must CHOOSE nprobe=2 for a 0.95 SLO (and record the
+    failing nprobe=1 point in the curve), choose nprobe=1 for a 0.5
+    SLO without ever building nprobe=2, and return chosen=None for an
+    unreachable target with the full sweep documented."""
+    import numpy as np
+
+    vecs = [
+        (i, [1.0 if d == i // 6 else 0.0 for d in range(16)])
+        for i in range(96)
+    ]
+    corpus = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    cents = np.eye(16)
+    # straddles clusters 0 and 1: 6 of the true top-12 live in cell 1
+    q = np.zeros((1, 16))
+    q[0, 0], q[0, 1] = 0.7, 0.7141428
+
+    out = similarity.ivf_advise_nprobe(
+        corpus, "vec_id", "embedding", q, [0], cents,
+        k=12, target_recall=0.95, nprobes=(1, 2, 4), n_sample=1,
+    )
+    assert out["chosen"] is not None
+    assert out["chosen"]["name"] == "nprobe=2"
+    assert [p["name"] for p in out["curve"]] == ["nprobe=1", "nprobe=2"]
+    assert abs(out["curve"][0]["recall"] - 0.5) < 1e-9
+    assert abs(out["curve"][1]["recall"] - 1.0) < 1e-9
+
+    # a 0.5 SLO stops at nprobe=1 — the early-stop never builds nprobe=2
+    cheap = similarity.ivf_advise_nprobe(
+        corpus, "vec_id", "embedding", q, [0], cents,
+        k=12, target_recall=0.5, nprobes=(1, 2, 4), n_sample=1,
+    )
+    assert cheap["chosen"]["name"] == "nprobe=1"
+    assert len(cheap["curve"]) == 1
+
+    # unreachable SLO: chosen is None, the whole sweep is documented
+    none = similarity.ivf_advise_nprobe(
+        corpus, "vec_id", "embedding", q, [0], cents,
+        k=12, target_recall=1.01, nprobes=(1, 2), n_sample=1,
+    )
+    assert none["chosen"] is None
+    assert [p["name"] for p in none["curve"]] == ["nprobe=1", "nprobe=2"]
+
+    # generic candidate API guards
+    with pytest.raises(ValueError, match="non-empty"):
+        similarity.ann_advise(
+            corpus, "vec_id", "embedding", q, [0], [], k=12
+        )
+    with pytest.raises(ValueError, match="ascending cost"):
+        similarity.ann_advise(
+            corpus, "vec_id", "embedding", q, [0],
+            [("b", 2.0, None), ("a", 1.0, None)], k=12,
+        )
+    with pytest.raises(ValueError, match="nprobes"):
+        similarity.ivf_advise_nprobe(
+            corpus, "vec_id", "embedding", q, [0], cents, nprobes=(0,),
+        )
