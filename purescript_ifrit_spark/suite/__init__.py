@@ -429,6 +429,7 @@ _R13_CORE_R9_COHORT = [
 _R13_NEW: list = [
     "x_ivf_pq_at_rest_planted",  # displaced x_robots_filter
     "xd_pq",                     # displaced x_skew_profile
+    "x_ann_advise_planted",      # displaced x_layout_pruning
 ]
 
 # 26 spill slots at round start; each _R13_NEW entry consumes one.

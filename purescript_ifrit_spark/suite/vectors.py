@@ -1134,3 +1134,53 @@ def x_ivf_pq_at_rest_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
+    "x_ann_advise_planted",
+    # the recall-SLO advisor's CHOICE as hard signal (r13, VERDICT r12
+    # #4): on the planted basis geometry with the cluster-straddling
+    # query (6 of the true top-12 in cell 0, 6 in cell 1 — measured
+    # recall exactly 0.5 at nprobe=1 and 1.0 at nprobe=2), the cheapest
+    # config meeting each SLO is closed-form: a 0.95 target needs
+    # nprobe=2 after recording the failing nprobe=1 point; a 0.5 target
+    # stops at nprobe=1. One row per SLO with the chosen cost and the
+    # exact measured recall in micro-units.
+    "SELECT * FROM (VALUES "
+    "(CAST(500000 AS BIGINT), CAST(1 AS DOUBLE), CAST(500000 AS BIGINT)), "
+    "(CAST(950000 AS BIGINT), CAST(2 AS DOUBLE), CAST(1000000 AS BIGINT))"
+    ") AS t(slo_micro, chosen_cost, recall_micro)",
+)
+def x_ann_advise_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN parameter advisor (operators/similarity.ivf_advise_nprobe,
+    r13): sweep nprobe in cost order against sampled brute-force truth
+    and return the cheapest config meeting the recall SLO — under
+    planted inputs whose whole cost/recall curve is closed-form. The
+    embeddings table supplies the corpus ids (the planted-basis
+    convention); output is one row per SLO."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        ivf_advise_nprobe,
+    )
+
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    cents = np.eye(16, 32)
+    q = np.zeros((1, 32))
+    q[0, 0], q[0, 1] = 0.7, 0.7141428
+    rows = []
+    for slo in (0.5, 0.95):
+        out = ivf_advise_nprobe(
+            planted, "vec_id", "embedding", q, [0], cents,
+            k=12, target_recall=slo, nprobes=(1, 2, 4), n_sample=1,
+        )
+        rows.append(
+            (
+                int(round(slo * 1_000_000)),
+                float(out["chosen"]["cost"]),
+                int(round(out["chosen"]["recall"] * 1_000_000)),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "slo_micro long, chosen_cost double, recall_micro long"
+    )
