@@ -430,6 +430,7 @@ _R13_NEW: list = [
     "x_ivf_pq_at_rest_planted",  # displaced x_robots_filter
     "xd_pq",                     # displaced x_skew_profile
     "x_ann_advise_planted",      # displaced x_layout_pruning
+    "x_pq_distortion_planted",   # displaced x_zorder_key
 ]
 
 # 26 spill slots at round start; each _R13_NEW entry consumes one.

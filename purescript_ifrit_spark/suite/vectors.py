@@ -1184,3 +1184,50 @@ def x_ann_advise_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "slo_micro long, chosen_cost double, recall_micro long"
     )
+
+
+@register(
+    "x_pq_distortion_planted",
+    # the m/k sizing diagnostic as hard signal (r13): pq_distortion_stats
+    # on a mixed on/off-grid planted corpus whose reconstruction errors
+    # are exact binary fractions. Even vec_ids carry e_c (ON the explicit
+    # grid codebook -> error exactly 0); odd vec_ids carry 1.5*e_c, whose
+    # unique nearest center is still e_c (0.25 vs 2.25 vs 3.25) -> error
+    # exactly ||1.5*e_c - e_c||^2 = 0.25, norm^2 = 2.25. All aggregates
+    # are exact in binary floating point: mean error 0.125, max 0.25,
+    # mean norm^2 (1 + 2.25)/2 = 1.625 over the 96 planted rows.
+    "SELECT CAST(96 AS BIGINT) AS n_rows, "
+    "CAST(0.125 AS DOUBLE) AS mean_sq_error, "
+    "CAST(0.25 AS DOUBLE) AS max_sq_error, "
+    "CAST(1.625 AS DOUBLE) AS mean_norm_sq",
+)
+def x_pq_distortion_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-quality measurement (operators/similarity.
+    pq_distortion_stats, r12; driver-oracled r13): one map-side-partial
+    corpus pass computing reconstruction MSE/max and relative norm —
+    the decide-m/k-BEFORE-encoding diagnostic — under planted inputs
+    whose every aggregate is a closed-form binary fraction."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        pq_distortion_stats,
+        pq_encode,
+    )
+
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    scaled = planted.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            * F.when(F.col("vec_id") % 2 == 0, F.lit(1.0)).otherwise(
+                F.lit(1.5)
+            ),
+        ).alias("embedding"),
+    )
+    books = np.zeros((4, 9, 8))
+    for s in range(4):
+        for i in range(8):
+            books[s, 1 + i, i] = 1.0
+    coded = pq_encode(scaled, "embedding", books)
+    return pq_distortion_stats(coded, "embedding", "pq_code", books)
