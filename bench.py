@@ -745,6 +745,23 @@ def bench_queries(spark, headline_only: bool = False) -> "tuple[dict, dict, dict
         ).select("vec_id", "pq_code").write.mode("overwrite").parquet(
             f"{_r11_dir}/pq_codes"
         )
+        # r13 at-rest residual IVF-PQ: the COMPOSED stored index (cell
+        # partitions x residual codes); the timed extra probes it with
+        # PartitionFilters pruning + per-cell ADC, never touching vectors
+        _res_books = similarity.pq_codebooks(
+            similarity.with_ivf_residual(
+                similarity.with_ivf_assignment(
+                    t["embeddings"], "embedding", _cents16
+                ),
+                "embedding", _cents16,
+            ),
+            "residual", m=8, k=16, seed=42,
+        )
+        similarity.write_ivf_pq_partitioned(
+            t["embeddings"].select("vec_id", "embedding"), "vec_id",
+            "embedding", _cents16, _res_books, f"{_r11_dir}/ivfpq",
+            residual=True,
+        )
 
     def qx_bm25_indexed_pruned():
         # stored term-sorted index + scan-level vocab screen (r11)
@@ -800,6 +817,21 @@ def bench_queries(spark, headline_only: bool = False) -> "tuple[dict, dict, dict
             "vec_id", "pq_code",
             rng.standard_normal((64, 64)), list(range(64)), _pq_books,
             k=10,
+        )
+
+    def qx_ivf_pq_at_rest():
+        # r13 composed stored index: 64 queries against the
+        # hive-partitioned residual-code layout — probed cells arrive
+        # via PartitionFilters, surviving rows are 8 code bytes, ADC
+        # per-cell LUTs ride the Arrow closure
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        return similarity.ivf_pq_topk_residual_batch(
+            spark.read.parquet(f"{_r11_dir}/ivfpq"),
+            "vec_id", "pq_code",
+            rng.standard_normal((64, 64)), list(range(64)),
+            _res_books, _cents16, k=10, nprobe=4,
         )
 
     def qx_neardup_tables():
@@ -871,6 +903,7 @@ def bench_queries(spark, headline_only: bool = False) -> "tuple[dict, dict, dict
         "qx_ivf_partitioned": qx_ivf_partitioned,
         "qx_ann_recall": qx_ann_recall,
         "qx_pq_batch": qx_pq_batch,
+        "qx_ivf_pq_at_rest": qx_ivf_pq_at_rest,
         "qx_neardup_tables": qx_neardup_tables,
     }
 
