@@ -954,10 +954,15 @@ def ann_recall_estimate(
     k: int = 10,
     n_sample: int = 32,
     seed: int = 42,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Measured recall@k of an approximate ANN answer (`approx`: the
     output of ivf_topk_batch / lsh_topk-shaped frames — (query_id,
-    id_col, sim)) against sampled brute-force ground truth — the
+    id_col, sim); with metric="l2", distance-tier frames like
+    pq_topk_rerank_batch's (query_id, id_col, dist), measured against
+    exact l2_topk_batch truth with (dist asc, id asc) ranking — the
+    PQ/IVF-PQ tier ranks by L2, so its recall must be measured in its
+    own metric) against sampled brute-force ground truth — the
     VERDICT r10 #3 helper that makes nprobe/nlist pickable empirically:
     recall on isotropic vs clustered corpora differs by >2x (SCALE.md
     r11 curve), so shipped guidance is "measure on YOUR corpus with
@@ -981,6 +986,8 @@ def ann_recall_estimate(
         raise ValueError(f"k must be positive (got {k})")
     if n_sample <= 0:
         raise ValueError(f"n_sample must be positive (got {n_sample})")
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r} (cosine | l2)")
     qm = np.asarray(queries, dtype=np.float64)
     qids = np.asarray(list(query_ids), dtype=np.int64)
     _check_batch_ids(qm, qids)
@@ -988,9 +995,8 @@ def ann_recall_estimate(
     take = min(int(n_sample), len(qids))
     idx = np.sort(rng.choice(len(qids), size=take, replace=False))
     sample_ids = [int(q) for q in qids[idx]]
-    truth = cosine_topk_batch(
-        df, id_col, vec_col, qm[idx], sample_ids, k=k
-    )
+    truth_kernel = cosine_topk_batch if metric == "cosine" else l2_topk_batch
+    truth = truth_kernel(df, id_col, vec_col, qm[idx], sample_ids, k=k)
     # rank-limit the approx answer to k rows per query by the suite's
     # deterministic (sim desc, id asc) order before the hit join: an
     # approx frame produced with a larger k — or a union of several
@@ -1002,13 +1008,16 @@ def ann_recall_estimate(
     # at k distinct ids pass through unchanged.
     from pyspark.sql import Window
 
+    score = "sim" if metric == "cosine" else "dist"
     aw = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col(id_col).asc()
+        F.col(score).desc() if metric == "cosine" else F.col(score).asc(),
+        F.col(id_col).asc(),
     )
+    best = F.max(score) if metric == "cosine" else F.min(score)
     approx_ids = (
         approx.filter(F.col("query_id").isin(sample_ids))
         .groupBy("query_id", id_col)
-        .agg(F.max("sim").alias("sim"))
+        .agg(best.alias(score))
         .withColumn("_arank", F.row_number().over(aw))
         .filter(F.col("_arank") <= k)
         .select("query_id", id_col)
@@ -1955,6 +1964,7 @@ def ann_advise(
     target_recall: float = 0.95,
     n_sample: int = 32,
     seed: int = 42,
+    metric: str = "cosine",
 ) -> dict:
     """Pick the CHEAPEST index configuration meeting a recall SLO
     (VERDICT r12 #4): `ann_recall_estimate` measures recall; this walks
@@ -1963,6 +1973,9 @@ def ann_advise(
 
     `candidates` is a cost-ASCENDING sequence of
     `(name, cost, build(df, queries, query_ids, k) -> approx frame)` —
+    each build returning a (query_id, id, sim) frame for the default
+    cosine metric, or (query_id, id, dist) with `metric="l2"` (the
+    PQ/rerank tier — measured against exact l2_topk_batch truth) —
     cost is the caller's scan-work unit (nprobe for IVF, table count
     for multi-probe LSH, overfetch for PQ rerank; only its ORDER
     matters). The advisor evaluates candidates in cost order against
@@ -1997,7 +2010,7 @@ def ann_advise(
         approx = build(df, queries, query_ids, k)
         rows = ann_recall_estimate(
             df, id_col, vec_col, queries, query_ids, approx,
-            k=k, n_sample=n_sample, seed=seed,
+            k=k, n_sample=n_sample, seed=seed, metric=metric,
         ).collect()
         mean = (
             sum(r.recall_micro for r in rows) / (1e6 * len(rows))
@@ -2058,4 +2071,191 @@ def ivf_advise_nprobe(
         df, id_col, vec_col, queries, query_ids,
         [(f"nprobe={p}", float(p), mk(p)) for p in probes],
         k=k, target_recall=target_recall, n_sample=n_sample, seed=seed,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact L2 batch kernel + batch PQ rerank (r13): the distance-tier loop
+# ---------------------------------------------------------------------------
+
+
+def l2_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: "np.ndarray",
+    query_ids: Sequence[int],
+    k: int = 10,
+) -> DataFrame:
+    """Exact squared-L2 top-k per query for a BATCH of query vectors —
+    the distance-metric twin of cosine_topk_batch, and the ground-truth
+    kernel the PQ/IVF-PQ tier (which ranks by L2, not cosine) measures
+    against. Same shape as the cosine kernel: query matrix in the Arrow
+    closure, ONE ||x||² − 2·x·q + ||q||² evaluation per batch, tie-exact
+    worker-local per-query partial top-k (dist asc, id asc — every row
+    tied with the k-th distance survives the partial), one exchange of
+    k rows per query per batch, WindowGroupLimit window. Returns
+    (query_id, id, dist) with dist the exact squared L2 distance."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    qm = np.asarray(queries, dtype=np.float64)  # (Q, dim)
+    qids = np.asarray(list(query_ids), dtype=np.int64)
+    _check_batch_ids(qm, qids)
+    qsq = (qm ** 2).sum(1)  # (Q,)
+    kk = int(k)
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"query_id long, {id_col} {id_type}, dist double"
+
+    def partial_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy())  # (B, dim)
+            d = (
+                (m ** 2).sum(1)[:, None]
+                - 2.0 * (m @ qm.T)
+                + qsq[None, :]
+            )  # (B, Q)
+            ids = pdf[id_col].to_numpy()
+            n = min(kk, len(pdf))
+            kth = np.partition(d, n - 1, axis=0)[n - 1]  # (Q,)
+            out_q, out_i, out_d = [], [], []
+            for j in range(d.shape[1]):
+                cand = np.nonzero(d[:, j] <= kth[j])[0]
+                order = cand[np.lexsort((ids[cand], d[cand, j]))][:n]
+                out_q.append(np.full(n, qids[j]))
+                out_i.append(ids[order])
+                out_d.append(d[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "dist": np.concatenate(out_d),
+                }
+            )
+
+    partial = df.select(id_col, vec_col).mapInPandas(partial_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        partial.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= kk)
+        .select("query_id", F.col(id_col), "dist")
+    )
+
+
+def pq_topk_rerank_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    code_col: str,
+    queries: "np.ndarray",
+    query_ids: Sequence[int],
+    codebooks: "np.ndarray",
+    k: int = 10,
+    overfetch: int = 4,
+) -> DataFrame:
+    """Batch ADC shortlist → exact re-check (r13): pq_topk_batch over
+    the codes fetches k·overfetch candidates per query, then ONLY those
+    (query, id) pairs' full vectors are joined back and re-ranked by
+    the EXACT squared L2 distance — computed JVM-side by joining the
+    query matrix in as a (query_id, qvec) frame (Q rows, broadcast by
+    AQE) and folding zip_with squares, so the rerank costs one
+    candidate-sized join, never a corpus pass. `df` must carry BOTH the
+    vector and the code column (pq_encode output, or a
+    write_ivf_pq_partitioned(keep_vector=True) layout). Returns
+    (query_id, id, dist) exact, (dist asc, id asc) top-k per query —
+    a 1-query batch equals pq_topk_rerank exactly (test-pinned).
+
+    Recall contract is pq_topk_rerank's: exact within the shortlist; a
+    true neighbor whose ADC rank fell past k·overfetch stays lost.
+    `pq_advise_overfetch` picks the cheapest overfetch meeting a
+    measured recall SLO against l2_topk_batch truth."""
+    from pyspark.sql import Window
+
+    if overfetch < 1:
+        raise ValueError(f"overfetch must be >= 1 (got {overfetch})")
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    qm = np.asarray(queries, dtype=np.float64)
+    qids = np.asarray(list(query_ids), dtype=np.int64)
+    _check_batch_ids(qm, qids)
+    cand = pq_topk_batch(
+        df.select(id_col, code_col), id_col, code_col, qm, qids,
+        codebooks, k=int(k) * int(overfetch),
+    ).select("query_id", id_col)
+    qdf = df.sparkSession.createDataFrame(
+        [(int(qids[i]), [float(x) for x in qm[i]]) for i in range(len(qids))],
+        "query_id long, _qv array<double>",
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("_qv"),
+            lambda x, y: (x.cast("double") - y) ** 2,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.join(df.select(id_col, vec_col), id_col)
+        .join(qdf, "query_id")
+        .select("query_id", F.col(id_col), dist.alias("dist"))
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= int(k))
+        .select("query_id", F.col(id_col), "dist")
+    )
+
+
+def pq_advise_overfetch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    code_col: str,
+    queries: "np.ndarray",
+    query_ids: Sequence[int],
+    codebooks: "np.ndarray",
+    k: int = 10,
+    target_recall: float = 0.95,
+    overfetches: Sequence[int] = (1, 2, 4, 8),
+    n_sample: int = 32,
+    seed: int = 42,
+) -> dict:
+    """PQ-rerank instantiation of ann_advise (the VERDICT r12 #4
+    "rerank-multiple" axis): sweep the exact-rerank overfetch (cost =
+    shortlist width k·overfetch, monotone) and return the cheapest
+    value whose MEASURED recall@k against exact l2_topk_batch truth
+    meets the SLO — the shipped answer to "what overfetch recovers the
+    r12 attestation's ADC quantization loss on THIS corpus". `df`
+    carries vector + code columns (pq_encode output or a
+    keep_vector=True at-rest layout)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    ofs = sorted({int(o) for o in overfetches})
+    if not ofs or ofs[0] < 1:
+        raise ValueError(
+            f"overfetches must be positive (got {list(overfetches)})"
+        )
+
+    def mk(o):
+        def build(d, q, ids, kk):
+            return pq_topk_rerank_batch(
+                d, id_col, vec_col, code_col, q, ids, books,
+                k=kk, overfetch=o,
+            )
+
+        return build
+
+    return ann_advise(
+        df, id_col, vec_col, queries, query_ids,
+        [(f"overfetch={o}", float(o), mk(o)) for o in ofs],
+        k=k, target_recall=target_recall, n_sample=n_sample, seed=seed,
+        metric="l2",
     )

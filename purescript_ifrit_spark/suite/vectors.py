@@ -1231,3 +1231,57 @@ def x_pq_distortion_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             books[s, 1 + i, i] = 1.0
     coded = pq_encode(scaled, "embedding", books)
     return pq_distortion_stats(coded, "embedding", "pq_code", books)
+
+
+@register(
+    "x_pq_rerank_batch_planted",
+    # the ADC-shortlist -> exact-rerank loop as hard signal (r13): on
+    # the mixed-scale planted corpus (even vec_ids e_c ON the grid
+    # codebook, odd vec_ids 1.5*e_c OFF it — both encode to the SAME
+    # code, so ADC ties all six cluster-0 rows at distance 0), the e_0
+    # query's k=6, overfetch=2 shortlist is closed-form (ids 0-5 at ADC
+    # 0, ids 6-11 at ADC 2) and the exact rerank separates what ADC
+    # cannot: true distances 0.0 for the on-grid rows and
+    # ||1.5*e_0 - e_0||^2 = 0.25 for the scaled ones — quantization
+    # loss recovered from the shortlist, every value an exact binary
+    # fraction.
+    "SELECT CAST(0 AS BIGINT) AS query_id, vec_id, "
+    "CASE WHEN vec_id % 2 = 0 THEN CAST(0.0 AS DOUBLE) "
+    "ELSE CAST(0.25 AS DOUBLE) END AS dist "
+    "FROM embeddings WHERE vec_id < 6",
+)
+def x_pq_rerank_batch_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch PQ rerank (operators/similarity.pq_topk_rerank_batch, r13):
+    batch ADC shortlist over the codes, candidate-sized join-back of the
+    full vectors, JVM-side exact squared-L2 re-rank against the joined
+    query frame — under planted inputs whose shortlist AND reranked
+    distances are closed-form."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_rerank_batch,
+    )
+
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    scaled = planted.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            * F.when(F.col("vec_id") % 2 == 0, F.lit(1.0)).otherwise(
+                F.lit(1.5)
+            ),
+        ).alias("embedding"),
+    )
+    books = np.zeros((4, 9, 8))
+    for s in range(4):
+        for i in range(8):
+            books[s, 1 + i, i] = 1.0
+    coded = pq_encode(scaled, "embedding", books)
+    q = np.zeros((1, 32))
+    q[0, 0] = 1.0
+    return pq_topk_rerank_batch(
+        coded, "vec_id", "embedding", "pq_code", q, [0], books,
+        k=6, overfetch=2,
+    )

@@ -507,3 +507,28 @@ def test_r13_residual_ivf_pq_adversarial_inputs(spark):
     assert [(r.vec_id, r.dist) for r in b] == [(r.vec_id, r.dist) for r in s]
     # identical residual codes -> identical ADC distances for all rows
     assert len({round(r.dist, 9) for r in s}) == 1
+
+
+def test_r13_l2_and_rerank_kernels_on_empty(spark):
+    """r13 kernels on an empty corpus: the exact-L2 batch kernel and
+    the batch PQ rerank return empty frames with the contract schema."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        l2_topk_batch,
+        pq_topk_rerank_batch,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, pq_code array<int>"
+    )
+    q = np.zeros((1, 4))
+    books = np.zeros((2, 2, 2))
+    out = l2_topk_batch(empty, "vec_id", "embedding", q, [1], k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "dist"]
+    out2 = pq_topk_rerank_batch(
+        empty, "vec_id", "embedding", "pq_code", q, [1], books, k=3
+    )
+    assert out2.count() == 0
+    assert out2.columns == ["query_id", "vec_id", "dist"]

@@ -6905,3 +6905,139 @@ def test_ann_advisor_picks_cheapest_passing_nprobe(spark):
         similarity.ivf_advise_nprobe(
             corpus, "vec_id", "embedding", q, [0], cents, nprobes=(0,),
         )
+
+
+def test_l2_topk_batch_matches_numpy_exactly(spark):
+    """l2_topk_batch (r13): the exact squared-L2 batch kernel — the
+    ground truth the PQ/IVF-PQ tier (which ranks by L2) measures
+    against — must replay the numpy answer exactly, including the
+    (dist asc, id asc) tie order across duplicate embeddings."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    vecs = rng.standard_normal((60, 8))
+    vecs[7] = vecs[3]  # planted duplicate: tie must break to id 3 first
+    corpus = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    q = rng.standard_normal((3, 8))
+    out = similarity.l2_topk_batch(
+        corpus, "vec_id", "embedding", q, [10, 20, 30], k=5
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.dist))
+    for qi, qid in enumerate([10, 20, 30]):
+        d = ((vecs - q[qi]) ** 2).sum(1)
+        order = np.lexsort((np.arange(60), d))[:5]
+        want = [(int(i), float(d[i])) for i in order]
+        got = by_q[qid]
+        assert [g[0] for g in got] == [w[0] for w in want], (qid, got, want)
+        for g, w in zip(got, want):
+            assert abs(g[1] - w[1]) < 1e-9
+    # the duplicate pair ranks adjacently with the lower id first
+    # whenever both make a top-k
+    full = similarity.l2_topk_batch(
+        corpus, "vec_id", "embedding", vecs[3][None, :], [0], k=2
+    ).collect()
+    assert [(r.vec_id, round(r.dist, 9)) for r in full] == [(3, 0.0), (7, 0.0)]
+    with pytest.raises(ValueError, match="k must be positive"):
+        similarity.l2_topk_batch(corpus, "vec_id", "embedding", q, [1, 2, 3], k=0)
+
+
+def test_pq_topk_rerank_batch_matches_single_and_recovers(spark):
+    """pq_topk_rerank_batch (r13): a 1-query batch equals the single
+    pq_topk_rerank exactly; with overfetch covering the whole corpus
+    the result IS the exact L2 top-k (rerank over everything), so the
+    quantization loss is fully recovered."""
+    import numpy as np
+
+    rng = np.random.RandomState(29)
+    vecs = rng.standard_normal((40, 8))
+    corpus = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    books = similarity.pq_codebooks(
+        corpus, "embedding", m=2, k=2, seed=5, sample=40
+    )
+    coded = similarity.pq_encode(corpus, "embedding", books)
+    q = rng.standard_normal((1, 8))
+
+    single = similarity.pq_topk_rerank(
+        coded, "vec_id", "embedding", "pq_code", q[0], books,
+        k=5, overfetch=2,
+    ).collect()
+    batch = similarity.pq_topk_rerank_batch(
+        coded, "vec_id", "embedding", "pq_code", q, [9], books,
+        k=5, overfetch=2,
+    ).collect()
+    assert [(r.vec_id, round(r.dist, 9)) for r in batch] == [
+        (r.vec_id, round(r.dist, 9)) for r in single
+    ]
+    assert all(r.query_id == 9 for r in batch)
+
+    # overfetch = corpus/k: the shortlist is the whole corpus, rerank
+    # is exact -> equals l2_topk_batch verbatim
+    exact = similarity.l2_topk_batch(
+        corpus, "vec_id", "embedding", q, [9], k=5
+    ).collect()
+    full = similarity.pq_topk_rerank_batch(
+        coded, "vec_id", "embedding", "pq_code", q, [9], books,
+        k=5, overfetch=8,
+    ).collect()
+    assert [(r.vec_id, round(r.dist, 9)) for r in full] == [
+        (r.vec_id, round(r.dist, 9)) for r in exact
+    ]
+    with pytest.raises(ValueError, match="overfetch"):
+        similarity.pq_topk_rerank_batch(
+            coded, "vec_id", "embedding", "pq_code", q, [9], books,
+            overfetch=0,
+        )
+
+
+def test_pq_advise_overfetch_picks_cheapest_recovering_config(spark):
+    """pq_advise_overfetch (r13, the VERDICT r12 #4 rerank-multiple
+    axis): on a corpus whose coarse m=2/k=2 codebook provably scrambles
+    the ADC ranking, the advisor must measure recall@k in the L2 metric
+    (l2_topk_batch truth), reject overfetch=1, and choose the full-
+    corpus overfetch whose rerank recovers recall exactly 1.0."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    vecs = rng.standard_normal((40, 8))
+    corpus = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    books = similarity.pq_codebooks(
+        corpus, "embedding", m=2, k=2, seed=5, sample=40
+    )
+    coded = similarity.pq_encode(corpus, "embedding", books)
+    q = rng.standard_normal((2, 8))
+
+    out = similarity.pq_advise_overfetch(
+        coded, "vec_id", "embedding", "pq_code", q, [0, 1], books,
+        k=5, target_recall=1.0, overfetches=(1, 8), n_sample=2,
+    )
+    assert [p["name"] for p in out["curve"]][-1] == "overfetch=8"
+    assert out["chosen"] is not None
+    assert out["chosen"]["name"] == "overfetch=8"
+    assert out["chosen"]["recall"] == 1.0
+    # the cheap config was measured, found wanting, and recorded
+    assert out["curve"][0]["name"] == "overfetch=1"
+    assert out["curve"][0]["recall"] < 1.0
+    with pytest.raises(ValueError, match="overfetches"):
+        similarity.pq_advise_overfetch(
+            coded, "vec_id", "embedding", "pq_code", q, [0, 1], books,
+            overfetches=(0,),
+        )
+    with pytest.raises(ValueError, match="metric"):
+        similarity.ann_recall_estimate(
+            corpus, "vec_id", "embedding", q, [0, 1],
+            spark.createDataFrame(
+                [(0, 1, 0.5)], "query_id long, vec_id long, sim double"
+            ),
+            metric="hamming",
+        )
