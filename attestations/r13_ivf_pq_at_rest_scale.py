@@ -119,6 +119,43 @@ def main():
                 "wall_sec": round(wall, 2),
             }))
 
+        # ---- composed path: stored rerank recovers the ADC plateau ------
+        # keep_vector layout: the shortlist stage still reads only
+        # (id, cell, code) from the probed cells; full vectors are
+        # joined back for k*overfetch*Q rows only
+        vdir = out_dir + "_v"
+        S.write_ivf_pq_partitioned(
+            df, "vec_id", "embedding", cents, books, vdir,
+            residual=True, keep_vector=True,
+        )
+        vstored = spark.read.parquet(vdir)
+        try:
+            for of in (1, 2, 4):
+                t0 = time.perf_counter()
+                got = S.ivf_pq_rerank_batch(
+                    vstored, "vec_id", "embedding", "pq_code", queries,
+                    qids, books, cents, k=K, nprobe=2, overfetch=of,
+                ).collect()
+                wall = time.perf_counter() - t0
+                by_q = {}
+                for r in got:
+                    by_q.setdefault(r.query_id, set()).add(r.vec_id)
+                hits = sum(
+                    len(by_q.get(qi, set()) & truth[qi])
+                    for qi in range(N_QUERIES)
+                )
+                print(json.dumps({
+                    "step": "at_rest_rerank",
+                    "path": f"ivf_pq_rerank(nprobe=2,overfetch={of})",
+                    "recall_at_10_vs_exact_l2": round(
+                        hits / (N_QUERIES * K), 4
+                    ),
+                    "vectors_touched_rows": K * of * N_QUERIES,
+                    "wall_sec": round(wall, 2),
+                }))
+        finally:
+            shutil.rmtree(vdir, ignore_errors=True)
+
         # ---- advisor at scale: plain IVF, 0.90 SLO -----------------------
         t0 = time.perf_counter()
         adv = S.ivf_advise_nprobe(

@@ -2190,6 +2190,17 @@ def pq_topk_rerank_batch(
         df.select(id_col, code_col), id_col, code_col, qm, qids,
         codebooks, k=int(k) * int(overfetch),
     ).select("query_id", id_col)
+    return _exact_l2_rerank(cand, df, id_col, vec_col, qm, qids, int(k))
+
+
+def _exact_l2_rerank(cand, df, id_col, vec_col, qm, qids, k):
+    """Shared exact-rerank tail: join the candidate (query_id, id)
+    pairs back to their full vectors and to the query matrix (a Q-row
+    frame, AQE-broadcastable), compute exact squared L2 JVM-side, keep
+    the (dist asc, id asc) top-k per query. Candidate-sized throughout
+    — never a corpus pass."""
+    from pyspark.sql import Window
+
     qdf = df.sparkSession.createDataFrame(
         [(int(qids[i]), [float(x) for x in qm[i]]) for i in range(len(qids))],
         "query_id long, _qv array<double>",
@@ -2213,6 +2224,49 @@ def pq_topk_rerank_batch(
         .filter(F.col("_rank") <= int(k))
         .select("query_id", F.col(id_col), "dist")
     )
+
+
+def ivf_pq_rerank_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    code_col: str,
+    queries: "np.ndarray",
+    query_ids: Sequence[int],
+    codebooks: "np.ndarray",
+    centroids: "np.ndarray",
+    k: int = 10,
+    nprobe: int = 4,
+    overfetch: int = 4,
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """The COMPOSED billion-scale query path, end to end (r13): IVF
+    cell pruning (PartitionFilters over a write_ivf_pq_partitioned
+    layout) → residual-ADC shortlist from the stored codes
+    (ivf_pq_topk_residual_batch, k·overfetch per query) → exact
+    squared-L2 re-rank of ONLY the shortlist (the shared
+    candidate-sized join tail). `df` is the keep_vector=True at-rest
+    layout (or any frame carrying id + cell + code + vector): the ADC
+    stage reads (id, cell, code) from the probed cells' files only,
+    and full-width vectors are touched for k·overfetch·Q rows, full
+    stop. With nprobe covering every cell and overfetch covering the
+    corpus this equals l2_topk_batch exactly (test-pinned); recall in
+    between is measured, not modeled — `ann_recall_estimate(
+    metric='l2')` over this frame, or the r13 attestation's recovery
+    curve at 200k."""
+    if overfetch < 1:
+        raise ValueError(f"overfetch must be >= 1 (got {overfetch})")
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    qm = np.asarray(queries, dtype=np.float64)
+    qids = np.asarray(list(query_ids), dtype=np.int64)
+    _check_batch_ids(qm, qids)
+    cand = ivf_pq_topk_residual_batch(
+        df.select(id_col, cell_col, code_col), id_col, code_col, qm, qids,
+        codebooks, centroids, k=int(k) * int(overfetch), nprobe=nprobe,
+        cell_col=cell_col,
+    ).select("query_id", id_col)
+    return _exact_l2_rerank(cand, df, id_col, vec_col, qm, qids, int(k))
 
 
 def pq_advise_overfetch(

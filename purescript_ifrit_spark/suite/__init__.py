@@ -432,6 +432,7 @@ _R13_NEW: list = [
     "x_ann_advise_planted",      # displaced x_layout_pruning
     "x_pq_distortion_planted",   # displaced x_zorder_key
     "x_pq_rerank_batch_planted",  # displaced x_preference_pairs
+    "x_ivf_pq_rerank_planted",    # displaced x_sft_spans
 ]
 
 # 26 spill slots at round start; each _R13_NEW entry consumes one.

@@ -1285,3 +1285,70 @@ def x_pq_rerank_batch_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         coded, "vec_id", "embedding", "pq_code", q, [0], books,
         k=6, overfetch=2,
     )
+
+
+@register(
+    "x_ivf_pq_rerank_planted",
+    # the COMPOSED billion-scale query path as hard signal (r13): stored
+    # keep_vector layout -> PartitionFilters cell probe (nprobe=2 ->
+    # cells {0, 1}, closed-form: cell 0 at 0.25, others at 1.25) ->
+    # residual-ADC shortlist (mixed-scale cluster 0 ties at ADC 0: even
+    # rows' residual 0.5*e_0 and odd rows' residual e_0 BOTH encode to
+    # center 0.5*e_0; cell-1 rows at ADC 2) -> exact rerank separating
+    # what ADC cannot: 0.0 for the on-scale rows, 0.25 for the
+    # 1.5-scaled ones. Every probed cell, shortlist member and reranked
+    # distance closed-form.
+    "SELECT CAST(0 AS BIGINT) AS query_id, vec_id, "
+    "CASE WHEN vec_id % 2 = 0 THEN CAST(0.0 AS DOUBLE) "
+    "ELSE CAST(0.25 AS DOUBLE) END AS dist "
+    "FROM embeddings WHERE vec_id < 6",
+)
+def x_ivf_pq_rerank_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed at-rest retrieval (operators/similarity.
+    write_ivf_pq_partitioned(keep_vector=True) + ivf_pq_rerank_batch,
+    r13): cell pruning via PartitionFilters, residual-ADC shortlist
+    from the stored codes, exact candidate-sized rerank from the stored
+    vectors — under planted inputs whose every stage is closed-form.
+    The read-back is localCheckpoint-ed so the temp layout can be
+    removed before returning (the x_partitioned_sink convention)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        ivf_pq_rerank_batch,
+        write_ivf_pq_partitioned,
+    )
+
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    scaled = planted.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            * F.when(F.col("vec_id") % 2 == 0, F.lit(1.0)).otherwise(
+                F.lit(1.5)
+            ),
+        ).alias("embedding"),
+    )
+    cents = np.eye(16, 32) * 0.5
+    books = np.zeros((4, 9, 8))
+    for s in range(4):
+        for i in range(8):
+            books[s, 1 + i, i] = 0.5
+    q = np.zeros((1, 32))
+    q[0, 0] = 1.0
+    out_dir = tempfile.mkdtemp(prefix="ifrit_ivfpq_rerank_")
+    try:
+        write_ivf_pq_partitioned(
+            scaled, "vec_id", "embedding", cents, books, out_dir,
+            residual=True, keep_vector=True,
+        )
+        stored = spark.read.parquet(out_dir)
+        return ivf_pq_rerank_batch(
+            stored, "vec_id", "embedding", "pq_code", q, [0], books, cents,
+            k=6, nprobe=2, overfetch=2,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

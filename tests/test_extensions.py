@@ -7041,3 +7041,69 @@ def test_pq_advise_overfetch_picks_cheapest_recovering_config(spark):
             ),
             metric="hamming",
         )
+
+
+def test_ivf_pq_rerank_batch_composed_path(spark, tmp_path):
+    """ivf_pq_rerank_batch (r13): the composed stored-index query path —
+    PartitionFilters cell pruning -> residual-ADC shortlist -> exact
+    rerank of only the shortlist — over a keep_vector=True
+    write_ivf_pq_partitioned layout. With nprobe covering every cell
+    and overfetch covering the corpus it must equal l2_topk_batch
+    exactly; at nprobe=1 it returns only probed-cell rows."""
+    import numpy as np
+
+    rng = np.random.RandomState(37)
+    data = rng.standard_normal((90, 8)) + np.repeat(
+        rng.standard_normal((3, 8)) * 6.0, 30, axis=0
+    )
+    df = spark.createDataFrame(
+        [(i, data[i].tolist()) for i in range(90)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.stack(
+        [data[:30].mean(0), data[30:60].mean(0), data[60:].mean(0)]
+    )
+    ra = similarity.with_ivf_assignment(df, "embedding", cents)
+    rr = similarity.with_ivf_residual(ra, "embedding", cents)
+    books = similarity.pq_codebooks(rr, "residual", m=2, k=4, seed=5, sample=90)
+
+    path = str(tmp_path / "ivfpq_v")
+    similarity.write_ivf_pq_partitioned(
+        df, "vec_id", "embedding", cents, books, path, keep_vector=True
+    )
+    stored = spark.read.parquet(path)
+    assert "embedding" in stored.columns
+
+    q = np.stack([data[40], data[70]])
+    exact = similarity.l2_topk_batch(
+        df, "vec_id", "embedding", q, [5, 6], k=4
+    ).collect()
+    full = similarity.ivf_pq_rerank_batch(
+        stored, "vec_id", "embedding", "pq_code", q, [5, 6], books, cents,
+        k=4, nprobe=3, overfetch=30,
+    ).collect()
+    key = lambda rs: sorted(
+        (r.query_id, r.vec_id, round(r.dist, 9)) for r in rs
+    )
+    assert key(full) == key(exact)
+
+    # nprobe=1: only the query's own cluster is probed — every returned
+    # id comes from that cluster's id range
+    narrow = similarity.ivf_pq_rerank_batch(
+        stored, "vec_id", "embedding", "pq_code", q, [5, 6], books, cents,
+        k=4, nprobe=1, overfetch=4,
+    ).collect()
+    for r in narrow:
+        lo = 30 if r.query_id == 5 else 60
+        assert lo <= r.vec_id < lo + 30, (r.query_id, r.vec_id)
+
+    # the rerank distances are exact L2 regardless of probe width
+    d = {(r.query_id, r.vec_id): r.dist for r in narrow}
+    for (qid, vid), got in d.items():
+        want = float(((data[vid] - q[0 if qid == 5 else 1]) ** 2).sum())
+        assert abs(got - want) < 1e-9
+    with pytest.raises(ValueError, match="overfetch"):
+        similarity.ivf_pq_rerank_batch(
+            stored, "vec_id", "embedding", "pq_code", q, [5, 6], books,
+            cents, overfetch=0,
+        )
