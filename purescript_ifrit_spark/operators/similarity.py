@@ -1740,9 +1740,12 @@ def ivf_pq_topk_residual_batch(
     queries' LUTs (m numpy gathers, no matmul), then reduces to the
     tie-exact worker-local per-query top-k (dist asc, id asc — the
     pq_topk_batch contract). One exchange of k rows per query per
-    batch, WindowGroupLimit window. Over a cell-partitioned layout,
-    pre-filter with `.filter(col(cell_col).isin(all probed cells))`
-    to get partition pruning before the Arrow stage."""
+    batch, WindowGroupLimit window. The union of probed cells is pushed
+    as an IN filter BELOW the Arrow stage by the operator itself (r13 —
+    the pre-r13 form delegated it to the caller, so over a
+    write_ivf_pq_partitioned layout the scan listed EVERY cell's
+    files): semantically a no-op, but it compiles to PartitionFilters
+    on the stored layout, restoring the 1/nlist file pruning."""
     from pyspark.sql import Window
 
     if k <= 0:
@@ -1776,6 +1779,15 @@ def ivf_pq_topk_residual_batch(
               - qr.reshape(len(qidx), m, 1, sub)) ** 2).sum(-1),
         )
     kk = int(k)
+    # r13 (found by the composed-path boundary drive): push the probed
+    # cells as an IN filter BELOW the Arrow stage. Semantically a no-op
+    # (the kernel drops unprobed cells anyway), but over a
+    # write_ivf_pq_partitioned layout it compiles to PartitionFilters —
+    # without it the scan LISTS EVERY cell's files and the 1/nlist
+    # pruning the layout exists for never happens. The pre-r13
+    # docstring delegated this filter to the caller; the operator now
+    # owns it.
+    df = df.filter(F.col(cell_col).isin(sorted(cell_map)))
     id_type = dict(df.dtypes)[id_col]
     out_schema = f"query_id long, {id_col} {id_type}, dist double"
 

@@ -7107,3 +7107,55 @@ def test_ivf_pq_rerank_batch_composed_path(spark, tmp_path):
             stored, "vec_id", "embedding", "pq_code", q, [5, 6], books,
             cents, overfetch=0,
         )
+
+
+def test_ivf_pq_residual_batch_prunes_stored_partitions(spark, tmp_path):
+    """r13 (found by the composed-path boundary drive): the BATCH
+    residual probe used to delegate the probed-cells IN filter to the
+    caller, so over a write_ivf_pq_partitioned layout the scan listed
+    EVERY cell's files. The operator now pushes the filter itself —
+    PartitionFilters must name ivf_cell on the stored scan, for both
+    the shortlist-only path and the composed rerank."""
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    data = rng.standard_normal((60, 8)) + np.repeat(
+        rng.standard_normal((3, 8)) * 6.0, 20, axis=0
+    )
+    df = spark.createDataFrame(
+        [(i, data[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.stack(
+        [data[:20].mean(0), data[20:40].mean(0), data[40:].mean(0)]
+    )
+    rr = similarity.with_ivf_residual(
+        similarity.with_ivf_assignment(df, "embedding", cents),
+        "embedding", cents,
+    )
+    books = similarity.pq_codebooks(rr, "residual", m=2, k=4, seed=5, sample=60)
+    path = str(tmp_path / "ivfpq_v")
+    similarity.write_ivf_pq_partitioned(
+        df, "vec_id", "embedding", cents, books, path, keep_vector=True
+    )
+    stored = spark.read.parquet(path)
+    q = np.stack([data[10]])
+
+    def has_cell_pruning(frame):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        return "PartitionFilters: [ivf_cell" in plan.replace(
+            "PartitionFilters: [isnotnull(ivf_cell",
+            "PartitionFilters: [ivf_cell",
+        )
+
+    short = similarity.ivf_pq_topk_residual_batch(
+        stored, "vec_id", "pq_code", q, [0], books, cents, k=3, nprobe=1
+    )
+    assert has_cell_pruning(short)
+    composed = similarity.ivf_pq_rerank_batch(
+        stored, "vec_id", "embedding", "pq_code", q, [0], books, cents,
+        k=3, nprobe=1, overfetch=2,
+    )
+    assert has_cell_pruning(composed)
+    # and the pruned shortlist still returns only probed-cell rows
+    assert all(r.vec_id < 20 for r in short.collect())
