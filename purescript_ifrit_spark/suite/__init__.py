@@ -510,15 +510,120 @@ _R14_BACKFILL_R10 = [
     "x_value_histogram",
 ]
 
-_DRIVER_WINDOW_R14_PLAN = [
-    *_R14_SPILL,
-    *_R14_EXT_R9_COHORT,
-    *_R14_BACKFILL_R10,
-][:50]
-
 # Oracle entries that land AFTER the r13 window saturates queue here for
 # the r14 head.
 _R14_QUEUE_HEAD: list = []
+
+# New round-14 oracle entries, appended as built; each displaces the
+# r10-cohort backfill tail into the r15 plan MECHANICALLY (the slice
+# arithmetic below — the r13 innovation, kept), so the window stays
+# exactly 50 and the displaced names cannot be mis-transcribed.
+_R14_NEW: list = []
+
+# 3 backfill slots at round start (50 − 21 spill − 26 ext cohort); each
+# _R14_NEW entry consumes one.
+_R14_BACKFILL_SLOTS = 50 - len(_R14_SPILL) - len(_R14_EXT_R9_COHORT)
+
+# ---------------------------------------------------------------------------
+# Round-14 window (VERDICT r13 #8 — spent exactly as pre-planned at r13
+# round start, _DRIVER_WINDOW_R14_PLAN there = this list with _R14_NEW
+# empty):
+#   1. _R14_QUEUE_HEAD (empty — nothing landed after the r13 window
+#      saturated);
+#   2. _R14_SPILL — the 21-entry _R13_SPILL tail (last hard check r8;
+#      age 6 > extension SLA 5 at r14, so they MUST head the window);
+#   3. _R14_EXT_R9_COHORT — the 26 r9-checked extension entries (age 5 =
+#      the SLA edge);
+#   4. r10-cohort backfill, ledger order, sliced to fit;
+#   5. new round-14 oracle entries land at the END as built, each
+#      displacing the backfill tail into the r15 plan.
+_DRIVER_WINDOW_R14 = [
+    *_R14_QUEUE_HEAD,
+    *_R14_SPILL,
+    *_R14_EXT_R9_COHORT,
+    *_R14_BACKFILL_R10[: _R14_BACKFILL_SLOTS - len(_R14_NEW)],
+    *_R14_NEW,
+]
+
+# Explicit r15 plan (stated NOW, at r14 round start). After the r14
+# window lands, the oldest cohort is the r10-checked one (age 5 at r15,
+# the SLA edge — it MUST be fully spent by r16, and 50 of the 59 slots
+# it and the r11 cohort need fit this window): the full r10 cohort in
+# ledger order, MINUS whatever backfill the r14 window already spent
+# (the list-comprehension makes displacement by _R14_NEW self-
+# correcting), then r11-cohort backfill in ledger order fills to 50.
+_R15_R10_COHORT = [
+    "x_embedding_normalize",
+    "x_embedding_quantize",
+    "x_dau_exact",
+    "x_dedup_subdoc",
+    "x_unigram_xent",
+    "x_corr_stats",
+    "x_cube_counts",
+    "x_quality_topfrac",
+    "x_ohlc_bars",
+    "x_moving_avg",
+    "x_hopping_agg",
+    "x_value_histogram",
+    "x_salted_join",
+    "x_blocklist_dedup",
+    "x_heavy_hitters",
+    "x_source_overlap_exact",
+    "x_source_overlap_sketch",
+    "x_html_extract",
+    "x_temperature_mix",
+    "x_bigram_xent",
+    "x_feature_hash",
+    "x_linear_filter",
+    "x_corpus_report",
+    "x_dedup_clusters_planted",
+    "x_chunk_documents",
+    "x_pack_sequences",
+    "x_rolling_fingerprint",
+    "x_explode_chunks",
+    "x_pii_redact",
+    "x_term_stats",
+    "x_tfidf_topk",
+    "x_repetition_stats",
+    "x_term_spectrum",
+    "x_vocab_divergence",
+    "x_ngram_novelty",
+    "x_bpe_pairs",
+    "xd_redact",
+    "xd_tumble_hourly",
+    "x_url_domains",
+    "x_encoding_quality",
+    "x_packing_stats",
+    "x_cluster_stats_planted",
+    "x_dedup_keep_best_planted",
+    "x_dedup_incremental_simhash_planted",
+    "x_rrf_batch",
+    "x_profile_table_types",
+    "x_streaming_index_fold",
+    "x_ann_batch",
+    "x_ann_ivf_batch_planted",
+    "x_bm25_indexed",
+]
+
+# r11-cohort backfill head, ledger order (50 such entries; the slice
+# takes however many fit after the r10 cohort).
+_R15_BACKFILL_R11 = [
+    "xd_sessionize",
+    "xd_htmltext",
+    "x_split_train_val",
+    "x_hash_sample",
+    "x_stratified_fixed_k",
+    "x_stratified_sample",
+]
+
+_DRIVER_WINDOW_R15_PLAN = [
+    *[n for n in _R15_R10_COHORT if n not in _DRIVER_WINDOW_R14],
+    *_R15_BACKFILL_R11,
+][:50]
+
+# Oracle entries that land AFTER the r14 window saturates queue here for
+# the r15 head.
+_R15_QUEUE_HEAD: list = []
 
 # Round -> window lookup for the staleness machinery. The LAST entry is
 # the plan for the round about to be spent next; round-start discipline
@@ -532,7 +637,8 @@ DRIVER_WINDOWS = {
     11: _DRIVER_WINDOW_R11,
     12: _DRIVER_WINDOW_R12,
     13: _DRIVER_WINDOW_R13,
-    14: _DRIVER_WINDOW_R14_PLAN,
+    14: _DRIVER_WINDOW_R14,
+    15: _DRIVER_WINDOW_R15_PLAN,
 }
 
 # ---------------------------------------------------------------------------
@@ -619,4 +725,4 @@ def _apply_driver_window(window: list) -> None:
     REGISTRY.update(ordered)
 
 
-_apply_driver_window(_DRIVER_WINDOW_R13)
+_apply_driver_window(_DRIVER_WINDOW_R14)

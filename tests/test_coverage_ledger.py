@@ -15,7 +15,7 @@ from purescript_ifrit_spark.suite import (
     _DRIVER_WINDOW_R11,
     _DRIVER_WINDOW_R12,
     _DRIVER_WINDOW_R13,
-    _DRIVER_WINDOW_R14_PLAN,
+    _DRIVER_WINDOW_R14,
     _R11_BACKFILL_R7,
     _R11_QUEUE_HEAD,
     _R11_SPILL,
@@ -29,9 +29,15 @@ from purescript_ifrit_spark.suite import (
     _R13_SPILL,
     _R13_SPILL_SLOTS,
     _R14_BACKFILL_R10,
+    _R14_BACKFILL_SLOTS,
     _R14_EXT_R9_COHORT,
+    _R14_NEW,
     _R14_QUEUE_HEAD,
     _R14_SPILL,
+    _DRIVER_WINDOW_R15_PLAN,
+    _R15_BACKFILL_R11,
+    _R15_QUEUE_HEAD,
+    _R15_R10_COHORT,
     DEMO_REGISTRY,
     DRIVER_WINDOWS,
     REGISTRY,
@@ -86,10 +92,10 @@ def test_committed_ledger_positions_match_registry_order():
 def test_driver_window_is_exactly_fifty_oracle_entries():
     # the driver checks the FIRST 50 — all 50 slots must be spendable on
     # hash-green outcomes (no rows-only entries per the rotation policy)
-    assert len(_DRIVER_WINDOW_R13) == 50
-    assert len(set(_DRIVER_WINDOW_R13)) == 50
-    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R13
-    rows_only = [n for n in _DRIVER_WINDOW_R13 if REGISTRY[n][1] is None]
+    assert len(_DRIVER_WINDOW_R14) == 50
+    assert len(set(_DRIVER_WINDOW_R14)) == 50
+    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R14
+    rows_only = [n for n in _DRIVER_WINDOW_R14 if REGISTRY[n][1] is None]
     assert rows_only == []
 
 
@@ -134,7 +140,7 @@ def _checked_rounds(hist: str) -> list:
 def test_window_prioritizes_never_verified_oracle_entries():
     # every oracle-backed entry whose history has no driver round yet
     # must be IN the window — or, if it lands after the window saturates
-    # (the session-3 precedent), pinned in the declared r14 queue head.
+    # (the session-3 precedent), pinned in the declared r15 queue head.
     # Either way, no entry silently leaves the rotation.
     never = [
         name
@@ -143,14 +149,14 @@ def test_window_prioritizes_never_verified_oracle_entries():
     ]
     missing = [
         n for n in never
-        if n not in _DRIVER_WINDOW_R13 and n not in _R14_QUEUE_HEAD
+        if n not in _DRIVER_WINDOW_R14 and n not in _R15_QUEUE_HEAD
     ]
     assert missing == [], missing
     # the queue is real: disjoint from the window, oracle-backed,
     # registry-resident, never-checked
-    for n in _R14_QUEUE_HEAD:
+    for n in _R15_QUEUE_HEAD:
         assert n in REGISTRY and REGISTRY[n][1] is not None, n
-        assert n not in _DRIVER_WINDOW_R13, n
+        assert n not in _DRIVER_WINDOW_R14, n
         assert not _checked_rounds(DRIVER_HISTORY[n][1]), n
 
 
@@ -268,31 +274,69 @@ def test_window_meets_staleness_sla():
     assert all(evidence.get(n, 0) >= 12 for n in _DRIVER_WINDOW_R12)
 
 
-def test_r14_plan_meets_staleness_sla_today():
-    # the declared one-round-ahead plan must already satisfy the SLA
-    # under the evidence the r13 driver pass will produce (its window =
-    # green rows for every r13 entry) — so the suite stays green at
-    # judge time, after the driver drops CORRECTNESS_r13.json and before
-    # the r14 builder's first commit.
-    evidence = _disk_evidence()
-    evidence.update({n: 13 for n in _DRIVER_WINDOW_R13})
-    violations = window_staleness_violations(
-        _DRIVER_WINDOW_R14_PLAN, 14, evidence
-    )
-    assert violations == [], violations
-    assert len(_DRIVER_WINDOW_R14_PLAN) == 50
-    assert len(set(_DRIVER_WINDOW_R14_PLAN)) == 50
-    # plan structure: spill tail first, then the r9 extension cohort,
-    # then r10-cohort backfill sliced to fit
-    assert _DRIVER_WINDOW_R14_PLAN[:len(_R14_SPILL)] == _R14_SPILL
+def test_window_r14_composition_is_the_pinned_plan():
+    # VERDICT r13 #8: the r14 window is spent exactly as pre-planned at
+    # r13 round start — queue head (empty), then the 21-entry _R13_SPILL
+    # tail (age 6 > extension SLA 5, MUST head the window), then the 26
+    # r9-checked extension entries (age 5 = the SLA edge), then
+    # r10-cohort backfill in ledger order; new r14 entries land only at
+    # the tail, displacing the backfill tail into the r15 plan
+    # mechanically via _R14_NEW.
+    head = len(_R14_QUEUE_HEAD)
+    assert _DRIVER_WINDOW_R14[:head] == _R14_QUEUE_HEAD
+    assert _DRIVER_WINDOW_R14[head:head + len(_R14_SPILL)] == _R14_SPILL
+    mid = head + len(_R14_SPILL)
     assert (
-        _DRIVER_WINDOW_R14_PLAN[
-            len(_R14_SPILL):len(_R14_SPILL) + len(_R14_EXT_R9_COHORT)
-        ]
+        _DRIVER_WINDOW_R14[mid:mid + len(_R14_EXT_R9_COHORT)]
         == _R14_EXT_R9_COHORT
     )
-    rest = _DRIVER_WINDOW_R14_PLAN[len(_R14_SPILL) + len(_R14_EXT_R9_COHORT):]
-    assert rest == _R14_BACKFILL_R10[:len(rest)]
+    for name in _R14_EXT_R9_COHORT:
+        rounds = _checked_rounds(DRIVER_HISTORY[name][1])
+        assert max(r for r in rounds if r < 14) == 9, name
+    tail = _DRIVER_WINDOW_R14[mid + len(_R14_EXT_R9_COHORT):]
+    n_backfill = _R14_BACKFILL_SLOTS - len(_R14_NEW)
+    assert tail[:n_backfill] == _R14_BACKFILL_R10[:n_backfill]
+    assert tail[n_backfill:] == _R14_NEW
+    for name in _R14_BACKFILL_R10:
+        rounds = _checked_rounds(DRIVER_HISTORY[name][1])
+        assert max(r for r in rounds if r < 14) == 10, name
+
+
+def test_window_meets_staleness_sla_under_r14_evidence():
+    # the window about to be spent, adjudicated under the evidence it
+    # will itself produce (green rows for every r14 entry): no entry may
+    # breach its SLA tier at r14 — the same check
+    # test_window_meets_staleness_sla runs, restated with the overlay
+    # the r14 driver pass will write.
+    evidence = _disk_evidence()
+    evidence.update({n: 14 for n in _DRIVER_WINDOW_R14})
+    violations = window_staleness_violations(
+        _DRIVER_WINDOW_R14, 14, evidence
+    )
+    assert violations == [], violations
+
+
+def test_r15_plan_meets_staleness_sla_today():
+    # the declared one-round-ahead plan must already satisfy the SLA
+    # under the evidence the r14 driver pass will produce (its window =
+    # green rows for every r14 entry) — so the suite stays green at
+    # judge time, after the driver drops CORRECTNESS_r14.json and before
+    # the r15 builder's first commit.
+    evidence = _disk_evidence()
+    evidence.update({n: 14 for n in _DRIVER_WINDOW_R14})
+    violations = window_staleness_violations(
+        _DRIVER_WINDOW_R15_PLAN, 15, evidence
+    )
+    assert violations == [], violations
+    assert len(_DRIVER_WINDOW_R15_PLAN) == 50
+    assert len(set(_DRIVER_WINDOW_R15_PLAN)) == 50
+    # plan structure: the r10 cohort not already re-checked by the r14
+    # window (self-correcting against _R14_NEW displacement), then
+    # r11-cohort backfill sliced to fit
+    r10_due = [n for n in _R15_R10_COHORT if n not in _DRIVER_WINDOW_R14]
+    assert _DRIVER_WINDOW_R15_PLAN[:len(r10_due)] == r10_due[:50]
+    rest = _DRIVER_WINDOW_R15_PLAN[len(r10_due):]
+    assert rest == _R15_BACKFILL_R11[:len(rest)]
 
 
 def test_coverage_cites_only_live_entry_names():
@@ -335,6 +379,15 @@ def test_window_r12_history_marks_are_recorded():
         assert 12 in _checked_rounds(DRIVER_HISTORY[name][1]), name
 
 
+def test_window_r13_history_marks_are_recorded():
+    # post-round bookkeeping: every entry the r13 driver checked
+    # (CORRECTNESS_r13.json = the 50-slot window, 50/50 hash-green)
+    # carries the confirming r13 round mark
+    assert len(_DRIVER_WINDOW_R13) == 50
+    for name in _DRIVER_WINDOW_R13:
+        assert 13 in _checked_rounds(DRIVER_HISTORY[name][1]), name
+
+
 def test_window_r13_composition_is_the_pinned_plan():
     # VERDICT r12 #1: the r13 window is spent exactly as pre-planned at
     # r12 round start — queue head (empty), then the 24-entry core-r9
@@ -353,11 +406,14 @@ def test_window_r13_composition_is_the_pinned_plan():
     assert _DRIVER_WINDOW_R13[mid:mid + n_spill] == _R13_SPILL[:n_spill]
     assert _DRIVER_WINDOW_R13[mid + n_spill:] == _R13_NEW
     for name in _R13_SPILL:
-        # the whole spill cohort is r8-last-checked (as of composition)
-        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 8, name
+        # the whole spill cohort was r8-last-checked AS OF the r13
+        # composition (the spent window added r13 marks to the slice
+        # that fit)
+        rounds = _checked_rounds(DRIVER_HISTORY[name][1])
+        assert max(r for r in rounds if r < 13) == 8, name
     for name in _R13_NEW:
-        # new r13 entries have no driver evidence yet
-        assert not _checked_rounds(DRIVER_HISTORY[name][1]), name
+        # new r13 entries' first-ever driver check IS the r13 mark
+        assert _checked_rounds(DRIVER_HISTORY[name][1]) == [13], name
 
 
 def test_r13_core_cohort_plan_is_pinned():
@@ -380,24 +436,27 @@ def test_r13_core_cohort_plan_is_pinned():
 
 
 def test_window_spill_is_exactly_the_stated_r14_list():
-    # after the r13 window lands, every oracle entry NOT in the window
+    # after the r13 window landed, every oracle entry NOT in that window
     # must have a last check of r9+ — EXCEPT the explicitly declared r14
     # spill (the stated-plan discipline from VERDICT r7 #1). An r8-or-
-    # older entry outside both lists is a rotation bug.
+    # older entry outside both lists is a rotation bug. Evaluated AS OF
+    # the r14 composition (rounds < 14): the r14 window being spent now
+    # adds r14 marks to these same histories.
     stale = []
     for name, (check, hist) in DRIVER_HISTORY.items():
         if (check != "oracle" or name in _DRIVER_WINDOW_R13
                 or name in _R14_QUEUE_HEAD):
             continue
-        rounds = _checked_rounds(hist)
-        assert rounds, (name, hist)
-        if max(rounds) < 9:
+        pre = [r for r in _checked_rounds(hist) if r < 14]
+        assert pre, (name, hist)
+        if max(pre) < 9:
             stale.append(name)
     assert sorted(stale) == sorted(_R14_SPILL), (
         sorted(set(stale) ^ set(_R14_SPILL))
     )
     for name in _R14_SPILL:
-        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 8, name
+        rounds = _checked_rounds(DRIVER_HISTORY[name][1])
+        assert max(r for r in rounds if r < 14) == 8, name
 
 
 def test_registry_capacity_fits_the_sla():
@@ -437,19 +496,22 @@ def test_window_backfill_spill_is_exactly_the_stated_r13_list():
         if (check != "oracle" or name in _DRIVER_WINDOW_R12
                 or name in _R13_QUEUE_HEAD):
             continue
-        rounds = _checked_rounds(hist)
-        if not rounds:
+        # evaluated AS OF the r13 composition: later windows add r13/r14
+        # marks to these same histories
+        pre = [r for r in _checked_rounds(hist) if r < 13]
+        if not pre:
             # entries born after r12 close: never-checked rotation is
             # covered by test_window_prioritizes_never_verified_*
             assert "r13" in DRIVER_HISTORY[name][1], (name, hist)
             continue
-        if max(rounds) < 9:
+        if max(pre) < 9:
             stale.append(name)
     assert sorted(stale) == sorted(_R13_SPILL), (
         sorted(set(stale) ^ set(_R13_SPILL))
     )
     for name in _R13_SPILL:
-        assert max(_checked_rounds(DRIVER_HISTORY[name][1])) == 8, name
+        rounds = _checked_rounds(DRIVER_HISTORY[name][1])
+        assert max(r for r in rounds if r < 13) == 8, name
 
 
 def test_r12_core_sextet_plan_is_pinned():

@@ -240,8 +240,8 @@ def test_driver_window_is_exactly_fifty():
     fill the hard-signal budget exactly (a short list would silently
     promote tail entries the COVERAGE ledger doesn't schedule). The
     full window/ledger invariant suite lives in test_coverage_ledger.py."""
-    from purescript_ifrit_spark.suite import REGISTRY, _DRIVER_WINDOW_R13
+    from purescript_ifrit_spark.suite import REGISTRY, _DRIVER_WINDOW_R14
 
-    assert len(_DRIVER_WINDOW_R13) == 50
-    assert len(set(_DRIVER_WINDOW_R13)) == 50
-    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R13
+    assert len(_DRIVER_WINDOW_R14) == 50
+    assert len(set(_DRIVER_WINDOW_R14)) == 50
+    assert list(REGISTRY)[:50] == _DRIVER_WINDOW_R14
