@@ -2259,13 +2259,14 @@ def ivf_pq_rerank_batch(
     squared-L2 re-rank of ONLY the shortlist (the shared
     candidate-sized join tail). `df` is the keep_vector=True at-rest
     layout (or any frame carrying id + cell + code + vector): the ADC
-    stage reads (id, cell, code) from the probed cells' files only,
-    and full-width vectors are touched for k·overfetch·Q rows, full
-    stop. With nprobe covering every cell and overfetch covering the
-    corpus this equals l2_topk_batch exactly (test-pinned); recall in
-    between is measured, not modeled — `ann_recall_estimate(
-    metric='l2')` over this frame, or the r13 attestation's recovery
-    curve at 200k."""
+    stage reads (id, cell, code) from the probed cells' files only, and
+    the rerank stage reads the vector column from the probed cells'
+    files only — BOTH scans carry the probed-cells PartitionFilters
+    over the stored layout (plan-pinned per scan, r14). With nprobe
+    covering every cell and overfetch covering the corpus this equals
+    l2_topk_batch exactly (test-pinned); recall in between is measured,
+    not modeled — `ann_recall_estimate(metric='l2')` over this frame,
+    or the r13/r14 attestation's recovery curve at 200k."""
     if overfetch < 1:
         raise ValueError(f"overfetch must be >= 1 (got {overfetch})")
     if k <= 0:
@@ -2278,7 +2279,23 @@ def ivf_pq_rerank_batch(
         codebooks, centroids, k=int(k) * int(overfetch), nprobe=nprobe,
         cell_col=cell_col,
     ).select("query_id", id_col)
-    return _exact_l2_rerank(cand, df, id_col, vec_col, qm, qids, int(k))
+    # r14 (VERDICT r13 #1): candidates can only come from probed cells,
+    # so filtering the rerank side by the same cell union is
+    # semantically a no-op — but over a write_ivf_pq_partitioned layout
+    # it compiles to PartitionFilters on the WIDE vector-column scan,
+    # which otherwise lists and reads EVERY cell's files (a full corpus
+    # pass over the widest column to rerank k·overfetch·Q rows). Same
+    # driver-side stable argsort the shortlist stage does.
+    cents = np.asarray(centroids, dtype=np.float64)
+    d2 = ((cents[None, :, :] - qm[:, None, :]) ** 2).sum(-1)
+    probe = np.argsort(d2, axis=1, kind="stable")[
+        :, : min(int(nprobe), len(cents))
+    ]
+    probed = sorted({int(c) for c in probe.ravel()})
+    rerank_src = df.filter(F.col(cell_col).isin(probed))
+    return _exact_l2_rerank(
+        cand, rerank_src, id_col, vec_col, qm, qids, int(k)
+    )
 
 
 def pq_advise_overfetch(

@@ -7141,21 +7141,40 @@ def test_ivf_pq_residual_batch_prunes_stored_partitions(spark, tmp_path):
     stored = spark.read.parquet(path)
     q = np.stack([data[10]])
 
-    def has_cell_pruning(frame):
+    def every_scan_cell_pruned(frame, expect_vector_scan=False):
+        # r14 (VERDICT r13 #2): assert PER SCAN, not on the whole plan
+        # string — the r13 whole-plan grep was satisfied by the
+        # shortlist scan while the rerank's vector-column scan read
+        # every cell's files. Every parquet FileScan of the layout must
+        # carry a non-trivial ivf_cell PartitionFilter (isnotnull alone
+        # doesn't prune), and with expect_vector_scan the assertion is
+        # proven non-vacuous by requiring a scan that reads the wide
+        # vector column.
+        import re as _re
+
         plan = frame._jdf.queryExecution().executedPlan().toString()
-        return "PartitionFilters: [ivf_cell" in plan.replace(
-            "PartitionFilters: [isnotnull(ivf_cell",
-            "PartitionFilters: [ivf_cell",
-        )
+        scans = [ln for ln in plan.split("\n") if "Scan parquet" in ln]
+        assert scans, plan
+        saw_vector = False
+        for ln in scans:
+            m = _re.search(r"PartitionFilters: \[([^\]]*)\]", ln)
+            assert m, ln
+            assert _re.search(r"ivf_cell#?\d* (IN|INSET|=)", m.group(1)), ln
+            cols = ln.split("Scan parquet", 1)[1]
+            if "embedding" in cols.split("PartitionFilters:", 1)[0]:
+                saw_vector = True
+        if expect_vector_scan:
+            assert saw_vector, plan
+        return True
 
     short = similarity.ivf_pq_topk_residual_batch(
         stored, "vec_id", "pq_code", q, [0], books, cents, k=3, nprobe=1
     )
-    assert has_cell_pruning(short)
+    assert every_scan_cell_pruned(short)
     composed = similarity.ivf_pq_rerank_batch(
         stored, "vec_id", "embedding", "pq_code", q, [0], books, cents,
         k=3, nprobe=1, overfetch=2,
     )
-    assert has_cell_pruning(composed)
+    assert every_scan_cell_pruned(composed, expect_vector_scan=True)
     # and the pruned shortlist still returns only probed-cell rows
     assert all(r.vec_id < 20 for r in short.collect())
