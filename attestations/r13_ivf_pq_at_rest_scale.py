@@ -120,9 +120,16 @@ def main():
             }))
 
         # ---- composed path: stored rerank recovers the ADC plateau ------
-        # keep_vector layout: the shortlist stage still reads only
-        # (id, cell, code) from the probed cells; full vectors are
-        # joined back for k*overfetch*Q rows only
+        # keep_vector layout: the shortlist stage reads only (id, cell,
+        # code) from the probed cells, and the rerank stage reads the
+        # vector column from the probed cells only (r14 fix). The rows
+        # the vector scan produced are MEASURED from the executed plan's
+        # FileSourceScanExec metrics (VERDICT r13 #2 — the r13 run
+        # printed K*of*N_QUERIES arithmetic here while the actual scan
+        # read every cell's files); the arithmetic shortlist width is
+        # reported alongside as the join-side bound, clearly labeled.
+        from purescript_ifrit_spark.plans.metrics import vector_scan_rows
+
         vdir = out_dir + "_v"
         S.write_ivf_pq_partitioned(
             df, "vec_id", "embedding", cents, books, vdir,
@@ -132,10 +139,11 @@ def main():
         try:
             for of in (1, 2, 4):
                 t0 = time.perf_counter()
-                got = S.ivf_pq_rerank_batch(
+                frame = S.ivf_pq_rerank_batch(
                     vstored, "vec_id", "embedding", "pq_code", queries,
                     qids, books, cents, k=K, nprobe=2, overfetch=of,
-                ).collect()
+                )
+                got = frame.collect()
                 wall = time.perf_counter() - t0
                 by_q = {}
                 for r in got:
@@ -144,13 +152,24 @@ def main():
                     len(by_q.get(qi, set()) & truth[qi])
                     for qi in range(N_QUERIES)
                 )
+                vec_scan = vector_scan_rows(frame, "embedding")
                 print(json.dumps({
                     "step": "at_rest_rerank",
                     "path": f"ivf_pq_rerank(nprobe=2,overfetch={of})",
                     "recall_at_10_vs_exact_l2": round(
                         hits / (N_QUERIES * K), 4
                     ),
-                    "vectors_touched_rows": K * of * N_QUERIES,
+                    # MEASURED at the scan layer (executed-plan metrics):
+                    # full-width rows the vector scan actually produced,
+                    # and the fraction of the corpus that is
+                    "vector_scan_rows_measured": vec_scan["rows"],
+                    "vector_scan_files_measured": vec_scan["files"],
+                    "vector_scan_corpus_fraction": round(
+                        (vec_scan["rows"] or 0) / N_ROWS, 4
+                    ),
+                    # arithmetic join-side bound, for context only:
+                    # the rerank JOIN keeps at most this many candidates
+                    "shortlist_rows_bound": K * of * N_QUERIES,
                     "wall_sec": round(wall, 2),
                 }))
         finally:

@@ -1557,9 +1557,13 @@ def pq_topk_rerank(
 
     Recall contract: exact within the shortlist — a true neighbor whose
     ADC rank fell past k·overfetch stays lost; raise `overfetch` (the
-    cost is the shortlist join width, not a corpus pass) or measure
-    with ann_recall_estimate. At 100 TB the corpus pass reads (id,
-    code); full vectors are touched for k·overfetch rows only."""
+    cost is the shortlist join width) or measure with
+    ann_recall_estimate. Scan-layer truth (r14 correction): the ADC
+    pass reads (id, code) only, and the rerank JOIN keeps k·overfetch
+    rows — but the join-back SCANS the whole vector column past the
+    broadcast hash. For the scan to be candidate-sized too, use
+    `pq_topk_rerank_batch(pushdown_ids=True)` over a sorted/z-ordered
+    layout (a 1-query batch equals this function exactly)."""
     if overfetch < 1:
         raise ValueError(f"overfetch must be >= 1 (got {overfetch})")
     cand = pq_topk(
@@ -2172,16 +2176,25 @@ def pq_topk_rerank_batch(
     codebooks: "np.ndarray",
     k: int = 10,
     overfetch: int = 4,
+    pushdown_ids: bool = False,
 ) -> DataFrame:
     """Batch ADC shortlist → exact re-check (r13): pq_topk_batch over
     the codes fetches k·overfetch candidates per query, then ONLY those
     (query, id) pairs' full vectors are joined back and re-ranked by
     the EXACT squared L2 distance — computed JVM-side by joining the
     query matrix in as a (query_id, qvec) frame (Q rows, broadcast by
-    AQE) and folding zip_with squares, so the rerank costs one
-    candidate-sized join, never a corpus pass. `df` must carry BOTH the
-    vector and the code column (pq_encode output, or a
-    write_ivf_pq_partitioned(keep_vector=True) layout). Returns
+    AQE) and folding zip_with squares. The rerank JOIN is
+    candidate-sized; at the SCAN layer the default join-back streams
+    the whole vector column past the broadcast hash — on the
+    unpartitioned PQ tier there is no partition structure to prune by.
+    `pushdown_ids=True` is the 100 TB recipe (r14, VERDICT r13 #3):
+    the driver-bounded shortlist (k·overfetch·Q ids) is collected once
+    and pushed as `id IN (...)` into the vector scan, which compiles
+    to parquet PushedFilters and row-group pruning over a sorted or
+    z-ordered layout (operators/layout.py `write_zordered`) —
+    plan-pinned; results are identical either way (test-pinned). `df`
+    must carry BOTH the vector and the code column (pq_encode output,
+    or a write_ivf_pq_partitioned(keep_vector=True) layout). Returns
     (query_id, id, dist) exact, (dist asc, id asc) top-k per query —
     a 1-query batch equals pq_topk_rerank exactly (test-pinned).
 
@@ -2189,8 +2202,6 @@ def pq_topk_rerank_batch(
     true neighbor whose ADC rank fell past k·overfetch stays lost.
     `pq_advise_overfetch` picks the cheapest overfetch meeting a
     measured recall SLO against l2_topk_batch truth."""
-    from pyspark.sql import Window
-
     if overfetch < 1:
         raise ValueError(f"overfetch must be >= 1 (got {overfetch})")
     if k <= 0:
@@ -2202,17 +2213,44 @@ def pq_topk_rerank_batch(
         df.select(id_col, code_col), id_col, code_col, qm, qids,
         codebooks, k=int(k) * int(overfetch),
     ).select("query_id", id_col)
-    return _exact_l2_rerank(cand, df, id_col, vec_col, qm, qids, int(k))
+    return _exact_l2_rerank(
+        cand, df, id_col, vec_col, qm, qids, int(k),
+        pushdown_ids=pushdown_ids,
+    )
 
 
-def _exact_l2_rerank(cand, df, id_col, vec_col, qm, qids, k):
+def _exact_l2_rerank(cand, df, id_col, vec_col, qm, qids, k,
+                     pushdown_ids=False):
     """Shared exact-rerank tail: join the candidate (query_id, id)
     pairs back to their full vectors and to the query matrix (a Q-row
     frame, AQE-broadcastable), compute exact squared L2 JVM-side, keep
-    the (dist asc, id asc) top-k per query. Candidate-sized throughout
-    — never a corpus pass."""
+    the (dist asc, id asc) top-k per query. The JOIN is candidate-sized
+    throughout; the SCAN side is what `pushdown_ids` governs.
+
+    `pushdown_ids=False` (default): the vector side streams past a
+    broadcast hash of the candidates — at the scan layer that is a full
+    pass over the vector column (fine in-memory / post-cell-pruning;
+    see ivf_pq_rerank_batch, whose probed-cells filter bounds it).
+
+    `pushdown_ids=True` (r14, VERDICT r13 #3 — the documented 100 TB
+    recipe for the UNPARTITIONED tier): the shortlist is driver-bounded
+    (≤ k·overfetch·Q (query_id, id) pairs), so collect it ONCE, rebuild
+    the candidate side as a local relation (plan-size bound: Q·k·
+    overfetch rows — e.g. 64 queries · k=10 · overfetch=4 = 2,560), and
+    push `id IN (...)` into the vector-side scan. Over a sorted or
+    z-ordered layout (operators/layout.py `write_zordered`) the IN
+    lands in parquet PushedFilters and row-group min/max stats skip
+    everything outside the shortlist — the exact rerank then READS
+    candidate-sized, not corpus-sized."""
     from pyspark.sql import Window
 
+    if pushdown_ids:
+        pairs = cand.select("query_id", id_col).collect()
+        ids = sorted({r[1] for r in pairs})
+        cand = df.sparkSession.createDataFrame(
+            pairs, f"query_id long, {id_col} {dict(df.dtypes)[id_col]}"
+        )
+        df = df.filter(F.col(id_col).isin(ids))
     qdf = df.sparkSession.createDataFrame(
         [(int(qids[i]), [float(x) for x in qm[i]]) for i in range(len(qids))],
         "query_id long, _qv array<double>",

@@ -6997,6 +6997,81 @@ def test_pq_topk_rerank_batch_matches_single_and_recovers(spark):
         )
 
 
+def test_pq_rerank_pushdown_ids_prunes_the_vector_scan(spark, tmp_path):
+    """r14 (VERDICT r13 #3): on the UNPARTITIONED PQ tier the rerank
+    join-back streams the whole vector column past a broadcast hash —
+    no partition structure means no free pruning. pushdown_ids=True
+    collects the driver-bounded shortlist (k·overfetch·Q ids) and
+    pushes `id IN (...)` into the vector-side scan: over an id-sorted
+    parquet layout the IN must land in the scan's PushedFilters (plan-
+    pinned) and the MEASURED scan rows must shrink to the row-groups
+    holding candidates — with results byte-identical to the default."""
+    import numpy as np
+
+    from purescript_ifrit_spark.plans.metrics import scan_metrics
+
+    rng = np.random.RandomState(37)
+    # planted: ids 0-9 sit tightly around the query center, everything
+    # else is 100 units away — the ADC shortlist can only name ids 0-9,
+    # which all live in the FIRST of the 8 id-range files, so file-level
+    # min/max stats can skip the other 7
+    center = rng.standard_normal(8)
+    vecs = center + 100.0 + rng.standard_normal((80, 8))
+    vecs[:10] = center + 0.01 * rng.standard_normal((10, 8))
+    corpus = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    books = similarity.pq_codebooks(
+        corpus, "embedding", m=2, k=4, seed=5, sample=80
+    )
+    coded = similarity.pq_encode(corpus, "embedding", books)
+    # id-sorted layout, several files -> row-group/file stats can skip
+    path = str(tmp_path / "pq_sorted")
+    coded.repartitionByRange(8, "vec_id").sortWithinPartitions(
+        "vec_id"
+    ).write.parquet(path)
+    stored = spark.read.parquet(path)
+    q = center + 0.01 * rng.standard_normal((2, 8))
+
+    base = similarity.pq_topk_rerank_batch(
+        stored, "vec_id", "embedding", "pq_code", q, [3, 4], books,
+        k=5, overfetch=2,
+    )
+    pushed = similarity.pq_topk_rerank_batch(
+        stored, "vec_id", "embedding", "pq_code", q, [3, 4], books,
+        k=5, overfetch=2, pushdown_ids=True,
+    )
+    key = lambda rows: sorted(
+        (r.query_id, r.vec_id, round(r.dist, 9)) for r in rows
+    )
+    assert key(pushed.collect()) == key(base.collect())
+
+    # plan pin: the vector-reading scan must carry the id IN pushdown
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    vec_scans = [
+        ln for ln in plan.split("\n")
+        if "Scan parquet" in ln
+        and "embedding" in ln.split("PushedFilters:", 1)[0]
+    ]
+    assert vec_scans, plan
+    assert all("In(vec_id" in ln for ln in vec_scans), vec_scans
+
+    # measured: the pushed plan's vector scan reads fewer rows than the
+    # full 80-row corpus the default plan streams
+    rows_pushed = sum(
+        s["rows"] for s in scan_metrics(pushed)
+        if "embedding" in s["columns"]
+    )
+    rows_base = sum(
+        s["rows"] for s in scan_metrics(base)
+        if "embedding" in s["columns"]
+    )
+    assert rows_base == 80
+    # candidates live in ids 0-9 = the first id-range file only
+    assert rows_pushed == 10, (rows_pushed, rows_base)
+
+
 def test_pq_advise_overfetch_picks_cheapest_recovering_config(spark):
     """pq_advise_overfetch (r13, the VERDICT r12 #4 rerank-multiple
     axis): on a corpus whose coarse m=2/k=2 codebook provably scrambles
@@ -7178,3 +7253,55 @@ def test_ivf_pq_residual_batch_prunes_stored_partitions(spark, tmp_path):
     assert every_scan_cell_pruned(composed, expect_vector_scan=True)
     # and the pruned shortlist still returns only probed-cell rows
     assert all(r.vec_id < 20 for r in short.collect())
+
+
+def test_ivf_pq_rerank_vector_scan_rows_are_measured(spark, tmp_path):
+    """r14 (VERDICT r13 #2/#3): "vectors touched" must be MEASURED at
+    the scan layer, not asserted as arithmetic. Over a 3-cell
+    keep_vector layout (20 rows/cell) with nprobe=1, the executed
+    plan's FileSourceScanExec metrics must show the vector-reading scan
+    producing exactly the probed cell's 20 rows — not the 60-row corpus
+    the pre-r14 plan read. scan_metrics/vector_scan_rows are the same
+    readers the attestation script reports."""
+    import numpy as np
+
+    from purescript_ifrit_spark.plans.metrics import (
+        scan_metrics,
+        vector_scan_rows,
+    )
+
+    rng = np.random.RandomState(43)
+    data = rng.standard_normal((60, 8)) + np.repeat(
+        rng.standard_normal((3, 8)) * 6.0, 20, axis=0
+    )
+    df = spark.createDataFrame(
+        [(i, data[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.stack(
+        [data[:20].mean(0), data[20:40].mean(0), data[40:].mean(0)]
+    )
+    rr = similarity.with_ivf_residual(
+        similarity.with_ivf_assignment(df, "embedding", cents),
+        "embedding", cents,
+    )
+    books = similarity.pq_codebooks(rr, "residual", m=2, k=4, seed=5, sample=60)
+    path = str(tmp_path / "ivfpq_m")
+    similarity.write_ivf_pq_partitioned(
+        df, "vec_id", "embedding", cents, books, path, keep_vector=True
+    )
+    stored = spark.read.parquet(path)
+    q = np.stack([data[10]])
+    composed = similarity.ivf_pq_rerank_batch(
+        stored, "vec_id", "embedding", "pq_code", q, [0], books, cents,
+        k=3, nprobe=1, overfetch=2,
+    )
+    composed.collect()  # metrics populate on execution
+    vec = vector_scan_rows(composed, "embedding")
+    assert vec["scans"] >= 1
+    assert vec["rows"] == 20, vec  # the probed cell only, not the corpus
+    # the code-side shortlist scan is equally bounded to the probed cell
+    scans = scan_metrics(composed)
+    code = [s for s in scans if "pq_code" in s["columns"]
+            and "embedding" not in s["columns"]]
+    assert code and sum(s["rows"] for s in code) == 20, scans
