@@ -1096,7 +1096,83 @@ def flag_sustained_load(times: dict, variance: dict, sf, cpus: int) -> None:
         )
 
 
-def rebaseline(n_windows: int = 8) -> dict:
+def flag_floor_adjudication(
+    times: dict, variance: dict, sf, cpus: int, floors_path: str = None
+) -> None:
+    """Canary v4 (r14, VERDICT r13 #4): adjudicate the official window
+    against SAME-HEAD protocol floors, mechanically. The official driver
+    window has been flagged noisy five rounds running and each round's
+    verdict had to re-derive 'environmental vs regression' by hand; the
+    close-out discipline now ships a BENCH_FLOORS_r{N}.json (the 8-window
+    per-query-min protocol, run at close-out HEAD via
+    `python bench.py --floors 8 {N}`), and this check records every
+    headline query's official-min / same-HEAD-floor ratio next to the
+    existing canary blocks. Reading: floors capture what THIS code
+    achieves on a quiet-enough moment of THIS machine — an official
+    window far above them is host noise; a floor far above the committed
+    reference is a code regression (and the rebaseline protocol's
+    business, not this check's).
+
+    `floors_path=None` discovers the NEWEST BENCH_FLOORS_r*.json by
+    round number; elsewhere (tests) inject a path. Only adjudicates at
+    the floors' (sf, cpus). Mutates variance['cotenancy'] in place;
+    flags `floor_inflation` (and noisy) when the median ratio exceeds
+    1.25 — the uniform_inflation threshold, now against floors the same
+    HEAD produced, which a 'legitimately slower code' argument cannot
+    reach."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    if floors_path is None:
+        cands = []
+        for p in glob.glob(os.path.join(here, "BENCH_FLOORS_r*.json")):
+            m = _re.search(r"BENCH_FLOORS_r(\d+)\.json$", p)
+            if m:
+                cands.append((int(m.group(1)), p))
+        floors_path = max(cands)[1] if cands else None
+    block: dict = {"available": False, "floor_inflation": False}
+    try:
+        if floors_path is not None:
+            with open(floors_path) as fh:
+                floors = json.load(fh)
+            fq = floors.get("queries", {})
+            if floors.get("sf") == sf and floors.get("cpus") == cpus and fq:
+                ratios = {
+                    name: round(got / fq[name], 3)
+                    for name, got in times.items()
+                    if name in fq and fq[name] > 0
+                }
+                ordered = sorted(ratios.values())
+                med = (
+                    round(ordered[len(ordered) // 2], 3)
+                    if ordered
+                    else None
+                )
+                block = {
+                    "available": True,
+                    "floors_file": os.path.basename(floors_path),
+                    "median_floor_ratio": med,
+                    "max_floor_ratio": max(ratios.values()) if ratios else None,
+                    "floor_inflation": bool(med and med > 1.25),
+                }
+                # per-query map rides ONLY the detail artifact — the
+                # stdout line has a hard tail budget (the r5/r7 lesson)
+                variance["floors_ratios"] = ratios
+    except (OSError, ValueError):
+        pass
+    cot = variance["cotenancy"]
+    cot["floors"] = block
+    if block["floor_inflation"]:
+        cot["noisy"] = True
+        cot["flags"].append(
+            f"floor_inflation: median headline min/floor ratio "
+            f"{block['median_floor_ratio']} > 1.25 vs same-HEAD "
+            f"{block['floors_file']}"
+        )
+
+
+def rebaseline(n_windows: int = 8, out_name: str = "BENCH_REBASELINE.json") -> dict:
     """Robust BENCH_REFERENCE re-baseline protocol (VERDICT r12 #2 —
     retires the "wait for a perfectly quiet window" rule, which had been
     unsatisfiable for three rounds of permanent co-tenancy).
@@ -1113,10 +1189,12 @@ def rebaseline(n_windows: int = 8) -> dict:
     thresholds themselves are unchanged — per-round driver windows are
     still adjudicated against the committed reference.
 
-    Writes BENCH_REBASELINE.json (full provenance) and prints one JSON
-    line with the floors. Updating BENCH_REFERENCE.json from the floors
-    is an explicit, reviewed builder step — this function never touches
-    the reference file itself."""
+    Writes `out_name` (full provenance; default BENCH_REBASELINE.json —
+    the close-out floors discipline passes BENCH_FLOORS_r{N}.json, r14,
+    VERDICT r13 #4) and prints one JSON line with the floors. Updating
+    BENCH_REFERENCE.json from the floors is an explicit, reviewed
+    builder step — this function never touches the reference file
+    itself."""
     if n_windows < 8:
         raise ValueError(
             f"the protocol requires n_windows >= 8 (got {n_windows}): "
@@ -1163,8 +1241,7 @@ def rebaseline(n_windows: int = 8) -> dict:
             "windows": windows,
         }
         path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "BENCH_REBASELINE.json",
+            os.path.dirname(os.path.abspath(__file__)), out_name
         )
         with open(path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
@@ -1221,10 +1298,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         times, cold, extra, variance = bench_queries(spark)
-        flag_sustained_load(
-            times, variance,
-            float(sf) if sf.replace(".", "").isdigit() else sf, int(CPUS),
-        )
+        sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+        flag_sustained_load(times, variance, sf_val, int(CPUS))
+        flag_floor_adjudication(times, variance, sf_val, int(CPUS))
         total = round(sum(times.values()), 3)
         # The driver keeps only a bounded TAIL of stdout and parses the
         # final JSON line; round 5's line outgrew that window and the
@@ -1289,5 +1365,12 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--rebaseline":
         rebaseline(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--floors":
+        # close-out floors (r14, VERDICT r13 #4): same protocol, written
+        # to the round-stamped artifact the canary v4 adjudicates
+        # against — `python bench.py --floors [n_windows] [round]`
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        rnd = int(sys.argv[3]) if len(sys.argv) > 3 else 14
+        rebaseline(n, out_name=f"BENCH_FLOORS_r{rnd}.json")
     else:
         main()

@@ -955,6 +955,7 @@ def ann_recall_estimate(
     n_sample: int = 32,
     seed: int = 42,
     metric: str = "cosine",
+    truth: DataFrame = None,
 ) -> DataFrame:
     """Measured recall@k of an approximate ANN answer (`approx`: the
     output of ivf_topk_batch / lsh_topk-shaped frames — (query_id,
@@ -981,7 +982,15 @@ def ann_recall_estimate(
     deterministic (sim desc, id asc) tie-broken top-k — an approx
     answer returning a different-but-equal-sim document counts as a
     miss, the standard strict-set recall@k definition; mean recall =
-    avg(recall_micro)/1e6 over the returned rows."""
+    avg(recall_micro)/1e6 over the returned rows.
+
+    `truth` (r14, ADVICE r13): a precomputed ground-truth frame —
+    (query_id, id_col, sim|dist) for EXACTLY this (queries, query_ids,
+    k, n_sample, seed, metric) sampling — skips the brute-force corpus
+    pass. The caller promises identity; `ann_advise` is the intended
+    caller (it computes the sampled truth ONCE and reuses it across
+    the whole candidate sweep instead of re-paying the pass per
+    config)."""
     if k <= 0:
         raise ValueError(f"k must be positive (got {k})")
     if n_sample <= 0:
@@ -995,8 +1004,11 @@ def ann_recall_estimate(
     take = min(int(n_sample), len(qids))
     idx = np.sort(rng.choice(len(qids), size=take, replace=False))
     sample_ids = [int(q) for q in qids[idx]]
-    truth_kernel = cosine_topk_batch if metric == "cosine" else l2_topk_batch
-    truth = truth_kernel(df, id_col, vec_col, qm[idx], sample_ids, k=k)
+    if truth is None:
+        truth_kernel = (
+            cosine_topk_batch if metric == "cosine" else l2_topk_batch
+        )
+        truth = truth_kernel(df, id_col, vec_col, qm[idx], sample_ids, k=k)
     # rank-limit the approx answer to k rows per query by the suite's
     # deterministic (sim desc, id asc) order before the hit join: an
     # approx frame produced with a larger k — or a union of several
@@ -2010,7 +2022,19 @@ def ann_advise(
     Recall here is MEASURED on YOUR corpus sample, not modeled — the
     r11 finding that isotropic vs clustered corpora differ by >2x at
     the same parameters is exactly why this sweeps instead of
-    computing a closed form."""
+    computing a closed form.
+
+    Cost model (r14, ADVICE r13): the brute-force ground truth is
+    computed ONCE for the seeded query sample and collected (a bounded
+    n_sample·k-row frame) before the sweep — candidates re-measure
+    against the same local truth relation instead of re-paying the
+    corpus pass per config; each build() also receives only the
+    SAMPLED queries (recall is only ever measured on those), so a
+    candidate's own corpus pass carries n_sample queries, not Q. Curve
+    points record the UNROUNDED measured mean — the same value the SLO
+    comparison uses, so a recorded point can never display a recall
+    that appears to meet (or miss) the target it was adjudicated
+    against."""
     cands = list(candidates)
     if not cands:
         raise ValueError("candidates must be non-empty")
@@ -2020,13 +2044,29 @@ def ann_advise(
             "candidates must be in ascending cost order (the advisor's "
             f"early-stop relies on it; got costs {costs})"
         )
+    qm = np.asarray(queries, dtype=np.float64)
+    qids = np.asarray(list(query_ids), dtype=np.int64)
+    _check_batch_ids(qm, qids)
+    rng = np.random.RandomState(seed)
+    take = min(int(n_sample), len(qids))
+    idx = np.sort(rng.choice(len(qids), size=take, replace=False))
+    sample_q = qm[idx]
+    sample_ids = [int(x) for x in qids[idx]]
+    truth_kernel = cosine_topk_batch if metric == "cosine" else l2_topk_batch
+    truth_frame = truth_kernel(df, id_col, vec_col, sample_q, sample_ids, k=k)
+    # bounded: n_sample·k rows — pin it as a local relation so the
+    # corpus pass runs exactly once for the whole sweep
+    truth_local = df.sparkSession.createDataFrame(
+        truth_frame.collect(), truth_frame.schema
+    )
     curve = []
     chosen = None
     for name, cost, build in cands:
-        approx = build(df, queries, query_ids, k)
+        approx = build(df, sample_q, sample_ids, k)
         rows = ann_recall_estimate(
-            df, id_col, vec_col, queries, query_ids, approx,
-            k=k, n_sample=n_sample, seed=seed, metric=metric,
+            df, id_col, vec_col, sample_q, sample_ids, approx,
+            k=k, n_sample=take, seed=seed, metric=metric,
+            truth=truth_local,
         ).collect()
         mean = (
             sum(r.recall_micro for r in rows) / (1e6 * len(rows))
@@ -2036,7 +2076,7 @@ def ann_advise(
         point = {
             "name": str(name),
             "cost": float(cost),
-            "recall": round(mean, 6),
+            "recall": mean,
         }
         curve.append(point)
         if mean >= target_recall:
@@ -2380,3 +2420,94 @@ def pq_advise_overfetch(
         k=k, target_recall=target_recall, n_sample=n_sample, seed=seed,
         metric="l2",
     )
+
+
+def ivf_pq_advise(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    code_col: str,
+    queries: "np.ndarray",
+    query_ids: Sequence[int],
+    codebooks: "np.ndarray",
+    centroids: "np.ndarray",
+    k: int = 10,
+    target_recall: float = 0.95,
+    nprobes: Sequence[int] = (1, 2, 4, 8),
+    overfetches: Sequence[int] = (1, 2, 4),
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    n_sample: int = 32,
+    seed: int = 42,
+    cell_col: str = "ivf_cell",
+) -> dict:
+    """JOINT (nprobe × overfetch) advisor for the composed stored path
+    (r14, VERDICT r13 #5). `ivf_advise_nprobe` and `pq_advise_overfetch`
+    each sweep one axis, but `ivf_pq_rerank_batch`'s real deployment
+    question is 2-D: files listed (nprobe/nlist of the layout) and
+    full-width rows reranked (k·overfetch·Q) trade off at equal recall.
+    This sweeps the grid in ascending COMPOSITE cost
+
+        cost(p, o) = alpha · p / nlist  +  beta · k · o · Q
+
+    (alpha prices a fraction of the corpus' files listed+scanned at
+    code width; beta prices one full-width vector row reranked; Q =
+    len(query_ids), the production batch — set the ratio to YOUR
+    storage economics; ties broken (nprobe, overfetch) ascending) and
+    returns the first — hence cheapest evaluated — candidate whose
+    MEASURED recall@k against exact l2_topk_batch truth meets the SLO.
+    ann_advise's single-truth-pass machinery does the measuring, so the
+    whole grid costs one brute-force pass plus one composed-path build
+    per candidate actually evaluated (early stop skips the rest).
+    Curve points carry the parsed (nprobe, overfetch) alongside
+    ann_advise's (name, cost, recall)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    nlist = len(cents)
+    n_queries = len(list(query_ids))
+    ps = sorted({int(p) for p in nprobes})
+    ofs = sorted({int(o) for o in overfetches})
+    if not ps or ps[0] < 1:
+        raise ValueError(f"nprobes must be positive (got {list(nprobes)})")
+    if not ofs or ofs[0] < 1:
+        raise ValueError(
+            f"overfetches must be positive (got {list(overfetches)})"
+        )
+
+    def mk(p, o):
+        def build(d, q, ids, kk):
+            return ivf_pq_rerank_batch(
+                d, id_col, vec_col, code_col, q, ids, books, cents,
+                k=kk, nprobe=p, overfetch=o, cell_col=cell_col,
+            )
+
+        return build
+
+    grid = sorted(
+        (
+            (
+                float(alpha) * p / nlist
+                + float(beta) * int(k) * o * n_queries,
+                p,
+                o,
+            )
+            for p in ps
+            for o in ofs
+        ),
+    )
+    cands = [
+        (f"nprobe={p},overfetch={o}", cost, mk(p, o)) for cost, p, o in grid
+    ]
+    out = ann_advise(
+        df, id_col, vec_col, queries, query_ids, cands,
+        k=k, target_recall=target_recall, n_sample=n_sample, seed=seed,
+        metric="l2",
+    )
+    params = {f"nprobe={p},overfetch={o}": (p, o) for _, p, o in grid}
+    for point in out["curve"]:
+        point["nprobe"], point["overfetch"] = params[point["name"]]
+    if out["chosen"] is not None:
+        out["chosen"]["nprobe"], out["chosen"]["overfetch"] = params[
+            out["chosen"]["name"]
+        ]
+    return out

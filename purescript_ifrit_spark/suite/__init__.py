@@ -518,7 +518,10 @@ _R14_QUEUE_HEAD: list = []
 # r10-cohort backfill tail into the r15 plan MECHANICALLY (the slice
 # arithmetic below — the r13 innovation, kept), so the window stays
 # exactly 50 and the displaced names cannot be mis-transcribed.
-_R14_NEW: list = []
+_R14_NEW: list = [
+    "x_pq_rerank_pushdown_planted",  # displaced x_dau_exact
+    "x_ivf_pq_advise_planted",       # displaced x_embedding_quantize
+]
 
 # 3 backfill slots at round start (50 − 21 spill − 26 ext cohort); each
 # _R14_NEW entry consumes one.

@@ -288,14 +288,11 @@ _PLANTED_TOPK_ORACLE = (
 )
 
 
-@register(
-    "x_ann_lsh_planted",
-    # planted-truth conversion of the rows-only LSH top-k (the last ANN
-    # path without a hard driver signal): identical vectors share every
-    # hyperplane-sign bucket with the e_0 query, so the probe set always
-    # contains all of cluster 0 and the exact rerank returns it whole.
-    _PLANTED_TOPK_ORACLE,
-)
+@register_demo("x_ann_lsh_planted")  # retired r14 (VERDICT r13 #6 net-zero
+# growth): the single-query form is subsumed by x_ann_lsh_batch_planted —
+# lsh_topk_batch 1-query ≡ lsh_topk is test-pinned, so the batch entry's
+# oracle covers this path. Oracle while registered: _PLANTED_TOPK_ORACLE
+# (green r7, r7, r12 — history preserved in RETIRED_HISTORY).
 def x_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH multi-probe top-k under planted basis clusters — the full
     operator path (signature in the scan, probe-bucket filter, exact
@@ -315,16 +312,11 @@ def x_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "sim")
 
 
-@register(
-    "x_ann_ivf_planted",
-    # planted-truth conversion of the rows-only IVF top-k: with 16
-    # clusters of identical vectors and nlist=16, k-means++ D²-weighting
-    # gives zero weight to every already-covered point, so the 16 seeds
-    # deterministically cover all 16 clusters (any rng path) and one
-    # Lloyd pass lands every centroid EXACTLY on its basis vector; the
-    # e_0 probe cell then holds exactly cluster 0.
-    _PLANTED_TOPK_ORACLE,
-)
+@register_demo("x_ann_ivf_planted")  # retired r14 (VERDICT r13 #6 net-zero
+# growth): the single-query form is subsumed by x_ann_ivf_batch_planted —
+# ivf_topk_batch 1-query ≡ ivf_topk is test-pinned, so the batch entry's
+# oracle covers this path. Oracle while registered: _PLANTED_TOPK_ORACLE
+# (green r7, r7, r12 — history preserved in RETIRED_HISTORY).
 def x_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k under planted basis clusters — the full index path
     (bounded seeded centroid build, JVM-side cell assignment, nprobe
@@ -1352,3 +1344,151 @@ def x_ivf_pq_rerank_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
+    "x_pq_rerank_pushdown_planted",
+    # the candidate-id pushdown rerank as hard signal (r14, VERDICT r13
+    # #3): same mixed-scale planted corpus and closed-form answer as
+    # x_pq_rerank_batch_planted, but the corpus is an id-SORTED parquet
+    # layout and the shortlist ids are collected and pushed as
+    # `vec_id IN (...)` into the vector-side scan (parquet PushedFilters
+    # + row-group pruning — plan- and scan-metric-pinned in
+    # tests/test_extensions.py::test_pq_rerank_pushdown_ids_prunes_the_
+    # vector_scan). Results must be byte-identical to the default
+    # streaming join-back; the oracle IS that closed form.
+    "SELECT CAST(0 AS BIGINT) AS query_id, vec_id, "
+    "CASE WHEN vec_id % 2 = 0 THEN CAST(0.0 AS DOUBLE) "
+    "ELSE CAST(0.25 AS DOUBLE) END AS dist "
+    "FROM embeddings WHERE vec_id < 6",
+)
+def x_pq_rerank_pushdown_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-bounded batch PQ rerank (operators/similarity.
+    pq_topk_rerank_batch(pushdown_ids=True), r14): ADC shortlist over
+    the codes, then the driver-bounded candidate ids are pushed into
+    the vector-side scan of an id-sorted layout — the 100 TB recipe for
+    the unpartitioned tier. The read-back is localCheckpoint-ed so the
+    temp layout can be removed before returning (the x_partitioned_sink
+    convention)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_rerank_batch,
+    )
+
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    scaled = planted.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            * F.when(F.col("vec_id") % 2 == 0, F.lit(1.0)).otherwise(
+                F.lit(1.5)
+            ),
+        ).alias("embedding"),
+    )
+    books = np.zeros((4, 9, 8))
+    for s in range(4):
+        for i in range(8):
+            books[s, 1 + i, i] = 1.0
+    coded = pq_encode(scaled, "embedding", books)
+    q = np.zeros((1, 32))
+    q[0, 0] = 1.0
+    out_dir = tempfile.mkdtemp(prefix="ifrit_pq_pushdown_")
+    try:
+        coded.repartitionByRange(4, "vec_id").sortWithinPartitions(
+            "vec_id"
+        ).write.parquet(out_dir, mode="overwrite")
+        stored = spark.read.parquet(out_dir)
+        return pq_topk_rerank_batch(
+            stored, "vec_id", "embedding", "pq_code", q, [0], books,
+            k=6, overfetch=2, pushdown_ids=True,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
+    "x_ivf_pq_advise_planted",
+    # the JOINT (nprobe x overfetch) advisor's choice as hard signal
+    # (r14, VERDICT r13 #5): planted 2-cell x-axis geometry where BOTH
+    # axes bind and every recall is closed-form. Zero codebooks make ADC
+    # tie every in-cell row, so the shortlist is purely (cell order, id
+    # order): cell 0 holds ids 0-3 at x = 0/0.1/3/3.1, cell 1 holds ids
+    # 4-7 at x = 10/9.9/6/6.1, the query sits at 4*e_x -> true top-4 =
+    # {3, 2, 6, 7}; recall is 0.5 anywhere short of (nprobe=2,
+    # overfetch=2) and exactly 1.0 there. With alpha=1, beta=0.1 the
+    # composite costs are strictly ascending (0.9 / 1.3 / 1.4 / 1.8),
+    # so a 0.95 SLO walks all four points and chooses (2,2) while a 0.5
+    # SLO stops at (1,1). One row per SLO.
+    "SELECT * FROM (VALUES "
+    "(CAST(500000 AS BIGINT), 1, 1, CAST(500000 AS BIGINT)), "
+    "(CAST(950000 AS BIGINT), 2, 2, CAST(1000000 AS BIGINT))"
+    ") AS t(slo_micro, chosen_nprobe, chosen_overfetch, recall_micro)",
+)
+def x_ivf_pq_advise_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint composed-path advisor (operators/similarity.ivf_pq_advise,
+    r14, VERDICT r13 #5): sweep the (nprobe, overfetch) grid in
+    ascending composite cost (alpha*nprobe/nlist + beta*k*overfetch*Q)
+    against sampled exact-L2 truth and return the cheapest pair meeting
+    the recall SLO — under planted inputs whose whole 2-D cost/recall
+    surface is closed-form. The embeddings table supplies the corpus
+    ids (the planted-basis convention); output is one row per SLO."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        ivf_pq_advise,
+        pq_encode,
+        with_ivf_assignment,
+        with_ivf_residual,
+    )
+
+    xs = [0.0, 0.1, 3.0, 3.1, 10.0, 9.9, 6.0, 6.1]
+    base = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 8
+    )
+    # try_element_at: conjunct reordering may evaluate this projection's
+    # expression tree on rows the vec_id < 8 filter would drop (strict
+    # element_at then throws INVALID_ARRAY_INDEX; observed in-round)
+    corpus = base.select(
+        "vec_id",
+        F.array(
+            F.try_element_at(
+                F.array(*[F.lit(float(x)) for x in xs]),
+                (F.col("vec_id") + 1).cast("int"),
+            ),
+            F.lit(0.0), F.lit(0.0), F.lit(0.0),
+        ).alias("embedding"),
+    )
+    cents = np.zeros((2, 4))
+    cents[1, 0] = 10.0
+    books = np.zeros((1, 1, 4))  # every residual -> code [0], ADC ties
+    assigned = with_ivf_assignment(corpus, "embedding", cents)
+    coded = pq_encode(
+        with_ivf_residual(assigned, "embedding", cents), "residual", books
+    ).drop("residual")
+    q = np.array([[4.0, 0.0, 0.0, 0.0]])
+    rows = []
+    for slo in (0.5, 0.95):
+        out = ivf_pq_advise(
+            coded, "vec_id", "embedding", "pq_code", q, [0], books, cents,
+            k=4, target_recall=slo, nprobes=(1, 2), overfetches=(1, 2),
+            alpha=1.0, beta=0.1, n_sample=1,
+        )
+        rows.append(
+            (
+                int(round(slo * 1_000_000)),
+                int(out["chosen"]["nprobe"]),
+                int(out["chosen"]["overfetch"]),
+                int(round(out["chosen"]["recall"] * 1_000_000)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "slo_micro long, chosen_nprobe int, chosen_overfetch int, "
+        "recall_micro long",
+    )

@@ -53,6 +53,12 @@ from purescript_ifrit_spark.suite._ledger import (
 
 COVERAGE = Path(__file__).resolve().parents[1] / "COVERAGE.md"
 
+# Historical-window assertions look up entries that may since have been
+# retired to DEMO_REGISTRY (their driver history moves verbatim to
+# RETIRED_HISTORY — the r14 net-zero wave); live entries win on key
+# collisions (there are none by construction).
+FULL_HISTORY = {**RETIRED_HISTORY, **DRIVER_HISTORY}
+
 
 def _committed_table_rows() -> list:
     rows = []
@@ -116,8 +122,12 @@ def test_registry_is_fully_oracle_backed_and_demos_are_disjoint():
         "x_curate_pipeline": "x_curate_exact",
         "x_streaming_dau": "x_streaming_dau_planted",
         "x_bpe_encode": "x_bpe_encode_planted",
-        "x_ann_lsh_topk": "x_ann_lsh_planted",
-        "x_ann_ivf_topk": "x_ann_ivf_planted",
+        # the r14 net-zero wave re-points both single-query chains at
+        # the batch entries (1-query ≡ batch is test-pinned)
+        "x_ann_lsh_topk": "x_ann_lsh_batch_planted",
+        "x_ann_ivf_topk": "x_ann_ivf_batch_planted",
+        "x_ann_lsh_planted": "x_ann_lsh_batch_planted",
+        "x_ann_ivf_planted": "x_ann_ivf_batch_planted",
         "x_knn_join": "x_knn_join_planted",
         "x_dau_approx": "x_dau_bound_planted",
         "x_approx_distinct": "x_hll_distinct_planted",
@@ -192,14 +202,14 @@ def test_window_r12_composition_is_the_pinned_plan():
     assert _DRIVER_WINDOW_R12[:head] == _R12_QUEUE_HEAD
     assert _DRIVER_WINDOW_R12[head:head + len(_R12_SPILL)] == _R12_SPILL
     for name in _R12_SPILL:
-        assert 7 in _checked_rounds(DRIVER_HISTORY[name][1]), name
+        assert 7 in _checked_rounds(FULL_HISTORY[name][1]), name
     mid = head + len(_R12_SPILL)
     sextet = _DRIVER_WINDOW_R12[mid:mid + len(_R12_CORE_SEXTET)]
     assert sextet == _R12_CORE_SEXTET
     tail = _DRIVER_WINDOW_R12[mid + len(_R12_CORE_SEXTET):]
     assert tail[:len(_R12_BACKFILL_R8)] == _R12_BACKFILL_R8
     for name in tail:
-        rounds = _checked_rounds(DRIVER_HISTORY[name][1])
+        rounds = _checked_rounds(FULL_HISTORY[name][1])
         # r8-last-checked backfill, or a new r12 entry whose first-ever
         # driver check IS the r12 mark
         assert 8 in rounds or rounds == [12], (name, rounds)
@@ -376,7 +386,7 @@ def test_window_r12_history_marks_are_recorded():
     # carries the confirming r12 round mark
     assert len(_DRIVER_WINDOW_R12) == 50
     for name in _DRIVER_WINDOW_R12:
-        assert 12 in _checked_rounds(DRIVER_HISTORY[name][1]), name
+        assert 12 in _checked_rounds(FULL_HISTORY[name][1]), name
 
 
 def test_window_r13_history_marks_are_recorded():
@@ -448,7 +458,11 @@ def test_window_spill_is_exactly_the_stated_r14_list():
                 or name in _R14_QUEUE_HEAD):
             continue
         pre = [r for r in _checked_rounds(hist) if r < 14]
-        assert pre, (name, hist)
+        if not pre:
+            # entries born at r14+: never-checked rotation is covered by
+            # test_window_prioritizes_never_verified_*
+            assert re.search(r"new r1[4-9]", hist), (name, hist)
+            continue
         if max(pre) < 9:
             stale.append(name)
     assert sorted(stale) == sorted(_R14_SPILL), (
@@ -502,7 +516,9 @@ def test_window_backfill_spill_is_exactly_the_stated_r13_list():
         if not pre:
             # entries born after r12 close: never-checked rotation is
             # covered by test_window_prioritizes_never_verified_*
-            assert "r13" in DRIVER_HISTORY[name][1], (name, hist)
+            assert re.search(r"\br1[3-9]\b", DRIVER_HISTORY[name][1]), (
+                name, hist,
+            )
             continue
         if max(pre) < 9:
             stale.append(name)
@@ -681,3 +697,55 @@ def test_bench_uniform_inflation_canary_v3():
     assert v["cotenancy"]["sustained"] == {
         "available": False, "sustained_load": False,
     }
+
+
+def test_bench_floor_adjudication_canary_v4(tmp_path):
+    """Canary v4 (r14, VERDICT r13 #4): the official window is
+    adjudicated against SAME-HEAD protocol floors (BENCH_FLOORS_r{N}.
+    json, written at close-out by `bench.py --floors`). A window at the
+    floors is quiet; a uniformly inflated window must flag
+    floor_inflation; per-query ratios ride only the detail artifact
+    (variance['floors_ratios']), never the cotenancy block the stdout
+    line carries; off-(sf,cpus) and no-floors-file stand down."""
+    import json
+
+    bench = _load_bench()
+    floors_q = {f"q{i}": 0.5 + 0.1 * i for i in range(1, 11)}
+    fpath = tmp_path / "BENCH_FLOORS_r14.json"
+    fpath.write_text(json.dumps(
+        {"sf": 0.1, "cpus": 32, "queries": floors_q}
+    ))
+
+    def run(times, sf=0.1, cpus=32, path=str(fpath)):
+        v = {"cotenancy": {"noisy": False, "flags": []}}
+        bench.flag_floor_adjudication(times, v, sf, cpus, floors_path=path)
+        return v
+
+    quiet = run(dict(floors_q))
+    cot = quiet["cotenancy"]["floors"]
+    assert cot["available"] and not cot["floor_inflation"]
+    assert cot["median_floor_ratio"] == 1.0
+    assert not quiet["cotenancy"]["noisy"]
+    assert "ratios" not in cot  # stdout-budget rule
+    assert quiet["floors_ratios"]["q1"] == 1.0
+
+    hot = run({k: t * 1.4 for k, t in floors_q.items()})
+    cot = hot["cotenancy"]["floors"]
+    assert cot["floor_inflation"] and hot["cotenancy"]["noisy"]
+    assert any("floor_inflation" in f for f in hot["cotenancy"]["flags"])
+    assert cot["floors_file"] == "BENCH_FLOORS_r14.json"
+
+    # one slow query does not move the median: no flag
+    spiky = dict(floors_q)
+    spiky["q5"] = floors_q["q5"] * 3.0
+    cot = run(spiky)["cotenancy"]["floors"]
+    assert not cot["floor_inflation"]
+    assert cot["max_floor_ratio"] == 3.0
+
+    # off-scale or missing floors: stands down
+    off = run(dict(floors_q), sf=0.01)
+    assert off["cotenancy"]["floors"] == {
+        "available": False, "floor_inflation": False,
+    }
+    none = run(dict(floors_q), path=str(tmp_path / "nope.json"))
+    assert none["cotenancy"]["floors"]["available"] is False

@@ -7103,6 +7103,77 @@ def test_pq_advise_overfetch_picks_cheapest_recovering_config(spark):
     # the cheap config was measured, found wanting, and recorded
     assert out["curve"][0]["name"] == "overfetch=1"
     assert out["curve"][0]["recall"] < 1.0
+
+
+def test_ivf_pq_advise_picks_cheapest_joint_pair(spark):
+    """ivf_pq_advise (r14, VERDICT r13 #5): joint (nprobe × overfetch)
+    sweep in composite-cost order. Planted 2-cell geometry on the x
+    axis where BOTH axes bind and every recall is closed-form:
+
+      cells  cent_0 = 0, cent_1 = 10·e_x; zero codebooks make ADC tie
+      every in-cell row (dist = ||q − cent_c||²; id-asc tie-break),
+      so the shortlist is purely (cell order, id order).
+      rows   cell 0: ids 0-3 at x = 0, 0.1, 3, 3.1
+             cell 1: ids 4-7 at x = 10, 9.9, 6, 6.1
+      query  q = 4·e_x → true top-4 = {3, 2, 6, 7}
+             (0.81, 1.0, 4.0, 4.41), cell 0 probes first (16 < 36).
+
+      recall: nprobe=1 (cell 0 only, any overfetch)  → 2/4 = 0.5
+              nprobe=2, overfetch=1 (ids 0-3 shortlist) → 0.5
+              nprobe=2, overfetch=2 (everything)        → 1.0
+
+    With alpha=1, beta=0.1, k=4, Q=1 the composite costs are strictly
+    ascending — (1,1)=0.9 < (1,2)=1.3 < (2,1)=1.4 < (2,2)=1.8 — so a
+    0.95 SLO must walk all four points and choose (2,2), and a 0.5 SLO
+    must stop at (1,1) without building anything else."""
+    import numpy as np
+
+    xs = [0.0, 0.1, 3.0, 3.1, 10.0, 9.9, 6.0, 6.1]
+    corpus = spark.createDataFrame(
+        [(i, [xs[i], 0.0, 0.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.zeros((2, 4))
+    cents[1, 0] = 10.0
+    books = np.zeros((1, 1, 4))  # every residual -> code [0], ADC ties
+    assigned = similarity.with_ivf_assignment(corpus, "embedding", cents)
+    rr = similarity.with_ivf_residual(assigned, "embedding", cents)
+    coded = similarity.pq_encode(rr, "residual", books).drop("residual")
+    q = np.array([[4.0, 0.0, 0.0, 0.0]])
+
+    out = similarity.ivf_pq_advise(
+        coded, "vec_id", "embedding", "pq_code", q, [0], books, cents,
+        k=4, target_recall=0.95, nprobes=(1, 2), overfetches=(1, 2),
+        alpha=1.0, beta=0.1, n_sample=1,
+    )
+    assert [p["name"] for p in out["curve"]] == [
+        "nprobe=1,overfetch=1",
+        "nprobe=1,overfetch=2",
+        "nprobe=2,overfetch=1",
+        "nprobe=2,overfetch=2",
+    ]
+    assert [p["recall"] for p in out["curve"]] == [0.5, 0.5, 0.5, 1.0]
+    assert out["chosen"]["nprobe"] == 2 and out["chosen"]["overfetch"] == 2
+    assert out["chosen"]["cost"] == 1.8
+
+    cheap = similarity.ivf_pq_advise(
+        coded, "vec_id", "embedding", "pq_code", q, [0], books, cents,
+        k=4, target_recall=0.5, nprobes=(1, 2), overfetches=(1, 2),
+        alpha=1.0, beta=0.1, n_sample=1,
+    )
+    assert cheap["chosen"]["nprobe"] == 1 and cheap["chosen"]["overfetch"] == 1
+    assert len(cheap["curve"]) == 1  # early stop: nothing else was built
+
+    with pytest.raises(ValueError, match="nprobes"):
+        similarity.ivf_pq_advise(
+            coded, "vec_id", "embedding", "pq_code", q, [0], books, cents,
+            nprobes=(0,),
+        )
+    with pytest.raises(ValueError, match="overfetches"):
+        similarity.ivf_pq_advise(
+            coded, "vec_id", "embedding", "pq_code", q, [0], books, cents,
+            overfetches=(),
+        )
     with pytest.raises(ValueError, match="overfetches"):
         similarity.pq_advise_overfetch(
             coded, "vec_id", "embedding", "pq_code", q, [0, 1], books,
