@@ -757,10 +757,13 @@ def bench_queries(spark, headline_only: bool = False) -> "tuple[dict, dict, dict
             ),
             "residual", m=8, k=16, seed=42,
         )
+        # keep_vector=True so the r14 composed-rerank extra can read its
+        # exact-rerank side from the SAME layout; the shortlist extra's
+        # scan is unaffected (columnar: it still reads only id/cell/code)
         similarity.write_ivf_pq_partitioned(
             t["embeddings"].select("vec_id", "embedding"), "vec_id",
             "embedding", _cents16, _res_books, f"{_r11_dir}/ivfpq",
-            residual=True,
+            residual=True, keep_vector=True,
         )
 
     def qx_bm25_indexed_pruned():
@@ -834,6 +837,22 @@ def bench_queries(spark, headline_only: bool = False) -> "tuple[dict, dict, dict
             _res_books, _cents16, k=10, nprobe=4,
         )
 
+    def qx_ivf_pq_rerank():
+        # r14 composed stored path end-to-end: PartitionFilters cell
+        # probe -> residual-ADC shortlist -> exact rerank whose vector
+        # scan is ALSO cell-pruned (VERDICT r13 #1 fix) with the
+        # shortlist ids pushed into row-group stats (pushdown_ids)
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        return similarity.ivf_pq_rerank_batch(
+            spark.read.parquet(f"{_r11_dir}/ivfpq"),
+            "vec_id", "embedding", "pq_code",
+            rng.standard_normal((64, 64)), list(range(64)),
+            _res_books, _cents16, k=10, nprobe=4, overfetch=2,
+            pushdown_ids=True,
+        )
+
     def qx_neardup_tables():
         # r12 multi-table OR-construction near-dup mining (T=4 x 12
         # planes): narrow band exchange + candidate-sized verification
@@ -904,6 +923,7 @@ def bench_queries(spark, headline_only: bool = False) -> "tuple[dict, dict, dict
         "qx_ann_recall": qx_ann_recall,
         "qx_pq_batch": qx_pq_batch,
         "qx_ivf_pq_at_rest": qx_ivf_pq_at_rest,
+        "qx_ivf_pq_rerank": qx_ivf_pq_rerank,
         "qx_neardup_tables": qx_neardup_tables,
     }
 

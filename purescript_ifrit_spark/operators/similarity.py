@@ -2329,6 +2329,7 @@ def ivf_pq_rerank_batch(
     nprobe: int = 4,
     overfetch: int = 4,
     cell_col: str = "ivf_cell",
+    pushdown_ids: bool = False,
 ) -> DataFrame:
     """The COMPOSED billion-scale query path, end to end (r13): IVF
     cell pruning (PartitionFilters over a write_ivf_pq_partitioned
@@ -2344,7 +2345,15 @@ def ivf_pq_rerank_batch(
     covering every cell and overfetch covering the corpus this equals
     l2_topk_batch exactly (test-pinned); recall in between is measured,
     not modeled — `ann_recall_estimate(metric='l2')` over this frame,
-    or the r13/r14 attestation's recovery curve at 200k."""
+    or the r13/r14 attestation's recovery curve at 200k.
+
+    `pushdown_ids=True` (r14) composes BOTH prunings on the rerank
+    side: the probed-cells PartitionFilter skips unprobed cells' files,
+    and the collected shortlist ids (k·overfetch·Q, driver-bounded)
+    land as `id IN (...)` in PushedFilters for row-group pruning
+    WITHIN the probed cells — the deepest read the layout supports.
+    Worth it when the batch's probed-cell union is wide (many diverse
+    queries) but the shortlist is still narrow."""
     if overfetch < 1:
         raise ValueError(f"overfetch must be >= 1 (got {overfetch})")
     if k <= 0:
@@ -2372,7 +2381,8 @@ def ivf_pq_rerank_batch(
     probed = sorted({int(c) for c in probe.ravel()})
     rerank_src = df.filter(F.col(cell_col).isin(probed))
     return _exact_l2_rerank(
-        cand, rerank_src, id_col, vec_col, qm, qids, int(k)
+        cand, rerank_src, id_col, vec_col, qm, qids, int(k),
+        pushdown_ids=pushdown_ids,
     )
 
 

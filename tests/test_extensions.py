@@ -7376,3 +7376,27 @@ def test_ivf_pq_rerank_vector_scan_rows_are_measured(spark, tmp_path):
     code = [s for s in scans if "pq_code" in s["columns"]
             and "embedding" not in s["columns"]]
     assert code and sum(s["rows"] for s in code) == 20, scans
+
+    # pushdown_ids composes BOTH prunings on the rerank side: the cell
+    # PartitionFilter plus the shortlist-id IN in PushedFilters — with
+    # results identical to the cells-only path
+    pushed = similarity.ivf_pq_rerank_batch(
+        stored, "vec_id", "embedding", "pq_code", q, [0], books, cents,
+        k=3, nprobe=1, overfetch=2, pushdown_ids=True,
+    )
+    key = lambda rows: [
+        (r.query_id, r.vec_id, round(r.dist, 9)) for r in rows
+    ]
+    assert key(pushed.collect()) == key(composed.collect())
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    vec_lines = [
+        ln for ln in plan.split("\n")
+        if "Scan parquet" in ln
+        and "embedding" in ln.split("PartitionFilters:", 1)[0]
+    ]
+    assert vec_lines, plan
+    assert all(
+        "ivf_cell" in ln.split("PartitionFilters:", 1)[1]
+        and "In(vec_id" in ln
+        for ln in vec_lines
+    ), vec_lines
