@@ -1884,7 +1884,18 @@ def write_ivf_pq_partitioned(
     codebooks with the layout (index metadata); codes are only valid
     for the codebooks (and, in residual mode, centroids) they were
     computed from. `residual=False` writes raw-vector codes for plain
-    `pq_topk`/`pq_topk_batch` over a cell-pruned scan (`ivf_pq_topk`)."""
+    `pq_topk`/`pq_topk_batch` over a cell-pruned scan (`ivf_pq_topk`).
+
+    `mode="append"` is the index-FRESHNESS path (r14): new rows are
+    assigned and encoded with the SAME frozen metadata and land as new
+    files inside their cells' partitions — readers see the union with
+    unchanged probe plans (append ≡ one-shot rewrite on values,
+    test-pinned), and no retraining happens by construction. The price
+    is drift (appended rows sit farther from the frozen centroids as
+    the distribution moves) and per-cell small files: measure the
+    former with `ivf_cell_health` against its build-time value and
+    rebuild on SLO breach; compact the latter cell-by-cell (rewrite a
+    partition directory — appends never touch existing files)."""
     assigned = with_ivf_assignment(df, vec_col, centroids, out_col=cell_col)
     if residual:
         src = with_ivf_residual(
@@ -1899,6 +1910,64 @@ def write_ivf_pq_partitioned(
     if not keep_vector:
         coded = coded.drop(vec_col)
     coded.write.partitionBy(cell_col).mode(mode).parquet(path)
+
+
+def ivf_cell_health(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    cell_col: str = "ivf_cell",
+    vec_col: str = None,
+) -> DataFrame:
+    """Per-cell freshness/skew diagnostics for a stored IVF(-PQ) layout
+    (r14) — the measurement half of the index-maintenance story.
+    `write_ivf_pq_partitioned(..., mode="append")` keeps an at-rest
+    index FRESH by encoding new rows with the layout's frozen
+    centroids+codebooks (codes are only valid for the metadata they
+    were computed from, so append never retrains); the price is drift:
+    as the corpus distribution moves, rows land ever farther from their
+    frozen centroids and ADC recall decays. This returns, per cell:
+
+      n_rows                    — probe-cost skew (a hot cell makes
+                                  every nprobe that touches it pay);
+      avg/max_residual_sq       — with `vec_col` (a keep_vector layout
+                                  or pre-write frame): the mean/max
+                                  squared distance to the FROZEN
+                                  centroid, the drift proxy to compare
+                                  against its build-time value.
+
+    Rebuild policy, measured not guessed: record avg_residual_sq at
+    build time; when the appended corpus's value (or ann_recall_estimate
+    against exact truth) breaches your SLO, re-run ivf_centroids_refine
+    + re-encode. One corpus scan, map-side partial aggregation, one
+    nlist-row exchange — at 100 TB this is the cheapest full-index
+    statistic there is; codes-only layouts (keep_vector=False) get the
+    count/skew half from (cell) alone with ReadSchema pruned to the
+    partition column."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    if vec_col is None:
+        return (
+            df.groupBy(cell_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .orderBy(cell_col)
+        )
+    center = F.element_at(V.lit_matrix(cents), F.col(cell_col) + 1)
+    rsq = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), center, lambda x, y: (x.cast("double") - y) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.withColumn("_rsq", rsq)
+        .groupBy(cell_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.avg("_rsq").alias("avg_residual_sq"),
+            F.max("_rsq").alias("max_residual_sq"),
+        )
+        .orderBy(cell_col)
+    )
 
 
 def embedding_contamination(

@@ -521,6 +521,7 @@ _R14_QUEUE_HEAD: list = []
 _R14_NEW: list = [
     "x_pq_rerank_pushdown_planted",  # displaced x_dau_exact
     "x_ivf_pq_advise_planted",       # displaced x_embedding_quantize
+    "x_ivf_cell_health_planted",     # displaced x_embedding_normalize
 ]
 
 # 3 backfill slots at round start (50 − 21 spill − 26 ext cohort); each

@@ -128,6 +128,7 @@ def test_registry_is_fully_oracle_backed_and_demos_are_disjoint():
         "x_ann_ivf_topk": "x_ann_ivf_batch_planted",
         "x_ann_lsh_planted": "x_ann_lsh_batch_planted",
         "x_ann_ivf_planted": "x_ann_ivf_batch_planted",
+        "x_ann_cosine_topk": "x_ann_batch",
         "x_knn_join": "x_knn_join_planted",
         "x_dau_approx": "x_dau_bound_planted",
         "x_approx_distinct": "x_hll_distinct_planted",
@@ -395,7 +396,7 @@ def test_window_r13_history_marks_are_recorded():
     # carries the confirming r13 round mark
     assert len(_DRIVER_WINDOW_R13) == 50
     for name in _DRIVER_WINDOW_R13:
-        assert 13 in _checked_rounds(DRIVER_HISTORY[name][1]), name
+        assert 13 in _checked_rounds(FULL_HISTORY[name][1]), name
 
 
 def test_window_r13_composition_is_the_pinned_plan():
@@ -418,12 +419,12 @@ def test_window_r13_composition_is_the_pinned_plan():
     for name in _R13_SPILL:
         # the whole spill cohort was r8-last-checked AS OF the r13
         # composition (the spent window added r13 marks to the slice
-        # that fit)
-        rounds = _checked_rounds(DRIVER_HISTORY[name][1])
+        # that fit; FULL_HISTORY covers later retirees)
+        rounds = _checked_rounds(FULL_HISTORY[name][1])
         assert max(r for r in rounds if r < 13) == 8, name
     for name in _R13_NEW:
         # new r13 entries' first-ever driver check IS the r13 mark
-        assert _checked_rounds(DRIVER_HISTORY[name][1]) == [13], name
+        assert _checked_rounds(FULL_HISTORY[name][1]) == [13], name
 
 
 def test_r13_core_cohort_plan_is_pinned():
@@ -522,11 +523,17 @@ def test_window_backfill_spill_is_exactly_the_stated_r13_list():
             continue
         if max(pre) < 9:
             stale.append(name)
-    assert sorted(stale) == sorted(_R13_SPILL), (
-        sorted(set(stale) ^ set(_R13_SPILL))
+    # retirement-aware: a name moved to DEMO_REGISTRY/RETIRED_HISTORY
+    # (the r14 net-zero wave) leaves the driver rotation EXPLICITLY —
+    # the twins test pins its oracle-covering replacement — so the
+    # stale scan (over live DRIVER_HISTORY) matches the spill list
+    # minus retirees
+    live_spill = [n for n in _R13_SPILL if n in DRIVER_HISTORY]
+    assert sorted(stale) == sorted(live_spill), (
+        sorted(set(stale) ^ set(live_spill))
     )
     for name in _R13_SPILL:
-        rounds = _checked_rounds(DRIVER_HISTORY[name][1])
+        rounds = _checked_rounds(FULL_HISTORY[name][1])
         assert max(r for r in rounds if r < 13) == 8, name
 
 

@@ -7326,6 +7326,92 @@ def test_ivf_pq_residual_batch_prunes_stored_partitions(spark, tmp_path):
     assert all(r.vec_id < 20 for r in short.collect())
 
 
+def test_ivf_pq_append_freshness_and_cell_health(spark, tmp_path):
+    """r14 index freshness: write_ivf_pq_partitioned(mode='append')
+    encodes NEW rows with the layout's frozen centroids+codebooks and
+    appends them inside their cells' partitions — the read-back probe
+    must equal a one-shot rewrite of the union exactly, and the probe
+    plan must still carry PartitionFilters. ivf_cell_health measures
+    the price: per-cell counts and residual-norm drift vs the frozen
+    centroids, closed-form on the planted geometry."""
+    import numpy as np
+
+    rng = np.random.RandomState(47)
+    data = rng.standard_normal((60, 8)) + np.repeat(
+        rng.standard_normal((3, 8)) * 6.0, 20, axis=0
+    )
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, data[i].tolist()) for i in range(lo, hi)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.stack(
+        [data[:20].mean(0), data[20:40].mean(0), data[40:].mean(0)]
+    )
+    rr = similarity.with_ivf_residual(
+        similarity.with_ivf_assignment(mk(0, 60), "embedding", cents),
+        "embedding", cents,
+    )
+    books = similarity.pq_codebooks(rr, "residual", m=2, k=4, seed=5, sample=60)
+
+    appended = str(tmp_path / "appended")
+    similarity.write_ivf_pq_partitioned(
+        mk(0, 30), "vec_id", "embedding", cents, books, appended,
+        keep_vector=True,
+    )
+    similarity.write_ivf_pq_partitioned(
+        mk(30, 60), "vec_id", "embedding", cents, books, appended,
+        keep_vector=True, mode="append",
+    )
+    oneshot = str(tmp_path / "oneshot")
+    similarity.write_ivf_pq_partitioned(
+        mk(0, 60), "vec_id", "embedding", cents, books, oneshot,
+        keep_vector=True,
+    )
+    q = np.stack([data[10], data[50]])
+
+    def probe(path):
+        return sorted(
+            (r.query_id, r.vec_id, round(r.dist, 9))
+            for r in similarity.ivf_pq_rerank_batch(
+                spark.read.parquet(path), "vec_id", "embedding",
+                "pq_code", q, [0, 1], books, cents, k=4, nprobe=1,
+                overfetch=2,
+            ).collect()
+        )
+
+    assert probe(appended) == probe(oneshot)
+    # the appended layout's probe plan still prunes partitions
+    frame = similarity.ivf_pq_topk_residual_batch(
+        spark.read.parquet(appended), "vec_id", "pq_code",
+        np.stack([data[10]]), [0], books, cents, k=3, nprobe=1,
+    )
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ivf_cell" in plan
+
+    # health: counts per cell; residual drift is closed-form on a
+    # planted frame (cell centers ARE the centroids -> residual 0;
+    # one drifted row at distance exactly 4.0)
+    planted = spark.createDataFrame(
+        [(i, (cents[i // 2] + (2.0 if i == 5 else 0.0)
+              * np.eye(8)[0]).tolist()) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned = similarity.with_ivf_assignment(planted, "embedding", cents)
+    health = similarity.ivf_cell_health(
+        assigned, cents, vec_col="embedding"
+    ).collect()
+    by_cell = {r.ivf_cell: r for r in health}
+    assert by_cell[0].n_rows == 2 and by_cell[0].avg_residual_sq == 0.0
+    assert by_cell[2].n_rows == 2
+    assert by_cell[2].max_residual_sq == 4.0
+    assert abs(by_cell[2].avg_residual_sq - 2.0) < 1e-12
+    # codes-only form: counts alone, no vector column required
+    counts = similarity.ivf_cell_health(
+        assigned.select("vec_id", "ivf_cell"), cents
+    ).collect()
+    assert [(r.ivf_cell, r.n_rows) for r in counts] == [(0, 2), (1, 2), (2, 2)]
+
+
 def test_ivf_pq_rerank_vector_scan_rows_are_measured(spark, tmp_path):
     """r14 (VERDICT r13 #2/#3): "vectors touched" must be MEASURED at
     the scan layer, not asserted as arithmetic. Over a 3-cell
