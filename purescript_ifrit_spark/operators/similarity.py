@@ -1912,6 +1912,57 @@ def write_ivf_pq_partitioned(
     coded.write.partitionBy(cell_col).mode(mode).parquet(path)
 
 
+def compact_ivf_pq_cells(
+    spark,
+    path: str,
+    cells: Sequence[int] = None,
+    cell_col: str = "ivf_cell",
+    files_per_cell: int = 1,
+) -> dict:
+    """In-place small-file compaction for a write_ivf_pq_partitioned
+    layout (r14) — the other half of the append-mode freshness price:
+    every `mode="append"` batch adds files to its cells' partition
+    directories, and a probe pays per-file open/footer cost for each.
+    Rewrites each targeted cell's directory as `files_per_cell` files:
+    read the cell subdir, localCheckpoint (materializes the rows BEFORE
+    the overwrite — Spark refuses, correctly, to stream a path into
+    itself), coalesce, overwrite ONLY that directory. Values, the hive
+    layout, and probe plans (PartitionFilters) are unchanged
+    (test-pinned); per-file parquet stats are rebuilt by the rewrite.
+
+    `cells=None` compacts every cell found in the layout's listing (a
+    metadata-only binaryFile pass). The loop is driver-side and
+    per-cell — bounded by nlist, which is index metadata by
+    construction; for very large nlist pass the hot subset (pick it
+    from `ivf_cell_health` counts or the listing this function already
+    does) rather than sweeping every cell each maintenance pass.
+    Returns {cell: files_before}."""
+    import re as _re
+
+    listing = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path")
+        .collect()
+    )
+    found: dict = {}
+    pat = _re.compile(_re.escape(cell_col) + r"=(\d+)/")
+    for row in listing:
+        m = pat.search(row.path)
+        if m:
+            found[int(m.group(1))] = found.get(int(m.group(1)), 0) + 1
+    targets = sorted(found) if cells is None else [
+        int(c) for c in cells if int(c) in found
+    ]
+    out = {}
+    for c in targets:
+        sub = f"{path}/{cell_col}={c}"
+        rows = spark.read.parquet(sub).localCheckpoint(eager=True)
+        rows.coalesce(int(files_per_cell)).write.mode("overwrite").parquet(sub)
+        out[c] = found[c]
+    return out
+
+
 def ivf_cell_health(
     df: DataFrame,
     centroids: "np.ndarray",
