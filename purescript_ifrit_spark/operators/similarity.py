@@ -1872,6 +1872,7 @@ def write_ivf_pq_partitioned(
     cell_col: str = "ivf_cell",
     code_col: str = "pq_code",
     mode: str = "overwrite",
+    store_metadata: bool = True,
 ) -> None:
     """Persist the composed at-rest ANN index (r12): assign cells,
     (residual-)PQ-encode, write hive-partitioned by cell — so an
@@ -1895,7 +1896,51 @@ def write_ivf_pq_partitioned(
     the distribution moves) and per-cell small files: measure the
     former with `ivf_cell_health` against its build-time value and
     rebuild on SLO breach; compact the latter cell-by-cell (rewrite a
-    partition directory — appends never touch existing files)."""
+    partition directory — appends never touch existing files).
+
+    `store_metadata=True` (default) writes `<path>/_ifrit_index.json` —
+    the centroids/codebooks/config the codes are valid for, making the
+    layout self-describing (`read_ivf_pq_index` / `ivf_pq_query`); the
+    underscore prefix keeps it out of every data listing. An APPEND
+    whose metadata differs from the stored sidecar is REFUSED before
+    any data is written: mixed-codebook cells would silently mis-rank
+    every future ADC probe, the one corruption an at-rest index cannot
+    detect after the fact."""
+    if mode == "append" and store_metadata:
+        import json as _json
+
+        try:
+            existing = _json.loads(
+                _hadoop_read_text(
+                    df.sparkSession, f"{path}/{_INDEX_SIDECAR}"
+                )
+            )
+        except Exception:
+            existing = None  # pre-sidecar layout or first write
+        if existing is not None:
+            same = (
+                existing.get("residual") == bool(residual)
+                and existing.get("keep_vector") == bool(keep_vector)
+                and existing.get("id_col") == id_col
+                and existing.get("vec_col") == vec_col
+                and existing.get("cell_col") == cell_col
+                and existing.get("code_col") == code_col
+                and np.array_equal(
+                    np.asarray(existing.get("centroids"), dtype=np.float64),
+                    np.asarray(centroids, dtype=np.float64),
+                )
+                and np.array_equal(
+                    np.asarray(existing.get("codebooks"), dtype=np.float64),
+                    np.asarray(codebooks, dtype=np.float64),
+                )
+            )
+            if not same:
+                raise ValueError(
+                    "append refused: index metadata does not match the "
+                    f"layout's sidecar at {path}/{_INDEX_SIDECAR} — codes "
+                    "are only valid for the centroids/codebooks they were "
+                    "encoded with; rebuild the layout instead of mixing"
+                )
     assigned = with_ivf_assignment(df, vec_col, centroids, out_col=cell_col)
     if residual:
         src = with_ivf_residual(
@@ -1910,6 +1955,160 @@ def write_ivf_pq_partitioned(
     if not keep_vector:
         coded = coded.drop(vec_col)
     coded.write.partitionBy(cell_col).mode(mode).parquet(path)
+    if store_metadata:
+        write_ivf_pq_metadata(
+            df.sparkSession, path,
+            centroids=centroids, codebooks=codebooks, residual=residual,
+            keep_vector=keep_vector, id_col=id_col, vec_col=vec_col,
+            cell_col=cell_col, code_col=code_col,
+        )
+
+
+_INDEX_SIDECAR = "_ifrit_index.json"
+
+
+def _hadoop_write_text(spark, path_str: str, content: str) -> None:
+    # single-FILE write through the Hadoop FileSystem API (py4j), so the
+    # sidecar lands on whatever scheme the layout lives on (file/hdfs/
+    # s3a) — a DataFrame .write.json would create a DIRECTORY of parts
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark, path_str: str) -> str:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        # readAllBytes (Java 11+; this repo runs on 17) — py4j COPIES
+        # byte-array arguments, so the classic read(buf) loop would
+        # never see the bytes land in a Python-side buffer
+        return bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def write_ivf_pq_metadata(
+    spark,
+    path: str,
+    *,
+    centroids: "np.ndarray",
+    codebooks: "np.ndarray",
+    residual: bool,
+    keep_vector: bool,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    code_col: str,
+) -> None:
+    """Persist the index metadata INSIDE the layout (r14):
+    `<path>/_ifrit_index.json` — underscore-prefixed, so every Spark
+    file listing skips it exactly like _SUCCESS/_metadata and the data
+    scans are unchanged. Codes are only valid for the centroids and
+    codebooks they were computed from; storing them WITH the layout
+    makes the index self-describing (`read_ivf_pq_index` →
+    `ivf_pq_query`) instead of depending on the caller to carry two
+    numpy arrays alongside a path. Size check: this is index metadata
+    by construction — nlist·dim + m·k·sub doubles — the same thing the
+    probe already ships in every query's Arrow closure."""
+    import json as _json
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    doc = {
+        "format": "ifrit-ivf-pq-v1",
+        "residual": bool(residual),
+        "keep_vector": bool(keep_vector),
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "cell_col": cell_col,
+        "code_col": code_col,
+        "nlist": int(cents.shape[0]),
+        "dim": int(cents.shape[1]),
+        "m": int(books.shape[0]),
+        "k": int(books.shape[1]),
+        "centroids": cents.tolist(),
+        "codebooks": books.tolist(),
+    }
+    _hadoop_write_text(
+        spark, f"{path}/{_INDEX_SIDECAR}", _json.dumps(doc)
+    )
+
+
+def read_ivf_pq_index(spark, path: str) -> dict:
+    """Load a self-describing at-rest index (r14): the layout's
+    DataFrame plus its sidecar metadata. Returns {"df", "centroids",
+    "codebooks", "residual", "keep_vector", "id_col", "vec_col",
+    "cell_col", "code_col"} with the arrays round-tripped exactly
+    (float64 JSON — test-pinned bit-equal)."""
+    import json as _json
+
+    doc = _json.loads(_hadoop_read_text(spark, f"{path}/{_INDEX_SIDECAR}"))
+    if doc.get("format") != "ifrit-ivf-pq-v1":
+        raise ValueError(
+            f"unrecognized index sidecar format {doc.get('format')!r} "
+            f"at {path}/{_INDEX_SIDECAR}"
+        )
+    return {
+        "df": spark.read.parquet(path),
+        "centroids": np.asarray(doc["centroids"], dtype=np.float64),
+        "codebooks": np.asarray(doc["codebooks"], dtype=np.float64),
+        "residual": doc["residual"],
+        "keep_vector": doc["keep_vector"],
+        "id_col": doc["id_col"],
+        "vec_col": doc["vec_col"],
+        "cell_col": doc["cell_col"],
+        "code_col": doc["code_col"],
+    }
+
+
+def ivf_pq_query(
+    spark,
+    path: str,
+    queries: "np.ndarray",
+    query_ids: Sequence[int],
+    k: int = 10,
+    nprobe: int = 4,
+    overfetch: int = 4,
+    pushdown_ids: bool = False,
+) -> DataFrame:
+    """One-call retrieval against a self-describing stored index (r14):
+    read the sidecar, then run the right probe for what the layout
+    holds — `ivf_pq_rerank_batch` (shortlist + exact rerank) when the
+    vector column was stored (`keep_vector=True`), else the
+    residual-ADC `ivf_pq_topk_residual_batch` (`overfetch` is then
+    meaningless and ignored). Everything the manual path does —
+    PartitionFilters cell pruning on every scan, candidate-sized
+    rerank, optional shortlist-id pushdown — driven purely from the
+    path (results ≡ the manual calls, test-pinned). Only residual
+    layouts are currently routed (the write default); raw-code layouts
+    raise rather than silently mis-rank."""
+    idx = read_ivf_pq_index(spark, path)
+    if not idx["residual"]:
+        raise NotImplementedError(
+            "ivf_pq_query routes residual layouts (the write_ivf_pq_"
+            "partitioned default); probe raw-code layouts explicitly "
+            "with ivf_pq_topk / pq_topk_batch over the stored frame"
+        )
+    if idx["keep_vector"]:
+        return ivf_pq_rerank_batch(
+            idx["df"], idx["id_col"], idx["vec_col"], idx["code_col"],
+            queries, query_ids, idx["codebooks"], idx["centroids"],
+            k=k, nprobe=nprobe, overfetch=overfetch,
+            cell_col=idx["cell_col"], pushdown_ids=pushdown_ids,
+        )
+    return ivf_pq_topk_residual_batch(
+        idx["df"], idx["id_col"], idx["code_col"], queries, query_ids,
+        idx["codebooks"], idx["centroids"], k=k, nprobe=nprobe,
+        cell_col=idx["cell_col"],
+    )
 
 
 def compact_ivf_pq_cells(

@@ -620,14 +620,18 @@ _R15_BACKFILL_R11 = [
     "x_stratified_sample",
 ]
 
+# Oracle entries that land AFTER the r14 window saturates queue here
+# for the r15 head (the session-3 precedent): never-driver-checked, so
+# rotation policy puts them FIRST in the next window.
+_R15_QUEUE_HEAD: list = [
+    "x_ivf_pq_query_planted",  # r14: self-describing stored index
+]
+
 _DRIVER_WINDOW_R15_PLAN = [
+    *_R15_QUEUE_HEAD,
     *[n for n in _R15_R10_COHORT if n not in _DRIVER_WINDOW_R14],
     *_R15_BACKFILL_R11,
 ][:50]
-
-# Oracle entries that land AFTER the r14 window saturates queue here for
-# the r15 head.
-_R15_QUEUE_HEAD: list = []
 
 # Round -> window lookup for the staleness machinery. The LAST entry is
 # the plan for the round about to be spent next; round-start discipline
@@ -674,14 +678,18 @@ def entry_tier(name: str) -> str:
 
 
 def window_staleness_violations(
-    window, current_round: int, extra_evidence=None
+    window, current_round: int, extra_evidence=None, queue_head=()
 ) -> list:
     """Entries whose driver evidence breaches STALENESS_SLA if `window`
     is spent at `current_round` without them.
 
     Returns [] when the window satisfies the SLA. Each violation is
     (name, reason). `current_round` is the round the window will be spent
-    in (latest recorded CORRECTNESS round + 1).
+    in (latest recorded CORRECTNESS round + 1). `queue_head` (r14) is
+    the NEXT round's declared queue head: a never-checked entry that
+    landed after this round's window saturated satisfies the rotation
+    rule by being pinned there (the session-3 precedent, restated in
+    the STALENESS_SLA comment), not by squeezing into a full window.
 
     `extra_evidence` (VERDICT r12 #1) is an optional {entry: round}
     overlay of green driver evidence read from the on-disk
@@ -707,7 +715,10 @@ def window_staleness_violations(
         if name in extra:
             rounds = rounds + [int(extra[name])]
         if not rounds:
-            bad.append((name, "never driver-checked and not in window"))
+            if name not in queue_head:
+                bad.append(
+                    (name, "never driver-checked and not in window")
+                )
             continue
         age = current_round - max(rounds)
         bound = STALENESS_SLA[entry_tier(name)]

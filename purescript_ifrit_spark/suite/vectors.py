@@ -1542,3 +1542,57 @@ def x_ivf_cell_health_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_residual_sq", 6).alias("avg_residual_sq"),
         F.round("max_residual_sq", 6).alias("max_residual_sq"),
     )
+
+
+@register(
+    "x_ivf_pq_query_planted",
+    # the SELF-DESCRIBING stored index as hard signal (r14): the layout
+    # carries its own centroids/codebooks (_ifrit_index.json sidecar),
+    # so retrieval is one call against the PATH — no caller-held arrays.
+    # Same planted closed form as x_ivf_pq_at_rest_planted: the sidecar
+    # round-trips the explicit-grid metadata bit-exactly, the codes-only
+    # layout routes to the residual-ADC probe, cells {0, 1} prune via
+    # PartitionFilters, and k=12 returns exactly ids 0-5 at 0.0 and ids
+    # 6-11 at 2.0.
+    "SELECT CAST(0 AS BIGINT) AS query_id, vec_id, "
+    "CASE WHEN vec_id < 6 THEN CAST(0.0 AS DOUBLE) "
+    "ELSE CAST(2.0 AS DOUBLE) END AS dist "
+    "FROM embeddings WHERE vec_id < 12",
+)
+def x_ivf_pq_query_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-describing at-rest retrieval (operators/similarity.
+    ivf_pq_query over a write_ivf_pq_partitioned layout + its metadata
+    sidecar, r14): the index is a path, not a path plus two numpy
+    arrays the caller must never lose — read_ivf_pq_index restores the
+    frozen metadata bit-exactly and the probe plans are unchanged
+    (PartitionFilters pinned in the unit suite). localCheckpoint-ed so
+    the temp layout can be removed before returning."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.similarity import (
+        ivf_pq_query,
+        write_ivf_pq_partitioned,
+    )
+
+    planted = _planted_basis_embeddings(load_table(spark, sf_dir, "embeddings"))
+    cents = np.eye(16, 32) * 0.5
+    books = np.zeros((4, 9, 8))
+    for s in range(4):
+        for i in range(8):
+            books[s, 1 + i, i] = 0.5
+    q = np.zeros((1, 32))
+    q[0, 0] = 1.0
+    out_dir = tempfile.mkdtemp(prefix="ifrit_ivfpq_query_")
+    try:
+        write_ivf_pq_partitioned(
+            planted, "vec_id", "embedding", cents, books, out_dir,
+            residual=True,
+        )
+        return ivf_pq_query(
+            spark, out_dir, q, [0], k=12, nprobe=2
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

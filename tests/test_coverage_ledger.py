@@ -273,8 +273,10 @@ def test_window_meets_staleness_sla():
         f"{current_round - 1} marks in _ledger.py and compose "
         f"_DRIVER_WINDOW_R{current_round} (suite/__init__.py)"
     )
+    next_queue = _R15_QUEUE_HEAD if current_round == 14 else ()
     violations = window_staleness_violations(
-        DRIVER_WINDOWS[current_round], current_round, evidence
+        DRIVER_WINDOWS[current_round], current_round, evidence,
+        queue_head=next_queue,
     )
     assert violations == [], violations
     # the checker is not vacuous: an empty window at the same round must
@@ -322,9 +324,13 @@ def test_window_meets_staleness_sla_under_r14_evidence():
     evidence = _disk_evidence()
     evidence.update({n: 14 for n in _DRIVER_WINDOW_R14})
     violations = window_staleness_violations(
-        _DRIVER_WINDOW_R14, 14, evidence
+        _DRIVER_WINDOW_R14, 14, evidence, queue_head=_R15_QUEUE_HEAD
     )
     assert violations == [], violations
+    # the queue-head escape is real but narrow: without it the same
+    # call flags exactly the queued never-checked entries
+    flagged = window_staleness_violations(_DRIVER_WINDOW_R14, 14, evidence)
+    assert sorted(n for n, _ in flagged) == sorted(_R15_QUEUE_HEAD)
 
 
 def test_r15_plan_meets_staleness_sla_today():
@@ -341,12 +347,19 @@ def test_r15_plan_meets_staleness_sla_today():
     assert violations == [], violations
     assert len(_DRIVER_WINDOW_R15_PLAN) == 50
     assert len(set(_DRIVER_WINDOW_R15_PLAN)) == 50
-    # plan structure: the r10 cohort not already re-checked by the r14
-    # window (self-correcting against _R14_NEW displacement), then
-    # r11-cohort backfill sliced to fit
+    # plan structure: the declared queue head (entries that landed after
+    # the r14 window saturated — never-checked enters first), then the
+    # r10 cohort not already re-checked by the r14 window
+    # (self-correcting against _R14_NEW displacement), then r11-cohort
+    # backfill sliced to fit
+    head = len(_R15_QUEUE_HEAD)
+    assert _DRIVER_WINDOW_R15_PLAN[:head] == _R15_QUEUE_HEAD
     r10_due = [n for n in _R15_R10_COHORT if n not in _DRIVER_WINDOW_R14]
-    assert _DRIVER_WINDOW_R15_PLAN[:len(r10_due)] == r10_due[:50]
-    rest = _DRIVER_WINDOW_R15_PLAN[len(r10_due):]
+    assert (
+        _DRIVER_WINDOW_R15_PLAN[head:head + len(r10_due)]
+        == r10_due[: 50 - head]
+    )
+    rest = _DRIVER_WINDOW_R15_PLAN[head + len(r10_due):]
     assert rest == _R15_BACKFILL_R11[:len(rest)]
 
 

@@ -7438,6 +7438,91 @@ def test_ivf_pq_append_freshness_and_cell_health(spark, tmp_path):
     assert files_per_cell(0) == 1
 
 
+def test_ivf_pq_index_sidecar_roundtrip_and_query(spark, tmp_path):
+    """r14 self-describing index: write_ivf_pq_partitioned stores
+    `_ifrit_index.json` (underscore-prefixed — every data listing skips
+    it); read_ivf_pq_index round-trips the arrays BIT-EXACTLY;
+    ivf_pq_query runs the right probe from the path alone and equals
+    the manual calls; an append with different metadata is refused
+    BEFORE any data lands (mixed-codebook cells would silently mis-rank
+    every future ADC probe)."""
+    import numpy as np
+
+    rng = np.random.RandomState(53)
+    data = rng.standard_normal((60, 8)) + np.repeat(
+        rng.standard_normal((3, 8)) * 6.0, 20, axis=0
+    )
+    df = spark.createDataFrame(
+        [(i, data[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.stack(
+        [data[:20].mean(0), data[20:40].mean(0), data[40:].mean(0)]
+    )
+    rr = similarity.with_ivf_residual(
+        similarity.with_ivf_assignment(df, "embedding", cents),
+        "embedding", cents,
+    )
+    books = similarity.pq_codebooks(rr, "residual", m=2, k=4, seed=5, sample=60)
+    q = np.stack([data[10], data[50]])
+
+    # keep_vector layout -> ivf_pq_query routes to the composed rerank
+    vpath = str(tmp_path / "with_vec")
+    similarity.write_ivf_pq_partitioned(
+        df, "vec_id", "embedding", cents, books, vpath, keep_vector=True
+    )
+    idx = similarity.read_ivf_pq_index(spark, vpath)
+    assert idx["centroids"].tobytes() == cents.tobytes()  # bit-exact
+    assert idx["codebooks"].tobytes() == np.asarray(
+        books, dtype=np.float64
+    ).tobytes()
+    assert idx["keep_vector"] and idx["residual"]
+    key = lambda rows: sorted(
+        (r.query_id, r.vec_id, round(r.dist, 9)) for r in rows
+    )
+    auto = similarity.ivf_pq_query(
+        spark, vpath, q, [0, 1], k=3, nprobe=1, overfetch=2
+    )
+    manual = similarity.ivf_pq_rerank_batch(
+        spark.read.parquet(vpath), "vec_id", "embedding", "pq_code",
+        q, [0, 1], books, cents, k=3, nprobe=1, overfetch=2,
+    )
+    assert key(auto.collect()) == key(manual.collect())
+
+    # codes-only layout -> routes to the ADC shortlist probe
+    cpath = str(tmp_path / "codes_only")
+    similarity.write_ivf_pq_partitioned(
+        df, "vec_id", "embedding", cents, books, cpath
+    )
+    auto_c = similarity.ivf_pq_query(spark, cpath, q, [0, 1], k=3, nprobe=1)
+    manual_c = similarity.ivf_pq_topk_residual_batch(
+        spark.read.parquet(cpath), "vec_id", "pq_code", q, [0, 1],
+        books, cents, k=3, nprobe=1,
+    )
+    assert key(auto_c.collect()) == key(manual_c.collect())
+    # the sidecar does not leak into the data scan
+    assert "pq_code" in spark.read.parquet(cpath).columns
+    assert spark.read.parquet(cpath).count() == 60
+
+    # mismatched-metadata append is refused before writing
+    other_books = similarity.pq_codebooks(
+        rr, "residual", m=2, k=4, seed=99, sample=60
+    )
+    n_before = spark.read.parquet(cpath).count()
+    with pytest.raises(ValueError, match="append refused"):
+        similarity.write_ivf_pq_partitioned(
+            df, "vec_id", "embedding", cents, other_books, cpath,
+            mode="append",
+        )
+    assert spark.read.parquet(cpath).count() == n_before
+    # a same-metadata append still works
+    similarity.write_ivf_pq_partitioned(
+        df.limit(5), "vec_id", "embedding", cents, books, cpath,
+        mode="append",
+    )
+    assert spark.read.parquet(cpath).count() == n_before + 5
+
+
 def test_ivf_pq_rerank_vector_scan_rows_are_measured(spark, tmp_path):
     """r14 (VERDICT r13 #2/#3): "vectors touched" must be MEASURED at
     the scan layer, not asserted as arithmetic. Over a 3-cell
