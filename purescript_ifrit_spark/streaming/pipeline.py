@@ -766,6 +766,9 @@ def score_ann_query_stream(
     codebooks=None,
     k: int = 10,
     epoch_keyed: bool = False,
+    index_path: "str | None" = None,
+    nprobe: int = 4,
+    overfetch: int = 4,
 ):
     """Streaming ANN retrieval against a STATIC corpus (r12) — the
     score_query_stream shape with embedding queries: every arriving
@@ -777,7 +780,13 @@ def score_ann_query_stream(
       * `vec_col=` — exact: cosine_topk_batch against the corpus
         vectors (per-Arrow-batch matmul + tie-exact partial top-k);
       * `code_col=` + `codebooks=` — compressed: pq_topk_batch against
-        the stored PQ codes (ADC; the scan never touches vectors).
+        the stored PQ codes (ADC; the scan never touches vectors);
+      * `index_path=` (r14) — the SELF-DESCRIBING stored index:
+        ivf_pq_query per micro-batch (residual-ADC probe with
+        PartitionFilters cell pruning; + exact rerank when the layout
+        keeps vectors — `nprobe`/`overfetch` apply here). Pass
+        `corpus=None`: the index is a path and carries its own
+        metadata.
 
     Each micro-batch's (qid, vector) rows are collected to the driver —
     micro-batches are metadata-sized, the exact precondition the batch
@@ -796,19 +805,26 @@ def score_ann_query_stream(
 
     from purescript_ifrit_spark.operators.similarity import (
         cosine_topk_batch,
+        ivf_pq_query,
         pq_topk_batch,
     )
 
     exact = vec_col is not None
     compressed = code_col is not None or codebooks is not None
-    if exact == compressed:
+    stored = index_path is not None
+    if exact + compressed + stored != 1:
         raise ValueError(
-            "pass exactly one of vec_col= (exact) or code_col=+codebooks= "
-            "(compressed ADC)"
+            "pass exactly one of vec_col= (exact), code_col=+codebooks= "
+            "(compressed ADC), or index_path= (self-describing stored "
+            "index)"
         )
     if compressed and (code_col is None or codebooks is None):
         raise ValueError(
             "compressed mode needs BOTH code_col= and codebooks="
+        )
+    if stored and corpus is not None:
+        raise ValueError(
+            "index_path mode reads the layout itself — pass corpus=None"
         )
 
     def _score(batch_df: "DataFrame", epoch_id: int) -> None:
@@ -817,7 +833,12 @@ def score_ann_query_stream(
             return
         qids = [r[0] for r in rows]
         qm = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
-        if exact:
+        if stored:
+            out = ivf_pq_query(
+                batch_df.sparkSession, index_path, qm, qids,
+                k=k, nprobe=nprobe, overfetch=overfetch,
+            )
+        elif exact:
             out = cosine_topk_batch(corpus, id_col, vec_col, qm, qids, k=k)
         else:
             out = pq_topk_batch(

@@ -6407,6 +6407,36 @@ def test_score_ann_query_stream_matches_batch(spark, tmp_path):
         map(tuple, want_adc.collect())
     )
 
+    # r14: the self-describing stored-index mode — a replayed stream
+    # equals ivf_pq_query on all queries at once (the exact rerank makes
+    # the distances micro-batch-invariant: no matmul, no float caveat)
+    cents = np.stack([data[:30].mean(0), data[30:].mean(0)])
+    ipath = str(tmp_path / "ivfpq_idx")
+    similarity.write_ivf_pq_partitioned(
+        corpus, "vec_id", "embedding", cents,
+        similarity.pq_codebooks(
+            similarity.with_ivf_residual(
+                similarity.with_ivf_assignment(corpus, "embedding", cents),
+                "embedding", cents,
+            ),
+            "residual", m=2, k=4, seed=2, sample=60,
+        ),
+        ipath, keep_vector=True,
+    )
+    via_stream = run(index_path=ipath, nprobe=2, overfetch=2, _corpus=None)
+    want_idx = similarity.ivf_pq_query(
+        spark, ipath, queries, [0, 1, 2], k=5, nprobe=2, overfetch=2
+    )
+    key = lambda rows: sorted(
+        (r.query_id, r.vec_id, round(r.dist, 9)) for r in rows
+    )
+    assert key(via_stream.collect()) == key(want_idx.collect())
+    with pytest.raises(ValueError, match="corpus=None"):
+        score_ann_query_stream(
+            qs, corpus, str(tmp_path / "o"),
+            checkpoint_dir=str(tmp_path / "c"), index_path=ipath,
+        )
+
     with pytest.raises(ValueError, match="exactly one"):
         score_ann_query_stream(
             qs, corpus, str(tmp_path / "o"), checkpoint_dir=str(tmp_path / "c")
