@@ -2111,6 +2111,75 @@ def ivf_pq_query(
     )
 
 
+def ivf_pq_index_recall(
+    spark,
+    path: str,
+    queries: "np.ndarray",
+    query_ids: Sequence[int],
+    k: int = 10,
+    nprobe: int = 4,
+    overfetch: int = 4,
+    n_sample: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Measured recall@k of a self-describing stored index, from the
+    path alone (r14): run `ivf_pq_query` at the given (nprobe,
+    overfetch) and score it with `ann_recall_estimate(metric='l2')`
+    against exact truth computed from the layout's OWN vectors — the
+    operational "is this index still good enough" check the freshness
+    story needs next to `ivf_cell_health` (health reads geometry drift;
+    this reads the quantity you actually SLO). keep_vector layouts
+    only: the exact truth needs the vectors."""
+    idx = read_ivf_pq_index(spark, path)
+    if not idx["keep_vector"]:
+        raise ValueError(
+            "ivf_pq_index_recall needs a keep_vector=True layout — "
+            "exact ground truth is computed from the stored vectors"
+        )
+    approx = ivf_pq_query(
+        spark, path, queries, query_ids,
+        k=k, nprobe=nprobe, overfetch=overfetch,
+    )
+    return ann_recall_estimate(
+        idx["df"], idx["id_col"], idx["vec_col"], queries, query_ids,
+        approx, k=k, n_sample=n_sample, seed=seed, metric="l2",
+    )
+
+
+def ivf_pq_advise_path(
+    spark,
+    path: str,
+    queries: "np.ndarray",
+    query_ids: Sequence[int],
+    k: int = 10,
+    target_recall: float = 0.95,
+    nprobes: Sequence[int] = (1, 2, 4, 8),
+    overfetches: Sequence[int] = (1, 2, 4),
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    n_sample: int = 32,
+    seed: int = 42,
+) -> dict:
+    """`ivf_pq_advise` from the path alone (r14): restore the frozen
+    metadata from the layout's sidecar and sweep the joint (nprobe ×
+    overfetch) grid against it — "what do I deploy for recall ≥ X on
+    THIS stored index", one call, no caller-held arrays. keep_vector
+    residual layouts only (the composed rerank path the grid builds)."""
+    idx = read_ivf_pq_index(spark, path)
+    if not idx["keep_vector"] or not idx["residual"]:
+        raise ValueError(
+            "ivf_pq_advise_path sweeps the composed rerank path — it "
+            "needs a residual=True, keep_vector=True layout"
+        )
+    return ivf_pq_advise(
+        idx["df"], idx["id_col"], idx["vec_col"], idx["code_col"],
+        queries, query_ids, idx["codebooks"], idx["centroids"],
+        k=k, target_recall=target_recall, nprobes=nprobes,
+        overfetches=overfetches, alpha=alpha, beta=beta,
+        n_sample=n_sample, seed=seed, cell_col=idx["cell_col"],
+    )
+
+
 def compact_ivf_pq_cells(
     spark,
     path: str,

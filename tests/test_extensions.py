@@ -7553,6 +7553,58 @@ def test_ivf_pq_index_sidecar_roundtrip_and_query(spark, tmp_path):
     assert spark.read.parquet(cpath).count() == n_before + 5
 
 
+def test_ivf_pq_index_recall_and_advise_from_path(spark, tmp_path):
+    """r14 path-level operations: ivf_pq_index_recall measures the
+    stored index's recall@k against exact truth from its OWN vectors,
+    and ivf_pq_advise_path sweeps the joint grid from the sidecar
+    metadata alone — on the planted 2-cell x-axis geometry both are
+    closed-form (0.5 anywhere short of (nprobe=2, overfetch=2), exactly
+    1.0 there; cheapest passing pair as in the unit advisor test)."""
+    import numpy as np
+
+    xs = [0.0, 0.1, 3.0, 3.1, 10.0, 9.9, 6.0, 6.1]
+    corpus = spark.createDataFrame(
+        [(i, [xs[i], 0.0, 0.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.zeros((2, 4))
+    cents[1, 0] = 10.0
+    books = np.zeros((1, 1, 4))
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_pq_partitioned(
+        corpus, "vec_id", "embedding", cents, books, path,
+        keep_vector=True,
+    )
+    q = np.array([[4.0, 0.0, 0.0, 0.0]])
+
+    short = similarity.ivf_pq_index_recall(
+        spark, path, q, [0], k=4, nprobe=2, overfetch=1, n_sample=1
+    ).collect()
+    assert [(r.query_id, r.recall_micro) for r in short] == [(0, 500000)]
+    full = similarity.ivf_pq_index_recall(
+        spark, path, q, [0], k=4, nprobe=2, overfetch=2, n_sample=1
+    ).collect()
+    assert [(r.query_id, r.recall_micro) for r in full] == [(0, 1000000)]
+
+    out = similarity.ivf_pq_advise_path(
+        spark, path, q, [0], k=4, target_recall=0.95,
+        nprobes=(1, 2), overfetches=(1, 2), alpha=1.0, beta=0.1,
+        n_sample=1,
+    )
+    assert out["chosen"]["nprobe"] == 2 and out["chosen"]["overfetch"] == 2
+    assert [p["recall"] for p in out["curve"]] == [0.5, 0.5, 0.5, 1.0]
+
+    # codes-only layouts refuse both (no vectors -> no exact truth)
+    cpath = str(tmp_path / "codes_only")
+    similarity.write_ivf_pq_partitioned(
+        corpus, "vec_id", "embedding", cents, books, cpath
+    )
+    with pytest.raises(ValueError, match="keep_vector"):
+        similarity.ivf_pq_index_recall(spark, cpath, q, [0])
+    with pytest.raises(ValueError, match="keep_vector"):
+        similarity.ivf_pq_advise_path(spark, cpath, q, [0])
+
+
 def test_ivf_pq_rerank_vector_scan_rows_are_measured(spark, tmp_path):
     """r14 (VERDICT r13 #2/#3): "vectors touched" must be MEASURED at
     the scan layer, not asserted as arithmetic. Over a 3-cell
