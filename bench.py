@@ -1179,8 +1179,13 @@ def flag_floor_adjudication(
                 # per-query map rides ONLY the detail artifact — the
                 # stdout line has a hard tail budget (the r5/r7 lesson)
                 variance["floors_ratios"] = ratios
-    except (OSError, ValueError):
-        pass
+    except (OSError, ValueError, TypeError, AttributeError, KeyError):
+        # r14 review fix: a structurally malformed floors file (JSON
+        # array at top level -> AttributeError; non-numeric query value
+        # -> TypeError) must stand the canary down, not crash main()
+        # AFTER every query has already run and before the one stdout
+        # line the driver parses
+        block = {"available": False, "floor_inflation": False}
     cot = variance["cotenancy"]
     cot["floors"] = block
     if block["floor_inflation"]:

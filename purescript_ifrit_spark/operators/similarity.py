@@ -1009,6 +1009,23 @@ def ann_recall_estimate(
             cosine_topk_batch if metric == "cosine" else l2_topk_batch
         )
         truth = truth_kernel(df, id_col, vec_col, qm[idx], sample_ids, k=k)
+    else:
+        # r14 review fix: the precomputed-truth contract is exact-
+        # sampling identity; a caller mismatch (different seed or
+        # n_sample) would leave unmatched truth queries scoring
+        # n_hit=0 and silently drag the mean toward 0. The check is a
+        # bounded collect — truth is n_sample·k rows by contract.
+        got = {
+            r[0] for r in truth.select("query_id").distinct().collect()
+        }
+        if got != set(sample_ids):
+            raise ValueError(
+                "precomputed truth= covers query_ids "
+                f"{sorted(got)[:8]}… but this (queries, query_ids, "
+                f"n_sample={n_sample}, seed={seed}) sampling selects "
+                f"{sorted(set(sample_ids))[:8]}… — recompute truth with "
+                "the same sampling (ann_advise does this internally)"
+            )
     # rank-limit the approx answer to k rows per query by the suite's
     # deterministic (sim desc, id asc) order before the hit join: an
     # approx frame produced with a larger k — or a union of several
@@ -1729,6 +1746,22 @@ def ivf_pq_topk_residual(
     )
 
 
+def _probe_cells_batch(
+    qm: "np.ndarray", cents: "np.ndarray", nprobe: int
+) -> "np.ndarray":
+    """Per-query probed cells for the residual IVF-PQ batch path: the
+    (Q, nprobe) stable argsort of squared centroid distances. ONE
+    implementation by design (r14 review fix): ivf_pq_rerank_batch's
+    rerank-side cell filter is only a semantic no-op while it selects
+    EXACTLY the cells its shortlist stage probes — a drift between two
+    copies of this rule would silently drop candidate rows before the
+    vector join."""
+    d2 = ((cents[None, :, :] - qm[:, None, :]) ** 2).sum(-1)  # (Q, nlist)
+    return np.argsort(d2, axis=1, kind="stable")[
+        :, : min(int(nprobe), len(cents))
+    ]
+
+
 def ivf_pq_topk_residual_batch(
     df: DataFrame,
     id_col: str,
@@ -1779,8 +1812,7 @@ def ivf_pq_topk_residual_batch(
             f"query dim {qm.shape[1]} != codebook dim {m * sub} "
             f"(m={m}, sub={sub})"
         )
-    d2 = ((cents[None, :, :] - qm[:, None, :]) ** 2).sum(-1)  # (Q, nlist)
-    probe = np.argsort(d2, axis=1, kind="stable")[:, : min(nprobe, len(cents))]
+    probe = _probe_cells_batch(qm, cents, nprobe)
     cell_map: dict = {}
     for qi in range(len(qm)):
         for c in probe[qi]:
@@ -1906,16 +1938,19 @@ def write_ivf_pq_partitioned(
     any data is written: mixed-codebook cells would silently mis-rank
     every future ADC probe, the one corruption an at-rest index cannot
     detect after the fact."""
+    spark = df.sparkSession
     if mode == "append" and store_metadata:
         import json as _json
 
-        try:
+        # r14 review fix: detect "no sidecar yet" with an explicit
+        # existence check, NOT a broad except — a transient read error
+        # or corrupt sidecar must FAIL the append, not silently disable
+        # the mixed-metadata refusal this guard exists for
+        if _hadoop_exists(spark, f"{path}/{_INDEX_SIDECAR}"):
             existing = _json.loads(
-                _hadoop_read_text(
-                    df.sparkSession, f"{path}/{_INDEX_SIDECAR}"
-                )
+                _hadoop_read_text(spark, f"{path}/{_INDEX_SIDECAR}")
             )
-        except Exception:
+        else:
             existing = None  # pre-sidecar layout or first write
         if existing is not None:
             same = (
@@ -1954,10 +1989,16 @@ def write_ivf_pq_partitioned(
         coded = coded.drop("_res")
     if not keep_vector:
         coded = coded.drop(vec_col)
+    # r14 review fix: with mode="ignore" an existing path means the data
+    # write is a NO-OP — stamping new metadata over it would be exactly
+    # the mixed-codebook corruption the append guard refuses (old codes,
+    # new sidecar, silent mis-ranking). Snapshot existence BEFORE the
+    # write and skip the sidecar when ignore skipped the data.
+    skip_sidecar = mode == "ignore" and _hadoop_exists(spark, path)
     coded.write.partitionBy(cell_col).mode(mode).parquet(path)
-    if store_metadata:
+    if store_metadata and not skip_sidecar:
         write_ivf_pq_metadata(
-            df.sparkSession, path,
+            spark, path,
             centroids=centroids, codebooks=codebooks, residual=residual,
             keep_vector=keep_vector, id_col=id_col, vec_col=vec_col,
             cell_col=cell_col, code_col=code_col,
@@ -1965,6 +2006,12 @@ def write_ivf_pq_partitioned(
 
 
 _INDEX_SIDECAR = "_ifrit_index.json"
+
+
+def _hadoop_exists(spark, path_str: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
 def _hadoop_write_text(spark, path_str: str, content: str) -> None:
@@ -2090,7 +2137,27 @@ def ivf_pq_query(
     path (results ≡ the manual calls, test-pinned). Only residual
     layouts are currently routed (the write default); raw-code layouts
     raise rather than silently mis-rank."""
-    idx = read_ivf_pq_index(spark, path)
+    return query_ivf_pq_index(
+        read_ivf_pq_index(spark, path), queries, query_ids,
+        k=k, nprobe=nprobe, overfetch=overfetch,
+        pushdown_ids=pushdown_ids,
+    )
+
+
+def query_ivf_pq_index(
+    idx: dict,
+    queries: "np.ndarray",
+    query_ids: Sequence[int],
+    k: int = 10,
+    nprobe: int = 4,
+    overfetch: int = 4,
+    pushdown_ids: bool = False,
+) -> DataFrame:
+    """ivf_pq_query's routing half over an ALREADY-LOADED index dict
+    (read_ivf_pq_index output) — for repeated querying (streaming
+    micro-batches, recall sweeps), load the sidecar once and call this
+    per batch instead of re-reading + re-parsing the full
+    centroids/codebooks payload every time (r14 review fix)."""
     if not idx["residual"]:
         raise NotImplementedError(
             "ivf_pq_query routes residual layouts (the write_ivf_pq_"
@@ -2136,9 +2203,10 @@ def ivf_pq_index_recall(
             "ivf_pq_index_recall needs a keep_vector=True layout — "
             "exact ground truth is computed from the stored vectors"
         )
-    approx = ivf_pq_query(
-        spark, path, queries, query_ids,
-        k=k, nprobe=nprobe, overfetch=overfetch,
+    # route over the already-loaded idx: one sidecar read per call, not
+    # two (r14 review fix)
+    approx = query_ivf_pq_index(
+        idx, queries, query_ids, k=k, nprobe=nprobe, overfetch=overfetch
     )
     return ann_recall_estimate(
         idx["df"], idx["id_col"], idx["vec_col"], queries, query_ids,
@@ -2191,12 +2259,17 @@ def compact_ivf_pq_cells(
     layout (r14) — the other half of the append-mode freshness price:
     every `mode="append"` batch adds files to its cells' partition
     directories, and a probe pays per-file open/footer cost for each.
-    Rewrites each targeted cell's directory as `files_per_cell` files:
-    read the cell subdir, localCheckpoint (materializes the rows BEFORE
-    the overwrite — Spark refuses, correctly, to stream a path into
-    itself), coalesce, overwrite ONLY that directory. Values, the hive
-    layout, and probe plans (PartitionFilters) are unchanged
-    (test-pinned); per-file parquet stats are rebuilt by the rewrite.
+    Rewrites each targeted cell's directory as `files_per_cell` files,
+    DURABLY (r14 review fix): the replacement is first written complete
+    to an underscore-prefixed temp dir beside the cell (invisible to
+    every data listing), and only then swapped in with two filesystem
+    metadata ops (delete old dir, rename temp) — the durable copy
+    exists at every moment, so an executor loss mid-compaction can fail
+    the job but cannot lose rows (the in-place overwrite this replaced
+    held the only copy in executor-local checkpoint storage during the
+    rewrite). Values, the hive layout, and probe plans
+    (PartitionFilters) are unchanged (test-pinned); per-file parquet
+    stats are rebuilt by the rewrite.
 
     `cells=None` compacts every cell found in the layout's listing (a
     metadata-only binaryFile pass). The loop is driver-side and
@@ -2222,11 +2295,27 @@ def compact_ivf_pq_cells(
     targets = sorted(found) if cells is None else [
         int(c) for c in cells if int(c) in found
     ]
+    jvm = spark._jvm
+    fs_conf = spark._jsc.hadoopConfiguration()
     out = {}
     for c in targets:
         sub = f"{path}/{cell_col}={c}"
-        rows = spark.read.parquet(sub).localCheckpoint(eager=True)
-        rows.coalesce(int(files_per_cell)).write.mode("overwrite").parquet(sub)
+        tmp = f"{path}/_compact_tmp_{cell_col}={c}"
+        (
+            spark.read.parquet(sub)
+            .coalesce(int(files_per_cell))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        sub_p = jvm.org.apache.hadoop.fs.Path(sub)
+        tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = sub_p.getFileSystem(fs_conf)
+        fs.delete(sub_p, True)
+        if not fs.rename(tmp_p, sub_p):
+            raise IOError(
+                f"compact_ivf_pq_cells: rename {tmp} -> {sub} failed; "
+                "the compacted data is intact at the temp path"
+            )
         out[c] = found[c]
     return out
 
@@ -2760,12 +2849,10 @@ def ivf_pq_rerank_batch(
     # it compiles to PartitionFilters on the WIDE vector-column scan,
     # which otherwise lists and reads EVERY cell's files (a full corpus
     # pass over the widest column to rerank k·overfetch·Q rows). Same
-    # driver-side stable argsort the shortlist stage does.
+    # THE SAME _probe_cells_batch the shortlist stage uses — one
+    # implementation, so the two stages cannot drift (r14 review fix).
     cents = np.asarray(centroids, dtype=np.float64)
-    d2 = ((cents[None, :, :] - qm[:, None, :]) ** 2).sum(-1)
-    probe = np.argsort(d2, axis=1, kind="stable")[
-        :, : min(int(nprobe), len(cents))
-    ]
+    probe = _probe_cells_batch(qm, cents, nprobe)
     probed = sorted({int(c) for c in probe.ravel()})
     rerank_src = df.filter(F.col(cell_col).isin(probed))
     return _exact_l2_rerank(

@@ -805,8 +805,9 @@ def score_ann_query_stream(
 
     from purescript_ifrit_spark.operators.similarity import (
         cosine_topk_batch,
-        ivf_pq_query,
         pq_topk_batch,
+        query_ivf_pq_index,
+        read_ivf_pq_index,
     )
 
     exact = vec_col is not None
@@ -826,6 +827,16 @@ def score_ann_query_stream(
         raise ValueError(
             "index_path mode reads the layout itself — pass corpus=None"
         )
+    # load the sidecar ONCE (r14 review fix): per-micro-batch re-reads
+    # would pay a full centroids+codebooks JSON parse and a fresh
+    # layout listing on every trigger — fixed driver latency that
+    # dwarfs small batches. The loaded index is static for the stream's
+    # lifetime, matching the static-corpus contract of the other modes.
+    stored_idx = (
+        read_ivf_pq_index(stream_queries.sparkSession, index_path)
+        if stored
+        else None
+    )
 
     def _score(batch_df: "DataFrame", epoch_id: int) -> None:
         rows = batch_df.select(query_id_col, query_vec_col).collect()
@@ -834,8 +845,8 @@ def score_ann_query_stream(
         qids = [r[0] for r in rows]
         qm = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
         if stored:
-            out = ivf_pq_query(
-                batch_df.sparkSession, index_path, qm, qids,
+            out = query_ivf_pq_index(
+                stored_idx, qm, qids,
                 k=k, nprobe=nprobe, overfetch=overfetch,
             )
         elif exact:

@@ -769,3 +769,17 @@ def test_bench_floor_adjudication_canary_v4(tmp_path):
     }
     none = run(dict(floors_q), path=str(tmp_path / "nope.json"))
     assert none["cotenancy"]["floors"]["available"] is False
+
+    # r14 review fix: STRUCTURALLY malformed floors files (valid JSON,
+    # wrong shape) stand the canary down instead of crashing main()
+    # after every query has already run
+    arr = tmp_path / "arr.json"
+    arr.write_text("[1, 2, 3]")
+    bad_shape = run(dict(floors_q), path=str(arr))
+    assert bad_shape["cotenancy"]["floors"]["available"] is False
+    nonnum = tmp_path / "nonnum.json"
+    nonnum.write_text(json.dumps(
+        {"sf": 0.1, "cpus": 32, "queries": {"q1": "fast"}}
+    ))
+    bad_val = run({"q1": 1.0}, path=str(nonnum))
+    assert bad_val["cotenancy"]["floors"]["available"] is False

@@ -7552,6 +7552,46 @@ def test_ivf_pq_index_sidecar_roundtrip_and_query(spark, tmp_path):
     )
     assert spark.read.parquet(cpath).count() == n_before + 5
 
+    # r14 review fixes:
+    # (a) mode="ignore" on an EXISTING layout skips the data write, so
+    # it must not stamp new metadata over the old codes either
+    similarity.write_ivf_pq_partitioned(
+        df, "vec_id", "embedding", cents, other_books, cpath,
+        mode="ignore",
+    )
+    after = similarity.read_ivf_pq_index(spark, cpath)
+    assert after["codebooks"].tobytes() == np.asarray(
+        books, dtype=np.float64
+    ).tobytes()  # still the ORIGINAL metadata
+    # ...while ignore on a fresh path writes data + sidecar normally
+    fresh = str(tmp_path / "fresh_ignore")
+    similarity.write_ivf_pq_partitioned(
+        df, "vec_id", "embedding", cents, books, fresh, mode="ignore"
+    )
+    assert similarity.read_ivf_pq_index(spark, fresh)["residual"] is True
+    # (b) a CORRUPT sidecar fails the append loudly instead of silently
+    # disabling the mixed-metadata guard (written through the Hadoop
+    # API — a Python open() would also trip the local FS's CRC sidecar,
+    # which is just a different loud failure of the same guard)
+    similarity._hadoop_write_text(
+        spark, f"{cpath}/_ifrit_index.json", "{not json"
+    )
+    with pytest.raises(Exception, match="Expecting|JSON|value"):
+        similarity.write_ivf_pq_partitioned(
+            df.limit(1), "vec_id", "embedding", cents, books, cpath,
+            mode="append",
+        )
+    # (c) precomputed truth= with a mismatched sampling raises instead
+    # of silently dragging recall toward zero
+    q2 = np.stack([data[10], data[50]])
+    truth = similarity.l2_topk_batch(df, "vec_id", "embedding", q2, [0, 1], k=3)
+    approx = similarity.l2_topk_batch(df, "vec_id", "embedding", q2, [0, 1], k=3)
+    with pytest.raises(ValueError, match="same sampling"):
+        similarity.ann_recall_estimate(
+            df, "vec_id", "embedding", q2, [0, 1], approx, k=3,
+            n_sample=1, metric="l2", truth=truth,
+        )
+
 
 def test_ivf_pq_index_recall_and_advise_from_path(spark, tmp_path):
     """r14 path-level operations: ivf_pq_index_recall measures the
