@@ -49,7 +49,12 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark, headline_only: bool = False) -> "tuple[dict, dict, dict]":
+def bench_queries(
+    spark,
+    headline_only: bool = False,
+    plans_dir: "str | None" = None,
+    plans_tag: str = "before",
+) -> "tuple[dict, dict, dict]":
     from pyspark.sql import functions as F
 
     from purescript_ifrit_spark.api import run_query
@@ -927,6 +932,26 @@ def bench_queries(spark, headline_only: bool = False) -> "tuple[dict, dict, dict
         "qx_neardup_tables": qx_neardup_tables,
     }
 
+    if plans_dir is not None:
+        # measurement facility (optimization rounds, guide §1): write the
+        # formatted explain of EVERY benched query to
+        # <plans_dir>/<name>_<tag>.txt — the plan evidence the judge
+        # checks optimization claims against. Never runs the queries.
+        import pathlib
+
+        pathlib.Path(plans_dir).mkdir(parents=True, exist_ok=True)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        for name, fn in {**queries, **extra_queries}.items():
+            df = fn()
+            txt = df._jdf.queryExecution().explainString(mode)
+            with open(
+                f"{plans_dir}/{name}_{plans_tag}.txt", "w"
+            ) as fh:
+                fh.write(txt)
+        return {}, {}, {}, {}
+
     # JVM warm-up (parquet footers, codegen)
     t["lineitem"].count()
 
@@ -1387,8 +1412,25 @@ def main() -> None:
         spark.stop()
 
 
+def capture_plans(plans_dir: str, tag: str) -> None:
+    """`python bench.py --plans <dir> <tag>`: write every benched query's
+    formatted explain to <dir>/<name>_<tag>.txt (optimization-round
+    evidence; builds the extras' scratch layouts but runs no timed query)."""
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        bench_queries(spark, plans_dir=plans_dir, plans_tag=tag)
+    finally:
+        spark.stop()
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--rebaseline":
+    if len(sys.argv) > 1 and sys.argv[1] == "--plans":
+        capture_plans(
+            sys.argv[2] if len(sys.argv) > 2 else "plans/r14",
+            sys.argv[3] if len(sys.argv) > 3 else "before",
+        )
+    elif len(sys.argv) > 1 and sys.argv[1] == "--rebaseline":
         rebaseline(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
     elif len(sys.argv) > 1 and sys.argv[1] == "--floors":
         # close-out floors (r14, VERDICT r13 #4): same protocol, written
