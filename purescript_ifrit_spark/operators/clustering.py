@@ -140,10 +140,22 @@ def kmeans_lloyd(
 
     vec = F.col(vec_col)
     centroids = [[int(x) for x in c] for c in init_centroids]
+    # staged distances (r14 optimization round, guide §1.2): _assign_expr
+    # references its distance array twice (array_position + array_min), so
+    # the flat form ran the k×dim distance fold TWICE per row per
+    # iteration; staging the array in its own projection halves the
+    # assignment cost. Same distances, same first-occurrence tie-break.
     for _ in range(n_iter):
-        assigned = df.select(
-            _assign_expr(vec, centroids, f"`{vec_col}`").alias("_c"),
+        staged = df.select(
+            _dists_expr(vec, centroids, f"`{vec_col}`").alias("_d"),
             vec.alias("_v"),
+        )
+        _d = F.col("_d")
+        assigned = staged.select(
+            (F.array_position(_d, F.array_min(_d)) - 1)
+            .cast("int")
+            .alias("_c"),
+            "_v",
         )
         sums = (
             assigned.select("_c", F.posexplode("_v").alias("_p", "_x"))
@@ -168,18 +180,18 @@ def kmeans_lloyd(
             ]
             for cid in range(k)
         ]
-    out = df.withColumn(
-        "cluster", _assign_expr(vec, centroids, f"`{vec_col}`")
+    # final assignment over the SAME staged distance array (with_dist
+    # previously rebuilt the full distance expression a second time)
+    staged = df.withColumn(
+        "_ifrit_kd", _dists_expr(vec, centroids, f"`{vec_col}`")
+    )
+    _kd = F.col("_ifrit_kd")
+    out = staged.withColumn(
+        "cluster", (F.array_position(_kd, F.array_min(_kd)) - 1).cast("int")
     )
     if with_dist:
-        # same k-scaled strategy as the assignment: the unrolled form
-        # here would re-pay the k·dim py4j + Catalyst planning tax the
-        # parsed-SQL path exists to avoid at k > _UNROLL_MAX_K
-        out = out.withColumn(
-            "sq_dist",
-            F.array_min(_dists_expr(vec, centroids, f"`{vec_col}`")),
-        )
-    return out, centroids
+        out = out.withColumn("sq_dist", F.array_min(_kd))
+    return out.drop("_ifrit_kd"), centroids
 
 
 def semdedup(
@@ -216,19 +228,25 @@ def semdedup(
     assigned, _ = kmeans_lloyd(
         df.select(id_col, vec_col), vec_col, init_centroids, n_iter
     )
-    x = assigned.select(
-        F.col(id_col).alias("_ix"), "cluster", F.col(vec_col).alias("_vx")
-    )
-    y = assigned.select(
-        F.col(id_col).alias("_iy"), "cluster", F.col(vec_col).alias("_vy")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("_vx"), F.col("_vy"), lambda a, b: a * b),
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda v: v * v),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda v: v * v),
+    # squared norms staged per SIDE (r14 optimization round, guide §1.2):
+    # computed in the pair projection they cost one integer fold per
+    # candidate PAIR each; in the join-side projections they cost one per
+    # corpus row. Same integers, same decision rule.
+    x = assigned.select(
+        F.col(id_col).alias("_ix"), "cluster", F.col(vec_col).alias("_vx"),
+        sq(F.col(vec_col)).alias("_nx2"),
+    )
+    y = assigned.select(
+        F.col(id_col).alias("_iy"), "cluster", F.col(vec_col).alias("_vy"),
+        sq(F.col(vec_col)).alias("_ny2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_vx"), F.col("_vy"), lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
@@ -237,8 +255,6 @@ def semdedup(
         x.join(y, "cluster")
         .filter(F.col("_iy") < F.col("_ix"))
         .withColumn("_dot", dot)
-        .withColumn("_nx2", sq(F.col("_vx")))
-        .withColumn("_ny2", sq(F.col("_vy")))
         .filter(
             # zero-norm guard (ADVICE r7): cosine is UNDEFINED for a
             # zero vector, but dot=0 satisfies dot>=0 and 0 >= 0·t², so

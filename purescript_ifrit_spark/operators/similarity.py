@@ -47,14 +47,38 @@ def cosine_topk(
     """Exact top-k by cosine similarity to one query vector.
 
     Returns (id, sim) ordered desc; ties broken by id for determinism.
-    Plan shape: Scan → Project(cosine) → TakeOrderedAndProject(k) — no
-    shuffle beyond the final k-row gather."""
+    Plan shape: Scan → Project(dot, norm) → Project(sim) →
+    TakeOrderedAndProject(k) — no shuffle beyond the final k-row gather.
+
+    The two-level projection is load-bearing (r14 optimization round,
+    guide §1.2): the single-expression V.cosine form evaluated FIVE
+    interpreted array folds per row — norm(vec) twice (CASE guard +
+    division; HOFs are CodegenFallback, so codegen subexpression
+    elimination never applies) and norm(query) twice over the 64-element
+    literal, which Catalyst does not constant-fold. Staging dot/norm in
+    an inner Project (CollapseProject keeps non-cheap expressions
+    single-use, SPARK-36718 semantics) and computing ||query|| on the
+    driver leaves exactly two folds per row. ||query|| is bit-identical
+    to the JVM fold (same IEEE doubles added in the same order, one
+    correctly-rounded sqrt), so every sim value is unchanged
+    (oracle-pinned)."""
+    import math
+
     q = V.lit_vector(query)
+    acc = 0.0
+    for v in query:
+        fv = float(v)
+        acc += fv * fv
+    nq = math.sqrt(acc)
+    staged = df.select(
+        F.col(id_col),
+        V.dot(F.col(vec_col), q).alias("_dot"),
+        V.norm(F.col(vec_col)).alias("_na"),
+    )
+    denom = F.col("_na") * F.lit(nq)
+    sim = F.when(denom == 0, F.lit(0.0)).otherwise(F.col("_dot") / denom)
     return (
-        df.select(
-            F.col(id_col),
-            V.cosine(F.col(vec_col), q).alias("sim"),
-        )
+        staged.select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -312,17 +336,55 @@ def embedding_neardup_pairs(
             )
             .select("id_a", "id_b")
         )
-        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-        return (
+        # per-SIDE norms + staged dot (r14 optimization round, guide §1.2):
+        # `filter(sim >= t)` over a live V.cosine projection gets the full
+        # expression substituted into the pushed Filter, so each surviving
+        # candidate paid TEN interpreted array folds (norm(a)/norm(b) twice
+        # each in the CASE guard and the division, plus the dot — in both
+        # Filter and Project). Norms are now computed once per corpus row
+        # in the join-side projections; only the dot rides the per-pair
+        # expressions. Same operands, same order, same CASE guard — sim
+        # values bit-identical (oracle-pinned).
+        va = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+            V.norm(F.col(vec_col)).alias("_na"),
+        )
+        vb = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+            V.norm(F.col(vec_col)).alias("_nb"),
+        )
+        staged = (
             cand.join(va, "id_a")
             .join(vb, "id_b")
-            .withColumn("sim", V.cosine(F.col("_va"), F.col("_vb")))
-            .filter(F.col("sim") >= threshold)
-            .select("id_a", "id_b", "sim")
+            .select(
+                "id_a",
+                "id_b",
+                V.dot(F.col("_va"), F.col("_vb")).alias("_dot"),
+                "_na",
+                "_nb",
+            )
         )
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        _denom = F.col("_na") * F.col("_nb")
+        _sim = F.when(_denom == 0, F.lit(0.0)).otherwise(
+            F.col("_dot") / _denom
+        )
+        return staged.select("id_a", "id_b", _sim.alias("sim")).filter(
+            F.col("sim") >= threshold
+        )
+    # per-side norms + staged dot: same verification-tail shape (and the
+    # same bit-identity argument) as the tables mode above
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        V.norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        V.norm(F.col(vec_col)).alias("_nb"),
+    )
     if planes is not None:
         a = a.withColumn("_bkt", V.random_hyperplane_signature(F.col("_va"), planes))
         b = b.withColumn("_bkt", V.random_hyperplane_signature(F.col("_vb"), planes))
@@ -336,11 +398,17 @@ def embedding_neardup_pairs(
             "the recall-controlled scale path), `planes` (one bucketing) or "
             "opt in explicitly with allow_crossjoin=True for evaluation"
         )
-    return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", V.cosine(F.col("_va"), F.col("_vb")))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
+    staged = joined.filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        V.dot(F.col("_va"), F.col("_vb")).alias("_dot"),
+        "_na",
+        "_nb",
+    )
+    _denom = F.col("_na") * F.col("_nb")
+    _sim = F.when(_denom == 0, F.lit(0.0)).otherwise(F.col("_dot") / _denom)
+    return staged.select("id_a", "id_b", _sim.alias("sim")).filter(
+        F.col("sim") >= threshold
     )
 
 
@@ -741,9 +809,17 @@ def with_ivf_assignment(
         V.lit_matrix(np.asarray(centroids, dtype=np.float64)),
         lambda c: V.l2_distance(F.col(vec_col), c),
     )
-    return df.withColumn(
-        out_col, F.array_position(dists, F.array_min(dists)).cast("int") - 1
-    )
+    # staged distances (r14 optimization round, guide §1.2): the argmin
+    # references `dists` twice (array_position + array_min), so the flat
+    # form ran the nlist×dim distance transform TWICE per row; staging it
+    # in its own projection (CollapseProject keeps non-cheap expressions
+    # single-use) halves the assignment cost. Same distances, same
+    # first-occurrence tie-break — assignments identical.
+    staged = df.withColumn("_ifrit_ivf_d2", dists)
+    d2 = F.col("_ifrit_ivf_d2")
+    return staged.withColumn(
+        out_col, F.array_position(d2, F.array_min(d2)).cast("int") - 1
+    ).drop("_ifrit_ivf_d2")
 
 
 def write_ivf_partitioned(
@@ -1145,12 +1221,38 @@ def knn_join_lsh(
         .select("id", "nbr_id")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("_vb"))
+    # per-side norms (r14 optimization round, guide §1.2): V.cosine's CASE
+    # guard + division evaluated norm(_va)/norm(_vb) twice each per
+    # candidate pair; computing them once per corpus row in the side
+    # projections leaves only the dot per pair — same operands, same
+    # order, bit-identical sims
+    va = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_va"),
+        V.norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("_vb"),
+        V.norm(F.col(vec_col)).alias("_nb"),
+    )
+    _denom = F.col("_na") * F.col("_nb")
     scored = (
         cand.join(va, "id")
         .join(vb, "nbr_id")
-        .withColumn("sim", V.cosine(F.col("_va"), F.col("_vb")))
+        .select(
+            "id",
+            "nbr_id",
+            V.dot(F.col("_va"), F.col("_vb")).alias("_dot"),
+            "_na",
+            "_nb",
+        )
+        .withColumn(
+            "sim",
+            F.when(_denom == 0, F.lit(0.0)).otherwise(
+                F.col("_dot") / _denom
+            ),
+        )
     )
     wk = Window.partitionBy("id").orderBy(
         F.col("sim").desc(), F.col("nbr_id").asc()
@@ -1376,14 +1478,20 @@ def pq_encode(
     working set is m ints per row instead of the vector."""
     books = np.asarray(codebooks, dtype=np.float64)
     m, k, sub = books.shape
-    codes = []
-    for s in range(m):
-        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+    # per-subspace distance arrays STAGED in one projection (r14
+    # optimization round, guide §1.2): each code's argmin references its
+    # dists twice (array_position + array_min), so the flat form ran every
+    # k-center distance transform TWICE per row — 2·m·k subspace folds.
+    # Staging halves that; distances, tie-breaks and codes are identical.
+    def _subspace_dists(sl, book):
         # r12: the k centers ride one lit_matrix + transform per
         # subspace (not k lambda-pair constructions) — same arithmetic,
-        # identical codes, m+constant py4j calls instead of m*k
-        dists = F.transform(
-            V.lit_matrix(books[s]),
+        # identical codes, m+constant py4j calls instead of m*k.
+        # (Closure factory, NOT a default-arg lambda: a two-parameter
+        # lambda would be read by F.transform as its (element, index)
+        # form.)
+        return F.transform(
+            V.lit_matrix(book),
             lambda c: F.aggregate(
                 F.zip_with(
                     sl, c, lambda x, y: (x.cast("double") - y) ** 2
@@ -1392,10 +1500,19 @@ def pq_encode(
                 lambda acc, v: acc + v,
             ),
         )
+
+    staged_cols = {}
+    for s in range(m):
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        staged_cols[f"_ifrit_pqd{s}"] = _subspace_dists(sl, books[s])
+    staged = df.withColumns(staged_cols)
+    codes = []
+    for s in range(m):
+        d = F.col(f"_ifrit_pqd{s}")
         codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            (F.array_position(d, F.array_min(d)) - 1).cast("int")
         )
-    return df.withColumn(out_col, F.array(*codes))
+    return staged.withColumn(out_col, F.array(*codes)).drop(*staged_cols)
 
 
 def pq_topk(

@@ -237,23 +237,52 @@ def _projection_column(sel, staged: Optional[dict] = None) -> Column:
             F.when(whole.isNull(), F.lit(None)).otherwise(F.size(whole))
         ).alias(sel.output_name)
 
+    # SUM/AVG fuse the nested-path extraction INTO the aggregate lambda and
+    # take size() on the BASE array (r14 optimization round, guide §1.2):
+    # the former transform-then-fold shape materialized the projected array
+    # once per consumer — AVG's projection evaluated transform(arr, x.sub)
+    # THREE times per row (the fold plus two size() calls; HOFs are
+    # CodegenFallback, so codegen subexpression elimination never rescues
+    # them). size(transform(c)) ≡ size(c) (transform is 1:1 and
+    # NULL-propagating) and folding s + extract(x) visits the same elements
+    # in the same order with the same casts, so every value is
+    # bit-identical (oracle-pinned). MIN/MAX keep the transform: array_min/
+    # array_max's NULL-element skipping has no aggregate-lambda equivalent.
     parts = sel.path.split(".")
     if len(parts) == 1:
-        arr = F.col(sel.path)
+        base_arr = F.col(sel.path)
+
+        def elem(x: Column) -> Column:
+            return x
+
+        def minmax_arr() -> Column:
+            return base_arr  # plain numeric array: no projection needed
+
     else:
-        # one-level push-down over array<struct>: transform to the sub-field
+        # one-level push-down over array<struct>: extract the sub-field
         base, rest = parts[0], ".".join(parts[1:])
-        arr = F.transform(F.col(base), lambda x: _struct_path(x, rest))
+        base_arr = F.col(base)
+
+        def elem(x: Column) -> Column:
+            return _struct_path(x, rest)
+
+        def minmax_arr() -> Column:
+            return F.transform(base_arr, elem)
 
     if sel.fn == "SUM":
-        col = F.aggregate(arr, F.lit(0.0), lambda s, x: s + x.cast("double"))
+        col = F.aggregate(
+            base_arr, F.lit(0.0), lambda s, x: s + elem(x).cast("double")
+        )
     elif sel.fn == "AVG":
-        total = F.aggregate(arr, F.lit(0.0), lambda s, x: s + x.cast("double"))
-        col = F.when(F.size(arr) > 0, total / F.size(arr))
+        total = F.aggregate(
+            base_arr, F.lit(0.0), lambda s, x: s + elem(x).cast("double")
+        )
+        n_el = F.size(base_arr)
+        col = F.when(n_el > 0, total / n_el)
     elif sel.fn == "MAX":
-        col = F.array_max(arr)
+        col = F.array_max(minmax_arr())
     elif sel.fn == "MIN":
-        col = F.array_min(arr)
+        col = F.array_min(minmax_arr())
     else:  # pragma: no cover
         raise PlanError(f"unknown function {sel.fn}")
     return col.alias(sel.output_name)

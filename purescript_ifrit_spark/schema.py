@@ -134,6 +134,14 @@ class Schema:
         }[self.kind]
 
 
+# interned primitive nodes: Schema is a frozen (immutable) dataclass, so
+# the four leaf kinds can be shared across every decoded schema — frozen
+# dataclass construction (object.__setattr__ per field) is the hot cost
+# of schema decode, which runs once per compile_query call (r14
+# optimization round, guide §1.2 "per-task work")
+_PRIM_SCHEMAS = {k: Schema(k) for k in _PRIMITIVES}
+
+
 def schema_from_json(doc: Any) -> Schema:
     """Decode the reference's declarative JSON schema syntax.
 
@@ -142,8 +150,9 @@ def schema_from_json(doc: Any) -> Schema:
     objects are JSON objects. Anything else → "unknown schema's type".
     """
     if isinstance(doc, str):
-        if doc in _PRIMITIVES:
-            return Schema(doc)
+        node = _PRIM_SCHEMAS.get(doc)
+        if node is not None:
+            return node
         raise AnalysisError(f"unknown schema's type: {doc}")
     if isinstance(doc, list):
         # reference: "exactly one element is expected" (Semantic.purs:390-397)
@@ -153,7 +162,11 @@ def schema_from_json(doc: Any) -> Schema:
             )
         return Schema.array(schema_from_json(doc[0]))
     if isinstance(doc, dict):
-        return Schema.object({k: schema_from_json(v) for k, v in doc.items()})
+        # direct construction: the dictcomp is already a fresh dict, so
+        # Schema.object's defensive dict() copy is pure overhead here
+        return Schema(
+            OBJECT, fields={k: schema_from_json(v) for k, v in doc.items()}
+        )
     raise AnalysisError(f"unknown schema's type: {doc!r}")
 
 
