@@ -373,6 +373,17 @@ def embedding_neardup_pairs(
         return staged.select("id_a", "id_b", _sim.alias("sim")).filter(
             F.col("sim") >= threshold
         )
+    # the mode guard runs BEFORE any projection is built: the staged
+    # per-side norm select analyzes eagerly, and on a no-mode misuse call
+    # (e.g. a string column) Spark's AnalysisException would otherwise
+    # pre-empt the contract's ValueError (caught by the opt-in guard test)
+    if planes is None and not allow_crossjoin:
+        raise ValueError(
+            "embedding_neardup_pairs without `planes` or `tables` is an "
+            "O(n²) cross join; pass `tables` (multi-table OR-construction, "
+            "the recall-controlled scale path), `planes` (one bucketing) or "
+            "opt in explicitly with allow_crossjoin=True for evaluation"
+        )
     # per-side norms + staged dot: same verification-tail shape (and the
     # same bit-identity argument) as the tables mode above
     a = df.select(
@@ -389,15 +400,8 @@ def embedding_neardup_pairs(
         a = a.withColumn("_bkt", V.random_hyperplane_signature(F.col("_va"), planes))
         b = b.withColumn("_bkt", V.random_hyperplane_signature(F.col("_vb"), planes))
         joined = a.join(b, "_bkt")
-    elif allow_crossjoin:
-        joined = a.crossJoin(b)
     else:
-        raise ValueError(
-            "embedding_neardup_pairs without `planes` or `tables` is an "
-            "O(n²) cross join; pass `tables` (multi-table OR-construction, "
-            "the recall-controlled scale path), `planes` (one bucketing) or "
-            "opt in explicitly with allow_crossjoin=True for evaluation"
-        )
+        joined = a.crossJoin(b)
     staged = joined.filter(F.col("id_a") < F.col("id_b")).select(
         "id_a",
         "id_b",
