@@ -90,14 +90,31 @@ def power_iteration_ranks(
             f"scale too large for int64 headroom ({scale}): "
             "score*damping_pct must stay under 2^63 — use scale <= 9e16"
         )
+    # r14 optimization round (guide §1.2 — don't recompute what you
+    # already paid for): nodes/outdeg/e each used to re-derive the INPUT
+    # edges subtree (3 full input computations before the loop — at
+    # bench sf0.1 the input is a scan+distinct of the events table, and
+    # at 100 TB it is 3 corpus passes). Now the input subtree appears
+    # only inside e's build (twice — edge list + outdeg — where
+    # ReuseExchange dedupes the distinct's exchange), and the node set
+    # derives from the PERSISTED e: the inner join on src keeps every
+    # edge (each edge's src has outdeg >= 1), so (_u ∪ _v) is exactly
+    # (src ∪ dst). Values identical; measured at sf0.1/32: pre-loop
+    # 2 node-sized jobs instead of 3 input passes.
+    outdeg = edges.groupBy(F.col(src).alias("_u")).agg(
+        F.count(F.lit(1)).alias("_outdeg")
+    )
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).join(
+        outdeg, "_u"
+    ).persist()
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionAll(edges.select(F.col(dst).alias("node")))
+        e.select(F.col("_u").alias("node"))
+        .unionAll(e.select(F.col("_v").alias("node")))
         .distinct()
         .persist()
     )
     n_nodes = nodes.count()  # the one bounded driver action (a single long)
-    # — also materializes the node cache every iteration reuses
+    # — also materializes BOTH loop-invariant caches (nodes scans e)
     if n_nodes == 0:
         out = nodes.select(
             "node",
@@ -105,15 +122,10 @@ def power_iteration_ranks(
             F.lit(0.0).alias("rank"),
         ).localCheckpoint()
         nodes.unpersist()
+        e.unpersist()
         return out
     init = scale // n_nodes
     teleport = (scale * (100 - damping_pct)) // (100 * n_nodes)
-    outdeg = edges.groupBy(F.col(src).alias("_u")).agg(
-        F.count(F.lit(1)).alias("_outdeg")
-    )
-    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).join(
-        outdeg, "_u"
-    ).persist()
     scores = nodes.select("node", F.lit(init).cast("long").alias("score"))
     for i in range(n_iter):
         contribs = (
