@@ -53,32 +53,30 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _spread_ids(ids: DataFrame) -> DataFrame:
-    """Hash-repartition a (media_id) id frame to the session's default
-    parallelism when it arrives with fewer partitions (r14 optimization
-    round, guide §2.6/§8): the synth generators expand a few BYTES of id
-    into KB..MB payloads inside mapInPandas, so the generate→decode
-    pipeline runs at the ID FRAME's partition count — and a bench/test
-    id frame read from one single-row-group parquet file is ONE
-    partition, serializing the whole Python codec chain on one core
-    while the rest idle (measured: qx_jpeg_decode 4.4 s ≈ the decoder's
-    single-core CPU total). Spreading the ids is the §8 shape — decide
-    placement with small rows so the heavy payloads are BORN spread and
-    never shuffled. Hash partitioning on media_id is deterministic (no
-    round-robin sort, stable under task retry) and value-identical: the
-    generators are pure per-row functions. At real scale the guard
-    no-ops — a corpus-sized id frame already carries ≥ cores partitions.
+    """Fan a (media_id) id frame out to the session's default parallelism
+    when it arrives under-partitioned (r14 optimization round, guide
+    §2.6/§8): the synth generators expand a few BYTES of id into KB..MB
+    payloads inside mapInPandas, so the generate→decode pipeline runs at
+    the ID FRAME's partition count — and a bench/test id frame read from
+    one single-row-group parquet file is ONE partition, serializing the
+    whole Python codec chain on one core while the rest idle (measured:
+    qx_jpeg_decode 4.4 s ≈ the decoder's single-core CPU total).
+    Spreading the ids is the §8 shape — decide placement with small rows
+    so the heavy payloads are BORN spread and never shuffled. Delegates
+    to dedup's narrow-scan fanout (analysis-only guard, no-op at corpus
+    scale and on non-scan inputs); per-row generators are
+    value-identical under any partitioning.
 
     Applied ONLY where the per-row codec cost dominates the spread's own
     price (one tiny exchange + per-task Python worker/Arrow setup across
-    `target` tasks): the JPEG chain (measured 4.41 → 1.12 s at sf0.1/32).
-    The cheap numpy codecs measured net SLOWER spread — qx_video_stats
-    0.76 → 0.99 s, qx_image_dedup (ppm, 500 ids re-generated per consumer
-    branch) 2.05 → 4.75 s — so ppm/png/wav/video stay at scan
-    parallelism."""
-    target = ids.sparkSession.sparkContext.defaultParallelism
-    if ids.rdd.getNumPartitions() >= target:
-        return ids
-    return ids.repartition(target, F.col("media_id"))
+    the target tasks): the JPEG chain (measured 4.41 → 1.12 s at
+    sf0.1/32). The cheap numpy codecs measured net SLOWER spread —
+    qx_video_stats 0.76 → 0.99 s, qx_image_dedup (ppm, 500 ids
+    re-generated per consumer branch) 2.05 → 4.75 s — so ppm/png/wav/
+    video stay at scan parallelism."""
+    from purescript_ifrit_spark.operators.dedup import _fanout_narrow_scan
+
+    return _fanout_narrow_scan(ids, "media_id")
 
 
 def _pil_available() -> bool:

@@ -1799,8 +1799,18 @@ def gopher_quality_flags(
     single-line corpora.
 
     100 TB design: pure scan-stage HOF expressions over the shared
-    normalized token array — zero shuffles, codegen'd, composes with
-    any downstream filter without materialization."""
+    normalized token array — zero shuffles at scale, codegen'd, composes
+    with any downstream filter without materialization. On an
+    UNDER-partitioned input (a bench/test-scale single-row-group file —
+    one scan partition regardless of cores) the rule expressions ran
+    serially on one core; the guarded spread below parallelizes them for
+    one tiny id+text exchange and no-ops at corpus scale (r14
+    optimization round, guide §2.6 — measured 0.76 -> 0.36 s at
+    sf0.1/32; per-row flags are value-identical under any
+    partitioning)."""
+    from purescript_ifrit_spark.operators.dedup import _fanout_narrow_scan
+
+    df = _fanout_narrow_scan(df, id_col)
     n_words, mean_wl, symbol_ratio, alpha_frac, n_stop = _gopher_parts(
         F.col(text_col)
     )

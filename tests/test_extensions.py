@@ -1809,6 +1809,48 @@ def test_fanout_guard_allowlist_fails_safe(spark, sf_dir):
     assert _fanout_narrow_scan(unknown, "doc_id") is unknown
 
 
+def test_fanout_consumers_spread_and_preserve_values(spark, sf_dir):
+    """r14 optimization round: gopher_quality_flags and the synth-JPEG
+    chain fan a narrow scan out to cluster width (their per-row work is
+    CPU-dense; a one-split input serialized it), and the fan-out must be
+    value-invisible — per-row outputs identical to the unspread plan."""
+    from purescript_ifrit_spark.operators import dedup as D
+    from purescript_ifrit_spark.operators.multimodal import (
+        extract_pixel_stats,
+        synth_jpeg_media,
+    )
+    from purescript_ifrit_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+    from purescript_ifrit_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 64)
+    g = gopher_quality_flags(docs)
+    j = extract_pixel_stats(synth_jpeg_media(ids), codec="jpeg")
+    par = spark.sparkContext.defaultParallelism
+    assert g.rdd.getNumPartitions() == par
+    got_g = sorted(map(tuple, g.collect()))
+    got_j = sorted(map(tuple, j.collect()))
+
+    orig = D._fanout_narrow_scan
+    D._fanout_narrow_scan = lambda df, key: df
+    try:
+        want_g = sorted(map(tuple, gopher_quality_flags(docs).collect()))
+        want_j = sorted(
+            map(
+                tuple,
+                extract_pixel_stats(
+                    synth_jpeg_media(ids), codec="jpeg"
+                ).collect(),
+            )
+        )
+    finally:
+        D._fanout_narrow_scan = orig
+    assert got_g == want_g
+    assert got_j == want_j
+
+
 def test_incremental_dedup_caps_index_side_buckets(spark):
     """ADVICE r4: max_bucket must bound BOTH sides of the (_band,_key)
     probe join. A corpus of identical boilerplate docs puts its whole
