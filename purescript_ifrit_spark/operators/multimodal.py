@@ -842,10 +842,14 @@ def _make_jpeg_decoder():
                     total = sum(counts)
                     if i + total > len(seg):
                         raise ValueError("bad DHT length")
+                    # int-keyed ((ln << 16) | code — ln <= 16, code <
+                    # 2^16, so keys cannot collide): integer hashing is
+                    # measurably cheaper than tuple hashing in the
+                    # per-bit decode loop (r14 optimization round)
                     table, code, k = {}, 0, 0
                     for ln in range(1, 17):
                         for _ in range(counts[ln - 1]):
-                            table[(ln, code)] = seg[i + k]
+                            table[(ln << 16) | code] = seg[i + k]
                             code += 1
                             k += 1
                         code <<= 1
@@ -933,23 +937,38 @@ def _make_jpeg_decoder():
                 raise ValueError("unexpected marker inside jpeg scan")
 
         def make_reader(buf):
-            state = [0, 0, 0]  # byte index, bit buffer, bit count
+            # r14 optimization round: multi-bit buffered reader — the old
+            # one-byte buffer paid a Python call per BIT (83k calls per
+            # 500 fixture images, the top profile entry after the block
+            # loop). Same MSB-first stream, same "exhausted" error when a
+            # read needs bits past the end (the whole decode fails either
+            # way — the poison-payload contract turns it into a NULL row).
+            n = len(buf)
+            state = [0, 0, 0]  # byte index, bit buffer, bits available
 
             def read_bit():
-                if state[2] == 0:
-                    if state[0] >= len(buf):
+                nbits = state[2]
+                if nbits == 0:
+                    if state[0] >= n:
                         raise ValueError("jpeg entropy data exhausted")
                     state[1] = buf[state[0]]
                     state[0] += 1
-                    state[2] = 8
-                state[2] -= 1
-                return (state[1] >> state[2]) & 1
+                    nbits = 8
+                nbits -= 1
+                state[2] = nbits
+                return (state[1] >> nbits) & 1
 
             def read_bits(nb):
-                v = 0
-                for _ in range(nb):
-                    v = (v << 1) | read_bit()
-                return v
+                pos, bitbuf, nbits = state
+                while nbits < nb:
+                    if pos >= n:
+                        raise ValueError("jpeg entropy data exhausted")
+                    bitbuf = ((bitbuf & ((1 << nbits) - 1)) << 8) | buf[pos]
+                    pos += 1
+                    nbits += 8
+                nbits -= nb
+                state[0], state[1], state[2] = pos, bitbuf, nbits
+                return (bitbuf >> nbits) & ((1 << nb) - 1)
 
             return read_bit, read_bits
 
@@ -957,7 +976,7 @@ def _make_jpeg_decoder():
             code = 0
             for ln in range(1, 17):
                 code = (code << 1) | read_bit()
-                sym = table.get((ln, code))
+                sym = table.get((ln << 16) | code)
                 if sym is not None:
                     return sym
             raise ValueError("invalid jpeg huffman code")
@@ -1015,9 +1034,10 @@ def _make_jpeg_decoder():
                                 S[zz[k]] = extend(read_bits(sz), sz) * q[k]
                                 k += 1
                             blk = M.T @ S.reshape(8, 8) @ M
-                            px = np.clip(
-                                np.floor(blk + 128.0 + 0.5), 0, 255
-                            )
+                            # ndarray.clip == np.clip (same umath.clip
+                            # ufunc) minus the per-call dispatch wrapper
+                            # — 10.7k wrapped calls showed in the profile
+                            px = np.floor(blk + 128.0 + 0.5).clip(0, 255)
                             y0 = (my * vi + byi) * 8
                             x0 = (mx * hi + bxi) * 8
                             planes[cs][y0 : y0 + 8, x0 : x0 + 8] = px
