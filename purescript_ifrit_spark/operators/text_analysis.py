@@ -736,14 +736,10 @@ def dsir_weights(
 
     100 TB design: each side's bucket table aggregates straight off its
     scan-stage gram explode with map-side partials to a `dim`-sized
-    relation (dim ~ 2^10..2^16 — metadata-sized), collected once into a
-    single (bucket, c_ref, c_tgt) local relation with the totals as
-    literals (two bounded driver actions — the same dim-sized rows a
-    broadcast would ship to the driver anyway); the target gram stream
-    pre-aggregates to per-(doc, bucket) counts whose exchange feeds both
-    the bucket rollup and the scoring join map-side. Nothing corpus-sized
-    shuffles, the ref corpus is read once and the target twice (was: ref
-    twice, target three times)."""
+    relation (dim ~ 2^10..2^16 — metadata-sized); the two tables and
+    their totals broadcast; the target gram stream joins buckets
+    map-side and the final exchange carries one partial row per
+    (doc, partition). Nothing corpus-sized shuffles."""
     if dim <= 0:
         raise ValueError(f"dim must be positive (got {dim})")
 
@@ -776,68 +772,35 @@ def dsir_weights(
             F.count(F.lit(1)).alias(cname)
         )
 
-    # r14 optimization round (guide §1.2 — don't recompute what you
-    # already paid for). The original shape derived FIVE corpus-pass
-    # subtrees (Catalyst does not CSE across them and AQE exchange
-    # reuse does not reach the broadcast branches — measured, 1
-    # ReusedExchange out of 5 candidate subtrees): ref bucket table +
-    # its total, target bucket table + its total, and the per-doc gram
-    # stream. Now:
-    #   - the ref bucket table is COLLECTED once (dim-sized by
-    #     contract — the same rows F.broadcast() shipped to the driver
-    #     anyway) and its total folded on the driver;
-    #   - the target gram stream pre-aggregates to per-(doc, bucket)
-    #     counts `g`, whose dim-sized rollup is collected once for the
-    #     target bucket table + total;
-    #   - scoring joins g against ONE broadcast local relation holding
-    #     (bucket, c_ref, c_tgt) with both totals inlined as literals.
-    # 5 corpus passes -> 3 (ref once, target twice), two joins + two
-    # crossJoins -> one broadcast join, and the join/aggregate tail
-    # processes distinct (doc, bucket) rows instead of every gram
-    # instance. The log arithmetic stays JVM-side with identical
-    # operand doubles (totals are exact integers < 2^53); per-doc sums
-    # become Σ_b count·lw_b — the same real number as the per-instance
-    # Σ lw up to summation order, i.e. within the engine-order
-    # tolerance the 6dp-rounded oracle contract already absorbs
-    # (DuckDB sums in its own order); verified round-6-identical vs
-    # the oracle AND the per-instance form on sf0.001/0.01/0.1, both
-    # dims. n_grams stays an exact integer.
-    rb_rows = bucket_table(ref, "_cr").collect()
-    g = grams(target, True).groupBy("_doc", "_b").agg(
-        F.count(F.lit(1)).alias("_cgb")
-    )
-    tb_rows = g.groupBy("_b").agg(F.sum("_cgb").alias("_ct")).collect()
-    nr = sum(r["_cr"] for r in rb_rows)  # empty side -> 0 (the r9
-    nt = sum(r["_ct"] for r in tb_rows)  # NULL-poison fix, now trivial)
-    cr = {r["_b"]: r["_cr"] for r in rb_rows}
-    ct = {r["_b"]: r["_ct"] for r in tb_rows}
-    spark = target.sparkSession
-    bstats = spark.createDataFrame(
-        [
-            (int(b), int(cr.get(b, 0)), int(ct.get(b, 0)))
-            for b in sorted(set(cr) | set(ct))
-        ],
-        "_b int, _cr long, _ct long",
-    )
+    rb = bucket_table(ref, "_cr")
+    tb = bucket_table(target, "_ct")
+    # coalesce the totals: an empty side aggregates SUM to NULL and
+    # would NULL-poison every weight (r9 review — same fix as
+    # unigram_logprob_against); the smoothed degenerate LM is uniform
+    # 1/dim per bucket
+    rtot = rb.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("_nr"))
+    ttot = tb.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_nt"))
+    tgt_grams = grams(target, True)
     scored = (
-        g.join(F.broadcast(bstats), "_b", "left")
+        tgt_grams.join(F.broadcast(rb), "_b", "left")
+        .join(F.broadcast(tb), "_b", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
         .withColumn(
             "_lw",
             F.log(
                 (F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(1)).cast("double")
-                / F.lit(nr + dim).cast("double")
+                / (F.col("_nr") + F.lit(dim)).cast("double")
             )
             - F.log(
                 (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1)).cast("double")
-                / F.lit(nt + dim).cast("double")
+                / (F.col("_nt") + F.lit(dim)).cast("double")
             ),
         )
     )
     return scored.groupBy(F.col("_doc").alias(id_col)).agg(
-        F.sum(F.col("_cgb").cast("double") * F.col("_lw")).alias(
-            "log_weight"
-        ),
-        F.sum("_cgb").alias("n_grams"),
+        F.sum("_lw").alias("log_weight"),
+        F.count(F.lit(1)).alias("n_grams"),
     )
 
 
