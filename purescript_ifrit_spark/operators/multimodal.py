@@ -828,9 +828,14 @@ def _make_jpeg_decoder():
                         raise ValueError("16-bit quant tables unsupported")
                     if i + 64 > len(seg):
                         raise ValueError("bad DQT length")
-                    qt[tq] = np.frombuffer(
-                        seg[i : i + 64], dtype=np.uint8
-                    ).astype(np.float64)
+                    # Python-float list, not ndarray: the dequantize
+                    # multiplies are per-coefficient scalars in the
+                    # entropy loop, and list indexing + float·int is
+                    # cheaper than ndarray scalar extraction (bitwise
+                    # the same IEEE-double arithmetic either way)
+                    qt[tq] = [
+                        float(b) for b in seg[i : i + 64]
+                    ]
                     i += 64
             elif m == 0xC4:  # DHT
                 i = 0
@@ -842,19 +847,35 @@ def _make_jpeg_decoder():
                     total = sum(counts)
                     if i + total > len(seg):
                         raise ValueError("bad DHT length")
-                    # int-keyed ((ln << 16) | code — ln <= 16, code <
-                    # 2^16, so keys cannot collide): integer hashing is
-                    # measurably cheaper than tuple hashing in the
-                    # per-bit decode loop (r14 optimization round)
-                    table, code, k = {}, 0, 0
+                    # canonical decode arrays (ITU T.81 F.16, r14
+                    # optimization round 2nd pass): maxcode[ln] is the
+                    # largest code of length ln (-1 when empty), and
+                    # syms[offs[ln] + code] is the symbol — one 16-bit
+                    # peek plus integer compares replaces the per-BIT
+                    # call + dict lookup of the previous shape. The
+                    # canonical construction guarantees code >= mincode
+                    # whenever every shorter length failed, so the
+                    # single <= maxcode compare suffices.
+                    # only the nonempty lengths are walked at decode
+                    # time (an empty length's maxcode of -1 could never
+                    # match, so skipping it is the identical walk):
+                    # entries of (ln, 16 - ln, maxcode, valptr-mincode)
+                    # in ascending ln, plus the shared symbol list
+                    entries, syms = [], []
+                    code, k = 0, 0
                     for ln in range(1, 17):
-                        for _ in range(counts[ln - 1]):
-                            table[(ln << 16) | code] = seg[i + k]
-                            code += 1
-                            k += 1
+                        cnt = counts[ln - 1]
+                        if cnt:
+                            entries.append(
+                                (ln, 16 - ln, code + cnt - 1,
+                                 len(syms) - code)
+                            )
+                            syms.extend(seg[i + k : i + k + cnt])
+                            code += cnt
                         code <<= 1
+                        k += cnt
                     i += total
-                    huff[(tc, th)] = table
+                    huff[(tc, th)] = (entries, syms)
                 if i != len(seg):
                     raise ValueError("bad DHT length")
             elif m in (0xC0, 0xC1):  # SOF0/1: baseline & extended huffman
@@ -911,25 +932,25 @@ def _make_jpeg_decoder():
 
         # split entropy-coded data into restart intervals, undoing 0xFF00
         # byte stuffing; 0xFFD0-D7 separate intervals, 0xFFD9 terminates
+        # r14 optimization round, 2nd pass: jump marker-to-marker with
+        # bytes.find and bulk-copy the spans between — the previous
+        # shape looped per entropy BYTE in Python. Same outcomes: no
+        # 0xFF before end-of-data and 0xFF-as-last-byte both raise the
+        # same truncation error the byte walk raised on running dry.
         segments, cur, i = [], bytearray(), pos
         while True:
-            if i >= n:
+            j = data.find(0xFF, i)
+            if j < 0 or j + 1 >= n:
                 raise ValueError("truncated jpeg entropy data")
-            b = data[i]
-            if b != 0xFF:
-                cur.append(b)
-                i += 1
-                continue
-            if i + 1 >= n:
-                raise ValueError("truncated jpeg entropy data")
-            b2 = data[i + 1]
+            cur += data[i:j]
+            b2 = data[j + 1]
             if b2 == 0x00:
                 cur.append(0xFF)
-                i += 2
+                i = j + 2
             elif 0xD0 <= b2 <= 0xD7:
                 segments.append(bytes(cur))
                 cur = bytearray()
-                i += 2
+                i = j + 2
             elif b2 == 0xD9:
                 segments.append(bytes(cur))
                 break
@@ -937,91 +958,139 @@ def _make_jpeg_decoder():
                 raise ValueError("unexpected marker inside jpeg scan")
 
         def make_reader(buf):
-            # r14 optimization round: multi-bit buffered reader — the old
-            # one-byte buffer paid a Python call per BIT (83k calls per
-            # 500 fixture images, the top profile entry after the block
-            # loop). Same MSB-first stream, same "exhausted" error when a
-            # read needs bits past the end (the whole decode fails either
-            # way — the poison-payload contract turns it into a NULL row).
+            # r14 optimization round, 2nd pass: Huffman symbols decode
+            # from one zero-padded 16-bit peek against the canonical
+            # maxcode arrays — the previous shape paid a Python call per
+            # BIT plus a dict probe per candidate length (~180 calls per
+            # fixture image). Error semantics are unchanged: a padding
+            # bit can only complete a match at a length LONGER than the
+            # real remainder (shorter prefixes are all real bits), and
+            # that case raises the same "exhausted" error the bit-serial
+            # reader raised when it ran dry mid-code; 16 real bits with
+            # no match raise the same "invalid" error; value-bit reads
+            # past the end raise "exhausted" as before.
             n = len(buf)
             state = [0, 0, 0]  # byte index, bit buffer, bits available
 
-            def read_bit():
-                nbits = state[2]
-                if nbits == 0:
-                    if state[0] >= n:
-                        raise ValueError("jpeg entropy data exhausted")
-                    state[1] = buf[state[0]]
-                    state[0] += 1
-                    nbits = 8
-                nbits -= 1
-                state[2] = nbits
-                return (state[1] >> nbits) & 1
+            def read_sym(tab):
+                bpos, bitbuf, nbits = state
+                while nbits < 16 and bpos < n:
+                    bitbuf = ((bitbuf & ((1 << nbits) - 1)) << 8) | buf[bpos]
+                    bpos += 1
+                    nbits += 8
+                if nbits >= 16:
+                    peek = (bitbuf >> (nbits - 16)) & 0xFFFF
+                else:
+                    peek = (bitbuf << (16 - nbits)) & 0xFFFF
+                entries, syms = tab
+                for ln, sh, mx, off in entries:
+                    c = peek >> sh
+                    if c <= mx:
+                        if ln > nbits:
+                            raise ValueError("jpeg entropy data exhausted")
+                        state[0], state[1], state[2] = bpos, bitbuf, nbits - ln
+                        return syms[off + c]
+                raise ValueError(
+                    "invalid jpeg huffman code" if nbits >= 16
+                    else "jpeg entropy data exhausted"
+                )
 
             def read_bits(nb):
-                pos, bitbuf, nbits = state
+                bpos, bitbuf, nbits = state
                 while nbits < nb:
-                    if pos >= n:
+                    if bpos >= n:
                         raise ValueError("jpeg entropy data exhausted")
-                    bitbuf = ((bitbuf & ((1 << nbits) - 1)) << 8) | buf[pos]
-                    pos += 1
+                    bitbuf = ((bitbuf & ((1 << nbits) - 1)) << 8) | buf[bpos]
+                    bpos += 1
                     nbits += 8
                 nbits -= nb
-                state[0], state[1], state[2] = pos, bitbuf, nbits
+                state[0], state[1], state[2] = bpos, bitbuf, nbits
                 return (bitbuf >> nbits) & ((1 << nb) - 1)
 
-            return read_bit, read_bits
-
-        def read_huff(read_bit, table):
-            code = 0
-            for ln in range(1, 17):
-                code = (code << 1) | read_bit()
-                sym = table.get((ln << 16) | code)
-                if sym is not None:
-                    return sym
-            raise ValueError("invalid jpeg huffman code")
-
-        def extend(v, t):
-            return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+            return read_sym, read_bits
 
         planes = {
             cid: np.zeros((mcuy * vi * 8, mcux * hi * 8))
             for cid, hi, vi, _ in comps
         }
+
+        # r14 optimization round, 2nd pass: coefficients are collected
+        # sparsely per component (flat index into a (blocks, 64) stack +
+        # dequantized value) and spent through ONE batched IDCT per
+        # flush — (M.T @ S) @ M over an (n, 8, 8) stack is bitwise-
+        # identical to the per-block product (verified: same dgemm over
+        # identically-strided contiguous 8×8 panels), and the
+        # floor/clip round runs once per flush instead of once per
+        # block. Flushes are chunked so the transient S/pixel stacks
+        # stay ~1 MB even at the allocation cap, preserving the
+        # float64-plane memory envelope documented above.
+        _IDCT_CHUNK = 2048
+        pend = {cid: ([], [], []) for cid, _, _, _ in comps}
+
+        def flush(cid):
+            pos_l, idx_l, val_l = pend[cid]
+            if not pos_l:
+                return
+            S = np.zeros((len(pos_l), 8, 8))
+            S.ravel()[np.array(idx_l, dtype=np.int64)] = val_l
+            px = np.floor((M.T @ S) @ M + 128.0 + 0.5).clip(0, 255)
+            plane = planes[cid]
+            for j, (y0, x0) in enumerate(pos_l):
+                plane[y0 : y0 + 8, x0 : x0 + 8] = px[j]
+            pend[cid] = ([], [], [])
+
+        # static per-scan-component prefetch: the previous shape
+        # re-checked table presence per MCU, but the tables cannot
+        # change mid-scan, so the first-MCU error is the same error
+        scomps = []
+        for cs, td, ta in scan:
+            if cs not in by_id or (0, td) not in huff \
+                    or (1, ta) not in huff:
+                raise ValueError("jpeg scan references missing "
+                                 "component or huffman table")
+            hi, vi, tq = by_id[cs]
+            if tq not in qt:
+                raise ValueError("jpeg scan references missing "
+                                 "quant table")
+            scomps.append(
+                (cs, hi, vi, qt[tq], huff[(0, td)], huff[(1, ta)])
+            )
+
         dc_pred = {cid: 0 for cid, _, _, _ in comps}
         per_seg = dri if dri > 0 else mcux * mcuy
         total_mcus = mcux * mcuy
         done = 0
+        zz_l = zz.tolist()
         for seg_bytes in segments:
             if done >= total_mcus:
                 break
-            read_bit, read_bits = make_reader(seg_bytes)
+            read_sym, read_bits = make_reader(seg_bytes)
             for cid in dc_pred:
                 dc_pred[cid] = 0
             for _ in range(min(per_seg, total_mcus - done)):
                 my, mx = divmod(done, mcux)
-                for cs, td, ta in scan:
-                    if cs not in by_id or (0, td) not in huff \
-                            or (1, ta) not in huff:
-                        raise ValueError("jpeg scan references missing "
-                                         "component or huffman table")
-                    hi, vi, tq = by_id[cs]
-                    if tq not in qt:
-                        raise ValueError("jpeg scan references missing "
-                                         "quant table")
-                    q = qt[tq]
+                for cs, hi, vi, q, dctab, actab in scomps:
+                    pos_l, idx_l, val_l = pend[cs]
                     for byi in range(vi):
+                        y0 = (my * vi + byi) * 8
                         for bxi in range(hi):
-                            S = np.zeros(64)
-                            t = read_huff(read_bit, huff[(0, td)])
+                            base = len(pos_l) * 64
+                            pos_l.append((y0, (mx * hi + bxi) * 8))
+                            t = read_sym(dctab)
                             if t > 11:
                                 raise ValueError("bad jpeg DC category")
-                            diff = extend(read_bits(t), t) if t else 0
+                            if t:
+                                v = read_bits(t)
+                                diff = (v if v >= (1 << (t - 1))
+                                        else v - (1 << t) + 1)
+                            else:
+                                diff = 0
                             dc_pred[cs] += diff
-                            S[0] = dc_pred[cs] * q[0]
+                            idx_l.append(base)
+                            val_l.append(dc_pred[cs] * q[0])
                             k = 1
                             while k < 64:
-                                rs = read_huff(read_bit, huff[(1, ta)])
+                                rs = read_sym(actab)
                                 r, sz = rs >> 4, rs & 15
                                 if sz == 0:
                                     if r == 15:
@@ -1031,19 +1100,21 @@ def _make_jpeg_decoder():
                                 k += r
                                 if k > 63:
                                     raise ValueError("jpeg AC run overflow")
-                                S[zz[k]] = extend(read_bits(sz), sz) * q[k]
+                                v = read_bits(sz)
+                                idx_l.append(base + zz_l[k])
+                                val_l.append(
+                                    (v if v >= (1 << (sz - 1))
+                                     else v - (1 << sz) + 1) * q[k]
+                                )
                                 k += 1
-                            blk = M.T @ S.reshape(8, 8) @ M
-                            # ndarray.clip == np.clip (same umath.clip
-                            # ufunc) minus the per-call dispatch wrapper
-                            # — 10.7k wrapped calls showed in the profile
-                            px = np.floor(blk + 128.0 + 0.5).clip(0, 255)
-                            y0 = (my * vi + byi) * 8
-                            x0 = (mx * hi + bxi) * 8
-                            planes[cs][y0 : y0 + 8, x0 : x0 + 8] = px
+                            if len(pos_l) >= _IDCT_CHUNK:
+                                flush(cs)
+                                pos_l, idx_l, val_l = pend[cs]
                 done += 1
         if done != total_mcus:
             raise ValueError("jpeg entropy data ended early")
+        for cid, _, _, _ in comps:
+            flush(cid)
 
         if len(comps) == 1:
             return planes[comps[0][0]][:h, :w].astype(np.uint8)[:, :, None]
@@ -1051,9 +1122,17 @@ def _make_jpeg_decoder():
         xs = np.arange(w)
         up = {}
         for cid, hi, vi, _ in comps:
-            up[cid] = planes[cid][
-                np.ix_((ys * vi) // vmax, (xs * hi) // hmax)
-            ]
+            if hi == hmax and vi == vmax:
+                # full-resolution component (e.g. Y at 4:2:0): the index
+                # maps are the identity, so crop by view instead of a
+                # fancy-indexed full-plane copy
+                up[cid] = planes[cid][:h, :w]
+            else:
+                # open-mesh fancy index — what np.ix_ built, minus its
+                # per-call wrapper overhead
+                up[cid] = planes[cid][
+                    ((ys * vi) // vmax)[:, None], (xs * hi) // hmax
+                ]
         (yid, _, _, _), (cbid, _, _, _), (crid, _, _, _) = comps
         Y, Cb, Cr = up[yid], up[cbid] - 128.0, up[crid] - 128.0
         out = np.empty((h, w, 3), dtype=np.uint8)
