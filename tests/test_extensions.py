@@ -3548,6 +3548,132 @@ def test_jpeg_color_constant_roundtrip():
         assert (img[:, :, 2] == b).all()
 
 
+def _handcrafted_ac_jpeg():
+    """A hand-built 8×8 grayscale baseline stream exercising the general
+    AC entropy path the constant-block fixture encoder never emits:
+    run/size coding, a ZRL (16-zero run), and EOB — plus the expected
+    coefficient block, for recomputation by an independent IDCT."""
+    import struct
+
+    import numpy as np
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + b"\x01" * 64)  # all-ones quantizer
+    # DC table 0: 12 category symbols at length 5 (code == category)
+    out += seg(0xC4, bytes([0x00])
+               + bytes([0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+               + bytes(range(12)))
+    # AC table 0: five symbols at length 3, canonical code == position:
+    # 0x02 (run 0, size 2), 0x43 (run 4, size 3), 0xF0 (ZRL),
+    # 0x01 (run 0, size 1), 0x00 (EOB)
+    ac_syms = [0x02, 0x43, 0xF0, 0x01, 0x00]
+    out += seg(0xC4, bytes([0x10])
+               + bytes([0, 0, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+               + bytes(ac_syms))
+    out += seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+               + bytes([1, 1, 0x11, 0]))
+    out += seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    # entropy: DC cat 3 (code 00011) value +5 (101); AC k=1: sym 0x02
+    # (000) value -3 at size 2 (00); k=6 after run 4: sym 0x43 (001)
+    # value +7 (111); ZRL (010) -> k jumps to 23; sym 0x01 (011) value
+    # +1 (1); EOB (100); pad to byte with 1s
+    bits = "00011" + "101" + "000" + "00" + "001" + "111" \
+        + "010" + "011" + "1" + "100"
+    bits += "1" * (-len(bits) % 8)
+    ent = bytearray()
+    for i in range(0, len(bits), 8):
+        b = int(bits[i : i + 8], 2)
+        ent.append(b)
+        if b == 0xFF:
+            ent.append(0x00)
+    # expected dequantized coefficient block (zigzag scan positions)
+    zigzag = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    S = np.zeros(64)
+    S[zigzag[0]] = 5.0   # DC
+    S[zigzag[1]] = -3.0
+    S[zigzag[6]] = 7.0
+    S[zigzag[23]] = 1.0  # after the 16-zero ZRL run
+    return bytes(out + ent + b"\xff\xd9"), S.reshape(8, 8)
+
+
+def test_jpeg_ac_runlength_path():
+    """General AC entropy coding (run/size, ZRL, EOB) decodes to the
+    pinned float-IDCT raster — recomputed here with an INDEPENDENT
+    basis-product implementation, not the decoder's."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import decode_jpeg
+
+    payload, S = _handcrafted_ac_jpeg()
+    img = decode_jpeg(payload)
+    assert img.shape == (8, 8, 1)
+    M = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / (2.0 * np.sqrt(2.0))) if u == 0 else 0.5
+        for x in range(8):
+            M[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    exp = np.floor(M.T @ S @ M + 128.0 + 0.5).clip(0, 255).astype(np.uint8)
+    assert (img[:, :, 0] == exp).all()
+    # the AC coefficients actually land: the raster is NOT block-constant
+    assert len(np.unique(img)) > 1
+
+
+def test_jpeg_batched_idct_chunk_boundary():
+    """Images with more blocks than one IDCT flush chunk (2048) decode
+    exactly — the chunked batch scatter must not drop, reorder, or
+    double-place blocks across flush boundaries."""
+    import numpy as np
+
+    from purescript_ifrit_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray_blocks,
+    )
+
+    vals = (np.arange(48 * 48, dtype=np.int64) * 31 % 256).reshape(48, 48)
+    img = decode_jpeg(encode_jpeg_gray_blocks(vals, 97))
+    assert img.shape == (384, 384, 1)
+    exp = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    assert (img[:, :, 0] == exp).all()
+
+
+def test_jpeg_entropy_error_distinction():
+    """The peek-based Huffman decode preserves the bit-serial reader's
+    error split: running dry mid-code raises the exhausted error, 16
+    real bits with no matching code raises the invalid-code error."""
+    import pytest
+
+    from purescript_ifrit_spark.operators.multimodal import decode_jpeg
+
+    payload, _ = _handcrafted_ac_jpeg()
+    ent_start = payload.index(b"\x00\x3f\x00") + 3
+    # truncate mid-stream: the decode runs out of real bits mid-code
+    trunc = payload[: ent_start + 1] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="exhausted"):
+        decode_jpeg(trunc)
+    # DC category 7 (code 00111) + 7 value bits of 0, then 0x00-stuffed
+    # 0xFF bytes: every 3-bit AC prefix reads 111, matching none of the
+    # five length-3 codes (0..4), and no longer lengths exist -> with 16
+    # real bits available this must be the invalid-code error
+    bad = "00111" + "0000000" + "1111"
+    body = bytearray()
+    for i in range(0, len(bad), 8):
+        b = int(bad[i : i + 8], 2)
+        body.append(b)
+        if b == 0xFF:
+            body.append(0x00)
+    body += b"\xff\x00" * 4  # 32 more real 1-bits
+    with pytest.raises(ValueError, match="invalid jpeg huffman code"):
+        decode_jpeg(payload[:ent_start] + bytes(body) + b"\xff\xd9")
+
+
 def test_jpeg_totality_contract():
     """Malformed/unsupported streams raise ValueError: truncation at
     every stage, progressive SOF2, marker desync, exhausted entropy
