@@ -38,8 +38,87 @@ def build_spark():
         .config("spark.ui.enabled", "false")
         # the driver parses bench stdout — keep progress bars off it
         .config("spark.ui.showConsoleProgress", "false")
+        # JIT code cache (r14 optimization round, guide §1.2 step 3 /
+        # §7.4): every steady run builds a FRESH plan (the bench
+        # contract), and fresh expression IDs make every run's generated
+        # whole-stage-codegen classes new — measured ~1.2 MB of code
+        # cache per fresh plan (60 MB over 22 plans, one-query probe),
+        # so a full window's ~420 plan compilations (70 queries ×
+        # (1 cold + 4 steady) + layout builds) overflows the JVM's
+        # 240 MB default and JIT flush churn hits the window's TAIL
+        # queries hardest. Sized to the plan count the session compiles
+        # — NOT to data scale or core count (same value is right at any
+        # SF / cpus); the actual occupancy is recorded per window in
+        # BENCH_DETAIL.json (cotenancy.codecache_used_mb) as evidence.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .getOrCreate()
     )
+
+
+def measure_effective_cpus(n: int, spin: int = 6_000_000) -> float:
+    """Direct co-tenant CPU probe (r14 optimization round): the canaries
+    so far infer contention from query-time symptoms (spread, uniform
+    inflation vs reference/floors); this MEASURES the cause. Time one
+    fixed CPU-bound spin alone, then `n` of them concurrently in
+    subprocesses: effective cpus ≈ n·single/concurrent. On an idle host
+    it approaches min(n, physical cores); under hypervisor steal or
+    co-tenant load it reads the core count the host actually grants at
+    this moment (observed during the r14 optimization round: 3.4 of a
+    nominal 32 — /proc/stat steal time exceeded user time). Runs OUTSIDE
+    every timed region; quiet-host cost is two ~0.5 s spins."""
+    import subprocess
+
+    code = f"x=0\nfor i in range({int(spin)}): x+=i*i"
+    argv = [sys.executable, "-c", code]
+    start = time.perf_counter()
+    subprocess.run(argv, check=False)
+    single = time.perf_counter() - start
+    start = time.perf_counter()
+    procs = [subprocess.Popen(argv) for _ in range(int(n))]
+    for p in procs:
+        p.wait()
+    concurrent = time.perf_counter() - start
+    if concurrent <= 0 or single <= 0:
+        return float(n)
+    return round(min(float(n), n * single / concurrent), 1)
+
+
+def flag_effective_cpus(variance: dict, nominal: int, probes: dict) -> None:
+    """Canary v5 (r14 optimization round): attach the direct CPU probe
+    readings to the cotenancy block and flag the window when the host
+    granted under 60% of the nominal cores at either edge of the run —
+    the one co-tenancy signature no quiet-looking spread can hide,
+    measured instead of inferred. Mutates variance['cotenancy']."""
+    cot = variance["cotenancy"]
+    block = dict(probes)
+    block["nominal"] = int(nominal)
+    cot["effective_cpus"] = block
+    vals = [v for k, v in probes.items() if isinstance(v, (int, float))]
+    low = [v for v in vals if v < 0.6 * nominal]
+    if low:
+        cot["noisy"] = True
+        cot["flags"].append(
+            f"effective_cpus: host granted {min(low)} of {nominal} "
+            "nominal cores (direct subprocess spin probe)"
+        )
+
+
+def _codecache_used_mb(spark) -> "float | None":
+    """JVM code-cache occupancy (MB) — evidence for the 512m sizing
+    above; rides the cotenancy block in both artifacts (~30 chars)."""
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        total = 0
+        for pool in mf.getMemoryPoolMXBeans():
+            name = pool.getName()
+            if "CodeHeap" in name or "Code Cache" in name:
+                total += pool.getUsage().getUsed()
+        return round(total / 1048576.0, 1)
+    except Exception:
+        return None
 
 
 def _consume(df) -> None:
@@ -1256,11 +1335,16 @@ def rebaseline(n_windows: int = 8, out_name: str = "BENCH_REBASELINE.json") -> d
     try:
         windows = []
         for i in range(n_windows):
+            eff = measure_effective_cpus(int(CPUS))
             times, _, _, variance = bench_queries(spark, headline_only=True)
             flag_sustained_load(
                 times, variance,
                 float(sf) if sf.replace(".", "").isdigit() else sf,
                 int(CPUS),
+            )
+            flag_effective_cpus(variance, int(CPUS), {"start": eff})
+            variance["cotenancy"]["codecache_used_mb"] = _codecache_used_mb(
+                spark
             )
             windows.append(
                 {
@@ -1344,13 +1428,19 @@ def bench_compile() -> dict:
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    eff_start = measure_effective_cpus(int(CPUS))
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
     try:
         times, cold, extra, variance = bench_queries(spark)
+        eff_end = measure_effective_cpus(int(CPUS))
         sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
         flag_sustained_load(times, variance, sf_val, int(CPUS))
         flag_floor_adjudication(times, variance, sf_val, int(CPUS))
+        flag_effective_cpus(
+            variance, int(CPUS), {"start": eff_start, "end": eff_end}
+        )
+        variance["cotenancy"]["codecache_used_mb"] = _codecache_used_mb(spark)
         total = round(sum(times.values()), 3)
         # The driver keeps only a bounded TAIL of stdout and parses the
         # final JSON line; round 5's line outgrew that window and the

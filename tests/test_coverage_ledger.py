@@ -783,3 +783,38 @@ def test_bench_floor_adjudication_canary_v4(tmp_path):
     ))
     bad_val = run({"q1": 1.0}, path=str(nonnum))
     assert bad_val["cotenancy"]["floors"]["available"] is False
+
+
+def test_bench_effective_cpus_canary_v5():
+    """Canary v5 (r14 optimization round): a DIRECT subprocess spin
+    probe measures how many cores the host actually grants (observed
+    in-round: 3.4 of a nominal 32 under hypervisor steal), instead of
+    inferring contention from query-time symptoms. The flag trips below
+    60% of nominal at either probe edge; the probe itself must return a
+    positive value bounded by n."""
+    bench = _load_bench()
+
+    # the real probe, tiny spin so the test stays sub-second
+    eff = bench.measure_effective_cpus(2, spin=50_000)
+    assert 0 < eff <= 2.0
+
+    def run(probes, nominal=32):
+        v = {"cotenancy": {"noisy": False, "flags": []}}
+        bench.flag_effective_cpus(v, nominal, probes)
+        return v["cotenancy"]
+
+    quiet = run({"start": 31.0, "end": 29.5})
+    assert quiet["effective_cpus"] == {
+        "start": 31.0, "end": 29.5, "nominal": 32,
+    }
+    assert not quiet["noisy"] and quiet["flags"] == []
+
+    starved = run({"start": 30.1, "end": 3.4})
+    assert starved["noisy"]
+    assert any(
+        "effective_cpus" in f and "3.4" in f for f in starved["flags"]
+    )
+
+    # rebaseline windows probe only the window start
+    one = run({"start": 4.2})
+    assert one["noisy"] and one["effective_cpus"]["nominal"] == 32
