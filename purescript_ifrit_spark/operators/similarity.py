@@ -244,10 +244,36 @@ def embedding_neardup_pairs(
                 for t in tables
             ]
         )
-        band = (
-            df.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nv"))
+        # ONE distributed signature pass (r14 optimization round, guide
+        # §1.2/§2.4/§2.6). Before: the band subtree fed BOTH sides of the
+        # candidate self-join, and with the small side broadcast (the
+        # AQE choice at bench scale) ReuseExchange cannot dedupe a
+        # broadcast build against the probe side — the T·P hyperplane
+        # folds ran TWICE per corpus row; the single-row-group bench
+        # input additionally ran each pass on ONE core (measured at
+        # sf0.1/T=4/P=12: the two signature stages are ~2.7 s of the
+        # query's ~3 s). Fix: spread a provably-narrow scan to cluster
+        # width (dedup._fanout_narrow_scan — analysis-only, no-op at
+        # corpus scale where splits already exceed cores) and persist
+        # the NARROW signature base (id + T longs per row; vectors stay
+        # out of the cache) so both join sides and the cap path read one
+        # materialized pass. Same expressions, same rows → values
+        # bit-identical. Lazy-mode lifecycle as minhash_candidate_pairs'
+        # shingle persist: pinned until the session/bench releases it.
+        from pyspark import StorageLevel
+
+        from purescript_ifrit_spark.operators.dedup import (
+            _fanout_narrow_scan,
+        )
+
+        sig_base = (
+            _fanout_narrow_scan(df, id_col)
+            .select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nv"))
             .select("_nid", sig_arr.alias("_sigs"))
-            .select("_nid", "_sigs", F.posexplode("_sigs").alias("_t", "_bkt"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        band = sig_base.select(
+            "_nid", "_sigs", F.posexplode("_sigs").alias("_t", "_bkt")
         )
         if max_bucket is not None:
             sizes = band.groupBy("_t", "_bkt").agg(
