@@ -6248,6 +6248,30 @@ def test_embedding_neardup_multitable_or_construction(spark):
         )
 
 
+def test_embedding_neardup_tables_single_signature_pass(spark):
+    """r14 optimization round: the tables-mode band is computed ONCE (a
+    persisted narrow signature base) and BOTH candidate-join sides read
+    the materialized pass — before, the T·P hyperplane folds ran twice
+    per corpus row because ReuseExchange cannot dedupe a broadcast build
+    against the probe side. Plan pin: exactly two InMemoryTableScan
+    reads of the signature cache (one per join side); values are pinned
+    by test_embedding_neardup_multitable_or_construction and the
+    x_embedding_neardup oracle."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    tables = [similarity.make_hyperplanes(16, 4, seed=s) for s in range(3)]
+    out = similarity.embedding_neardup_pairs(
+        df, "vec_id", "embedding", 0.9, tables=tables
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 2, plan[:2000]
+
+
 def test_embedding_neardup_multitable_bucket_cap(spark):
     """max_bucket drops degenerate buckets (or fails loudly with
     on_capped='error') — the mass-duplicate guardrail of the dedup
