@@ -40,16 +40,18 @@ def build_spark():
         .config("spark.ui.showConsoleProgress", "false")
         # JIT code cache (r14 optimization round, guide §1.2 step 3 /
         # §7.4): every steady run builds a FRESH plan (the bench
-        # contract), and fresh expression IDs make every run's generated
-        # whole-stage-codegen classes new — measured ~1.2 MB of code
-        # cache per fresh plan (60 MB over 22 plans, one-query probe),
-        # so a full window's ~420 plan compilations (70 queries ×
-        # (1 cold + 4 steady) + layout builds) overflows the JVM's
-        # 240 MB default and JIT flush churn hits the window's TAIL
-        # queries hardest. Sized to the plan count the session compiles
-        # — NOT to data scale or core count (same value is right at any
-        # SF / cpus); the actual occupancy is recorded per window in
-        # BENCH_DETAIL.json (cotenancy.codecache_used_mb) as evidence.
+        # contract) and fresh expression IDs make each run's generated
+        # whole-stage-codegen classes new — a one-query probe measured
+        # ~1.2 MB of code cache per fresh plan (60 MB over 22 plans of
+        # the heaviest shape). Measured under this 512m reserve, the
+        # sweeper bounds steady-state occupancy well below the 240 MB
+        # default (155 MB after a full 70-query window, 113 MB plateau
+        # across an 8-window headline floors session — recorded per
+        # window as cotenancy.codecache_used_mb), so the default was
+        # adequate for today's workloads; the reserve is zero-cost
+        # headroom that removes flush churn as a variable for longer
+        # sessions, and the recorded occupancy keeps the sizing claim
+        # auditable. Not data-scale- or core-count-dependent.
         .config(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=512m",
